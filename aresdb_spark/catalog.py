@@ -1,0 +1,119 @@
+"""Table catalog — the Spark analog of the reference metastore.
+
+The reference keeps explicit server-managed schemas with fact/dimension
+flags, a designated event-time column (column 0), primary keys, and
+archiving sort columns (metastore/common/model.go:126-151). Here the same
+metadata drives planning decisions:
+
+  - fact tables    → scanned with partition/time pruning, never broadcast
+  - dimension tables → small, broadcast on join (query/aql_compiler.go:268-343
+    constrains joins to dimension tables; we keep the *heuristic*, Spark
+    removes the hard limit)
+  - time_column    → target of AQL timeFilter (query/aql_compiler.go:1013-1017)
+  - sort_columns   → archive sort order analog; informs Z-order/sort-within
+    -partitions at write time so parquet min/max pruning works at scale
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class TableDef:
+    name: str
+    is_fact: bool = False
+    time_column: str | None = None  # reference: column id 0 of fact tables
+    primary_key: tuple[str, ...] = ()
+    sort_columns: tuple[str, ...] = ()  # reference: archivingSortColumns
+    # columns stored as INT64 TIMESTAMP(NANOS) in parquet — Spark reads them
+    # as long (spark.sql.legacy.parquet.nanosAsLong) and the catalog converts
+    # to micros-precision timestamps, truncating like DuckDB's ns→us cast.
+    nanos_columns: tuple[str, ...] = ()
+
+
+# The driver-supplied synthetic star schema (TESTDATA.md). `events` plays
+# the role of the reference's `trips` fact table (examples/1k_trips/).
+TABLES: dict[str, TableDef] = {
+    "region": TableDef("region", primary_key=("r_regionkey",)),
+    "nation": TableDef("nation", primary_key=("n_nationkey",)),
+    "customer": TableDef("customer", primary_key=("c_custkey",)),
+    "supplier": TableDef("supplier", primary_key=("s_suppkey",)),
+    "part": TableDef("part", primary_key=("p_partkey",)),
+    "orders": TableDef(
+        "orders", is_fact=True, time_column="o_orderdate",
+        primary_key=("o_orderkey",), sort_columns=("o_orderdate", "o_custkey"),
+    ),
+    "lineitem": TableDef(
+        "lineitem", is_fact=True, time_column="l_shipdate",
+        primary_key=("l_orderkey", "l_linenumber"),
+        sort_columns=("l_shipdate", "l_partkey"),
+    ),
+    "events": TableDef(
+        "events", is_fact=True, time_column="ts",
+        primary_key=("event_id",), sort_columns=("ts", "user_id"),
+        nanos_columns=("ts",),
+    ),
+    "documents": TableDef("documents", primary_key=("doc_id",)),
+    "embeddings": TableDef("embeddings", primary_key=("vec_id",)),
+}
+
+
+@dataclass
+class Catalog:
+    """Resolves table names to DataFrames rooted at a scale-factor dir."""
+
+    sf_dir: str
+    tables: dict[str, TableDef] = field(default_factory=lambda: dict(TABLES))
+    _cache: dict[str, DataFrame] = field(default_factory=dict, repr=False)
+
+    def table_def(self, name: str) -> TableDef:
+        if name not in self.tables:
+            raise KeyError(f"unknown table: {name!r}")
+        return self.tables[name]
+
+    def load(self, spark: SparkSession, name: str,
+             time_range: "tuple | None" = None) -> DataFrame:
+        """Read a table; optionally pre-filter by (lo, hi) datetimes on the
+        designated time column.
+
+        The time filter is applied to the *raw* column before any nanos→
+        timestamp conversion so it stays a plain comparison that Catalyst
+        pushes into the parquet scan (row-group/partition pruning — the
+        analog of the reference's archive-batch day-range pruning,
+        query/aql_compiler.go:1047-1056).
+        """
+        tdef = self.table_def(name)
+        if time_range is None and name in self._cache:
+            return self._cache[name]
+
+        df = spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if time_range is not None and tdef.time_column:
+            lo, hi = time_range
+            tc = tdef.time_column
+            if tc in tdef.nanos_columns and dict(df.dtypes).get(tc) == "bigint":
+                if lo is not None:
+                    df = df.filter(F.col(tc) >= int(lo.timestamp() * 1_000_000) * 1000)
+                if hi is not None:
+                    df = df.filter(F.col(tc) < int(hi.timestamp() * 1_000_000) * 1000)
+            else:
+                if lo is not None:
+                    df = df.filter(F.col(tc) >= F.lit(lo.replace(tzinfo=None)))
+                if hi is not None:
+                    df = df.filter(F.col(tc) < F.lit(hi.replace(tzinfo=None)))
+        for c in tdef.nanos_columns:
+            if c in df.columns and dict(df.dtypes)[c] == "bigint":
+                # nanos → micros by integer division (no double rounding;
+                # matches DuckDB's truncating ns→us cast)
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        if time_range is None:
+            self._cache[name] = df
+        return df
+
+    def register_all(self, spark: SparkSession) -> None:
+        """Register every table as a temp view for spark.sql access."""
+        for name in self.tables:
+            self.load(spark, name).createOrReplaceTempView(name)

@@ -1,0 +1,84 @@
+"""Parser-only tests (no Spark session needed for parse; compile smoke
+tests need the pyspark Column API but not a JVM... actually Column ops
+build expression trees via py4j, so compile tests live in test_planner)."""
+
+import pytest
+
+from aresdb_spark.aql import expr as E
+
+
+def test_parse_literals():
+    assert E.parse("42") == E.Lit(42)
+    assert E.parse("0x1F") == E.Lit(31)
+    assert E.parse("3.5") == E.Lit(3.5)
+    assert E.parse("'abc'") == E.Lit("abc")
+    assert E.parse('"abc"') == E.Lit("abc")
+    assert E.parse("true") == E.Lit(True)
+    assert E.parse("null") == E.Lit(None)
+
+
+def test_parse_precedence():
+    # a + b * c parses as a + (b*c)
+    ast = E.parse("a + b * c")
+    assert isinstance(ast, E.Binary) and ast.op == "+"
+    assert isinstance(ast.right, E.Binary) and ast.right.op == "*"
+    # comparison binds looser than arithmetic
+    ast = E.parse("a + 1 > b")
+    assert ast.op == ">"
+    # and/or
+    ast = E.parse("a > 1 and b < 2 or c = 3")
+    assert ast.op == "or"
+    assert ast.left.op == "and"
+
+
+def test_parse_in_is_between():
+    ast = E.parse("status in ('a', 'b', 'c')")
+    assert isinstance(ast, E.InList) and len(ast.items) == 3
+    ast = E.parse("status not in (1, 2)")
+    assert ast.negated
+    ast = E.parse("x is null")
+    assert isinstance(ast, E.IsNull) and not ast.negated
+    ast = E.parse("x is not null")
+    assert ast.negated
+    ast = E.parse("flag is true")
+    assert isinstance(ast, E.IsBool) and ast.value is True
+    ast = E.parse("x between 1 and 10")
+    assert isinstance(ast, E.Between)
+    # between inside boolean chain
+    ast = E.parse("x between 1 and 10 and y = 2")
+    assert isinstance(ast, E.Binary) and ast.op == "and"
+
+
+def test_parse_case_and_calls():
+    ast = E.parse("case when x > 1 then 'hi' else 'lo' end")
+    assert isinstance(ast, E.Case) and len(ast.whens) == 1
+    ast = E.parse("sum(fare * (1 - discount))")
+    assert isinstance(ast, E.Call) and ast.func == "sum"
+    ast = E.parse("count(*)")
+    assert isinstance(ast, E.Call) and ast.args[0] == E.Col("*")
+    ast = E.parse("contains(tags, 'x')")
+    assert ast.func == "contains"
+
+
+def test_parse_dotted_and_bitwise():
+    assert E.parse("c.city_name") == E.Col("c.city_name")
+    ast = E.parse("flags & 0x2 = 2")
+    assert ast.op == "=" and ast.left.op == "&"
+    ast = E.parse("~x | y ^ z")
+    assert ast.op == "|"
+
+
+def test_unknown_function_rejected():
+    with pytest.raises(E.UnknownFunctionError):
+        E.compile_expr("frobnicate(x)")
+
+
+def test_column_refs():
+    refs = E.column_refs(E.parse("sum(case when a > b.c then d else e end)"))
+    assert refs == {"a", "b.c", "d", "e"}
+
+
+def test_syntax_errors():
+    for bad in ["a +", "(a", "in (1,2)", "case when end", "a ="]:
+        with pytest.raises(E.AQLSyntaxError):
+            E.parse(bad)

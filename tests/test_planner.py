@@ -1,0 +1,142 @@
+"""End-to-end AQL planner tests vs DuckDB oracle at sf0.001."""
+
+from aresdb_spark.aql import Dimension, Join, Measure, Query, SortField, TimeFilter
+from aresdb_spark.aql.planner import plan_query
+from tests.conftest import SF_DIR, assert_df_matches_duck
+
+# pinned "now" → 2024-05-15 13:47:23 UTC (events ts range must intersect)
+NOW = 1715780843
+
+
+def test_count_hourly_bucket(spark, duck):
+    """The reference's own smoke query shape (examples/1k_trips/queries/
+    total_trips.aql): count(*), row filter, time bucket by hour."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour", alias="bucket")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type = 'click'"],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    """)
+
+
+def test_sum_with_measure_filter(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(value)", filters=["value > 50"], alias="s")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN value END) AS s
+        FROM events GROUP BY 1
+    """, approx=True)
+
+
+def test_time_filter(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-01", to="2024-06-01"),
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-06-01'
+    """)
+
+
+def test_dim_join(spark, duck):
+    """lineitem ⋈ part (the trips⋈cities pattern), group by dim attribute."""
+    q = Query(
+        table="lineitem",
+        joins=[Join(table="part", alias="p",
+                    conditions=["p.p_partkey = l_partkey"])],
+        dimensions=[Dimension(expr="p.p_brand", alias="brand")],
+        measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """, approx=True)
+
+
+def test_non_agg_projection_limit(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_id", alias="event_id"),
+                    Dimension(expr="event_type", alias="event_type")],
+        measures=[Measure(expr="1")],
+        sorts=[SortField("event_id")],
+        limit=50,
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50
+    """)
+
+
+def test_case_when_measure(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(case when value > 50 then 1 else 0 end)", alias="big")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS big
+        FROM events GROUP BY 1
+    """)
+
+
+def test_avg_ratio_of_sums(spark, duck):
+    """expression over aggregates: sum(a)/count(*) — generalizes the
+    reference's avg-split (broker/query_plan_agg.go:439-470)."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(value) / count(*)", alias="ratio")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_type AS et, sum(value) / count(*) AS ratio
+        FROM events GROUP BY 1
+    """, approx=True)
+
+
+def test_in_filter_and_numeric_bucket(spark, duck):
+    from aresdb_spark.aql.model import NumericBucketizer
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="value", numeric_bucketizer=NumericBucketizer(bucket_width=10),
+                              alias="vb")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type in ('click', 'view')"],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT floor(value / 10) * 10 AS vb, count(*) AS cnt
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """)
+
+
+def test_relative_time_filter_pinned_now(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="90 days ago", to="now"),
+        now=NOW,
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, f"""
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= to_timestamp({NOW}) - INTERVAL 90 DAY AND ts < to_timestamp({NOW})
+    """)
