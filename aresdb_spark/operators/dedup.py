@@ -1,0 +1,343 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the point of this module):
+  - exact dedup       one hash-shuffle on a 32-hex key — the minimum possible
+  - MinHash+LSH       signatures computed scan-side (array exprs, no UDF, no
+                      shuffle); candidate generation = self-join on (band,
+                      band_hash) buckets — shuffle is proportional to docs ×
+                      n_bands, never O(n²); verification only touches
+                      candidate pairs
+  - SimHash           64-bit signature scan-side; near-dup = bucket join on
+                      rotated bit-blocks (pigeonhole: hamming ≤ k ⇒ some
+                      block of the signature matches exactly)
+  - n-gram Jaccard    exact verification on candidate pairs only
+  - embedding cosine  see operators.similarity (hyperplane-LSH buckets)
+
+Hash portability: integer hash = first 7 hex digits of md5 (28 bits) so
+mixing with 31-bit constants stays in int64 in both Spark and the DuckDB
+oracle. MinHash permutations h_j(x) = (A_j * x + B_j) mod P with P =
+2^31-1 (Carter-Wegman), constants fixed below for reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from aresdb_spark.operators.text import tokens, tokens_oracle_sql
+
+P = 2_147_483_647  # 2^31 - 1
+
+# Fixed Carter-Wegman constants (generated once, committed; NOT runtime
+# random — determinism is what makes the oracle comparison possible).
+MINHASH_A = (
+    1203077917, 676941229, 1544282683, 781635079, 1878296881, 437067853,
+    992468437, 1370234153, 215964299, 1733423219, 655842451, 1098274847,
+    1494906679, 333165319, 1902016099, 844125809,
+)
+MINHASH_B = (
+    472882027, 1394749387, 904462969, 1713470429, 125731237, 1581509281,
+    739581139, 280812923, 1946515019, 584304361, 1170596743, 47297497,
+    1642477481, 917391733, 364997803, 1256224417,
+)
+N_HASHES = 16
+N_BANDS = 4          # 4 bands × 4 rows: catches jaccard ≳ 0.5 reliably
+ROWS_PER_BAND = 4
+SHINGLE_SIZE = 3
+
+
+def _hash28(c: Column) -> Column:
+    """Portable 28-bit integer hash of a string (md5-derived)."""
+    return F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long")
+
+
+def _hash28_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 7))::BIGINT"
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Group identical normalized content; emit one row per content hash
+    with the canonical (min) id and the duplicate count.
+
+    One shuffle on a 32-byte key; at 100 TB this is the cheapest possible
+    exact dedup (hash-partitioned groupBy, map-side partial agg)."""
+    from aresdb_spark.operators.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_duplicates_oracle_sql(table: str = "documents", text_col: str = "text",
+                                id_col: str = "doc_id") -> str:
+    from aresdb_spark.operators.text import fingerprint_oracle_sql
+
+    fp = fingerprint_oracle_sql(text_col)
+    return (f"SELECT {fp} AS fp, min({id_col}) AS canonical_id, "
+            f"count(*) AS n_copies FROM {table} GROUP BY 1")
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Return the deduplicated set (keep the min-id row per content)."""
+    from aresdb_spark.operators.text import fingerprint
+
+    w = df.select("*", fingerprint(F.col(text_col)).alias("__fp"))
+    keep = w.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return w.join(keep, ["__fp", id_col], "inner").drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash signatures (pure Column expressions)
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    """Word n-gram shingles of the lowercased text; docs shorter than n
+    tokens contribute their full token string as a single shingle."""
+    toks = tokens(F.lower(text))
+    joined = F.array_join(toks, " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array(joined))
+
+
+def shingles_oracle_sql(col: str, n: int = SHINGLE_SIZE) -> str:
+    toks = tokens_oracle_sql(f"lower({col})")
+    # duckdb list slicing is 1-based inclusive: arr[i:i+n-1] = n elements
+    grams = (f"list_distinct([array_to_string(({toks})[i:i+{n - 1}], ' ') "
+             f"for i in range(1, len({toks}) - {n - 2})])")
+    return (f"(CASE WHEN len({toks}) >= {n} THEN {grams} "
+            f"ELSE [array_to_string({toks}, ' ')] END)")
+
+
+def hashed_shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
+    return F.transform(shingles(text, n), _hash28)
+
+
+def hashed_shingles_sql(col: str, n: int = SHINGLE_SIZE) -> str:
+    return f"list_transform({shingles_oracle_sql(col, n)}, s -> {_hash28_sql('s')})"
+
+
+def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
+    """Array of n_hashes MinHash values. Scan-side, shuffle-free."""
+    hs = hashed_shingles(text)
+
+    def perm_min(j: int) -> Column:
+        # single-arg lambda: pyspark passes (element, index) to 2-arg lambdas
+        return F.array_min(F.transform(
+            hs, lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(P)))
+
+    return F.array(*[perm_min(j) for j in range(n_hashes)])
+
+
+def minhash_signature_sql(col: str, n_hashes: int = N_HASHES) -> str:
+    hs = hashed_shingles_sql(col)
+    parts = [
+        f"list_min(list_transform({hs}, h -> (({MINHASH_A[j]}::BIGINT * h + {MINHASH_B[j]}) % {P})))"
+        for j in range(n_hashes)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+# ---------------------------------------------------------------------------
+# LSH banding → candidate pairs → Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           n_bands: int = N_BANDS,
+                           rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Plan shape: scan → explode to (doc, band, band_hash) [n_bands rows per
+    doc] → shuffle on (band, band_hash) → within-bucket self-join →
+    distinct pairs. The self-join only multiplies within buckets, so cost
+    is Σ bucket² — tiny unless everything collides (i.e., actual dups)."""
+    sig = minhash_signature(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    def band_hash(b: int) -> Column:
+        piece = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        return F.md5(F.array_join(F.transform(piece, lambda x: x.cast("string")), "-"))
+
+    bands = base.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            for b in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bh")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    pairs = (
+        left.join(right, (F.col("l.band") == F.col("r.band"))
+                  & (F.col("l.bh") == F.col("r.bh"))
+                  & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = SHINGLE_SIZE) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (verification stage).
+
+    Joins the (small) candidate set back to the docs — at scale the pair
+    set is ≪ corpus, so these are cheap shuffles; shingle sets are
+    recomputed scan-side rather than shuffled with the signatures."""
+    sh = docs.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), n).alias("sh"))
+    out = (
+        df_pairs
+        .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+             / F.size(F.array_union("sh_a", "sh_b")).cast("double")).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥
+    threshold. Returns (id_a, id_b, jaccard) sorted pairs."""
+    cand = minhash_lsh_candidates(df, text_col, id_col)
+    return (ngram_jaccard(cand, df, text_col, id_col)
+            .filter(F.col("jaccard") >= threshold))
+
+
+def minhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.5,
+                       n_bands: int = N_BANDS,
+                       rows_per_band: int = ROWS_PER_BAND) -> str:
+    sig = minhash_signature_sql(text_col)
+    sh = shingles_oracle_sql(text_col)
+    band_selects = "\nUNION ALL\n".join(
+        f"  SELECT id, {b} AS band, "
+        f"md5(array_to_string(sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], '-')) AS bh "
+        f"FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
+),
+bands AS (
+{band_selects}
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.id < r.id
+)
+SELECT p.id_a, p.id_b,
+       (len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) AS jaccard
+FROM pairs p
+JOIN sigs a ON a.id = p.id_a
+JOIN sigs b ON b.id = p.id_b
+WHERE (len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over token hashes: bit b is 1 iff Σ_tokens (±1 by token's
+    bit b) > 0. Pure Column expressions — scan-side at scale."""
+    hs = F.transform(tokens(F.lower(text)), _hash28)
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hs, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)),
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_oracle_sql(col: str, bits: int = SIMHASH_BITS) -> str:
+    hs = f"list_transform({tokens_oracle_sql(f'lower({col})')}, t -> {_hash28_sql('t')})"
+    terms = []
+    for b in range(bits):
+        s = (f"list_sum(list_transform({hs}, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+             f"THEN 1 ELSE -1 END))")
+        terms.append(f"(CASE WHEN {s} > 0 THEN {1 << b}::BIGINT ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            max_hamming: int = 3,
+                            bits: int = SIMHASH_BITS,
+                            n_blocks: int = 4) -> DataFrame:
+    """Near-dups by SimHash hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the signature into n_blocks bit-blocks;
+    any pair within hamming ≤ n_blocks-1 shares at least one exact block
+    → self-join per block bucket instead of O(n²). Verification by
+    bit_count(xor) on candidates only."""
+    assert n_blocks > max_hamming, "need n_blocks > max_hamming for pigeonhole"
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    base = df.select(F.col(id_col).alias("id"),
+                     simhash(F.col(text_col), bits).alias("sh"))
+    blocks = base.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("blk"),
+                     F.shiftright("sh", b * block_bits).bitwiseAND(F.lit(mask)).alias("bv"))
+            for b in range(n_blocks)
+        ])).alias("bb"),
+    ).select("id", "sh", "bb.blk", "bb.bv")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.bv") == F.col("r.bv"))
+               & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs
+
+
+def simhash_near_duplicates_oracle_sql(table: str = "documents",
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       max_hamming: int = 3,
+                                       bits: int = SIMHASH_BITS) -> str:
+    """Oracle does the O(n²) exact hamming join (fine at sf0.01) — same
+    result set as the blocked Spark plan when n_blocks > max_hamming."""
+    sh = simhash_oracle_sql(text_col, bits)
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {sh} AS sh FROM {table})
+SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+"""

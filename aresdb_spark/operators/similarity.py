@@ -1,0 +1,200 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute-force cosine top-k: the exact baseline. Query vector is a
+    broadcast literal; score computed with zip_with + aggregate (JVM-side,
+    no Python). One pass over the corpus + a TakeOrdered — at 100 TB this
+    is a full scan but no shuffle (top-k is partial per partition, merged
+    on the driver).
+  - hyperplane-LSH ANN: sign-of-dot-product signatures against D fixed
+    random hyperplanes → bucket id; probe only matching buckets (and
+    optionally neighboring buckets by Hamming distance). Scale path: the
+    bucket id is computable scan-side, so a bucketed/partitioned write on
+    it turns ANN into a partition-pruned scan.
+  - embedding-cosine near-dup: all pairs with cosine ≥ τ via LSH buckets.
+
+Determinism: hyperplanes are generated from a fixed seed with numpy's
+PCG64 — committed constants, not runtime randomness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 0x5EED_A7E5
+DEFAULT_N_PLANES = 16
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ as a left-fold in array order — deterministic, and identical
+    to the DuckDB oracle's list_sum(list_transform(...)) evaluation."""
+    return F.aggregate(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (f"list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> p[1]::DOUBLE * p[2]::DOUBLE))")
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, x -> x::DOUBLE * x::DOUBLE)))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+# ---------------------------------------------------------------------------
+# Brute-force top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                     vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Physical plan: scan → project score (codegen) → TakeOrderedAndProject.
+    No shuffle, no UDF; ~memory-bandwidth bound."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(k)
+
+
+def brute_force_topk_oracle_sql(query_vec: list[float], k: int = 10,
+                                table: str = "embeddings",
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id") -> str:
+    qlit = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]"
+    cos = cosine_sql(vec_col, f"{qlit}::DOUBLE[]")
+    return (f"SELECT {id_col}, round({cos}, 6) AS score FROM {table} "
+            f"ORDER BY score DESC, {id_col} LIMIT {k}")
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def lsh_planes(dim: int, n_planes: int = DEFAULT_N_PLANES,
+               seed: int = LSH_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Bucket id = bit-packed signs of ⟨v, planeᵢ⟩. Pure expressions: at
+    scale this is a scan-side projection; persist/bucket the table by it
+    to turn ANN into partition-pruned lookups."""
+    bucket = F.lit(0).cast("long")
+    v = _as_double(vec)
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0),
+                        lambda acc, x: acc + x)
+        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 n_planes: int = 6, max_hamming: int = 2) -> DataFrame:
+    """Approximate top-k: score only vectors whose LSH bucket is within
+    `max_hamming` bits of the query's bucket (multiprobe).
+
+    The bucket filter is a scan-side integer predicate → with the corpus
+    written bucketed-by(bucket) it prunes partitions; here it prunes rows
+    before the expensive cosine. Defaults (6 planes, hamming ≤ 2) probe
+    Σ_{h≤2} C(6,h)/2⁶ ≈ 34% of buckets — chosen for recall ≈ 0.8 on
+    weakly-clustered corpora (testdata top-1 cosine ≈ 0.34); tighten for
+    strongly-clustered embeddings."""
+    planes = lsh_planes(len(query_vec), n_planes)
+    signs = (planes @ np.asarray(query_vec)) > 0
+    q_bucket = int(sum(1 << i for i, s in enumerate(signs) if s))
+
+    with_bucket = df.select(
+        F.col(id_col), F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    cand = with_bucket.filter(
+        F.bit_count(F.col("bucket").bitwiseXOR(F.lit(q_bucket))) <= max_hamming)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col)).limit(k))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
+                              vec_col: str = "embedding", id_col: str = "vec_id",
+                              n_planes: int = 8) -> DataFrame:
+    """All pairs with cosine ≥ threshold, bucketed by hyperplane LSH so the
+    self-join never goes O(n²): high-cosine pairs land in the same bucket
+    with high probability; the exact cosine filters candidates."""
+    planes_arr = lsh_planes(64, n_planes)  # dim read from data below if needed
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"] if first else 64
+    if dim != planes_arr.shape[1]:
+        planes_arr = lsh_planes(dim, n_planes)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     lsh_bucket(F.col(vec_col), planes_arr).alias("bucket"))
+    l, r = base.alias("l"), base.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs
+
+
+def embedding_near_duplicates_exact_oracle_sql(threshold: float = 0.95,
+                                               table: str = "embeddings",
+                                               vec_col: str = "embedding",
+                                               id_col: str = "vec_id") -> str:
+    """Exact O(n²) oracle (sf0.01 scale only). NOTE: the LSH plan is
+    approximate — candidates missed by bucketing won't appear; use the
+    recall test in tests/ rather than exact equality when buckets drop
+    pairs. For the driver gate we compare the *exact* pair query instead
+    (embedding_near_duplicates_exact)."""
+    cos = cosine_sql(f"a.{vec_col}", f"b.{vec_col}")
+    return f"""
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b, round({cos}, 6) AS cos
+FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+WHERE round({cos}, 6) >= {threshold}
+"""
+
+
+def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id") -> DataFrame:
+    """Exact all-pairs cosine near-dup (the correctness baseline the LSH
+    variant is measured against)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    l, r = base.alias("l"), base.alias("r")
+    return (
+        l.join(r, F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,167 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.
+
+All operators are pure Column expressions (JVM-side, whole-stage codegen)
+— at 100 TB these run inside the parquet scan stage with zero shuffles.
+Each has an exactly-equivalent DuckDB SQL rendering (the *_oracle_sql
+helpers) so the driver's correctness gate can hash-match values.
+
+Hashing portability: both Spark and DuckDB expose md5(); we derive integer
+hashes as the first 7 hex digits (28 bits) so products with 31-bit mixing
+constants stay inside int64 in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small fixed stopword sets (language ID by stopword hits — the classic
+# n-gram/stopword heuristic; deterministic and engine-portable)
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf")
+STOPWORDS_FR = ("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (not [''])."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def tokens_oracle_sql(col: str) -> str:
+    return f"list_filter(regexp_split_to_array(trim({col}), '\\s+'), t -> t <> '')"
+
+
+def token_count_oracle_sql(col: str) -> str:
+    return f"len({tokens_oracle_sql(col)})::INT"
+
+
+# --- BPE-ish subword counting: count regex word pieces -----------------------
+
+_BPE_RE = r"[a-z]+|[A-Z][a-z]*|\d+|[^\sA-Za-z0-9]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword count via a BPE-ish regex (lowercase runs,
+    capitalized pieces, digit runs, punctuation singletons)."""
+    # Spark's regexp_extract_all defaults to group 1; pass idx=0 (whole match)
+    return F.size(F.regexp_extract_all(text, F.lit(_BPE_RE), F.lit(0)))
+
+
+def bpe_token_count_oracle_sql(col: str) -> str:
+    return f"len(regexp_extract_all({col}, '{_BPE_RE}'))::INT"
+
+
+# --- quality scoring ----------------------------------------------------------
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+
+
+def stopword_ratio_oracle_sql(col: str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> str:
+    sw = ", ".join(f"'{s}'" for s in stopwords)
+    toks = tokens_oracle_sql(f"lower({col})")
+    return (f"(len(list_filter({toks}, t -> t IN ({sw})))::DOUBLE"
+            f" / greatest(len({toks}), 1)::DOUBLE)")
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def mean_token_length_oracle_sql(col: str) -> str:
+    toks = tokens_oracle_sql(col)
+    return (f"(list_sum(list_transform({toks}, t -> length(t)))::DOUBLE"
+            f" / greatest(len({toks}), 1)::DOUBLE)")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: rewards reasonable length,
+    stopword presence, and moderate mean token length. Deterministic and
+    portable (the exact formula matters less than it being stable)."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+    mtl = mean_token_length(text)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + sw_score + mtl_score) / F.lit(3.0)
+
+
+def quality_score_oracle_sql(col: str) -> str:
+    n_tok = f"{token_count_oracle_sql(col)}::DOUBLE"
+    len_score = f"least({n_tok} / 50.0, 1.0)"
+    sw_score = f"least({stopword_ratio_oracle_sql(col)} * 5.0, 1.0)"
+    mtl = mean_token_length_oracle_sql(col)
+    mtl_score = f"(CASE WHEN {mtl} >= 3.0 AND {mtl} <= 10.0 THEN 1.0 ELSE 0.5 END)"
+    return f"(({len_score} + {sw_score} + {mtl_score}) / 3.0)"
+
+
+# --- language identification ---------------------------------------------------
+
+
+def language_id(text: Column) -> Column:
+    """Stopword-hit language ID over {en, de, fr}; 'unknown' when no set
+    scores. Ties break en > de > fr (deterministic)."""
+    toks = tokens(F.lower(text))
+    en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_DE)))
+    fr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_FR)))
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("unknown"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def language_id_oracle_sql(col: str) -> str:
+    toks = tokens_oracle_sql(f"lower({col})")
+
+    def hits(words: tuple[str, ...]) -> str:
+        sw = ", ".join(f"'{s}'" for s in words)
+        return f"len(list_filter({toks}, t -> t IN ({sw})))"
+
+    en, de, fr = hits(STOPWORDS_EN), hits(STOPWORDS_DE), hits(STOPWORDS_FR)
+    return (f"(CASE WHEN {en} = 0 AND {de} = 0 AND {fr} = 0 THEN 'unknown' "
+            f"WHEN {en} >= {de} AND {en} >= {fr} THEN 'en' "
+            f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END)")
+
+
+# --- fingerprinting -------------------------------------------------------------
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 of the lowercased,
+    whitespace-collapsed text. Identical content → identical fingerprint
+    regardless of spacing/case (rolling-hash-class dedup key)."""
+    norm = F.array_join(tokens(F.lower(text)), " ")
+    return F.md5(norm)
+
+
+def fingerprint_oracle_sql(col: str) -> str:
+    return f"md5(array_to_string({tokens_oracle_sql(f'lower({col})')}, ' '))"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: attach the full per-document stat set."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_token_count(t).alias("n_subwords"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_token_length(t).alias("mean_token_len"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_id"),
+        fingerprint(t).alias("fingerprint"),
+    )
