@@ -1,10 +1,23 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (the reference's own smoke shape,
+examples/1k_trips/queries/total_trips.aql) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator from
+SURVEY.md §2 plus the LLM-data-pipeline operators. Every Spark result and
+its DuckDB oracle use identical output column names; floating-point
+aggregates are rounded on BOTH sides so the driver's value-hash compare is
+deterministic (double sums are order-dependent; rounded to fewer digits
+than the accumulated error they hash-match).
+
+Keys are grouped by SURVEY §2 section:
+  aql_*   — AQL planner surface (§2.2-2.8: filters, joins, aggs,
+            bucketizers, scalar fns, sorts/limits, non-agg projection)
+  text_*  — text analysis operators
+  dedup_* — exact/MinHash-LSH/SimHash deduplication
+  sim_*   — embedding similarity search
+  hll_*   — HLL/approx-distinct (oracle omitted: approx sketches don't
+            hash-match an exact oracle; rows-only check by design)
 """
 
 from __future__ import annotations
@@ -12,27 +25,445 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# pinned "now" for deterministic relative time filters: 2024-01-25 00:00 UTC
+# (inside the events table's Jan-2024 range at every sf)
+NOW = 1706140800
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# deterministic query vector for similarity search (committed constant, so
+# Spark and the oracle SQL agree without reading the data at plan time)
+QUERY_VEC = [((i * 37 + 11) % 29 - 14) / 14.0 for i in range(64)]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: count(*) filtered, hourly time bucket — the total_trips.aql
+    shape — over events at sf0.001."""
+    from aresdb_spark.aql import Dimension, Measure, Query, plan_query
+
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour", alias="bucket")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type = 'click'"],
+    )
+    return plan_query(spark, "/root/testdata/sf0.001", q)
+
+
+# ---------------------------------------------------------------------------
+# AQL planner queries (SURVEY §2.2-2.8)
+# ---------------------------------------------------------------------------
+
+
+def _aql(q) -> Callable[[SparkSession, str], DataFrame]:
+    from aresdb_spark.aql.planner import plan_query
+
+    return lambda spark, sf_dir: plan_query(spark, sf_dir, q)
+
+
+def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
+    from aresdb_spark.aql import (Dimension, Join, Measure, Query, SortField,
+                                  TimeFilter)
+    from aresdb_spark.aql.model import NumericBucketizer
+
+    out: dict[str, tuple[Callable, str | None]] = {}
+
+    # §2.4 count(*) + §2.5 hourly bucket + §2.2 row filter (total_trips shape)
+    out["aql_count_hourly"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour", alias="bucket")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type = 'click'"],
+    )), """
+        SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    """)
+
+    # §2.4 sum + measure-level row filter (total_fare shape)
+    out["aql_sum_measure_filter"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="round(sum(value), 4)", filters=["value > 50"], alias="s")],
+    )), """
+        SELECT event_type AS et,
+               round(sum(CASE WHEN value > 50 THEN value END), 4) AS s
+        FROM events GROUP BY 1
+    """)
+
+    # §2.1/§2.2 absolute time filter pushed into the scan
+    out["aql_time_filter_absolute"] = (_aql(Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-05", to="2024-01-20"),
+    )), """
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-21'
+    """)
+    # NOTE: to="2024-01-20" is a DAY expression → window END = Jan 21 00:00
+    # (reference ParseTimeFilter uses the unit end for `to`)
+
+    # §2.2 relative time grammar with pinned now ("N days ago" = day-aligned)
+    out["aql_time_filter_relative"] = (_aql(Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="7 days ago", to="now"),
+        now=NOW,
+    )), f"""
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= date_trunc('day', to_timestamp({NOW})) - INTERVAL 7 DAY
+          AND ts < to_timestamp({NOW})
+    """)
+
+    # §2.3 dimension equi-join (broadcast LEFT) + group by dim attribute
+    out["aql_dim_join"] = (_aql(Query(
+        table="lineitem",
+        joins=[Join(table="part", alias="p", conditions=["p.p_partkey = l_partkey"])],
+        dimensions=[Dimension(expr="p.p_brand", alias="brand")],
+        measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+    )), """
+        SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """)
+
+    # §2.3 two-hop snowflake join: lineitem ⋈ supplier ⋈ nation
+    out["aql_snowflake_join"] = (_aql(Query(
+        table="lineitem",
+        joins=[Join(table="supplier", alias="s", conditions=["s.s_suppkey = l_suppkey"]),
+               Join(table="nation", alias="n", conditions=["n.n_nationkey = s.s_nationkey"])],
+        dimensions=[Dimension(expr="n.n_name", alias="nation")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )), """
+        SELECT n.n_name AS nation, count(*) AS cnt
+        FROM lineitem l
+        LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1
+    """)
+
+    # §2.8 non-aggregate projection with ORDER BY + LIMIT
+    out["aql_non_agg_projection"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_id", alias="event_id"),
+                    Dimension(expr="event_type", alias="event_type")],
+        measures=[Measure(expr="1")],
+        sorts=[SortField("event_id")],
+        limit=50,
+    )), """
+        SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 50
+    """)
+
+    # §2.6 scalar functions in a non-agg projection (hour, dayofweek
+    # MySQL-style Sunday=1, arithmetic with forced float division, CASE)
+    out["aql_scalar_functions"] = (_aql(Query(
+        table="events",
+        dimensions=[
+            Dimension(expr="event_id", alias="event_id"),
+            Dimension(expr="hour(ts)", alias="h"),
+            Dimension(expr="dayofweek(ts)", alias="dow"),
+            Dimension(expr="value / 7", alias="v7"),
+            Dimension(expr="case when value > 50 then 'hi' else 'lo' end", alias="band"),
+        ],
+        measures=[Measure(expr="1")],
+        sorts=[SortField("event_id")],
+        limit=100,
+    )), """
+        SELECT event_id, hour(ts)::INT AS h, (dayofweek(ts) + 1)::INT AS dow,
+               value / 7 AS v7,
+               CASE WHEN value > 50 THEN 'hi' ELSE 'lo' END AS band
+        FROM events ORDER BY event_id LIMIT 100
+    """)
+
+    # §2.2 predicates: IN / BETWEEN / AND / OR / NOT
+    out["aql_predicates"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type in ('click', 'view', 'error')",
+                 "value between 10 and 80",
+                 "not (user_id = 0)"],
+    )), """
+        SELECT event_type AS et, count(*) AS cnt FROM events
+        WHERE event_type IN ('click', 'view', 'error')
+          AND value BETWEEN 10 AND 80
+          AND NOT (user_id = 0)
+        GROUP BY 1
+    """)
+
+    # §2.4 avg/min/max in one query (engine generalizes the one-measure rule)
+    out["aql_avg_min_max"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="round(avg(value), 4)", alias="avg_v"),
+                  Measure(expr="min(value)", alias="min_v"),
+                  Measure(expr="max(value)", alias="max_v")],
+    )), """
+        SELECT event_type AS et, round(avg(value), 4) AS avg_v,
+               min(value) AS min_v, max(value) AS max_v
+        FROM events GROUP BY 1
+    """)
+
+    # §2.4 expression-over-aggregates measure (avg split generalization)
+    out["aql_ratio_of_aggs"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="round(sum(value) / count(*), 4)", alias="ratio")],
+    )), """
+        SELECT event_type AS et, round(sum(value) / count(*), 4) AS ratio
+        FROM events GROUP BY 1
+    """)
+
+    # §2.4 exact count distinct (engine extension; HLL variant is hll_*)
+    out["aql_count_distinct"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="count_distinct(user_id)", alias="users")],
+    )), """
+        SELECT event_type AS et, count(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    """)
+
+    # §2.4 measure CASE WHEN
+    out["aql_case_when_measure"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(case when value > 50 then 1 else 0 end)", alias="big")],
+    )), """
+        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS big
+        FROM events GROUP BY 1
+    """)
+
+    # §2.5 numeric bucketizer (equal width) + IN filter
+    out["aql_numeric_bucket"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="value",
+                              numeric_bucketizer=NumericBucketizer(bucket_width=10),
+                              alias="vb")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type in ('click', 'view')"],
+    )), """
+        SELECT floor(value / 10) * 10 AS vb, count(*) AS cnt
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1
+    """)
+
+    # §2.5 recurring bucketizers: day-of-week (Monday=0, reference
+    # bucketizer parity) and hour-of-day
+    out["aql_day_of_week"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day of week", alias="dow")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )), """
+        SELECT (isodow(ts) - 1)::INT AS dow, count(*) AS cnt
+        FROM events GROUP BY 1
+    """)
+    out["aql_hour_of_day"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour of day", alias="hod")],
+        measures=[Measure(expr="round(sum(value), 4)", alias="s")],
+    )), """
+        SELECT hour(ts)::INT AS hod, round(sum(value), 4) AS s
+        FROM events GROUP BY 1
+    """)
+
+    # §2.5 N-minute regular bucket
+    out["aql_15min_bucket"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="15 minutes", alias="b")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-10", to="2024-01-10"),
+    )), """
+        SELECT to_timestamp((epoch(ts)::BIGINT // 900) * 900) AS b, count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
+        GROUP BY 1
+    """)
+
+    # §2.5 timezone-adjusted bucketing (fixed tz, DST-aware)
+    out["aql_timezone_bucket"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="b")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        timezone="America/New_York",
+    )), """
+        SELECT date_trunc('day', timezone('America/New_York', timezone('UTC', ts)))::TIMESTAMP AS b,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    """)
+
+    # §2.7 top-k: ORDER BY measure DESC + LIMIT (TakeOrdered plan)
+    out["aql_topk_users"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="user_id", alias="user_id")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        sorts=[SortField("cnt", "desc"), SortField("user_id")],
+        limit=20,
+    )), """
+        SELECT user_id, count(*) AS cnt FROM events
+        GROUP BY 1 ORDER BY cnt DESC, user_id LIMIT 20
+    """)
+
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Text / dedup / similarity operators
+# ---------------------------------------------------------------------------
+
+
+def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
+    out: dict[str, tuple[Callable, str | None]] = {}
+
+    # --- text analysis (scan-side Column expressions) ---
+    def q_token_counts(spark, sf_dir):
+        from aresdb_spark.operators import text as X
+        t = F.col("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            X.token_count(t).alias("n_tokens"),
+            X.bpe_token_count(t).alias("n_subwords"),
+        )
+
+    def token_counts_sql():
+        from aresdb_spark.operators import text as X
+        return f"""
+            SELECT doc_id, {X.token_count_oracle_sql('text')} AS n_tokens,
+                   {X.bpe_token_count_oracle_sql('text')} AS n_subwords
+            FROM documents
+        """
+
+    def q_quality(spark, sf_dir):
+        from aresdb_spark.operators import text as X
+        t = F.col("text")
+        return _docs(spark, sf_dir).select(
+            "doc_id",
+            F.round(X.stopword_ratio(t), 8).alias("swr"),
+            F.round(X.quality_score(t), 8).alias("quality"),
+        )
+
+    def quality_sql():
+        from aresdb_spark.operators import text as X
+        return f"""
+            SELECT doc_id, round({X.stopword_ratio_oracle_sql('text')}, 8) AS swr,
+                   round({X.quality_score_oracle_sql('text')}, 8) AS quality
+            FROM documents
+        """
+
+    def q_language(spark, sf_dir):
+        from aresdb_spark.operators import text as X
+        return _docs(spark, sf_dir).select(
+            "doc_id", X.language_id(F.col("text")).alias("lang_id"))
+
+    def language_sql():
+        from aresdb_spark.operators import text as X
+        return f"SELECT doc_id, {X.language_id_oracle_sql('text')} AS lang_id FROM documents"
+
+    def q_fingerprint(spark, sf_dir):
+        from aresdb_spark.operators import text as X
+        return _docs(spark, sf_dir).select(
+            "doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+    def fingerprint_sql():
+        from aresdb_spark.operators import text as X
+        return f"SELECT doc_id, {X.fingerprint_oracle_sql('text')} AS fp FROM documents"
+
+    out["text_token_counts"] = (q_token_counts, token_counts_sql())
+    out["text_quality"] = (q_quality, quality_sql())
+    out["text_language_id"] = (q_language, language_sql())
+    out["text_fingerprint"] = (q_fingerprint, fingerprint_sql())
+
+    # --- dedup ---
+    def q_exact_dedup(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        return D.exact_duplicates(_docs(spark, sf_dir))
+
+    def exact_dedup_sql():
+        from aresdb_spark.operators import dedup as D
+        return D.exact_duplicates_oracle_sql()
+
+    def q_minhash(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        return (D.minhash_near_duplicates(_docs(spark, sf_dir), threshold=0.5)
+                .select("id_a", "id_b", F.round("jaccard", 8).alias("j")))
+
+    def minhash_sql():
+        from aresdb_spark.operators import dedup as D
+        return (f"SELECT id_a, id_b, round(jaccard, 8) AS j "
+                f"FROM ({D.minhash_oracle_sql(threshold=0.5)})")
+
+    def q_simhash(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        return _docs(spark, sf_dir).select(
+            "doc_id", D.simhash(F.col("text")).alias("sh"))
+
+    def simhash_sql():
+        from aresdb_spark.operators import dedup as D
+        return f"SELECT doc_id, {D.simhash_oracle_sql('text')} AS sh FROM documents"
+
+    def q_simhash_pairs(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        return D.simhash_near_duplicates(_docs(spark, sf_dir), max_hamming=3)
+
+    def simhash_pairs_sql():
+        from aresdb_spark.operators import dedup as D
+        return D.simhash_near_duplicates_oracle_sql(max_hamming=3)
+
+    out["dedup_exact"] = (q_exact_dedup, exact_dedup_sql())
+    out["dedup_minhash_lsh"] = (q_minhash, minhash_sql())
+    out["dedup_simhash"] = (q_simhash, simhash_sql())
+    out["dedup_simhash_pairs"] = (q_simhash_pairs, simhash_pairs_sql())
+
+    # --- similarity search ---
+    def q_topk(spark, sf_dir):
+        from aresdb_spark.operators import similarity as S
+        return S.brute_force_topk(_emb(spark, sf_dir), QUERY_VEC, k=10)
+
+    def topk_sql():
+        from aresdb_spark.operators import similarity as S
+        return S.brute_force_topk_oracle_sql(QUERY_VEC, k=10)
+
+    def q_emb_neardup(spark, sf_dir):
+        from aresdb_spark.operators import similarity as S
+        return S.embedding_near_duplicates_exact(_emb(spark, sf_dir), threshold=0.5)
+
+    def emb_neardup_sql():
+        from aresdb_spark.operators import similarity as S
+        return S.embedding_near_duplicates_exact_oracle_sql(threshold=0.5)
+
+    out["sim_cosine_topk"] = (q_topk, topk_sql())
+    out["sim_embedding_near_dup"] = (q_emb_neardup, emb_neardup_sql())
+
+    # --- HLL / approx distinct: no exact oracle by nature (rows-only) ---
+    def q_hll(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="events",
+            dimensions=[Dimension(expr="event_type", alias="et")],
+            measures=[Measure(expr="hll(user_id)", alias="approx_users")],
+        ))
+
+    out["hll_approx_distinct"] = (q_hll, None)
+    return out
+
+
+def _all() -> dict[str, tuple[Callable, str | None]]:
+    out = dict(_aql_queries())
+    out.update(_operator_queries())
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in _all().items() if sql is not None}

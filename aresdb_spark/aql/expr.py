@@ -458,13 +458,17 @@ def _compile(node: Any, r: Resolver) -> Column:
         if op == "^":
             return le.bitwiseXOR(ri)
         if op == "<<":
-            return F.shiftleft(le, node.right.value) if isinstance(node.right, Lit) \
-                else F.expr("shiftleft(1,1)")  # non-literal shift unsupported
+            if not isinstance(node.right, Lit):
+                raise AQLSyntaxError("shift amount must be a literal")
+            return F.shiftleft(le, node.right.value)
         if op == ">>":
-            return F.shiftright(le, node.right.value) if isinstance(node.right, Lit) \
-                else F.expr("shiftright(1,1)")
+            if not isinstance(node.right, Lit):
+                raise AQLSyntaxError("shift amount must be a literal")
+            return F.shiftright(le, node.right.value)
         if op == "like":
-            return le.like(node.right.value if isinstance(node.right, Lit) else None)
+            if not isinstance(node.right, Lit):
+                raise AQLSyntaxError("LIKE pattern must be a string literal")
+            return le.like(node.right.value)
         raise AQLSyntaxError(f"unknown binary op {op}")
     if isinstance(node, InList):
         x = _compile(node.operand, r)

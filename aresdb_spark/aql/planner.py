@@ -111,8 +111,24 @@ class Planner:
 
     # -- resolution ---------------------------------------------------------
 
+    def _tz(self, q: Query):
+        """Resolve Query.timezone to a ZoneInfo (None for UTC). Reference:
+        ParseTimezone, query/common/time_filter.go:69-86."""
+        if not q.timezone or q.timezone.upper() == "UTC":
+            return None
+        from zoneinfo import ZoneInfo
+        try:
+            return ZoneInfo(q.timezone)
+        except Exception as e:
+            raise ValueError(f"unknown timezone {q.timezone!r}") from e
+
     def _time_bounds(self, q: Query):
-        """Resolve the TimeFilter endpoints (relative grammar, pinned now)."""
+        """Resolve the TimeFilter endpoints (relative grammar, pinned now).
+
+        Calendar alignment happens in the query timezone (reference:
+        ParseTimeFilter does now.In(loc)); the returned bounds are
+        normalized to UTC so all downstream comparisons against the
+        UTC-typed time column are correct."""
         if q.time_filter is None:
             return None, None, None
         tcol = q.time_filter.column or self.catalog.table_def(q.table).time_column
@@ -122,7 +138,11 @@ class Planner:
         if q.now is not None:
             from datetime import datetime, timezone
             now = datetime.fromtimestamp(q.now, tz=timezone.utc)
-        lo, hi = timeutil.time_filter_bounds(q.time_filter.from_, q.time_filter.to, now)
+        lo, hi = timeutil.time_filter_bounds(
+            q.time_filter.from_, q.time_filter.to, now, tz=self._tz(q))
+        from datetime import timezone as _tzmod
+        lo = lo.astimezone(_tzmod.utc) if lo is not None else None
+        hi = hi.astimezone(_tzmod.utc) if hi is not None else None
         return tcol, lo, hi
 
     def _build_joined(self, q: Query) -> tuple[DataFrame, E.Resolver]:
@@ -185,11 +205,15 @@ class Planner:
         for f in q.filters:
             df = df.filter(E.compile_expr(f, resolver))
 
-        # dimensions
+        # dimensions (time buckets computed in the query timezone — the
+        # reference's fixed-tz bucketizing, query/time_bucketizer.go:93-146)
+        tz = q.timezone if q.timezone and q.timezone.upper() != "UTC" else None
+        if tz is not None:
+            self._tz(q)  # validate early: unknown tz must error, not silently UTC
         dim_cols: list[Column] = []
         dim_names: list[str] = []
         for i, d in enumerate(q.dimensions):
-            dim_cols.append(self._dimension_col(d, resolver).alias(d.output_name(i)))
+            dim_cols.append(self._dimension_col(d, resolver, tz).alias(d.output_name(i)))
             dim_names.append(d.output_name(i))
 
         # non-aggregate query: measure literal 1 / no measures ⇒ projection
@@ -206,7 +230,7 @@ class Planner:
             if not cols:
                 cols = [F.col("*")]
             out = df.select(*cols)
-            out = self._apply_sorts(out, q)
+            out = self._apply_sorts(out, q, resolver)
             return out.limit(q.limit if q.limit is not None else 1000)
 
         agg_cols: list[Column] = []
@@ -221,15 +245,15 @@ class Planner:
             out = df.groupBy(*dim_cols).agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
-        out = self._apply_sorts(out, q, default_by=dim_names)
+        out = self._apply_sorts(out, q, resolver)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out
 
-    def _dimension_col(self, d: Dimension, resolver: E.Resolver) -> Column:
+    def _dimension_col(self, d: Dimension, resolver: E.Resolver, tz: str | None = None) -> Column:
         base = E.compile_expr(d.expr, resolver)
         if d.time_bucketizer:
-            return timeutil.time_bucket(base, d.time_bucketizer)
+            return timeutil.time_bucket(base, d.time_bucketizer, tz=tz)
         if d.numeric_bucketizer:
             nb = d.numeric_bucketizer
             return timeutil.numeric_bucket(
@@ -253,13 +277,27 @@ class Planner:
         if isinstance(node, E.Unary):
             x = self._compile_agg_expr(node.operand, resolver, mf)
             return E.compile_ast(E.Unary(node.op, E.Wrapped(x)), resolver)
+        if isinstance(node, E.Call):
+            # scalar function over aggregate subexpressions, e.g.
+            # round(sum(value), 4) — compile each arg with agg awareness
+            args = [E.Wrapped(self._compile_agg_expr(a, resolver, mf)) for a in node.args]
+            return E.compile_ast(E.Call(node.func, args), resolver)
         return E.compile_ast(node, resolver)
 
-    def _apply_sorts(self, df: DataFrame, q: Query, default_by: list[str] | None = None) -> DataFrame:
+    def _apply_sorts(self, df: DataFrame, q: Query, resolver: E.Resolver | None = None) -> DataFrame:
+        """ORDER BY. Sort expressions that name an output column resolve to
+        it; anything else compiles with the query's alias-aware resolver
+        (the reference parses sorts but never executes them,
+        query/common/aql.go:145 — we implement them for real)."""
         if q.sorts:
             cols = []
             for s in q.sorts:
-                c = F.col(s.expr) if s.expr in df.columns else E.compile_expr(s.expr)
+                if s.expr in df.columns:
+                    c = F.col(s.expr)
+                elif resolver is not None:
+                    c = E.compile_expr(s.expr, resolver)
+                else:
+                    c = E.compile_expr(s.expr)
                 cols.append(c.desc() if s.order.lower() == "desc" else c.asc())
             return df.orderBy(*cols)
         return df

@@ -2,13 +2,23 @@
 
 Reference:
   - relative time grammar: query/common/time_filter.go:241-341
-    ("now", "-7d", "24 hours ago", "this quarter-hour", "last week", ...)
+    ("now", "-7d", "24 hours ago", "this quarter-hour", "last week", ...).
+    Every expression resolves to a calendar-aligned (start, end) window
+    (applyTimeOffset, time_filter.go:93-145); a `from` endpoint takes the
+    window START, a `to` endpoint takes the window END
+    (ParseTimeFilter, time_filter.go:341-368). So from="last day",
+    to="last day" covers the whole of yesterday.
   - regular bucketizers:   query/time_bucketizer.go:72-174
     (minute(s)/hour(s)/day/week/month/quarter/year — week starts Monday,
     aligned via the -4d epoch shift; Spark's date_trunc('week') matches)
   - recurring bucketizers: query/time_bucketizer.go:44-65, 176-230
-    (time of day, hour of day, hour of week, day of week/month/year,
-    month/quarter of year)
+    "day of week"/"hour of week" are Monday-based mod arithmetic:
+    floor(((ts - 4d) % week) / unit) → Monday=0. (The *scalar function*
+    dayofweek() is MySQL-compatible Sunday=1 — a deliberately different
+    convention, query/context/query_context_helper.go:390-435.)
+  - timezone adjust: query/time_bucketizer.go:93-146 — fixed tz bucketizing
+    happens in local wall-clock time. We use from_utc_timestamp (full DST
+    rules) instead of the reference's constant-offset + DST-switch hack.
 
 All bucketizers emit JVM-side Column expressions (no UDFs) so Catalyst can
 constant-fold and push work into whole-stage codegen.
@@ -16,127 +26,177 @@ constant-fold and push work into whole-stage codegen.
 
 from __future__ import annotations
 
+import calendar
 import re
 from datetime import datetime, timedelta, timezone
+from zoneinfo import ZoneInfo
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
-# Relative time grammar → datetime
+# Relative time grammar → (start, end) calendar windows
 # ---------------------------------------------------------------------------
 
-_UNIT_SECONDS = {
-    "s": 1, "second": 1, "seconds": 1,
-    "m": 60, "minute": 60, "minutes": 60,
-    "h": 3600, "hour": 3600, "hours": 3600,
-    "d": 86400, "day": 86400, "days": 86400,
-    "w": 604800, "week": 604800, "weeks": 604800,
+# unit aliases → canonical unit (reference timeUnitMap, time_filter.go:25-35)
+_UNIT_CANON = {
+    "y": "y", "year": "y", "years": "y",
+    "q": "q", "quarter": "q", "quarters": "q",
+    "M": "M", "month": "M", "months": "M",
+    "w": "w", "week": "w", "weeks": "w",
+    "d": "d", "day": "d", "days": "d",
+    "h": "h", "hour": "h", "hours": "h",
+    "quarter-hour": "15m", "quarter-hours": "15m",
+    "m": "m", "minute": "m", "minutes": "m",
+    "s": "s", "second": "s", "seconds": "s",
 }
 
-_CAL_UNITS = {"month", "months", "quarter", "quarters", "year", "years", "M", "y"}
+
+def _canon_unit(unit: str) -> str:
+    u = _UNIT_CANON.get(unit) or _UNIT_CANON.get(unit.lower())
+    if u is None:
+        raise ValueError(f"unknown time filter unit: {unit!r}")
+    return u
 
 
-def _truncate(dt: datetime, unit: str) -> datetime:
-    """Truncate dt to the start of `unit` (reference: alignment rules in
-    time_filter.go — week starts Monday)."""
-    if unit in ("second",):
-        return dt.replace(microsecond=0)
-    if unit in ("minute",):
-        return dt.replace(second=0, microsecond=0)
-    if unit in ("quarter-hour",):
-        return dt.replace(minute=dt.minute - dt.minute % 15, second=0, microsecond=0)
-    if unit in ("hour",):
-        return dt.replace(minute=0, second=0, microsecond=0)
-    if unit in ("day",):
-        return dt.replace(hour=0, minute=0, second=0, microsecond=0)
-    if unit in ("week",):
-        d = dt.replace(hour=0, minute=0, second=0, microsecond=0)
-        return d - timedelta(days=d.weekday())  # Monday
-    if unit in ("month",):
-        return dt.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
-    if unit in ("quarter",):
-        q_month = dt.month - (dt.month - 1) % 3
-        return dt.replace(month=q_month, day=1, hour=0, minute=0, second=0, microsecond=0)
-    if unit in ("year",):
-        return dt.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
-    raise ValueError(f"unknown truncation unit {unit!r}")
-
-
-def _shift_calendar(dt: datetime, n: int, unit: str) -> datetime:
-    """Shift by n calendar months/quarters/years (sign carried by n)."""
-    months = {"month": 1, "months": 1, "M": 1,
-              "quarter": 3, "quarters": 3,
-              "year": 12, "years": 12, "y": 12}[unit] * n
+def _shift_months(dt: datetime, months: int) -> datetime:
     total = dt.year * 12 + (dt.month - 1) + months
-    year, month = divmod(total, 12)
-    import calendar
-    day = min(dt.day, calendar.monthrange(year, month + 1)[1])
-    return dt.replace(year=year, month=month + 1, day=day)
+    year, month0 = divmod(total, 12)
+    day = min(dt.day, calendar.monthrange(year, month0 + 1)[1])
+    return dt.replace(year=year, month=month0 + 1, day=day)
 
 
-_REL_SHORT = re.compile(r"^([+-]?\d+)([smhdwMy])$")          # -7d, +3h, 2w
-_AGO = re.compile(r"^(\d+)\s+([a-zA-Z-]+?)s?\s+ago$")        # 24 hours ago
-_THIS = re.compile(r"^this\s+([a-zA-Z-]+)$")                 # this quarter-hour
-_LAST = re.compile(r"^last\s+([a-zA-Z-]+)$")                 # last day
+def _apply_offset(base: datetime, amount: int, unit: str) -> tuple[datetime, datetime]:
+    """Start and end of the calendar `unit` that is `amount` units from
+    `base` (reference applyTimeOffset, time_filter.go:93-145)."""
+    month_start = base.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    day_start = base.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "y":
+        start = base.replace(year=base.year + amount, month=1, day=1,
+                             hour=0, minute=0, second=0, microsecond=0)
+        return start, start.replace(year=start.year + 1)
+    if unit == "q":
+        start = _shift_months(month_start, -((base.month - 1) % 3) + 3 * amount)
+        return start, _shift_months(start, 3)
+    if unit == "M":
+        start = _shift_months(month_start, amount)
+        return start, _shift_months(start, 1)
+    if unit == "w":
+        start = day_start - timedelta(days=day_start.weekday()) + timedelta(weeks=amount)
+        return start, start + timedelta(days=7)
+    if unit == "d":
+        start = day_start + timedelta(days=amount)
+        return start, start + timedelta(days=1)
+    if unit == "h":
+        start = base.replace(minute=0, second=0, microsecond=0) + timedelta(hours=amount)
+        return start, start + timedelta(hours=1)
+    if unit == "15m":
+        start = base.replace(minute=base.minute - base.minute % 15, second=0,
+                             microsecond=0) + timedelta(minutes=15 * amount)
+        return start, start + timedelta(minutes=15)
+    if unit == "m":
+        start = base.replace(second=0, microsecond=0) + timedelta(minutes=amount)
+        return start, start + timedelta(minutes=1)
+    if unit == "s":
+        # superset: the reference only allows seconds via "now"
+        start = base.replace(microsecond=0) + timedelta(seconds=amount)
+        return start, start + timedelta(seconds=1)
+    raise ValueError(f"unknown time filter unit: {unit!r}")
 
 
-def parse_time_point(text: str, now: datetime | None = None) -> datetime:
-    """Parse one endpoint of a time filter (reference grammar,
-    time_filter.go:241-341). Returns a timezone-aware UTC datetime."""
-    now = (now or datetime.now(timezone.utc)).astimezone(timezone.utc)
+_REL_SHORT = re.compile(r"^([+-]?\d+)([smhdwMyq])$")          # -7d, +3h, 2w
+_AGO = re.compile(r"^(\d+)\s+([a-zA-Z-]+)\s+ago$")            # 24 hours ago
+_THIS = re.compile(r"^this\s+([a-zA-Z-]+)$")                  # this quarter-hour
+_LAST = re.compile(r"^last\s+([a-zA-Z-]+)$")                  # last day
+
+
+def parse_time_window(text: str, now: datetime | None = None,
+                      tz: ZoneInfo | timezone | None = None) -> tuple[datetime, datetime]:
+    """Parse one time-filter expression into its calendar (start, end)
+    window (reference parseTimeFilterExpression, time_filter.go:241-341).
+    Returns timezone-aware datetimes; calendar alignment happens in `tz`
+    (defaults UTC — ParseTimeFilter does now.In(loc))."""
+    tz = tz or timezone.utc
+    now = (now or datetime.now(timezone.utc)).astimezone(tz).replace(microsecond=0)
     t = text.strip()
     low = t.lower()
 
     if low == "now":
-        return now.replace(microsecond=0)
-    if re.fullmatch(r"\d{9,}", t):  # epoch seconds
-        return datetime.fromtimestamp(int(t), tz=timezone.utc)
+        return now, now
+    if low == "today":
+        low = t = "this day"
+    elif low == "yesterday":
+        low = t = "last day"
+
+    if re.fullmatch(r"\d{8,}", t):  # epoch seconds (ms if > 99999999999)
+        secs = int(t)
+        if secs > 99_999_999_999:
+            secs //= 1000
+        pt = datetime.fromtimestamp(secs, tz=timezone.utc).astimezone(tz)
+        return pt, pt
 
     m = _REL_SHORT.match(t)
     if m:
         n, unit = int(m.group(1)), m.group(2)
-        if unit in ("M", "y"):
-            return _shift_calendar(now, n, unit).replace(microsecond=0)
-        return (now + timedelta(seconds=n * _UNIT_SECONDS[unit])).replace(microsecond=0)
+        return _apply_offset(now, n, _canon_unit(unit))
 
     m = _AGO.match(low)
     if m:
         n, unit = int(m.group(1)), m.group(2)
-        if unit in _CAL_UNITS or unit in ("month", "quarter", "year"):
-            return _shift_calendar(now, -n, unit).replace(microsecond=0)
-        return (now - timedelta(seconds=n * _UNIT_SECONDS[unit])).replace(microsecond=0)
+        return _apply_offset(now, -n, _canon_unit(unit))
 
     m = _THIS.match(low)
     if m:
-        return _truncate(now, m.group(1))
+        return _apply_offset(now, 0, _canon_unit(m.group(1)))
 
     m = _LAST.match(low)
     if m:
-        unit = m.group(1)
-        this_start = _truncate(now, unit)
-        if unit in ("month", "quarter", "year"):
-            step = {"month": 1, "quarter": 3, "year": 12}[unit]
-            return _shift_calendar(this_start, -1, {"month": "month", "quarter": "quarter", "year": "year"}[unit]) \
-                if unit != "quarter" else _shift_calendar(this_start, -1, "quarter")
-        return this_start - timedelta(seconds=_UNIT_SECONDS.get(unit, 86400))
+        return _apply_offset(now, -1, _canon_unit(m.group(1)))
 
-    # absolute: ISO date or datetime
-    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
+    # absolute forms, unit-aligned like the reference's parseAbsoluteTime
+    # (time_filter.go:148-238): "2024" → year, "2024-01" → month,
+    # "2024-Q2" → quarter, "2024-01-15" → day, "2024-01-15 13:45" → minute
+    # (15m when minute%15==0), plus a seconds extension.
+    m = re.fullmatch(r"(\d{4})-Q([1-4])", t)
+    if m:
+        start = datetime(int(m.group(1)), 1 + (int(m.group(2)) - 1) * 3, 1, tzinfo=tz)
+        return start, _shift_months(start, 3)
+    for fmt, unit in (("%Y-%m-%d %H:%M:%S", "s"), ("%Y-%m-%dT%H:%M:%S", "s"),
+                      ("%Y-%m-%d %H:%M", "m"), ("%Y-%m-%dT%H:%M", "m"),
+                      ("%Y-%m-%d %H", "h"),
+                      ("%Y-%m-%d", "d"), ("%Y-%m", "M"), ("%Y", "y")):
         try:
-            return datetime.strptime(t, fmt).replace(tzinfo=timezone.utc)
+            pt = datetime.strptime(t, fmt).replace(tzinfo=tz)
         except ValueError:
             continue
+        if unit == "m" and pt.minute % 15 == 0:
+            unit = "15m"
+        return _apply_offset(pt, 0, unit)
     raise ValueError(f"cannot parse time point {text!r}")
 
 
+def parse_time_point(text: str, now: datetime | None = None) -> datetime:
+    """Back-compat: the START of the expression's calendar window."""
+    return parse_time_window(text, now)[0]
+
+
 def time_filter_bounds(
-    from_: str | None, to: str | None, now: datetime | None = None
+    from_: str | None, to: str | None, now: datetime | None = None,
+    tz: ZoneInfo | timezone | None = None,
 ) -> tuple[datetime | None, datetime | None]:
-    """Resolve a TimeFilter's endpoints. `from` inclusive, `to` exclusive
-    (reference: query/aql_compiler.go:987-1065 builds ts >= from AND ts < to)."""
-    lo = parse_time_point(from_, now) if from_ else None
-    hi = parse_time_point(to, now) if to else None
+    """Resolve a TimeFilter to [lo, hi): `from` → window start, `to` →
+    window end (reference ParseTimeFilter, time_filter.go:341-368; the
+    compiled predicate is ts >= from AND ts < to,
+    query/aql_compiler.go:987-1065). A missing `to` with a present `from`
+    defaults to now."""
+    lo = parse_time_window(from_, now, tz)[0] if from_ else None
+    if to:
+        hi = parse_time_window(to, now, tz)[1]
+    elif from_:
+        tzz = tz or timezone.utc
+        hi = (now or datetime.now(timezone.utc)).astimezone(tzz).replace(microsecond=0)
+    else:
+        hi = None
     return lo, hi
 
 
@@ -151,14 +211,25 @@ _TRUNC_UNITS = {
 }
 
 
-def time_bucket(ts: Column, bucketizer: str) -> Column:
+def _localize(ts: Column, tz: str | None) -> Column:
+    """Shift a UTC timestamp to wall-clock time in `tz` (full DST rules —
+    supersedes the reference's constant-offset + DST-switch arithmetic,
+    query/time_bucketizer.go:93-146). None/UTC → unchanged."""
+    if tz is None or tz.upper() == "UTC":
+        return ts
+    return F.from_utc_timestamp(ts, tz)
+
+
+def time_bucket(ts: Column, bucketizer: str, tz: str | None = None) -> Column:
     """Regular + recurring time bucketizers (SURVEY §2.5).
 
-    Regular buckets return truncated TIMESTAMP columns; recurring buckets
-    return INT columns (e.g. hour-of-day 0-23, day-of-week 1-7 Sunday=1 to
-    match the reference's MySQL-compatible dayofweek).
+    Regular buckets return truncated TIMESTAMP columns (in `tz` wall-clock
+    when given); recurring buckets return INT columns. "day of week" is
+    Monday=0..Sunday=6 per the reference bucketizer's -4d epoch shift
+    (query/time_bucketizer.go:216-227) — NOT the scalar dayofweek().
     """
     b = bucketizer.strip().lower()
+    ts = _localize(ts, tz)
 
     # regular: plain unit
     if b in _TRUNC_UNITS:
@@ -190,7 +261,8 @@ def time_bucket(ts: Column, bucketizer: str) -> Column:
         dow_mon0 = (F.dayofweek(ts) + 5) % 7  # Sunday=1 → Monday=0
         return dow_mon0 * 24 + F.hour(ts)
     if b == "day of week":
-        return F.dayofweek(ts)  # Sunday=1, MySQL-compatible like the reference
+        # Monday=0..Sunday=6 (reference bucketizer parity)
+        return (F.dayofweek(ts) + 5) % 7
     if b == "day of month":
         return F.dayofmonth(ts)
     if b == "day of year":
@@ -207,11 +279,17 @@ def _floor_seconds(ts: Column, secs: int) -> Column:
     return F.timestamp_seconds((epoch - epoch % secs))
 
 
-def time_bucket_oracle_sql(col: str, bucketizer: str) -> str:
+def time_bucket_oracle_sql(col: str, bucketizer: str, tz: str | None = None) -> str:
     """DuckDB-SQL rendering of the same bucketizer, for oracle tests."""
     b = bucketizer.strip().lower()
+    if tz is not None and tz.upper() != "UTC":
+        # interpret naive col as UTC instant, then express in tz wall-clock;
+        # both steps are session-timezone independent
+        col = f"timezone('{tz}', timezone('UTC', {col}))"
     if b in _TRUNC_UNITS:
-        return f"date_trunc('{_TRUNC_UNITS[b]}', {col})"
+        # ::TIMESTAMP: DuckDB's date_trunc returns DATE for day-and-coarser
+        # units; Spark always returns TIMESTAMP
+        return f"date_trunc('{_TRUNC_UNITS[b]}', {col})::TIMESTAMP"
     if b == "quarter-hour":
         return f"to_timestamp((epoch({col})::BIGINT // 900) * 900)"
     if b == "half-hour":
@@ -226,9 +304,9 @@ def time_bucket_oracle_sql(col: str, bucketizer: str) -> str:
     if b == "hour of day":
         return f"hour({col})::INT"
     if b == "hour of week":
-        return f"(((dayofweek({col}) + 6) % 7) * 24 + hour({col}))::INT"
+        return f"((isodow({col}) - 1) * 24 + hour({col}))::INT"
     if b == "day of week":
-        return f"(dayofweek({col}) + 1)::INT"  # duckdb dayofweek: Sunday=0
+        return f"(isodow({col}) - 1)::INT"  # Monday=0..Sunday=6
     if b == "day of month":
         return f"dayofmonth({col})::INT"
     if b == "day of year":

@@ -26,6 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from aresdb_spark.operators.text import tokens, tokens_oracle_sql
+from aresdb_spark.operators.util import ensure_parallelism as _parallelize
+from aresdb_spark.operators.util import let as _let
 
 P = 2_147_483_647  # 2^31 - 1
 
@@ -102,15 +104,20 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles(text: Column, n: int = SHINGLE_SIZE) -> Column:
     """Word n-gram shingles of the lowercased text; docs shorter than n
-    tokens contribute their full token string as a single shingle."""
-    toks = tokens(F.lower(text))
-    joined = F.array_join(toks, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
-            .otherwise(F.array(joined))
+    tokens contribute their full token string as a single shingle.
+
+    The token array is let-bound so tokenization runs once per row even
+    though it is referenced three times below."""
+    def build(toks: Column) -> Column:
+        joined = F.array_join(toks, " ")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(F.size(toks) >= n, F.array_distinct(grams)) \
+                .otherwise(F.array(joined))
+
+    return _let(tokens(F.lower(text)), build)
 
 
 def shingles_oracle_sql(col: str, n: int = SHINGLE_SIZE) -> str:
@@ -131,15 +138,15 @@ def hashed_shingles_sql(col: str, n: int = SHINGLE_SIZE) -> str:
 
 
 def minhash_signature(text: Column, n_hashes: int = N_HASHES) -> Column:
-    """Array of n_hashes MinHash values. Scan-side, shuffle-free."""
-    hs = hashed_shingles(text)
+    """Array of n_hashes MinHash values. Scan-side, shuffle-free.
 
-    def perm_min(j: int) -> Column:
-        # single-arg lambda: pyspark passes (element, index) to 2-arg lambdas
-        return F.array_min(F.transform(
+    The hashed-shingle array is let-bound: tokenize/shingle/md5 run ONCE
+    per row, then each permutation is a cheap transform over the ~dozens
+    of 28-bit hashes."""
+    return _let(hashed_shingles(text), lambda hs: F.array(*[
+        F.array_min(F.transform(
             hs, lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j])) % F.lit(P)))
-
-    return F.array(*[perm_min(j) for j in range(n_hashes)])
+        for j in range(n_hashes)]))
 
 
 def minhash_signature_sql(col: str, n_hashes: int = N_HASHES) -> str:
@@ -167,7 +174,8 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     distinct pairs. The self-join only multiplies within buckets, so cost
     is Σ bucket² — tiny unless everything collides (i.e., actual dups)."""
     sig = minhash_signature(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    base = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
+        .select("id", sig.alias("sig"))
 
     def band_hash(b: int) -> Column:
         piece = F.slice("sig", b * rows_per_band + 1, rows_per_band)
@@ -199,8 +207,8 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     Joins the (small) candidate set back to the docs — at scale the pair
     set is ≪ corpus, so these are cheap shuffles; shingle sets are
     recomputed scan-side rather than shuffled with the signatures."""
-    sh = docs.select(F.col(id_col).alias("id"),
-                     shingles(F.col(text_col), n).alias("sh"))
+    sh = _parallelize(docs.select(F.col(id_col).alias("id"), F.col(text_col))) \
+        .select("id", shingles(F.col(text_col), n).alias("sh"))
     out = (
         df_pairs
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -265,24 +273,49 @@ WHERE (len(list_intersect(a.sh, b.sh))::DOUBLE
 SIMHASH_BITS = 32
 
 
+def _hash32(c: Column) -> Column:
+    """Full-entropy 32-bit token hash (first 8 md5 hex digits). SimHash
+    only — MinHash keeps the 28-bit hash so A*h stays inside int64."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def _hash32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
 def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
     """SimHash over token hashes: bit b is 1 iff Σ_tokens (±1 by token's
-    bit b) > 0. Pure Column expressions — scan-side at scale."""
-    hs = F.transform(tokens(F.lower(text)), _hash28)
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hs, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1)),
-        )
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    bit b) > 0. Pure Column expressions — scan-side at scale.
+
+    Single fold: ONE aggregate() pass over the token array carrying an
+    array<int> of per-bit counters (vs. 32 independent folds, which blew
+    up codegen and re-scanned the array per bit)."""
+    hs = F.transform(tokens(F.lower(text)), _hash32)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    # 2^b by float pow is exact for b ≤ 31; (h div 2^b) mod 2 = bit b of h
+    sums = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                idx,
+                lambda b: F.when(
+                    F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2 == 1,
+                    F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, s: a + s),
+    )
+    packed = F.zip_with(
+        sums, idx,
+        lambda s, b: F.when(s > 0, F.pow(F.lit(2.0), b.cast("double")).cast("long"))
+                      .otherwise(F.lit(0).cast("long")))
+    return F.aggregate(packed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def simhash_oracle_sql(col: str, bits: int = SIMHASH_BITS) -> str:
-    hs = f"list_transform({tokens_oracle_sql(f'lower({col})')}, t -> {_hash28_sql('t')})"
+    """Per-bit rendering for DuckDB (semantically identical; integer sums
+    are order-independent so the fold structure doesn't matter)."""
+    hs = f"list_transform({tokens_oracle_sql(f'lower({col})')}, t -> {_hash32_sql('t')})"
     terms = []
     for b in range(bits):
         s = (f"list_sum(list_transform({hs}, h -> CASE WHEN (h >> {b}) & 1 = 1 "
@@ -305,8 +338,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     assert n_blocks > max_hamming, "need n_blocks > max_hamming for pigeonhole"
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    base = df.select(F.col(id_col).alias("id"),
-                     simhash(F.col(text_col), bits).alias("sh"))
+    base = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
+        .select("id", simhash(F.col(text_col), bits).alias("sh"))
     blocks = base.select(
         "id", "sh",
         F.explode(F.array(*[

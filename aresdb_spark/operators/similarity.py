@@ -146,15 +146,14 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
                               vec_col: str = "embedding", id_col: str = "vec_id",
-                              n_planes: int = 8) -> DataFrame:
+                              n_planes: int = 8, dim: int = 64) -> DataFrame:
     """All pairs with cosine ≥ threshold, bucketed by hyperplane LSH so the
     self-join never goes O(n²): high-cosine pairs land in the same bucket
-    with high probability; the exact cosine filters candidates."""
-    planes_arr = lsh_planes(64, n_planes)  # dim read from data below if needed
-    first = df.select(F.size(vec_col).alias("d")).first()
-    dim = first["d"] if first else 64
-    if dim != planes_arr.shape[1]:
-        planes_arr = lsh_planes(dim, n_planes)
+    with high probability; the exact cosine filters candidates.
+
+    `dim` is the embedding dimensionality — a parameter, never sniffed from
+    the data (running a Spark job at plan time is a scale anti-pattern)."""
+    planes_arr = lsh_planes(dim, n_planes)
 
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
                      lsh_bucket(F.col(vec_col), planes_arr).alias("bucket"))

@@ -1,10 +1,16 @@
 """Text analysis operators: token counting, quality scoring, language ID,
 document fingerprinting.
 
-All operators are pure Column expressions (JVM-side, whole-stage codegen)
-— at 100 TB these run inside the parquet scan stage with zero shuffles.
-Each has an exactly-equivalent DuckDB SQL rendering (the *_oracle_sql
-helpers) so the driver's correctness gate can hash-match values.
+All operators are pure Column expressions (JVM-side) — at 100 TB these run
+inside the parquet scan stage with zero shuffles. Each has an
+exactly-equivalent DuckDB SQL rendering (the *_oracle_sql helpers) so the
+driver's correctness gate can hash-match values.
+
+Every public operator let-binds the token array (operators.util.let) so
+tokenization runs ONCE per row no matter how many statistics reference it
+— Catalyst does not CSE across higher-order-function lambdas, and the
+naive expansion re-tokenized per statistic (measured ~10× slowdown on
+text_stats at sf0.1).
 
 Hashing portability: both Spark and DuckDB expose md5(); we derive integer
 hashes as the first 7 hex digits (28 bits) so products with 31-bit mixing
@@ -15,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from aresdb_spark.operators.util import let as _let
 
 # small fixed stopword sets (language ID by stopword hits — the classic
 # n-gram/stopword heuristic; deterministic and engine-portable)
@@ -56,13 +64,49 @@ def bpe_token_count_oracle_sql(col: str) -> str:
     return f"len(regexp_extract_all({col}, '{_BPE_RE}'))::INT"
 
 
-# --- quality scoring ----------------------------------------------------------
+# --- internals over a bound lowercase-token array -----------------------------
+
+
+def _sw_ratio(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def _mean_len(toks: Column) -> Column:
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def _quality(toks: Column) -> Column:
+    n_tok = F.size(toks).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw_score = F.least(_sw_ratio(toks, STOPWORDS_EN) * F.lit(5.0), F.lit(1.0))
+    mtl = _mean_len(toks)
+    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    return (len_score + sw_score + mtl_score) / F.lit(3.0)
+
+
+def _lang(toks: Column) -> Column:
+    en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
+    de = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_DE)))
+    fr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_FR)))
+    return (
+        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("unknown"))
+        .when((en >= de) & (en >= fr), F.lit("en"))
+        .when(de >= fr, F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def _fp(toks: Column) -> Column:
+    return F.md5(F.array_join(toks, " "))
+
+
+# --- public operators ---------------------------------------------------------
 
 
 def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    toks = tokens(F.lower(text))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return (hits.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double"))
+    return _let(tokens(F.lower(text)), lambda tk: _sw_ratio(tk, stopwords))
 
 
 def stopword_ratio_oracle_sql(col: str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> str:
@@ -73,9 +117,7 @@ def stopword_ratio_oracle_sql(col: str, stopwords: tuple[str, ...] = STOPWORDS_E
 
 
 def mean_token_length(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return _let(tokens(text), _mean_len)
 
 
 def mean_token_length_oracle_sql(col: str) -> str:
@@ -87,14 +129,11 @@ def mean_token_length_oracle_sql(col: str) -> str:
 def quality_score(text: Column) -> Column:
     """Composite quality score in [0,1]: rewards reasonable length,
     stopword presence, and moderate mean token length. Deterministic and
-    portable (the exact formula matters less than it being stable)."""
-    n_tok = token_count(text).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    sw = stopword_ratio(text)
-    sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
-    mtl = mean_token_length(text)
-    mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
-    return (len_score + sw_score + mtl_score) / F.lit(3.0)
+    portable (the exact formula matters less than it being stable).
+
+    Token count / mean length are case-insensitive, so the single bound
+    lowercase token array serves all three components."""
+    return _let(tokens(F.lower(text)), _quality)
 
 
 def quality_score_oracle_sql(col: str) -> str:
@@ -106,22 +145,10 @@ def quality_score_oracle_sql(col: str) -> str:
     return f"(({len_score} + {sw_score} + {mtl_score}) / 3.0)"
 
 
-# --- language identification ---------------------------------------------------
-
-
 def language_id(text: Column) -> Column:
     """Stopword-hit language ID over {en, de, fr}; 'unknown' when no set
     scores. Ties break en > de > fr (deterministic)."""
-    toks = tokens(F.lower(text))
-    en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN)))
-    de = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_DE)))
-    fr = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_FR)))
-    return (
-        F.when((en == 0) & (de == 0) & (fr == 0), F.lit("unknown"))
-        .when((en >= de) & (en >= fr), F.lit("en"))
-        .when(de >= fr, F.lit("de"))
-        .otherwise(F.lit("fr"))
-    )
+    return _let(tokens(F.lower(text)), _lang)
 
 
 def language_id_oracle_sql(col: str) -> str:
@@ -137,15 +164,11 @@ def language_id_oracle_sql(col: str) -> str:
             f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END)")
 
 
-# --- fingerprinting -------------------------------------------------------------
-
-
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5 of the lowercased,
     whitespace-collapsed text. Identical content → identical fingerprint
     regardless of spacing/case (rolling-hash-class dedup key)."""
-    norm = F.array_join(tokens(F.lower(text)), " ")
-    return F.md5(norm)
+    return _let(tokens(F.lower(text)), _fp)
 
 
 def fingerprint_oracle_sql(col: str) -> str:
@@ -153,15 +176,23 @@ def fingerprint_oracle_sql(col: str) -> str:
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Convenience: attach the full per-document stat set."""
+    """Convenience: attach the full per-document stat set.
+
+    One let-bound token array feeds every statistic — the whole stat set
+    is a single tokenize pass per row inside the scan stage."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_subwords"),
-        stopword_ratio(t).alias("stopword_ratio"),
-        mean_token_length(t).alias("mean_token_len"),
-        quality_score(t).alias("quality"),
-        language_id(t).alias("lang_id"),
-        fingerprint(t).alias("fingerprint"),
+    s = _let(tokens(F.lower(t)), lambda tk: F.struct(
+        F.size(tk).alias("n_tokens"),
+        _sw_ratio(tk, STOPWORDS_EN).alias("stopword_ratio"),
+        _mean_len(tk).alias("mean_token_len"),
+        _quality(tk).alias("quality"),
+        _lang(tk).alias("lang_id"),
+        _fp(tk).alias("fingerprint"),
+    ))
+    return (
+        df.withColumn("__s", s)
+        .withColumn("n_subwords", bpe_token_count(t))
+        .select("*", "__s.n_tokens", "__s.stopword_ratio", "__s.mean_token_len",
+                "__s.quality", "__s.lang_id", "__s.fingerprint")
+        .drop("__s")
     )

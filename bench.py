@@ -1,0 +1,127 @@
+"""Benchmark harness — BASELINE.md §3 query set + LLM-pipeline headliners.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query gets one untimed warmup pass (JIT/codegen/scan cache) and one
+timed pass; the timed pass forces full execution with collect().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _queries():
+    """name → (spark, sf_dir) → DataFrame. q1-q6 mirror BASELINE.md §3."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql import Dimension, Join, Measure, Query, SortField
+    from aresdb_spark.aql.planner import plan_query
+
+    def aql(q):
+        return lambda spark, sf: plan_query(spark, sf, q)
+
+    out = {}
+    # 1. count(*) filtered + hourly bucket (total_trips.aql shape)
+    out["q1_count_hourly"] = aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour", alias="bucket")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type = 'click'"]))
+    # 2. sum(measure) with measure-level row filter (total_fare.aql shape)
+    out["q2_sum_measure_filter"] = aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(value)", filters=["value > 50"], alias="s")]))
+    # 3. dim join + group by dim attribute (trips ⋈ cities pattern)
+    out["q3_dim_join"] = aql(Query(
+        table="lineitem",
+        joins=[Join(table="part", alias="p", conditions=["p.p_partkey = l_partkey"])],
+        dimensions=[Dimension(expr="p.p_brand", alias="brand")],
+        measures=[Measure(expr="sum(l_quantity)", alias="qty")]))
+    # 4. approx distinct (hll) on a key column
+    out["q4_hll_distinct"] = aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="hll(user_id)", alias="users")]))
+    # 5. non-aggregate projection with LIMIT
+    out["q5_non_agg_limit"] = aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="event_id", alias="event_id"),
+                    Dimension(expr="event_type", alias="event_type"),
+                    Dimension(expr="value", alias="value")],
+        measures=[Measure(expr="1")],
+        sorts=[SortField("event_id")],
+        limit=1000))
+    # 6. array predicates: length / element_at over the embedding column
+    out["q6_array_predicates"] = aql(Query(
+        table="embeddings",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["length(embedding) = 64", "element_at(embedding, 1) > 0"]))
+
+    # LLM-pipeline headliners (SURVEY §2 extensions)
+    def q7(spark, sf):
+        from aresdb_spark.operators.dedup import minhash_near_duplicates
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return minhash_near_duplicates(docs, threshold=0.5)
+
+    def q8(spark, sf):
+        from aresdb_spark.operators.text import text_stats
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return text_stats(docs).select(
+            F.count("*").alias("n"), F.sum("n_tokens").alias("toks"),
+            F.sum("quality").alias("q"))
+
+    def q9(spark, sf):
+        from aresdb_spark.operators.similarity import brute_force_topk
+        qv = [((i * 37 + 11) % 29 - 14) / 14.0 for i in range(64)]
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return brute_force_topk(emb, qv, k=10)
+
+    out["q7_minhash_neardup"] = q7
+    out["q8_text_stats"] = q8
+    out["q9_cosine_topk"] = q9
+    return out
+
+
+def main():
+    from aresdb_spark.session import get_spark
+
+    spark = get_spark(app_name="aresdb-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = _queries()
+
+    times = {}
+    for name, fn in qs.items():
+        fn(spark, SF_DIR).collect()  # warmup (untimed)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    print(json.dumps({
+        "metric": "aresdb_spark_bench_total",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

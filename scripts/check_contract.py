@@ -1,0 +1,106 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 next to its
+``oracle_sql()`` DuckDB twin and reports row-count / schema / value
+matches (columns sorted by name, rows sorted, exact equality).
+
+Usage: python scripts/check_contract.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+
+def norm_rows(cols, rows):
+    """Sort columns by name, normalize values, sort rows."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def nv(v):
+        from datetime import date, datetime
+        from decimal import Decimal
+        if isinstance(v, Decimal):
+            return float(v)
+        if isinstance(v, datetime):
+            return v.replace(tzinfo=None).isoformat()
+        if isinstance(v, date):
+            return v.isoformat()
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            if v == int(v) and abs(v) < 2**53:
+                return float(v)
+            return v
+        return v
+
+    return sorted([tuple(nv(r[i]) for i in order) for r in rows],
+                  key=lambda r: tuple(str(x) for x in r))
+
+
+def main():
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from aresdb_spark.session import get_spark
+
+    spark = get_spark(app_name="contract-check", cpus=8, shuffle_partitions=8)
+    duck = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        try:
+            df = fn(spark, SF_DIR)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok    {name}: rows={len(srows)} (no oracle, rows-only)")
+            continue
+        try:
+            res = duck.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema: spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount: spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            ndiff = sum(1 for x, y in zip(a, b) if x != y)
+            if ndiff:
+                first = next((x, y) for x, y in zip(a, b) if x != y)
+                problems.append(f"values: {ndiff}/{len(a)} rows differ; first: {first}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: " + "; ".join(problems))
+        else:
+            print(f"ok    {name}: rows={len(srows)} hash-match")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} queries pass")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,8 @@ def test_in_filter_and_numeric_bucket(spark, duck):
 
 
 def test_relative_time_filter_pinned_now(spark, duck):
+    """"N days ago" is calendar-day aligned (reference applyTimeOffset):
+    from = midnight 90 days before now's day; to = "now" exactly."""
     q = Query(
         table="events",
         dimensions=[],
@@ -138,5 +140,45 @@ def test_relative_time_filter_pinned_now(spark, duck):
     df = plan_query(spark, SF_DIR, q)
     assert_df_matches_duck(df, duck, f"""
         SELECT count(*) AS cnt FROM events
-        WHERE ts >= to_timestamp({NOW}) - INTERVAL 90 DAY AND ts < to_timestamp({NOW})
+        WHERE ts >= date_trunc('day', to_timestamp({NOW})) - INTERVAL 90 DAY
+          AND ts < to_timestamp({NOW})
     """)
+
+
+def test_timezone_bucketing(spark, duck):
+    """Fixed-tz hourly buckets differ from UTC and match DuckDB
+    (reference: query/time_bucketizer.go:93-146)."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="b")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        timezone="America/New_York",
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT date_trunc('day', timezone('America/New_York', timezone('UTC', ts)))::TIMESTAMP AS b,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    """)
+    # and it actually differs from the UTC bucketing
+    q_utc = Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="b")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )
+    utc_rows = {tuple(r) for r in plan_query(spark, SF_DIR, q_utc).collect()}
+    ny_rows = {tuple(r) for r in df.collect()}
+    assert utc_rows != ny_rows
+
+
+def test_unknown_timezone_errors(spark):
+    import pytest
+
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="b")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        timezone="Not/AZone",
+    )
+    with pytest.raises(ValueError, match="unknown timezone"):
+        plan_query(spark, SF_DIR, q)
