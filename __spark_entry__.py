@@ -452,6 +452,38 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         ))
 
     out["hll_approx_distinct"] = (q_hll, None)
+
+    # --- ingestion: hot/cold split + upsert-by-PK (additive mode) +
+    # backfill routing + exactly-once union read (SURVEY §2.1, §2.9) ---
+    def q_hotcold(spark, sf_dir):
+        import tempfile
+        from datetime import datetime
+
+        from aresdb_spark.sources.hotcold import HotColdStore
+
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        cutoff = datetime(2024, 1, 20)
+        store = HotColdStore(
+            path=tempfile.mkdtemp(prefix="aresdb_hotcold_"),
+            time_column="ts", primary_key=("event_id",),
+            sort_columns=("ts", "user_id"), modes={"value": "add"})
+        store.init_from(ev, cutoff)
+        # deterministic upsert batch: +1000 value on event_id % 7 == 0;
+        # rows before the cutoff exercise the backfill path into cold
+        batch = ev.filter(F.col("event_id") % 7 == 0).withColumn("value", F.lit(1000.0))
+        store.ingest(spark, batch, cutoff)
+        return (store.read(spark, cutoff)
+                .groupBy(F.col("event_type").alias("et"))
+                .agg(F.count("*").alias("cnt"),
+                     F.round(F.sum("value"), 4).alias("sv")))
+
+    hotcold_sql = """
+        SELECT event_type AS et, count(*) AS cnt,
+               round(sum(value + CASE WHEN event_id % 7 = 0 THEN 1000.0 ELSE 0 END), 4) AS sv
+        FROM events GROUP BY 1
+    """
+    out["stream_hotcold_upsert"] = (q_hotcold, hotcold_sql)
     return out
 
 

@@ -1,0 +1,167 @@
+"""Hot/cold store — the reference's live store + archive store pair.
+
+Reference model:
+  - live store: recent mutable rows, fed by upserts
+    (memstore/live_store.go:48-131)
+  - archive store: immutable daily batches, sorted by the table's
+    archiving sort columns (memstore/archive_store.go:28-86)
+  - archiving cutoff: event-time boundary; a query reads archive rows with
+    ts < cutoff and live rows with ts >= cutoff so every row is counted
+    EXACTLY once even while both stores hold it
+    (query/aql_processor.go:543-570, 627-640)
+  - backfill: upserts older than the cutoff merge into the archive side
+    instead of the live store (memstore/live_store.go:74-78,
+    memstore/backfill.go)
+  - purge: rows older than recordRetentionInDays are dropped
+    (metastore/common/model.go:111-113, memstore/purge.go)
+
+Spark shape: two parquet directories.
+  - cold/ is written date-partitioned (``__day``) and sorted WITHIN each
+    partition by the table's sort columns → partition pruning on the time
+    filter + parquet row-group min/max pruning on sort-column predicates
+    (the prefilter-slice analog, query/aql_processor.go:925-985).
+  - hot/ is small and rewritten on ingest (the live store is mutable by
+    definition); at 100 TB the hot set stays bounded by the archive job.
+  - the union view applies the cutoff predicate to both sides.
+
+On a Delta/Iceberg deployment hot-rewrite becomes MERGE and archive
+becomes OPTIMIZE + partition move; the query-side semantics stay as here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from dataclasses import dataclass
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aresdb_spark.streaming.upsert import UpdateMode, apply_upsert_batch
+
+
+def _utc_naive(dt: datetime) -> datetime:
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
+@dataclass
+class HotColdStore:
+    """A fact table split into a mutable hot store and an immutable,
+    day-partitioned, sorted cold store with an exactly-once cutoff."""
+
+    path: str                       # root dir; hot/ and cold/ beneath
+    time_column: str
+    primary_key: tuple[str, ...]
+    sort_columns: tuple[str, ...] = ()
+    modes: dict[str, UpdateMode | str] | None = None
+
+    @property
+    def hot_path(self) -> str:
+        return os.path.join(self.path, "hot")
+
+    @property
+    def cold_path(self) -> str:
+        return os.path.join(self.path, "cold")
+
+    # -- bootstrap -----------------------------------------------------------
+
+    def init_from(self, df: DataFrame, cutoff: datetime) -> None:
+        """Split an initial dataset at `cutoff` into cold (< cutoff) and
+        hot (>= cutoff). The schema is persisted (the metastore's table
+        DDL analog) so empty stores stay readable."""
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        cut = F.lit(_utc_naive(cutoff))
+        self._write_cold(df.filter(F.col(self.time_column) < cut))
+        self._write_hot(df.filter(F.col(self.time_column) >= cut))
+
+    def _schema(self):
+        from pyspark.sql.types import StructType
+        with open(os.path.join(self.path, "_schema.json")) as f:
+            return StructType.fromJson(__import__("json").load(f))
+
+    def _write_cold(self, df: DataFrame, mode: str = "overwrite") -> None:
+        """Cold writes are day-partitioned and sorted within partitions by
+        the archiving sort columns — scan-time partition pruning plus
+        row-group min/max pruning both work (SURVEY §2.1 prefilter)."""
+        out = df.withColumn("__day", F.date_format(self.time_column, "yyyy-MM-dd"))
+        out = out.repartition(F.col("__day"))
+        if self.sort_columns:
+            out = out.sortWithinPartitions(*self.sort_columns)
+        out.write.mode(mode).partitionBy("__day").parquet(self.cold_path)
+
+    def _write_hot(self, df: DataFrame, mode: str = "overwrite") -> None:
+        df.write.mode(mode).parquet(self.hot_path)
+
+    # -- read ----------------------------------------------------------------
+
+    def read_hot(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(self._schema()).parquet(self.hot_path)
+
+    def read_cold(self, spark: SparkSession) -> DataFrame:
+        # __day is a partition column, re-derivable; select the base schema
+        cols = [f.name for f in self._schema().fields]
+        return spark.read.schema(self._schema()).parquet(self.cold_path).select(*cols)
+
+    def read(self, spark: SparkSession, cutoff: datetime) -> DataFrame:
+        """The exactly-once union view: cold rows strictly below the
+        cutoff, hot rows at/above it (reference cutoff filter,
+        query/aql_processor.go:543-570). Rows present on both sides of
+        the boundary (e.g. archived but not yet compacted out of hot) are
+        never double-counted because each side is filtered."""
+        cut = F.lit(_utc_naive(cutoff))
+        cold = self.read_cold(spark).filter(F.col(self.time_column) < cut)
+        hot = self.read_hot(spark).filter(F.col(self.time_column) >= cut)
+        return cold.unionByName(hot)
+
+    # -- write path ----------------------------------------------------------
+
+    def ingest(self, spark: SparkSession, batch: DataFrame, cutoff: datetime,
+               seq_col: str | None = None) -> None:
+        """Apply an upsert batch. Rows with event time >= cutoff merge into
+        the hot store; older rows take the backfill path into cold
+        (reference routes pre-cutoff records to the backfill queue,
+        memstore/live_store.go:74-78)."""
+        cut = F.lit(_utc_naive(cutoff))
+        pk = list(self.primary_key)
+
+        hot_part = batch.filter(F.col(self.time_column) >= cut)
+        cold_part = batch.filter(F.col(self.time_column) < cut)
+
+        # localCheckpoint both merge inputs: the hot/cold dirs are about to
+        # be overwritten and parquet reads are lazy (can't read-after-drop)
+        if hot_part.limit(1).count():
+            merged = apply_upsert_batch(
+                self.read_hot(spark), hot_part, pk, self.modes, seq_col)
+            self._write_hot(merged.localCheckpoint(eager=True))
+        if cold_part.limit(1).count():
+            merged = apply_upsert_batch(
+                self.read_cold(spark), cold_part, pk, self.modes, seq_col)
+            self._write_cold(merged.localCheckpoint(eager=True))
+
+    def archive(self, spark: SparkSession, new_cutoff: datetime) -> None:
+        """Advance the cutoff: move hot rows older than `new_cutoff` into
+        the cold store (sorted, day-partitioned) and compact them out of
+        hot — the reference's daily archiving job (memstore/archiving.go)."""
+        cut = F.lit(_utc_naive(new_cutoff))
+        hot = self.read_hot(spark)
+        to_cold = hot.filter(F.col(self.time_column) < cut)
+        stay_hot = hot.filter(F.col(self.time_column) >= cut)
+        if to_cold.limit(1).count():
+            merged_cold = self.read_cold(spark).unionByName(to_cold)
+            self._write_cold(merged_cold.localCheckpoint(eager=True))
+            self._write_hot(stay_hot.localCheckpoint(eager=True))
+
+    def purge(self, spark: SparkSession, older_than: datetime) -> None:
+        """Retention delete: drop cold day-partitions entirely below the
+        retention boundary (reference memstore/purge.go drops whole
+        archive batches). Partition-level delete — no data rewrite for
+        fully-expired days."""
+        boundary = _utc_naive(older_than).strftime("%Y-%m-%d")
+        for name in os.listdir(self.cold_path):
+            if name.startswith("__day=") and name.split("=", 1)[1] < boundary:
+                shutil.rmtree(os.path.join(self.cold_path, name))

@@ -1,0 +1,204 @@
+"""Upsert / hot-cold / streaming ingestion tests (SURVEY §2.1, §2.9)."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _base_rows():
+    return [
+        Row(id=1, ts=datetime(2024, 1, 1, 10), v=10.0, n=1, lo=5.0, hi=5.0),
+        Row(id=2, ts=datetime(2024, 1, 2, 10), v=None, n=2, lo=None, hi=None),
+        Row(id=3, ts=datetime(2024, 1, 3, 10), v=30.0, n=3, lo=3.0, hi=3.0),
+    ]
+
+
+def _batch_rows():
+    return [
+        # id=1: two updates in order — the later non-null wins for overwrite
+        Row(id=1, ts=datetime(2024, 1, 1, 11), v=11.0, n=10, lo=9.0, hi=1.0, seq=1),
+        Row(id=1, ts=datetime(2024, 1, 1, 12), v=None, n=10, lo=2.0, hi=9.0, seq=2),
+        # id=2: null v (overwrite keeps), additive n onto existing
+        Row(id=2, ts=datetime(2024, 1, 2, 12), v=None, n=5, lo=1.0, hi=1.0, seq=3),
+        # id=4: brand-new PK (insert)
+        Row(id=4, ts=datetime(2024, 1, 4, 10), v=40.0, n=4, lo=4.0, hi=4.0, seq=4),
+    ]
+
+
+# ordered like the base table's columns so the oracle SELECT lines up
+MODES = {"ts": "force", "v": "overwrite", "n": "add", "lo": "min", "hi": "max"}
+
+
+def test_upsert_modes_vs_oracle(spark, duck):
+    """apply_upsert_batch matches the DuckDB rendering of the same merge
+    (reference modes: upsert_batch_builder.go:30-43)."""
+    from aresdb_spark.streaming.upsert import (apply_upsert_batch,
+                                               collapse_batch,
+                                               upsert_merge_oracle_sql)
+
+    base = spark.createDataFrame(_base_rows())
+    batch = spark.createDataFrame(_batch_rows())
+    out = apply_upsert_batch(base, batch, ["id"], MODES, seq_col="seq")
+
+    # oracle: collapse in duckdb too (fold by seq), then merge
+    duck.execute("CREATE OR REPLACE TABLE ub_base AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({r.id}, TIMESTAMP '{r.ts}', {r.v if r.v is not None else 'NULL'}, "
+                             f"{r.n}, {r.lo if r.lo is not None else 'NULL'}, "
+                             f"{r.hi if r.hi is not None else 'NULL'})"
+                             for r in _base_rows())
+                 + ") t(id, ts, v, n, lo, hi)")
+    duck.execute("CREATE OR REPLACE TABLE ub_batch_raw AS SELECT * FROM (VALUES "
+                 + ", ".join(f"({r.id}, TIMESTAMP '{r.ts}', {r.v if r.v is not None else 'NULL'}, "
+                             f"{r.n}, {r.lo}, {r.hi}, {r.seq})"
+                             for r in _batch_rows())
+                 + ") t(id, ts, v, n, lo, hi, seq)")
+    duck.execute("""
+        CREATE OR REPLACE TABLE ub_batch AS
+        SELECT id,
+               max_by(ts, seq) AS ts,
+               max_by(v, CASE WHEN v IS NOT NULL THEN seq END) AS v,
+               sum(n) AS n, min(lo) AS lo, max(hi) AS hi
+        FROM ub_batch_raw GROUP BY id
+    """)
+    oracle = duck.execute(
+        upsert_merge_oracle_sql("ub_base", "ub_batch", "id", MODES)
+        + " ORDER BY id").fetchall()
+    got = [tuple(r) for r in out.orderBy("id").collect()]
+    want = [tuple(r) for r in oracle]
+    assert [r[0] for r in got] == [1, 2, 3, 4]
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+
+    # spot-check the semantics directly
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["v"] == 11.0          # overwrite: later null skipped
+    assert rows[1]["n"] == 1 + 20        # additive: 1 + (10+10)
+    assert rows[1]["lo"] == 2.0 and rows[1]["hi"] == 9.0
+    assert rows[1]["ts"] == datetime(2024, 1, 1, 12)   # force: last wins
+    assert rows[2]["v"] is None          # overwrite with null keeps null
+    assert rows[2]["n"] == 7
+    assert rows[3]["n"] == 3             # untouched PK
+    assert rows[4]["v"] == 40.0          # insert
+
+
+def test_collapse_batch_orders_by_seq(spark):
+    from aresdb_spark.streaming.upsert import collapse_batch
+
+    batch = spark.createDataFrame(_batch_rows())
+    one = collapse_batch(batch, ["id"], MODES, seq_col="seq")
+    r1 = one.filter("id = 1").first()
+    assert r1["v"] == 11.0 and r1["lo"] == 2.0 and r1["hi"] == 9.0
+
+
+def test_hotcold_exactly_once(spark, duck, tmp_path):
+    """Union view counts every row exactly once across hot/cold, matching
+    a DuckDB oracle over the source table; archived-but-still-hot overlap
+    never double-counts."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    cutoff = datetime(2024, 1, 20)
+    store = HotColdStore(path=str(tmp_path / "events"), time_column="ts",
+                         primary_key=("event_id",))
+    store.init_from(ev, cutoff)
+
+    total = store.read(spark, cutoff).count()
+    want = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert total == want
+
+    # simulate overlap: copy some pre-cutoff rows into hot (as if archived
+    # but not yet compacted) — the cutoff union must not double count
+    overlap = ev.filter(F.col("ts") < F.lit(cutoff)).limit(50)
+    hot_plus = store.read_hot(spark).unionByName(overlap).localCheckpoint(eager=True)
+    store._write_hot(hot_plus)
+    assert store.read(spark, cutoff).count() == want
+
+
+def test_hotcold_ingest_and_backfill(spark, tmp_path):
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    base = spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 1, 5), v=1.0),
+        Row(id=2, ts=datetime(2024, 1, 10, 5), v=2.0),
+        Row(id=3, ts=datetime(2024, 1, 20, 5), v=3.0),
+    ])
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",),
+                         modes={"v": "add"})
+    store.init_from(base, cutoff)
+    assert store.read_cold(spark).count() == 2
+    assert store.read_hot(spark).count() == 1
+
+    batch = spark.createDataFrame([
+        Row(id=3, ts=datetime(2024, 1, 20, 6), v=0.5),   # hot update (add)
+        Row(id=4, ts=datetime(2024, 1, 22, 5), v=4.0),   # hot insert
+        Row(id=2, ts=datetime(2024, 1, 10, 6), v=0.25),  # BACKFILL (pre-cutoff)
+        Row(id=5, ts=datetime(2024, 1, 2, 5), v=5.0),    # backfill insert
+    ])
+    store.ingest(spark, batch, cutoff)
+
+    rows = {r["id"]: r for r in store.read(spark, cutoff).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5}
+    assert rows[3]["v"] == 3.5          # additive hot update
+    assert rows[2]["v"] == 2.25         # additive backfill into cold
+    assert rows[5]["v"] == 5.0          # backfill insert lands cold
+    assert store.read_cold(spark).count() == 3
+    assert store.read_hot(spark).count() == 2
+
+
+def test_archive_and_purge(spark, tmp_path):
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    rows = [Row(id=i, ts=datetime(2024, 1, 1) + timedelta(days=i), v=float(i))
+            for i in range(10)]
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",))
+    store.init_from(spark.createDataFrame(rows), datetime(2024, 1, 5))
+    assert store.read_hot(spark).count() == 6
+
+    # advance the cutoff → archiving job moves rows 5..7 into cold
+    new_cutoff = datetime(2024, 1, 8)
+    store.archive(spark, new_cutoff)
+    assert store.read_hot(spark).count() == 3
+    assert store.read_cold(spark).count() == 7
+    assert store.read(spark, new_cutoff).count() == 10
+
+    # retention: drop cold days before Jan 3 (partition-level delete)
+    store.purge(spark, datetime(2024, 1, 3))
+    assert store.read_cold(spark).count() == 5
+    assert store.read(spark, new_cutoff).count() == 8
+
+
+def test_streaming_file_ingest(spark, tmp_path):
+    """End-to-end Structured Streaming ingest: two micro-batch files →
+    foreachBatch upsert-merge into the store (checkpointed)."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.streaming.ingest import file_source, start_upsert_stream
+
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 16), v=1.0),
+    ]), cutoff)
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    b1 = spark.createDataFrame([Row(id=1, ts=datetime(2024, 1, 16, 1), v=2.0),
+                                Row(id=2, ts=datetime(2024, 1, 17), v=5.0)])
+    b1.coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    schema = store.read_hot(spark).schema
+    q = start_upsert_stream(
+        file_source(spark, f"{src_dir}/*", schema),
+        store, lambda: cutoff, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True)
+    q.awaitTermination(120)
+
+    rows = {r["id"]: r["v"] for r in store.read(spark, cutoff).collect()}
+    assert rows == {1: 3.0, 2: 5.0}
