@@ -484,6 +484,66 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM events GROUP BY 1
     """
     out["stream_hotcold_upsert"] = (q_hotcold, hotcold_sql)
+
+    # --- geo join through the planner (SURVEY §2.3): points derived
+    # deterministically from events, rectangle shapes (one with a hole) so
+    # the DuckDB oracle is exact range logic ---
+    def q_geo(spark, sf_dir):
+        import tempfile
+
+        from aresdb_spark.aql import Dimension, Join, Measure, Query
+        from aresdb_spark.aql.planner import Planner
+        from aresdb_spark.catalog import Catalog, TableDef
+
+        root = tempfile.mkdtemp(prefix="aresdb_geo_")
+
+        def ring(x0, y0, x1, y1):
+            return [{"lat": float(x0), "long": float(y0)},
+                    {"lat": float(x0), "long": float(y1)},
+                    {"lat": float(x1), "long": float(y1)},
+                    {"lat": float(x1), "long": float(y0)},
+                    {"lat": float(x0), "long": float(y0)}]
+
+        shapes = [("A", [ring(0, 0, 10, 10), ring(4, 4, 6, 6)]),
+                  ("B", [ring(20, 0, 30, 10)]),
+                  ("C", [ring(40, 40, 50, 50)])]
+        spark.createDataFrame(
+            shapes, "shape_id string, shape array<array<struct<lat:float,long:float>>>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/shapes.parquet")
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select(F.col("event_id"),
+                 ((F.col("user_id") % 120) * 0.5 + 0.25).alias("lat"),
+                 ((F.col("event_id") % 120) * 0.5 + 0.25).alias("lng"))
+         .write.mode("overwrite").parquet(f"{root}/points.parquet"))
+        cat = Catalog(root, tables={
+            "points": TableDef("points", is_fact=True, primary_key=("event_id",)),
+            "shapes": TableDef("shapes", primary_key=("shape_id",)),
+        })
+        return Planner(spark, cat).plan(Query(
+            table="points",
+            joins=[Join(table="shapes", alias="g",
+                        conditions=["geography_intersects(g.shape, lat, lng)"])],
+            dimensions=[Dimension(expr="g.shape_id", alias="shape_id")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            filters=["g.shape_id in ('A', 'B', 'C')"],
+        ))
+
+    geo_sql = """
+        WITH pts AS (
+          SELECT (user_id % 120) * 0.5 + 0.25 AS lat,
+                 (event_id % 120) * 0.5 + 0.25 AS lng
+          FROM events),
+        labeled AS (
+          SELECT CASE
+            WHEN lat > 0 AND lat < 10 AND lng > 0 AND lng < 10
+                 AND NOT (lat > 4 AND lat < 6 AND lng > 4 AND lng < 6) THEN 'A'
+            WHEN lat > 20 AND lat < 30 AND lng > 0 AND lng < 10 THEN 'B'
+            WHEN lat > 40 AND lat < 50 AND lng > 40 AND lng < 50 THEN 'C'
+          END AS shape_id FROM pts)
+        SELECT shape_id, count(*) AS cnt FROM labeled
+        WHERE shape_id IS NOT NULL GROUP BY 1
+    """
+    out["geo_join_shapes"] = (q_geo, geo_sql)
     return out
 
 

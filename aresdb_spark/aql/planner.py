@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import aresdb_spark.functions.geo  # noqa: F401  (registers geography_intersects)
 from aresdb_spark.aql import expr as E
 from aresdb_spark.aql import timeutil
 from aresdb_spark.aql.model import Dimension, Measure, Query
@@ -145,16 +146,49 @@ class Planner:
         hi = hi.astimezone(_tzmod.utc) if hi is not None else None
         return tcol, lo, hi
 
-    def _build_joined(self, q: Query) -> tuple[DataFrame, E.Resolver]:
-        """Scan fact table and LEFT-broadcast-join every dimension table.
+    @staticmethod
+    def _geo_condition(cond_text: str):
+        """Detect a geo join condition: `[not] geography_intersects(...)`.
+        Returns (is_geo, negated). Reference: matchGeoJoin,
+        query/aql_compiler.go:199-257."""
+        ast = E.parse(cond_text)
+        negated = False
+        if isinstance(ast, E.Unary) and ast.op in ("!", "not"):
+            ast, negated = ast.operand, True
+        return (isinstance(ast, E.Call) and ast.func == "geography_intersects",
+                negated)
 
-        Reference: hash-lookup join, LEFT semantics (miss ⇒ null row),
-        query/aql_batchexecutor.go:116-166 + query/hash_lookup.cu. Spark:
-        broadcast hash join — same result, no cuckoo index needed.
+    def _dim_only_filters(self, q: Query, alias: str) -> list[int]:
+        """Indices of row filters referencing ONLY columns of `alias` —
+        these prune the (broadcast) dimension side BEFORE the join, the
+        generalization of the reference's shape-UUID geo filter
+        (matchGeoFilter, query/aql_compiler.go:909-986)."""
+        out = []
+        for i, f in enumerate(q.filters):
+            refs = E.column_refs(E.parse(f))
+            if refs and all(r.startswith(alias + ".") for r in refs):
+                out.append(i)
+        return out
+
+    def _build_joined(self, q: Query) -> tuple[DataFrame, E.Resolver, set[int]]:
+        """Scan fact table and join every dimension table.
+
+        Regular dimension joins: LEFT broadcast hash join (reference
+        hash-lookup semantics, miss ⇒ null row,
+        query/aql_batchexecutor.go:116-166 + query/hash_lookup.cu).
+
+        Geo joins (condition = geography_intersects): the shape table is
+        pre-pruned by its own filters (the shape-UUID filter analog), then
+        INNER-joined (inOrOut=true drops rows outside every candidate
+        shape) or LEFT-ANTI for the negated form — reference
+        geoIntersection semantics (aql_compiler.go:199-257, 909-986). A
+        geo dimension (shape pk / hex(pk)) then works as a plain post-join
+        column. Shapes must be non-overlapping for exact reference parity
+        (the GPU kernel records a single shape index per point).
 
         The time filter is pushed into the fact scan (raw-column range
         predicate → parquet row-group pruning) rather than applied after
-        the join.
+        the join. Returns (df, resolver, consumed_filter_indices).
         """
         tcol, lo, hi = self._time_bounds(q)
         default_tcol = self.catalog.table_def(q.table).time_column
@@ -162,19 +196,49 @@ class Planner:
         fact = self.catalog.load(self.spark, q.table, time_range=push_range).alias(q.table)
         aliases = {q.table}
         df = fact
+        consumed: set[int] = set()
+        geo_seen = False
         for j in q.joins:
             dim = self.catalog.load(self.spark, j.table).alias(j.name)
             aliases.add(j.name)
             if not j.conditions:
                 raise ValueError(f"join to {j.table} requires conditions")
+            dim_def = self.catalog.table_def(j.table)
+
+            geo_flags = [self._geo_condition(c) for c in j.conditions]
+            if any(g for g, _ in geo_flags):
+                if len(j.conditions) != 1:
+                    raise ValueError("at most one join condition allowed per geo join "
+                                     "(ref aql_compiler.go:214-217)")
+                if dim_def.is_fact:
+                    raise ValueError("only dimension table is allowed in geo join")
+                if geo_seen:
+                    raise ValueError("at most one geo join per query")
+                geo_seen = True
+                negated = geo_flags[0][1]
+                # pre-prune candidate shapes with the join's own filters
+                dim_resolver = self._resolver({j.name}, q)
+                for i in self._dim_only_filters(q, j.name):
+                    dim = dim.filter(E.compile_expr(q.filters[i], dim_resolver))
+                    consumed.add(i)
+                ast = E.parse(j.conditions[0])
+                if negated:
+                    ast = ast.operand  # anti join needs the POSITIVE predicate
+                cond = E.compile_ast(ast, self._resolver(aliases, q))
+                if negated:
+                    df = df.join(F.broadcast(dim), on=cond, how="left_anti")
+                    aliases.discard(j.name)  # anti join exposes no dim columns
+                else:
+                    df = df.join(F.broadcast(dim), on=cond, how="inner")
+                continue
+
             cond = None
             for c in j.conditions:
                 col = E.compile_expr(c, self._resolver(aliases, q))
                 cond = col if cond is None else cond & col
-            dim_def = self.catalog.table_def(j.table)
             right = dim if dim_def.is_fact else F.broadcast(dim)
             df = df.join(right, on=cond, how="left")
-        return df, self._resolver(aliases, q)
+        return df, self._resolver(aliases, q), consumed
 
     def _resolver(self, aliases: set[str], q: Query) -> E.Resolver:
         def resolve(name: str) -> Column:
@@ -190,7 +254,7 @@ class Planner:
 
     def plan(self, q: Query) -> DataFrame:
         q.validate_strict()
-        df, resolver = self._build_joined(q)
+        df, resolver, consumed_filters = self._build_joined(q)
 
         # time filter on a non-default column (the default-column case was
         # already pushed into the fact scan by _build_joined)
@@ -202,7 +266,9 @@ class Planner:
             if hi is not None:
                 df = df.filter(tcol < F.lit(hi.replace(tzinfo=None)))
 
-        for f in q.filters:
+        for i, f in enumerate(q.filters):
+            if i in consumed_filters:
+                continue  # already applied to a pre-join (geo) dim side
             df = df.filter(E.compile_expr(f, resolver))
 
         # dimensions (time buckets computed in the query timezone — the
