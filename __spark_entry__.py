@@ -94,10 +94,11 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         dimensions=[Dimension(expr="event_type", alias="et")],
         measures=[Measure(expr="round(sum(value), 4)", filters=["value > 50"], alias="s")],
     )), """
-        SELECT event_type AS et,
-               round(sum(CASE WHEN value > 50 THEN value END), 4) AS s
-        FROM events GROUP BY 1
+        SELECT event_type AS et, round(sum(value), 4) AS s
+        FROM events WHERE value > 50 GROUP BY 1
     """)
+    # single-measure rowFilters merge into WHERE (reference parity,
+    # aql_compiler.go:807-818)
 
     # §2.1/§2.2 absolute time filter pushed into the scan
     out["aql_time_filter_absolute"] = (_aql(Query(

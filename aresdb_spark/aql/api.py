@@ -1,0 +1,70 @@
+"""AQL request front door — the `POST /query/aql` analog.
+
+Reference: api/query_handler.go:67-103 (HandleAQL → handleAQLInternal),
+multi-query requests (AQLRequest.Queries[], query/common/aql.go:156-159),
+response shape (AQLResponse, aql.go:160-166; per-query result format
+query/common/aql_query_result.go:22-40).
+
+Spark shape: parse JSON → Query dataclasses → Planner → DataFrame →
+result shaper. Queries in one request run as independent Spark jobs over
+the same SparkSession (the session's scheduler interleaves them; the
+reference fans out to a worker pool the same way).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from aresdb_spark.aql import expr as E
+from aresdb_spark.aql.model import Query, query_from_json
+from aresdb_spark.aql.planner import Planner, _contains_aggregate
+from aresdb_spark.aql.result import to_aggregate_result, to_matrix_result
+from aresdb_spark.catalog import Catalog
+
+
+def _is_aggregate_query(q: Query) -> bool:
+    """Non-agg ⇔ no measure contains an aggregate call (measure literal 1
+    marks a projection query, reference aql_compiler.go:1147-1154)."""
+    return any(_contains_aggregate(E.parse(m.expr)) for m in q.measures)
+
+
+def execute_query(spark: SparkSession, catalog: Catalog | str,
+                  query: Query | dict[str, Any]) -> dict:
+    """Plan + execute one AQL query; return the reference-shaped result
+    (nested dim map for aggregates, headers+matrixData for projections)."""
+    if isinstance(catalog, str):
+        catalog = Catalog(catalog)
+    q = query_from_json(query) if isinstance(query, dict) else query
+    df: DataFrame = Planner(spark, catalog).plan(q)
+    if _is_aggregate_query(q):
+        return to_aggregate_result(df, n_dims=len(q.dimensions))
+    return to_matrix_result(df)
+
+
+def execute_request(spark: SparkSession, catalog: Catalog | str,
+                    request: dict[str, Any] | str) -> dict:
+    """Multi-query fanout: {"queries": [...]} → {"results": [...],
+    "errors": [...]} (errors list omitted when all queries succeed, like
+    the reference's omitempty)."""
+    if isinstance(request, str):
+        request = json.loads(request)
+    if isinstance(catalog, str):
+        catalog = Catalog(catalog)
+    results: list[dict] = []
+    errors: list[str | None] = []
+    failed = False
+    for qobj in request.get("queries", []):
+        try:
+            results.append(execute_query(spark, catalog, qobj))
+            errors.append(None)
+        except Exception as e:  # per-query isolation, like the reference
+            results.append({})
+            errors.append(str(e))
+            failed = True
+    out: dict[str, Any] = {"results": results}
+    if failed:
+        out["errors"] = errors
+    return out

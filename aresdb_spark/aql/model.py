@@ -165,4 +165,5 @@ def query_from_json(obj: dict[str, Any]) -> Query:
         limit=obj.get("limit"),
         sorts=[SortField(s["sqlExpression"], s.get("order", "asc"))
                for s in obj.get("sorts", [])],
+        now=obj.get("now"),  # extension: pin "now" for deterministic replay
     )

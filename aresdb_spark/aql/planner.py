@@ -287,6 +287,16 @@ class Planner:
         parsed_measures = [(m, E.parse(m.expr)) for m in q.measures]
         is_agg = any(_contains_aggregate(ast) for _, ast in parsed_measures)
 
+        # reference parity: with exactly ONE measure, its rowFilters merge
+        # into the WHERE set (rows are EXCLUDED — groups with no passing
+        # rows disappear; query/aql_compiler.go:807-818). The per-measure
+        # when() rewrite below only generalizes multi-measure queries.
+        merged_measure_filters = False
+        if len(parsed_measures) == 1 and parsed_measures[0][0].filters:
+            for f in parsed_measures[0][0].filters:
+                df = df.filter(E.compile_expr(f, resolver))
+            merged_measure_filters = True
+
         if not is_agg:
             cols = list(dim_cols)
             for i, (m, ast) in enumerate(parsed_measures):
@@ -302,9 +312,10 @@ class Planner:
         agg_cols: list[Column] = []
         for i, (m, ast) in enumerate(parsed_measures):
             mf: Column | None = None
-            for f in m.filters:
-                c = E.compile_expr(f, resolver)
-                mf = c if mf is None else mf & c
+            if not merged_measure_filters:
+                for f in m.filters:
+                    c = E.compile_expr(f, resolver)
+                    mf = c if mf is None else mf & c
             agg_cols.append(self._measure_col(ast, resolver, mf).alias(m.output_name(i)))
 
         if dim_cols:

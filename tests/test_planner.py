@@ -31,8 +31,26 @@ def test_sum_with_measure_filter(spark, duck):
         measures=[Measure(expr="sum(value)", filters=["value > 50"], alias="s")],
     )
     df = plan_query(spark, SF_DIR, q)
+    # single measure ⇒ rowFilters merged into WHERE (reference parity)
     assert_df_matches_duck(df, duck, """
-        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN value END) AS s
+        SELECT event_type AS et, sum(value) AS s
+        FROM events WHERE value > 50 GROUP BY 1
+    """, approx=True)
+
+
+def test_multi_measure_filters_stay_per_measure(spark, duck):
+    """With >1 measure, each measure's filters apply via when() — groups
+    survive with nulls/zeros (engine generalization)."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(value)", filters=["value > 50"], alias="s"),
+                  Measure(expr="count(*)", alias="cnt")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN value END) AS s,
+               count(*) AS cnt
         FROM events GROUP BY 1
     """, approx=True)
 
