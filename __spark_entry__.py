@@ -545,6 +545,29 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         WHERE shape_id IS NOT NULL GROUP BY 1
     """
     out["geo_join_shapes"] = (q_geo, geo_sql)
+
+    # --- SQL dialect front end (SURVEY §3.2): the total_trips.sql shape
+    # with aql_* macros, translated to AQL and planned ---
+    def q_sql(spark, sf_dir):
+        from aresdb_spark.aql.planner import plan_query
+        from aresdb_spark.aql.sql import sql_to_query
+        return plan_query(spark, sf_dir, sql_to_query(f"""
+            SELECT count(*) AS value FROM events
+            WHERE event_type='click'
+              AND aql_time_filter(ts, "24 hours ago", "this quarter-hour", UTC)
+              AND aql_now(ts, {NOW})
+            GROUP BY aql_time_bucket_hour(ts, "", UTC)
+        """))
+
+    sql_oracle = f"""
+        SELECT date_trunc('hour', ts) AS d0, count(*) AS value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= date_trunc('hour', to_timestamp({NOW})) - INTERVAL 24 HOUR
+          AND ts < to_timestamp((epoch(to_timestamp({NOW}))::BIGINT // 900) * 900 + 900)
+        GROUP BY 1
+    """
+    out["sql_total_trips"] = (q_sql, sql_oracle)
     return out
 
 

@@ -1,0 +1,121 @@
+"""SQL dialect front end tests (SURVEY §3.2): total_trips.sql-equivalent
+passing the same oracle as its AQL twin, macro rewrites, dialect rules."""
+
+import pytest
+
+from aresdb_spark.aql.sql import SQLSyntaxError, sql_to_query
+from tests.conftest import SF_DIR, assert_df_matches_duck
+
+NOW = 1706190420  # 2024-01-25 13:47 UTC
+
+
+def _plan(spark, sql):
+    from aresdb_spark.aql.planner import plan_query
+    return plan_query(spark, SF_DIR, sql_to_query(sql))
+
+
+def test_total_trips_sql_equivalent(spark, duck):
+    """The reference's own SQL smoke query shape
+    (examples/1k_trips/queries/total_trips.sql) on events."""
+    sql = f"""
+      SELECT count(*) AS value FROM events
+      WHERE event_type='click'
+        AND aql_time_filter(ts, "24 hours ago", "this quarter-hour", UTC)
+        AND aql_now(ts, {NOW})
+      GROUP BY aql_time_bucket_hour(ts, "", UTC)
+    """
+    q = sql_to_query(sql)
+    assert q.time_filter.from_ == "24 hours ago" and q.now == NOW
+    assert q.dimensions[0].time_bucketizer == "hour"
+    df = _plan(spark, sql)
+    assert_df_matches_duck(df, duck, f"""
+        SELECT date_trunc('hour', ts) AS d0, count(*) AS value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= date_trunc('hour', to_timestamp({NOW})) - INTERVAL 24 HOUR
+          AND ts < to_timestamp((epoch(to_timestamp({NOW}))::BIGINT // 900) * 900 + 900)
+        GROUP BY 1
+    """)
+
+
+def test_sql_aql_twin_same_result(spark):
+    """SQL and AQL forms of the same query return identical rows."""
+    from aresdb_spark.aql import Dimension, Measure, Query, TimeFilter
+    from aresdb_spark.aql.planner import plan_query
+
+    sql_rows = set(map(tuple, _plan(spark, f"""
+        SELECT count(*) AS value FROM events
+        WHERE event_type='click'
+          AND aql_time_filter(ts, "24 hours ago", "now", UTC)
+          AND aql_now(ts, {NOW})
+        GROUP BY aql_time_bucket_hour(ts, "", UTC)
+    """).collect()))
+    aql_rows = set(map(tuple, plan_query(spark, SF_DIR, Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="hour")],
+        measures=[Measure(expr="count(*)", alias="value")],
+        filters=["event_type='click'"],
+        time_filter=TimeFilter(from_="24 hours ago", to="now", column="ts"),
+        now=NOW,
+    )).collect()))
+    assert sql_rows == aql_rows and sql_rows
+
+
+def test_sql_join_and_aliases(spark, duck):
+    sql = """
+      SELECT p.p_brand AS brand, sum(l_quantity) AS qty
+      FROM lineitem LEFT JOIN part p ON p.p_partkey = l_partkey
+      GROUP BY p.p_brand
+    """
+    df = _plan(spark, sql)
+    assert df.columns == ["brand", "qty"]
+    assert_df_matches_duck(df, duck, """
+        SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """, approx=True)
+
+
+def test_sql_non_agg_projection(spark, duck):
+    sql = "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 7"
+    df = _plan(spark, sql)
+    assert_df_matches_duck(df, duck, """
+        SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 7
+    """)
+
+
+def test_sql_numeric_bucket(spark, duck):
+    sql = """
+      SELECT count(*) AS cnt FROM events
+      WHERE event_type = 'view'
+      GROUP BY aql_numeric_bucket_bucket_width(value, 25)
+    """
+    df = _plan(spark, sql)
+    assert_df_matches_duck(df, duck, """
+        SELECT floor(value / 25) * 25 AS d0, count(*) AS cnt
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    """)
+
+
+def test_sql_dialect_rules():
+    # aggregates without GROUP BY → error (sql_parser.go:2024-2027)
+    with pytest.raises(SQLSyntaxError, match="no aggregate"):
+        sql_to_query("SELECT count(*) FROM events")
+    # subqueries unsupported (sql_parser.go:2018-2021)
+    with pytest.raises(SQLSyntaxError, match="sub query"):
+        sql_to_query("SELECT a FROM (SELECT a FROM t)")
+
+
+def test_sql_timezone_bucket(spark, duck):
+    sql = """
+      SELECT count(*) AS cnt FROM events
+      GROUP BY aql_time_bucket_day(ts, "", America/New_York)
+    """
+    q = sql_to_query(sql)
+    assert q.timezone == "America/New_York"
+    df = _plan(spark, sql)
+    assert_df_matches_duck(df, duck, """
+        SELECT date_trunc('day', timezone('America/New_York', timezone('UTC', ts)))::TIMESTAMP AS d0,
+               count(*) AS cnt
+        FROM events GROUP BY 1
+    """)
