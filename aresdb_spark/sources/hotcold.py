@@ -88,11 +88,9 @@ class HotColdStore:
         """Cold writes are day-partitioned and sorted within partitions by
         the archiving sort columns — scan-time partition pruning plus
         row-group min/max pruning both work (SURVEY §2.1 prefilter)."""
-        out = df.withColumn("__day", F.date_format(self.time_column, "yyyy-MM-dd"))
-        out = out.repartition(F.col("__day"))
-        if self.sort_columns:
-            out = out.sortWithinPartitions(*self.sort_columns)
-        out.write.mode(mode).partitionBy("__day").parquet(self.cold_path)
+        from aresdb_spark.sources.writer import write_archive
+        write_archive(df, self.cold_path, self.time_column,
+                      self.sort_columns, mode)
 
     def _write_hot(self, df: DataFrame, mode: str = "overwrite") -> None:
         df.write.mode(mode).parquet(self.hot_path)

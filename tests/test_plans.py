@@ -1,0 +1,99 @@
+"""Explain-based scale assertions (SURVEY §4): pushdown, pruning,
+broadcast joins, shuffle counts, sorted archive writes."""
+
+from pyspark.sql import functions as F
+
+from aresdb_spark.aql import Dimension, Join, Measure, Query, TimeFilter
+from aresdb_spark.aql.planner import plan_query
+from aresdb_spark.plans import (count_exchanges, has_broadcast_join,
+                                scan_info)
+from aresdb_spark.plans.audit import has_sort_merge_join
+from tests.conftest import SF_DIR
+
+
+def test_time_filter_pushed_to_scan(spark):
+    """The time-range predicate reaches the parquet scan as a pushed
+    filter on the RAW column (pre-conversion) → row-group pruning."""
+    q = Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-05", to="2024-01-10"),
+    )
+    scans = scan_info(plan_query(spark, SF_DIR, q))
+    assert scans, "no FileScan found"
+    pushed = scans[0].get("PushedFilters", "")
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, pushed
+
+
+def test_column_pruning(spark):
+    """A 2-column projection reads a 2-column schema, not the full table."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_id", alias="event_id"),
+                    Dimension(expr="event_type", alias="event_type")],
+        measures=[Measure(expr="1")],
+        limit=10,
+    )
+    scans = scan_info(plan_query(spark, SF_DIR, q))
+    schema = scans[0].get("ReadSchema", "")
+    assert "event_id" in schema and "event_type" in schema
+    assert "props" not in schema and "value" not in schema, schema
+
+
+def test_dim_join_is_broadcast_not_smj(spark):
+    q = Query(
+        table="lineitem",
+        joins=[Join(table="part", alias="p", conditions=["p.p_partkey = l_partkey"])],
+        dimensions=[Dimension(expr="p.p_brand", alias="brand")],
+        measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+    # exactly ONE shuffle: the final aggregation (partial agg is map-side)
+    assert count_exchanges(df) == 1
+
+
+def test_agg_single_shuffle(spark):
+    """groupBy + agg = partial map-side agg + one exchange + final agg."""
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="sum(value)", alias="s")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_archive_write_sorted_and_partitioned(spark, tmp_path):
+    """write_archive produces day-partition dirs; rows inside each file
+    are sorted by the sort columns (row-group stats → prefilter slice);
+    a day filter on the read side becomes a PartitionFilter."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from aresdb_spark.sources.writer import write_archive
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    path = str(tmp_path / "archive")
+    write_archive(ev, path, "ts", sort_columns=("user_id", "ts"))
+
+    days = [d for d in os.listdir(path) if d.startswith("__day=")]
+    assert len(days) > 5, days
+
+    # physical sortedness inside one partition file
+    day_dir = os.path.join(path, sorted(days)[0])
+    files = [f for f in os.listdir(day_dir) if f.endswith(".parquet")]
+    tbl = pq.read_table(os.path.join(day_dir, files[0]), columns=["user_id"])
+    vals = tbl.column("user_id").to_pylist()
+    assert vals == sorted(vals), "rows not sorted within partition file"
+
+    # partition pruning on the day key
+    df = spark.read.parquet(path).filter(F.col("__day") == sorted(days)[0].split("=")[1])
+    scans = scan_info(df)
+    assert "__day" in scans[0].get("PartitionFilters", ""), scans[0]
+    assert df.count() == len(vals) or df.count() > 0
