@@ -568,6 +568,91 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1
     """
     out["sql_total_trips"] = (q_sql, sql_oracle)
+
+    # --- timezone-column join (§2.3): per-row tz via lookup join ---
+    def q_tzcol(spark, sf_dir):
+        import tempfile
+
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import Planner
+        from aresdb_spark.catalog import Catalog, TableDef
+
+        root = tempfile.mkdtemp(prefix="aresdb_tz_")
+        spark.createDataFrame(
+            [(0, "UTC"), (1, "America/New_York"), (2, "Asia/Tokyo")],
+            "id long, timezone string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{root}/timezones.parquet")
+        (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+         .withColumn("city_id", F.col("user_id") % 3)
+         .write.mode("overwrite").parquet(f"{root}/facts.parquet"))
+        cat = Catalog(root, tables={
+            "facts": TableDef("facts", is_fact=True, time_column="ts",
+                              primary_key=("event_id",)),
+            "timezones": TableDef("timezones", primary_key=("id",)),
+        })
+        return Planner(spark, cat).plan(Query(
+            table="facts",
+            dimensions=[Dimension(expr="city_id", alias="city_id"),
+                        Dimension(expr="ts", time_bucketizer="day", alias="d")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            timezone="timezone(city_id)",
+        ))
+
+    tzcol_sql = """
+        SELECT user_id % 3 AS city_id,
+               date_trunc('day', timezone(
+                 CASE (user_id % 3) WHEN 0 THEN 'UTC'
+                      WHEN 1 THEN 'America/New_York'
+                      ELSE 'Asia/Tokyo' END,
+                 timezone('UTC', ts)))::TIMESTAMP AS d,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """
+    out["aql_timezone_column_join"] = (q_tzcol, tzcol_sql)
+
+    # --- DISTINCT projection (§2.7) ---
+    def q_distinct(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query, SortField
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="events",
+            dimensions=[Dimension(expr="event_type", alias="event_type")],
+            measures=[Measure(expr="1")],
+            distinct=True,
+            sorts=[SortField("event_type")],
+        ))
+
+    out["aql_distinct"] = (q_distinct,
+                           "SELECT DISTINCT event_type FROM events ORDER BY event_type")
+
+    # --- set ops (§2.7): UNION of two projections ---
+    def q_union(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.api import plan_set_op
+
+        def proj(flt):
+            return Query(table="events",
+                         dimensions=[Dimension(expr="user_id", alias="user_id")],
+                         measures=[Measure(expr="1")],
+                         filters=[flt], distinct=True, limit=1_000_000)
+
+        return plan_set_op(spark, sf_dir, "union",
+                           [proj("event_type = 'click'"), proj("event_type = 'view'")])
+
+    out["aql_set_union"] = (q_union, """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """)
+
+    # --- multimodal plumbing (rows-only: decode is an honest stub) ---
+    def q_multimodal(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        return M.featurize(M.synthetic_media(spark, 120)) \
+            .select("media_id", "feat_norm")
+
+    out["multimodal_featurize"] = (q_multimodal, None)
     return out
 
 

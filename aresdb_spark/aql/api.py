@@ -44,6 +44,32 @@ def execute_query(spark: SparkSession, catalog: Catalog | str,
     return to_matrix_result(df)
 
 
+def plan_set_op(spark: SparkSession, catalog: Catalog | str, op: str,
+                queries: list[Query]) -> DataFrame:
+    """UNION [ALL] / INTERSECT / EXCEPT across ≥2 AQL queries (absent from
+    the reference — a TODO at query/sql/readme:7 — and trivial on Spark;
+    SURVEY §2.7). Schemas must align by column name."""
+    if isinstance(catalog, str):
+        catalog = Catalog(catalog)
+    if len(queries) < 2:
+        raise ValueError("set operation requires at least two queries")
+    planner = Planner(spark, catalog)
+    dfs = [planner.plan(q) for q in queries]
+    out = dfs[0]
+    for d in dfs[1:]:
+        if op == "union":
+            out = out.unionByName(d).distinct()
+        elif op == "union all":
+            out = out.unionByName(d)
+        elif op == "intersect":
+            out = out.intersect(d)
+        elif op == "except":
+            out = out.exceptAll(d).distinct()
+        else:
+            raise ValueError(f"unknown set op {op!r}")
+    return out
+
+
 def execute_request(spark: SparkSession, catalog: Catalog | str,
                     request: dict[str, Any] | str) -> dict:
     """Multi-query fanout: {"queries": [...]} → {"results": [...],

@@ -113,6 +113,8 @@ class Query:
     time_filter: TimeFilter | None = None
     timezone: str = "UTC"
     limit: int | None = None   # non-agg default 1000 (query/aql_compiler.go:38)
+    distinct: bool = False     # reference parses DISTINCT but never executes
+                               # it (expr/parser.go:436); we implement it
     sorts: list[SortField] = field(default_factory=list)
     now: int | None = None     # pin "now" for deterministic relative time filters
     strict: bool = False       # enforce the reference's GPU-era constraints
@@ -163,6 +165,7 @@ def query_from_json(obj: dict[str, Any]) -> Query:
         time_filter=TimeFilter(tf.get("from"), tf.get("to"), tf.get("column", "")) if tf else None,
         timezone=obj.get("timezone", "UTC"),
         limit=obj.get("limit"),
+        distinct=bool(obj.get("distinct", False)),
         sorts=[SortField(s["sqlExpression"], s.get("order", "asc"))
                for s in obj.get("sorts", [])],
         now=obj.get("now"),  # extension: pin "now" for deterministic replay

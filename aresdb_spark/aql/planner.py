@@ -112,10 +112,23 @@ class Planner:
 
     # -- resolution ---------------------------------------------------------
 
+    @staticmethod
+    def _tz_column_key(q: Query) -> str | None:
+        """`timezone(join_key)` form → the join key column (reference
+        parseTimezoneColumnString / processTimezone,
+        query/aql_compiler.go:439-466)."""
+        import re
+        if q.timezone:
+            m = re.fullmatch(r"timezone\((.+)\)", q.timezone.strip())
+            if m:
+                return m.group(1).strip()
+        return None
+
     def _tz(self, q: Query):
-        """Resolve Query.timezone to a ZoneInfo (None for UTC). Reference:
+        """Resolve Query.timezone to a ZoneInfo (None for UTC or for the
+        timezone-column form, whose filter bounds stay UTC). Reference:
         ParseTimezone, query/common/time_filter.go:69-86."""
-        if not q.timezone or q.timezone.upper() == "UTC":
+        if not q.timezone or q.timezone.upper() == "UTC" or self._tz_column_key(q):
             return None
         from zoneinfo import ZoneInfo
         try:
@@ -238,7 +251,21 @@ class Planner:
                 cond = col if cond is None else cond & col
             right = dim if dim_def.is_fact else F.broadcast(dim)
             df = df.join(right, on=cond, how="left")
-        return df, self._resolver(aliases, q), consumed
+
+        # timezone-column join: timezone="timezone(key)" appends a LEFT
+        # broadcast join to the timezone lookup table (id → timezone) and
+        # buckets use the per-row tz (reference processTimezone,
+        # aql_compiler.go:439-466, alias __timezone_lookup)
+        tz_col = None
+        tz_key = self._tz_column_key(q)
+        if tz_key is not None:
+            alias = "__timezone_lookup"
+            tzt = self.catalog.load(self.spark, self.catalog.timezone_table).alias(alias)
+            key = self._resolver(aliases, q)(tz_key)
+            df = df.join(F.broadcast(tzt), on=key == F.col(f"{alias}.id"), how="left")
+            aliases.add(alias)
+            tz_col = F.coalesce(F.col(f"{alias}.timezone"), F.lit("UTC"))
+        return df, self._resolver(aliases, q), consumed, tz_col
 
     def _resolver(self, aliases: set[str], q: Query) -> E.Resolver:
         def resolve(name: str) -> Column:
@@ -254,7 +281,7 @@ class Planner:
 
     def plan(self, q: Query) -> DataFrame:
         q.validate_strict()
-        df, resolver, consumed_filters = self._build_joined(q)
+        df, resolver, consumed_filters, tz_col = self._build_joined(q)
 
         # time filter on a non-default column (the default-column case was
         # already pushed into the fact scan by _build_joined)
@@ -271,14 +298,19 @@ class Planner:
                 continue  # already applied to a pre-join (geo) dim side
             df = df.filter(E.compile_expr(f, resolver))
 
-        # dimensions (time buckets computed in the query timezone — the
-        # reference's fixed-tz bucketizing, query/time_bucketizer.go:93-146)
-        tz = q.timezone if q.timezone and q.timezone.upper() != "UTC" else None
-        if tz is not None:
-            self._tz(q)  # validate early: unknown tz must error, not silently UTC
+        # dimensions (time buckets computed in the query timezone — fixed
+        # tz, or the per-row tz column from the timezone join;
+        # query/time_bucketizer.go:93-146)
+        if tz_col is not None:
+            tz = tz_col
+        else:
+            tz = q.timezone if q.timezone and q.timezone.upper() != "UTC" else None
+            if tz is not None:
+                self._tz(q)  # validate early: unknown tz errors, not silently UTC
         dim_cols: list[Column] = []
         dim_names: list[str] = []
-        for i, d in enumerate(q.dimensions):
+        dims = self._expand_wildcard(q)
+        for i, d in enumerate(dims):
             dim_cols.append(self._dimension_col(d, resolver, tz).alias(d.output_name(i)))
             dim_names.append(d.output_name(i))
 
@@ -306,6 +338,8 @@ class Planner:
             if not cols:
                 cols = [F.col("*")]
             out = df.select(*cols)
+            if q.distinct:
+                out = out.distinct()
             out = self._apply_sorts(out, q, resolver)
             return out.limit(q.limit if q.limit is not None else 1000)
 
@@ -325,6 +359,22 @@ class Planner:
         out = self._apply_sorts(out, q, resolver)
         if q.limit is not None:
             out = out.limit(q.limit)
+        return out
+
+    def _expand_wildcard(self, q: Query) -> list[Dimension]:
+        """`*` expands to every main-table column that is not an array or
+        geo-shape type (reference: query/aql_compiler.go:412, 1252-1265)."""
+        from pyspark.sql.types import ArrayType
+        out: list[Dimension] = []
+        for d in q.dimensions:
+            if d.expr.strip() != "*":
+                out.append(d)
+                continue
+            schema = self.catalog.load(self.spark, q.table).schema
+            for f in schema.fields:
+                if isinstance(f.dataType, ArrayType):
+                    continue  # arrays (incl. geoshape rings) excluded
+                out.append(Dimension(expr=f.name, alias=f.name))
         return out
 
     def _dimension_col(self, d: Dimension, resolver: E.Resolver, tz: str | None = None) -> Column:

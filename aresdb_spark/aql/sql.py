@@ -249,10 +249,15 @@ def sql_to_query(sql: str) -> Query:
         if tz and q.timezone.upper() == "UTC":
             q.timezone = tz
 
-    # SELECT list → measures (aggregates) + dim aliases (non-aggregates)
+    # SELECT [DISTINCT] list → measures (aggregates) + dim aliases
+    select_body = clauses["select"]
+    m = re.match(r"^\s*distinct(?![a-z_])", select_body, re.IGNORECASE)
+    if m:
+        q.distinct = True
+        select_body = select_body[m.end():]
     measures: list[Measure] = []
     plain_selects: list[tuple[str, str | None]] = []
-    for item in _split_top(clauses["select"], ","):
+    for item in _split_top(select_body, ","):
         expr_text, alias = _parse_select_item(item)
         if _is_aggregate_expr(expr_text):
             measures.append(Measure(expr=expr_text, alias=alias))

@@ -211,16 +211,22 @@ _TRUNC_UNITS = {
 }
 
 
-def _localize(ts: Column, tz: str | None) -> Column:
+def _localize(ts: Column, tz: "str | Column | None") -> Column:
     """Shift a UTC timestamp to wall-clock time in `tz` (full DST rules —
     supersedes the reference's constant-offset + DST-switch arithmetic,
-    query/time_bucketizer.go:93-146). None/UTC → unchanged."""
-    if tz is None or tz.upper() == "UTC":
+    query/time_bucketizer.go:93-146). None/UTC → unchanged. A Column tz
+    gives PER-ROW timezones — the timezone-column join
+    (query/aql_compiler.go:439-466)."""
+    if tz is None:
         return ts
+    if isinstance(tz, str):
+        if tz.upper() == "UTC":
+            return ts
+        return F.from_utc_timestamp(ts, tz)
     return F.from_utc_timestamp(ts, tz)
 
 
-def time_bucket(ts: Column, bucketizer: str, tz: str | None = None) -> Column:
+def time_bucket(ts: Column, bucketizer: str, tz: "str | Column | None" = None) -> Column:
     """Regular + recurring time bucketizers (SURVEY §2.5).
 
     Regular buckets return truncated TIMESTAMP columns (in `tz` wall-clock

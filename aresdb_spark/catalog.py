@@ -68,6 +68,9 @@ class Catalog:
 
     sf_dir: str
     tables: dict[str, TableDef] = field(default_factory=lambda: dict(TABLES))
+    # name of the timezone lookup table (id → timezone string) used by the
+    # timezone-column join (reference: utils.GetConfig().Query.TimezoneTable)
+    timezone_table: str = "timezones"
     _cache: dict[str, DataFrame] = field(default_factory=dict, repr=False)
 
     def table_def(self, name: str) -> TableDef:

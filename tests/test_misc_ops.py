@@ -1,0 +1,141 @@
+"""Timezone-column join, DISTINCT, set ops, wildcard expansion
+(SURVEY §2.3 / §2.7 / §2.8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aresdb_spark.aql import Dimension, Measure, Query
+from aresdb_spark.aql.planner import Planner, plan_query
+from aresdb_spark.catalog import Catalog, TableDef
+from tests.conftest import SF_DIR, assert_df_matches_duck
+
+
+@pytest.fixture(scope="module")
+def tz_catalog(spark, tmp_path_factory):
+    """Facts with a tz-id column + the timezone lookup table."""
+    root = tmp_path_factory.mktemp("tz")
+    spark.createDataFrame(
+        [(0, "UTC"), (1, "America/New_York"), (2, "Asia/Tokyo")],
+        "id long, timezone string",
+    ).coalesce(1).write.parquet(f"{root}/timezones.parquet")
+    from datetime import datetime, timedelta
+    rows = [(i, datetime(2024, 3, 9, 20) + timedelta(hours=i), i % 3)
+            for i in range(100)]  # spans the US DST switch (2024-03-10)
+    spark.createDataFrame(rows, "fid long, ts timestamp, city_id long") \
+        .coalesce(1).write.parquet(f"{root}/facts.parquet")
+    return Catalog(str(root), tables={
+        "facts": TableDef("facts", is_fact=True, time_column="ts",
+                          primary_key=("fid",)),
+        "timezones": TableDef("timezones", primary_key=("id",)),
+    })
+
+
+def test_timezone_column_join(spark, duck, tz_catalog):
+    """timezone(city_id) buckets each row in ITS OWN timezone via the
+    lookup join (reference aql_compiler.go:439-466), DST-correct."""
+    q = Query(
+        table="facts",
+        dimensions=[Dimension(expr="city_id", alias="city_id"),
+                    Dimension(expr="ts", time_bucketizer="day", alias="d")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        timezone="timezone(city_id)",
+    )
+    df = Planner(spark, tz_catalog).plan(q)
+    duck.execute(f"CREATE OR REPLACE VIEW tz_facts AS SELECT * FROM "
+                 f"'{tz_catalog.sf_dir}/facts.parquet/*.parquet'")
+    duck.execute(f"CREATE OR REPLACE VIEW tz_zones AS SELECT * FROM "
+                 f"'{tz_catalog.sf_dir}/timezones.parquet/*.parquet'")
+    want = duck.execute("""
+        SELECT f.city_id,
+               date_trunc('day', timezone(z.timezone, timezone('UTC', f.ts)))::TIMESTAMP AS d,
+               count(*) AS cnt
+        FROM tz_facts f LEFT JOIN tz_zones z ON f.city_id = z.id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """).fetchall()
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [tuple(r) for r in want]
+    # sanity: per-row tz actually changes the result vs plain UTC buckets
+    q_utc = Query(
+        table="facts",
+        dimensions=[Dimension(expr="city_id", alias="city_id"),
+                    Dimension(expr="ts", time_bucketizer="day", alias="d")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )
+    utc_rows = sorted(tuple(r) for r in Planner(spark, tz_catalog).plan(q_utc).collect())
+    assert got != utc_rows
+
+
+def test_distinct_projection(spark, duck):
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="event_type")],
+        measures=[Measure(expr="1")],
+        distinct=True,
+        sorts=[__import__("aresdb_spark.aql", fromlist=["SortField"]).SortField("event_type")],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """)
+
+
+def test_sql_distinct(spark, duck):
+    from aresdb_spark.aql.sql import sql_to_query
+
+    q = sql_to_query("SELECT DISTINCT event_type FROM events ORDER BY event_type")
+    assert q.distinct
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck,
+                           "SELECT DISTINCT event_type FROM events ORDER BY event_type")
+
+
+def test_set_ops(spark, duck):
+    from aresdb_spark.aql.api import plan_set_op
+
+    def proj(flt):
+        return Query(
+            table="events",
+            dimensions=[Dimension(expr="user_id", alias="user_id")],
+            measures=[Measure(expr="1")],
+            filters=[flt],
+            distinct=True,
+            limit=100000,
+        )
+
+    union = plan_set_op(spark, SF_DIR, "union",
+                        [proj("event_type = 'click'"), proj("event_type = 'view'")])
+    assert_df_matches_duck(union, duck, """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        UNION
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """)
+    inter = plan_set_op(spark, SF_DIR, "intersect",
+                        [proj("event_type = 'click'"), proj("event_type = 'view'")])
+    assert_df_matches_duck(inter, duck, """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """)
+    exc = plan_set_op(spark, SF_DIR, "except",
+                      [proj("event_type = 'click'"), proj("event_type = 'view'")])
+    assert_df_matches_duck(exc, duck, """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'view'
+    """)
+
+
+def test_wildcard_excludes_arrays(spark):
+    """`*` expands to all non-array columns (reference excludes geoshape
+    and array columns, aql_compiler.go:1252-1265)."""
+    cat = Catalog(SF_DIR, tables={
+        "embeddings": TableDef("embeddings", primary_key=("vec_id",)),
+    })
+    q = Query(
+        table="embeddings",
+        dimensions=[Dimension(expr="*")],
+        measures=[Measure(expr="1")],
+        limit=5,
+    )
+    df = Planner(spark, cat).plan(q)
+    assert df.columns == ["vec_id", "label"]  # embedding (array) excluded
