@@ -653,6 +653,62 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             .select("media_id", "feat_norm")
 
     out["multimodal_featurize"] = (q_multimodal, None)
+
+    # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
+    def q_session(spark, sf_dir):
+        from aresdb_spark.streaming.windows import session
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        return session(ev, "ts", "30 minutes", keys=["user_id"],
+                       aggs=[F.count("*").alias("cnt")]) \
+            .select("session_start", "session_end", "user_id", "cnt")
+
+    def session_sql():
+        from aresdb_spark.streaming.windows import session_oracle_sql
+        return session_oracle_sql("events", "ts", "user_id", 1800)
+
+    out["stream_session_window"] = (q_session, session_sql())
+
+    def q_sliding(spark, sf_dir):
+        from aresdb_spark.streaming.windows import sliding
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        return sliding(ev, "ts", "2 hours", "1 hour").select("window_start", "cnt")
+
+    out["stream_sliding_window"] = (q_sliding, """
+        WITH h AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS c
+                   FROM events GROUP BY 1),
+        w AS (SELECT hr AS window_start, c FROM h
+              UNION ALL
+              SELECT hr - INTERVAL 1 HOUR, c FROM h)
+        SELECT window_start, sum(c)::BIGINT AS cnt FROM w GROUP BY 1
+    """)
+
+    # --- array predicates (§2.6 array functions over array<float>) ---
+    def q_array(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="embeddings",
+            dimensions=[Dimension(expr="length(embedding)", alias="dim")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            filters=["element_at(embedding, 1) > 0"],
+        ))
+
+    out["aql_array_predicates"] = (q_array, """
+        SELECT len(embedding)::INT AS dim, count(*) AS cnt
+        FROM embeddings WHERE embedding[1] > 0 GROUP BY 1
+    """)
+
+    # --- mergeable HLL day-sketch rollup (§2.1 HLL sink; approximate →
+    # rows-only, with the estimate bounded in tests) ---
+    def q_hll_rollup(spark, sf_dir):
+        from aresdb_spark.functions import hll as H
+        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        return H.estimate_over_days(H.daily_distinct_rollup(ev, "ts", "user_id"))
+
+    out["hll_daily_rollup"] = (q_hll_rollup, None)
     return out
 
 
