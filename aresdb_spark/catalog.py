@@ -33,6 +33,11 @@ class TableDef:
     # as long (spark.sql.legacy.parquet.nanosAsLong) and the catalog converts
     # to micros-precision timestamps, truncating like DuckDB's ns→us cast.
     nanos_columns: tuple[str, ...] = ()
+    # hot/cold table: <sf_dir>/<name> is a HotColdStore root (hot/ + cold/
+    # + _cutoff.txt); reads resolve to the exactly-once union view at the
+    # persisted cutoff (the reference's live+archive scan,
+    # query/aql_processor.go:181-250, 543-570)
+    hotcold: bool = False
 
 
 # The driver-supplied synthetic star schema (TESTDATA.md). `events` plays
@@ -93,7 +98,14 @@ class Catalog:
         if time_range is None and name in self._cache:
             return self._cache[name]
 
-        df = spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if tdef.hotcold:
+            from aresdb_spark.sources.hotcold import HotColdStore
+            store = HotColdStore(
+                path=f"{self.sf_dir}/{name}", time_column=tdef.time_column,
+                primary_key=tdef.primary_key, sort_columns=tdef.sort_columns)
+            df = store.read(spark, store.saved_cutoff())
+        else:
+            df = spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if time_range is not None and tdef.time_column:
             lo, hi = time_range
             tc = tdef.time_column

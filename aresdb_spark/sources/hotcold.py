@@ -78,6 +78,18 @@ class HotColdStore:
         cut = F.lit(_utc_naive(cutoff))
         self._write_cold(df.filter(F.col(self.time_column) < cut))
         self._write_hot(df.filter(F.col(self.time_column) >= cut))
+        self._save_cutoff(cutoff)
+
+    def _save_cutoff(self, cutoff: datetime) -> None:
+        with open(os.path.join(self.path, "_cutoff.txt"), "w") as f:
+            f.write(_utc_naive(cutoff).isoformat())
+
+    def saved_cutoff(self) -> datetime:
+        """The persisted archiving cutoff (set by init_from/archive) —
+        lets readers (e.g. the catalog's union view) pick the correct
+        exactly-once boundary without coordination."""
+        with open(os.path.join(self.path, "_cutoff.txt")) as f:
+            return datetime.fromisoformat(f.read().strip())
 
     def _schema(self):
         from pyspark.sql.types import StructType
@@ -153,6 +165,7 @@ class HotColdStore:
             merged_cold = self.read_cold(spark).unionByName(to_cold)
             self._write_cold(merged_cold.localCheckpoint(eager=True))
             self._write_hot(stay_hot.localCheckpoint(eager=True))
+        self._save_cutoff(new_cutoff)
 
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
         """Retention delete: drop cold day-partitions entirely below the

@@ -174,6 +174,40 @@ def test_archive_and_purge(spark, tmp_path):
     assert store.read(spark, new_cutoff).count() == 8
 
 
+def test_hotcold_table_in_catalog(spark, duck, tmp_path):
+    """An AQL query over a hotcold catalog table reads the exactly-once
+    union at the persisted cutoff; the time filter prunes both sides."""
+    from aresdb_spark.aql import Dimension, Measure, Query, TimeFilter
+    from aresdb_spark.aql.planner import Planner
+    from aresdb_spark.catalog import Catalog, TableDef
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    root = tmp_path
+    store = HotColdStore(path=str(root / "live_events"), time_column="ts",
+                         primary_key=("event_id",), sort_columns=("ts", "user_id"))
+    store.init_from(ev, datetime(2024, 1, 20))
+
+    cat = Catalog(str(root), tables={
+        "live_events": TableDef("live_events", is_fact=True, time_column="ts",
+                                primary_key=("event_id",), hotcold=True),
+    })
+    q = Query(
+        table="live_events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-10", to="2024-01-25"),
+    )
+    got = sorted(tuple(r) for r in Planner(spark, cat).plan(q).collect())
+    want = sorted(duck.execute("""
+        SELECT event_type AS et, count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-26'
+        GROUP BY 1
+    """).fetchall())
+    assert got == [tuple(r) for r in want]
+
+
 def test_streaming_file_ingest(spark, tmp_path):
     """End-to-end Structured Streaming ingest: two micro-batch files →
     foreachBatch upsert-merge into the store (checkpointed)."""
