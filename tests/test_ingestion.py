@@ -236,3 +236,41 @@ def test_streaming_file_ingest(spark, tmp_path):
 
     rows = {r["id"]: r["v"] for r in store.read(spark, cutoff).collect()}
     assert rows == {1: 3.0, 2: 5.0}
+
+
+def test_streaming_restart_exactly_once(spark, tmp_path):
+    """Redo-log recovery analog (memstore/recovery.go): restarting the
+    stream with the same checkpoint must NOT re-apply already-committed
+    batches — critical for the non-idempotent additive mode."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.streaming.ingest import file_source, start_upsert_stream
+
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 16), v=1.0)]), cutoff)
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = store.read_hot(spark).schema
+
+    def run():
+        q = start_upsert_stream(
+            file_source(spark, f"{src}/*", schema), store, lambda: cutoff,
+            checkpoint_dir=str(tmp_path / "ckpt"), available_now=True)
+        q.awaitTermination(120)
+
+    spark.createDataFrame([Row(id=1, ts=datetime(2024, 1, 16, 1), v=2.0)]) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    run()
+    assert {r["id"]: r["v"] for r in store.read_hot(spark).collect()} == {1: 3.0}
+
+    # restart with the SAME checkpoint + one new file: b1 must not re-add
+    spark.createDataFrame([Row(id=1, ts=datetime(2024, 1, 16, 2), v=10.0)]) \
+        .coalesce(1).write.parquet(str(src / "b2"))
+    run()
+    assert {r["id"]: r["v"] for r in store.read_hot(spark).collect()} == {1: 13.0}
+
+    # a third run with no new data changes nothing
+    run()
+    assert {r["id"]: r["v"] for r in store.read_hot(spark).collect()} == {1: 13.0}

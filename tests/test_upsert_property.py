@@ -1,0 +1,71 @@
+"""Property-based check of upsert semantics (hypothesis).
+
+The reference applies upsert records SEQUENTIALLY against the live store
+(memstore/ingestion.go ApplyUpsertBatch); `apply_upsert_batch` collapses
+the batch first and merges once. This test proves the two are equivalent:
+a pure-Python sequential model (a direct transcription of the reference's
+per-mode rules) must match the Spark result for random batches.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from aresdb_spark.streaming.upsert import UpdateMode, apply_upsert_batch
+
+MODES = [UpdateMode.OVERWRITE, UpdateMode.FORCE, UpdateMode.ADD,
+         UpdateMode.MIN, UpdateMode.MAX]
+
+value = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
+row = st.tuples(st.integers(min_value=0, max_value=4), value, value)  # (pk, x, y)
+
+
+def model_merge(base: list[tuple], batch: list[tuple],
+                mode_x: UpdateMode, mode_y: UpdateMode) -> dict:
+    """Sequential reference semantics, one record at a time."""
+    state = {pk: {"x": x, "y": y} for pk, x, y in base}
+
+    def apply_col(old, new, mode):
+        if mode is UpdateMode.FORCE:
+            return new
+        if new is None:
+            return old  # every other mode skips null updates
+        if mode is UpdateMode.OVERWRITE:
+            return new
+        if mode is UpdateMode.ADD:
+            return (old or 0) + new  # existing null = 0
+        if mode is UpdateMode.MIN:
+            return new if old is None else min(old, new)
+        if mode is UpdateMode.MAX:
+            return new if old is None else max(old, new)
+        raise AssertionError(mode)
+
+    for pk, x, y in batch:
+        if pk not in state:
+            state[pk] = {"x": x, "y": y}
+        else:
+            state[pk]["x"] = apply_col(state[pk]["x"], x, mode_x)
+            state[pk]["y"] = apply_col(state[pk]["y"], y, mode_y)
+    return state
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(row, max_size=6, unique_by=lambda r: r[0]),
+    batch=st.lists(row, min_size=1, max_size=8),
+    mode_x=st.sampled_from(MODES),
+    mode_y=st.sampled_from(MODES),
+)
+def test_collapsed_merge_equals_sequential_model(spark, base, batch,
+                                                 mode_x, mode_y):
+    base_df = spark.createDataFrame(base or [(99, None, None)], "pk int, x int, y int")
+    if not base:
+        base_df = base_df.filter("pk < 0")  # empty frame with schema
+    batch_df = spark.createDataFrame(
+        [(pk, x, y, i) for i, (pk, x, y) in enumerate(batch)],
+        "pk int, x int, y int, seq int")
+    out = apply_upsert_batch(base_df, batch_df, ["pk"],
+                             {"x": mode_x, "y": mode_y}, seq_col="seq")
+    got = {r["pk"]: {"x": r["x"], "y": r["y"]} for r in out.collect()}
+    want = model_merge(base, batch, mode_x, mode_y)
+    assert got == want
