@@ -32,6 +32,17 @@ from pyspark.sql import functions as F
 NOW = 1706140800
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with a proper timestamp ts, independent of the session's
+    build-time config (ts is INT64 TIMESTAMP(NANOS) parquet)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -462,8 +473,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
         from aresdb_spark.sources.hotcold import HotColdStore
 
-        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        ev = _events(spark, sf_dir)
         cutoff = datetime(2024, 1, 20)
         store = HotColdStore(
             path=tempfile.mkdtemp(prefix="aresdb_hotcold_"),
@@ -511,7 +521,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         spark.createDataFrame(
             shapes, "shape_id string, shape array<array<struct<lat:float,long:float>>>"
         ).coalesce(1).write.mode("overwrite").parquet(f"{root}/shapes.parquet")
-        (spark.read.parquet(f"{sf_dir}/events.parquet")
+        (_events(spark, sf_dir)
          .select(F.col("event_id"),
                  ((F.col("user_id") % 120) * 0.5 + 0.25).alias("lat"),
                  ((F.col("event_id") % 120) * 0.5 + 0.25).alias("lng"))
@@ -582,8 +592,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             [(0, "UTC"), (1, "America/New_York"), (2, "Asia/Tokyo")],
             "id long, timezone string",
         ).coalesce(1).write.mode("overwrite").parquet(f"{root}/timezones.parquet")
-        (spark.read.parquet(f"{sf_dir}/events.parquet")
-         .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        (_events(spark, sf_dir)
          .withColumn("city_id", F.col("user_id") % 3)
          .write.mode("overwrite").parquet(f"{root}/facts.parquet"))
         cat = Catalog(root, tables={
@@ -657,8 +666,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session
-        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        ev = _events(spark, sf_dir)
         return session(ev, "ts", "30 minutes", keys=["user_id"],
                        aggs=[F.count("*").alias("cnt")]) \
             .select("session_start", "session_end", "user_id", "cnt")
@@ -671,8 +679,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     def q_sliding(spark, sf_dir):
         from aresdb_spark.streaming.windows import sliding
-        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        ev = _events(spark, sf_dir)
         return sliding(ev, "ts", "2 hours", "1 hour").select("window_start", "cnt")
 
     out["stream_sliding_window"] = (q_sliding, """
@@ -704,8 +711,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     # rows-only, with the estimate bounded in tests) ---
     def q_hll_rollup(spark, sf_dir):
         from aresdb_spark.functions import hll as H
-        ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-              .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+        ev = _events(spark, sf_dir)
         return H.estimate_over_days(H.daily_distinct_rollup(ev, "ts", "user_id"))
 
     out["hll_daily_rollup"] = (q_hll_rollup, None)

@@ -98,6 +98,13 @@ class Catalog:
         if time_range is None and name in self._cache:
             return self._cache[name]
 
+        # runtime SQL confs: INT64 TIMESTAMP(NANOS) parquet is unreadable
+        # without the legacy flag, and the engine's time semantics are
+        # defined in UTC — the calling session (e.g. the driver's) may not
+        # have set either at build time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
         if tdef.hotcold:
             from aresdb_spark.sources.hotcold import HotColdStore
             store = HotColdStore(
