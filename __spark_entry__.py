@@ -715,6 +715,55 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return H.estimate_over_days(H.daily_distinct_rollup(ev, "ts", "user_id"))
 
     out["hll_daily_rollup"] = (q_hll_rollup, None)
+
+    # --- skew-safe aggregation patterns ---
+    def q_skew_distinct(spark, sf_dir):
+        from aresdb_spark.operators.skew import exact_distinct_two_stage
+        return exact_distinct_two_stage(
+            _events(spark, sf_dir), ["event_type"], "user_id", alias="users") \
+            .withColumnRenamed("event_type", "et")
+
+    out["skew_two_stage_distinct"] = (q_skew_distinct, """
+        SELECT event_type AS et, count(DISTINCT user_id) AS users
+        FROM events GROUP BY 1
+    """)
+
+    def q_skew_sum(spark, sf_dir):
+        from aresdb_spark.operators.skew import salted_sum
+        return salted_sum(_events(spark, sf_dir), ["event_type"], "value") \
+            .withColumnRenamed("event_type", "et") \
+            .select("et", F.round("sum_value", 4).alias("sv"))
+
+    out["skew_salted_sum"] = (q_skew_sum, """
+        SELECT event_type AS et, round(sum(value), 4) AS sv
+        FROM events GROUP BY 1
+    """)
+
+    # --- scalar functions round 2: convert_tz / from_unixtime / hex ---
+    def q_scalar2(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query, SortField
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="events",
+            dimensions=[
+                Dimension(expr="event_id", alias="event_id"),
+                Dimension(expr="convert_tz(ts, 'UTC', 'America/New_York')",
+                          alias="ny_ts"),
+                Dimension(expr="from_unixtime(to_unixtime(ts))", alias="rt"),
+                Dimension(expr="hex(user_id)", alias="uh"),
+            ],
+            measures=[Measure(expr="1")],
+            sorts=[SortField("event_id")],
+            limit=100,
+        ))
+
+    out["aql_scalar_functions2"] = (q_scalar2, """
+        SELECT event_id,
+               timezone('America/New_York', timezone('UTC', ts)) AS ny_ts,
+               to_timestamp(floor(epoch(ts))::BIGINT) AS rt,
+               upper(to_hex(user_id)) AS uh
+        FROM events ORDER BY event_id LIMIT 100
+    """)
     return out
 
 

@@ -344,10 +344,12 @@ def default_resolver(name: str) -> Column:
 # query/context/query_context_helper.go:723-725). Each entry maps to a
 # builder over compiled arg Columns. All JVM-side builtins.
 def _fn_convert_tz(args: list[Column]) -> Column:
-    # reference constant-folds convert_tz to ts + offset (:348-387); with
-    # real timestamp types Spark's builtin gives the same semantics.
+    # MySQL convert_tz(ts, from, to): interpret ts as from_tz wall time,
+    # re-express in to_tz wall time (reference constant-folds this to
+    # ts + offset, query_context_helper.go:348-387; the tz-aware form is
+    # DST-correct where the reference's constant offset is not)
     ts, from_tz, to_tz = args
-    return F.to_utc_timestamp(F.from_utc_timestamp(ts, _lit_str(to_tz)), _lit_str(from_tz))
+    return F.from_utc_timestamp(F.to_utc_timestamp(ts, _lit_str(from_tz)), _lit_str(to_tz))
 
 
 def _lit_str(c: Column) -> Column:

@@ -125,6 +125,39 @@ def test_set_ops(spark, duck):
     """)
 
 
+def test_skew_safe_aggregations(spark, duck):
+    from pyspark.sql import functions as F2
+
+    from aresdb_spark.operators.skew import (exact_distinct_two_stage,
+                                             salted_sum)
+
+    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    d = exact_distinct_two_stage(ev, ["event_type"], "user_id", alias="u")
+    assert_df_matches_duck(d, duck, """
+        SELECT event_type, count(DISTINCT user_id) AS u FROM events GROUP BY 1
+    """)
+    s = salted_sum(ev, ["event_type"], "value") \
+        .select("event_type", F2.round("sum_value", 6).alias("sv"))
+    assert_df_matches_duck(s, duck, """
+        SELECT event_type, round(sum(value), 6) AS sv FROM events GROUP BY 1
+    """, approx=True, tol=1e-6)
+
+
+def test_convert_tz_semantics(spark):
+    """convert_tz(ts, from, to) = interpret as from-wall, re-express as
+    to-wall (MySQL semantics, reference query_context_helper.go:348-387)."""
+    from datetime import datetime
+
+    from aresdb_spark.aql.expr import compile_expr
+
+    df = spark.createDataFrame([(datetime(2024, 1, 15, 12, 0),)], "ts timestamp")
+    got = df.select(compile_expr(
+        "convert_tz(ts, 'UTC', 'America/New_York')",
+        lambda n: F.col(n)).alias("x")).first()["x"]
+    assert got == datetime(2024, 1, 15, 7, 0)  # UTC noon = 07:00 EST
+
+
 def test_wildcard_excludes_arrays(spark):
     """`*` expands to all non-array columns (reference excludes geoshape
     and array columns, aql_compiler.go:1252-1265)."""
