@@ -171,6 +171,57 @@ class Planner:
         return (isinstance(ast, E.Call) and ast.func == "geography_intersects",
                 negated)
 
+    def _promote_time_filters(self, q: Query, tcol: str):
+        """Fact query without a timeFilter: promote literal row-filter
+        comparisons on the designated time column into the scan's raw
+        time range so parquet row-group/partition pruning still happens
+        (reference filter→time-filter promotion,
+        query/aql_compiler.go:104-167). The original filter still applies
+        post-scan — the promotion only ADDS the pushable range."""
+        from datetime import datetime, timedelta, timezone
+
+        def lit_dt(node):
+            if not isinstance(node, E.Lit):
+                return None
+            v = node.value
+            if isinstance(v, (int, float)) and v > 9_999_999:
+                return datetime.fromtimestamp(int(v), tz=timezone.utc)
+            if isinstance(v, str):
+                try:
+                    return timeutil.parse_time_window(v)[0]
+                except ValueError:
+                    return None
+            return None
+
+        lo = hi = None
+        for f in q.filters:
+            try:
+                ast = E.parse(f)
+            except Exception:
+                continue
+            if isinstance(ast, E.Binary) and isinstance(ast.left, E.Col) \
+                    and ast.left.name in (tcol, f"{q.table}.{tcol}"):
+                v = lit_dt(ast.right)
+                if v is None:
+                    continue
+                if ast.op in (">=", ">"):
+                    lo = v if lo is None else max(lo, v)
+                elif ast.op == "<":
+                    hi = v if hi is None else min(hi, v)
+                elif ast.op == "<=":
+                    h = v + timedelta(seconds=1)
+                    hi = h if hi is None else min(hi, h)
+            elif isinstance(ast, E.Between) and isinstance(ast.operand, E.Col) \
+                    and ast.operand.name in (tcol, f"{q.table}.{tcol}") \
+                    and not ast.negated:
+                vlo, vhi = lit_dt(ast.low), lit_dt(ast.high)
+                if vlo is not None:
+                    lo = vlo if lo is None else max(lo, vlo)
+                if vhi is not None:
+                    h = vhi + timedelta(seconds=1)
+                    hi = h if hi is None else min(hi, h)
+        return (lo, hi) if (lo is not None or hi is not None) else None
+
     def _dim_only_filters(self, q: Query, alias: str) -> list[int]:
         """Indices of row filters referencing ONLY columns of `alias` —
         these prune the (broadcast) dimension side BEFORE the join, the
@@ -206,6 +257,8 @@ class Planner:
         tcol, lo, hi = self._time_bounds(q)
         default_tcol = self.catalog.table_def(q.table).time_column
         push_range = (lo, hi) if tcol is not None and tcol == default_tcol else None
+        if push_range is None and default_tcol is not None:
+            push_range = self._promote_time_filters(q, default_tcol)
         fact = self.catalog.load(self.spark, q.table, time_range=push_range).alias(q.table)
         aliases = {q.table}
         df = fact

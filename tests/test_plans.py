@@ -25,6 +25,26 @@ def test_time_filter_pushed_to_scan(spark):
     assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, pushed
 
 
+def test_row_filter_promoted_to_time_range(spark, duck):
+    """A fact query with NO timeFilter but a row filter on the time
+    column still prunes the scan (reference filter→time-filter promotion,
+    aql_compiler.go:104-167) — and returns identical results."""
+    from tests.conftest import assert_df_matches_duck
+
+    q = Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["ts >= '2024-01-05'", "ts < '2024-01-10'"],
+    )
+    df = plan_query(spark, SF_DIR, q)
+    pushed = scan_info(df)[0].get("PushedFilters", "")
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed, pushed
+    assert_df_matches_duck(df, duck, """
+        SELECT count(*) AS cnt FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
+    """)
+
+
 def test_column_pruning(spark):
     """A 2-column projection reads a 2-column schema, not the full table."""
     q = Query(
