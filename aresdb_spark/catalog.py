@@ -139,3 +139,50 @@ class Catalog:
         """Register every table as a temp view for spark.sql access."""
         for name in self.tables:
             self.load(spark, name).createOrReplaceTempView(name)
+
+    # -- schema DDL (reference: server-managed JSON schemas via
+    # api/schema_handler.go; metastore/common/model.go:126-151) ----------
+
+    def to_json(self) -> dict:
+        return {
+            "timezoneTable": self.timezone_table,
+            "tables": [
+                {
+                    "name": t.name,
+                    "isFactTable": t.is_fact,
+                    "timeColumn": t.time_column,
+                    "primaryKeyColumns": list(t.primary_key),
+                    "archivingSortColumns": list(t.sort_columns),
+                    "nanosColumns": list(t.nanos_columns),
+                    "hotcold": t.hotcold,
+                }
+                for t in self.tables.values()
+            ],
+        }
+
+    @classmethod
+    def from_json(cls, sf_dir: str, obj: "dict | str") -> "Catalog":
+        """Build a catalog from a JSON DDL document (dict, JSON string,
+        or path to a .json file)."""
+        import json as _json
+        import os as _os
+        if isinstance(obj, str):
+            if _os.path.exists(obj):
+                with open(obj) as f:
+                    obj = _json.load(f)
+            else:
+                obj = _json.loads(obj)
+        tables = {
+            t["name"]: TableDef(
+                name=t["name"],
+                is_fact=bool(t.get("isFactTable", False)),
+                time_column=t.get("timeColumn"),
+                primary_key=tuple(t.get("primaryKeyColumns", ())),
+                sort_columns=tuple(t.get("archivingSortColumns", ())),
+                nanos_columns=tuple(t.get("nanosColumns", ())),
+                hotcold=bool(t.get("hotcold", False)),
+            )
+            for t in obj.get("tables", [])
+        }
+        return cls(sf_dir, tables=tables,
+                   timezone_table=obj.get("timezoneTable", "timezones"))

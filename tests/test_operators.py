@@ -179,6 +179,23 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"recall {recall}"
 
 
+def test_ann_indexed_equals_unindexed(spark, tmp_path):
+    """The bucket-partitioned index returns exactly the unindexed LSH
+    results, and the probe is a partition filter (pruned scan)."""
+    from aresdb_spark.operators import similarity as S
+    from aresdb_spark.plans import scan_info
+
+    emb = _emb(spark)
+    qv = emb.filter(F.col("vec_id") == 3).select("embedding").first()["embedding"]
+    path = str(tmp_path / "ann_idx")
+    S.write_ann_index(emb, path, dim=len(qv))
+
+    indexed = S.ann_topk_indexed(spark, path, list(qv), k=10)
+    plain = S.ann_topk_lsh(emb, list(qv), k=10)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in plain.collect()]
+    assert "__bucket" in scan_info(indexed)[0].get("PartitionFilters", "")
+
+
 # --- multimodal -------------------------------------------------------------------
 
 
