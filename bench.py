@@ -89,9 +89,19 @@ def _queries():
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return brute_force_topk(emb, qv, k=10)
 
+    def q10(spark, sf):
+        from aresdb_spark.catalog import Catalog
+        from aresdb_spark.streaming.windows import session
+        ev = Catalog(sf).load(spark, "events")
+        return session(ev, "ts", "30 minutes", keys=["user_id"],
+                       aggs=[F.count("*").alias("cnt")]) \
+            .groupBy().agg(F.count("*").alias("n_sessions"),
+                           F.sum("cnt").alias("n_events"))
+
     out["q7_minhash_neardup"] = q7
     out["q8_text_stats"] = q8
     out["q9_cosine_topk"] = q9
+    out["q10_session_window"] = q10
     return out
 
 
