@@ -699,12 +699,32 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             table="embeddings",
             dimensions=[Dimension(expr="length(embedding)", alias="dim")],
             measures=[Measure(expr="count(*)", alias="cnt")],
-            filters=["element_at(embedding, 1) > 0"],
+            filters=["element_at(embedding, 1) > 0",
+                     "element_at(embedding, -1) < 1"],  # negative = from end
         ))
 
     out["aql_array_predicates"] = (q_array, """
         SELECT len(embedding)::INT AS dim, count(*) AS cnt
-        FROM embeddings WHERE embedding[1] > 0 GROUP BY 1
+        FROM embeddings
+        WHERE embedding[1] > 0 AND embedding[-1] < 1 GROUP BY 1
+    """)
+
+    # --- LEFT-join miss ⇒ NULL + IS NULL predicate (§2.2/§2.3) ---
+    def q_join_nulls(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Join, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="lineitem",
+            joins=[Join(table="part", alias="p",
+                        conditions=["p.p_partkey = l_orderkey % 3000"])],
+            dimensions=[Dimension(expr="p.p_brand is null", alias="missed")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+        ))
+
+    out["aql_left_join_nulls"] = (q_join_nulls, """
+        SELECT p.p_brand IS NULL AS missed, count(*) AS cnt
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_orderkey % 3000
+        GROUP BY 1
     """)
 
     # --- mergeable HLL day-sketch rollup (§2.1 HLL sink; approximate →

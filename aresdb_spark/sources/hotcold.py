@@ -131,11 +131,17 @@ class HotColdStore:
     # -- write path ----------------------------------------------------------
 
     def ingest(self, spark: SparkSession, batch: DataFrame, cutoff: datetime,
-               seq_col: str | None = None) -> None:
+               seq_col: str | None = None,
+               retention: datetime | None = None) -> None:
         """Apply an upsert batch. Rows with event time >= cutoff merge into
         the hot store; older rows take the backfill path into cold
         (reference routes pre-cutoff records to the backfill queue,
-        memstore/live_store.go:74-78)."""
+        memstore/live_store.go:74-78). Rows older than `retention` are
+        DROPPED on ingest (recordRetentionInDays,
+        metastore/common/model.go:111-113)."""
+        if retention is not None:
+            batch = batch.filter(
+                F.col(self.time_column) >= F.lit(_utc_naive(retention)))
         cut = F.lit(_utc_naive(cutoff))
         pk = list(self.primary_key)
 

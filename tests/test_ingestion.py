@@ -151,6 +151,23 @@ def test_hotcold_ingest_and_backfill(spark, tmp_path):
     assert store.read_hot(spark).count() == 2
 
 
+def test_ingest_retention_drops_too_old(spark, tmp_path):
+    """Rows older than the retention boundary are dropped on ingest
+    (reference recordRetentionInDays, model.go:111-113)."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",))
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 16), v=1.0)]), datetime(2024, 1, 15))
+    store.ingest(spark, spark.createDataFrame([
+        Row(id=2, ts=datetime(2023, 12, 1), v=2.0),   # too old → dropped
+        Row(id=3, ts=datetime(2024, 1, 10), v=3.0),   # backfill, kept
+    ]), datetime(2024, 1, 15), retention=datetime(2024, 1, 1))
+    ids = {r["id"] for r in store.read(spark, datetime(2024, 1, 15)).collect()}
+    assert ids == {1, 3}
+
+
 def test_archive_and_purge(spark, tmp_path):
     from aresdb_spark.sources.hotcold import HotColdStore
 

@@ -144,6 +144,21 @@ def test_skew_safe_aggregations(spark, duck):
     """, approx=True, tol=1e-6)
 
 
+def test_enum_miss_compares_false(spark):
+    """A filter on a value absent from the data returns empty, not an
+    error (reference maps missing enum to -1 ⇒ always-false,
+    query_context_helper.go:299-310)."""
+    from aresdb_spark.aql import Dimension, Measure, Query
+
+    q = Query(
+        table="events",
+        dimensions=[Dimension(expr="event_type", alias="et")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["event_type = 'no_such_enum_value'"],
+    )
+    assert plan_query(spark, SF_DIR, q).count() == 0
+
+
 def test_convert_tz_semantics(spark):
     """convert_tz(ts, from, to) = interpret as from-wall, re-express as
     to-wall (MySQL semantics, reference query_context_helper.go:348-387)."""
