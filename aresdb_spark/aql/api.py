@@ -71,26 +71,36 @@ def plan_set_op(spark: SparkSession, catalog: Catalog | str, op: str,
 
 
 def execute_request(spark: SparkSession, catalog: Catalog | str,
-                    request: dict[str, Any] | str) -> dict:
+                    request: dict[str, Any] | str,
+                    max_workers: int = 1) -> dict:
     """Multi-query fanout: {"queries": [...]} → {"results": [...],
     "errors": [...]} (errors list omitted when all queries succeed, like
-    the reference's omitempty)."""
+    the reference's omitempty).
+
+    max_workers > 1 runs queries concurrently from driver threads (the
+    reference's worker pool, api/query_handler.go:85-103) — Spark's
+    scheduler interleaves the jobs across the cluster."""
     if isinstance(request, str):
         request = json.loads(request)
     if isinstance(catalog, str):
         catalog = Catalog(catalog)
-    results: list[dict] = []
-    errors: list[str | None] = []
-    failed = False
-    for qobj in request.get("queries", []):
+    qobjs = request.get("queries", [])
+
+    def run(qobj) -> tuple[dict, str | None]:
         try:
-            results.append(execute_query(spark, catalog, qobj))
-            errors.append(None)
+            return execute_query(spark, catalog, qobj), None
         except Exception as e:  # per-query isolation, like the reference
-            results.append({})
-            errors.append(str(e))
-            failed = True
+            return {}, str(e)
+
+    if max_workers > 1 and len(qobjs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            pairs = list(pool.map(run, qobjs))
+    else:
+        pairs = [run(q) for q in qobjs]
+    results = [r for r, _ in pairs]
+    errors = [e for _, e in pairs]
     out: dict[str, Any] = {"results": results}
-    if failed:
+    if any(e is not None for e in errors):
         out["errors"] = errors
     return out

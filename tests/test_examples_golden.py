@@ -1,0 +1,45 @@
+"""Golden end-to-end test of the example requests (the reference's
+integration/ golden-query pattern: POST .aql files, compare exact JSON)."""
+
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+EXAMPLES = os.path.join(os.path.dirname(HERE), "examples", "queries")
+
+# exact expected nested results at sf0.001 (pinned now=1706190420)
+GOLDEN_TOTAL_EVENTS = {
+    "1706108400": 1, "1706130000": 1, "1706144400": 1, "1706148000": 1,
+    "1706151600": 1, "1706158800": 1, "1706162400": 1, "1706166000": 1,
+}
+
+
+def test_total_events_aql_golden(spark):
+    from aresdb_spark.aql.api import execute_request
+
+    with open(os.path.join(EXAMPLES, "total_events.aql")) as f:
+        req = json.load(f)
+    res = execute_request(spark, "/root/testdata/sf0.001", req)
+    assert res["results"][0] == GOLDEN_TOTAL_EVENTS
+    assert "errors" not in res
+
+
+def test_sql_twin_matches_aql_golden(spark):
+    from aresdb_spark.aql.sql import execute_sql
+
+    with open(os.path.join(EXAMPLES, "total_events.sql")) as f:
+        sql_req = json.load(f)
+    res = execute_sql(spark, "/root/testdata/sf0.001", sql_req["queries"][0])
+    assert res == GOLDEN_TOTAL_EVENTS
+
+
+def test_concurrent_fanout_same_results(spark):
+    from aresdb_spark.aql.api import execute_request
+
+    with open(os.path.join(EXAMPLES, "total_events.aql")) as f:
+        q = json.load(f)["queries"][0]
+    req = {"queries": [q, q, q]}
+    serial = execute_request(spark, "/root/testdata/sf0.001", req)
+    threaded = execute_request(spark, "/root/testdata/sf0.001", req, max_workers=3)
+    assert serial == threaded
+    assert all(r == GOLDEN_TOTAL_EVENTS for r in threaded["results"])
