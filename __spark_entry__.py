@@ -311,6 +311,40 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM events GROUP BY 1
     """)
 
+    # §2.5 recurring bucketizers in one query: time-of-day seconds,
+    # hour-of-week (Monday 00:00 = 0), day-of-month, month-of-year
+    out["aql_recurring_buckets"] = (_aql(Query(
+        table="events",
+        dimensions=[
+            Dimension(expr="ts", time_bucketizer="time of day", alias="tod"),
+            Dimension(expr="ts", time_bucketizer="hour of week", alias="how"),
+            Dimension(expr="ts", time_bucketizer="day of month", alias="dom"),
+            Dimension(expr="ts", time_bucketizer="month of year", alias="moy"),
+        ],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=TimeFilter(from_="2024-01-12", to="2024-01-13"),
+    )), """
+        SELECT (hour(ts) * 3600 + minute(ts) * 60 + second(ts))::INT AS tod,
+               ((isodow(ts) - 1) * 24 + hour(ts))::INT AS how,
+               dayofmonth(ts)::INT AS dom, month(ts)::INT AS moy,
+               count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-12' AND ts < TIMESTAMP '2024-01-14'
+        GROUP BY 1, 2, 3, 4
+    """)
+
+    # §2.5 regular coarse buckets: week (Monday-aligned) and month
+    out["aql_week_month_buckets"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="week", alias="wk"),
+                    Dimension(expr="ts", time_bucketizer="month", alias="mo")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )), """
+        SELECT date_trunc('week', ts)::TIMESTAMP AS wk,
+               date_trunc('month', ts)::TIMESTAMP AS mo, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    """)
+
     # §2.7 top-k: ORDER BY measure DESC + LIMIT (TakeOrdered plan)
     out["aql_topk_users"] = (_aql(Query(
         table="events",
