@@ -345,6 +345,66 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM events GROUP BY 1, 2
     """)
 
+    # §2.8 wildcard projection: `*` expands to all non-array main-table
+    # columns (reference aql_compiler.go:1252-1265)
+    out["aql_wildcard_projection"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="*")],
+        measures=[Measure(expr="1")],
+        sorts=[SortField("event_id")],
+        limit=30,
+    )), """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events ORDER BY event_id LIMIT 30
+    """)
+
+    # §2.2 bitwise operators & | ^ << >> ~ (token.go:203-208)
+    out["aql_bitwise_ops"] = (_aql(Query(
+        table="events",
+        dimensions=[
+            Dimension(expr="user_id & 255", alias="b_and"),
+            Dimension(expr="user_id | 16", alias="b_or"),
+            Dimension(expr="user_id ^ 7", alias="b_xor"),
+            Dimension(expr="user_id << 2", alias="b_shl"),
+            Dimension(expr="user_id >> 3", alias="b_shr"),
+            Dimension(expr="~user_id", alias="b_not"),
+        ],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["user_id & 3 = 1"],
+    )), """
+        SELECT user_id & 255 AS b_and, user_id | 16 AS b_or,
+               xor(user_id, 7) AS b_xor, user_id << 2 AS b_shl,
+               user_id >> 3 AS b_shr, ~user_id AS b_not, count(*) AS cnt
+        FROM events WHERE user_id & 3 = 1
+        GROUP BY 1, 2, 3, 4, 5, 6
+    """)
+
+    # §2.2 IS TRUE / IS FALSE / NOT IN predicates (token.go:180-183)
+    out["aql_is_true_not_in"] = (_aql(Query(
+        table="events",
+        dimensions=[Dimension(expr="(value > 50) is true", alias="hi")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["(event_type = 'error') is false",
+                 "event_type not in ('purchase', 'refund')"],
+    )), """
+        SELECT (value > 50) IS TRUE AS hi, count(*) AS cnt
+        FROM events
+        WHERE (event_type = 'error') IS FALSE
+          AND event_type NOT IN ('purchase', 'refund')
+        GROUP BY 1
+    """)
+
+    # §2.6 contains(arr, v) array function over array<float>
+    out["aql_array_contains"] = (_aql(Query(
+        table="embeddings",
+        dimensions=[Dimension(expr="contains(embedding, 0.25)", alias="has_q")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["label not in (1, 2, 3)"],
+    )), """
+        SELECT list_contains(embedding, 0.25) AS has_q, count(*) AS cnt
+        FROM embeddings WHERE label NOT IN (1, 2, 3) GROUP BY 1
+    """)
+
     # §2.7 top-k: ORDER BY measure DESC + LIMIT (TakeOrdered plan)
     out["aql_topk_users"] = (_aql(Query(
         table="events",
@@ -688,6 +748,71 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         UNION
         SELECT user_id FROM events WHERE event_type = 'view'
     """)
+
+    def _set_op_query(op):
+        def run(spark, sf_dir):
+            from aresdb_spark.aql import Dimension, Measure, Query
+            from aresdb_spark.aql.api import plan_set_op
+
+            def proj(flt):
+                return Query(table="events",
+                             dimensions=[Dimension(expr="user_id", alias="user_id")],
+                             measures=[Measure(expr="1")],
+                             filters=[flt], distinct=True, limit=1_000_000)
+
+            return plan_set_op(spark, sf_dir, op,
+                               [proj("event_type = 'click'"),
+                                proj("user_id % 3 = 0")])
+        return run
+
+    out["aql_set_intersect"] = (_set_op_query("intersect"), """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE user_id % 3 = 0
+    """)
+    out["aql_set_except"] = (_set_op_query("except"), """
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE user_id % 3 = 0
+    """)
+
+    # --- DST-switch timezone bucketing (§2.5): events shifted +70 days so
+    # the range crosses the US spring-forward (2024-03-10); NY day buckets
+    # move from UTC-5 to UTC-4 mid-range (reference simulates the switch as
+    # ts + fromOffset + (ts > switchTs) * diff, time_bucketizer.go:93-146;
+    # the tz-aware expression is exact where that approximation is not) ---
+    def q_dst(spark, sf_dir):
+        import tempfile
+
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import Planner
+        from aresdb_spark.catalog import Catalog, TableDef
+
+        root = tempfile.mkdtemp(prefix="aresdb_dst_")
+        (_events(spark, sf_dir)
+         .withColumn("ts", F.col("ts") + F.expr("INTERVAL 70 DAYS"))
+         .write.mode("overwrite").parquet(f"{root}/facts.parquet"))
+        cat = Catalog(root, tables={
+            "facts": TableDef("facts", is_fact=True, time_column="ts",
+                              primary_key=("event_id",)),
+        })
+        return Planner(spark, cat).plan(Query(
+            table="facts",
+            dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="d"),
+                        Dimension(expr="ts", time_bucketizer="hour of day", alias="hod")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            timezone="America/New_York",
+        ))
+
+    dst_sql = """
+        WITH shifted AS (SELECT ts + INTERVAL 70 DAY AS ts FROM events),
+        local AS (SELECT timezone('America/New_York', timezone('UTC', ts)) AS lts
+                  FROM shifted)
+        SELECT date_trunc('day', lts)::TIMESTAMP AS d, hour(lts)::INT AS hod,
+               count(*) AS cnt
+        FROM local GROUP BY 1, 2
+    """
+    out["aql_dst_bucket"] = (q_dst, dst_sql)
 
     # --- multimodal plumbing (rows-only: decode is an honest stub) ---
     def q_multimodal(spark, sf_dir):
