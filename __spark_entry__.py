@@ -522,7 +522,44 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         from aresdb_spark.operators import dedup as D
         return D.simhash_near_duplicates_oracle_sql(max_hamming=3)
 
+    def q_clusters(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        return D.duplicate_clusters(_docs(spark, sf_dir), threshold=0.5)
+
+    def clusters_sql():
+        from aresdb_spark.operators import dedup as D
+        return D.duplicate_clusters_oracle_sql(threshold=0.5)
+
+    # training-data prep composite: language + quality gate, then exact
+    # dedup keep-first, then token accounting — the end-to-end shape a
+    # 100 TB corpus-cleaning job runs (all scan-side exprs + one dedup
+    # shuffle; no UDF)
+    def q_prep(spark, sf_dir):
+        from aresdb_spark.operators import dedup as D
+        from aresdb_spark.operators import text as X
+        docs = _docs(spark, sf_dir).filter(
+            (X.quality_score(F.col("text")) > 0.4)
+            & (X.language_id(F.col("text")) == "en"))
+        return (D.dedup_exact(docs)
+                .select("doc_id", X.token_count(F.col("text")).alias("n_tokens")))
+
+    def prep_sql():
+        from aresdb_spark.operators import text as X
+        fp = X.fingerprint_oracle_sql("text")
+        return f"""
+            WITH gated AS (
+              SELECT doc_id, text, {fp} AS fp FROM documents
+              WHERE {X.quality_score_oracle_sql('text')} > 0.4
+                AND {X.language_id_oracle_sql('text')} = 'en'
+            ),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM gated GROUP BY 1)
+            SELECT g.doc_id, {X.token_count_oracle_sql('g.text')} AS n_tokens
+            FROM gated g JOIN keep k ON k.fp = g.fp AND k.doc_id = g.doc_id
+        """
+
     out["dedup_exact"] = (q_exact_dedup, exact_dedup_sql())
+    out["dedup_clusters"] = (q_clusters, clusters_sql())
+    out["pipeline_training_prep"] = (q_prep, prep_sql())
     out["dedup_minhash_lsh"] = (q_minhash, minhash_sql())
     out["dedup_simhash"] = (q_simhash, simhash_sql())
     out["dedup_simhash_pairs"] = (q_simhash_pairs, simhash_pairs_sql())
@@ -544,7 +581,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         from aresdb_spark.operators import similarity as S
         return S.embedding_near_duplicates_exact_oracle_sql(threshold=0.5)
 
+    def q_ivf(spark, sf_dir):
+        from aresdb_spark.operators import similarity as S
+        return S.ivf_topk(_emb(spark, sf_dir), QUERY_VEC, k=10, nprobe=2)
+
+    def ivf_sql():
+        from aresdb_spark.operators import similarity as S
+        return S.ivf_topk_oracle_sql(QUERY_VEC, k=10, nprobe=2)
+
     out["sim_cosine_topk"] = (q_topk, topk_sql())
+    out["sim_ivf_topk"] = (q_ivf, ivf_sql())
     out["sim_embedding_near_dup"] = (q_emb_neardup, emb_neardup_sql())
 
     # --- HLL / approx distinct: no exact oracle by nature (rows-only) ---

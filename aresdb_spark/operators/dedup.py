@@ -374,3 +374,79 @@ SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh))::INT AS hamming
 FROM s a JOIN s b ON a.id < b.id
 WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", threshold: float = 0.5,
+                       max_rounds: int = 10) -> DataFrame:
+    """Group documents into duplicate clusters: connected components of
+    the MinHash near-duplicate graph, labeled by the minimum reachable
+    doc id. Returns (id_col, cluster_id) for EVERY input document
+    (singletons cluster with themselves).
+
+    A training-data pipeline dedupes by keeping one representative per
+    cluster — pairs alone under-delete when duplicates chain (a~b, b~c
+    but a!~c must still collapse to one cluster).
+
+    Algorithm: hash-min label propagation — each round every node takes
+    the min label among itself and its neighbors; fixpoint in
+    O(component diameter) rounds. Near-dup clusters are dense and
+    shallow (diameter 2-3 in practice), so this converges in 2-4 shuffle
+    rounds; for adversarially long chains at 100 TB swap in
+    large-star/small-star (same join shape, fewer rounds). The edge list
+    is checkpointed once and reused; labels are checkpointed per round
+    to truncate lineage. This is an iterative algorithm — the per-round
+    convergence check is an execution job, not a planning job."""
+    edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
+             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).cast("long").alias("cluster"))
+    for _ in range(max_rounds):
+        neigh = (sym.join(labels, sym.dst == labels.id)
+                 .groupBy("src").agg(F.min("cluster").alias("nmin")))
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(F.col("id"),
+                    F.least(F.col("cluster"),
+                            F.coalesce(F.col("nmin"), F.col("cluster")))
+                    .alias("cluster")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.cluster") != F.col("o.cluster"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col), F.col("cluster").alias("cluster_id"))
+
+
+def duplicate_clusters_oracle_sql(table: str = "documents",
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  threshold: float = 0.5) -> str:
+    """Transitive closure by recursive CTE (exact; sf0.01 scale only):
+    cluster id = min(id, min reachable id)."""
+    pairs = minhash_oracle_sql(table, text_col, id_col, threshold)
+    return f"""
+WITH RECURSIVE np AS ({pairs}),
+e AS (SELECT id_a AS a, id_b AS b FROM np
+      UNION SELECT id_b, id_a FROM np),
+reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+),
+m AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
+SELECT d.{id_col}, least(d.{id_col}, coalesce(m.mn, d.{id_col})) AS cluster_id
+FROM {table} d LEFT JOIN m ON m.id = d.{id_col}
+"""

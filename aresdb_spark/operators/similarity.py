@@ -183,6 +183,92 @@ def ann_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse-quantizer partitioning
+# ---------------------------------------------------------------------------
+
+IVF_SEED = 0x1F4_C0DE
+
+
+def ivf_centroids(dim: int, n_clusters: int = 8, seed: int = IVF_SEED) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (committed
+    constants, like the LSH hyperplanes). A production deployment trains
+    these with k-means on a sample; the engine-side contract — assignment
+    and probing — is identical either way."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_clusters, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
+    """Cluster id (1-based) = argmax of ⟨v, centroidᵢ⟩, computed as pure
+    Column expressions. Dots are rounded to 6 decimals before the argmax
+    so Spark and the DuckDB oracle agree bit-for-bit; ties break to the
+    lowest cluster id (array_position finds the first match)."""
+    from aresdb_spark.operators.util import let
+
+    def dots(v):
+        return F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for c in centroids])
+
+    return let(_as_double(vec), lambda v: F.array_position(dots(v), F.array_max(dots(v))))
+
+
+def _ivf_probe_set(query_vec: list[float], centroids: np.ndarray,
+                   nprobe: int) -> list[int]:
+    """The nprobe clusters nearest the query (same rounded-dot ordering as
+    ivf_assign; ties to the lower id)."""
+    d = np.round(centroids @ np.asarray(query_vec, dtype=float), 6)
+    order = sorted(range(len(centroids)), key=lambda i: (-d[i], i))
+    return [i + 1 for i in order[:nprobe]]
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             nprobe: int = 2, n_clusters: int = 8,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """IVF ANN top-k: score only rows assigned to the `nprobe` clusters
+    nearest the query. Approximate — recall is bounded by the probe set.
+
+    Scale path: like the LSH bucket id, the cluster id is a scan-side
+    expression; a corpus written `partitionBy(cluster)` turns the probe
+    filter into partition pruning (nprobe/n_clusters of the data read).
+    Here it prunes rows ahead of the exact cosine."""
+    cents = ivf_centroids(len(query_vec), n_clusters)
+    probed = _ivf_probe_set(query_vec, cents, nprobe)
+    cand = df.filter(ivf_assign(F.col(vec_col), cents).isin(probed))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (cand.select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col)).limit(k))
+
+
+def _ivf_assign_sql(vec_col: str, centroids: np.ndarray) -> str:
+    """DuckDB rendering of ivf_assign (list_position of the max rounded
+    dot) — the oracle twin used by the driver gate."""
+    def dot(c):
+        clit = "[" + ", ".join(f"{float(x)!r}" for x in c) + "]::DOUBLE[]"
+        return f"round({_dot_sql(vec_col, clit)}, 6)"
+
+    dots = "list_value(" + ", ".join(dot(c) for c in centroids) + ")"
+    return f"list_position({dots}, list_aggregate({dots}, 'max'))"
+
+
+def ivf_topk_oracle_sql(query_vec: list[float], k: int = 10, nprobe: int = 2,
+                        n_clusters: int = 8, table: str = "embeddings",
+                        vec_col: str = "embedding", id_col: str = "vec_id") -> str:
+    cents = ivf_centroids(len(query_vec), n_clusters)
+    probed = _ivf_probe_set(query_vec, cents, nprobe)
+    qlit = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]::DOUBLE[]"
+    cos = cosine_sql(vec_col, qlit)
+    in_list = ", ".join(str(p) for p in probed)
+    return (f"SELECT {id_col}, round({cos}, 6) AS score FROM {table} "
+            f"WHERE {_ivf_assign_sql(vec_col, cents)} IN ({in_list}) "
+            f"ORDER BY score DESC, {id_col} LIMIT {k}")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 

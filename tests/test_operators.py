@@ -267,3 +267,47 @@ def test_hll_sketch_merge(spark):
     est = H.estimate_over_days(daily).first()["distinct_estimate"]
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_ivf_topk_matches_oracle(spark, duck):
+    from __spark_entry__ import QUERY_VEC
+    from aresdb_spark.operators import similarity as S
+
+    df = S.ivf_topk(_emb(spark), QUERY_VEC, k=10, nprobe=2)
+    assert_df_matches_duck(
+        df, duck, S.ivf_topk_oracle_sql(QUERY_VEC, k=10, nprobe=2),
+        approx=True, tol=1e-5)
+
+
+def test_ivf_recall_and_pruning(spark):
+    """IVF with all clusters probed = exact top-k; nprobe=3/8 keeps
+    recall reasonable on the weakly-clustered synthetic corpus."""
+    from aresdb_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 3).select("embedding").first()["embedding"]]
+    exact = [r["vec_id"] for r in S.brute_force_topk(emb, qv, k=10).collect()]
+    full = [r["vec_id"] for r in S.ivf_topk(emb, qv, k=10, nprobe=8).collect()]
+    assert full == exact  # probing every cluster degenerates to exact
+    approx = [r["vec_id"] for r in S.ivf_topk(emb, qv, k=10, nprobe=3).collect()]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_duplicate_clusters(spark, duck):
+    """Connected components over the minhash pair graph match the
+    recursive-CTE transitive closure, and chained near-dups (a~b, b~c)
+    collapse into ONE cluster."""
+    from aresdb_spark.operators import dedup as D
+
+    docs = _docs(spark)
+    df = D.duplicate_clusters(docs, threshold=0.5)
+    assert_df_matches_duck(df, duck, D.duplicate_clusters_oracle_sql(threshold=0.5))
+
+    clusters = {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+    pairs = D.minhash_near_duplicates(docs, threshold=0.5).collect()
+    # every near-dup pair landed in the same cluster (closure property)
+    for p in pairs:
+        assert clusters[p["id_a"]] == clusters[p["id_b"]]
+    assert len(set(clusters.values())) < len(clusters)  # something merged
