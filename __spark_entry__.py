@@ -719,6 +719,31 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     """
     out["sql_total_trips"] = (q_sql, sql_oracle)
 
+    # SQL dialect round 2: LEFT JOIN + numeric-bucket macro + ORDER BY +
+    # LIMIT through the translator (sql_parser.go join/sort/limit paths)
+    def q_sql2(spark, sf_dir):
+        from aresdb_spark.aql.planner import plan_query
+        from aresdb_spark.aql.sql import sql_to_query
+        return plan_query(spark, sf_dir, sql_to_query("""
+            SELECT p.p_brand AS brand, aql_numeric_bucket_bucket_width(l_quantity, 10) AS qb,
+                   count(*) AS cnt
+            FROM lineitem
+            LEFT JOIN part p ON p.p_partkey = l_partkey
+            WHERE l_quantity > 5
+            GROUP BY p.p_brand, aql_numeric_bucket_bucket_width(l_quantity, 10)
+            ORDER BY cnt DESC, brand, qb
+            LIMIT 25
+        """))
+
+    sql2_oracle = """
+        SELECT p.p_brand AS brand, floor(l.l_quantity / 10) * 10 AS qb,
+               count(*) AS cnt
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 5
+        GROUP BY 1, 2 ORDER BY cnt DESC, brand, qb LIMIT 25
+    """
+    out["sql_join_bucket_topk"] = (q_sql2, sql2_oracle)
+
     # --- timezone-column join (§2.3): per-row tz via lookup join ---
     def q_tzcol(spark, sf_dir):
         import tempfile

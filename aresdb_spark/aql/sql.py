@@ -243,9 +243,11 @@ def sql_to_query(sql: str) -> Query:
     group_items = (_split_top(clauses["group by"], ",")
                    if clauses.get("group by") else [])
     dims = []
+    dim_raw: list[str] = []  # original GROUP BY text, for SELECT matching
     for g in group_items:
         d, tz = _parse_group_item(g)
         dims.append(d)
+        dim_raw.append(g)
         if tz and q.timezone.upper() == "UTC":
             q.timezone = tz
 
@@ -273,17 +275,22 @@ def sql_to_query(sql: str) -> Query:
         q.measures = [Measure(expr="1")]
     else:
         # attach aliases: match plain SELECT items to group-by dimensions
-        # textually (normalized); unmatched select items become extra dims
+        # textually (normalized, including bucketizer-macro calls repeated
+        # verbatim in SELECT); unmatched select items become extra dims
         def norm(s: str) -> str:
             return re.sub(r"\s+", "", s.lower())
 
         for e, a in plain_selects:
-            for d in dims:
-                if norm(d.expr) == norm(e) and d.alias is None:
-                    d.alias = a or e
+            ne = norm(e)
+            for d, raw in zip(dims, dim_raw):
+                if (norm(raw) == ne or norm(d.expr) == ne) and d.alias is None:
+                    d.alias = a or (e if not _AQL_CALL.match(e) else None)
                     break
             else:
-                dims.append(Dimension(expr=e, alias=a))
+                extra, tz = _parse_group_item(e)
+                extra.alias = a
+                dims.append(extra)
+                dim_raw.append(e)
         q.dimensions = dims
         if not measures:
             raise SQLSyntaxError("GROUP BY query requires an aggregate in SELECT")

@@ -98,10 +98,24 @@ def _queries():
             .groupBy().agg(F.count("*").alias("n_sessions"),
                            F.sum("cnt").alias("n_events"))
 
+    def q11(spark, sf):
+        from aresdb_spark.operators.similarity import ivf_topk
+        qv = [((i * 37 + 11) % 29 - 14) / 14.0 for i in range(64)]
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return ivf_topk(emb, qv, k=10, nprobe=2)
+
+    def q12(spark, sf):
+        from aresdb_spark.operators.dedup import duplicate_clusters
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return duplicate_clusters(docs, threshold=0.5) \
+            .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
+
     out["q7_minhash_neardup"] = q7
     out["q8_text_stats"] = q8
     out["q9_cosine_topk"] = q9
     out["q10_session_window"] = q10
+    out["q11_ivf_topk"] = q11
+    out["q12_dedup_clusters"] = q12
     return out
 
 
