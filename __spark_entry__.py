@@ -333,6 +333,27 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # §2.5 remaining bucketizer shapes: N-minutes-of-day, day-of-year,
+    # quarter-of-year recurring + quarter/year coarse buckets
+    out["aql_recurring_buckets2"] = (_aql(Query(
+        table="events",
+        dimensions=[
+            Dimension(expr="ts", time_bucketizer="30 minutes of day", alias="mod30"),
+            Dimension(expr="ts", time_bucketizer="day of year", alias="doy"),
+            Dimension(expr="ts", time_bucketizer="quarter of year", alias="qoy"),
+            Dimension(expr="ts", time_bucketizer="quarter", alias="qtr"),
+            Dimension(expr="ts", time_bucketizer="year", alias="yr"),
+        ],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+    )), """
+        SELECT ((hour(ts) * 60 + minute(ts)) // 30 * 30)::INT AS mod30,
+               dayofyear(ts)::INT AS doy, quarter(ts)::INT AS qoy,
+               date_trunc('quarter', ts)::TIMESTAMP AS qtr,
+               date_trunc('year', ts)::TIMESTAMP AS yr,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2, 3, 4, 5
+    """)
+
     # §2.5 regular coarse buckets: week (Monday-aligned) and month
     out["aql_week_month_buckets"] = (_aql(Query(
         table="events",

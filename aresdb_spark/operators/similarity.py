@@ -214,7 +214,12 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
                 F.lit(0.0), lambda acc, x: acc + x), 6)
             for c in centroids])
 
-    return let(_as_double(vec), lambda v: F.array_position(dots(v), F.array_max(dots(v))))
+    # nested let: bind the casted vector AND the dot array — array_position
+    # + array_max reference the dots twice, and Catalyst does not CSE
+    # across HOF lambdas (see operators/util.let)
+    return let(_as_double(vec),
+               lambda v: let(dots(v),
+                             lambda ds: F.array_position(ds, F.array_max(ds))))
 
 
 def _ivf_probe_set(query_vec: list[float], centroids: np.ndarray,
