@@ -1035,6 +1035,115 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
                upper(to_hex(user_id)) AS uh
         FROM events ORDER BY event_id LIMIT 100
     """)
+
+    # --- statistical measures (engine extension beyond the reference's
+    # count/sum/avg/min/max/hll set): stddev / median / percentile ---
+    def q_stats(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="lineitem",
+            dimensions=[Dimension(expr="l_returnflag", alias="rf")],
+            measures=[
+                Measure(expr="round(stddev(l_extendedprice), 4)", alias="sd"),
+                Measure(expr="round(median(l_quantity), 4)", alias="med"),
+                Measure(expr="round(percentile(l_extendedprice, 0.9), 4)", alias="p90"),
+            ],
+        ))
+
+    out["aql_stats_measures"] = (q_stats, """
+        SELECT l_returnflag AS rf,
+               round(stddev(l_extendedprice), 4) AS sd,
+               round(median(l_quantity), 4) AS med,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY 1
+    """)
+
+    # --- deterministic train/val/test split + stratified sampling
+    # (training-pipeline ops; md5-bucketed so the oracle reproduces) ---
+    def q_split(spark, sf_dir):
+        from aresdb_spark.operators import sampling as SA
+        return (SA.hash_split(_docs(spark, sf_dir), "doc_id",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+                .groupBy("split").agg(F.count("*").alias("cnt")))
+
+    def split_sql():
+        from aresdb_spark.operators import sampling as SA
+        lbl = SA.split_label_sql("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        return f"SELECT {lbl} AS split, count(*) AS cnt FROM documents GROUP BY 1"
+
+    out["sample_hash_split"] = (q_split, split_sql())
+
+    def q_strat(spark, sf_dir):
+        from aresdb_spark.operators import sampling as SA
+        from aresdb_spark.operators.text import language_id
+        docs = _docs(spark, sf_dir).withColumn(
+            "lang", language_id(F.col("text")))
+        return SA.stratified_sample(
+            docs, "lang", "doc_id", {"en": 0.5, "de": 1.0}, default=0.1) \
+            .select("doc_id", "lang")
+
+    def strat_sql():
+        from aresdb_spark.operators import sampling as SA
+        from aresdb_spark.operators.text import language_id_oracle_sql
+        pred = SA.stratified_sample_sql_pred(
+            "lang", "doc_id", {"en": 0.5, "de": 1.0}, default=0.1)
+        return (f"SELECT doc_id, lang FROM (SELECT doc_id, "
+                f"{language_id_oracle_sql('text')} AS lang FROM documents) "
+                f"WHERE {pred}")
+
+    out["sample_stratified"] = (q_strat, strat_sql())
+
+    # --- benchmark decontamination: drop corpus docs sharing a shingle
+    # with the (deterministic) benchmark subset ---
+    def q_decontam(spark, sf_dir):
+        from aresdb_spark.operators.dedup import decontaminate
+        docs = _docs(spark, sf_dir)
+        return decontaminate(docs.filter(F.col("doc_id") % 17 != 0),
+                             docs.filter(F.col("doc_id") % 17 == 0)) \
+            .select("doc_id")
+
+    def decontam_sql():
+        from aresdb_spark.operators.dedup import decontaminate_oracle_sql
+        return decontaminate_oracle_sql("doc_id % 17 <> 0", "doc_id % 17 = 0")
+
+    out["dedup_decontaminate"] = (q_decontam, decontam_sql())
+
+    # --- PII redaction over synthesized deterministic PII ---
+    def q_pii(spark, sf_dir):
+        from aresdb_spark.operators.text import redact_pii
+        pii = F.concat(F.lit("u"), F.col("doc_id").cast("string"),
+                       F.lit("@ex.com t 555-123-4567 "), F.col("text"))
+        return _docs(spark, sf_dir).select(
+            "doc_id", redact_pii(pii).alias("red"))
+
+    def pii_sql():
+        from aresdb_spark.operators.text import redact_pii_oracle_sql
+        src = "('u' || doc_id::VARCHAR || '@ex.com t 555-123-4567 ' || text)"
+        return f"SELECT doc_id, {redact_pii_oracle_sql(src)} AS red FROM documents"
+
+    out["text_redact_pii"] = (q_pii, pii_sql())
+
+    # --- corpus vocabulary + bigram counts (explode → count → top-k) ---
+    def q_vocab(spark, sf_dir):
+        from aresdb_spark.operators.text import top_terms
+        return top_terms(_docs(spark, sf_dir), k=50)
+
+    def vocab_sql():
+        from aresdb_spark.operators.text import top_terms_oracle_sql
+        return top_terms_oracle_sql(k=50)
+
+    out["text_top_terms"] = (q_vocab, vocab_sql())
+
+    def q_bigrams(spark, sf_dir):
+        from aresdb_spark.operators.text import ngram_counts
+        return ngram_counts(_docs(spark, sf_dir), n=2, k=40)
+
+    def bigrams_sql():
+        from aresdb_spark.operators.text import ngram_counts_oracle_sql
+        return ngram_counts_oracle_sql(n=2, k=40)
+
+    out["text_bigram_counts"] = (q_bigrams, bigrams_sql())
     return out
 
 

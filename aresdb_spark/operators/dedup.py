@@ -450,3 +450,52 @@ m AS (SELECT a AS id, min(b) AS mn FROM reach GROUP BY a)
 SELECT d.{id_col}, least(d.{id_col}, coalesce(m.mn, d.{id_col})) AS cluster_id
 FROM {table} d LEFT JOIN m ON m.id = d.{id_col}
 """
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n: int = SHINGLE_SIZE) -> DataFrame:
+    """Remove training docs that overlap an evaluation benchmark: any
+    corpus document sharing at least one word n-gram shingle with any
+    benchmark document is dropped (the standard n-gram-collision test-set
+    decontamination rule).
+
+    Scale shape: shingles are scan-side expressions on both sides; the
+    benchmark shingle set is small (benchmarks are thousands of docs, not
+    billions) so it broadcasts — the 100 TB corpus is filtered with a
+    broadcast semi/anti join, no corpus shuffle. The corpus-side explode
+    multiplies rows by ~tokens-per-doc before the semi join; at extreme
+    scale, aggregate to `arrays_overlap` against a collected set instead."""
+    bench_sh = (benchmark
+                .select(F.explode(shingles(F.col(text_col), n)).alias("sh"))
+                .distinct())
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("sh"))
+    contaminated = (corpus_sh
+                    .join(F.broadcast(bench_sh), "sh", "semi")
+                    .select(id_col).distinct())
+    return corpus.join(contaminated, id_col, "left_anti")
+
+
+def decontaminate_oracle_sql(corpus_pred: str, bench_pred: str,
+                             table: str = "documents",
+                             text_col: str = "text", id_col: str = "doc_id",
+                             n: int = SHINGLE_SIZE) -> str:
+    """Oracle over one `table` split by predicates into corpus/benchmark."""
+    sh = shingles_oracle_sql(text_col, n)
+    return f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({sh}) AS sh FROM {table} WHERE {bench_pred}
+),
+corp AS (
+  SELECT {id_col}, unnest({sh}) AS sh FROM {table} WHERE {corpus_pred}
+),
+bad AS (SELECT DISTINCT c.{id_col} FROM corp c JOIN bench b ON b.sh = c.sh)
+SELECT {id_col} FROM {table}
+WHERE {corpus_pred} AND {id_col} NOT IN (SELECT {id_col} FROM bad)
+"""

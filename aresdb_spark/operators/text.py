@@ -196,3 +196,88 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 "__s.quality", "__s.lang_id", "__s.fingerprint")
         .drop("__s")
     )
+
+
+# --- PII redaction ------------------------------------------------------------
+
+# Ordered (pattern, replacement) pairs. Patterns stay inside the regex
+# subset Java (Spark) and RE2 (DuckDB) evaluate identically: character
+# classes, \d, \b, bounded repetition — no backreferences or lookaround.
+# Order matters: emails first (contain digits/dots), SSN-shaped before
+# phone-shaped (3-2-4 vs 3-3-4 — disjoint, but keep explicit), IPs last.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace email / SSN-shaped / phone-shaped / IPv4 substrings with
+    typed placeholder tags. Pure regexp_replace chain — scan-side, no
+    UDF; at 100 TB this is a free rider on the scan like every other
+    text statistic."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_oracle_sql(col: str) -> str:
+    out = col
+    for pat, repl in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out
+
+
+# --- vocabulary / n-gram frequency extraction ---------------------------------
+
+
+def top_terms(df: DataFrame, text_col: str = "text", k: int = 100) -> DataFrame:
+    """Corpus vocabulary: the k most frequent lowercased tokens with
+    counts, ties broken by term so the result is a total order
+    (reproducible). explode → map-side partial count → single shuffle →
+    TakeOrdered(k); the shuffle key is the term, so cardinality is the
+    vocabulary, not the corpus."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term")).limit(k))
+
+
+def top_terms_oracle_sql(table: str = "documents", text_col: str = "text",
+                         k: int = 100) -> str:
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    return (f"SELECT term, count(*) AS cnt "
+            f"FROM (SELECT unnest({toks}) AS term FROM {table}) "
+            f"GROUP BY 1 ORDER BY cnt DESC, term LIMIT {k}")
+
+
+def ngram_counts(df: DataFrame, text_col: str = "text", n: int = 2,
+                 k: int = 100) -> DataFrame:
+    """Top-k word n-grams (collocation / language-model counts). Same
+    explode-count-topk shape as top_terms; n-grams are built scan-side
+    from a let-bound token array."""
+    def grams(toks: Column) -> Column:
+        # guard: Spark's sequence(1, stop) DESCENDS when stop < 1, so
+        # short docs must short-circuit to an empty gram list explicitly
+        built = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.when(F.size(toks) >= n, built) \
+                .otherwise(F.array().cast("array<string>"))
+
+    g = _let(tokens(F.lower(F.col(text_col))), grams)
+    return (df.select(F.explode(g).alias("gram"))
+            .groupBy("gram").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(k))
+
+
+def ngram_counts_oracle_sql(table: str = "documents", text_col: str = "text",
+                            n: int = 2, k: int = 100) -> str:
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    grams = (f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+             f"for i in range(1, len({toks}) - {n - 2})]")
+    return (f"SELECT gram, count(*) AS cnt "
+            f"FROM (SELECT unnest({grams}) AS gram FROM {table}) "
+            f"GROUP BY 1 ORDER BY cnt DESC, gram LIMIT {k}")

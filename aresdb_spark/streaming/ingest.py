@@ -26,6 +26,18 @@ from pyspark.sql.types import StructType
 from aresdb_spark.sources.hotcold import HotColdStore
 
 
+def decode_json_values(raw: DataFrame, value_schema: StructType,
+                       value_col: str = "value") -> DataFrame:
+    """The subscriber's JSON decoder (subscriber/common/message/
+    json_decoder.go): a binary/string `value` column → typed columns.
+    Shared by the Kafka source and tests (which feed a batch DataFrame
+    shaped like Kafka's output, so the decode chain is exercised without
+    a broker)."""
+    return (raw
+            .select(F.from_json(F.col(value_col).cast("string"), value_schema).alias("v"))
+            .select("v.*"))
+
+
 def kafka_source(spark: SparkSession, brokers: str, topic: str,
                  value_schema: StructType,
                  starting_offsets: str = "latest") -> DataFrame:
@@ -39,9 +51,7 @@ def kafka_source(spark: SparkSession, brokers: str, topic: str,
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return (raw
-            .select(F.from_json(F.col("value").cast("string"), value_schema).alias("v"))
-            .select("v.*"))
+    return decode_json_values(raw, value_schema)
 
 
 def file_source(spark: SparkSession, path: str, schema: StructType,

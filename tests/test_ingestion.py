@@ -291,3 +291,34 @@ def test_streaming_restart_exactly_once(spark, tmp_path):
     # a third run with no new data changes nothing
     run()
     assert {r["id"]: r["v"] for r in store.read_hot(spark).collect()} == {1: 13.0}
+
+
+def test_kafka_decode_chain(spark):
+    """The Kafka source's JSON decode path, driven with a batch DataFrame
+    shaped exactly like Kafka's output (binary key/value + metadata) —
+    same select chain the streaming source uses."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType, TimestampType)
+
+    from aresdb_spark.streaming.ingest import decode_json_values
+
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("ts", TimestampType()),
+        StructField("v", DoubleType()),
+    ])
+    src = spark.createDataFrame(
+        [Row(id=7, ts=datetime(2024, 2, 1, 8), v=1.5),
+         Row(id=8, ts=datetime(2024, 2, 1, 9), v=None)])
+    kafka_shaped = src.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct("id", "ts", "v")).cast("binary").alias("value"),
+        F.lit("topic").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+    )
+    decoded = decode_json_values(kafka_shaped, schema)
+    assert decoded.schema == schema
+    got = sorted([(r["id"], r["ts"], r["v"]) for r in decoded.collect()])
+    assert got == [(7, datetime(2024, 2, 1, 8), 1.5),
+                   (8, datetime(2024, 2, 1, 9), None)]
