@@ -1144,6 +1144,27 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return ngram_counts_oracle_sql(n=2, k=40)
 
     out["text_bigram_counts"] = (q_bigrams, bigrams_sql())
+
+    # --- context-window chunking + sequence packing (training-data prep) ---
+    def q_chunk(spark, sf_dir):
+        from aresdb_spark.operators.chunking import chunk_documents
+        return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+    def chunk_sql():
+        from aresdb_spark.operators.chunking import chunk_documents_oracle_sql
+        return chunk_documents_oracle_sql(chunk_tokens=32, stride=24)
+
+    out["text_chunk_documents"] = (q_chunk, chunk_sql())
+
+    def q_pack(spark, sf_dir):
+        from aresdb_spark.operators.chunking import pack_sequences
+        return pack_sequences(_docs(spark, sf_dir), ctx_tokens=512, n_shards=8)
+
+    def pack_sql():
+        from aresdb_spark.operators.chunking import pack_sequences_oracle_sql
+        return pack_sequences_oracle_sql(ctx_tokens=512, n_shards=8)
+
+    out["text_pack_sequences"] = (q_pack, pack_sql())
     return out
 
 

