@@ -1165,6 +1165,42 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return pack_sequences_oracle_sql(ctx_tokens=512, n_shards=8)
 
     out["text_pack_sequences"] = (q_pack, pack_sql())
+
+    # --- within-document repetition (quality gate) ---
+    def q_repetition(spark, sf_dir):
+        from aresdb_spark.operators.text import repetition_ratio
+        return _docs(spark, sf_dir).select(
+            "doc_id", repetition_ratio(F.col("text")).alias("rep"))
+
+    def repetition_sql():
+        from aresdb_spark.operators.text import repetition_ratio_oracle_sql
+        return (f"SELECT doc_id, {repetition_ratio_oracle_sql('text')} AS rep "
+                f"FROM documents")
+
+    out["text_repetition_ratio"] = (q_repetition, repetition_sql())
+
+    # --- as-of join (nearest-earlier-timestamp; DuckDB ASOF JOIN oracle) ---
+    def q_asof(spark, sf_dir):
+        from aresdb_spark.catalog import Catalog
+        from aresdb_spark.operators.joins import asof_join
+        ev = Catalog(sf_dir).load(spark, "events")
+        left = ev.filter(F.col("event_type") != "click")
+        right = (ev.filter(F.col("event_type") == "click")
+                 .select("user_id", "ts", F.col("value").alias("last_click_v")))
+        return asof_join(left, right, on="ts", by=["user_id"],
+                         value_cols=["last_click_v"]) \
+            .select("event_id", "user_id", "last_click_v")
+
+    def asof_sql():
+        from aresdb_spark.operators.joins import asof_join_oracle_sql
+        return asof_join_oracle_sql(
+            "SELECT * FROM events WHERE event_type <> 'click'",
+            "SELECT user_id, ts, value AS last_click_v FROM events "
+            "WHERE event_type = 'click'",
+            on="ts", by=["user_id"],
+            select="l.event_id, l.user_id, r.last_click_v")
+
+    out["join_asof"] = (q_asof, asof_sql())
     return out
 
 

@@ -281,3 +281,32 @@ def ngram_counts_oracle_sql(table: str = "documents", text_col: str = "text",
     return (f"SELECT gram, count(*) AS cnt "
             f"FROM (SELECT unnest({grams}) AS gram FROM {table}) "
             f"GROUP BY 1 ORDER BY cnt DESC, gram LIMIT {k}")
+
+
+def repetition_ratio(text: Column, n: int = 2) -> Column:
+    """Within-document repetition: the fraction of word n-gram occurrences
+    that are repeats of an earlier n-gram in the same document
+    (1 - distinct/total; 0.0 for documents shorter than n tokens). A
+    standard quality gate for training corpora — high values flag
+    boilerplate/spam. Pure scan-side expression, one let-bound pass.
+    """
+    def ratio(toks: Column) -> Column:
+        built = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "))
+        return F.when(
+            F.size(toks) >= n,
+            F.round(F.lit(1.0) - F.size(F.array_distinct(built)) /
+                    F.size(built), 8)
+        ).otherwise(F.lit(0.0))
+
+    return _let(tokens(F.lower(text)), ratio)
+
+
+def repetition_ratio_oracle_sql(col: str, n: int = 2) -> str:
+    toks = tokens_oracle_sql(f"lower({col})")
+    grams = (f"[array_to_string(({toks})[i:i+{n - 1}], ' ') "
+             f"for i in range(1, len({toks}) - {n - 2})]")
+    return (f"CASE WHEN len({toks}) >= {n} THEN "
+            f"round(1.0 - len(list_distinct({grams})) / len({grams}), 8) "
+            f"ELSE 0.0 END")

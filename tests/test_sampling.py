@@ -210,3 +210,27 @@ def test_pack_sequences_bins_are_dense(spark):
     # a bin only exceeds ctx by at most one straddling document
     per = packed.groupBy("shard").agg(F.count("*").alias("n")).collect()
     assert sum(r["n"] for r in per) == _docs(spark).count()
+
+
+def test_repetition_ratio_matches_oracle(spark, duck):
+    from aresdb_spark.operators.text import (repetition_ratio,
+                                             repetition_ratio_oracle_sql)
+
+    df = _docs(spark).select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep"))
+    assert_df_matches_duck(
+        df, duck,
+        f"SELECT doc_id, {repetition_ratio_oracle_sql('text')} AS rep "
+        f"FROM documents")
+
+
+def test_repetition_ratio_values(spark):
+    from aresdb_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "all distinct words here"), (3, "x"), (4, "")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r["rep"] for r in df.select(
+        "doc_id", repetition_ratio(F.col("text")).alias("rep")).collect()}
+    # doc1: 5 bigrams {a b, b a} → 1 - 2/5 = 0.6; doc2 all unique → 0.0
+    assert rows == {1: 0.6, 2: 0.0, 3: 0.0, 4: 0.0}
