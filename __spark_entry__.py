@@ -1201,6 +1201,29 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             select="l.event_id, l.user_id, r.last_click_v")
 
     out["join_asof"] = (q_asof, asof_sql())
+
+    # --- range join (interval containment, bucket-expanded equi-join) ---
+    def q_range_join(spark, sf_dir):
+        from aresdb_spark.catalog import Catalog
+        from aresdb_spark.operators.range_join import range_join
+        ev = Catalog(sf_dir).load(spark, "events").select("event_id", "value")
+        brackets = spark.range(100).select(
+            F.col("id").cast("int").alias("bid"),
+            (F.col("id") * 5.0).alias("lo"),
+            (F.col("id") * 5.0 + 7.0).alias("hi"))
+        return range_join(ev, brackets, "value", "lo", "hi",
+                          bucket_width=5.0).select("event_id", "bid")
+
+    def range_join_sql():
+        from aresdb_spark.operators.range_join import range_join_oracle_sql
+        return range_join_oracle_sql(
+            "SELECT event_id, value FROM events",
+            "SELECT i::INT AS bid, i*5.0 AS lo, i*5.0+7.0 AS hi "
+            "FROM range(100) t(i)",
+            point="value", lower="lo", upper="hi",
+            select="l.event_id, r.bid")
+
+    out["join_range_brackets"] = (q_range_join, range_join_sql())
     return out
 
 

@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from aresdb_spark.operators.range_join import (range_join,
+                                               range_join_oracle_sql)
+from tests.conftest import SF_DIR, assert_df_matches_duck
+
+
+def _brackets(spark, n=100):
+    return spark.range(n).select(
+        F.col("id").cast("int").alias("bid"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.0).alias("hi"))
+
+
+def test_range_join_small(spark):
+    left = spark.createDataFrame(
+        [(1, 3.0), (2, 6.0), (3, 99.0)], ["pid", "x"])
+    right = spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 5.0, 10.0), (12, 6.0, 6.5)],
+        ["rid", "lo", "hi"])
+    rows = sorted((r["pid"], r["rid"]) for r in range_join(
+        left, right, "x", "lo", "hi", bucket_width=5.0).collect())
+    # x=3 → [0,5]; x=6 → [5,10] and [6,6.5]; x=99 → none
+    assert rows == [(1, 10), (2, 11), (2, 12)]
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    left = spark.createDataFrame([(1, 3.0), (2, 50.0)], ["pid", "x"])
+    right = spark.createDataFrame([(10, 0.0, 5.0)], ["rid", "lo", "hi"])
+    rows = sorted((r["pid"], r["rid"]) for r in range_join(
+        left, right, "x", "lo", "hi", bucket_width=5.0, how="left").collect())
+    assert rows == [(1, 10), (2, None)]
+
+
+def test_range_join_inclusive_bounds(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 10.0)], ["pid", "x"])
+    right = spark.createDataFrame([(10, 5.0, 10.0)], ["rid", "lo", "hi"])
+    rows = sorted((r["pid"], r["rid"]) for r in range_join(
+        left, right, "x", "lo", "hi", bucket_width=3.0).collect())
+    assert rows == [(1, 10), (2, 10)]
+
+
+def test_range_join_matches_duckdb_oracle(spark, duck):
+    from aresdb_spark.catalog import Catalog
+
+    ev = Catalog(SF_DIR).load(spark, "events").select("event_id", "value")
+    df = range_join(ev, _brackets(spark), "value", "lo", "hi",
+                    bucket_width=5.0).select("event_id", "bid")
+    sql = range_join_oracle_sql(
+        "SELECT event_id, value FROM events",
+        "SELECT i::INT AS bid, i*5.0 AS lo, i*5.0+7.0 AS hi FROM range(100) t(i)",
+        point="value", lower="lo", upper="hi",
+        select="l.event_id, r.bid")
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_range_join_is_not_nested_loop(spark):
+    left = spark.createDataFrame([(1, 3.0)], ["pid", "x"])
+    right = spark.createDataFrame([(10, 0.0, 5.0)], ["rid", "lo", "hi"])
+    plan = range_join(left, right, "x", "lo", "hi", bucket_width=5.0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
