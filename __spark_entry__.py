@@ -1224,6 +1224,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             select="l.event_id, r.bid")
 
     out["join_range_brackets"] = (q_range_join, range_join_sql())
+
+    def q_pack_text(spark, sf_dir):
+        from aresdb_spark.operators.chunking import pack_text
+        return pack_text(_docs(spark, sf_dir), ctx_tokens=512, n_shards=8)
+
+    def pack_text_sql():
+        from aresdb_spark.operators.chunking import pack_text_oracle_sql
+        return pack_text_oracle_sql(ctx_tokens=512, n_shards=8)
+
+    out["text_pack_materialized"] = (q_pack_text, pack_text_sql())
     return out
 
 

@@ -102,6 +102,53 @@ def pack_sequences(df: DataFrame, text_col: str = "text",
             .withColumn("bin", (F.col("offset") / ctx_tokens).cast("int")))
 
 
+def pack_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              ctx_tokens: int = 256, n_shards: int = 16,
+              salt: str = "pack", sep: str = " ") -> DataFrame:
+    """Materialize the packed sequences: one row per (shard, bin) with the
+    documents concatenated in id order plus token/doc counts — the shard
+    file a training job would read. Deterministic order via array_sort
+    over (id, text) structs (sorts by id first). Two shuffles: the
+    per-shard offset window, then the (shard, bin) aggregation; both keys
+    lead with shard so partition counts stay cluster-sized, and each bin
+    is ~ctx_tokens of text regardless of data volume."""
+    shard = hash_bucket(F.col(id_col), n_shards, salt)
+    cnt = token_count(F.col(text_col))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    asg = (df.select(F.col(id_col), F.col(text_col).alias("__text"),
+                     shard.alias("shard"), cnt.alias("n_tokens"))
+           .withColumn("offset", F.coalesce(F.sum("n_tokens").over(w),
+                                            F.lit(0)).cast("long"))
+           .withColumn("bin", (F.col("offset") / ctx_tokens).cast("int")))
+    ordered = F.array_sort(F.collect_list(F.struct(id_col, "__text")))
+    return (asg.groupBy("shard", "bin")
+            .agg(F.array_join(F.transform(ordered, lambda s: s["__text"]),
+                              sep).alias("seq"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.count("*").alias("n_docs")))
+
+
+def pack_text_oracle_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id", ctx_tokens: int = 256,
+                         n_shards: int = 16, salt: str = "pack",
+                         sep: str = " ") -> str:
+    shard = hash_bucket_sql(id_col, n_shards, salt)
+    cnt = token_count_oracle_sql(text_col)
+    sq = sep.replace("'", "''")
+    return f"""
+WITH b AS (SELECT {id_col}, {text_col} AS t, {shard} AS shard,
+                  {cnt} AS n_tokens FROM {table}),
+a AS (SELECT *, (coalesce(sum(n_tokens) OVER (
+        PARTITION BY shard ORDER BY {id_col}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {ctx_tokens})::INT AS bin FROM b)
+SELECT shard, bin, string_agg(t, '{sq}' ORDER BY {id_col}) AS seq,
+       sum(n_tokens)::BIGINT AS n_tokens, count(*) AS n_docs
+FROM a GROUP BY 1, 2
+"""
+
+
 def pack_sequences_oracle_sql(table: str = "documents",
                               text_col: str = "text", id_col: str = "doc_id",
                               ctx_tokens: int = 256, n_shards: int = 16,

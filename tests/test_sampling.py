@@ -234,3 +234,23 @@ def test_repetition_ratio_values(spark):
         "doc_id", repetition_ratio(F.col("text")).alias("rep")).collect()}
     # doc1: 5 bigrams {a b, b a} → 1 - 2/5 = 0.6; doc2 all unique → 0.0
     assert rows == {1: 0.6, 2: 0.0, 3: 0.0, 4: 0.0}
+
+
+def test_pack_text_matches_oracle(spark, duck):
+    from aresdb_spark.operators.chunking import (pack_text,
+                                                 pack_text_oracle_sql)
+
+    df = pack_text(_docs(spark), ctx_tokens=150, n_shards=4)
+    assert_df_matches_duck(df, duck,
+                           pack_text_oracle_sql(ctx_tokens=150, n_shards=4))
+
+
+def test_pack_text_concat_order(spark):
+    from aresdb_spark.operators.chunking import pack_text
+
+    df = spark.createDataFrame(
+        [(3, "c c"), (1, "a a"), (2, "b b")], ["doc_id", "text"])
+    rows = pack_text(df, ctx_tokens=100, n_shards=1).collect()
+    assert len(rows) == 1
+    assert rows[0]["seq"] == "a a b b c c"   # id order, not input order
+    assert rows[0]["n_tokens"] == 6 and rows[0]["n_docs"] == 3
