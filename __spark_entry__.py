@@ -1234,6 +1234,31 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return pack_text_oracle_sql(ctx_tokens=512, n_shards=8)
 
     out["text_pack_materialized"] = (q_pack_text, pack_text_sql())
+
+    # --- embedding storage prep: L2 normalize + int8 quantize ---
+    def q_normalize(spark, sf_dir):
+        from aresdb_spark.operators.similarity import normalize_embeddings
+        return normalize_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+    def normalize_sql():
+        from aresdb_spark.operators.similarity import \
+            normalize_embeddings_oracle_sql
+        return normalize_embeddings_oracle_sql()
+
+    out["emb_normalize"] = (q_normalize, normalize_sql())
+
+    def q_quantize(spark, sf_dir):
+        from aresdb_spark.operators.similarity import quantize_embeddings
+        return quantize_embeddings(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+    def quantize_sql():
+        from aresdb_spark.operators.similarity import \
+            quantize_embeddings_oracle_sql
+        return quantize_embeddings_oracle_sql()
+
+    out["emb_quantize"] = (q_quantize, quantize_sql())
     return out
 
 

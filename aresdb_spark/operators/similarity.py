@@ -331,3 +331,77 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
                 F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding storage prep: L2 normalization + symmetric int quantization
+# ---------------------------------------------------------------------------
+
+
+def normalize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """L2-normalize each vector (unit length, elements rounded to 8dp for
+    engine-portable comparison); zero vectors → NULL. Pure scan-side; the
+    norm is let-bound so the sum-of-squares runs once per row, not once
+    per element (Catalyst does not CSE into transform() lambdas)."""
+    from aresdb_spark.operators.util import let
+
+    def with_v(v: Column) -> Column:
+        n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+        return let(n, lambda nn: F.when(
+            nn > 0.0, F.transform(v, lambda x: F.round(x / nn, 8))))
+
+    return df.select(
+        F.col(id_col),
+        let(_as_double(F.col(vec_col)), with_v).alias("unit"))
+
+
+def normalize_embeddings_oracle_sql(table: str = "embeddings",
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id") -> str:
+    return f"""
+SELECT {id_col},
+       CASE WHEN n > 0 THEN list_transform(v, x -> round(x / n, 8)) END AS unit
+FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v,
+             {_norm_sql(vec_col)} AS n
+      FROM {table})
+"""
+
+
+def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
+                        id_col: str = "vec_id", bits: int = 8) -> DataFrame:
+    """Symmetric per-vector integer quantization (int8 by default): scale
+    = (2^(bits-1)-1) / max|x|, q = floor(x·scale + 0.5). Dequantize with
+    q/scale. floor(x+0.5) is used instead of round() because it is
+    bit-identical across engines; zero vectors → NULL scale/q. 4-8×
+    storage cut for ANN/dedup corpora, computed in the scan stage."""
+    from aresdb_spark.operators.util import let
+    qmax = float(2 ** (bits - 1) - 1)
+
+    def with_v(v: Column) -> Column:
+        m = F.array_max(F.transform(v, F.abs))
+        return let(m, lambda mm: F.when(mm > 0.0, F.struct(
+            F.round(F.lit(qmax) / mm, 8).alias("scale"),
+            F.transform(v, lambda x: F.floor(x * (F.lit(qmax) / mm) + 0.5)
+                        .cast("int")).alias("q"))))
+
+    return df.select(
+        F.col(id_col),
+        let(_as_double(F.col(vec_col)), with_v).alias("s")) \
+        .select(id_col, "s.scale", "s.q")
+
+
+def quantize_embeddings_oracle_sql(table: str = "embeddings",
+                                   vec_col: str = "embedding",
+                                   id_col: str = "vec_id",
+                                   bits: int = 8) -> str:
+    qmax = float(2 ** (bits - 1) - 1)
+    return f"""
+SELECT {id_col},
+       CASE WHEN m > 0 THEN round({qmax} / m, 8) END AS scale,
+       CASE WHEN m > 0 THEN
+         list_transform(v, x -> floor(x * ({qmax} / m) + 0.5)::INT) END AS q
+FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v,
+             list_max(list_transform({vec_col}::DOUBLE[], x -> abs(x))) AS m
+      FROM {table})
+"""

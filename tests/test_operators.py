@@ -311,3 +311,52 @@ def test_duplicate_clusters(spark, duck):
     for p in pairs:
         assert clusters[p["id_a"]] == clusters[p["id_b"]]
     assert len(set(clusters.values())) < len(clusters)  # something merged
+
+
+def test_normalize_embeddings_matches_oracle(spark, duck):
+    from aresdb_spark.operators.similarity import (
+        normalize_embeddings, normalize_embeddings_oracle_sql)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert_df_matches_duck(normalize_embeddings(emb), duck,
+                           normalize_embeddings_oracle_sql(), tol=1e-6)
+
+
+def test_quantize_embeddings_matches_oracle(spark, duck):
+    from aresdb_spark.operators.similarity import (
+        quantize_embeddings, quantize_embeddings_oracle_sql)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert_df_matches_duck(quantize_embeddings(emb), duck,
+                           quantize_embeddings_oracle_sql(), tol=1e-6)
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id").select(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.transform("q", lambda x: x / F.col("scale")),
+                   lambda a, b: F.abs(a - b)).alias("err"),
+        (F.lit(1.0) / F.col("scale")).alias("step"))
+    bad = joined.filter(
+        F.array_max("err") > F.col("step") * 0.5000001).count()
+    assert bad == 0  # |x - q/scale| <= step/2 everywhere
+
+
+def test_normalize_zero_vector_null(spark):
+    from aresdb_spark.operators.similarity import (normalize_embeddings,
+                                                   quantize_embeddings)
+
+    df = spark.createDataFrame([(1, [0.0, 0.0]), (2, [3.0, 4.0])],
+                               ["vec_id", "embedding"])
+    rows = {r["vec_id"]: r["unit"] for r in normalize_embeddings(df).collect()}
+    assert rows[1] is None and rows[2] == [0.6, 0.8]
+    qrows = {r["vec_id"]: (r["scale"], r["q"])
+             for r in quantize_embeddings(df).collect()}
+    assert qrows[1] == (None, None)
+    assert qrows[2][1] == [95, 127]  # 3/4·127 rounds to 95
