@@ -1059,6 +1059,39 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM lineitem GROUP BY 1
     """)
 
+    # --- grouping-set extensions (reference has none; SURVEY §2.4 "not in
+    # reference" list): ROLLUP and CUBE over the same dims ---
+    def q_rollup(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="lineitem",
+            dimensions=[Dimension(expr="l_returnflag", alias="rf"),
+                        Dimension(expr="l_linestatus", alias="ls")],
+            measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+            group_type="rollup"))
+
+    out["aql_rollup"] = (q_rollup, """
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               sum(l_quantity) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """)
+
+    def q_cube(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="lineitem",
+            dimensions=[Dimension(expr="l_returnflag", alias="rf"),
+                        Dimension(expr="l_linestatus", alias="ls")],
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            group_type="cube"))
+
+    out["aql_cube"] = (q_cube, """
+        SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """)
+
     # --- deterministic train/val/test split + stratified sampling
     # (training-pipeline ops; md5-bucketed so the oracle reproduces) ---
     def q_split(spark, sf_dir):

@@ -118,6 +118,9 @@ class Query:
     sorts: list[SortField] = field(default_factory=list)
     now: int | None = None     # pin "now" for deterministic relative time filters
     strict: bool = False       # enforce the reference's GPU-era constraints
+    group_type: str = "groupby"  # extension: "groupby" | "rollup" | "cube"
+                                 # (reference has no grouping sets; Spark
+                                 # and ANSI SQL give them for free)
 
     def validate_strict(self) -> None:
         """Reference constraint checks (errors, mirroring compile errors)."""
@@ -169,4 +172,5 @@ def query_from_json(obj: dict[str, Any]) -> Query:
         sorts=[SortField(s["sqlExpression"], s.get("order", "asc"))
                for s in obj.get("sorts", [])],
         now=obj.get("now"),  # extension: pin "now" for deterministic replay
+        group_type=obj.get("groupType", "groupby"),
     )

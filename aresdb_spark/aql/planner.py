@@ -405,8 +405,13 @@ class Planner:
                     mf = c if mf is None else mf & c
             agg_cols.append(self._measure_col(ast, resolver, mf).alias(m.output_name(i)))
 
+        if q.group_type not in ("groupby", "rollup", "cube"):
+            raise ValueError(f"unknown group_type: {q.group_type!r}")
         if dim_cols:
-            out = df.groupBy(*dim_cols).agg(*agg_cols)
+            grouped = (df.rollup(*dim_cols) if q.group_type == "rollup"
+                       else df.cube(*dim_cols) if q.group_type == "cube"
+                       else df.groupBy(*dim_cols))
+            out = grouped.agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
         out = self._apply_sorts(out, q, resolver)

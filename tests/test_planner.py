@@ -200,3 +200,41 @@ def test_unknown_timezone_errors(spark):
     )
     with pytest.raises(ValueError, match="unknown timezone"):
         plan_query(spark, SF_DIR, q)
+
+
+def test_rollup_and_cube_group_types(spark, duck):
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+
+    q = Query(table="lineitem",
+              dimensions=[Dimension(expr="l_returnflag", alias="rf"),
+                          Dimension(expr="l_linestatus", alias="ls")],
+              measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+              group_type="rollup")
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q), duck,
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, sum(l_quantity) AS qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+
+    q2 = Query(table="lineitem",
+               dimensions=[Dimension(expr="l_returnflag", alias="rf")],
+               measures=[Measure(expr="count(*)", alias="cnt")],
+               group_type="cube")
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q2), duck,
+        "SELECT l_returnflag AS rf, count(*) AS cnt "
+        "FROM lineitem GROUP BY CUBE (l_returnflag)")
+
+
+def test_unknown_group_type_raises(spark):
+    import pytest as _pytest
+
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+
+    q = Query(table="lineitem",
+              dimensions=[Dimension(expr="l_returnflag", alias="rf")],
+              measures=[Measure(expr="count(*)", alias="cnt")],
+              group_type="grouping_sets")
+    with _pytest.raises(ValueError, match="group_type"):
+        plan_query(spark, SF_DIR, q)
