@@ -1292,6 +1292,24 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return quantize_embeddings_oracle_sql()
 
     out["emb_quantize"] = (q_quantize, quantize_sql())
+
+    # --- top-N per group (grouped leaderboard; WindowGroupLimit plan) ---
+    def q_topn_group(spark, sf_dir):
+        from aresdb_spark.operators.topn import topn_per_group
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = li.groupBy("l_returnflag", "l_partkey") \
+            .agg(F.sum("l_quantity").alias("qty"))
+        return topn_per_group(agg, ["l_returnflag"],
+                              [F.desc("qty"), F.asc("l_partkey")], 3)
+
+    def topn_group_sql():
+        from aresdb_spark.operators.topn import topn_per_group_oracle_sql
+        return topn_per_group_oracle_sql(
+            "SELECT l_returnflag, l_partkey, sum(l_quantity) AS qty "
+            "FROM lineitem GROUP BY 1, 2",
+            ["l_returnflag"], "qty DESC, l_partkey", 3)
+
+    out["topn_per_group"] = (q_topn_group, topn_group_sql())
     return out
 
 

@@ -187,3 +187,37 @@ def test_wildcard_excludes_arrays(spark):
     )
     df = Planner(spark, cat).plan(q)
     assert df.columns == ["vec_id", "label"]  # embedding (array) excluded
+
+
+# --- top-N per group ---------------------------------------------------------
+
+
+def test_topn_per_group_matches_oracle(spark, duck):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.topn import (topn_per_group,
+                                             topn_per_group_oracle_sql)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag", "l_partkey") \
+        .agg(F.sum("l_quantity").alias("qty"))
+    df = topn_per_group(agg, ["l_returnflag"],
+                        [F.desc("qty"), F.asc("l_partkey")], 3)
+    sql = topn_per_group_oracle_sql(
+        "SELECT l_returnflag, l_partkey, sum(l_quantity) AS qty "
+        "FROM lineitem GROUP BY 1, 2",
+        ["l_returnflag"], "qty DESC, l_partkey", 3)
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_topn_per_group_window_limit_pushed(spark):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.topn import topn_per_group
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plan = topn_per_group(li, ["l_returnflag"],
+                          [F.desc("l_quantity"), F.asc("l_orderkey")], 5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # Spark's WindowGroupLimit prunes each group to n rows pre-sort
+    assert "WindowGroupLimit" in plan
