@@ -1310,6 +1310,25 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             ["l_returnflag"], "qty DESC, l_partkey", 3)
 
     out["topn_per_group"] = (q_topn_group, topn_group_sql())
+
+    # --- first-seen dedup (batch twin of the stateful streaming op) ---
+    def q_first_seen(spark, sf_dir):
+        from aresdb_spark.operators.text import fingerprint
+        from aresdb_spark.streaming.stateful import first_seen_batch
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", fingerprint(F.col("text")).alias("fp"))
+        return first_seen_batch(docs, ["fp"], "doc_id")
+
+    def first_seen_sql():
+        from aresdb_spark.operators.text import fingerprint_oracle_sql
+        from aresdb_spark.streaming.stateful import \
+            first_seen_batch_oracle_sql
+        return first_seen_batch_oracle_sql(
+            f"SELECT doc_id, {fingerprint_oracle_sql('text')} AS fp "
+            f"FROM documents",
+            ["fp"], "doc_id", select="doc_id, fp")
+
+    out["dedup_first_seen"] = (q_first_seen, first_seen_sql())
     return out
 
 
