@@ -110,12 +110,33 @@ def _queries():
         return duplicate_clusters(docs, threshold=0.5) \
             .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
 
+    def q13(spark, sf):
+        from aresdb_spark.catalog import Catalog
+        from aresdb_spark.operators.joins import asof_join
+        ev = Catalog(sf).load(spark, "events")
+        left = ev.filter(F.col("event_type") != "click")
+        right = (ev.filter(F.col("event_type") == "click")
+                 .select("user_id", "ts", F.col("value").alias("cv")))
+        return asof_join(left, right, on="ts", by=["user_id"],
+                         value_cols=["cv"]) \
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.round(F.sum("cv"), 2).alias("s"))
+
+    def q14(spark, sf):
+        from aresdb_spark.operators.chunking import pack_text
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return pack_text(docs, ctx_tokens=512, n_shards=32) \
+            .groupBy().agg(F.count("*").alias("bins"),
+                           F.sum("n_tokens").alias("toks"))
+
     out["q7_minhash_neardup"] = q7
     out["q8_text_stats"] = q8
     out["q9_cosine_topk"] = q9
     out["q10_session_window"] = q10
     out["q11_ivf_topk"] = q11
     out["q12_dedup_clusters"] = q12
+    out["q13_asof_join"] = q13
+    out["q14_pack_text"] = q14
     return out
 
 
