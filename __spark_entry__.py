@@ -1092,6 +1092,21 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """)
 
+    def q_having(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        return plan_query(spark, sf_dir, Query(
+            table="lineitem",
+            dimensions=[Dimension(expr="l_partkey", alias="pk")],
+            measures=[Measure(expr="sum(l_quantity)", alias="qty"),
+                      Measure(expr="count(*)", alias="cnt")],
+            having=["qty > 100", "cnt >= 3"]))
+
+    out["aql_having"] = (q_having, """
+        SELECT l_partkey AS pk, sum(l_quantity) AS qty, count(*) AS cnt
+        FROM lineitem GROUP BY 1 HAVING qty > 100 AND cnt >= 3
+    """)
+
     # --- deterministic train/val/test split + stratified sampling
     # (training-pipeline ops; md5-bucketed so the oracle reproduces) ---
     def q_split(spark, sf_dir):

@@ -121,6 +121,10 @@ class Query:
     group_type: str = "groupby"  # extension: "groupby" | "rollup" | "cube"
                                  # (reference has no grouping sets; Spark
                                  # and ANSI SQL give them for free)
+    having: list[str] = field(default_factory=list)
+                                 # extension: post-aggregation filters over
+                                 # OUTPUT column names (dims + measure
+                                 # aliases); reference has no HAVING
 
     def validate_strict(self) -> None:
         """Reference constraint checks (errors, mirroring compile errors)."""
@@ -173,4 +177,5 @@ def query_from_json(obj: dict[str, Any]) -> Query:
                for s in obj.get("sorts", [])],
         now=obj.get("now"),  # extension: pin "now" for deterministic replay
         group_type=obj.get("groupType", "groupby"),
+        having=obj.get("having", []),
     )

@@ -414,6 +414,10 @@ class Planner:
             out = grouped.agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
+        for h in q.having:
+            # having refs OUTPUT columns (dims/measure aliases) by name;
+            # the default resolver (F.col) binds them against `out`
+            out = out.filter(E.compile_expr(h))
         out = self._apply_sorts(out, q, resolver)
         if q.limit is not None:
             out = out.limit(q.limit)

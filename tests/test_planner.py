@@ -238,3 +238,18 @@ def test_unknown_group_type_raises(spark):
               group_type="grouping_sets")
     with _pytest.raises(ValueError, match="group_type"):
         plan_query(spark, SF_DIR, q)
+
+
+def test_having_filters_aggregates(spark, duck):
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+
+    q = Query(table="lineitem",
+              dimensions=[Dimension(expr="l_partkey", alias="pk")],
+              measures=[Measure(expr="sum(l_quantity)", alias="qty"),
+                        Measure(expr="count(*)", alias="cnt")],
+              having=["qty > 100", "cnt >= 3"])
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q), duck,
+        "SELECT l_partkey AS pk, sum(l_quantity) AS qty, count(*) AS cnt "
+        "FROM lineitem GROUP BY 1 HAVING qty > 100 AND cnt >= 3")
