@@ -34,7 +34,8 @@ from aresdb_spark.aql.model import (Dimension, Join, Measure,
 _AGG_FUNCS = {"count", "sum", "avg", "min", "max", "hll", "countdistincthll",
               "count_distinct", "stddev", "median", "percentile"}
 
-_KEYWORDS = ["select", "from", "join", "where", "group by", "order by", "limit"]
+_KEYWORDS = ["select", "from", "join", "where", "group by", "having",
+             "order by", "limit"]
 
 
 class SQLSyntaxError(ValueError):
@@ -240,8 +241,15 @@ def sql_to_query(sql: str) -> Query:
 
     # GROUP BY → dimensions (a bucketizer's timezone arg promotes to the
     # query timezone, matching the reference's per-dim tz = query tz)
-    group_items = (_split_top(clauses["group by"], ",")
-                   if clauses.get("group by") else [])
+    gb = clauses.get("group by")
+    if gb:
+        # GROUP BY ROLLUP (a, b) / CUBE (a, b) → Query.group_type
+        m = re.match(r"^(rollup|cube)\s*\((.*)\)\s*$", gb.strip(),
+                     re.IGNORECASE | re.DOTALL)
+        if m:
+            q.group_type = m.group(1).lower()
+            gb = m.group(2)
+    group_items = _split_top(gb, ",") if gb else []
     dims = []
     dim_raw: list[str] = []  # original GROUP BY text, for SELECT matching
     for g in group_items:
@@ -295,6 +303,12 @@ def sql_to_query(sql: str) -> Query:
         if not measures:
             raise SQLSyntaxError("GROUP BY query requires an aggregate in SELECT")
         q.measures = measures
+
+    # HAVING → post-aggregation filters over output names
+    if clauses.get("having"):
+        if not group_items:
+            raise SQLSyntaxError("HAVING requires GROUP BY")
+        q.having = _split_top(clauses["having"], "and")
 
     # ORDER BY / LIMIT
     if clauses.get("order by"):

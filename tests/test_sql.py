@@ -119,3 +119,37 @@ def test_sql_timezone_bucket(spark, duck):
                count(*) AS cnt
         FROM events GROUP BY 1
     """)
+
+
+def test_sql_having_and_rollup(spark, duck):
+    from aresdb_spark.aql.planner import plan_query
+    from aresdb_spark.aql.sql import sql_to_query
+
+    q = sql_to_query(
+        "SELECT l_partkey AS pk, sum(l_quantity) AS qty "
+        "FROM lineitem GROUP BY l_partkey HAVING qty > 120")
+    assert q.having == ["qty > 120"]
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q), duck,
+        "SELECT l_partkey AS pk, sum(l_quantity) AS qty "
+        "FROM lineitem GROUP BY 1 HAVING qty > 120")
+
+    q2 = sql_to_query(
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+    assert q2.group_type == "rollup"
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q2), duck,
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)")
+
+
+def test_sql_having_without_group_by_errors(spark):
+    import pytest as _pytest
+
+    from aresdb_spark.aql.sql import SQLSyntaxError, sql_to_query
+
+    # aggregate without GROUP BY already errors upstream; a projection
+    # with HAVING must hit the dedicated check
+    with _pytest.raises(SQLSyntaxError, match="HAVING"):
+        sql_to_query("SELECT l_partkey FROM lineitem HAVING l_partkey > 1")
