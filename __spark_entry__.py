@@ -1344,6 +1344,23 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             ["fp"], "doc_id", select="doc_id, fp")
 
     out["dedup_first_seen"] = (q_first_seen, first_seen_sql())
+
+    # --- weighted sampling (keep-probability = quality score) ---
+    def q_weighted(spark, sf_dir):
+        from aresdb_spark.operators.sampling import weighted_sample
+        from aresdb_spark.operators.text import quality_score
+        return weighted_sample(_docs(spark, sf_dir), "doc_id",
+                               quality_score(F.col("text"))) \
+            .select("doc_id")
+
+    def weighted_sql():
+        from aresdb_spark.operators.sampling import weighted_sample_sql_pred
+        from aresdb_spark.operators.text import quality_score_oracle_sql
+        pred = weighted_sample_sql_pred("doc_id",
+                                        quality_score_oracle_sql("text"))
+        return f"SELECT doc_id FROM documents WHERE {pred}"
+
+    out["sample_weighted"] = (q_weighted, weighted_sql())
     return out
 
 

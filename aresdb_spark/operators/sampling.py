@@ -146,3 +146,22 @@ def shuffle_key(id_col: Column, seed: str = "0") -> Column:
 
 def shuffle_key_sql(expr: str, seed: str = "0") -> str:
     return f"md5('{seed}' || ({expr})::VARCHAR)"
+
+
+def weighted_sample(df: DataFrame, id_col: str, weight: Column,
+                    salt: str = "weighted") -> DataFrame:
+    """Deterministic per-row weighted sampling: each row survives with
+    probability clamp(weight, 0, 1) — e.g. keep documents proportionally
+    to their quality score. floor() (not round) maps the weight to a
+    bucket cut so both engines agree bit-for-bit. Scan-side row filter,
+    no shuffle, reproducible across runs/engines/cluster sizes."""
+    b = _hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt)
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.filter(b < F.floor(w * SPLIT_BUCKETS))
+
+
+def weighted_sample_sql_pred(id_expr: str, weight_expr: str,
+                             salt: str = "weighted") -> str:
+    b = _hash_bucket_sql(id_expr, SPLIT_BUCKETS, salt)
+    w = f"least(greatest(({weight_expr})::DOUBLE, 0), 1)"
+    return f"{b} < floor({w} * {SPLIT_BUCKETS})"

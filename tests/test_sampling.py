@@ -254,3 +254,26 @@ def test_pack_text_concat_order(spark):
     assert len(rows) == 1
     assert rows[0]["seq"] == "a a b b c c"   # id order, not input order
     assert rows[0]["n_tokens"] == 6 and rows[0]["n_docs"] == 3
+
+
+def test_weighted_sample_matches_oracle(spark, duck):
+    from aresdb_spark.operators.sampling import (weighted_sample,
+                                                 weighted_sample_sql_pred)
+    from aresdb_spark.operators.text import (quality_score,
+                                             quality_score_oracle_sql)
+
+    df = weighted_sample(_docs(spark), "doc_id",
+                         quality_score(F.col("text"))).select("doc_id")
+    pred = weighted_sample_sql_pred("doc_id", quality_score_oracle_sql("text"))
+    assert_df_matches_duck(
+        df, duck, f"SELECT doc_id FROM documents WHERE {pred}")
+
+
+def test_weighted_sample_extremes(spark):
+    from aresdb_spark.operators.sampling import weighted_sample
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    assert weighted_sample(df, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(df, "doc_id", F.lit(1.5)).count() == 200
+    frac = weighted_sample(df, "doc_id", F.lit(0.5)).count() / 200
+    assert 0.3 < frac < 0.7
