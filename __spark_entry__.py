@@ -1361,6 +1361,21 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return f"SELECT doc_id FROM documents WHERE {pred}"
 
     out["sample_weighted"] = (q_weighted, weighted_sql())
+
+    # --- histogram sketch quantiles (single-pass, n_bins-row shuffle) ---
+    def q_hist_q(spark, sf_dir):
+        from aresdb_spark.operators.stats import hist_quantiles
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return hist_quantiles(li, "l_extendedprice", 0.0, 110000.0,
+                              qs=(0.5, 0.9, 0.99), n_bins=64)
+
+    def hist_q_sql():
+        from aresdb_spark.operators.stats import hist_quantiles_oracle_sql
+        return hist_quantiles_oracle_sql(
+            "SELECT * FROM lineitem", "l_extendedprice", 0.0, 110000.0,
+            qs=(0.5, 0.9, 0.99), n_bins=64)
+
+    out["stats_hist_quantiles"] = (q_hist_q, hist_q_sql())
     return out
 
 

@@ -221,3 +221,42 @@ def test_topn_per_group_window_limit_pushed(spark):
         ._jdf.queryExecution().executedPlan().toString()
     # Spark's WindowGroupLimit prunes each group to n rows pre-sort
     assert "WindowGroupLimit" in plan
+
+
+# --- histogram quantile sketch -----------------------------------------------
+
+
+def test_histogram_matches_oracle(spark, duck):
+    from aresdb_spark.operators.stats import (histogram,
+                                              histogram_oracle_sql)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = histogram(li, "l_extendedprice", 0.0, 110000.0, n_bins=64)
+    assert_df_matches_duck(
+        df, duck,
+        histogram_oracle_sql("SELECT * FROM lineitem", "l_extendedprice",
+                             0.0, 110000.0, n_bins=64))
+
+
+def test_hist_quantiles_match_oracle_and_bound_error(spark, duck):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.stats import (hist_quantiles,
+                                              hist_quantiles_oracle_sql)
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = hist_quantiles(li, "l_extendedprice", 0.0, 110000.0,
+                        qs=(0.5, 0.9), n_bins=64)
+    assert_df_matches_duck(
+        df, duck,
+        hist_quantiles_oracle_sql("SELECT * FROM lineitem",
+                                  "l_extendedprice", 0.0, 110000.0,
+                                  qs=(0.5, 0.9), n_bins=64))
+    # approximation bound: within one bin width of the exact quantile
+    got = df.collect()[0]
+    exact = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90")).collect()[0]
+    width = 110000.0 / 64
+    assert abs(got["q50"] - exact["p50"]) <= width
+    assert abs(got["q90"] - exact["p90"]) <= width
