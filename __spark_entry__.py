@@ -1376,6 +1376,28 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             qs=(0.5, 0.9, 0.99), n_bins=64)
 
     out["stats_hist_quantiles"] = (q_hist_q, hist_q_sql())
+
+    # --- semi/anti dimension joins (join-type extension) ---
+    def q_anti(spark, sf_dir):
+        from aresdb_spark.aql import Dimension, Join, Measure, Query
+        from aresdb_spark.aql.planner import plan_query
+        # customers with no big order: compound join condition keeps the
+        # anti join non-trivial (every custkey has SOME order in testdata)
+        return plan_query(spark, sf_dir, Query(
+            table="customer",
+            joins=[Join(table="orders", alias="o",
+                        conditions=["o.o_custkey = c_custkey",
+                                    "o.o_totalprice > 300000"],
+                        how="left_anti")],
+            dimensions=[Dimension(expr="c_mktsegment", alias="seg")],
+            measures=[Measure(expr="count(*)", alias="cnt")]))
+
+    out["aql_anti_join"] = (q_anti, """
+        SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY 1
+    """)
     return out
 
 

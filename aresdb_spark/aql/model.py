@@ -86,6 +86,9 @@ class Join:
     table: str
     alias: str = ""
     conditions: list[str] = field(default_factory=list)  # e.g. "c.id = fact.city_id"
+    how: str = "left"  # extension: "left" (reference parity) | "inner" |
+                       # "left_semi" | "left_anti" (semi/anti expose no
+                       # dim columns)
 
     @property
     def name(self) -> str:
@@ -164,7 +167,8 @@ def query_from_json(obj: dict[str, Any]) -> Query:
     tf = obj.get("timeFilter")
     return Query(
         table=obj["table"],
-        joins=[Join(j["table"], j.get("alias", ""), j.get("conditions", []))
+        joins=[Join(j["table"], j.get("alias", ""), j.get("conditions", []),
+                    how=j.get("how", "left"))
                for j in obj.get("joins", [])],
         dimensions=[_dim(d) for d in obj.get("dimensions", [])],
         measures=[_measure(m) for m in obj.get("measures", [])],

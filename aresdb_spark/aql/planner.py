@@ -298,12 +298,16 @@ class Planner:
                     df = df.join(F.broadcast(dim), on=cond, how="inner")
                 continue
 
+            if j.how not in ("left", "inner", "left_semi", "left_anti"):
+                raise ValueError(f"unsupported join how: {j.how!r}")
             cond = None
             for c in j.conditions:
                 col = E.compile_expr(c, self._resolver(aliases, q))
                 cond = col if cond is None else cond & col
             right = dim if dim_def.is_fact else F.broadcast(dim)
-            df = df.join(right, on=cond, how="left")
+            df = df.join(right, on=cond, how=j.how)
+            if j.how in ("left_semi", "left_anti"):
+                aliases.discard(j.name)  # no dim columns in the output
 
         # timezone-column join: timezone="timezone(key)" appends a LEFT
         # broadcast join to the timezone lookup table (id → timezone) and

@@ -253,3 +253,37 @@ def test_having_filters_aggregates(spark, duck):
         plan_query(spark, SF_DIR, q), duck,
         "SELECT l_partkey AS pk, sum(l_quantity) AS qty, count(*) AS cnt "
         "FROM lineitem GROUP BY 1 HAVING qty > 100 AND cnt >= 3")
+
+
+def test_semi_and_anti_joins(spark, duck):
+    from aresdb_spark.aql import Dimension, Join, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+
+    # customers WITH at least one order (semi)
+    semi = Query(table="customer",
+                 joins=[Join(table="orders", alias="o",
+                             conditions=["o.o_custkey = c_custkey"],
+                             how="left_semi")],
+                 dimensions=[Dimension(expr="c_mktsegment", alias="seg")],
+                 measures=[Measure(expr="count(*)", alias="cnt")])
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, semi), duck,
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1")
+
+    # customers WITHOUT a big order (anti; compound condition keeps the
+    # result non-empty — every custkey has some order in the testdata)
+    anti = Query(table="customer",
+                 joins=[Join(table="orders", alias="o",
+                             conditions=["o.o_custkey = c_custkey",
+                                         "o.o_totalprice > 300000"],
+                             how="left_anti")],
+                 dimensions=[Dimension(expr="c_mktsegment", alias="seg")],
+                 measures=[Measure(expr="count(*)", alias="cnt")])
+    out = plan_query(spark, SF_DIR, anti)
+    assert out.agg({"cnt": "sum"}).collect()[0][0] > 0
+    assert_df_matches_duck(
+        out, duck,
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 300000) GROUP BY 1")
