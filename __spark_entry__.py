@@ -1362,6 +1362,21 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["sample_weighted"] = (q_weighted, weighted_sql())
 
+    # --- per-group quota cap (at most n docs per source) ---
+    def q_cap(spark, sf_dir):
+        from aresdb_spark.operators.sampling import cap_per_group
+        return cap_per_group(
+            _docs(spark, sf_dir).select("doc_id", "source"),
+            ["source"], "doc_id", n=10)
+
+    def cap_sql():
+        from aresdb_spark.operators.sampling import cap_per_group_sql
+        return cap_per_group_sql("SELECT doc_id, source FROM documents",
+                                 ["source"], "doc_id", n=10,
+                                 select="doc_id, source")
+
+    out["sample_cap_per_source"] = (q_cap, cap_sql())
+
     # --- histogram sketch quantiles (single-pass, n_bins-row shuffle) ---
     def q_hist_q(spark, sf_dir):
         from aresdb_spark.operators.stats import hist_quantiles

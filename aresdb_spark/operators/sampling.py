@@ -165,3 +165,26 @@ def weighted_sample_sql_pred(id_expr: str, weight_expr: str,
     b = _hash_bucket_sql(id_expr, SPLIT_BUCKETS, salt)
     w = f"least(greatest(({weight_expr})::DOUBLE, 0), 1)"
     return f"{b} < floor({w} * {SPLIT_BUCKETS})"
+
+
+def cap_per_group(df: DataFrame, group_cols: list[str], id_col: str,
+                  n: int, salt: str = "cap") -> DataFrame:
+    """Quota enforcement: keep at most ``n`` rows per group (e.g. cap
+    documents per source/domain so one crawl host can't dominate the
+    corpus). Selection is deterministic but unbiased: rows are ranked by
+    their salted id hash, so the survivors are a stable pseudo-random
+    subset, not "first n by id". One shuffle on the group keys
+    (row_number window + WindowGroupLimit, same plan as top-N)."""
+    from aresdb_spark.operators.topn import topn_per_group
+    order = [_hash_bucket(F.col(id_col), SPLIT_BUCKETS, salt).asc(),
+             F.col(id_col).asc()]
+    return topn_per_group(df, group_cols, order, n).drop("rn")
+
+
+def cap_per_group_sql(source_sql: str, group_cols: list[str], id_col: str,
+                      n: int, salt: str = "cap", select: str = "*") -> str:
+    b = _hash_bucket_sql(id_col, SPLIT_BUCKETS, salt)
+    part = ", ".join(group_cols)
+    return (f"SELECT {select} FROM ({source_sql}) "
+            f"QUALIFY row_number() OVER (PARTITION BY {part} "
+            f"ORDER BY {b}, {id_col}) <= {n}")

@@ -277,3 +277,25 @@ def test_weighted_sample_extremes(spark):
     assert weighted_sample(df, "doc_id", F.lit(1.5)).count() == 200
     frac = weighted_sample(df, "doc_id", F.lit(0.5)).count() / 200
     assert 0.3 < frac < 0.7
+
+
+def test_cap_per_group_matches_oracle(spark, duck):
+    from aresdb_spark.operators.sampling import (cap_per_group,
+                                                 cap_per_group_sql)
+
+    df = cap_per_group(_docs(spark).select("doc_id", "source"),
+                       ["source"], "doc_id", n=20)
+    assert_df_matches_duck(
+        df, duck,
+        cap_per_group_sql("SELECT doc_id, source FROM documents",
+                          ["source"], "doc_id", n=20,
+                          select="doc_id, source"))
+
+
+def test_cap_per_group_enforces_quota(spark):
+    from aresdb_spark.operators.sampling import cap_per_group
+
+    capped = cap_per_group(_docs(spark).select("doc_id", "source"),
+                           ["source"], "doc_id", n=5)
+    per = capped.groupBy("source").count().collect()
+    assert per and all(r["count"] <= 5 for r in per)
