@@ -398,36 +398,39 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     O(component diameter) rounds. Near-dup clusters are dense and
     shallow (diameter 2-3 in practice), so this converges in 2-4 shuffle
     rounds; for adversarially long chains at 100 TB swap in
-    large-star/small-star (same join shape, fewer rounds). The edge list
-    is checkpointed once and reused; labels are checkpointed per round
-    to truncate lineage. This is an iterative algorithm — the per-round
-    convergence check is an execution job, not a planning job."""
+    large-star/small-star (same join shape, fewer rounds).
+
+    Cost shape per round: contribution join + min-groupBy = 2 shuffles,
+    both over EDGE-CONNECTED nodes only (singletons — the vast majority
+    of a deduped corpus — rejoin once at the end). Convergence is
+    detected with a single sum(cluster) aggregate: labels only ever
+    decrease, so an unchanged sum IS the fixpoint — no compare join.
+    The edge list is checkpointed once; labels per round (lineage
+    truncation)."""
     edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).cast("long").alias("cluster"))
+    labels = (sym.select(F.col("src").alias("id")).distinct()
+              .withColumn("cluster", F.col("id").cast("long"))
+              .localCheckpoint(eager=True))
+    prev_sum = None
     for _ in range(max_rounds):
-        neigh = (sym.join(labels, sym.dst == labels.id)
-                 .groupBy("src").agg(F.min("cluster").alias("nmin")))
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(F.col("id"),
-                    F.least(F.col("cluster"),
-                            F.coalesce(F.col("nmin"), F.col("cluster")))
-                    .alias("cluster")))
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .filter(F.col("n.cluster") != F.col("o.cluster"))
-                   .limit(1).count())
-        labels = new_labels
-        if changed == 0:
+        contrib = (sym.join(labels, sym.dst == labels.id)
+                   .select(F.col("src").alias("id"), F.col("cluster")))
+        labels = (contrib.union(labels)
+                  .groupBy("id").agg(F.min("cluster").alias("cluster"))
+                  .localCheckpoint(eager=True))
+        new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        if new_sum == prev_sum:
             break
-    return labels.select(F.col("id").alias(id_col), F.col("cluster").alias("cluster_id"))
+        prev_sum = new_sum
+    return (df.select(F.col(id_col).cast("long").alias("id"))
+            .join(labels, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("cluster", F.col("id")).alias("cluster_id")))
 
 
 def duplicate_clusters_oracle_sql(table: str = "documents",
