@@ -169,10 +169,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
-    Plan shape: scan → explode to (doc, band, band_hash) [n_bands rows per
-    doc] → shuffle on (band, band_hash) → within-bucket self-join →
-    distinct pairs. The self-join only multiplies within buckets, so cost
-    is Σ bucket² — tiny unless everything collides (i.e., actual dups)."""
+    Plan shape: scan → explode to (doc, band, band_hash) [n_bands rows
+    per doc] → ONE shuffle on (band, band_hash) → collect each bucket's
+    ids → generate in-bucket pairs scan-side → distinct. Signatures are
+    computed exactly once (a bucket self-join would recompute them on
+    both sides and shuffle twice). Pair count is Σ bucket² either way —
+    tiny unless everything collides (i.e., actual dups); a degenerate
+    mega-bucket (a million identical docs) blows up any LSH variant and
+    should be removed by exact dedup first."""
     sig = minhash_signature(F.col(text_col))
     base = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
         .select("id", sig.alias("sig"))
@@ -188,16 +192,18 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(right, (F.col("l.band") == F.col("r.band"))
-                  & (F.col("l.bh") == F.col("r.bh"))
-                  & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    return pairs
+
+    buckets = (bands.groupBy("band", "bh")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.greatest(F.lit(0), F.size(F.col("ids")) - i - 1)),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+    return (buckets.select(F.explode(combos).alias("p"))
+            .select("p.id_a", "p.id_b").distinct())
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
