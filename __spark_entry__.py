@@ -1392,6 +1392,28 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["stats_hist_quantiles"] = (q_hist_q, hist_q_sql())
 
+    # --- hypertable rollup cascade: daily served from hourly partials ---
+    def q_rollup_cascade(spark, sf_dir):
+        from aresdb_spark.catalog import Catalog
+        from aresdb_spark.operators.rollup import (rollup_cascade,
+                                                   time_rollup)
+        ev = Catalog(sf_dir).load(spark, "events")
+        aggs = [("count", "*", "cnt"), ("sum", "value", "sv"),
+                ("min", "value", "mn"), ("max", "value", "mx")]
+        hourly = time_rollup(ev, "ts", "hour", keys=["event_type"],
+                             aggs=aggs)
+        return rollup_cascade(hourly, "day", keys=["event_type"],
+                              aggs=aggs) \
+            .select("bucket", "event_type", "cnt",
+                    F.round("sv", 4).alias("sv"), "mn", "mx")
+
+    out["rollup_cascade_daily"] = (q_rollup_cascade, """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+               count(*) AS cnt, round(sum(value), 4) AS sv,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1, 2
+    """)
+
     # --- semi/anti dimension joins (join-type extension) ---
     def q_anti(spark, sf_dir):
         from aresdb_spark.aql import Dimension, Join, Measure, Query

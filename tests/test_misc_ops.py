@@ -260,3 +260,37 @@ def test_hist_quantiles_match_oracle_and_bound_error(spark, duck):
     width = 110000.0 / 64
     assert abs(got["q50"] - exact["p50"]) <= width
     assert abs(got["q90"] - exact["p90"]) <= width
+
+
+# --- time rollup cascade -----------------------------------------------------
+
+
+def test_rollup_cascade_exact_vs_raw(spark, duck):
+    from aresdb_spark.catalog import Catalog
+    from aresdb_spark.operators.rollup import rollup_cascade, time_rollup
+
+    ev = Catalog(SF_DIR).load(spark, "events")
+    aggs = [("count", "*", "cnt"), ("sum", "value", "sv"),
+            ("min", "value", "mn"), ("max", "value", "mx")]
+    hourly = time_rollup(ev, "ts", "hour", keys=["event_type"], aggs=aggs)
+    daily = rollup_cascade(hourly, "day", keys=["event_type"], aggs=aggs) \
+        .select("bucket", "event_type", "cnt",
+                F.round("sv", 4).alias("sv"), "mn", "mx")
+    # daily-from-hourly must equal daily-from-raw (algebraic cascade)
+    assert_df_matches_duck(daily, duck, """
+        SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+               count(*) AS cnt, round(sum(value), 4) AS sv,
+               min(value) AS mn, max(value) AS mx
+        FROM events GROUP BY 1, 2
+    """)
+
+
+def test_rollup_rejects_non_algebraic(spark):
+    import pytest as _pytest
+
+    from aresdb_spark.catalog import Catalog
+    from aresdb_spark.operators.rollup import time_rollup
+
+    ev = Catalog(SF_DIR).load(spark, "events")
+    with _pytest.raises(ValueError, match="non-algebraic"):
+        time_rollup(ev, "ts", "hour", aggs=[("median", "value", "m")])
