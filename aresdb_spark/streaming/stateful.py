@@ -30,18 +30,34 @@ from pyspark.sql.window import Window
 
 
 def first_seen(sdf: DataFrame, key_cols: list[str],
-               order_col: str | None = None) -> DataFrame:
+               order_col: str | None = None,
+               state_ttl_ms: int | None = None) -> DataFrame:
     """Streaming cross-batch dedup: one output row per distinct key — its
     first-seen occurrence. Within a micro-batch, ``order_col`` picks the
     representative deterministically (min); without it, arrival order.
-    State: a single boolean per key, checkpointed."""
+    State: a single boolean per key, checkpointed.
+
+    ``state_ttl_ms`` bounds state for unbounded streams: a key unseen for
+    that long (processing time) is evicted and would be re-emitted on its
+    next appearance — the standard memory/recall trade for infinite-key
+    dedup (the reference's live store solves it with retention-based
+    purge of the PK index, memstore/purge.go). Each arrival refreshes the
+    key's clock. Default (None) keeps state forever: exact dedup, state
+    O(distinct keys)."""
     import pandas as pd
 
     out_schema = sdf.schema
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if state_ttl_ms
+               else GroupStateTimeout.NoTimeout)
 
     def fn(key, pdfs: Iterator["pd.DataFrame"],
            state: GroupState) -> Iterator["pd.DataFrame"]:
+        if state.hasTimedOut:
+            state.remove()  # evicted; next appearance re-emits
+            return
         if state.exists:
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)  # refresh clock
             return  # key already emitted in an earlier batch
         best = None
         for pdf in pdfs:
@@ -55,11 +71,12 @@ def first_seen(sdf: DataFrame, key_cols: list[str],
                 best = pd.concat([best, cand]).sort_values(order_col).head(1)
         if best is not None:
             state.update((True,))
+            if state_ttl_ms:
+                state.setTimeoutDuration(state_ttl_ms)
             yield best
 
     return sdf.groupBy(*key_cols).applyInPandasWithState(
-        fn, out_schema, "seen boolean", "append",
-        GroupStateTimeout.NoTimeout)
+        fn, out_schema, "seen boolean", "append", timeout)
 
 
 def first_seen_batch(df: DataFrame, key_cols: list[str],

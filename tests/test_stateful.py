@@ -64,3 +64,30 @@ def test_first_seen_batch_matches_oracle(spark, duck):
         "FROM documents",
         ["fp"], "doc_id", select="doc_id, fp")
     assert_df_matches_duck(df, duck, sql)
+
+
+def test_first_seen_with_ttl_still_dedups_within_window(spark, tmp_path):
+    """With a long TTL, semantics within the window match NoTimeout
+    (expiry itself is wall-clock behavior, exercised implicitly)."""
+    from aresdb_spark.streaming.ingest import file_source
+
+    schema = spark.createDataFrame([Row(k="x", seq=1, v="a")]).schema
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [Row(k="x", seq=1, v="first"), Row(k="x", seq=2, v="dup")]) \
+        .coalesce(1).write.parquet(str(src / "b1"))
+    out = str(tmp_path / "out")
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    stream = file_source(spark, f"{src}/*", schema)
+    q = (first_seen(stream, ["k"], order_col="seq",
+                    state_ttl_ms=3_600_000)
+         .writeStream.foreachBatch(sink).outputMode("append")
+         .trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    q.awaitTermination(120)
+    rows = spark.read.schema(schema).parquet(out).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("x", "first")]
