@@ -202,21 +202,41 @@ def sql_to_query(sql: str) -> Query:
 
     q = Query(table=table)
 
-    # JOINs: "LEFT JOIN" splits at the JOIN keyword; strip a trailing LEFT
-    for jbody in clauses.get("joins", []):  # type: ignore[assignment]
+    # JOINs: bodies split at each top-level JOIN keyword, so a join's type
+    # tokens ("LEFT" / "LEFT SEMI" / "LEFT ANTI" / "INNER") dangle at the
+    # END of the preceding segment (the FROM body for the first join, the
+    # previous join's condition otherwise). Pop them off to get `how`.
+    _TYPE_TAIL = re.compile(
+        r"\s+(?:(left)(?:\s+(semi|anti))?|(inner))\s*$", re.IGNORECASE)
+
+    def _pop_join_type(text: str) -> tuple[str, str]:
+        m = _TYPE_TAIL.search(text)
+        if not m:
+            return text, "left"  # bare JOIN keeps reference LEFT semantics
+        if m.group(3):
+            how = "inner"
+        else:
+            how = {"semi": "left_semi", "anti": "left_anti",
+                   None: "left"}[m.group(2).lower() if m.group(2) else None]
+        return text[:m.start()], how
+
+    join_bodies = list(clauses.get("joins", []))  # type: ignore[arg-type]
+    clauses["from"], next_how = _pop_join_type(clauses["from"])
+    for n, jbody in enumerate(join_bodies):
         m = re.match(r"^(\S+)(?:\s+(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s+on\s+(.*)$",
                      jbody.strip(), re.IGNORECASE | re.DOTALL)
         if not m:
             raise SQLSyntaxError(f"cannot parse join {jbody!r}")
         jt, jalias, jcond = m.group(1), m.group(2) or "", m.group(3)
-        jcond = re.sub(r"\s+left\s*$", "", jcond, flags=re.IGNORECASE)
+        how = next_how
+        if n + 1 < len(join_bodies):
+            jcond, next_how = _pop_join_type(jcond)
         q.joins.append(Join(table=jt, alias=jalias,
-                            conditions=_split_top(jcond, "and")))
-    # drop a dangling LEFT before JOIN from the previous clause bodies
+                            conditions=_split_top(jcond, "and"), how=how))
+    # defensive: a dangling LEFT in later clause bodies
     if "where" in clauses:
         clauses["where"] = re.sub(r"\s+left\s*$", "", clauses["where"],
                                   flags=re.IGNORECASE)
-    clauses["from"] = re.sub(r"\s+left\s*$", "", clauses["from"], flags=re.IGNORECASE)
 
     # WHERE: aql_time_filter / aql_now macros + plain row filters
     for term in _split_top(clauses.get("where", ""), "and") if clauses.get("where") else []:

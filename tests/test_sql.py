@@ -153,3 +153,38 @@ def test_sql_having_without_group_by_errors(spark):
     # with HAVING must hit the dedicated check
     with _pytest.raises(SQLSyntaxError, match="HAVING"):
         sql_to_query("SELECT l_partkey FROM lineitem HAVING l_partkey > 1")
+
+
+def test_sql_join_types(spark, duck):
+    from aresdb_spark.aql.planner import plan_query
+    from aresdb_spark.aql.sql import sql_to_query
+
+    q = sql_to_query(
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
+        "LEFT ANTI JOIN orders o ON o.o_custkey = c_custkey "
+        "AND o.o_totalprice > 300000 GROUP BY c_mktsegment")
+    assert q.joins[0].how == "left_anti"
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q), duck,
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
+        "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 300000) GROUP BY 1")
+
+    q2 = sql_to_query(
+        "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
+        "LEFT SEMI JOIN orders o ON o.o_custkey = c_custkey "
+        "GROUP BY c_mktsegment")
+    assert q2.joins[0].how == "left_semi"
+
+    # two joins: types stay attached to the right join
+    q3 = sql_to_query(
+        "SELECT p.p_brand AS brand, sum(l_quantity) AS qty FROM lineitem "
+        "LEFT JOIN part p ON p.p_partkey = l_partkey "
+        "INNER JOIN orders o ON o.o_orderkey = l_orderkey "
+        "GROUP BY p.p_brand")
+    assert [j.how for j in q3.joins] == ["left", "inner"]
+    assert_df_matches_duck(
+        plan_query(spark, SF_DIR, q3), duck,
+        "SELECT p.p_brand AS brand, sum(l_quantity) AS qty FROM lineitem l "
+        "LEFT JOIN part p ON p.p_partkey = l.l_partkey "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey GROUP BY 1")
