@@ -51,13 +51,36 @@ def point_in_ring(ring: Column, lat: Column, lng: Column) -> Column:
 
 def geography_intersects(shape: Column, lat: Column, lng: Column) -> Column:
     """Point-in-shape with holes: inside an odd number of rings ⇒ inside
-    (even-odd rule, like the reference kernel)."""
+    (even-odd rule, like the reference kernel).
+
+    A let-bound bounding-box precheck (one cheap least/greatest fold over
+    the vertices) short-circuits the ray cast: points outside the bbox —
+    the overwhelming majority when a fact table joins against many
+    shapes — never pay the division-heavy crossing test. Result is
+    identical (every ring lies inside the bbox)."""
     lat_d, lng_d = lat.cast("double"), lng.cast("double")
-    ring_hits = F.aggregate(
-        shape, F.lit(0),
-        lambda acc, ring: acc + F.when(point_in_ring(ring, lat_d, lng_d), 1).otherwise(0),
-    )
-    return ring_hits % 2 == 1
+
+    def with_bbox(bb: Column) -> Column:
+        inside_bbox = ((lat_d >= bb["mnla"]) & (lat_d <= bb["mxla"])
+                       & (lng_d >= bb["mnlo"]) & (lng_d <= bb["mxlo"]))
+        ring_hits = F.aggregate(
+            shape, F.lit(0),
+            lambda acc, ring: acc + F.when(
+                point_in_ring(ring, lat_d, lng_d), 1).otherwise(0),
+        )
+        return F.when(inside_bbox, ring_hits % 2 == 1).otherwise(F.lit(False))
+
+    bbox = F.aggregate(
+        F.flatten(shape),
+        F.struct(F.lit(999.0).alias("mnla"), F.lit(-999.0).alias("mxla"),
+                 F.lit(999.0).alias("mnlo"), F.lit(-999.0).alias("mxlo")),
+        lambda acc, p: F.struct(
+            F.least(acc["mnla"], p["lat"].cast("double")).alias("mnla"),
+            F.greatest(acc["mxla"], p["lat"].cast("double")).alias("mxla"),
+            F.least(acc["mnlo"], p["long"].cast("double")).alias("mnlo"),
+            F.greatest(acc["mxlo"], p["long"].cast("double")).alias("mxlo")))
+    from aresdb_spark.operators.util import let as _let
+    return _let(bbox, with_bbox)
 
 
 def _geo_fn(args: list[Column]) -> Column:
