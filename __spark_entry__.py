@@ -250,7 +250,8 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         dimensions=[Dimension(expr="event_type", alias="et")],
         measures=[Measure(expr="sum(case when value > 50 then 1 else 0 end)", alias="big")],
     )), """
-        SELECT event_type AS et, sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS big
+        SELECT event_type AS et,
+               sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS big
         FROM events GROUP BY 1
     """)
 
@@ -293,7 +294,8 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         measures=[Measure(expr="count(*)", alias="cnt")],
         time_filter=TimeFilter(from_="2024-01-10", to="2024-01-10"),
     )), """
-        SELECT to_timestamp((epoch(ts)::BIGINT // 900) * 900) AS b, count(*) AS cnt
+        SELECT to_timestamp((epoch(ts)::BIGINT // 900) * 900)::TIMESTAMP AS b,
+               count(*) AS cnt
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'
         GROUP BY 1
@@ -1031,7 +1033,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     out["aql_scalar_functions2"] = (q_scalar2, """
         SELECT event_id,
                timezone('America/New_York', timezone('UTC', ts)) AS ny_ts,
-               to_timestamp(floor(epoch(ts))::BIGINT) AS rt,
+               to_timestamp(floor(epoch(ts))::BIGINT)::TIMESTAMP AS rt,
                upper(to_hex(user_id)) AS uh
         FROM events ORDER BY event_id LIMIT 100
     """)

@@ -65,17 +65,19 @@ def _scan_top_level(sql: str):
 def _find_clauses(sql: str) -> dict[str, str]:
     low = sql.lower()
     top = {i for i, _ in _scan_top_level(sql)}
-    marks: list[tuple[int, str]] = []
+    marks: list[tuple[int, int, str]] = []
     for kw in _KEYWORDS:
-        for m in re.finditer(rf"(?<![a-z_]){re.escape(kw)}(?![a-z_])", low):
+        # Multi-word keywords ("group by") match across any whitespace,
+        # including newlines and runs of spaces.
+        pat = r"\s+".join(re.escape(p) for p in kw.split())
+        for m in re.finditer(rf"(?<![a-z_]){pat}(?![a-z_])", low):
             if m.start() in top:
-                marks.append((m.start(), kw))
+                marks.append((m.start(), m.end(), kw))
     marks.sort()
     out: dict[str, str] = {}
-    for n, (pos, kw) in enumerate(marks):
-        start = pos + len(kw)
+    for n, (pos, kw_end, kw) in enumerate(marks):
         end = marks[n + 1][0] if n + 1 < len(marks) else len(sql)
-        body = sql[start:end].strip()
+        body = sql[kw_end:end].strip()
         if kw == "join":
             out.setdefault("joins", []).append(body)  # type: ignore[union-attr]
         else:

@@ -74,9 +74,12 @@ def hist_quantiles_oracle_sql(source_sql: str, col: str, lo: float,
     hist = histogram_oracle_sql(source_sql, col, lo, hi, n_bins)
     sels = []
     for q in qs:
+        # ::DOUBLE — DuckDB's round() yields DECIMAL here, which the
+        # driver's value compare treats as a distinct type from Spark's
+        # double.
         sels.append(
             f"round({lo} + (min(CASE WHEN cum >= ceil({q} * total) "
-            f"THEN bin END) + 1) * {width}, 6) AS q{int(q * 100)}")
+            f"THEN bin END) + 1) * {width}, 6)::DOUBLE AS q{int(q * 100)}")
     return (f"SELECT {', '.join(sels)} FROM ("
             f"SELECT bin, sum(cnt) OVER (ORDER BY bin) AS cum, "
             f"sum(cnt) OVER () AS total FROM ({hist}) h)")

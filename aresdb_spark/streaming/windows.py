@@ -69,12 +69,14 @@ def session(df: DataFrame, ts_col: str, gap: str,
 def session_oracle_sql(table: str, ts_col: str, key_col: str,
                        gap_seconds: int) -> str:
     """DuckDB gaps-and-islands rendering of session(): a new session
-    starts when the previous event of the same key is > gap older. The
-    session end is last_event + gap (Spark session_window semantics)."""
+    starts when the previous event of the same key is >= gap older —
+    Spark's session_window is [start, last + gap), so an event exactly
+    ``gap`` after the previous one does NOT overlap and opens a new
+    session. The session end is last_event + gap."""
     return f"""
 WITH marked AS (
   SELECT {key_col}, {ts_col},
-         CASE WHEN {ts_col} - lag({ts_col}) OVER w <= INTERVAL {gap_seconds} SECOND
+         CASE WHEN {ts_col} - lag({ts_col}) OVER w < INTERVAL {gap_seconds} SECOND
               THEN 0 ELSE 1 END AS new_session
   FROM {table}
   WINDOW w AS (PARTITION BY {key_col} ORDER BY {ts_col})
