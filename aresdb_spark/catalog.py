@@ -29,9 +29,11 @@ class TableDef:
     time_column: str | None = None  # reference: column id 0 of fact tables
     primary_key: tuple[str, ...] = ()
     sort_columns: tuple[str, ...] = ()  # reference: archivingSortColumns
-    # columns stored as INT64 TIMESTAMP(NANOS) in parquet — Spark reads them
-    # as long (spark.sql.legacy.parquet.nanosAsLong) and the catalog converts
-    # to micros-precision timestamps, truncating like DuckDB's ns→us cast.
+    # columns stored as INT64 TIMESTAMP(NANOS) in parquet. Spark 3 reads
+    # them as long (spark.sql.legacy.parquet.nanosAsLong) and the catalog
+    # converts to micros-precision timestamps, truncating like DuckDB's ns→us
+    # cast; Spark 4 ignores the flag and reads timestamp_ntz natively — the
+    # cast below is guarded on the observed dtype, so both paths work.
     nanos_columns: tuple[str, ...] = ()
     # hot/cold table: <sf_dir>/<name> is a HotColdStore root (hot/ + cold/
     # + _cutoff.txt); reads resolve to the exactly-once union view at the
@@ -98,8 +100,9 @@ class Catalog:
         if time_range is None and name in self._cache:
             return self._cache[name]
 
-        # runtime SQL confs: INT64 TIMESTAMP(NANOS) parquet is unreadable
-        # without the legacy flag, and the engine's time semantics are
+        # runtime SQL confs: on Spark 3 INT64 TIMESTAMP(NANOS) parquet is
+        # unreadable without the legacy flag (Spark 4 ignores it and reads
+        # timestamp_ntz natively), and the engine's time semantics are
         # defined in UTC — the calling session (e.g. the driver's) may not
         # have set either at build time
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -44,9 +44,11 @@ def get_spark(
         # --- IO: keep scan partitions big enough to amortize task overhead ---
         .config("spark.sql.files.maxPartitionBytes", str(256 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # testdata writes events.ts as INT64 TIMESTAMP(NANOS) which Spark
-        # cannot read natively — read as long, catalog converts to micros
-        # (truncating, matching DuckDB's ns→us cast)
+        # testdata writes events.ts as INT64 TIMESTAMP(NANOS). Spark 3 needs
+        # this flag to read it (as bigint; catalog converts to micros,
+        # truncating, matching DuckDB's ns→us cast). Spark 4 ignores the flag
+        # and reads it natively as timestamp_ntz — all consumers guard the
+        # cast on the observed dtype, so both paths work.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- python boundary: always Arrow-batched ---

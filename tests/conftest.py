@@ -31,6 +31,22 @@ def duck():
     con.close()
 
 
+def load_events(spark, sf_dir=SF_DIR):
+    """events with a proper timestamp ``ts``, across Spark versions.
+
+    The testdata writes events.ts as INT64 TIMESTAMP(NANOS). Spark 3 reads it
+    as bigint (via spark.sql.legacy.parquet.nanosAsLong) and needs a
+    truncating nanos->micros cast; Spark 4 reads it natively as timestamp_ntz
+    and ignores the legacy flag, so the cast must be skipped.
+    """
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def assert_df_matches_duck(df, duck, sql, sort_by=None, approx=False, tol=1e-9):
     """Compare a Spark DataFrame against a DuckDB oracle query."""
     import math

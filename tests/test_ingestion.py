@@ -99,8 +99,8 @@ def test_hotcold_exactly_once(spark, duck, tmp_path):
     never double-counts."""
     from aresdb_spark.sources.hotcold import HotColdStore
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tests.conftest import load_events
+    ev = load_events(spark)
     cutoff = datetime(2024, 1, 20)
     store = HotColdStore(path=str(tmp_path / "events"), time_column="ts",
                          primary_key=("event_id",))
@@ -199,8 +199,8 @@ def test_hotcold_table_in_catalog(spark, duck, tmp_path):
     from aresdb_spark.catalog import Catalog, TableDef
     from aresdb_spark.sources.hotcold import HotColdStore
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet") \
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tests.conftest import load_events
+    ev = load_events(spark)
     root = tmp_path
     store = HotColdStore(path=str(root / "live_events"), time_column="ts",
                          primary_key=("event_id",), sort_columns=("ts", "user_id"))

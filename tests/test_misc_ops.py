@@ -131,8 +131,8 @@ def test_skew_safe_aggregations(spark, duck):
     from aresdb_spark.operators.skew import (exact_distinct_two_stage,
                                              salted_sum)
 
-    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    from tests.conftest import load_events
+    ev = load_events(spark)
     d = exact_distinct_two_stage(ev, ["event_type"], "user_id", alias="u")
     assert_df_matches_duck(d, duck, """
         SELECT event_type, count(DISTINCT user_id) AS u FROM events GROUP BY 1

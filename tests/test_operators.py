@@ -261,8 +261,8 @@ def test_geo_point_in_polygon(spark):
 def test_hll_sketch_merge(spark):
     from aresdb_spark.functions import hll as H
 
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from tests.conftest import load_events
+    ev = load_events(spark)
     daily = H.daily_distinct_rollup(ev, "ts", "user_id")
     est = H.estimate_over_days(daily).first()["distinct_estimate"]
     exact = ev.select("user_id").distinct().count()

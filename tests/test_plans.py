@@ -97,8 +97,8 @@ def test_archive_write_sorted_and_partitioned(spark, tmp_path):
 
     from aresdb_spark.sources.writer import write_archive
 
-    ev = (spark.read.parquet(f"{SF_DIR}/events.parquet")
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    from tests.conftest import load_events
+    ev = load_events(spark)
     path = str(tmp_path / "archive")
     write_archive(ev, path, "ts", sort_columns=("user_id", "ts"))
 

@@ -10,8 +10,8 @@ from tests.conftest import SF_DIR, assert_df_matches_duck
 
 
 def _events(spark):
-    return (spark.read.parquet(f"{SF_DIR}/events.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))))
+    from tests.conftest import load_events
+    return load_events(spark)
 
 
 def test_tumbling_matches_bucketizer_oracle(spark, duck):
