@@ -42,16 +42,20 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     if w <= 0:
         raise ValueError("bucket_width must be positive")
 
-    def b(col):  # bucket index; timestamps via epoch seconds
+    # resolve each column's type against ITS OWN side — a same-named column
+    # on the other side with a different type must not shadow it
+    l_types, r_types = dict(left.dtypes), dict(right.dtypes)
+
+    def b(col, types):  # bucket index; timestamps via epoch seconds
         c = F.col(col)
-        num = F.unix_timestamp(c) if dict(left.dtypes + right.dtypes).get(
-            col) == "timestamp" else c
+        is_ts = str(types.get(col, "")).startswith("timestamp")
+        num = F.unix_timestamp(c) if is_ts else c
         return F.floor(num / w).cast("long")
 
     r_exp = right.withColumn(
         "__bucket",
-        F.explode(F.sequence(b(lower), b(upper))))
-    l_keyed = left.withColumn("__bucket", b(point))
+        F.explode(F.sequence(b(lower, r_types), b(upper, r_types))))
+    l_keyed = left.withColumn("__bucket", b(point, l_types))
 
     cond = [l_keyed["__bucket"] == r_exp["__bucket"]]
     cond += [l_keyed[k] == r_exp[k] for k in by]

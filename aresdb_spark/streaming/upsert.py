@@ -88,15 +88,18 @@ def apply_upsert_batch(base: DataFrame, batch: DataFrame, pk_cols: list[str],
     upd = collapse_batch(batch, pk_cols, modes, seq_col)
     if seq_col:
         upd = upd.drop(seq_col)
-    b = base.alias("b")
-    u = upd.alias("u")
+    # presence markers, NOT PK nullability: the join is null-safe, so a
+    # NULL PK is a legal (single) key — detecting presence via
+    # `pk IS NOT NULL` would silently drop its update
+    b = base.withColumn("__in_b", F.lit(True)).alias("b")
+    u = upd.withColumn("__in_u", F.lit(True)).alias("u")
     cond = None
     for k in pk_cols:
         c = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
         cond = c if cond is None else cond & c
     joined = b.join(u, cond, "full_outer")
-    in_update = F.col(f"u.{pk_cols[0]}").isNotNull()
-    in_base = F.col(f"b.{pk_cols[0]}").isNotNull()
+    in_update = F.col("u.__in_u").isNotNull()
+    in_base = F.col("b.__in_b").isNotNull()
 
     out_cols: list[Column] = []
     for k in pk_cols:
@@ -133,7 +136,7 @@ def upsert_merge_oracle_sql(base: str, batch: str, pk: str,
         m = UpdateMode(m)
         bc, uc = f"b.{c}", f"u.{c}"
         if m is UpdateMode.FORCE:
-            merged = f"CASE WHEN u.{pk} IS NOT NULL THEN {uc} ELSE {bc} END"
+            merged = f"CASE WHEN u.__in_u THEN {uc} ELSE {bc} END"
         elif m is UpdateMode.ADD:
             merged = f"CASE WHEN {uc} IS NOT NULL THEN coalesce({bc}, 0) + {uc} ELSE {bc} END"
         elif m is UpdateMode.MIN:
@@ -142,6 +145,11 @@ def upsert_merge_oracle_sql(base: str, batch: str, pk: str,
             merged = f"CASE WHEN {uc} IS NOT NULL THEN greatest({bc}, {uc}) ELSE {bc} END"
         else:
             merged = f"coalesce({uc}, {bc})"
-        sel.append(f"CASE WHEN b.{pk} IS NOT NULL THEN {merged} ELSE {uc} END AS {c}")
-    return (f"SELECT {', '.join(sel)} FROM {base} b FULL OUTER JOIN {batch} u "
-            f"ON b.{pk} = u.{pk}")
+        sel.append(f"CASE WHEN b.__in_b THEN {merged} ELSE {uc} END AS {c}")
+    # presence markers + null-safe join: mirrors the Spark merge exactly,
+    # including the NULL-PK-as-a-single-key semantics. ``base``/``batch``
+    # are table or view names.
+    return (f"SELECT {', '.join(sel)} "
+            f"FROM (SELECT *, TRUE AS __in_b FROM {base}) b "
+            f"FULL OUTER JOIN (SELECT *, TRUE AS __in_u FROM {batch}) u "
+            f"ON b.{pk} IS NOT DISTINCT FROM u.{pk}")

@@ -150,9 +150,14 @@ def main():
     times = {}
     for name, fn in qs.items():
         fn(spark, SF_DIR).collect()  # warmup (untimed)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        times[name] = round(time.perf_counter() - t0, 4)
+        # median of 3 timed passes: a single pass is noise-sensitive on a
+        # shared machine (round-3 recorded a 3x outlier that never reproduced)
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(sorted(samples)[1], 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -54,6 +54,38 @@ def test_range_join_matches_duckdb_oracle(spark, duck):
     assert_df_matches_duck(df, duck, sql)
 
 
+def test_range_join_same_named_column_other_type(spark):
+    """A right-side column named like the left point but with a different
+    (timestamp) type must not shadow the point's numeric dtype lookup —
+    regression for the dict(left.dtypes + right.dtypes) bug where the left
+    point got bucketed via unix_timestamp and every match silently dropped."""
+    left = spark.createDataFrame(
+        [(1, 3.0), (2, 6.0), (3, 99.0)], ["pid", "x"])
+    right = (spark.createDataFrame(
+        [(10, 0.0, 5.0), (11, 5.0, 10.0), (12, 6.0, 6.5)],
+        ["rid", "lo", "hi"])
+        .withColumn("x", F.to_timestamp(F.lit("2024-01-01 00:00:00"))))
+    rows = sorted((r["pid"], r["rid"]) for r in range_join(
+        left, right, "x", "lo", "hi", bucket_width=5.0).collect())
+    assert rows == [(1, 10), (2, 11), (2, 12)]
+
+
+def test_range_join_timestamp_point(spark):
+    """Timestamp point vs timestamp intervals buckets via epoch seconds on
+    both sides (dtype resolved per side, timestamp_ntz included)."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 0, 30)), (2, datetime(2024, 1, 1, 5, 0))],
+        ["pid", "t"])
+    right = spark.createDataFrame(
+        [(10, datetime(2024, 1, 1, 0, 0), datetime(2024, 1, 1, 1, 0))],
+        ["rid", "t0", "t1"])
+    rows = sorted((r["pid"], r["rid"]) for r in range_join(
+        left, right, "t", "t0", "t1", bucket_width=3600.0).collect())
+    assert rows == [(1, 10)]
+
+
 def test_range_join_is_not_nested_loop(spark):
     left = spark.createDataFrame([(1, 3.0)], ["pid", "x"])
     right = spark.createDataFrame([(10, 0.0, 5.0)], ["rid", "lo", "hi"])

@@ -16,7 +16,11 @@ MODES = [UpdateMode.OVERWRITE, UpdateMode.FORCE, UpdateMode.ADD,
          UpdateMode.MIN, UpdateMode.MAX]
 
 value = st.one_of(st.none(), st.integers(min_value=-50, max_value=50))
-row = st.tuples(st.integers(min_value=0, max_value=4), value, value)  # (pk, x, y)
+# pk may be NULL: the merge is null-safe, so NULL is one legal key —
+# regression for presence detection via pk-nullability silently dropping
+# a NULL-PK row's update
+pk = st.one_of(st.none(), st.integers(min_value=0, max_value=4))
+row = st.tuples(pk, value, value)  # (pk, x, y)
 
 
 def model_merge(base: list[tuple], batch: list[tuple],
