@@ -1030,6 +1030,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["hll_daily_rollup"] = (q_hll_rollup, None)
 
+    # --- reference-exact HLL register pipeline (application/hll interop;
+    # approximate estimator → rows-only, registers golden-tested in
+    # tests/test_hll_wire.py against query/functor.hpp derivation) ---
+    def q_hll_wire(spark, sf_dir):
+        from aresdb_spark.functions.hll import hll_distinct
+        ev = _events(spark, sf_dir)
+        return hll_distinct(ev, ["event_type"], "user_id")
+
+    out["hll_wire_distinct"] = (q_hll_wire, None)
+
     # --- skew-safe aggregation patterns ---
     def q_skew_distinct(spark, sf_dir):
         from aresdb_spark.operators.skew import exact_distinct_two_stage

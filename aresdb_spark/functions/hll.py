@@ -15,6 +15,7 @@ Capability parity on Spark:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -56,6 +57,64 @@ def daily_distinct_rollup(df: DataFrame, ts_col: str, key_col: str) -> DataFrame
 def estimate_over_days(day_sketches: DataFrame) -> DataFrame:
     return day_sketches.agg(
         hll_estimate(hll_merge(F.col("sketch"))).alias("distinct_estimate"))
+
+
+# --- reference-exact register pipeline (application/hll interop) -----------
+
+def hll_registers(df: DataFrame, dims: list[str], col: str) -> DataFrame:
+    """Per-group HLL registers with the reference's EXACT derivation
+    (murmur3 x64-128 of the little-endian uint32 value, index = low 14
+    bits, rho = zeros above — query/functor.hpp:430-478), so sketches
+    built here merge correctly with sketches from a reference deployment.
+
+    Scale shape: the register value is computed scan-side in one
+    Arrow-batched vectorized pandas UDF (numpy, no per-row Python), then
+    a single hash aggregation on (dims, index) with map-side partial max —
+    output bounded by groups x 2^14 rows regardless of input size.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from aresdb_spark.functions.hll_wire import hll_values_u32
+
+    @pandas_udf("long")
+    def _hll_value(v: pd.Series) -> pd.Series:
+        import numpy as np
+        mask = v.notna()
+        out = pd.Series(0, index=v.index, dtype="int64")
+        if mask.any():
+            out[mask] = hll_values_u32(
+                v[mask].to_numpy(dtype="int64").astype(np.uint32)).astype("int64")
+        return out.where(mask)
+
+    reg = df.select(*dims, _hll_value(F.col(col)).alias("__hv")) \
+        .filter(F.col("__hv").isNotNull())
+    return reg.groupBy(
+        *dims,
+        (F.col("__hv") % (1 << 16)).cast("int").alias("reg_index")).agg(
+        F.max(F.shiftright("__hv", 16)).cast("int").alias("rho"))
+
+
+def hll_distinct(df: DataFrame, dims: list[str], col: str) -> DataFrame:
+    """Distinct estimate per group via the reference's own estimator
+    (linear counting below 15500, raw HLL above — hll_wire.HLL.compute).
+    Registers aggregate distributed; only the per-group register lists
+    (<= 2^14 entries each) pass through the final grouped pandas stage."""
+    from aresdb_spark.functions.hll_wire import HLL
+
+    regs = hll_registers(df, dims, col)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in regs.schema.fields
+                       if f.name in dims) + ", estimate double"
+
+    def _estimate(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        h = HLL(sparse=list(zip(pdf["reg_index"].astype(int),
+                                pdf["rho"].astype(int))),
+                non_zero=len(pdf))
+        return pd.DataFrame([(*key, h.compute())],
+                            columns=[*dims, "estimate"])
+
+    return regs.groupBy(*dims).applyInPandas(_estimate, schema)
 
 
 # AQL surface: hll(x) in a measure is handled by the planner; expression-
