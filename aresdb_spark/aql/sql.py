@@ -70,7 +70,9 @@ def _find_clauses(sql: str) -> dict[str, str]:
         # Multi-word keywords ("group by") match across any whitespace,
         # including newlines and runs of spaces.
         pat = r"\s+".join(re.escape(p) for p in kw.split())
-        for m in re.finditer(rf"(?<![a-z_]){pat}(?![a-z_])", low):
+        # word boundaries include digits: a column `limit2` must not match
+        # the LIMIT keyword
+        for m in re.finditer(rf"(?<![a-z0-9_]){pat}(?![a-z0-9_])", low):
             if m.start() in top:
                 marks.append((m.start(), m.end(), kw))
     marks.sort()
@@ -95,7 +97,7 @@ def _split_top(s: str, sep: str) -> list[str]:
                 parts.append(s[start:i])
                 start = i + 1
     else:
-        for m in re.finditer(r"(?<![a-z_])and(?![a-z_])", s.lower()):
+        for m in re.finditer(r"(?<![a-z0-9_])and(?![a-z0-9_])", s.lower()):
             if m.start() in top:
                 parts.append(s[start:m.start()])
                 start = m.end()

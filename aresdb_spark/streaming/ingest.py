@@ -33,9 +33,12 @@ def decode_json_values(raw: DataFrame, value_schema: StructType,
     Shared by the Kafka source and tests (which feed a batch DataFrame
     shaped like Kafka's output, so the decode chain is exercised without
     a broker)."""
-    return (raw
-            .select(F.from_json(F.col(value_col).cast("string"), value_schema).alias("v"))
-            .select("v.*"))
+    out = raw.select(
+        F.from_json(F.col(value_col).cast("string"), value_schema).alias("v"))
+    # reference skips undecodable messages (DecodeMsg returns the error and
+    # the message is dropped, json_decoder.go:28-35); from_json yields a
+    # NULL struct for malformed input — filter it out to match
+    return out.filter(F.col("v").isNotNull()).select("v.*")
 
 
 def kafka_source(spark: SparkSession, brokers: str, topic: str,

@@ -322,3 +322,48 @@ def test_kafka_decode_chain(spark):
     got = sorted([(r["id"], r["ts"], r["v"]) for r in decoded.collect()])
     assert got == [(7, datetime(2024, 2, 1, 8), 1.5),
                    (8, datetime(2024, 2, 1, 9), None)]
+
+
+def test_kafka_shaped_stream_decode_to_store(spark, tmp_path):
+    """Kafka-path closure without a broker: a streaming text source whose
+    rows are JSON strings in a `value` column (exactly the shape
+    kafka_source's raw stream presents) runs through decode_json_values →
+    foreachBatch → HotColdStore. Malformed messages are skipped, matching
+    the reference subscriber's DecodeMsg error path
+    (subscriber/common/message/json_decoder.go:28-35)."""
+    import json
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType, TimestampType)
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.streaming.ingest import (decode_json_values,
+                                               start_upsert_stream)
+
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 16), v=1.0)]), cutoff)
+
+    value_schema = StructType([
+        StructField("id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("v", DoubleType()),
+    ])
+    src_dir = tmp_path / "topic"
+    src_dir.mkdir()
+    msgs = [json.dumps({"id": 1, "ts": "2024-01-16T01:00:00", "v": 2.0}),
+            "{not valid json",  # reference: decoder error → message skipped
+            json.dumps({"id": 3, "ts": "2024-01-17T00:00:00", "v": 7.0})]
+    (src_dir / "b1.txt").write_text("\n".join(msgs) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src_dir))
+    q = start_upsert_stream(
+        raw, store, lambda: cutoff, checkpoint_dir=str(tmp_path / "ckpt"),
+        transform=lambda df: decode_json_values(df, value_schema),
+        available_now=True)
+    q.awaitTermination(120)
+
+    rows = {r["id"]: r["v"] for r in store.read(spark, cutoff).collect()}
+    assert rows == {1: 3.0, 3: 7.0}

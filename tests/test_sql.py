@@ -188,3 +188,80 @@ def test_sql_join_types(spark, duck):
         "SELECT p.p_brand AS brand, sum(l_quantity) AS qty FROM lineitem l "
         "LEFT JOIN part p ON p.p_partkey = l.l_partkey "
         "JOIN orders o ON o.o_orderkey = l.l_orderkey GROUP BY 1")
+
+
+def test_keywords_inside_string_literals():
+    """A WHERE literal containing keyword text (' and ', ' from ', 'limit')
+    must not be treated as clause structure (reference parser tolerance,
+    query/sql/sql_parser.go)."""
+    q = sql_to_query(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE event_type = 'a and b from limit group by' "
+        "GROUP BY event_type")
+    assert q.filters == ["event_type = 'a and b from limit group by'"]
+    assert [d.expr for d in q.dimensions] == ["event_type"]
+    assert q.limit is None or q.limit == q.limit  # parsed without error
+
+
+def test_and_inside_literal_not_split():
+    q = sql_to_query(
+        "SELECT event_type, count(*) AS cnt FROM events "
+        "WHERE event_type = 'click and view' AND value > 5 "
+        "GROUP BY event_type")
+    assert q.filters == ["event_type = 'click and view'", "value > 5"]
+
+
+def test_identifier_with_keyword_prefix_suffix():
+    """Columns named like keyword+digit (limit2, and1) must not be split
+    as keywords."""
+    q = sql_to_query(
+        "SELECT limit2, count(*) AS cnt FROM events GROUP BY limit2 LIMIT 7")
+    assert [d.expr for d in q.dimensions] == ["limit2"]
+    assert q.limit == 7
+    q2 = sql_to_query(
+        "SELECT and1, count(*) AS c FROM events WHERE and1 > 2 AND value < 3 "
+        "GROUP BY and1")
+    assert q2.filters == ["and1 > 2", "value < 3"]
+
+
+def test_double_quoted_identifier_with_keyword():
+    q = sql_to_query(
+        'SELECT event_type, count(*) AS cnt FROM events '
+        'WHERE props = "group by" GROUP BY event_type')
+    assert q.filters == ['props = "group by"']
+
+
+def test_newlines_and_mixed_case_keywords():
+    q = sql_to_query(
+        "SELECT\n  event_type,\n  count(*) AS cnt\nFROM events\n"
+        "Group   By\n  event_type\nOrDeR bY cnt DESC\nLiMiT 3")
+    assert q.limit == 3
+    assert q.sorts[0].order == "desc"
+
+
+def test_sql_parser_fuzz_never_crashes_unexpectedly():
+    """Property: for random clause bodies with quoted junk, the parser
+    either returns a Query or raises SQLSyntaxError — never an arbitrary
+    exception from structural confusion."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aresdb_spark.aql.sql import SQLSyntaxError
+
+    junk = st.text(
+        alphabet=" abc()'\",=<>123_and or select from where group by limit",
+        min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(junk)
+    def run(body):
+        sql = f"SELECT count(*) AS c FROM events WHERE x = '{body}' GROUP BY event_type"
+        # a quote inside body ends the literal early -> may legitimately
+        # be a syntax error; what we assert is the error TYPE
+        try:
+            q = sql_to_query(sql)
+            assert q.table == "events"
+        except (SQLSyntaxError, ValueError):
+            pass
+
+    run()
