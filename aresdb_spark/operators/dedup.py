@@ -415,14 +415,30 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     truncation)."""
     edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    labels = connected_components(edges, max_rounds=max_rounds)
+    return (df.select(F.col(id_col).cast("long").alias("id"))
+            .join(labels, "id", "left")
+            .select(F.col("id").alias(id_col),
+                    F.coalesce("cluster", F.col("id")).alias("cluster_id")))
+
+
+def connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+    """Hash-min label propagation over an (src, dst) edge list → one
+    (id, cluster) row per edge-connected node, cluster = min reachable id.
+
+    Labels are seeded with round 1's result directly (min of self and
+    neighbors, one groupBy over the edge list — no join round), and the
+    seed sum primes the convergence check, so a diameter-2 graph (the
+    near-dup norm) finishes after a single join round."""
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
-    labels = (sym.select(F.col("src").alias("id")).distinct()
-              .withColumn("cluster", F.col("id").cast("long"))
+    labels = (sym.groupBy(F.col("src").alias("id"))
+              .agg(F.least(F.min("src"), F.min("dst")).cast("long")
+                   .alias("cluster"))
               .localCheckpoint(eager=True))
-    prev_sum = None
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
     for _ in range(max_rounds):
         contrib = (sym.join(labels, sym.dst == labels.id)
                    .select(F.col("src").alias("id"), F.col("cluster")))
@@ -433,10 +449,7 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return (df.select(F.col(id_col).cast("long").alias("id"))
-            .join(labels, "id", "left")
-            .select(F.col("id").alias(id_col),
-                    F.coalesce("cluster", F.col("id")).alias("cluster_id")))
+    return labels
 
 
 def duplicate_clusters_oracle_sql(table: str = "documents",

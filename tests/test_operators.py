@@ -360,3 +360,34 @@ def test_normalize_zero_vector_null(spark):
              for r in quantize_embeddings(df).collect()}
     assert qrows[1] == (None, None)
     assert qrows[2][1] == [95, 127]  # 3/4·127 rounds to 95
+
+
+def test_duplicate_clusters_chain_converges(spark):
+    """A long path graph (0-1-2-...-9) needs multiple propagation rounds;
+    the seeded convergence check must not exit early — every node must
+    still collapse to cluster 0. Exercises connected_components directly
+    (LSH candidate recall is a separate concern, covered by the recall
+    tests)."""
+    from aresdb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["src", "dst"])
+    out = {r["id"]: r["cluster"]
+           for r in connected_components(edges).collect()}
+    assert out == {i: 0 for i in range(10)}
+
+
+def test_connected_components_multiple_and_dense(spark):
+    """Two components (a triangle + a 4-star) plus an isolated pair keep
+    distinct min-id labels; dense shapes converge in the seeded round."""
+    from aresdb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),           # triangle -> 1
+         (10, 11), (10, 12), (10, 13),     # star -> 10
+         (20, 21)],                        # pair -> 20
+        ["src", "dst"])
+    out = {r["id"]: r["cluster"]
+           for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
+                   20: 20, 21: 20}
