@@ -91,3 +91,58 @@ def test_nonliteral_shift_and_like_rejected(spark):
     for expr in ["a << b", "a >> b"]:
         with pytest.raises(E.AQLSyntaxError):
             E.compile_expr(expr)
+
+
+def test_parser_fuzz_error_discipline():
+    """Property: arbitrary token soup either parses or raises the
+    parser's own error type — structural confusion never escapes as
+    IndexError/AttributeError/RecursionError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aresdb_spark.aql import expr as E
+
+    soup = st.lists(st.sampled_from(
+        ["a", "b_1", "1", "2.5", "'s'", "(", ")", "+", "-", "*", "/", "%",
+         "=", "!=", "<", "<=", ">", ">=", "and", "or", "not", "in", "is",
+         "null", "true", "false", "between", "case", "when", "then", "else",
+         "end", ",", "&", "|", "^", "~", "<<", ">>", "like", "count", "sum"]),
+        min_size=1, max_size=12).map(" ".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def run(text):
+        try:
+            E.parse(text)
+        except E.AQLSyntaxError:
+            pass
+        except ValueError:
+            pass  # parser-family error is acceptable
+
+    run()
+
+
+def test_parser_roundtrip_compile():
+    """Every expression the parser accepts must also compile to a Column
+    against a permissive resolver (no late AttributeErrors)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql import expr as E
+
+    exprs = st.sampled_from([
+        "a + b * 2", "a in (1, 2, 3)", "not a", "a is not null",
+        "case when a > 1 then 2 else 3 end", "a between 1 and 5",
+        "(a & 3) | (b ^ 1)", "~a", "a like 'x%'", "-a + b",
+        "length('ab') + a", "a / 2 % 3", "a != b and not (a = 1 or b = 2)",
+    ])
+
+    @settings(max_examples=50, deadline=None)
+    @given(exprs)
+    def run(text):
+        ast = E.parse(text)
+        col = E.compile_expr(text, lambda name: F.col(name.replace(".", "_")))
+        assert col is not None and ast is not None
+
+    run()
