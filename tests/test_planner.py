@@ -287,3 +287,41 @@ def test_semi_and_anti_joins(spark, duck):
         "SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer "
         "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
         "WHERE o_totalprice > 300000) GROUP BY 1")
+
+
+def test_dst_fall_back_bucketing(spark, duck, tmp_path):
+    """Hour-of-day buckets across the US fall-back (2024-11-03: 02:00 EDT
+    -> 01:00 EST) must match DuckDB's tz-aware rendering — the ambiguous
+    1am hour collects two UTC hours' worth of rows. Events are Jan 2024,
+    so shift them +280 days to straddle the transition."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.catalog import Catalog, TableDef
+    from aresdb_spark.aql.planner import Planner
+    from tests.conftest import load_events
+
+    (load_events(spark)
+     .withColumn("ts", F.col("ts") + F.expr("INTERVAL 280 DAYS"))
+     .write.mode("overwrite").parquet(str(tmp_path / "facts.parquet")))
+    cat = Catalog(str(tmp_path), tables={
+        "facts": TableDef("facts", is_fact=True, time_column="ts",
+                          primary_key=("event_id",))})
+    q = Query(
+        table="facts",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="d"),
+                    Dimension(expr="ts", time_bucketizer="hour of day",
+                              alias="hod")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        timezone="America/New_York",
+    )
+    df = Planner(spark, cat).plan(q)
+    duck.execute("CREATE OR REPLACE VIEW fb_shifted AS "
+                 "SELECT ts + INTERVAL 280 DAY AS ts FROM events")
+    assert_df_matches_duck(df, duck, """
+        WITH local AS (
+            SELECT timezone('America/New_York', timezone('UTC', ts)) AS lts
+            FROM fb_shifted)
+        SELECT date_trunc('day', lts)::TIMESTAMP AS d,
+               hour(lts)::INT AS hod, count(*) AS cnt
+        FROM local GROUP BY 1, 2
+    """)
