@@ -104,3 +104,106 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
     if any(e is not None for e in errors):
         out["errors"] = errors
     return out
+
+
+# --- application/hll response (reference api/query_handler.go:382-420) -------
+
+def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
+                        request: dict[str, Any] | str,
+                        row_cap: int = 100_000) -> bytes:
+    """The ``Content-Accept: application/hll`` analog: run each query's
+    dimensions over the reference-exact register pipeline and serialize
+    the binary envelope (magic 0xACED0102). Per-query errors become error
+    records, like HLLQueryResponseWriter.ReportError.
+
+    Each query must carry exactly one ``hll(col)`` / ``countdistincthll``
+    measure (the reference serves this format only for hll queries).
+    Result rows are bounded by ``row_cap`` (the reference materializes the
+    full result in memory the same way)."""
+    from aresdb_spark.functions.hll import hll_registers
+    from aresdb_spark.functions.hll_wire import (DT_BOOL, DT_FLOAT32,
+                                                 DT_INT8, DT_INT16, DT_INT32,
+                                                 DT_INT64, DT_SMALL_ENUM,
+                                                 DT_BIG_ENUM, DT_UINT32, HLL,
+                                                 HLL_M,
+                                                 HLLQueryResultsWriter)
+
+    if isinstance(request, str):
+        request = json.loads(request)
+    if isinstance(catalog, str):
+        catalog = Catalog(catalog)
+
+    writer = HLLQueryResultsWriter()
+    for qobj in request.get("queries", []):
+        try:
+            q = query_from_json(qobj) if isinstance(qobj, dict) else qobj
+            q.validate_strict()
+            if len(q.measures) != 1:
+                raise ValueError("application/hll requires exactly one measure")
+            ast = E.parse(q.measures[0].expr)
+            if not isinstance(ast, E.Call) or ast.func not in ("hll", "countdistincthll"):
+                raise ValueError(
+                    "application/hll requires an hll()/countdistincthll() measure")
+
+            planner = Planner(spark, catalog)
+            df, resolver, dim_cols, dim_names = planner._filtered_rows(q)
+            rows = df.select(*dim_cols,
+                             E.compile_ast(ast.args[0], resolver).alias("__hv_in"))
+            regs = hll_registers(rows, dim_names, "__hv_in")
+            collected = regs.collect()
+            if len(collected) > row_cap * 8:
+                raise ValueError("hll result exceeds row cap")
+
+            groups: dict[tuple, list[tuple[int, int]]] = {}
+            for r in collected:
+                key = tuple(r[n] for n in dim_names)
+                groups.setdefault(key, []).append((r["reg_index"], r["rho"]))
+            if len(groups) > row_cap:
+                raise ValueError("hll result exceeds row cap")
+
+            # dimension type codes + value conversion from Spark dtypes
+            dtypes = dict(rows.select(*dim_names).dtypes) if dim_names else {}
+            data_types, converters, enum_dicts = [], [], {}
+            for i, name in enumerate(dim_names):
+                t = dtypes[name]
+                if t == "boolean":
+                    data_types.append(DT_BOOL)
+                    converters.append(lambda v: None if v is None else int(v))
+                elif t == "tinyint":
+                    data_types.append(DT_INT8); converters.append(lambda v: v)
+                elif t == "smallint":
+                    data_types.append(DT_INT16); converters.append(lambda v: v)
+                elif t == "int":
+                    data_types.append(DT_INT32); converters.append(lambda v: v)
+                elif t == "bigint":
+                    data_types.append(DT_INT64); converters.append(lambda v: v)
+                elif t in ("float", "double"):
+                    data_types.append(DT_FLOAT32); converters.append(lambda v: v)
+                elif t.startswith("timestamp"):
+                    # reference time dims are Uint32 epoch seconds
+                    data_types.append(DT_UINT32)
+                    converters.append(
+                        lambda v: None if v is None
+                        else int(v.replace(tzinfo=__import__("datetime").timezone.utc)
+                                 .timestamp()))
+                elif t == "string":
+                    cases = sorted({k[i] for k in groups if k[i] is not None})
+                    enum_dicts[i] = cases
+                    data_types.append(
+                        DT_SMALL_ENUM if len(cases) <= 256 else DT_BIG_ENUM)
+                    converters.append(lambda v: v)
+                else:
+                    raise ValueError(f"unsupported hll dimension type {t!r}")
+
+            out_rows = []
+            for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+                sparse = sorted(groups[key])
+                h = HLL(sparse=sparse, non_zero=len(sparse))
+                if not h.convert_to_sparse():
+                    h.convert_to_dense()
+                out_rows.append((
+                    [conv(v) for conv, v in zip(converters, key)], h))
+            writer.write_result(out_rows, data_types, enum_dicts)
+        except Exception as e:  # per-query isolation
+            writer.write_error(str(e))
+    return writer.get_bytes()

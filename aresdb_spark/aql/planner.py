@@ -336,8 +336,9 @@ class Planner:
 
     # -- planning -----------------------------------------------------------
 
-    def plan(self, q: Query) -> DataFrame:
-        q.validate_strict()
+    def _filtered_rows(self, q: Query):
+        """Shared head of plan(): joined + filtered rows plus compiled
+        dimension columns. Returns (df, resolver, dim_cols, dim_names)."""
         df, resolver, consumed_filters, tz_col = self._build_joined(q)
 
         # time filter on a non-default column (the default-column case was
@@ -370,6 +371,11 @@ class Planner:
         for i, d in enumerate(dims):
             dim_cols.append(self._dimension_col(d, resolver, tz).alias(d.output_name(i)))
             dim_names.append(d.output_name(i))
+        return df, resolver, dim_cols, dim_names
+
+    def plan(self, q: Query) -> DataFrame:
+        q.validate_strict()
+        df, resolver, dim_cols, dim_names = self._filtered_rows(q)
 
         # non-aggregate query: measure literal 1 / no measures ⇒ projection
         # (reference: query/aql_compiler.go:1147-1154, default limit 1000)

@@ -20,6 +20,8 @@ from aresdb_spark.functions.hll_wire import (DENSE_DATA_LENGTH, HLL,
 
 FIXDIR = "/root/reference/testing/data/query"
 
+from tests.conftest import SF_DIR  # noqa: E402
+
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FIXDIR), reason="reference fixtures unavailable")
 
@@ -189,3 +191,52 @@ def test_hll_distinct_on_events(spark):
                   .alias("n")).collect()}
     for k, n in exact.items():
         assert abs(est[k] - n) / max(n, 1) < 0.05, (k, est[k], n)
+
+
+def test_execute_request_hll_end_to_end(spark):
+    """The application/hll front door: binary envelope from an AQL request
+    parses back with correct dims (enum + time bucket) and estimates, and
+    a bad query yields an error record (per-query isolation)."""
+    from aresdb_spark.aql.api import execute_request_hll
+    from aresdb_spark.functions.hll_wire import parse_hll_query_results
+
+    body = execute_request_hll(spark, SF_DIR, {"queries": [
+        {"table": "events",
+         "dimensions": [{"sqlExpression": "event_type"}],
+         "measures": [{"sqlExpression": "hll(user_id)"}]},
+        {"table": "events",
+         "dimensions": [{"sqlExpression": "event_type"}],
+         "measures": [{"sqlExpression": "count(*)"}]},  # not hll -> error
+    ]})
+    results, errors = parse_hll_query_results(body)
+    assert len(results) == 2
+    assert errors[0] is None
+    assert "hll" in errors[1]
+
+    ev = __import__("tests.conftest", fromlist=["load_events"]).load_events(spark)
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(
+                 __import__("pyspark.sql.functions", fromlist=["F"])
+                 .countDistinct("user_id").alias("n")).collect()}
+    got = results[0]
+    assert set(got) == set(exact)
+    for et, n in exact.items():
+        est = got[et].compute()
+        assert abs(est - n) / max(n, 1) < 0.05, (et, est, n)
+
+
+def test_execute_request_hll_time_dim(spark):
+    """Day-bucketed time dimension serializes as Uint32 epoch seconds."""
+    from aresdb_spark.aql.api import execute_request_hll
+    from aresdb_spark.functions.hll_wire import parse_hll_query_results
+
+    body = execute_request_hll(spark, SF_DIR, {"queries": [
+        {"table": "events",
+         "dimensions": [{"sqlExpression": "ts", "timeBucketizer": "day"}],
+         "measures": [{"sqlExpression": "hll(user_id)"}]}]})
+    results, errors = parse_hll_query_results(body)
+    assert errors == [None]
+    days = sorted(int(k) for k in results[0])
+    # Jan 2024 day boundaries, aligned to 86400 and in range
+    assert all(d % 86400 == 0 for d in days)
+    assert days[0] >= 1704067200 and days[-1] < 1706745600
