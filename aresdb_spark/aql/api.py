@@ -150,8 +150,11 @@ def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
             rows = df.select(*dim_cols,
                              E.compile_ast(ast.args[0], resolver).alias("__hv_in"))
             regs = hll_registers(rows, dim_names, "__hv_in")
-            collected = regs.collect()
-            if len(collected) > row_cap * 8:
+            # cap enforced INSIDE the collect: limit(N+1) bounds driver
+            # memory no matter the group count, then overflow raises
+            max_regs = row_cap * 8
+            collected = regs.limit(max_regs + 1).collect()
+            if len(collected) > max_regs:
                 raise ValueError("hll result exceeds row cap")
 
             groups: dict[tuple, list[tuple[int, int]]] = {}
