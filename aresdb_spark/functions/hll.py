@@ -88,10 +88,13 @@ def hll_registers(df: DataFrame, dims: list[str], col: str) -> DataFrame:
 
     reg = df.select(*dims, _hll_value(F.col(col)).alias("__hv")) \
         .filter(F.col("__hv").isNotNull())
+    # serialized registers store rho + 1 (the reference adds it when
+    # writing the hll vector — CopyHLLFunctor, query/functor.hpp:1363-1364:
+    # "rho must plus 1"); max(raw)+1 == max(raw+1), so add after the agg
     return reg.groupBy(
         *dims,
         (F.col("__hv") % (1 << 16)).cast("int").alias("reg_index")).agg(
-        F.max(F.shiftright("__hv", 16)).cast("int").alias("rho"))
+        (F.max(F.shiftright("__hv", 16)) + 1).cast("int").alias("rho"))
 
 
 def hll_distinct(df: DataFrame, dims: list[str], col: str) -> DataFrame:

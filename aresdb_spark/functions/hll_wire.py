@@ -12,7 +12,10 @@ and vice versa:
   (query/functor.hpp:430-478): murmur3 x64-128 of the raw little-endian
   value, seed 0; index = low 14 bits (HLL_BITS=14,
   query/time_series_aggregate.h:42), rho = count of consecutive zero bits
-  above them (NOT +1 — reference convention).
+  above them. NOTE: that raw functor value is an aggregation intermediate;
+  SERIALIZED registers store rho + 1 (CopyHLLFunctor adds it when writing
+  the hll vector, functor.hpp:1363-1364) — the standard HLL convention the
+  estimator below assumes.
 - ``HLL``: sparse/dense register store with the reference's exact
   thresholds (sparse→dense at 4096 non-zero registers, hll.go:202-215),
   cache encoding (3-byte sparse records / 16 KiB dense, hll.go:669-733)

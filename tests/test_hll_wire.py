@@ -178,7 +178,9 @@ def test_hll_distinct_on_events(spark):
     want: dict[int, int] = {}
     for u in users:
         hv = hll_value(st.pack("<I", u & 0xFFFFFFFF))
-        idx, rho = hv & 0xFFFF, hv >> 16
+        # serialized rho = raw functor rho + 1 (CopyHLLFunctor,
+        # functor.hpp:1363-1364)
+        idx, rho = hv & 0xFFFF, (hv >> 16) + 1
         want[idx] = max(want.get(idx, 0), rho)
     assert got == want
 
@@ -240,3 +242,23 @@ def test_execute_request_hll_time_dim(spark):
     # Jan 2024 day boundaries, aligned to 86400 and in range
     assert all(d % 86400 == 0 for d in days)
     assert days[0] >= 1704067200 and days[-1] < 1706745600
+
+
+def test_estimator_dense_path_high_cardinality():
+    """100k distinct values exercise the dense register path (non_zero
+    >= 4096) and the raw-HLL estimate band; expected error ~1.04/sqrt(2^14)
+    ~ 0.8%, allow 4x margin (no bias table, see module docstring)."""
+    import numpy as np
+
+    from aresdb_spark.functions.hll_wire import HLL, hll_values_u32
+
+    n = 100_000
+    hv = hll_values_u32(np.arange(n, dtype=np.uint32))
+    idx = (hv & 0xFFFF).astype(np.int64)
+    rho = ((hv >> 16) + 1).astype(np.int64)  # serialized rho = raw + 1
+    dense = bytearray(1 << 14)
+    np.maximum.at(np.frombuffer(dense, dtype=np.uint8), idx, rho)
+    h = HLL(sparse=None, dense=dense,
+            non_zero=int((np.frombuffer(dense, dtype=np.uint8) != 0).sum()))
+    est = h.compute()
+    assert abs(est - n) / n < 0.035, est
