@@ -110,7 +110,7 @@ def hll_distinct(df: DataFrame, dims: list[str], col: str) -> DataFrame:
                        for f in regs.schema.fields
                        if f.name in dims) + ", estimate double"
 
-    def _estimate(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _estimate(key, pdf):
         h = HLL(sparse=list(zip(pdf["reg_index"].astype(int),
                                 pdf["rho"].astype(int))),
                 non_zero=len(pdf))

@@ -563,9 +563,12 @@ def serialize_hll_result(rows: list[tuple[list, "HLL"]],
     hll_vec = bytearray()
     for row, (_dims, hll) in enumerate(rows):
         if hll.dense is not None:
-            # DenseDataLength (16384) fits uint16 and is >= DENSE_THRESHOLD,
-            # so the parser reads it back as dense
-            struct.pack_into("<H", counts, 2 * row, DENSE_DATA_LENGTH)
+            # the count entry is the non-zero register count (>= the 4096
+            # threshold, so the parser reads dense); fall back to the full
+            # register count if the caller didn't track non_zero
+            n_regs = hll.non_zero if hll.non_zero >= DENSE_THRESHOLD \
+                else DENSE_DATA_LENGTH
+            struct.pack_into("<H", counts, 2 * row, n_regs)
             hll_vec.extend(hll.dense)
         else:
             struct.pack_into("<H", counts, 2 * row, len(hll.sparse))
