@@ -73,3 +73,19 @@ def test_collapsed_merge_equals_sequential_model(spark, base, batch,
     got = {r["pk"]: {"x": r["x"], "y": r["y"]} for r in out.collect()}
     want = model_merge(base, batch, mode_x, mode_y)
     assert got == want
+
+
+def test_composite_pk_with_null_components(spark):
+    """Two-column PK where one component may be NULL: the null-safe join
+    treats (1, NULL) as one key; presence markers must apply its update."""
+    base = spark.createDataFrame(
+        [(1, None, 10), (1, 2, 20), (None, None, 30)],
+        "k1 int, k2 int, v int")
+    batch = spark.createDataFrame(
+        [(1, None, 100, 0), (None, None, 300, 1), (2, 2, 400, 2)],
+        "k1 int, k2 int, v int, seq int")
+    out = apply_upsert_batch(base, batch, ["k1", "k2"],
+                             {"v": UpdateMode.OVERWRITE}, seq_col="seq")
+    got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
+    assert got == {(1, None): 100, (1, 2): 20, (None, None): 300,
+                   (2, 2): 400}
