@@ -86,8 +86,11 @@ def hll_registers(df: DataFrame, dims: list[str], col: str) -> DataFrame:
                 v[mask].to_numpy(dtype="int64").astype(np.uint32)).astype("int64")
         return out.where(mask)
 
-    reg = df.select(*dims, _hll_value(F.col(col)).alias("__hv")) \
-        .filter(F.col("__hv").isNotNull())
+    # null filter on the INPUT column, not the UDF output — filtering the
+    # output makes Catalyst evaluate the Arrow UDF twice (once for the
+    # predicate, once for the projection) and blocks scan pushdown
+    reg = df.filter(F.col(col).isNotNull()) \
+        .select(*dims, _hll_value(F.col(col)).alias("__hv"))
     # serialized registers store rho + 1 (the reference adds it when
     # writing the hll vector — CopyHLLFunctor, query/functor.hpp:1363-1364:
     # "rho must plus 1"); max(raw)+1 == max(raw+1), so add after the agg

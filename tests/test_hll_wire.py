@@ -262,3 +262,18 @@ def test_estimator_dense_path_high_cardinality():
             non_zero=int((np.frombuffer(dense, dtype=np.uint8) != 0).sum()))
     est = h.compute()
     assert abs(est - n) / n < 0.035, est
+
+
+def test_hll_registers_plan_shape(spark):
+    """One shuffle with map-side partial max, ONE Arrow UDF evaluation
+    (filtering the UDF output used to double-evaluate it), and the null
+    filter pushed into the scan."""
+    from aresdb_spark.functions.hll import hll_registers
+    from tests.conftest import load_events
+
+    plan = hll_registers(load_events(spark), ["event_type"], "user_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_max" in plan, plan
+    assert "isnotnull(user_id" in plan, plan
