@@ -422,6 +422,74 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
                     F.coalesce("cluster", F.col("id")).alias("cluster_id")))
 
 
+def connected_components_star(edges: DataFrame,
+                              max_rounds: int = 20) -> DataFrame:
+    """Large-star/small-star connected components (the two-phase
+    alternating algorithm of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm): converges in
+    O(log n) rounds regardless of component DIAMETER, vs the hash-min
+    loop's O(diameter). Same output contract as connected_components:
+    one (id, cluster) row per edge-connected node, cluster = component
+    minimum.
+
+    Use this variant when components can be long chains (URL redirect
+    graphs, citation chains); for shallow near-dup clusters the hash-min
+    loop does fewer shuffles per round and wins.
+
+    Round shape: each phase is ONE groupBy(node) over the current edge
+    list (min + neighbor collect) followed by a scan-side explode — two
+    shuffles per large+small round pair, edge count never grows beyond
+    the input's (each neighbor re-links to exactly one target).
+
+    - large-star: for each node u, link every neighbor v > u to
+      m = min(N(u) + [u]).
+    - small-star: link every neighbor v <= u (and u itself) to m.
+    Fixpoint: the edge list is a set of stars whose centers are the
+    component minima; labels read directly off the final edges."""
+    # normalize: undirected edge set as (big, small) pairs, no loops
+    e = (edges.select(F.greatest("src", "dst").alias("u"),
+                      F.least("src", "dst").alias("v"))
+         .filter(F.col("u") != F.col("v"))
+         .distinct().localCheckpoint(eager=True))
+    prev_sig = None
+    for _ in range(max_rounds):
+        # large-star: group by u over symmetric adjacency; link strictly
+        # larger neighbors to the minimum of the closed neighborhood
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        grouped = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"),
+            F.collect_list("v").alias("nbrs"))
+        e = (grouped.select(
+                "m", F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("w"))
+             .filter(F.col("w") != F.col("m"))
+             .select(F.col("w").alias("u"), F.col("m").alias("v"))
+             .distinct())
+        # small-star: group by u over (big → small) direction only; link
+        # all smaller-or-equal neighbors and u itself to the minimum
+        grouped = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"),
+            F.collect_list("v").alias("nbrs"))
+        e = (grouped.select(
+                "u", "m",
+                F.explode(F.array_union("nbrs", F.array("u"))).alias("w"))
+             .filter(F.col("w") != F.col("m"))
+             .select(F.greatest("w", "m").alias("u"),
+                     F.least("w", "m").alias("v"))
+             .distinct().localCheckpoint(eager=True))
+        sig = e.agg(F.count("*").alias("n"),
+                    F.sum(F.col("u") + F.col("v")).alias("s"),
+                    F.sum(F.col("v") * F.col("v")).alias("q")).collect()[0]
+        sig = (sig["n"], sig["s"], sig["q"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixpoint edges are (member, center) stars; centers label themselves
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
+    centers = e.select(F.col("v").alias("id")).distinct()         .withColumn("cluster", F.col("id"))
+    return members.union(centers).groupBy("id").agg(
+        F.min("cluster").cast("long").alias("cluster"))
+
+
 def connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
     """Hash-min label propagation over an (src, dst) edge list → one
     (id, cluster) row per edge-connected node, cluster = min reachable id.

@@ -391,3 +391,40 @@ def test_connected_components_multiple_and_dense(spark):
            for r in connected_components(edges).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10,
                    20: 20, 21: 20}
+
+
+def test_star_cc_matches_hashmin_on_random_graphs(spark):
+    """Property: large-star/small-star labels == hash-min labels on random
+    graphs (components, path chains, stars, multi-component mixes)."""
+    import random
+
+    from aresdb_spark.operators.dedup import (connected_components,
+                                              connected_components_star)
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(5, 25))]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(0, 1)]
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        a = {r["id"]: r["cluster"]
+             for r in connected_components(df, max_rounds=30).collect()}
+        b = {r["id"]: r["cluster"]
+             for r in connected_components_star(df).collect()}
+        assert a == b, (trial, sorted(edges), a, b)
+
+
+def test_star_cc_long_path_few_rounds(spark):
+    """A 40-node path (diameter 39) collapses to cluster 0 — the
+    O(log n) property means far fewer than 39 rounds; assert correctness
+    and that the default round budget suffices."""
+    from aresdb_spark.operators.dedup import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], ["src", "dst"])
+    out = {r["id"]: r["cluster"]
+           for r in connected_components_star(edges).collect()}
+    assert out == {i: 0 for i in range(40)}
