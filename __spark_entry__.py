@@ -621,8 +621,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             FROM gated g JOIN keep k ON k.fp = g.fp AND k.doc_id = g.doc_id
         """
 
+    def q_clusters_star(spark, sf_dir):
+        from aresdb_spark.operators.dedup import duplicate_clusters
+        docs = _docs(spark, sf_dir)
+        return duplicate_clusters(docs, threshold=0.5, algorithm="star")
+
     out["dedup_exact"] = (q_exact_dedup, exact_dedup_sql())
     out["dedup_clusters"] = (q_clusters, clusters_sql())
+    # same oracle as dedup_clusters: both algorithms compute the same
+    # min-reachable-id labels (large-star/small-star, O(log n) rounds)
+    out["dedup_clusters_star"] = (q_clusters_star, clusters_sql())
     out["pipeline_training_prep"] = (q_prep, prep_sql())
     out["dedup_minhash_lsh"] = (q_minhash, minhash_sql())
     out["dedup_simhash"] = (q_simhash, simhash_sql())

@@ -389,7 +389,8 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 
 def duplicate_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.5,
-                       max_rounds: int = 10) -> DataFrame:
+                       max_rounds: int = 10,
+                       algorithm: str = "hashmin") -> DataFrame:
     """Group documents into duplicate clusters: connected components of
     the MinHash near-duplicate graph, labeled by the minimum reachable
     doc id. Returns (id_col, cluster_id) for EVERY input document
@@ -415,7 +416,12 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     truncation)."""
     edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
-    labels = connected_components(edges, max_rounds=max_rounds)
+    if algorithm == "star":
+        labels = connected_components_star(edges)
+    elif algorithm == "hashmin":
+        labels = connected_components(edges, max_rounds=max_rounds)
+    else:
+        raise ValueError(f"algorithm must be hashmin|star: {algorithm!r}")
     return (df.select(F.col(id_col).cast("long").alias("id"))
             .join(labels, "id", "left")
             .select(F.col("id").alias(id_col),
