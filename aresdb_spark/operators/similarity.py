@@ -192,11 +192,49 @@ IVF_SEED = 0x1F4_C0DE
 def ivf_centroids(dim: int, n_clusters: int = 8, seed: int = IVF_SEED) -> np.ndarray:
     """Deterministic unit-norm coarse-quantizer centroids (committed
     constants, like the LSH hyperplanes). A production deployment trains
-    these with k-means on a sample; the engine-side contract — assignment
-    and probing — is identical either way."""
+    these with k-means on a sample (ivf_train_centroids); the engine-side
+    contract — assignment and probing — is identical either way."""
     rng = np.random.default_rng(seed)
     c = rng.standard_normal((n_clusters, dim))
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def ivf_train_centroids(df: DataFrame, dim: int, n_clusters: int = 8,
+                        sample_rows: int = 10_000, iters: int = 5,
+                        seed: int = IVF_SEED,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a bounded,
+    deterministic sample — the standard IVF practice (the quantizer sees
+    a sample; the full corpus is only ever *assigned*, scan-side).
+
+    Driver memory is bounded by sample_rows x dim floats; the sample is
+    taken by ascending id so training is reproducible and the trained
+    centroids can be inlined as literals into the DuckDB oracle exactly
+    like the fixed ones. Empty clusters re-seed from the least-covered
+    points (k-means++ style fallback)."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).orderBy(id_col)
+         .limit(sample_rows).collect()], dtype=float)
+    if len(sample) == 0:
+        return ivf_centroids(dim, n_clusters, seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                                 1e-12)
+    cents = ivf_centroids(dim, n_clusters, seed)
+    for _ in range(iters):
+        sims = sample @ cents.T                    # (n, k)
+        assign = np.argmax(sims, axis=1)
+        for ci in range(n_clusters):
+            members = sample[assign == ci]
+            if len(members):
+                cents[ci] = members.mean(axis=0)
+            else:                                   # re-seed empty cluster
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cents[ci] = sample[worst]
+        cents = cents / np.maximum(
+            np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    # round so the literals Spark and DuckDB compare against are identical
+    return np.round(cents, 6)
 
 
 def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
@@ -233,7 +271,8 @@ def _ivf_probe_set(query_vec: list[float], centroids: np.ndarray,
 
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              nprobe: int = 2, n_clusters: int = 8,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             centroids: "np.ndarray | None" = None) -> DataFrame:
     """IVF ANN top-k: score only rows assigned to the `nprobe` clusters
     nearest the query. Approximate — recall is bounded by the probe set.
 
@@ -241,7 +280,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     expression; a corpus written `partitionBy(cluster)` turns the probe
     filter into partition pruning (nprobe/n_clusters of the data read).
     Here it prunes rows ahead of the exact cosine."""
-    cents = ivf_centroids(len(query_vec), n_clusters)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(len(query_vec), n_clusters)
     probed = _ivf_probe_set(query_vec, cents, nprobe)
     cand = df.filter(ivf_assign(F.col(vec_col), cents).isin(probed))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
