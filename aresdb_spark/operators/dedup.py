@@ -442,10 +442,12 @@ def connected_components_star(edges: DataFrame,
     graphs, citation chains); for shallow near-dup clusters the hash-min
     loop does fewer shuffles per round and wins.
 
-    Round shape: each phase is ONE groupBy(node) over the current edge
-    list (min + neighbor collect) followed by a scan-side explode — two
-    shuffles per large+small round pair, edge count never grows beyond
-    the input's (each neighbor re-links to exactly one target).
+    Round shape: each phase is a groupBy(node) computing the closed-
+    neighborhood minimum plus a co-partitioned join back to the edges
+    (both sides hashed on the same key — AQE plans one exchange each).
+    No neighbor list is ever materialized, so a 100M-degree hub streams
+    through the aggregate instead of blowing one task's memory (the
+    reason this is NOT collect_list + explode).
 
     - large-star: for each node u, link every neighbor v > u to
       m = min(N(u) + [u]).
@@ -459,25 +461,24 @@ def connected_components_star(edges: DataFrame,
          .distinct().localCheckpoint(eager=True))
     prev_sig = None
     for _ in range(max_rounds):
-        # large-star: group by u over symmetric adjacency; link strictly
-        # larger neighbors to the minimum of the closed neighborhood
+        # large-star: over symmetric adjacency, link each strictly larger
+        # neighbor w of u to m(u) = min of u's closed neighborhood
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        grouped = sym.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m"),
-            F.collect_list("v").alias("nbrs"))
-        e = (grouped.select(
-                "m", F.explode(F.filter("nbrs", lambda x: x > F.col("u"))).alias("w"))
-             .filter(F.col("w") != F.col("m"))
-             .select(F.col("w").alias("u"), F.col("m").alias("v"))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        e = (sym.join(mins, "u")
+             .filter(F.col("v") > F.col("u"))
+             .filter(F.col("v") != F.col("m"))
+             .select(F.col("v").alias("u"), F.col("m").alias("v"))
              .distinct())
-        # small-star: group by u over (big → small) direction only; link
-        # all smaller-or-equal neighbors and u itself to the minimum
-        grouped = e.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m"),
-            F.collect_list("v").alias("nbrs"))
-        e = (grouped.select(
-                "u", "m",
-                F.explode(F.array_union("nbrs", F.array("u"))).alias("w"))
+        # small-star: over the (big → small) direction, link every smaller
+        # neighbor and u itself to m(u)
+        mins = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        relinked = (e.join(mins, "u")
+                    .select(F.col("v").alias("w"), F.col("m")))
+        self_links = mins.select(F.col("u").alias("w"), F.col("m"))
+        e = (relinked.union(self_links)
              .filter(F.col("w") != F.col("m"))
              .select(F.greatest("w", "m").alias("u"),
                      F.least("w", "m").alias("v"))
