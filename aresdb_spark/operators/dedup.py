@@ -428,6 +428,13 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
                     F.coalesce("cluster", F.col("id")).alias("cluster_id")))
 
 
+class ConvergenceError(RuntimeError):
+    """An iterative operator exhausted its round budget before reaching a
+    verified fixpoint. Raised (never silently swallowed) so a caller at
+    100 TB scale learns the labels are partial and can re-run with a
+    bigger ``max_rounds`` or switch algorithm."""
+
+
 def connected_components_star(edges: DataFrame,
                               max_rounds: int = 20) -> DataFrame:
     """Large-star/small-star connected components (the two-phase
@@ -459,7 +466,7 @@ def connected_components_star(edges: DataFrame,
                       F.least("src", "dst").alias("v"))
          .filter(F.col("u") != F.col("v"))
          .distinct().localCheckpoint(eager=True))
-    prev_sig = None
+    prev_sig, prev_e, converged = None, None, False
     for _ in range(max_rounds):
         # large-star: over symmetric adjacency, link each strictly larger
         # neighbor w of u to m(u) = min of u's closed neighborhood
@@ -483,13 +490,24 @@ def connected_components_star(edges: DataFrame,
              .select(F.greatest("w", "m").alias("u"),
                      F.least("w", "m").alias("v"))
              .distinct().localCheckpoint(eager=True))
+        # convergence: cheap signature as a PRE-check only — a matching
+        # signature is then CONFIRMED by exact edge-set equality (both
+        # sides are distinct sets; equal counts + empty exceptAll ⇒ equal
+        # sets), so a signature collision can never end the loop early
         sig = e.agg(F.count("*").alias("n"),
                     F.sum(F.col("u") + F.col("v")).alias("s"),
                     F.sum(F.col("v") * F.col("v")).alias("q")).collect()[0]
         sig = (sig["n"], sig["s"], sig["q"])
-        if sig == prev_sig:
+        if sig == prev_sig and prev_e is not None \
+                and e.exceptAll(prev_e).isEmpty():
+            converged = True
             break
-        prev_sig = sig
+        prev_sig, prev_e = sig, e
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components_star: no fixpoint within "
+            f"max_rounds={max_rounds} (theory bound is O(log n) rounds; "
+            f"raise max_rounds)")
     # fixpoint edges are (member, center) stars; centers label themselves
     members = e.select(F.col("u").alias("id"), F.col("v").alias("cluster"))
     centers = e.select(F.col("v").alias("id")).distinct()         .withColumn("cluster", F.col("id"))
@@ -514,16 +532,27 @@ def connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
                    .alias("cluster"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    converged = prev_sum is None  # no edges ⇒ no labels ⇒ trivially done
     for _ in range(max_rounds):
+        if converged:
+            break
         contrib = (sym.join(labels, sym.dst == labels.id)
                    .select(F.col("src").alias("id"), F.col("cluster")))
         labels = (contrib.union(labels)
                   .groupBy("id").agg(F.min("cluster").alias("cluster"))
                   .localCheckpoint(eager=True))
+        # labels are monotone non-increasing, so an unchanged sum IS the
+        # exact fixpoint (any change strictly decreases the sum)
         new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components: no fixpoint within max_rounds="
+            f"{max_rounds} (rounds needed = component diameter; raise "
+            f"max_rounds or use connected_components_star)")
     return labels
 
 
