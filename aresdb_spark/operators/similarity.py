@@ -208,13 +208,17 @@ def ivf_train_centroids(df: DataFrame, dim: int, n_clusters: int = 8,
     deterministic sample — the standard IVF practice (the quantizer sees
     a sample; the full corpus is only ever *assigned*, scan-side).
 
-    Driver memory is bounded by sample_rows x dim floats; the sample is
-    taken by ascending id so training is reproducible and the trained
-    centroids can be inlined as literals into the DuckDB oracle exactly
-    like the fixed ones. Empty clusters re-seed from the least-covered
-    points (k-means++ style fallback)."""
+    Driver memory is bounded by sample_rows x dim floats. The sample is
+    ordered by md5(id) — a deterministic PSEUDO-RANDOM permutation, so
+    training is reproducible (the trained centroids can be inlined as
+    literals into the DuckDB oracle exactly like the fixed ones) yet
+    unbiased w.r.t. id order: an append-ordered corpus whose content
+    drifts over time would mis-train a quantizer fitted to the
+    id-ascending PREFIX (VERDICT r4 #3). Empty clusters re-seed from the
+    least-covered points (k-means++ style fallback)."""
     sample = np.array(
-        [r[0] for r in df.select(vec_col).orderBy(id_col)
+        [r[0] for r in df.select(vec_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
          .limit(sample_rows).collect()], dtype=float)
     if len(sample) == 0:
         return ivf_centroids(dim, n_clusters, seed)
