@@ -24,8 +24,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _num(col: str, types: dict) -> "F.Column":
+    """Numeric view of a column: timestamps via epoch seconds."""
+    c = F.col(col)
+    if str(types.get(col, "")).startswith("timestamp"):
+        return F.unix_timestamp(c)
+    return c
+
+
+def derive_bucket_width(right: DataFrame, lower: str, upper: str) -> float:
+    """Median interval length of the right side — the width that keeps the
+    expansion factor k = avg buckets per interval ≈ 2. One bounded
+    aggregate job (percentile_approx: a fixed-size sketch per partition,
+    merged on the driver — no sort, no collect of rows). Zero/degenerate
+    medians fall back to 1.0 so point intervals still bucket."""
+    r_types = dict(right.dtypes)
+    p50 = right.select(F.percentile_approx(
+        _num(upper, r_types) - _num(lower, r_types), 0.5).alias("w")
+    ).first()["w"]
+    w = float(p50 or 0.0)
+    return w if w > 0 else 1.0
+
+
 def range_join(left: DataFrame, right: DataFrame, point: str,
-               lower: str, upper: str, bucket_width: float,
+               lower: str, upper: str, bucket_width: "float | None" = None,
                by: list[str] | None = None,
                how: str = "inner") -> DataFrame:
     """Join each left row to every right interval containing it:
@@ -33,11 +55,16 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     ends), optionally also matching on ``by`` key columns. ``how`` may be
     ``inner`` or ``left`` (unmatched left rows keep NULL right columns).
     Numeric or timestamp columns both work; ``bucket_width`` is in the
-    column's native unit (seconds for timestamps).
+    column's native unit (seconds for timestamps). When omitted, the
+    width is derived from the data (median interval length, one extra
+    bounded job — see derive_bucket_width); pass it explicitly to skip
+    that job or to tune k for skewed interval-length distributions.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left: {how!r}")
     by = list(by or [])
+    if bucket_width is None:
+        bucket_width = derive_bucket_width(right, lower, upper)
     w = float(bucket_width)
     if w <= 0:
         raise ValueError("bucket_width must be positive")
@@ -47,10 +74,7 @@ def range_join(left: DataFrame, right: DataFrame, point: str,
     l_types, r_types = dict(left.dtypes), dict(right.dtypes)
 
     def b(col, types):  # bucket index; timestamps via epoch seconds
-        c = F.col(col)
-        is_ts = str(types.get(col, "")).startswith("timestamp")
-        num = F.unix_timestamp(c) if is_ts else c
-        return F.floor(num / w).cast("long")
+        return F.floor(_num(col, types) / w).cast("long")
 
     r_exp = right.withColumn(
         "__bucket",

@@ -86,6 +86,48 @@ def test_range_join_timestamp_point(spark):
     assert rows == [(1, 10)]
 
 
+def test_range_join_auto_width_matches_oracle(spark, duck):
+    """bucket_width=None derives the width from the data and still matches
+    the exact inequality-join oracle."""
+    from aresdb_spark.catalog import Catalog
+
+    ev = Catalog(SF_DIR).load(spark, "events").select("event_id", "value")
+    df = range_join(ev, _brackets(spark), "value", "lo", "hi"
+                    ).select("event_id", "bid")
+    sql = range_join_oracle_sql(
+        "SELECT event_id, value FROM events",
+        "SELECT i::INT AS bid, i*5.0 AS lo, i*5.0+7.0 AS hi FROM range(100) t(i)",
+        point="value", lower="lo", upper="hi",
+        select="l.event_id, r.bid")
+    assert_df_matches_duck(df, duck, sql)
+
+
+def test_range_join_auto_width_avoids_pathological_expansion(spark):
+    """The derived width tracks the median interval length, so intervals
+    span k ≈ 2 buckets — not the k ≫ 2 a badly-guessed narrow width
+    causes (VERDICT r4 #6). Degenerate point intervals fall back to 1."""
+    from aresdb_spark.operators.range_join import derive_bucket_width
+
+    right = spark.range(200).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 10.0).alias("lo"),
+        (F.col("id") * 10.0 + 100.0).alias("hi"))  # every length = 100
+    w = derive_bucket_width(right, "lo", "hi")
+    assert 50.0 <= w <= 200.0, w  # k = 100/w + 1 stays ≈ 2
+
+    points = spark.range(200).select(
+        F.col("id").alias("rid"), F.col("id").cast("double").alias("lo"),
+        F.col("id").cast("double").alias("hi"))
+    assert derive_bucket_width(points, "lo", "hi") == 1.0
+
+    # timestamp intervals derive in seconds
+    ts = spark.sql("""
+        SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS t0,
+               timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60+600) AS t1
+        FROM range(50)""")
+    assert derive_bucket_width(ts, "t0", "t1") == 600.0
+
+
 def test_range_join_is_not_nested_loop(spark):
     left = spark.createDataFrame([(1, 3.0)], ["pid", "x"])
     right = spark.createDataFrame([(10, 0.0, 5.0)], ["rid", "lo", "hi"])
