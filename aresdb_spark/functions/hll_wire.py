@@ -23,17 +23,20 @@ and vice versa:
 - envelope: ``parse_hll_query_results`` / ``HLLQueryResultsWriter`` for the
   multi-result binary response (magic 0xACED0102).
 
-Estimation parity note: the reference corrects raw estimates in the
-(15500, 5*2^14] band with the HLL++ empirical bias tables
-(hll.go:790-880, from the HLL++ paper's published appendix). Those
-constant tables are deliberately NOT copied here; in that band this
-implementation's estimate can exceed the reference's by the bias amount
-(<~5%). Below the band both use linear counting and agree exactly.
+Estimation parity: raw estimates ≤ 5·2^14 are corrected with the HLL++
+empirical bias tables (the public Google bias-correction dataset for
+p=14, embedded in hll_bias_data.py; the reference carries the same slice
+at hll.go:785-880) via the same 6-nearest-neighbor average — estimates
+agree with the reference across the whole range, including the
+(15500, 81920] bias band.
 """
 
 from __future__ import annotations
 
+import bisect
 import struct
+
+from aresdb_spark.functions.hll_bias_data import BIASES, RAW_ESTIMATES
 
 HLL_P = 14                      # precision (HLL_BITS)
 HLL_M = 1 << HLL_P              # number of registers
@@ -197,6 +200,21 @@ def hll_values_u32(values) -> "object":
         return (rho.astype(np.uint32) << np.uint32(16)) | index
 
 
+def estimate_bias(estimate: float) -> float:
+    """HLL++ bias at a raw estimate: average the 6 nearest calibration
+    points' biases, "nearest" by squared distance in raw-estimate space
+    over a 13-wide candidate window around the insertion point
+    (hll.go:639-665 — identical neighbor selection, so corrected
+    estimates match the reference exactly)."""
+    i = bisect.bisect_right(RAW_ESTIMATES, estimate)
+    k = 6
+    lo = max(i - 1 - k, 0)
+    hi = min(i + k, len(RAW_ESTIMATES))
+    nearest = sorted(range(lo, hi),
+                     key=lambda j: (RAW_ESTIMATES[j] - estimate) ** 2)[:k]
+    return sum(BIASES[j] for j in nearest) / k
+
+
 class HLL:
     """Reference HLL sketch: sparse list of (index, rho) or dense 16 KiB
     register vector (query/common/hll.go:133-215)."""
@@ -294,7 +312,7 @@ class HLL:
                   for i in range(len(data) // 3)]
         return cls(sparse=sparse, non_zero=len(sparse))
 
-    # -- estimation (hll.go:735-777; see module docstring re: bias band) --
+    # -- estimation (hll.go:735-777) --
 
     def compute(self) -> float:
         m = float(HLL_M)
@@ -309,8 +327,8 @@ class HLL:
             s += m - non_zero  # missing sparse registers contribute 2^0
         alpha = 0.7213 / (1 + 1.079 / m)
         estimate = alpha * m * m / s
-        # reference subtracts the HLL++ empirical bias here when
-        # estimate <= 5m (tables not copied — see module docstring)
+        if estimate <= 5.0 * m:
+            estimate -= estimate_bias(estimate)
         estimate_h = estimate
         if non_zero < m:
             import math
