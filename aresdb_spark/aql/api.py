@@ -110,7 +110,8 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
 
 def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
                         request: dict[str, Any] | str,
-                        row_cap: int = 100_000) -> bytes:
+                        row_cap: int = 100_000,
+                        register_cap: int = 8_000_000) -> bytes:
     """The ``Content-Accept: application/hll`` analog: run each query's
     dimensions over the reference-exact register pipeline and serialize
     the binary envelope (magic 0xACED0102). Per-query errors become error
@@ -118,8 +119,14 @@ def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
 
     Each query must carry exactly one ``hll(col)`` / ``countdistincthll``
     measure (the reference serves this format only for hll queries).
-    Result rows are bounded by ``row_cap`` (the reference materializes the
-    full result in memory the same way)."""
+    Two independent caps, enforced inside the collect via limit(N+1) and
+    reported with distinct errors: ``row_cap`` bounds result rows
+    (groups — the reference materializes the full result in memory the
+    same way) and ``register_cap`` bounds the driver-collected register
+    rows (memory: ~8M registers ≈ hundreds of MB of driver rows; a fully
+    dense group holds up to 2^14 registers, so the default admits ~488
+    dense groups or millions of sparse ones — dense-heavy workloads
+    raise it explicitly)."""
     from aresdb_spark.functions.hll import hll_registers
     from aresdb_spark.functions.hll_wire import (DT_BOOL, DT_FLOAT32,
                                                  DT_INT8, DT_INT16, DT_INT32,
@@ -149,23 +156,34 @@ def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
             df, resolver, dim_cols, dim_names = planner._filtered_rows(q)
             rows = df.select(*dim_cols,
                              E.compile_ast(ast.args[0], resolver).alias("__hv_in"))
+            # dimension dtypes BEFORE any conversion; timestamp dims are
+            # converted to epoch seconds IN SPARK — PySpark's non-Arrow
+            # collect renders TimestampType via the driver OS timezone,
+            # so converting Python datetimes on the driver would shift
+            # the epoch on a non-UTC host
+            from pyspark.sql import functions as F
+            dtypes = dict(rows.select(*dim_names).dtypes) if dim_names else {}
+            for name, t in dtypes.items():
+                if t.startswith("timestamp"):
+                    rows = rows.withColumn(
+                        name, F.unix_timestamp(F.col(name)).cast("long"))
             regs = hll_registers(rows, dim_names, "__hv_in")
-            # cap enforced INSIDE the collect: limit(N+1) bounds driver
+            # caps enforced INSIDE the collect: limit(N+1) bounds driver
             # memory no matter the group count, then overflow raises
-            max_regs = row_cap * 8
-            collected = regs.limit(max_regs + 1).collect()
-            if len(collected) > max_regs:
-                raise ValueError("hll result exceeds row cap")
+            collected = regs.limit(register_cap + 1).collect()
+            if len(collected) > register_cap:
+                raise ValueError(
+                    f"hll register payload exceeds register cap "
+                    f"({register_cap}); raise register_cap= or reduce "
+                    f"dimension cardinality")
 
             groups: dict[tuple, list[tuple[int, int]]] = {}
             for r in collected:
                 key = tuple(r[n] for n in dim_names)
                 groups.setdefault(key, []).append((r["reg_index"], r["rho"]))
             if len(groups) > row_cap:
-                raise ValueError("hll result exceeds row cap")
-
-            # dimension type codes + value conversion from Spark dtypes
-            dtypes = dict(rows.select(*dim_names).dtypes) if dim_names else {}
+                raise ValueError(
+                    f"hll result exceeds row cap ({row_cap} groups)")
             data_types, converters, enum_dicts = [], [], {}
             for i, name in enumerate(dim_names):
                 t = dtypes[name]
@@ -183,12 +201,10 @@ def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
                 elif t in ("float", "double"):
                     data_types.append(DT_FLOAT32); converters.append(lambda v: v)
                 elif t.startswith("timestamp"):
-                    # reference time dims are Uint32 epoch seconds
+                    # reference time dims are Uint32 epoch seconds; the
+                    # column was already cast to epoch long in Spark
                     data_types.append(DT_UINT32)
-                    converters.append(
-                        lambda v: None if v is None
-                        else int(v.replace(tzinfo=__import__("datetime").timezone.utc)
-                                 .timestamp()))
+                    converters.append(lambda v: v)
                 elif t == "string":
                     cases = sorted({k[i] for k in groups if k[i] is not None})
                     enum_dicts[i] = cases

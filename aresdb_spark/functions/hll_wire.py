@@ -144,12 +144,23 @@ def murmur3_x64_128(key: bytes, seed: int = 0) -> tuple[int, int]:
 
 def hll_value(key: bytes) -> int:
     """``GetHLLValueFunctor`` (query/functor.hpp:444-478): register value
-    ``rho << 16 | index`` from the 64-bit murmur hash of the raw value."""
+    ``rho << 16 | index`` from the 64-bit murmur hash of the raw value.
+
+    Mirrors the functor's effective device behavior exactly: its probe
+    mask ``1 << (rho + HLL_BITS)`` is a 32-bit int and the probe result
+    is truncated to uint32, so only bits 14..31 are ever tested — and
+    once the shift reaches 32 the mask is 0 on NVIDIA, so the loop runs
+    to its rho=50 bound. Net: when bits 14..31 are all zero (p = 2^-18
+    per value), rho is 50 regardless of bits 32..63. Matching the quirk
+    keeps sketches byte-exact with reference-built ones; the estimate
+    impact is nil (2^-50 vs 2^-18.. reciprocals)."""
     hashed = murmur3_x64_128(key, 0)[0]
     index = hashed & (HLL_M - 1)
     rho = 0
     while rho + HLL_P < 64 and (hashed & (1 << (rho + HLL_P))) == 0:
         rho += 1
+    if rho >= 32 - HLL_P:          # bits 14..31 all zero -> device yields 50
+        rho = 64 - HLL_P
     return (rho << 16) | index
 
 
@@ -197,7 +208,10 @@ def hll_values_u32(values) -> "object":
         for bit in range(64 - HLL_P):
             live &= ((shifted >> np.uint64(bit)) & np.uint64(1)) == 0
             rho += live.astype(np.uint32)
-        return (rho.astype(np.uint32) << np.uint32(16)) | index
+        # device-parity clamp (see hll_value): bits 14..31 all zero -> 50
+        rho = np.where(rho >= np.uint32(32 - HLL_P),
+                       np.uint32(64 - HLL_P), rho).astype(np.uint32)
+        return (rho << np.uint32(16)) | index
 
 
 def estimate_bias(estimate: float) -> float:
@@ -340,6 +354,42 @@ class HLL:
 
 # --- dimension value rendering (query/common/dimval.go:36-120) --------------
 
+def _format_float32_g(val: float) -> str:
+    """Go ``strconv.FormatFloat(v, 'g', -1, 32)``: shortest decimal
+    digits that round-trip the float32, rendered fixed-point unless the
+    decimal exponent is < -4 or >= 6, in which case scientific with a
+    signed two-digit exponent (``1e+07``, ``1.5e-05``). Integral values
+    render without a trailing ``.0`` — ``10``, not ``10.0`` — so parsed
+    dim keys compare equal to reference-rendered ones."""
+    import math
+
+    import numpy as np
+
+    f = float(np.float32(val))
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "+Inf" if f > 0 else "-Inf"
+    if f == 0.0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    # shortest round-trip digits + decimal exponent from numpy
+    s = np.format_float_scientific(np.float32(abs(val)), unique=True,
+                                   trim="-")
+    mant, exp10 = s.split("e")
+    digits = mant.replace(".", "")
+    exp10 = int(exp10)          # value = 0.digits * 10^(exp10+1)
+    sign = "-" if f < 0 else ""
+    if exp10 < -4 or exp10 >= 6:
+        body = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+        return f"{sign}{body}e{'+' if exp10 >= 0 else '-'}{abs(exp10):02d}"
+    dp = exp10 + 1              # digits before the decimal point
+    if dp <= 0:
+        return sign + "0." + "0" * (-dp) + digits
+    if dp >= len(digits):
+        return sign + digits + "0" * (dp - len(digits))
+    return sign + digits[:dp] + "." + digits[dp:]
+
+
 def _read_dim_value(buf: memoryview, value_off: int, null_off: int, row: int,
                     dt: int, enum_dict: list[str] | None) -> str | None:
     if buf[null_off + row] == 0:
@@ -348,10 +398,7 @@ def _read_dim_value(buf: memoryview, value_off: int, null_off: int, row: int,
     off = value_off + width * row
     raw = bytes(buf[off:off + width])
     if dt == DT_FLOAT32:
-        val = struct.unpack("<f", raw)[0]
-        # shortest round-trip rendering of the float32 (Go 'g'/-1/32)
-        import numpy as np
-        return repr(np.float32(val))
+        return _format_float32_g(struct.unpack("<f", raw)[0])
     if dt in _SIGNED:
         iv = int.from_bytes(raw, "little", signed=(dt != DT_BOOL))
         return str(iv)
@@ -477,6 +524,13 @@ def parse_hll_query_results(data: bytes, ignore_enum: bool = False
         if is_err:
             results.append(None)
             errors.append(payload.decode("utf-8"))
+            # The reference's WriteError appends 8 zero bytes NOT counted
+            # in size when the message length is a multiple of 8
+            # (hll.go:983: padding = (8 - (len & 7)) & 8). Its own parser
+            # misreads them as a spurious empty result; skip them here so
+            # reference-written envelopes parse cleanly.
+            if size % 8 == 0 and data[pos:pos + 8] == b"\x00" * 8:
+                pos += 8
         else:
             results.append(parse_hll_result(payload, ignore_enum))
             errors.append(None)
@@ -495,6 +549,10 @@ class HLLQueryResultsWriter:
         payload = message.encode("utf-8")
         self._chunks.append(struct.pack("<IB3x", len(payload), 1))
         self._chunks.append(payload)
+        # byte parity with the reference writer's padding quirk
+        # (hll.go:983): 8 extra zero bytes when len is a multiple of 8
+        if len(payload) % 8 == 0:
+            self._chunks.append(b"\x00" * 8)
 
     def write_result(self, rows: list[tuple[list, "HLL"]],
                      data_types: list[int],

@@ -125,6 +125,27 @@ def test_hll_value_vectorized_matches_scalar():
         assert got == hll_value(st.pack("<I", v)), v
 
 
+def test_rho_clamp_mirrors_device_behavior():
+    """ADVICE r4: the reference functor's probe mask is a 32-bit int whose
+    result truncates to uint32, so only bits 14..31 are probed; when all
+    are zero the device loop runs to rho=50 regardless of bits 32..63.
+    Find such values by brute force (p = 2^-18 each, so a 4M scan yields
+    ~16) and assert both scalar and vectorized paths yield rho=50, in
+    agreement with each other."""
+    import numpy as np
+    import struct as st
+
+    vals = np.arange(4_000_000, dtype=np.uint32)
+    hv = hll_values_u32(vals)
+    rhos = (hv >> 16).astype(int)
+    clamped = np.flatnonzero(rhos == 50)
+    assert len(clamped) > 0, "no clamp candidates in scan range"
+    assert not np.any((rhos >= 18) & (rhos < 50)), \
+        "un-clamped rho in the forbidden 18..49 band"
+    for v in clamped[:5].tolist():
+        assert hll_value(st.pack("<I", v)) == hv[v], v
+
+
 def test_writer_parser_roundtrip():
     """Serialize a multi-dim result (mixed widths, enum dict, NULLs,
     sparse + dense sketches) and parse it back."""
@@ -146,6 +167,46 @@ def test_writer_parser_roundtrip():
     assert got["1"]["c"]["2"].dense[5] == 9
     assert got["4294967295"]["d"]["514"] == HLL(
         sparse=[(255, 1), (254, 2)], non_zero=2)
+
+
+def test_error_record_padding_parity():
+    """The reference WriteError appends 8 uncounted zero bytes when the
+    message length is a multiple of 8 (hll.go:983); the writer mirrors
+    that for byte parity and the parser skips it instead of desyncing
+    into a spurious empty result (ADVICE r4)."""
+    w = HLLQueryResultsWriter()
+    w.write_error("eight_by")            # len 8 -> padded
+    w.write_result([([3], HLL(sparse=[(10, 1)], non_zero=1))], [DT_UINT8])
+    w.write_error("seven_b")             # len 7 -> not padded
+    body = w.get_bytes()
+    # the padding bytes are physically present after the first payload
+    assert body[8 + 8 + 8:8 + 8 + 8 + 8] == b"\x00" * 8
+    results, errors = parse_hll_query_results(body)
+    assert errors == ["eight_by", None, "seven_b"]
+    assert results[0] is None and results[2] is None
+    assert results[1] == {"3": HLL(sparse=[(10, 1)], non_zero=1)}
+
+
+def test_format_float32_g_matches_go():
+    """Float32 dim rendering == Go strconv.FormatFloat(v,'g',-1,32):
+    integral values drop the '.0', the fixed/scientific switch happens at
+    decimal exponent -4/6, exponents print signed two-digit."""
+    from aresdb_spark.functions.hll_wire import _format_float32_g as g
+
+    assert g(10.0) == "10"
+    assert g(-10.0) == "-10"
+    assert g(0.0) == "0"
+    assert g(0.5) == "0.5"
+    assert g(123456.7) == "123456.7"
+    assert g(123456.0) == "123456"
+    assert g(1234567.0) == "1.234567e+06"
+    assert g(1e7) == "1e+07"
+    assert g(0.0001) == "0.0001"
+    assert g(1e-05) == "1e-05"
+    assert g(-1.5e-05) == "-1.5e-05"
+    assert g(3.14) == "3.14"
+    assert g(float("inf")) == "+Inf"
+    assert g(float("nan")) == "NaN"
 
 
 def test_writer_single_dim_uint8():
@@ -225,6 +286,74 @@ def test_execute_request_hll_end_to_end(spark):
     for et, n in exact.items():
         est = got[et].compute()
         assert abs(est - n) / max(n, 1) < 0.05, (et, est, n)
+
+
+def test_execute_request_hll_enum_dim_golden(spark):
+    """Enum dimension through the full front door (VERDICT r4 #8,
+    api/query_handler.go:382-420): the envelope physically embeds the
+    enum dict (num_enum_columns=1, cases delimited by \\x00\\n in sorted
+    order), ignore_enum parsing yields the raw indices that map back
+    through the dict, and the bytes are deterministic run-to-run."""
+    from aresdb_spark.aql.api import execute_request_hll
+    from aresdb_spark.functions.hll_wire import (ENUM_DELIMITER,
+                                                 parse_hll_query_results)
+
+    req = {"queries": [
+        {"table": "events",
+         "dimensions": [{"sqlExpression": "event_type"}],
+         "measures": [{"sqlExpression": "hll(user_id)"}]}]}
+    body = execute_request_hll(spark, SF_DIR, req)
+    assert body == execute_request_hll(spark, SF_DIR, req)  # deterministic
+
+    # payload header: first byte after the 8B envelope magic + 8B record
+    # header is num_enum_columns
+    payload = body[16:]
+    assert payload[0] == 1
+    ev = __import__("tests.conftest", fromlist=["load_events"]).load_events(spark)
+    cases = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    assert b"".join(c.encode() + ENUM_DELIMITER for c in cases) in body
+
+    with_enum, _ = parse_hll_query_results(body)
+    no_enum, _ = parse_hll_query_results(body, ignore_enum=True)
+    remapped = {cases[int(k)]: v for k, v in no_enum[0].items()}
+    assert remapped == with_enum[0]
+
+
+def test_execute_request_hll_float_dim_renders_go_g(spark):
+    """A float dimension renders dim keys with Go 'g' formatting —
+    integral float32 values parse back as '10', never '10.0'."""
+    from aresdb_spark.aql.api import execute_request_hll
+    from aresdb_spark.functions.hll_wire import parse_hll_query_results
+
+    body = execute_request_hll(spark, SF_DIR, {"queries": [
+        {"table": "events",
+         "dimensions": [{"sqlExpression": "floor(value / 100) * 10"}],
+         "measures": [{"sqlExpression": "hll(user_id)"}]}]})
+    results, errors = parse_hll_query_results(body)
+    assert errors == [None]
+    keys = set(results[0])
+    assert keys, "no groups"
+    assert not any(k.endswith(".0") for k in keys), keys
+    assert all("." not in k or k.split(".")[1] != "0" for k in keys), keys
+
+
+def test_execute_request_hll_distinct_cap_errors(spark):
+    """Register overflow and group overflow are separate caps with
+    distinct error messages (ADVICE r4): a tiny register_cap trips before
+    grouping; a tiny row_cap trips on group count; both isolate per-query
+    instead of failing the request."""
+    from aresdb_spark.aql.api import execute_request_hll
+    from aresdb_spark.functions.hll_wire import parse_hll_query_results
+
+    q = {"table": "events",
+         "dimensions": [{"sqlExpression": "event_type"}],
+         "measures": [{"sqlExpression": "hll(user_id)"}]}
+    _, errors = parse_hll_query_results(
+        execute_request_hll(spark, SF_DIR, {"queries": [q]}, register_cap=10))
+    assert "register cap" in errors[0], errors
+    _, errors = parse_hll_query_results(
+        execute_request_hll(spark, SF_DIR, {"queries": [q]}, row_cap=2))
+    assert "row cap" in errors[0], errors
 
 
 def test_execute_request_hll_time_dim(spark):
