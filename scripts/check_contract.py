@@ -18,6 +18,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
+# Approximate queries with no exact oracle still get a BOUNDED check: the
+# estimate must sit within rtol of the exact answer computed by DuckDB,
+# joined on the key columns. hll() is Spark approx_count_distinct
+# (HLL++, default rsd=0.05); 3x the rsd is a generous-but-meaningful
+# 3-sigma band. (The driver's row for these stays rows-only.)
+BOUNDED = {
+    "hll_approx_distinct": {
+        "oracle": "SELECT event_type AS et, count(DISTINCT user_id) AS n "
+                  "FROM events GROUP BY 1",
+        "key": "et", "est": "approx_users", "rtol": 0.15,
+    },
+}
+
 
 def norm_rows(cols, rows):
     """Sort columns by name, normalize values, sort rows."""
@@ -79,7 +92,24 @@ def main():
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok    {name}: rows={len(srows)} (no oracle, rows-only)")
+            spec = BOUNDED.get(name)
+            if spec is None:
+                print(f"ok    {name}: rows={len(srows)} (no oracle, rows-only)")
+                continue
+            exact = dict(duck.execute(spec["oracle"]).fetchall())
+            ki, ei = scols.index(spec["key"]), scols.index(spec["est"])
+            got = {r[ki]: r[ei] for r in srows}
+            bad = {k: (got.get(k), exact[k]) for k in exact
+                   if got.get(k) is None
+                   or abs(got[k] - exact[k]) > spec["rtol"] * max(exact[k], 1)}
+            if set(got) != set(exact) or bad:
+                failures.append(name)
+                print(f"FAIL  {name}: bounded check rtol={spec['rtol']}: "
+                      f"keys spark={sorted(got)} exact={sorted(exact)}; "
+                      f"out-of-band={bad}")
+            else:
+                print(f"ok    {name}: rows={len(srows)} bounded "
+                      f"(rtol={spec['rtol']}, {len(exact)} groups)")
             continue
         try:
             res = duck.execute(sql)
