@@ -1505,10 +1505,15 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 # path, e.g. set_intersect/except vs set_union, 15min/timezone buckets vs the
 # hourly/DST buckets, wildcard vs non-agg projection) stay declared and are
 # verified by scripts/check_contract.py over ALL entries each round.
+# r5 rotation (VERDICT r4 #7): join_asof, join_range_brackets and
+# dedup_clusters_star enter the window, displacing siblings that share an
+# in-window code path — aql_snowflake_join (equi-join path == aql_dim_join),
+# aql_scalar_functions2 (expr whitelist path == aql_scalar_functions), and
+# aql_set_union (plan_set_op, judge-verified r4).
 _DRIVER_WINDOW = [
     "aql_count_hourly", "aql_sum_measure_filter", "aql_time_filter_absolute",
-    "aql_time_filter_relative", "aql_dim_join", "aql_snowflake_join",
-    "aql_non_agg_projection", "aql_scalar_functions", "aql_scalar_functions2",
+    "aql_time_filter_relative", "aql_dim_join", "join_asof",
+    "aql_non_agg_projection", "aql_scalar_functions", "join_range_brackets",
     "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
     "aql_count_distinct", "aql_case_when_measure", "aql_numeric_bucket",
     "aql_numeric_bucket_log", "aql_numeric_bucket_manual", "aql_day_of_week",
@@ -1516,12 +1521,13 @@ _DRIVER_WINDOW = [
     "aql_dst_bucket", "aql_bitwise_ops", "aql_is_true_not_in",
     "aql_array_contains", "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
-    "aql_set_union", "aql_topk_users", "geo_join_shapes", "sql_total_trips",
-    "sql_join_bucket_topk", "stream_hotcold_upsert", "stream_session_window",
-    "stream_sliding_window", "hll_approx_distinct", "text_token_counts",
-    "text_quality", "text_language_id", "text_fingerprint", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters", "sim_cosine_topk",
-    "sim_ivf_topk", "sim_embedding_near_dup",
+    "dedup_clusters_star", "aql_topk_users", "geo_join_shapes",
+    "sql_total_trips", "sql_join_bucket_topk", "stream_hotcold_upsert",
+    "stream_session_window", "stream_sliding_window", "hll_approx_distinct",
+    "text_token_counts", "text_quality", "text_language_id",
+    "text_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "dedup_clusters", "sim_cosine_topk", "sim_ivf_topk",
+    "sim_embedding_near_dup",
 ]
 
 
