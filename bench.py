@@ -3,10 +3,19 @@
 Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...}
+   "queries": {name: sec, ...}, "sf": ...,
+   "sf1": {"queries": {...}, "ratio_x10": {...}}}
 
-Each query gets one untimed warmup pass (JIT/codegen/scan cache) and one
-timed pass; the timed pass forces full execution with collect().
+Each query gets one untimed warmup pass (JIT/codegen/scan cache); the
+headline numbers are the median of 3 timed passes (full execution forced
+with collect()).
+
+The ``sf1`` section is the scale-stress tier (VERDICT r4 #5): the
+shuffle-heavy iterative queries (minhash, both CC variants, as-of join)
+re-run on a 10x scale-up of the base dir's documents+events, and
+``ratio_x10`` reports t(10x)/t(1x) per query — super-linear growth that
+local[32] at sf0.1 hides shows up here as a ratio well above 10.
+Disable with SPARK_GRAFT_SF1=0.
 """
 
 from __future__ import annotations
@@ -20,6 +29,46 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       ".benchdata", "sf1")
+
+
+def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
+    """Materialize the 10x tier once: union 10 copies of documents/events
+    with disjoint id spaces. Document text is Caesar-rotated per copy (a
+    bijection on words), so intra-copy Jaccard — and therefore the
+    duplicate-pair structure the minhash/CC queries chew on — is
+    preserved exactly while cross-copy docs share ~no shingles; events
+    shift user/event ids so per-user as-of density is unchanged."""
+    from pyspark.sql import functions as F
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    evs, ds = [], []
+    for k in range(10):
+        off = F.lit(k * 10_000_000)
+        evs.append(ev.select(
+            (F.col("event_id") + off).alias("event_id"), "ts",
+            (F.col("user_id") + off).alias("user_id"),
+            "event_type", "value", "props"))
+        rot = alpha[k:] + alpha[:k]
+        text = F.col("text") if k == 0 else \
+            F.translate(F.translate("text", alpha, rot),
+                        alpha.upper(), rot.upper())
+        ds.append(docs.select(
+            (F.col("doc_id") + off).alias("doc_id"), text.alias("text"),
+            "lang", "source", "n_chars"))
+    import functools
+    functools.reduce(lambda a, b: a.unionByName(b), evs) \
+        .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    functools.reduce(lambda a, b: a.unionByName(b), ds) \
+        .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    open(done, "w").close()
 
 
 def _queries():
@@ -140,6 +189,28 @@ def _queries():
     return out
 
 
+def _stress_queries():
+    """The shuffle-heavy iterative subset re-run at the 10x tier, plus the
+    star-CC variant (not in the headline set — timed at both scales here
+    so its ratio is measured too)."""
+    from pyspark.sql import functions as F
+
+    base = _queries()
+
+    def q12s(spark, sf):
+        from aresdb_spark.operators.dedup import duplicate_clusters
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        return duplicate_clusters(docs, threshold=0.5, algorithm="star") \
+            .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
+
+    return {
+        "q7_minhash_neardup": base["q7_minhash_neardup"],
+        "q12_dedup_clusters": base["q12_dedup_clusters"],
+        "q12s_dedup_clusters_star": q12s,
+        "q13_asof_join": base["q13_asof_join"],
+    }
+
+
 def main():
     from aresdb_spark.session import get_spark
 
@@ -164,13 +235,39 @@ def main():
         sf = float(sf)
     except ValueError:
         pass
-    print(json.dumps({
+    payload = {
         "metric": "aresdb_spark_bench_total",
         "value": round(sum(times.values()), 4),
         "unit": "sec",
         "queries": times,
         "sf": sf,
-    }))
+    }
+
+    if SF1_ENABLED:
+        try:
+            _ensure_sf1(spark, SF_DIR, SF1_DIR)
+            stress = _stress_queries()
+
+            def timed(fn, d):
+                fn(spark, d).collect()            # warmup
+                t0 = time.perf_counter()
+                fn(spark, d).collect()
+                return round(time.perf_counter() - t0, 4)
+
+            t1, t10, ratio = {}, {}, {}
+            for name, fn in stress.items():
+                # base-scale time: reuse the headline median where we
+                # have one; time the extra star variant here
+                t1[name] = times.get(name) or timed(fn, SF_DIR)
+                t10[name] = timed(fn, SF1_DIR)
+                ratio[name] = round(t10[name] / max(t1[name], 1e-9), 2)
+            payload["sf1"] = {"dir": SF1_DIR, "scale_factor": 10,
+                              "base_sec": t1, "queries": t10,
+                              "ratio_x10": ratio}
+        except Exception as e:  # the stress tier must never sink the bench
+            payload["sf1"] = {"error": str(e)}
+
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
