@@ -447,7 +447,10 @@ def connected_components_star(edges: DataFrame,
 
     Use this variant when components can be long chains (URL redirect
     graphs, citation chains); for shallow near-dup clusters the hash-min
-    loop does fewer shuffles per round and wins.
+    loop does fewer shuffles per round and wins. Measured crossover
+    (PERF_NOTES.md, 50k nodes, local[32]): hash-min wins below component
+    diameter ~16, star is effectively flat in diameter (8s at diameter
+    512 vs hash-min's 140s).
 
     Round shape: each phase is a groupBy(node) computing the closed-
     neighborhood minimum plus a co-partitioned join back to the edges
