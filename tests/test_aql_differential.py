@@ -1,0 +1,300 @@
+"""Differential AQL fuzzer: random queries, Spark vs DuckDB.
+
+Every generated component (dimension, measure, filter, time filter) is a
+*pair* — its AQL expression and its DuckDB-SQL rendering — so the whole
+random query composes into both an ``aresdb_spark.aql.Query`` and an
+oracle SQL string. The planner's result and DuckDB's must agree row-for-
+row (float measures within 1e-6 relative).
+
+This generalizes the hand-written contract queries (__spark_entry__.py)
+from ~30 fixed points in query space to a sampled region of it: the
+grammar below covers SURVEY §2.2 predicates (comparisons, IN, BETWEEN,
+NOT, bitwise, modulo), §2.4 aggregations (count/sum/avg/min/max/
+count_distinct, measure filters), §2.5 numeric bucketizers, §2.6 scalar
+functions (hour/dayofweek/minute/floor/abs/case-when), time filters with
+the reference's unit-end ``to`` semantics (query/time_filter.go), and
+§2.7 sorts/limits on the non-aggregate path.
+
+Examples are derandomized for suite stability (a fixed, diverse set per
+hypothesis version); set AQL_FUZZ_EXAMPLES and AQL_FUZZ_RANDOM=1 for a
+wider exploratory hunt.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_DIR, assert_df_matches_duck
+
+N_EXAMPLES = int(os.environ.get("AQL_FUZZ_EXAMPLES", "30"))
+DERANDOMIZE = os.environ.get("AQL_FUZZ_RANDOM", "") != "1"
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+# ---------------------------------------------------------------------------
+# component strategies: each draws a (aql_fragment, duckdb_fragment[, obj])
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def dim_pair(draw):
+    """A random group-by dimension as (Dimension, duckdb_sql)."""
+    from aresdb_spark.aql import Dimension
+    from aresdb_spark.aql.model import NumericBucketizer
+
+    kind = draw(st.sampled_from(
+        ["raw", "mod", "hour", "dow", "minute", "bucket", "bucket_fn",
+         "case", "bitand", "shift"]))
+    i = draw(st.integers(0, 10_000))  # uniquifies aliases
+    alias = f"d{kind}{i}"
+    if kind == "raw":
+        return Dimension(expr="event_type", alias=alias), f"event_type AS {alias}"
+    if kind == "mod":
+        k = draw(st.integers(2, 11))
+        return (Dimension(expr=f"user_id % {k}", alias=alias),
+                f"user_id % {k} AS {alias}")
+    if kind == "hour":
+        return (Dimension(expr="hour(ts)", alias=alias),
+                f"hour(ts)::INT AS {alias}")
+    if kind == "dow":
+        # Spark dayofweek is Sunday=1; DuckDB dayofweek is Sunday=0
+        return (Dimension(expr="dayofweek(ts)", alias=alias),
+                f"(dayofweek(ts) + 1)::INT AS {alias}")
+    if kind == "minute":
+        return (Dimension(expr="minute(ts)", alias=alias),
+                f"minute(ts)::INT AS {alias}")
+    if kind == "bucket":
+        w = draw(st.sampled_from([5, 10, 20, 25, 50]))
+        return (Dimension(expr="value",
+                          numeric_bucketizer=NumericBucketizer(bucket_width=w),
+                          alias=alias),
+                f"floor(value / {w}) * {w} AS {alias}")
+    if kind == "bucket_fn":  # 2-arg floor, the reference's floor(x, N) form
+        w = draw(st.sampled_from([4, 8, 16]))
+        return (Dimension(expr=f"floor(value, {w})", alias=alias),
+                f"floor(value / {w}) * {w} AS {alias}")
+    if kind == "case":
+        x = draw(st.integers(5, 300))
+        return (Dimension(expr=f"case when value > {x} then 'hi' else 'lo' end",
+                          alias=alias),
+                f"CASE WHEN value > {x} THEN 'hi' ELSE 'lo' END AS {alias}")
+    if kind == "bitand":
+        m = draw(st.sampled_from([1, 3, 7, 15]))
+        return (Dimension(expr=f"user_id & {m}", alias=alias),
+                f"user_id & {m} AS {alias}")
+    k = draw(st.integers(1, 3))  # shift
+    return (Dimension(expr=f"user_id >> {k}", alias=alias),
+            f"user_id >> {k} AS {alias}")
+
+
+@st.composite
+def measure_pair(draw):
+    """(Measure, duckdb_sql, merge_where) — ``merge_where`` is non-None
+    for a filtered measure and carries (plain_sql, where_clause): when it
+    is the query's ONLY measure, the reference merges its row filters
+    into the WHERE set (groups disappear — query/aql_compiler.go:807-818,
+    mirrored at planner.py:390-394), so the oracle must render the
+    filter as WHERE, not FILTER. Multi-measure queries use FILTER."""
+    from aresdb_spark.aql import Measure
+
+    kind = draw(st.sampled_from(
+        ["count", "sum", "min", "max", "avg", "cd", "filtered", "expr"]))
+    i = draw(st.integers(0, 10_000))
+    alias = f"m{kind}{i}"
+    if kind == "count":
+        return Measure(expr="count(*)", alias=alias), f"count(*) AS {alias}", None
+    if kind == "sum":
+        return (Measure(expr="sum(value)", alias=alias),
+                f"sum(value) AS {alias}", None)
+    if kind == "min":
+        return (Measure(expr="min(value)", alias=alias),
+                f"min(value) AS {alias}", None)
+    if kind == "max":
+        return (Measure(expr="max(value)", alias=alias),
+                f"max(value) AS {alias}", None)
+    if kind == "avg":
+        return (Measure(expr="avg(value)", alias=alias),
+                f"avg(value) AS {alias}", None)
+    if kind == "cd":
+        col = draw(st.sampled_from(["user_id", "event_type"]))
+        return (Measure(expr=f"count_distinct({col})", alias=alias),
+                f"count(DISTINCT {col}) AS {alias}", None)
+    if kind == "filtered":
+        et = draw(st.sampled_from(EVENT_TYPES))
+        agg = draw(st.sampled_from(["sum", "count", "min"]))
+        arg = "*" if agg == "count" else "value"
+        cond = f"event_type = '{et}'"
+        return (Measure(expr=f"{agg}({arg})", alias=alias, filters=[cond]),
+                f"{agg}({arg}) FILTER (WHERE {cond}) AS {alias}",
+                (f"{agg}({arg}) AS {alias}", cond))
+    # expression over aggregates
+    return (Measure(expr="sum(value) / (count(*) + 1)", alias=alias),
+            f"sum(value) / (count(*) + 1) AS {alias}", None)
+
+
+@st.composite
+def filter_pair(draw):
+    kind = draw(st.sampled_from(
+        ["cmp", "in", "mod", "not", "between", "bitand", "notin", "or"]))
+    if kind == "cmp":
+        op = draw(st.sampled_from([">", "<", ">=", "<="]))
+        x = draw(st.integers(1, 320))
+        return f"value {op} {x}", f"value {op} {x}"
+    if kind == "in":
+        ets = draw(st.sets(st.sampled_from(EVENT_TYPES), min_size=1, max_size=4))
+        lst = ", ".join(f"'{e}'" for e in sorted(ets))
+        return f"event_type in ({lst})", f"event_type IN ({lst})"
+    if kind == "mod":
+        k, r = draw(st.integers(2, 7)), draw(st.integers(0, 1))
+        return f"user_id % {k} = {r}", f"user_id % {k} = {r}"
+    if kind == "not":
+        n = draw(st.integers(0, 14))
+        return f"not (user_id = {n})", f"NOT (user_id = {n})"
+    if kind == "between":
+        a = draw(st.integers(0, 150))
+        b = a + draw(st.integers(1, 170))
+        return f"value between {a} and {b}", f"value BETWEEN {a} AND {b}"
+    if kind == "bitand":
+        m = draw(st.sampled_from([1, 3, 7]))
+        r = draw(st.integers(0, 1))
+        return f"user_id & {m} = {r}", f"user_id & {m} = {r}"
+    if kind == "notin":
+        ets = draw(st.sets(st.sampled_from(EVENT_TYPES), min_size=1, max_size=2))
+        lst = ", ".join(f"'{e}'" for e in sorted(ets))
+        return f"event_type not in ({lst})", f"event_type NOT IN ({lst})"
+    x = draw(st.integers(1, 320))  # or
+    et = draw(st.sampled_from(EVENT_TYPES))
+    return (f"value > {x} or event_type = '{et}'",
+            f"(value > {x} OR event_type = '{et}')")
+
+
+@st.composite
+def time_filter_pair(draw):
+    """Day-granularity from/to inside the data's Jan 2024 range; the
+    reference's ``to`` is inclusive of its unit → oracle end = day + 1
+    (query/time_filter.go ParseTimeFilter; see aql_time_filter_absolute)."""
+    from aresdb_spark.aql import TimeFilter
+
+    d0 = draw(st.integers(1, 25))
+    d1 = d0 + draw(st.integers(0, 29 - d0))
+    f, t = f"2024-01-{d0:02d}", f"2024-01-{d1:02d}"
+    return (TimeFilter(from_=f, to=t),
+            f"ts >= TIMESTAMP '{f}' AND ts < TIMESTAMP '{t}' + INTERVAL 1 DAY")
+
+
+@st.composite
+def agg_query_pair(draw):
+    """A random aggregate query: 1-3 dims x 1-3 measures x 0-3 filters
+    x optional time filter, as (Query, oracle_sql)."""
+    from aresdb_spark.aql import Query
+
+    dims = draw(st.lists(dim_pair(), min_size=1, max_size=3,
+                         unique_by=lambda p: p[0].alias))
+    measures = draw(st.lists(measure_pair(), min_size=1, max_size=3,
+                             unique_by=lambda p: p[0].alias))
+    filters = draw(st.lists(filter_pair(), min_size=0, max_size=3,
+                            unique_by=lambda p: p[0]))
+    tf = draw(st.none() | time_filter_pair())
+
+    # single filtered measure -> reference merges its filter into WHERE
+    measure_sqls = [m[1] for m in measures]
+    extra_where = []
+    if len(measures) == 1 and measures[0][2] is not None:
+        measure_sqls = [measures[0][2][0]]
+        extra_where = [measures[0][2][1]]
+
+    select = ", ".join([d[1] for d in dims] + measure_sqls)
+    where = [f[1] for f in filters] + extra_where + ([tf[1]] if tf else [])
+    where_sql = (" WHERE " + " AND ".join(where)) if where else ""
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    sql = f"SELECT {select} FROM events{where_sql} GROUP BY {group}"
+    q = Query(table="events",
+              dimensions=[d[0] for d in dims],
+              measures=[m[0] for m in measures],
+              filters=[f[0] for f in filters],
+              time_filter=tf[0] if tf else None)
+    return q, sql
+
+
+@st.composite
+def nonagg_query_pair(draw):
+    """A random non-aggregate projection (measure expr '1' selects the
+    reference's non-agg path): scalar dims, filters, ORDER BY the unique
+    event_id, LIMIT — deterministic, so compared in order."""
+    from aresdb_spark.aql import Dimension, Query, SortField
+
+    scalar_kinds = draw(st.lists(
+        st.sampled_from(["abs", "arith", "hour", "case", "raw", "round"]),
+        min_size=1, max_size=4))
+    dims, selects = [Dimension(expr="event_id", alias="event_id")], ["event_id"]
+    for j, kind in enumerate(scalar_kinds):
+        alias = f"s{j}"
+        if kind == "abs":
+            x = draw(st.integers(0, 300))
+            dims.append(Dimension(expr=f"abs(value - {x})", alias=alias))
+            selects.append(f"abs(value - {x}) AS {alias}")
+        elif kind == "arith":
+            a, b = draw(st.integers(1, 9)), draw(st.integers(1, 99))
+            dims.append(Dimension(expr=f"value * {a} + user_id - {b}", alias=alias))
+            selects.append(f"value * {a} + user_id - {b} AS {alias}")
+        elif kind == "hour":
+            dims.append(Dimension(expr="hour(ts)", alias=alias))
+            selects.append(f"hour(ts)::INT AS {alias}")
+        elif kind == "case":
+            x = draw(st.integers(5, 300))
+            dims.append(Dimension(
+                expr=f"case when value > {x} then user_id else -1 end",
+                alias=alias))
+            selects.append(
+                f"CASE WHEN value > {x} THEN user_id ELSE -1 END AS {alias}")
+        elif kind == "raw":
+            dims.append(Dimension(expr="event_type", alias=alias))
+            selects.append(f"event_type AS {alias}")
+        else:  # round
+            n = draw(st.integers(0, 3))
+            dims.append(Dimension(expr=f"round(value, {n})", alias=alias))
+            selects.append(f"round(value, {n}) AS {alias}")
+    filters = draw(st.lists(filter_pair(), min_size=0, max_size=2,
+                            unique_by=lambda p: p[0]))
+    limit = draw(st.sampled_from([10, 50, 200]))
+
+    from aresdb_spark.aql import Measure, Query
+    where = (" WHERE " + " AND ".join(f[1] for f in filters)) if filters else ""
+    sql = (f"SELECT {', '.join(selects)} FROM events{where} "
+           f"ORDER BY event_id LIMIT {limit}")
+    q = Query(table="events", dimensions=dims,
+              measures=[Measure(expr="1")],
+              filters=[f[0] for f in filters],
+              sorts=[SortField("event_id")], limit=limit)
+    return q, sql
+
+
+# ---------------------------------------------------------------------------
+# the differential check
+# ---------------------------------------------------------------------------
+
+def _run_both(spark, duck, q, sql):
+    from aresdb_spark.aql.planner import plan_query
+
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, sql, approx=True, tol=1e-6)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=agg_query_pair())
+def test_fuzz_agg_queries_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=nonagg_query_pair())
+def test_fuzz_nonagg_projection_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
