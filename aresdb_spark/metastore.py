@@ -119,6 +119,22 @@ ErrInvalidSortColumnDataType = _err(
     "ErrInvalidSortColumnDataType", "Sort column does not allow array type column")
 ErrTimeColumnDoesNotAllowDefault = _err(
     "ErrTimeColumnDoesNotAllowDefault", "Time column does not allow default value")
+ErrNotEnumColumn = _err("ErrNotEnumColumn", "Column is not enum type")
+ErrEnumCardinalityOverflow = _err(
+    "ErrEnumCardinalityOverflow", "Enum column cardinality exceeds limit")
+
+ENUM_TYPES = frozenset({"SmallEnum", "BigEnum", "SmallEnum[]", "BigEnum[]"})
+# enum file case separator (metastore/common/data_type.go:19)
+ENUM_DELIMITER = "\u0000\n"
+
+
+def enum_cardinality(column_type: str) -> int:
+    """metastore/common/model.go:180-189."""
+    if column_type in ("SmallEnum", "SmallEnum[]"):
+        return 1 << 8
+    if column_type in ("BigEnum", "BigEnum[]"):
+        return 1 << 16
+    return 0
 
 
 # --- validation (metastore/validator.go:51-256) -----------------------------
@@ -208,12 +224,20 @@ class SchemaStore:
     def __init__(self, base_dir: str | None = None):
         self.base_dir = base_dir
         self._tables: dict[str, dict] = {}
+        self._enums: dict[tuple[str, str], list[str]] = {}
         if base_dir and os.path.isdir(base_dir):
             for name in sorted(os.listdir(base_dir)):
                 p = os.path.join(base_dir, name, "schema.json")
                 if os.path.isfile(p):
                     with open(p) as f:
                         self._tables[name] = json.load(f)
+                ed = os.path.join(base_dir, name, "enums")
+                if os.path.isdir(ed):
+                    for col in sorted(os.listdir(ed)):
+                        with open(os.path.join(ed, col)) as f:
+                            cases = f.read().split(ENUM_DELIMITER)
+                        self._enums[(name, col)] = \
+                            cases if cases != [""] else []
 
     # -- persistence (writeSchemaFile analog) --
     def _persist(self, table: dict) -> None:
@@ -303,6 +327,49 @@ class SchemaStore:
                 return
         raise ErrColumnDoesNotExist()
 
+    # -- enum dictionaries (disk_metastore.go:686-756, 1440-1470) --
+    def _enum_column(self, name: str, column_name: str) -> dict:
+        table = self._get(name)
+        for col in _columns(table):
+            if col["name"] == column_name and not col.get("deleted"):
+                if col["type"] not in ENUM_TYPES:
+                    raise ErrNotEnumColumn()
+                return col
+        raise ErrColumnDoesNotExist()
+
+    def _persist_enums(self, name: str, column_name: str) -> None:
+        if not self.base_dir:
+            return
+        d = os.path.join(self.base_dir, name, "enums")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, column_name), "w") as f:
+            f.write(ENUM_DELIMITER.join(self._enums[(name, column_name)]))
+
+    def get_enum_cases(self, name: str, column_name: str) -> list[str]:
+        """ListEnumCases analog: cases in enum-id order."""
+        self._enum_column(name, column_name)
+        return list(self._enums.get((name, column_name), []))
+
+    def extend_enum_dict(self, name: str, column_name: str,
+                         enum_cases: list[str]) -> list[int]:
+        """ExtendEnumDict (disk_metastore.go:686-756): idempotent append —
+        existing cases return their ids, new cases get the next ids; the
+        whole batch is rejected if it would exceed the type's cardinality
+        (SmallEnum 2^8, BigEnum 2^16)."""
+        col = self._enum_column(name, column_name)
+        existing = self._enums.setdefault((name, column_name), [])
+        ids = {c: i for i, c in enumerate(existing)}
+        if len(existing) + len(enum_cases) > enum_cardinality(col["type"]):
+            raise ErrEnumCardinalityOverflow()
+        out = []
+        for case in enum_cases:
+            if case not in ids:
+                ids[case] = len(existing)
+                existing.append(case)
+            out.append(ids[case])
+        self._persist_enums(name, column_name)
+        return out
+
     def delete_column(self, name: str, column_name: str) -> None:
         """disk_metastore.go:1067-1099: tombstone, keep the id; the fact
         time column (id 0) and primary-key columns cannot be deleted."""
@@ -315,6 +382,13 @@ class SchemaStore:
                     raise ErrDeletePrimaryKeyColumn()
                 col["deleted"] = True
                 self._persist(table)
+                if col["type"] in ENUM_TYPES:  # removeEnumColumn analog
+                    self._enums.pop((name, column_name), None)
+                    if self.base_dir:
+                        p = os.path.join(self.base_dir, name, "enums",
+                                         column_name)
+                        if os.path.isfile(p):
+                            os.remove(p)
                 return
         raise ErrColumnDoesNotExist()
 
@@ -372,6 +446,17 @@ class SchemaHandler:
     # DELETE /schema/tables/{table}/columns/{column}
     def delete_column(self, table: str, column: str):
         return self._run(lambda: self.store.delete_column(table, column))
+
+    # GET /schema/tables/{table}/columns/{column}/enum-cases
+    # (api/enum_handler.go:43,53-88)
+    def list_enum_cases(self, table: str, column: str):
+        return self._run(lambda: self.store.get_enum_cases(table, column))
+
+    # POST /schema/tables/{table}/columns/{column}/enum-cases
+    # (api/enum_handler.go:44,90-128 — body {"enumCases": [...]} → ids)
+    def add_enum_case(self, table: str, column: str, body: dict):
+        return self._run(lambda: self.store.extend_enum_dict(
+            table, column, list(body.get("enumCases") or [])))
 
 
 # --- bridge into the query catalog ------------------------------------------

@@ -173,6 +173,31 @@ def test_json_persistence_round_trip(tmp_path):
     assert SchemaStore(base_dir=base).list_tables() == []
 
 
+def test_enum_dict_extend_idempotent_with_cardinality_limit(tmp_path):
+    from aresdb_spark.metastore import (ErrEnumCardinalityOverflow,
+                                        ErrNotEnumColumn)
+    s = SchemaStore(base_dir=str(tmp_path / "meta"))
+    t = dim_table()
+    t["columns"][1]["type"] = "SmallEnum"
+    s.create_table(t)
+    assert s.extend_enum_dict("cities", "city", ["sf", "nyc"]) == [0, 1]
+    # existing cases keep their ids; only genuinely new ones get new ids
+    assert s.extend_enum_dict("cities", "city", ["nyc", "la"]) == [1, 2]
+    assert s.get_enum_cases("cities", "city") == ["sf", "nyc", "la"]
+    # persisted with the reference's \x00\n delimiter and reloadable
+    s2 = SchemaStore(base_dir=s.base_dir)
+    assert s2.get_enum_cases("cities", "city") == ["sf", "nyc", "la"]
+    with pytest.raises(ErrNotEnumColumn):
+        s.extend_enum_dict("cities", "id", ["x"])
+    with pytest.raises(ErrEnumCardinalityOverflow):
+        s.extend_enum_dict("cities", "city", [f"c{i}" for i in range(254)])
+    # tombstoning the column drops its dictionary
+    s.delete_column("cities", "city")
+    with pytest.raises(ErrColumnDoesNotExist):
+        s.get_enum_cases("cities", "city")
+    assert SchemaStore(base_dir=s.base_dir)._enums == {}
+
+
 # --- handler layer (api/schema_handler.go) ----------------------------------
 
 def test_handler_status_codes():
@@ -191,6 +216,19 @@ def test_handler_status_codes():
     assert h.store.get_table("trips")["config"]["batchSize"] == 1024
     assert h.delete_table("trips")[0] == 200
     assert h.delete_table("trips")[0] == 404
+
+
+def test_enum_handler_routes():
+    h = SchemaHandler(SchemaStore())
+    t = dim_table()
+    t["columns"][1]["type"] = "BigEnum"
+    h.add_table(t)
+    assert h.list_enum_cases("cities", "city") == (200, [])
+    assert h.add_enum_case("cities", "city",
+                           {"enumCases": ["sf", "nyc"]}) == (200, [0, 1])
+    assert h.list_enum_cases("cities", "city") == (200, ["sf", "nyc"])
+    assert h.list_enum_cases("nope", "city")[0] == 404
+    assert h.add_enum_case("cities", "id", {"enumCases": ["x"]})[0] == 400
 
 
 # --- bridge into planning ----------------------------------------------------
