@@ -1,0 +1,389 @@
+"""UpsertBatch V1 binary wire format — the serialized batch the reference
+uses for client→server data transfer, Kafka transport, and redo logging.
+
+Reference layout (memstore/common/upsert_batch.go:120-146):
+
+    [uint32] magic/version 0xFEED0001
+    [int32]  num_of_rows            [uint16] num_of_columns
+    <14 reserved bytes>             [uint32] arrival_time
+    [uint32] column_offset_0..x+1   [uint32] enum_dict_length_0..x
+    [uint32] reserved_0..x          [uint32] column_data_type_0..x
+    [uint16] column_id_0..x         [uint8]  column_mode_0..x
+    per column: (optional null bitvector) | (8-byte-aligned value vector)
+
+All little-endian, byte-aligned; the column mode byte packs
+``mode | update_mode << 3`` (upsert_batch_header.go:161-173). Column modes
+(vector_party.go:30-41): 0 = all default/null, 1 = all present,
+2 = has null vector. Update modes (upsert_batch_builder.go:30-43):
+0 overwrite-not-null, 1 force, 2 add, 3 min, 4 max — these map 1:1 onto
+``streaming.upsert.UpdateMode``.
+
+The writer is byte-exact with the reference's ``ToByteArray``
+(upsert_batch_builder.go:406-469) — verified against the golden buffers in
+the reference's own upsert_batch_builder_test.go — and the parser mirrors
+``NewUpsertBatch``/``readUpsertBatch`` (upsert_batch.go:437-555).
+
+Fixed-size scalar types are supported (the reference's own format doc:
+"only fixed size values are supported currently"); GeoShape and array
+payloads raise ``NotImplementedError``.
+
+``upsert_batch_to_df`` bridges a parsed batch into the Spark upsert path:
+column ids resolve to names through a metastore schema document and the
+wire update modes become ``apply_upsert`` modes, so bytes built by a
+reference client ingest directly into the hot store.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import Any
+
+MAGIC_V1 = 0xFEED0001
+
+# data type codes (memstore/common/data_type.go:44-74): the low 16 bits
+# carry the width in bits, bits 16..23 the ordinal, bit 24 the array flag
+DATA_TYPES = {
+    "Bool": 0x00000001, "Int8": 0x00010008, "Uint8": 0x00020008,
+    "Int16": 0x00030010, "Uint16": 0x00040010, "Int32": 0x00050020,
+    "Uint32": 0x00060020, "Float32": 0x00070020, "SmallEnum": 0x00080008,
+    "BigEnum": 0x00090010, "UUID": 0x000A0080, "GeoPoint": 0x000B0040,
+    "GeoShape": 0x000C0000, "Int64": 0x000D0040,
+}
+TYPE_NAMES = {v: k for k, v in DATA_TYPES.items()}
+
+# column modes (vector_party.go:30-41)
+ALL_VALUES_DEFAULT, ALL_VALUES_PRESENT, HAS_NULL_VECTOR = 0, 1, 2
+
+# update modes (upsert_batch_builder.go:30-43) → streaming.upsert.UpdateMode
+UPDATE_MODE_NAMES = ("overwrite", "force", "add", "min", "max")
+
+_PACK = {  # struct format per fixed-width type (bits >= 8)
+    "Int8": "<b", "Uint8": "<B", "SmallEnum": "<B",
+    "Int16": "<h", "Uint16": "<H", "BigEnum": "<H",
+    "Int32": "<i", "Uint32": "<I", "Float32": "<f", "Int64": "<q",
+}
+
+
+def _bits(type_code: int) -> int:
+    return type_code & 0xFFFF
+
+
+def _align(off: int, n: int) -> int:
+    return (off + n - 1) // n * n
+
+
+class UnsupportedUpsertType(NotImplementedError):
+    """GeoShape / array element payloads — variable-length Go types the
+    reference itself documents as unsupported in the fixed-size format."""
+
+
+def _check_supported(type_name: str) -> None:
+    if type_name == "GeoShape" or type_name.endswith("[]"):
+        raise UnsupportedUpsertType(type_name)
+
+
+# --------------------------------------------------------------------------
+# writer (upsert_batch_builder.go:327-469)
+# --------------------------------------------------------------------------
+
+@dataclass
+class _ColumnBuilder:
+    column_id: int
+    type_name: str
+    update_mode: int = 0
+    values: list[Any] = field(default_factory=list)
+
+    @property
+    def n_valid(self) -> int:
+        return sum(v is not None for v in self.values)
+
+    def mode(self) -> int:
+        if self.n_valid == 0:
+            return ALL_VALUES_DEFAULT
+        if self.n_valid == len(self.values):
+            return ALL_VALUES_PRESENT
+        return HAS_NULL_VECTOR
+
+
+class _BitWriter:
+    """The reference BufferWriter: bit-granular appends into a fixed
+    buffer, with byte/word alignment helpers."""
+
+    def __init__(self, size: int):
+        self.buf = bytearray(size)
+        self.bit = 0  # absolute bit offset
+
+    @property
+    def byte(self) -> int:
+        return self.bit // 8
+
+    def align(self, n: int) -> None:
+        self.bit = _align(_align(self.bit, 8) // 8, n) * 8
+
+    def skip_bits(self, n: int) -> None:
+        self.bit += n
+
+    def append_bit(self, v: bool) -> None:
+        if v:
+            self.buf[self.bit // 8] |= 1 << (self.bit % 8)
+        self.bit += 1
+
+    def append_bytes(self, b: bytes) -> None:
+        assert self.bit % 8 == 0
+        off = self.bit // 8
+        self.buf[off:off + len(b)] = b
+        self.bit += len(b) * 8
+
+    def write_at(self, byte_off: int, b: bytes) -> None:
+        self.buf[byte_off:byte_off + len(b)] = b
+
+
+class UpsertBatchBuilder:
+    """Builds a V1 UpsertBatch buffer, byte-exact with the reference
+    builder. ``arrival_time`` is explicit (the reference stamps
+    ``utils.Now()``; passing it keeps builds deterministic)."""
+
+    def __init__(self, arrival_time: int = 0):
+        self.arrival_time = int(arrival_time)
+        self.num_rows = 0
+        self.columns: list[_ColumnBuilder] = []
+
+    def add_column(self, column_id: int, type_name: str,
+                   update_mode: int | str = 0) -> None:
+        _check_supported(type_name)
+        if type_name not in DATA_TYPES:
+            raise ValueError(f"unknown data type {type_name!r}")
+        if isinstance(update_mode, str):
+            update_mode = UPDATE_MODE_NAMES.index(update_mode)
+        self.columns.append(_ColumnBuilder(
+            column_id, type_name, int(update_mode),
+            [None] * self.num_rows))
+
+    def add_row(self) -> None:
+        self.num_rows += 1
+        for c in self.columns:
+            c.values.append(None)
+
+    def set_value(self, row: int, col: int, value: Any) -> None:
+        self.columns[col].values[row] = value
+
+    # -- serialization ------------------------------------------------------
+
+    def _column_sizes(self, start: int) -> list[tuple[int, int]]:
+        """(start_offset, end_offset) per column, replicating
+        CalculateBufferSize (upsert_batch_builder.go:112-151)."""
+        spans = []
+        off = start
+        for c in self.columns:
+            s = off
+            mode = c.mode()
+            if mode != ALL_VALUES_DEFAULT:
+                if mode == HAS_NULL_VECTOR:
+                    off += (len(c.values) + 7) // 8
+                off = _align(off, 8)
+                off += (_bits(DATA_TYPES[c.type_name]) * len(c.values) + 7) // 8
+            spans.append((s, off))
+        return spans
+
+    def to_byte_array(self) -> bytes:
+        n_cols = len(self.columns)
+        header_size = 4 + 24 + ((n_cols + 1) * 4 + n_cols * 4 + n_cols * 4
+                                + n_cols * 4 + n_cols * 2 + n_cols)
+        spans = self._column_sizes(header_size)
+        size = _align(spans[-1][1] if spans else header_size, 8)
+        w = _BitWriter(size)
+        w.append_bytes(struct.pack("<I", MAGIC_V1))
+        w.append_bytes(struct.pack("<i", self.num_rows))
+        w.append_bytes(struct.pack("<H", n_cols))
+        w.skip_bits(14 * 8)
+        w.append_bytes(struct.pack("<I", self.arrival_time & 0xFFFFFFFF))
+
+        # column header block at byte 28
+        off = 28
+        for i, (s, _) in enumerate(spans):
+            w.write_at(off + i * 4, struct.pack("<I", s))
+        if spans:
+            w.write_at(off + n_cols * 4, struct.pack("<I", spans[-1][1]))
+        off += (n_cols + 1) * 4
+        off += n_cols * 4  # enum dict lengths (zero)
+        off += n_cols * 4  # reserved
+        for i, c in enumerate(self.columns):
+            w.write_at(off + i * 4, struct.pack("<I", DATA_TYPES[c.type_name]))
+        off += n_cols * 4
+        for i, c in enumerate(self.columns):
+            w.write_at(off + i * 2, struct.pack("<H", c.column_id))
+        off += n_cols * 2
+        for i, c in enumerate(self.columns):
+            w.write_at(off + i, bytes([c.mode() | (c.update_mode << 3)]))
+
+        # column data (AppendToBuffer, upsert_batch_builder.go:153-305)
+        for c, (s, _) in zip(self.columns, spans):
+            mode = c.mode()
+            if mode == ALL_VALUES_DEFAULT:
+                continue
+            w.bit = s * 8
+            if mode == HAS_NULL_VECTOR:
+                for v in c.values:
+                    w.append_bit(v is not None)
+            w.align(8)
+            bits = _bits(DATA_TYPES[c.type_name])
+            for v in c.values:
+                if v is None:
+                    w.skip_bits(bits)
+                elif c.type_name == "Bool":
+                    w.append_bit(bool(v))
+                elif c.type_name == "UUID":
+                    hi, lo = v  # two uint64 halves
+                    w.append_bytes(struct.pack("<QQ", hi, lo))
+                elif c.type_name == "GeoPoint":
+                    w.append_bytes(struct.pack("<ff", v[0], v[1]))
+                else:
+                    w.append_bytes(struct.pack(_PACK[c.type_name], v))
+        return bytes(w.buf)
+
+
+# --------------------------------------------------------------------------
+# parser (upsert_batch.go:437-555)
+# --------------------------------------------------------------------------
+
+@dataclass
+class UpsertColumn:
+    column_id: int
+    type_name: str
+    mode: int
+    update_mode: int
+    values: list[Any]  # one entry per row, None = null/default
+
+    @property
+    def update_mode_name(self) -> str:
+        return UPDATE_MODE_NAMES[self.update_mode]
+
+
+@dataclass
+class UpsertBatch:
+    num_rows: int
+    arrival_time: int
+    columns: list[UpsertColumn]
+
+    def column_by_id(self, column_id: int) -> UpsertColumn:
+        for c in self.columns:
+            if c.column_id == column_id:
+                return c
+        raise KeyError(column_id)
+
+    def rows(self) -> list[tuple]:
+        return list(zip(*(c.values for c in self.columns))) \
+            if self.columns else [()] * self.num_rows
+
+
+def _read_bit(buf: bytes, base_bit: int, i: int) -> bool:
+    return bool(buf[(base_bit + i) // 8] & (1 << ((base_bit + i) % 8)))
+
+
+def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
+    """Deserialize a V1 buffer (without the redo log's 4-byte size
+    prefix), mirroring readUpsertBatch's offset arithmetic exactly."""
+    (magic,) = struct.unpack_from("<I", buffer, 0)
+    if magic != MAGIC_V1:
+        raise ValueError(f"unsupported upsert batch version {magic:#x}")
+    (num_rows,) = struct.unpack_from("<i", buffer, 4)
+    if num_rows < 0:
+        raise ValueError("number of rows should be >= 0")
+    (n_cols,) = struct.unpack_from("<H", buffer, 8)
+    (arrival,) = struct.unpack_from("<I", buffer, 24)
+
+    off = 28
+    offsets = struct.unpack_from(f"<{n_cols + 1}I", buffer, off)
+    off += (n_cols + 1) * 4
+    off += n_cols * 4 + n_cols * 4  # enum dict lengths + reserved
+    type_codes = struct.unpack_from(f"<{n_cols}I", buffer, off)
+    off += n_cols * 4
+    ids = struct.unpack_from(f"<{n_cols}H", buffer, off)
+    off += n_cols * 2
+    flags = buffer[off:off + n_cols]
+
+    cols = []
+    for i in range(n_cols):
+        type_name = TYPE_NAMES.get(type_codes[i])
+        if type_name is None:
+            raise ValueError(f"unknown data type code {type_codes[i]:#x}")
+        _check_supported(type_name)
+        mode = flags[i] & 0x07
+        update_mode = (flags[i] >> 3) & 0x07
+        bits = _bits(type_codes[i])
+        cur = offsets[i]
+        null_base_bit = None
+        if mode == HAS_NULL_VECTOR:
+            null_base_bit = cur * 8
+            cur += _align(num_rows, 8) // 8
+        values: list[Any] = [None] * num_rows
+        if mode != ALL_VALUES_DEFAULT:
+            val_base_bit = _align(cur, 8) * 8
+            for r in range(num_rows):
+                if null_base_bit is not None and \
+                        not _read_bit(buffer, null_base_bit, r):
+                    continue
+                if type_name == "Bool":
+                    values[r] = _read_bit(buffer, val_base_bit, r)
+                    continue
+                boff = val_base_bit // 8 + r * bits // 8
+                if type_name == "UUID":
+                    values[r] = struct.unpack_from("<QQ", buffer, boff)
+                elif type_name == "GeoPoint":
+                    values[r] = struct.unpack_from("<ff", buffer, boff)
+                else:
+                    (values[r],) = struct.unpack_from(
+                        _PACK[type_name], buffer, boff)
+        cols.append(UpsertColumn(ids[i], type_name, mode, update_mode, values))
+    return UpsertBatch(num_rows, arrival, cols)
+
+
+# --------------------------------------------------------------------------
+# Spark bridge
+# --------------------------------------------------------------------------
+
+# reference type → Spark dtype for the ingest DataFrame (unsigned widens)
+_SPARK_TYPES = {
+    "Bool": "boolean", "Int8": "tinyint", "Uint8": "smallint",
+    "Int16": "smallint", "Uint16": "int", "Int32": "int", "Uint32": "bigint",
+    "Float32": "float", "SmallEnum": "smallint", "BigEnum": "int",
+    "Int64": "bigint", "UUID": "string", "GeoPoint": "string",
+}
+
+
+def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
+    """Decode a wire batch into ``(DataFrame, update_modes)`` ready for
+    ``streaming.upsert.apply_upsert``: column ids resolve to names via a
+    metastore table document (api/data_handler.go:58-83 does the same
+    schema lookup server-side), and each column's wire update mode maps
+    to its UpdateMode name. Unknown column ids error like the reference's
+    ingestion path."""
+    from pyspark.sql import types as T
+
+    schema_cols = schema_doc.get("columns") or []
+    fields, modes, names = [], {}, []
+    for c in sorted(batch_cols := parse_upsert_batch(buffer).columns,
+                    key=lambda c: c.column_id):
+        if c.column_id >= len(schema_cols):
+            raise ValueError(f"column id {c.column_id} not in schema "
+                             f"{schema_doc.get('name')!r}")
+        name = schema_cols[c.column_id]["name"]
+        names.append(name)
+        modes[name] = c.update_mode_name
+        fields.append(T.StructField(
+            name, T._parse_datatype_string(_SPARK_TYPES[c.type_name])))
+
+    def conv(c, v):
+        if v is None:
+            return None
+        if c.type_name == "UUID":
+            return f"{v[0]:016x}{v[1]:016x}"
+        if c.type_name == "GeoPoint":
+            return f"point({v[0]:g} {v[1]:g})"
+        return v
+
+    by_id = sorted(batch_cols, key=lambda c: c.column_id)
+    rows = [tuple(conv(c, c.values[r]) for c in by_id)
+            for r in range(len(by_id[0].values) if by_id else 0)]
+    return spark.createDataFrame(rows, T.StructType(fields)), modes

@@ -1,0 +1,204 @@
+"""UpsertBatch V1 wire codec tests — byte-exact against the golden
+buffers from the reference's own upsert_batch_builder_test.go, plus
+round-trip/property coverage and the Spark ingest bridge."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aresdb_spark.streaming.upsert_wire import (DATA_TYPES, HAS_NULL_VECTOR,
+                                                ALL_VALUES_DEFAULT,
+                                                ALL_VALUES_PRESENT,
+                                                UpsertBatchBuilder,
+                                                parse_upsert_batch,
+                                                upsert_batch_to_df)
+
+# golden buffers copied verbatim from the reference's test expectations
+# (memstore/common/upsert_batch_builder_test.go:40-118; arrival time
+# pinned to Unix(10) there via utils.SetCurrentTime)
+GOLDEN_EMPTY = bytes([1, 0, 237, 254, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                      0, 0, 0, 0, 0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0])
+GOLDEN_EMPTY_ROW = bytes([1, 0, 237, 254, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+                          0, 0, 0, 0, 0, 0, 0, 0, 10, 0, 0, 0, 51, 0, 0, 0,
+                          51, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 8, 0, 2, 0,
+                          123, 0, 0, 0, 0, 0, 0, 0])
+GOLDEN_ONE_ROW_NO_VALUE = bytes([1, 0, 237, 254, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10, 0, 0, 0,
+                                 51, 0, 0, 0, 51, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 8, 0, 2, 0, 123, 0, 0, 0, 0, 0, 0, 0])
+GOLDEN_ONE_ROW_ONE_VALUE = bytes([1, 0, 237, 254, 1, 0, 0, 0, 1, 0, 0, 0, 0,
+                                  0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 10, 0, 0,
+                                  0, 51, 0, 0, 0, 57, 0, 0, 0, 0, 0, 0, 0, 0,
+                                  0, 0, 0, 8, 0, 2, 0, 123, 0, 1, 0, 0, 0, 0,
+                                  0, 135, 0, 0, 0, 0, 0, 0, 0])
+GOLDEN_BOOL_NULLVEC = bytes([1, 0, 237, 254, 2, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+                             0, 0, 0, 0, 0, 0, 0, 0, 0, 10, 0, 0, 0, 51, 0,
+                             0, 0, 57, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+                             0, 0, 123, 0, 2, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                             0, 0, 0])
+
+
+def test_golden_empty_batch():
+    assert UpsertBatchBuilder(arrival_time=10).to_byte_array() == GOLDEN_EMPTY
+
+
+def test_golden_empty_row():
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_column(123, "Uint8")
+    assert b.to_byte_array() == GOLDEN_EMPTY_ROW
+
+
+def test_golden_one_row_no_value():
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_row()
+    b.add_column(123, "Uint8")
+    assert b.to_byte_array() == GOLDEN_ONE_ROW_NO_VALUE
+
+
+def test_golden_one_row_one_value():
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_row()
+    b.add_column(123, "Uint8")
+    b.set_value(0, 0, 135)
+    assert b.to_byte_array() == GOLDEN_ONE_ROW_ONE_VALUE
+
+
+def test_golden_bool_with_null_vector():
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_row()
+    b.add_row()
+    b.add_column(123, "Bool")
+    b.set_value(0, 0, False)
+    assert b.to_byte_array() == GOLDEN_BOOL_NULLVEC
+    # nulling the only value flips the column to all-default, shrinking
+    # the buffer (the reference's "last value wins" case)
+    b.set_value(0, 0, None)
+    assert b.to_byte_array() == GOLDEN_ONE_ROW_NO_VALUE[:4] + \
+        struct.pack("<i", 2) + GOLDEN_ONE_ROW_NO_VALUE[8:44] + \
+        struct.pack("<I", DATA_TYPES["Bool"])[:4] + bytes([123, 0, 0]) + \
+        GOLDEN_ONE_ROW_NO_VALUE[51:]
+
+
+def test_parse_golden_buffers():
+    ub = parse_upsert_batch(GOLDEN_ONE_ROW_ONE_VALUE)
+    assert ub.num_rows == 1 and ub.arrival_time == 10
+    (col,) = ub.columns
+    assert (col.column_id, col.type_name, col.mode) == \
+        (123, "Uint8", ALL_VALUES_PRESENT)
+    assert col.values == [135]
+
+    ub = parse_upsert_batch(GOLDEN_BOOL_NULLVEC)
+    (col,) = ub.columns
+    assert col.mode == HAS_NULL_VECTOR
+    assert col.values == [False, None]
+
+    ub = parse_upsert_batch(GOLDEN_EMPTY_ROW)
+    assert ub.num_rows == 0
+    assert ub.columns[0].mode == ALL_VALUES_DEFAULT
+
+
+def test_parse_rejects_bad_magic():
+    with pytest.raises(ValueError, match="version"):
+        parse_upsert_batch(b"\x00\x00\x00\x00" + GOLDEN_EMPTY[4:])
+
+
+TYPE_VALUES = {
+    "Bool": st.booleans(),
+    "Int8": st.integers(-128, 127),
+    "Uint8": st.integers(0, 255),
+    "Int16": st.integers(-2**15, 2**15 - 1),
+    "Uint16": st.integers(0, 2**16 - 1),
+    "Int32": st.integers(-2**31, 2**31 - 1),
+    "Uint32": st.integers(0, 2**32 - 1),
+    "Int64": st.integers(-2**63, 2**63 - 1),
+    "Float32": st.floats(width=32, allow_nan=False, allow_infinity=False),
+    "SmallEnum": st.integers(0, 255),
+    "BigEnum": st.integers(0, 2**16 - 1),
+    "UUID": st.tuples(st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1)),
+    "GeoPoint": st.tuples(st.floats(-90.0, 90.0, width=32),
+                          st.floats(-180.0, 180.0, width=32)),
+}
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_write_parse_round_trip_property(data):
+    """Random columns x rows x nulls: parse(write(batch)) == batch."""
+    type_names = data.draw(st.lists(
+        st.sampled_from(sorted(TYPE_VALUES)), min_size=1, max_size=5))
+    n_rows = data.draw(st.integers(0, 9))
+    b = UpsertBatchBuilder(arrival_time=data.draw(st.integers(0, 2**32 - 1)))
+    expected = []
+    for i, tn in enumerate(type_names):
+        b.add_column(i * 7, tn, update_mode=data.draw(st.integers(0, 4)))
+    for r in range(n_rows):
+        b.add_row()
+    for i, tn in enumerate(type_names):
+        colvals = []
+        for r in range(n_rows):
+            v = data.draw(st.none() | TYPE_VALUES[tn])
+            if v is not None:
+                b.set_value(r, i, v)
+            colvals.append(v)
+        expected.append(colvals)
+    ub = parse_upsert_batch(b.to_byte_array())
+    assert ub.num_rows == n_rows
+    for i, col in enumerate(ub.columns):
+        assert col.column_id == i * 7
+        got = col.values
+        for g, e in zip(got, expected[i]):
+            if isinstance(e, float):
+                assert g == pytest.approx(e, rel=1e-6)
+            elif isinstance(e, tuple) and type_names[i] == "GeoPoint":
+                assert g[0] == pytest.approx(e[0], rel=1e-5)
+                assert g[1] == pytest.approx(e[1], rel=1e-5)
+            else:
+                assert g == e
+
+
+def test_unsupported_types_raise():
+    from aresdb_spark.streaming.upsert_wire import UnsupportedUpsertType
+    b = UpsertBatchBuilder()
+    with pytest.raises(UnsupportedUpsertType):
+        b.add_column(0, "GeoShape")
+    with pytest.raises(UnsupportedUpsertType):
+        b.add_column(0, "Int32[]")
+
+
+def test_wire_batch_ingests_through_apply_upsert(spark):
+    """End-to-end: reference-client bytes -> DataFrame + modes via the
+    metastore schema -> apply_upsert semantics (add mode accumulates)."""
+    from aresdb_spark.streaming.upsert import apply_upsert_batch
+
+    schema_doc = {
+        "name": "trips",
+        "columns": [{"name": "request_at", "type": "Uint32"},
+                    {"name": "trip_id", "type": "Int64"},
+                    {"name": "fare", "type": "Float32"}],
+        "primaryKeyColumns": [1],
+        "isFactTable": True,
+    }
+    b = UpsertBatchBuilder(arrival_time=1700000000)
+    b.add_column(0, "Uint32")
+    b.add_column(1, "Int64")
+    b.add_column(2, "Float32", update_mode="add")
+    for r, (ts, tid, fare) in enumerate([(100, 1, 2.5), (200, 2, 4.0)]):
+        b.add_row()
+        b.set_value(r, 0, ts)
+        b.set_value(r, 1, tid)
+        b.set_value(r, 2, fare)
+
+    df, modes = upsert_batch_to_df(spark, b.to_byte_array(), schema_doc)
+    assert modes == {"request_at": "overwrite", "trip_id": "overwrite",
+                     "fare": "add"}
+    assert df.columns == ["request_at", "trip_id", "fare"]
+
+    base = spark.createDataFrame(
+        [(50, 1, 10.0)], schema=df.schema)
+    merged = apply_upsert_batch(base, df, pk_cols=["trip_id"], modes=modes)
+    rows = {r["trip_id"]: r for r in merged.collect()}
+    assert rows[1]["fare"] == pytest.approx(12.5)   # add mode accumulated
+    assert rows[1]["request_at"] == 100             # overwrite mode
+    assert rows[2]["fare"] == pytest.approx(4.0)    # fresh insert
