@@ -340,6 +340,33 @@ def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
 
 
 # --------------------------------------------------------------------------
+# redo-log framing (redolog/file_redolog_manager.go:144-170, 270-300)
+# --------------------------------------------------------------------------
+
+def write_redo_log(batches: list[bytes]) -> bytes:
+    """Concatenate batches with the redo log's 4-byte little-endian size
+    prefix per batch (AppendToRedoLog)."""
+    out = bytearray()
+    for b in batches:
+        out += struct.pack("<I", len(b))
+        out += b
+    return bytes(out)
+
+
+def iter_redo_log(data: bytes):
+    """Yield the raw batch buffers from a redo log byte string, stopping
+    at a truncated tail exactly like the reference's recovery reader
+    (file_redolog_manager.go:277-300 truncates the file there)."""
+    off = 0
+    while off + 4 <= len(data):
+        (size,) = struct.unpack_from("<I", data, off)
+        if off + 4 + size > len(data):
+            break  # truncated tail — recovery stops here
+        yield bytes(data[off + 4:off + 4 + size])
+        off += 4 + size
+
+
+# --------------------------------------------------------------------------
 # Spark bridge
 # --------------------------------------------------------------------------
 
@@ -387,3 +414,47 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
     rows = [tuple(conv(c, c.values[r]) for c in by_id)
             for r in range(len(by_id[0].values) if by_id else 0)]
     return spark.createDataFrame(rows, T.StructType(fields)), modes
+
+
+def decode_upsert_batch_stream(raw, schema_doc: dict,
+                               value_col: str = "value"):
+    """Distributed decoder for a Kafka-shaped stream/DataFrame whose
+    ``value`` column carries UpsertBatch V1 bytes (the reference's actual
+    Kafka payload — redolog/kafka_redolog_manager.go consumes the same
+    frames). Each blob expands to its typed rows via ``mapInPandas``
+    (Arrow-batched, runs on executors — no driver collect, so a
+    1000-executor cluster decodes partitions independently). Undecodable
+    blobs are dropped like the reference's decoder error path.
+
+    Column order/ids come from ``schema_doc`` so the output schema is
+    stable even when batches omit trailing columns (absent columns read
+    as NULL)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema_cols = schema_doc.get("columns") or []
+    names = [c["name"] for c in schema_cols if not c.get("deleted")]
+    id_by_name = {c["name"]: i for i, c in enumerate(schema_cols)}
+    fields = [T.StructField(c["name"], T._parse_datatype_string(
+        _SPARK_TYPES.get(c["type"], "string")))
+        for c in schema_cols if not c.get("deleted")]
+    out_schema = T.StructType(fields)
+
+    def decode(iterator):
+        for pdf in iterator:
+            out: dict[str, list] = {n: [] for n in names}
+            for blob in pdf[value_col]:
+                if blob is None:
+                    continue
+                try:
+                    ub = parse_upsert_batch(bytes(blob))
+                except (ValueError, NotImplementedError):
+                    continue  # skip undecodable, like the reference
+                cols_by_id = {c.column_id: c for c in ub.columns}
+                for n in names:
+                    c = cols_by_id.get(id_by_name[n])
+                    out[n].extend(c.values if c is not None
+                                  else [None] * ub.num_rows)
+            yield pd.DataFrame(out, columns=names)
+
+    return raw.mapInPandas(decode, schema=out_schema)

@@ -167,6 +167,64 @@ def test_unsupported_types_raise():
         b.add_column(0, "Int32[]")
 
 
+def test_redo_log_framing_and_truncated_tail():
+    from aresdb_spark.streaming.upsert_wire import (iter_redo_log,
+                                                    write_redo_log)
+    b1 = UpsertBatchBuilder(arrival_time=10)
+    b1.add_row()
+    b1.add_column(0, "Int32")
+    b1.set_value(0, 0, 42)
+    b2 = UpsertBatchBuilder(arrival_time=11)
+    b2.add_row()
+    b2.add_column(0, "Int32")
+    b2.set_value(0, 0, -7)
+    log = write_redo_log([b1.to_byte_array(), b2.to_byte_array()])
+    decoded = [parse_upsert_batch(b).columns[0].values
+               for b in iter_redo_log(log)]
+    assert decoded == [[42], [-7]]
+    # recovery stops at a truncated tail instead of erroring
+    assert [parse_upsert_batch(b).columns[0].values
+            for b in iter_redo_log(log[:-3])] == [[42]]
+
+
+def test_decode_upsert_batch_stream_map_in_pandas(spark):
+    """Kafka-shaped binary values decode distributed (mapInPandas), with
+    missing columns NULL-filled and undecodable blobs dropped."""
+    from aresdb_spark.streaming.upsert_wire import decode_upsert_batch_stream
+
+    schema_doc = {
+        "name": "trips",
+        "columns": [{"name": "request_at", "type": "Uint32"},
+                    {"name": "trip_id", "type": "Int64"},
+                    {"name": "fare", "type": "Float32"}],
+        "primaryKeyColumns": [1],
+    }
+    b1 = UpsertBatchBuilder(arrival_time=10)
+    b1.add_column(0, "Uint32")
+    b1.add_column(1, "Int64")
+    b1.add_column(2, "Float32")
+    for r, (ts, tid, fare) in enumerate([(100, 1, 2.5), (200, 2, 4.0)]):
+        b1.add_row()
+        b1.set_value(r, 0, ts)
+        b1.set_value(r, 1, tid)
+        b1.set_value(r, 2, fare)
+    b2 = UpsertBatchBuilder(arrival_time=11)  # fare column absent
+    b2.add_column(0, "Uint32")
+    b2.add_column(1, "Int64")
+    b2.add_row()
+    b2.set_value(0, 0, 300)
+    b2.set_value(0, 1, 3)
+
+    raw = spark.createDataFrame(
+        [(b1.to_byte_array(),), (b2.to_byte_array(),), (b"garbage",)],
+        "value binary")
+    rows = {r["trip_id"]: r
+            for r in decode_upsert_batch_stream(raw, schema_doc).collect()}
+    assert len(rows) == 3
+    assert rows[1]["fare"] == pytest.approx(2.5)
+    assert rows[3]["request_at"] == 300 and rows[3]["fare"] is None
+
+
 def test_wire_batch_ingests_through_apply_upsert(spark):
     """End-to-end: reference-client bytes -> DataFrame + modes via the
     metastore schema -> apply_upsert semantics (add mode accumulates)."""
