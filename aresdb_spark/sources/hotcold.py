@@ -151,13 +151,21 @@ class HotColdStore:
         # localCheckpoint both merge inputs: the hot/cold dirs are about to
         # be overwritten and parquet reads are lazy (can't read-after-drop)
         if hot_part.limit(1).count():
-            merged = apply_upsert_batch(
-                self.read_hot(spark), hot_part, pk, self.modes, seq_col)
+            merged = self._conform(apply_upsert_batch(
+                self.read_hot(spark), hot_part, pk, self.modes, seq_col))
             self._write_hot(merged.localCheckpoint(eager=True))
         if cold_part.limit(1).count():
-            merged = apply_upsert_batch(
-                self.read_cold(spark), cold_part, pk, self.modes, seq_col)
+            merged = self._conform(apply_upsert_batch(
+                self.read_cold(spark), cold_part, pk, self.modes, seq_col))
             self._write_cold(merged.localCheckpoint(eager=True))
+
+    def _conform(self, df: DataFrame) -> DataFrame:
+        """Cast merged output back to the declared store schema. Update
+        arithmetic can widen dtypes (sum-based `add` folds float→double);
+        the store is fixed-typed like the reference's, and without this a
+        widened write would poison later reads of the parquet dir."""
+        return df.select(
+            [F.col(f.name).cast(f.dataType) for f in self._schema()])
 
     def archive(self, spark: SparkSession, new_cutoff: datetime) -> None:
         """Advance the cutoff: move hot rows older than `new_cutoff` into

@@ -1,0 +1,108 @@
+"""Data ingestion front door — the ``POST /data/{table}/{shard}`` analog.
+
+Reference: api/data_handler.go:46-83 (PostData reads the body, builds the
+UpsertBatch, and hands it to the memstore ingestion path) →
+memstore/ingestion.go (ApplyUpsertBatch against the live store with the
+redo log appended first).
+
+Here the same flow is a pure function over Spark-backed stores: wire
+bytes → parse → enum-id translation via the metastore's dictionaries →
+time-column conversion (the wire carries Uint32 epoch seconds; the store
+is timestamp-typed) → ``HotColdStore.ingest`` with the batch's own
+per-column update modes. Shards are Spark partitions, so the ``shard``
+path segment is accepted for URL parity but does not route."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from aresdb_spark.metastore import MetaStoreError, SchemaStore
+from aresdb_spark.sources.hotcold import HotColdStore
+from aresdb_spark.streaming.upsert_wire import (parse_upsert_batch,
+                                                upsert_batch_to_df)
+
+
+def translate_enum_columns(df, schema_doc: dict, store: SchemaStore):
+    """Wire batches carry enum *ids*; resolve them to their string cases
+    through the metastore dictionaries (the reference ships the dict to
+    clients and stores ids — we store strings, which parquet dictionary-
+    encodes right back at write time). Ids outside the dictionary become
+    NULL, matching the reference's unconvertible-value drop."""
+    table = schema_doc["name"]
+    for col in schema_doc.get("columns") or []:
+        name = col["name"]
+        if col.get("deleted") or col["type"] not in ("SmallEnum", "BigEnum") \
+                or name not in df.columns:
+            continue
+        cases = store.get_enum_cases(table, name)
+        if not cases:
+            continue
+        mapping = F.array(*[F.lit(c) for c in cases])
+        # element_at is 1-based; out-of-range yields NULL under ANSI=off,
+        # so guard explicitly for both modes
+        idx = F.col(name).cast("int")
+        df = df.withColumn(name, F.when(
+            (idx >= 0) & (idx < len(cases)),
+            F.element_at(mapping, idx + 1)).otherwise(F.lit(None)))
+    return df
+
+
+class DataHandler:
+    """``post_data`` mirrors api/data_handler.go:58-83 as ``(status,
+    body)``: 400 for undecodable bodies, 404 for unknown tables, 200
+    with the ingested row count otherwise."""
+
+    def __init__(self, spark: SparkSession, schema_store: SchemaStore,
+                 stores: dict[str, HotColdStore]):
+        self.spark = spark
+        self.schema_store = schema_store
+        self.stores = stores
+
+    # POST /data/{table}/{shard}
+    def post_data(self, table: str, shard: int, buffer: bytes):
+        if table not in self.stores:
+            return 404, {"message": "Table does not exist"}
+        try:
+            schema_doc = self.schema_store.get_table(table)
+        except MetaStoreError as e:
+            return 404, {"message": str(e)}
+        try:
+            batch = parse_upsert_batch(buffer)
+            df, modes = upsert_batch_to_df(self.spark, buffer, schema_doc)
+        except (ValueError, NotImplementedError) as e:
+            return 400, {"message": str(e)}
+
+        df = translate_enum_columns(df, schema_doc, self.schema_store)
+
+        store = self.stores[table]
+        # fact time column: wire Uint32 epoch seconds → store timestamp
+        cols = schema_doc.get("columns") or []
+        if schema_doc.get("isFactTable") and cols:
+            tcol = cols[0]["name"]
+            if tcol in df.columns:
+                df = df.withColumn(
+                    tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
+        # wire update modes win over the store's configured defaults
+        store.modes = {**(store.modes or {}), **modes}
+        store.ingest(self.spark, df, cutoff=store.saved_cutoff())
+        return 200, {"rows": batch.num_rows,
+                     "arrivalTime": batch.arrival_time}
+
+
+def recover_from_redo_log(handler: DataHandler, table: str,
+                          log_bytes: bytes) -> int:
+    """Replay a redo log through the same ingestion path the live batches
+    take (memstore/recovery.go replays batches in order; idempotent here
+    because upserts are): returns the number of batches applied."""
+    from aresdb_spark.streaming.upsert_wire import iter_redo_log
+
+    n = 0
+    for buf in iter_redo_log(log_bytes):
+        status, body = handler.post_data(table, 0, buf)
+        if status != 200:
+            raise ValueError(f"redo log replay failed at batch {n}: {body}")
+        n += 1
+    return n
