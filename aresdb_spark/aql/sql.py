@@ -97,8 +97,18 @@ def _split_top(s: str, sep: str) -> list[str]:
                 parts.append(s[start:i])
                 start = i + 1
     else:
-        for m in re.finditer(r"(?<![a-z0-9_])and(?![a-z0-9_])", s.lower()):
-            if m.start() in top:
+        # an AND that pairs with a preceding BETWEEN is part of that
+        # predicate, not a conjunction boundary (x BETWEEN a AND b)
+        pending_between = 0
+        for m in re.finditer(r"(?<![a-z0-9_])(and|between)(?![a-z0-9_])",
+                             s.lower()):
+            if m.start() not in top:
+                continue
+            if m.group(1) == "between":
+                pending_between += 1
+            elif pending_between:
+                pending_between -= 1
+            else:
                 parts.append(s[start:m.start()])
                 start = m.end()
     parts.append(s[start:])
@@ -274,6 +284,24 @@ def sql_to_query(sql: str) -> Query:
             q.group_type = m.group(1).lower()
             gb = m.group(2)
     group_items = _split_top(gb, ",") if gb else []
+    # GROUP BY ordinals (Presto-style, as in the reference's grammar):
+    # resolve N to the N-th SELECT item's expression
+    if group_items:
+        sel_items = _split_top(
+            re.sub(r"^\s*distinct(?![a-z_])", "", clauses["select"],
+                   flags=re.IGNORECASE), ",")
+        resolved = []
+        for g in group_items:
+            if re.fullmatch(r"[0-9]+", g.strip()):
+                idx = int(g.strip())
+                if not 1 <= idx <= len(sel_items):
+                    raise SQLSyntaxError(
+                        f"GROUP BY ordinal {idx} out of range")
+                expr_text, _ = _parse_select_item(sel_items[idx - 1])
+                resolved.append(expr_text)
+            else:
+                resolved.append(g)
+        group_items = resolved
     dims = []
     dim_raw: list[str] = []  # original GROUP BY text, for SELECT matching
     for g in group_items:

@@ -298,3 +298,50 @@ def test_fuzz_agg_queries_match_duckdb(spark, duck, pair):
 @given(pair=nonagg_query_pair())
 def test_fuzz_nonagg_projection_match_duckdb(spark, duck, pair):
     _run_both(spark, duck, *pair)
+
+
+@st.composite
+def sql_query_pair(draw):
+    """A random query through the SQL dialect front end (aql/sql.py):
+    the same component pools rendered as dialect SQL on one side and
+    DuckDB SQL on the other. Exercises the SQL parser → Query → planner
+    chain the reference's sql_parser.go serves."""
+    dims = draw(st.lists(dim_pair(), min_size=1, max_size=2,
+                         unique_by=lambda p: p[0].alias))
+    # dialect SQL side: only expression-backed dims (numeric bucketizers
+    # go through aql_* macros — covered by test_sql.py; keep this family
+    # on the plain-expression grammar)
+    dims = [d for d in dims if d[0].numeric_bucketizer is None] or \
+        [draw(dim_pair().filter(lambda p: p[0].numeric_bucketizer is None))]
+    measures = draw(st.lists(
+        measure_pair().filter(lambda m: m[2] is None),  # no FILTER in dialect
+        min_size=1, max_size=2, unique_by=lambda p: p[0].alias))
+    filters = draw(st.lists(filter_pair(), min_size=0, max_size=2,
+                            unique_by=lambda p: p[0]))
+
+    dim_sqls = [f"{d[0].expr} AS {d[0].alias}" for d in dims]
+    msr_sqls = [f"{m[0].expr} AS {m[0].alias}" for m in measures]
+    where = (" WHERE " + " AND ".join(f[0] for f in filters)) if filters else ""
+    group = ", ".join(str(i + 1) for i in range(len(dims)))
+    dialect_sql = (f"SELECT {', '.join(dim_sqls + msr_sqls)} FROM events"
+                   f"{where} GROUP BY {group}")
+
+    oracle_select = ", ".join([d[1] for d in dims] + [m[1] for m in measures])
+    oracle_where = (" WHERE " + " AND ".join(f[1] for f in filters)) \
+        if filters else ""
+    oracle = (f"SELECT {oracle_select} FROM events{oracle_where} "
+              f"GROUP BY {group}")
+    return dialect_sql, oracle
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=sql_query_pair())
+def test_fuzz_sql_dialect_match_duckdb(spark, duck, pair):
+    from aresdb_spark.aql.planner import plan_query
+    from aresdb_spark.aql.sql import sql_to_query
+
+    dialect_sql, oracle = pair
+    df = plan_query(spark, SF_DIR, sql_to_query(dialect_sql))
+    assert_df_matches_duck(df, duck, oracle, approx=True, tol=1e-6)
