@@ -301,6 +301,86 @@ def test_fuzz_nonagg_projection_match_duckdb(spark, duck, pair):
 
 
 @st.composite
+def join_query_pair(draw):
+    """Random dimension-join aggregates on the TPC-H-ish star: lineitem
+    LEFT JOIN part/supplier (+ optional nation snowflake hop), dims from
+    either side, fact filters, LEFT-join miss⇒NULL semantics."""
+    from aresdb_spark.aql import Dimension, Join, Measure, Query
+
+    use_supplier = draw(st.booleans())
+    snowflake = use_supplier and draw(st.booleans())
+    i = draw(st.integers(0, 10_000))
+
+    joins = []
+    oracle_joins = []
+    if use_supplier:
+        joins.append(Join(table="supplier", alias="s",
+                          conditions=["s.s_suppkey = l_suppkey"]))
+        oracle_joins.append(
+            "LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey")
+        if snowflake:
+            joins.append(Join(table="nation", alias="n",
+                              conditions=["n.n_nationkey = s.s_nationkey"]))
+            oracle_joins.append(
+                "LEFT JOIN nation n ON n.n_nationkey = s.s_nationkey")
+        dim_pool = [("s.s_nationkey", "s.s_nationkey"),
+                    ("l_returnflag", "l.l_returnflag")]
+        if snowflake:
+            dim_pool.append(("n.n_name", "n.n_name"))
+    else:
+        joins.append(Join(table="part", alias="p",
+                          conditions=["p.p_partkey = l_partkey"]))
+        oracle_joins.append("LEFT JOIN part p ON p.p_partkey = l.l_partkey")
+        dim_pool = [("p.p_brand", "p.p_brand"),
+                    ("p.p_size % 10", "p.p_size % 10"),
+                    ("l_linestatus", "l.l_linestatus")]
+
+    picks = draw(st.lists(st.sampled_from(range(len(dim_pool))),
+                          min_size=1, max_size=len(dim_pool), unique=True))
+    dims = [Dimension(expr=dim_pool[k][0], alias=f"jd{i}_{k}")
+            for k in picks]
+    dim_sql = [f"{dim_pool[k][1]} AS jd{i}_{k}" for k in picks]
+
+    measure_kind = draw(st.sampled_from(["count", "sum", "avg"]))
+    if measure_kind == "count":
+        measures = [Measure(expr="count(*)", alias="cnt")]
+        msr_sql = ["count(*) AS cnt"]
+    elif measure_kind == "sum":
+        measures = [Measure(expr="sum(l_quantity)", alias="qty")]
+        msr_sql = ["sum(l.l_quantity) AS qty"]
+    else:
+        measures = [Measure(expr="round(avg(l_extendedprice), 4)",
+                            alias="avg_price")]
+        msr_sql = ["round(avg(l.l_extendedprice), 4) AS avg_price"]
+
+    filters, filter_sql = [], []
+    if draw(st.booleans()):
+        x = draw(st.integers(1, 49))
+        filters.append(f"l_quantity > {x}")
+        filter_sql.append(f"l.l_quantity > {x}")
+    if draw(st.booleans()):
+        rf = draw(st.sampled_from(["A", "N", "R"]))
+        filters.append(f"l_returnflag = '{rf}'")
+        filter_sql.append(f"l.l_returnflag = '{rf}'")
+
+    where = (" WHERE " + " AND ".join(filter_sql)) if filter_sql else ""
+    group = ", ".join(str(k + 1) for k in range(len(dims)))
+    sql = (f"SELECT {', '.join(dim_sql + msr_sql)} FROM lineitem l "
+           f"{' '.join(oracle_joins)}{where} GROUP BY {group}")
+    q = Query(table="lineitem", joins=joins, dimensions=dims,
+              measures=measures, filters=filters)
+    return q, sql
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=join_query_pair())
+def test_fuzz_join_queries_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
+
+
+@st.composite
 def sql_query_pair(draw):
     """A random query through the SQL dialect front end (aql/sql.py):
     the same component pools rendered as dialect SQL on one side and
