@@ -231,6 +231,46 @@ def test_enum_handler_routes():
     assert h.add_enum_case("cities", "id", {"enumCases": ["x"]})[0] == 400
 
 
+REFERENCE_SCHEMAS = "/root/reference/examples/1k_trips/schema"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(REFERENCE_SCHEMAS),
+                    reason="reference examples not mounted")
+def test_reference_example_schemas_round_trip(tmp_path):
+    """The reference's own shipped schema documents (examples/1k_trips)
+    load, validate, persist, and bridge into planner TableDefs unchanged
+    — the strongest document-shape parity check available."""
+    import json
+    import os
+
+    s = SchemaStore(base_dir=str(tmp_path / "meta"))
+    for fn in sorted(os.listdir(REFERENCE_SCHEMAS)):
+        with open(os.path.join(REFERENCE_SCHEMAS, fn)) as f:
+            s.create_table(json.load(f))
+    assert s.list_tables() == ["cities", "trips"]
+
+    trips = s.get_table("trips")
+    # caller config preserved where set, defaults filled where absent
+    assert trips["config"]["recordRetentionInDays"] == 3
+    assert trips["config"]["snapshotIntervalMinutes"] == 360  # default
+
+    td = table_def_from_schema(trips)
+    assert td.is_fact and td.time_column == "request_at"
+    assert td.primary_key == ("uuid",)
+    assert td.sort_columns == ("city_id", "status")
+    assert not table_def_from_schema(s.get_table("cities")).is_fact
+
+    # mutations behave on the real documents
+    s.extend_enum_dict("trips", "status", ["completed", "cancelled"])
+    with pytest.raises(ErrDeleteTimeColumn):
+        s.delete_column("trips", "request_at")
+    with pytest.raises(ErrDeletePrimaryKeyColumn):
+        s.delete_column("trips", "uuid")
+    s.delete_column("trips", "fare")
+    assert SchemaStore(base_dir=s.base_dir).get_table(
+        "trips")["columns"][4]["deleted"] is True
+
+
 # --- bridge into planning ----------------------------------------------------
 
 def test_table_def_from_schema_maps_ids_to_names():
