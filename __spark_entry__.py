@@ -335,7 +335,7 @@ def _aql_queries() -> dict[str, tuple[Callable, str | None]]:
         measures=[Measure(expr="count(*)", alias="cnt")],
         time_filter=TimeFilter(from_="2024-01-10", to="2024-01-10"),
     )), """
-        SELECT to_timestamp((epoch(ts)::BIGINT // 900) * 900)::TIMESTAMP AS b,
+        SELECT to_timestamp((floor(epoch(ts))::BIGINT // 900) * 900)::TIMESTAMP AS b,
                count(*) AS cnt
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-11'

@@ -297,14 +297,14 @@ def time_bucket_oracle_sql(col: str, bucketizer: str, tz: str | None = None) -> 
         # units; Spark always returns TIMESTAMP
         return f"date_trunc('{_TRUNC_UNITS[b]}', {col})::TIMESTAMP"
     if b == "quarter-hour":
-        return f"to_timestamp((epoch({col})::BIGINT // 900) * 900)"
+        return f"to_timestamp((floor(epoch({col}))::BIGINT // 900) * 900)"
     if b == "half-hour":
-        return f"to_timestamp((epoch({col})::BIGINT // 1800) * 1800)"
+        return f"to_timestamp((floor(epoch({col}))::BIGINT // 1800) * 1800)"
     m = _N_UNIT.match(b)
     if m:
         n, unit = int(m.group(1)), m.group(2)
         secs = n * (60 if unit.startswith("minute") else 3600)
-        return f"to_timestamp((epoch({col})::BIGINT // {secs}) * {secs})"
+        return f"to_timestamp((floor(epoch({col}))::BIGINT // {secs}) * {secs})"
     if b == "time of day":
         return f"(hour({col}) * 3600 + minute({col}) * 60 + second({col}))::INT"
     if b == "hour of day":

@@ -48,9 +48,16 @@ def dim_pair(draw):
 
     kind = draw(st.sampled_from(
         ["raw", "mod", "hour", "dow", "minute", "bucket", "bucket_fn",
-         "case", "bitand", "shift"]))
+         "case", "bitand", "shift", "tbucket"]))
     i = draw(st.integers(0, 10_000))  # uniquifies aliases
     alias = f"d{kind}{i}"
+    if kind == "tbucket":
+        from aresdb_spark.aql.timeutil import time_bucket_oracle_sql
+        b = draw(st.sampled_from(
+            ["hour", "day", "week", "month", "quarter-hour", "4 hours",
+             "30 minutes", "day of week", "hour of day", "day of month"]))
+        return (Dimension(expr="ts", time_bucketizer=b, alias=alias),
+                f"{time_bucket_oracle_sql('ts', b)} AS {alias}")
     if kind == "raw":
         return Dimension(expr="event_type", alias=alias), f"event_type AS {alias}"
     if kind == "mod":
@@ -386,13 +393,16 @@ def sql_query_pair(draw):
     the same component pools rendered as dialect SQL on one side and
     DuckDB SQL on the other. Exercises the SQL parser → Query → planner
     chain the reference's sql_parser.go serves."""
+    def is_plain(p):
+        # dialect SQL side: only expression-backed dims (numeric/time
+        # bucketizers go through aql_* macros — covered by test_sql.py;
+        # keep this family on the plain-expression grammar)
+        return p[0].numeric_bucketizer is None and p[0].time_bucketizer is None
+
     dims = draw(st.lists(dim_pair(), min_size=1, max_size=2,
                          unique_by=lambda p: p[0].alias))
-    # dialect SQL side: only expression-backed dims (numeric bucketizers
-    # go through aql_* macros — covered by test_sql.py; keep this family
-    # on the plain-expression grammar)
-    dims = [d for d in dims if d[0].numeric_bucketizer is None] or \
-        [draw(dim_pair().filter(lambda p: p[0].numeric_bucketizer is None))]
+    dims = [d for d in dims if is_plain(d)] or \
+        [draw(dim_pair().filter(is_plain))]
     measures = draw(st.lists(
         measure_pair().filter(lambda m: m[2] is None),  # no FILTER in dialect
         min_size=1, max_size=2, unique_by=lambda p: p[0].alias))
