@@ -23,9 +23,11 @@ The writer is byte-exact with the reference's ``ToByteArray``
 the reference's own upsert_batch_builder_test.go — and the parser mirrors
 ``NewUpsertBatch``/``readUpsertBatch`` (upsert_batch.go:437-555).
 
-Fixed-size scalar types are supported (the reference's own format doc:
-"only fixed size values are supported currently"); GeoShape and array
-payloads raise ``NotImplementedError``.
+All thirteen fixed-size scalar types plus their array variants
+(``Int32[]`` etc., ArrayValue payloads with local offset vectors —
+data_value.go:615-729) are supported; only GeoShape raises
+``NotImplementedError`` (a variable-length Go type the batch format
+doesn't carry in fixed-size form).
 
 ``upsert_batch_to_df`` bridges a parsed batch into the Spark upsert path:
 column ids resolve to names through a metastore schema document and the
@@ -49,6 +51,12 @@ DATA_TYPES = {
     "Uint32": 0x00060020, "Float32": 0x00070020, "SmallEnum": 0x00080008,
     "BigEnum": 0x00090010, "UUID": 0x000A0080, "GeoPoint": 0x000B0040,
     "GeoShape": 0x000C0000, "Int64": 0x000D0040,
+    # array types: bit 24 set, same item ordinal/width (data_type.go:60-74)
+    "Bool[]": 0x01000001, "Int8[]": 0x01010008, "Uint8[]": 0x01020008,
+    "Int16[]": 0x01030010, "Uint16[]": 0x01040010, "Int32[]": 0x01050020,
+    "Uint32[]": 0x01060020, "Float32[]": 0x01070020,
+    "SmallEnum[]": 0x01080008, "BigEnum[]": 0x01090010,
+    "UUID[]": 0x010A0080, "GeoPoint[]": 0x010B0040, "Int64[]": 0x010D0040,
 }
 TYPE_NAMES = {v: k for k, v in DATA_TYPES.items()}
 
@@ -74,13 +82,35 @@ def _align(off: int, n: int) -> int:
 
 
 class UnsupportedUpsertType(NotImplementedError):
-    """GeoShape / array element payloads — variable-length Go types the
-    reference itself documents as unsupported in the fixed-size format."""
+    """GeoShape — a variable-length Go type (WKT-ish shape payload) the
+    fixed-size batch format doesn't carry; array types ARE supported."""
 
 
 def _check_supported(type_name: str) -> None:
-    if type_name == "GeoShape" or type_name.endswith("[]"):
+    if type_name in ("GeoShape", "GeoShape[]"):
         raise UnsupportedUpsertType(type_name)
+
+
+def _array_ser_bytes(item_type: str, length: int) -> int:
+    """ArrayValue.GetSerBytes (data_value.go:599-605, 790-800): uint32
+    count + bit/byte-packed items + validity bits, rounded to 8 bytes;
+    an empty (but non-null) array still occupies 8 bytes."""
+    if length == 0:
+        return 8
+    bits = _bits(DATA_TYPES[item_type])
+    return (4 * 8 + (bits * length + 7) // 8 * 8 + (length + 7) // 8 * 8
+            + 63) // 64 * 8
+
+
+def _write_scalar(w: "_BitWriter", type_name: str, v: Any) -> None:
+    if type_name == "Bool":
+        w.append_bit(bool(v))
+    elif type_name == "UUID":
+        w.append_bytes(struct.pack("<QQ", v[0], v[1]))
+    elif type_name == "GeoPoint":
+        w.append_bytes(struct.pack("<ff", v[0], v[1]))
+    else:
+        w.append_bytes(struct.pack(_PACK[type_name], v))
 
 
 # --------------------------------------------------------------------------
@@ -181,8 +211,17 @@ class UpsertBatchBuilder:
             if mode != ALL_VALUES_DEFAULT:
                 if mode == HAS_NULL_VECTOR:
                     off += (len(c.values) + 7) // 8
-                off = _align(off, 8)
-                off += (_bits(DATA_TYPES[c.type_name]) * len(c.values) + 7) // 8
+                if c.type_name.endswith("[]"):
+                    off = _align(off, 4)
+                    off += (len(c.values) + 1) * 4  # offset vector
+                    off = _align(off, 8)
+                    item = c.type_name[:-2]
+                    off += sum(_array_ser_bytes(item, len(v))
+                               for v in c.values if v is not None)
+                else:
+                    off = _align(off, 8)
+                    off += (_bits(DATA_TYPES[c.type_name])
+                            * len(c.values) + 7) // 8
             spans.append((s, off))
         return spans
 
@@ -226,21 +265,46 @@ class UpsertBatchBuilder:
             if mode == HAS_NULL_VECTOR:
                 for v in c.values:
                     w.append_bit(v is not None)
+            if c.type_name.endswith("[]"):
+                self._write_array_column(w, c)
+                continue
             w.align(8)
             bits = _bits(DATA_TYPES[c.type_name])
             for v in c.values:
                 if v is None:
                     w.skip_bits(bits)
-                elif c.type_name == "Bool":
-                    w.append_bit(bool(v))
-                elif c.type_name == "UUID":
-                    hi, lo = v  # two uint64 halves
-                    w.append_bytes(struct.pack("<QQ", hi, lo))
-                elif c.type_name == "GeoPoint":
-                    w.append_bytes(struct.pack("<ff", v[0], v[1]))
                 else:
-                    w.append_bytes(struct.pack(_PACK[c.type_name], v))
+                    _write_scalar(w, c.type_name, v)
         return bytes(w.buf)
+
+    @staticmethod
+    def _write_array_column(w: "_BitWriter", c: _ColumnBuilder) -> None:
+        """Variable-length array column: 4-aligned local-offset vector,
+        8-aligned value vector of ArrayValue payloads (count, items,
+        validity bits, 8-padded — data_value.go:615-729)."""
+        item = c.type_name[:-2]
+        item_bits = _bits(DATA_TYPES[item])
+        w.align(4)
+        off_vec = w.byte
+        w.skip_bits((len(c.values) + 1) * 4 * 8)
+        w.align(8)
+        cur = 0
+        for r, v in enumerate(c.values):
+            w.write_at(off_vec + r * 4, struct.pack("<I", cur))
+            if v is None:
+                continue
+            w.append_bytes(struct.pack("<I", len(v)))
+            for item_v in v:
+                if item_v is None:
+                    w.skip_bits(item_bits)
+                else:
+                    _write_scalar(w, item, item_v)
+            w.align(1)
+            for item_v in v:
+                w.append_bit(item_v is not None)
+            w.align(8)
+            cur += _array_ser_bytes(item, len(v))
+        w.write_at(off_vec + len(c.values) * 4, struct.pack("<I", cur))
 
 
 # --------------------------------------------------------------------------
@@ -281,6 +345,33 @@ def _read_bit(buf: bytes, base_bit: int, i: int) -> bool:
     return bool(buf[(base_bit + i) // 8] & (1 << ((base_bit + i) % 8)))
 
 
+def _read_scalar(buf: bytes, boff: int, type_name: str) -> Any:
+    if type_name == "UUID":
+        return struct.unpack_from("<QQ", buf, boff)
+    if type_name == "GeoPoint":
+        return struct.unpack_from("<ff", buf, boff)
+    return struct.unpack_from(_PACK[type_name], buf, boff)[0]
+
+
+def _read_array_value(buf: bytes, base: int, item: str) -> list:
+    """ArrayValue payload (data_value.go:615-729): uint32 count, packed
+    items, then validity bits starting at the next byte boundary."""
+    (count,) = struct.unpack_from("<I", buf, base)
+    item_bits = _bits(DATA_TYPES[item])
+    items_base_bit = (base + 4) * 8
+    valid_base_bit = _align(items_base_bit + item_bits * count, 8)
+    out = []
+    for j in range(count):
+        if not _read_bit(buf, valid_base_bit, j):
+            out.append(None)
+        elif item == "Bool":
+            out.append(_read_bit(buf, items_base_bit, j))
+        else:
+            out.append(_read_scalar(buf, items_base_bit // 8
+                                    + j * item_bits // 8, item))
+    return out
+
+
 def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
     """Deserialize a V1 buffer (without the redo log's 4-byte size
     prefix), mirroring readUpsertBatch's offset arithmetic exactly."""
@@ -318,7 +409,17 @@ def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
             null_base_bit = cur * 8
             cur += _align(num_rows, 8) // 8
         values: list[Any] = [None] * num_rows
-        if mode != ALL_VALUES_DEFAULT:
+        if mode != ALL_VALUES_DEFAULT and type_name.endswith("[]"):
+            off_vec = _align(cur, 4)
+            row_offs = struct.unpack_from(f"<{num_rows + 1}I", buffer, off_vec)
+            val_base = _align(off_vec + (num_rows + 1) * 4, 8)
+            item = type_name[:-2]
+            for r in range(num_rows):
+                if row_offs[r] == row_offs[r + 1]:
+                    continue  # null array (offset equality, upsert_batch.go:73-82)
+                values[r] = _read_array_value(buffer, val_base + row_offs[r],
+                                              item)
+        elif mode != ALL_VALUES_DEFAULT:
             val_base_bit = _align(cur, 8) * 8
             for r in range(num_rows):
                 if null_base_bit is not None and \
@@ -328,13 +429,7 @@ def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
                     values[r] = _read_bit(buffer, val_base_bit, r)
                     continue
                 boff = val_base_bit // 8 + r * bits // 8
-                if type_name == "UUID":
-                    values[r] = struct.unpack_from("<QQ", buffer, boff)
-                elif type_name == "GeoPoint":
-                    values[r] = struct.unpack_from("<ff", buffer, boff)
-                else:
-                    (values[r],) = struct.unpack_from(
-                        _PACK[type_name], buffer, boff)
+                values[r] = _read_scalar(buffer, boff, type_name)
         cols.append(UpsertColumn(ids[i], type_name, mode, update_mode, values))
     return UpsertBatch(num_rows, arrival, cols)
 
@@ -379,6 +474,12 @@ _SPARK_TYPES = {
 }
 
 
+def _spark_type(type_name: str) -> str:
+    if type_name.endswith("[]"):
+        return f"array<{_SPARK_TYPES.get(type_name[:-2], 'string')}>"
+    return _SPARK_TYPES.get(type_name, "string")
+
+
 def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
     """Decode a wire batch into ``(DataFrame, update_modes)`` ready for
     ``streaming.upsert.apply_upsert``: column ids resolve to names via a
@@ -399,16 +500,23 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
         names.append(name)
         modes[name] = c.update_mode_name
         fields.append(T.StructField(
-            name, T._parse_datatype_string(_SPARK_TYPES[c.type_name])))
+            name, T._parse_datatype_string(_spark_type(c.type_name))))
+
+    def conv_scalar(type_name, v):
+        if v is None:
+            return None
+        if type_name == "UUID":
+            return f"{v[0]:016x}{v[1]:016x}"
+        if type_name == "GeoPoint":
+            return f"point({v[0]:g} {v[1]:g})"
+        return v
 
     def conv(c, v):
         if v is None:
             return None
-        if c.type_name == "UUID":
-            return f"{v[0]:016x}{v[1]:016x}"
-        if c.type_name == "GeoPoint":
-            return f"point({v[0]:g} {v[1]:g})"
-        return v
+        if c.type_name.endswith("[]"):
+            return [conv_scalar(c.type_name[:-2], x) for x in v]
+        return conv_scalar(c.type_name, v)
 
     by_id = sorted(batch_cols, key=lambda c: c.column_id)
     rows = [tuple(conv(c, c.values[r]) for c in by_id)
@@ -436,7 +544,7 @@ def decode_upsert_batch_stream(raw, schema_doc: dict,
     names = [c["name"] for c in schema_cols if not c.get("deleted")]
     id_by_name = {c["name"]: i for i, c in enumerate(schema_cols)}
     fields = [T.StructField(c["name"], T._parse_datatype_string(
-        _SPARK_TYPES.get(c["type"], "string")))
+        _spark_type(c["type"])))
         for c in schema_cols if not c.get("deleted")]
     out_schema = T.StructType(fields)
 

@@ -163,8 +163,69 @@ def test_unsupported_types_raise():
     b = UpsertBatchBuilder()
     with pytest.raises(UnsupportedUpsertType):
         b.add_column(0, "GeoShape")
-    with pytest.raises(UnsupportedUpsertType):
-        b.add_column(0, "Int32[]")
+
+
+def test_array_column_round_trip_reference_scenario():
+    """The reference's 'works for array types' case
+    (upsert_batch_test.go:607-665): scalar columns around an ArrayInt32
+    column, one array with a null middle item, plus a null array row and
+    an empty (non-null) array row."""
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_column(1, "Uint16")
+    b.add_column(2, "Int32[]")
+    b.add_column(3, "Int32")
+    for r, (u, arr, i) in enumerate([
+            (1, [11, None, 13], 101),
+            (2, [21, 22, None], 102),
+            (3, None, 103),          # null array
+            (4, [], 104)]):          # empty but present array
+        b.add_row()
+        b.set_value(r, 0, u)
+        if arr is not None:
+            b.set_value(r, 1, arr)
+        b.set_value(r, 2, i)
+    ub = parse_upsert_batch(b.to_byte_array())
+    assert ub.column_by_id(1).values == [1, 2, 3, 4]
+    assert ub.column_by_id(3).values == [101, 102, 103, 104]
+    assert ub.column_by_id(2).values == [[11, None, 13], [21, 22, None],
+                                         None, []]
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_array_round_trip_property(data):
+    """Random array columns across item types, incl. null items, null
+    arrays, empty arrays, and Bool bit-packing."""
+    item = data.draw(st.sampled_from(
+        ["Bool", "Int8", "Int32", "Int64", "Float32", "Uint16", "UUID",
+         "GeoPoint"]))
+    n_rows = data.draw(st.integers(1, 8))
+    b = UpsertBatchBuilder(arrival_time=7)
+    b.add_column(0, "Int64")
+    b.add_column(5, f"{item}[]")
+    expected = []
+    for r in range(n_rows):
+        b.add_row()
+        b.set_value(r, 0, r)
+        arr = data.draw(st.none() | st.lists(
+            st.none() | TYPE_VALUES[item], max_size=6))
+        if arr is not None:
+            b.set_value(r, 1, arr)
+        expected.append(arr)
+    got = parse_upsert_batch(b.to_byte_array()).column_by_id(5).values
+    for g, e in zip(got, expected):
+        if e is None or g is None:
+            assert g == e
+            continue
+        assert len(g) == len(e)
+        for gi, ei in zip(g, e):
+            if isinstance(ei, float):
+                assert gi == pytest.approx(ei, rel=1e-6)
+            elif isinstance(ei, tuple) and item == "GeoPoint":
+                assert gi[0] == pytest.approx(ei[0], rel=1e-5)
+                assert gi[1] == pytest.approx(ei[1], rel=1e-5)
+            else:
+                assert gi == ei
 
 
 def test_redo_log_framing_and_truncated_tail():
