@@ -524,6 +524,64 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
     return spark.createDataFrame(rows, T.StructType(fields)), modes
 
 
+def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
+                               batch_rows: int = 10_000,
+                               update_modes: dict[str, "int | str"]
+                               | None = None):
+    """The client/export side: serialize a DataFrame into wire batches —
+    one binary blob per ``batch_rows`` rows per partition, emitted as a
+    single-column ``value binary`` DataFrame ready for a Kafka sink or
+    the data handler. Executor-side via ``mapInPandas`` (the encoder is
+    the distributed analog of the reference Go client's
+    UpsertBatchBuilder loop), so export scales with partitions.
+
+    Columns map to ids by position in ``schema_doc`` (deleted columns
+    are skipped and absent ones omitted); timestamps convert to the wire's
+    Uint32 epoch seconds."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema_cols = schema_doc.get("columns") or []
+    id_by_name = {c["name"]: i for i, c in enumerate(schema_cols)
+                  if not c.get("deleted")}
+    type_by_name = {c["name"]: c["type"] for c in schema_cols}
+    cols = [c for c in df.columns if c in id_by_name]
+    modes = update_modes or {}
+
+    for c in cols:  # wire time columns are epoch seconds
+        if dict(df.dtypes)[c].startswith("timestamp"):
+            df = df.withColumn(c, F.unix_timestamp(F.col(c)))
+    df = df.select(*cols)
+
+    def encode(iterator):
+        def flush(builder):
+            return pd.DataFrame(
+                {"value": [bytearray(builder.to_byte_array())]})
+
+        for pdf in iterator:
+            for lo in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[lo:lo + batch_rows]
+                b = UpsertBatchBuilder(arrival_time=arrival_time)
+                for c in cols:
+                    b.add_column(id_by_name[c], type_by_name[c],
+                                 modes.get(c, 0))
+                for r in range(len(chunk)):
+                    b.add_row()
+                    for j, c in enumerate(cols):
+                        v = chunk.iloc[r, j]
+                        if v is None or (isinstance(v, float) and v != v):
+                            continue
+                        if type_by_name[c].endswith("[]"):
+                            v = [None if x is None else x for x in v]
+                        elif isinstance(v, (int, float)) and \
+                                not type_by_name[c] == "Float32":
+                            v = int(v) if type_by_name[c] != "Bool" else bool(v)
+                        b.set_value(r, j, v)
+                yield flush(b)
+
+    return df.mapInPandas(encode, schema="value binary")
+
+
 def decode_upsert_batch_stream(raw, schema_doc: dict,
                                value_col: str = "value"):
     """Distributed decoder for a Kafka-shaped stream/DataFrame whose

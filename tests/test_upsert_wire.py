@@ -286,6 +286,38 @@ def test_decode_upsert_batch_stream_map_in_pandas(spark):
     assert rows[3]["request_at"] == 300 and rows[3]["fare"] is None
 
 
+def test_encode_decode_stream_round_trip(spark):
+    """Distributed export → import: a DataFrame encodes to wire blobs
+    (mapInPandas, multiple batches per partition) and decodes back to
+    the same rows — the full Kafka producer→consumer path minus the
+    broker."""
+    from aresdb_spark.streaming.upsert_wire import (
+        decode_upsert_batch_stream, encode_upsert_batch_stream)
+
+    schema_doc = {
+        "name": "trips",
+        "columns": [{"name": "request_at", "type": "Uint32"},
+                    {"name": "trip_id", "type": "Int64"},
+                    {"name": "fare", "type": "Float32"}],
+        "primaryKeyColumns": [1],
+    }
+    src = spark.createDataFrame(
+        [(1700000000 + i, i, float(i) * 1.5 if i % 3 else None)
+         for i in range(257)],
+        "request_at bigint, trip_id bigint, fare double").repartition(4)
+    blobs = encode_upsert_batch_stream(src, schema_doc, arrival_time=9,
+                                       batch_rows=100)
+    n_blobs = blobs.count()
+    assert n_blobs >= 4  # at least one per partition, chunked by 100
+
+    back = decode_upsert_batch_stream(blobs, schema_doc)
+    rows = {r["trip_id"]: r for r in back.collect()}
+    assert len(rows) == 257
+    assert rows[4]["request_at"] == 1700000004
+    assert rows[4]["fare"] == pytest.approx(6.0)
+    assert rows[3]["fare"] is None  # NULL survives the round trip
+
+
 def test_wire_batch_ingests_through_apply_upsert(spark):
     """End-to-end: reference-client bytes -> DataFrame + modes via the
     metastore schema -> apply_upsert semantics (add mode accumulates)."""
