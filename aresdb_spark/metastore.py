@@ -291,14 +291,28 @@ class SchemaStore:
         self._persist(table)
 
     def update_table_config(self, name: str, config: dict) -> None:
+        """Deviation from disk_metastore.go:504-528 (which replaces the
+        whole config, zero-filling absent fields and skipping
+        validation): absent fields here fall back to the defaults —
+        a partial-update PUT can't silently zero batchSize/retention."""
         table = self._get(name)
         table["config"] = {**DEFAULT_TABLE_CONFIG, **(config or {})}
         self._persist(table)
 
     def delete_table(self, name: str) -> None:
+        """Reference removeTable deletes the whole table dir — enum
+        dictionaries must go too, or a recreated same-named table would
+        inherit stale case→id mappings."""
         self._get(name)
         del self._tables[name]
+        for key in [k for k in self._enums if k[0] == name]:
+            del self._enums[key]
         self._unpersist(name)
+        if self.base_dir:
+            import shutil
+            d = os.path.join(self.base_dir, name)
+            if os.path.isdir(d):
+                shutil.rmtree(d)
 
     def add_column(self, name: str, column: dict,
                    add_to_sort_order: bool = False) -> None:

@@ -161,6 +161,21 @@ def test_delete_column_tombstones_and_guards():
         s.delete_column("trips", "trip_id")
 
 
+def test_delete_table_drops_enum_dictionaries(tmp_path):
+    """Recreating a same-named table must NOT inherit the old table's
+    enum dictionaries (reference removeTable deletes the table dir)."""
+    s = SchemaStore(base_dir=str(tmp_path / "meta"))
+    t = dim_table()
+    t["columns"][1]["type"] = "SmallEnum"
+    s.create_table(t)
+    s.extend_enum_dict("cities", "city", ["sf", "nyc"])
+    s.delete_table("cities")
+    s.create_table(t)
+    assert s.get_enum_cases("cities", "city") == []
+    assert SchemaStore(base_dir=s.base_dir).get_enum_cases(
+        "cities", "city") == []
+
+
 def test_json_persistence_round_trip(tmp_path):
     base = str(tmp_path / "meta")
     s = SchemaStore(base_dir=base)
