@@ -39,6 +39,9 @@ def translate_enum_columns(df, schema_doc: dict, store: SchemaStore):
             continue
         cases = store.get_enum_cases(table, name)
         if not cases:
+            # no dictionary yet: every id is out-of-dictionary → NULL
+            # (keeps the column string-typed like translated ones)
+            df = df.withColumn(name, F.lit(None).cast("string"))
             continue
         mapping = F.array(*[F.lit(c) for c in cases])
         # element_at is 1-based; out-of-range yields NULL under ANSI=off,

@@ -490,14 +490,16 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
     from pyspark.sql import types as T
 
     schema_cols = schema_doc.get("columns") or []
-    fields, modes, names = [], {}, []
-    for c in sorted(batch_cols := parse_upsert_batch(buffer).columns,
+    fields, modes, keep = [], {}, []
+    for c in sorted(parse_upsert_batch(buffer).columns,
                     key=lambda c: c.column_id):
         if c.column_id >= len(schema_cols):
             raise ValueError(f"column id {c.column_id} not in schema "
                              f"{schema_doc.get('name')!r}")
+        if schema_cols[c.column_id].get("deleted"):
+            continue  # tombstoned columns are ignored on ingest
         name = schema_cols[c.column_id]["name"]
-        names.append(name)
+        keep.append(c)
         modes[name] = c.update_mode_name
         fields.append(T.StructField(
             name, T._parse_datatype_string(_spark_type(c.type_name))))
@@ -518,15 +520,16 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
             return [conv_scalar(c.type_name[:-2], x) for x in v]
         return conv_scalar(c.type_name, v)
 
-    by_id = sorted(batch_cols, key=lambda c: c.column_id)
-    rows = [tuple(conv(c, c.values[r]) for c in by_id)
-            for r in range(len(by_id[0].values) if by_id else 0)]
+    rows = [tuple(conv(c, c.values[r]) for c in keep)
+            for r in range(len(keep[0].values) if keep else 0)]
     return spark.createDataFrame(rows, T.StructType(fields)), modes
 
 
 def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
                                batch_rows: int = 10_000,
                                update_modes: dict[str, "int | str"]
+                               | None = None,
+                               enum_dicts: dict[str, list[str]]
                                | None = None):
     """The client/export side: serialize a DataFrame into wire batches —
     one binary blob per ``batch_rows`` rows per partition, emitted as a
@@ -537,7 +540,10 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
 
     Columns map to ids by position in ``schema_doc`` (deleted columns
     are skipped and absent ones omitted); timestamps convert to the wire's
-    Uint32 epoch seconds."""
+    Uint32 epoch seconds. Enum columns holding strings need
+    ``enum_dicts`` (name → case list, e.g. from
+    ``SchemaStore.get_enum_cases``) to translate to wire ids;
+    out-of-dictionary strings encode as NULL."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -547,6 +553,8 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
     type_by_name = {c["name"]: c["type"] for c in schema_cols}
     cols = [c for c in df.columns if c in id_by_name]
     modes = update_modes or {}
+    dicts = {c: {case: i for i, case in enumerate(v)}
+             for c, v in (enum_dicts or {}).items()}
 
     for c in cols:  # wire time columns are epoch seconds
         if dict(df.dtypes)[c].startswith("timestamp"):
@@ -571,6 +579,10 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
                         v = chunk.iloc[r, j]
                         if v is None or (isinstance(v, float) and v != v):
                             continue
+                        if isinstance(v, str) and c in dicts:
+                            v = dicts[c].get(v)  # out-of-dict → NULL
+                            if v is None:
+                                continue
                         if type_by_name[c].endswith("[]"):
                             v = [None if x is None else x for x in v]
                         elif isinstance(v, (int, float)) and \

@@ -85,6 +85,35 @@ def test_post_data_error_codes(spark, tmp_path):
     assert h.post_data("trips", 0, b"\x00bad")[0] == 400
 
 
+def test_enum_strings_encode_and_translate_back(spark, tmp_path):
+    """Full export→import loop for enum columns: store strings encode to
+    wire ids via the metastore dictionary, ship as batches, and
+    translate back to the same strings on ingest; deleted schema columns
+    are skipped rather than ingested."""
+    from aresdb_spark.streaming.upsert_wire import (
+        decode_upsert_batch_stream, encode_upsert_batch_stream,
+        upsert_batch_to_df)
+
+    h = make_handler(spark, tmp_path)
+    dicts = {"status": h.schema_store.get_enum_cases("trips", "status")}
+    src = spark.createDataFrame(
+        [(T0, 1, "completed", 2.0), (T0 + 60, 2, "cancelled", 3.0),
+         (T0 + 120, 3, "unknown-case", 4.0)],
+        "request_at bigint, trip_id bigint, status string, fare double")
+    blobs = encode_upsert_batch_stream(src, SCHEMA, arrival_time=5,
+                                       enum_dicts=dicts)
+    decoded = decode_upsert_batch_stream(blobs, SCHEMA)
+    got = {r["trip_id"]: r["status"] for r in decoded.collect()}
+    assert got == {1: 0, 2: 1, 3: None}  # ids; unknown case → NULL
+
+    # deleted columns are ignored on ingest
+    doc = {**SCHEMA, "columns": [dict(c) for c in SCHEMA["columns"]]}
+    doc["columns"][3]["deleted"] = True  # fare tombstoned
+    blob = blobs.first()["value"]
+    df, modes = upsert_batch_to_df(spark, bytes(blob), doc)
+    assert "fare" not in df.columns and "fare" not in modes
+
+
 def test_recover_from_redo_log(spark, tmp_path):
     h = make_handler(spark, tmp_path)
     log = write_redo_log([
