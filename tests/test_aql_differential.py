@@ -409,18 +409,25 @@ def sql_query_pair(draw):
     filters = draw(st.lists(filter_pair(), min_size=0, max_size=2,
                             unique_by=lambda p: p[0]))
 
+    # optional HAVING over the first measure's output alias (the dialect
+    # applies having to output names; DuckDB allows alias refs too)
+    having = ""
+    if draw(st.booleans()) and measures[0][0].expr == "count(*)":
+        k = draw(st.integers(1, 50))
+        having = f" HAVING {measures[0][0].alias} > {k}"
+
     dim_sqls = [f"{d[0].expr} AS {d[0].alias}" for d in dims]
     msr_sqls = [f"{m[0].expr} AS {m[0].alias}" for m in measures]
     where = (" WHERE " + " AND ".join(f[0] for f in filters)) if filters else ""
     group = ", ".join(str(i + 1) for i in range(len(dims)))
     dialect_sql = (f"SELECT {', '.join(dim_sqls + msr_sqls)} FROM events"
-                   f"{where} GROUP BY {group}")
+                   f"{where} GROUP BY {group}{having}")
 
     oracle_select = ", ".join([d[1] for d in dims] + [m[1] for m in measures])
     oracle_where = (" WHERE " + " AND ".join(f[1] for f in filters)) \
         if filters else ""
     oracle = (f"SELECT {oracle_select} FROM events{oracle_where} "
-              f"GROUP BY {group}")
+              f"GROUP BY {group}{having}")
     return dialect_sql, oracle
 
 
