@@ -269,6 +269,8 @@ class UpsertBatchBuilder:
                 self._write_array_column(w, c)
                 continue
             w.align(8)
+            if self._write_fixed_vectorized(w, c):
+                continue
             bits = _bits(DATA_TYPES[c.type_name])
             for v in c.values:
                 if v is None:
@@ -276,6 +278,40 @@ class UpsertBatchBuilder:
                 else:
                     _write_scalar(w, c.type_name, v)
         return bytes(w.buf)
+
+    _NP_DTYPES = {"Int8": "int8", "Uint8": "uint8", "SmallEnum": "uint8",
+                  "Int16": "int16", "Uint16": "uint16", "BigEnum": "uint16",
+                  "Int32": "int32", "Uint32": "uint32", "Float32": "float32",
+                  "Int64": "int64"}
+
+    @staticmethod
+    def _write_fixed_vectorized(w: "_BitWriter", c: _ColumnBuilder) -> bool:
+        """Single-memcpy fast path for byte-width scalar columns (and
+        bit-packed Bool): identical bytes to the per-value loop — null
+        slots are zero-filled, exactly what skip_bits leaves behind."""
+        try:
+            import numpy as np
+        except ImportError:  # pragma: no cover
+            return False
+        if c.type_name == "Bool":
+            bits = np.fromiter(
+                (bool(v) for v in c.values), dtype=np.uint8,
+                count=len(c.values))
+            packed = np.packbits(bits, bitorder="little").tobytes()
+            w.buf[w.byte:w.byte + len(packed)] = packed
+            w.bit += len(c.values)
+            return True
+        np_dt = UpsertBatchBuilder._NP_DTYPES.get(c.type_name)
+        if np_dt is None:  # UUID / GeoPoint keep the loop
+            return False
+        # unsigned views for negative-free packing of Uint* values is
+        # handled by numpy's modular cast; None → 0 (skip_bits parity)
+        arr = np.array([0 if v is None else v for v in c.values],
+                       dtype=np_dt)
+        raw = arr.tobytes()
+        w.buf[w.byte:w.byte + len(raw)] = raw
+        w.bit += len(raw) * 8
+        return True
 
     @staticmethod
     def _write_array_column(w: "_BitWriter", c: _ColumnBuilder) -> None:
@@ -561,35 +597,41 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
             df = df.withColumn(c, F.unix_timestamp(F.col(c)))
     df = df.select(*cols)
 
-    def encode(iterator):
-        def flush(builder):
-            return pd.DataFrame(
-                {"value": [bytearray(builder.to_byte_array())]})
+    def conv_column(c, vals):
+        """One pass over a column's values → builder value list (None
+        for nulls); vectorized per column instead of per-cell .iloc."""
+        tname = type_by_name[c]
+        is_arr = tname.endswith("[]")
+        d = dicts.get(c)
+        out = []
+        for v in vals:
+            if v is None or (isinstance(v, float) and v != v):
+                out.append(None)
+            elif d is not None and isinstance(v, str):
+                out.append(d.get(v))  # out-of-dict → NULL
+            elif is_arr:
+                out.append([None if x is None else x for x in v])
+            elif tname == "Bool":
+                out.append(bool(v))
+            elif tname != "Float32" and isinstance(v, (int, float)):
+                out.append(int(v))
+            else:
+                out.append(v)
+        return out
 
+    def encode(iterator):
         for pdf in iterator:
             for lo in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[lo:lo + batch_rows]
                 b = UpsertBatchBuilder(arrival_time=arrival_time)
+                b.num_rows = len(chunk)
                 for c in cols:
                     b.add_column(id_by_name[c], type_by_name[c],
                                  modes.get(c, 0))
-                for r in range(len(chunk)):
-                    b.add_row()
-                    for j, c in enumerate(cols):
-                        v = chunk.iloc[r, j]
-                        if v is None or (isinstance(v, float) and v != v):
-                            continue
-                        if isinstance(v, str) and c in dicts:
-                            v = dicts[c].get(v)  # out-of-dict → NULL
-                            if v is None:
-                                continue
-                        if type_by_name[c].endswith("[]"):
-                            v = [None if x is None else x for x in v]
-                        elif isinstance(v, (int, float)) and \
-                                not type_by_name[c] == "Float32":
-                            v = int(v) if type_by_name[c] != "Bool" else bool(v)
-                        b.set_value(r, j, v)
-                yield flush(b)
+                    b.columns[-1].values = conv_column(
+                        c, chunk[c].tolist())
+                yield pd.DataFrame(
+                    {"value": [bytearray(b.to_byte_array())]})
 
     return df.mapInPandas(encode, schema="value binary")
 
