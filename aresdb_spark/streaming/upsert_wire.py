@@ -389,6 +389,42 @@ def _read_scalar(buf: bytes, boff: int, type_name: str) -> Any:
     return struct.unpack_from(_PACK[type_name], buf, boff)[0]
 
 
+_NP_READ_DTYPES = {"Int8": "int8", "Uint8": "uint8", "SmallEnum": "uint8",
+                   "Int16": "<i2", "Uint16": "<u2", "BigEnum": "<u2",
+                   "Int32": "<i4", "Uint32": "<u4", "Float32": "<f4",
+                   "Int64": "<i8"}
+
+
+def _read_fixed_vectorized(buf: bytes, type_name: str, num_rows: int,
+                           val_base: int, null_base_bit: "int | None"):
+    """Whole-column read for byte-width scalars and bit-packed Bool:
+    one frombuffer/unpackbits instead of per-row struct.unpack. Returns
+    None for types that keep the scalar loop (UUID, GeoPoint)."""
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover
+        return None
+    if num_rows == 0:
+        return []
+    if type_name == "Bool":
+        nbytes = (num_rows + 7) // 8
+        vals = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, val_base),
+            bitorder="little")[:num_rows].astype(bool).tolist()
+    else:
+        dt = _NP_READ_DTYPES.get(type_name)
+        if dt is None:
+            return None
+        vals = np.frombuffer(buf, dt, num_rows, val_base).tolist()
+    if null_base_bit is not None:
+        nbytes = (num_rows + 7) // 8
+        mask = np.unpackbits(
+            np.frombuffer(buf, np.uint8, nbytes, null_base_bit // 8),
+            bitorder="little")[:num_rows]
+        vals = [v if m else None for v, m in zip(vals, mask)]
+    return vals
+
+
 def _read_array_value(buf: bytes, base: int, item: str) -> list:
     """ArrayValue payload (data_value.go:615-729): uint32 count, packed
     items, then validity bits starting at the next byte boundary."""
@@ -457,15 +493,20 @@ def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
                                               item)
         elif mode != ALL_VALUES_DEFAULT:
             val_base_bit = _align(cur, 8) * 8
-            for r in range(num_rows):
-                if null_base_bit is not None and \
-                        not _read_bit(buffer, null_base_bit, r):
-                    continue
-                if type_name == "Bool":
-                    values[r] = _read_bit(buffer, val_base_bit, r)
-                    continue
-                boff = val_base_bit // 8 + r * bits // 8
-                values[r] = _read_scalar(buffer, boff, type_name)
+            fast = _read_fixed_vectorized(buffer, type_name, num_rows,
+                                          val_base_bit // 8, null_base_bit)
+            if fast is not None:
+                values = fast
+            else:
+                for r in range(num_rows):
+                    if null_base_bit is not None and \
+                            not _read_bit(buffer, null_base_bit, r):
+                        continue
+                    if type_name == "Bool":
+                        values[r] = _read_bit(buffer, val_base_bit, r)
+                        continue
+                    boff = val_base_bit // 8 + r * bits // 8
+                    values[r] = _read_scalar(buffer, boff, type_name)
         cols.append(UpsertColumn(ids[i], type_name, mode, update_mode, values))
     return UpsertBatch(num_rows, arrival, cols)
 
