@@ -19,10 +19,15 @@ from datetime import datetime, timezone
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from aresdb_spark.metastore import MetaStoreError, SchemaStore
-from aresdb_spark.sources.hotcold import HotColdStore
 from aresdb_spark.streaming.upsert_wire import (parse_upsert_batch,
                                                 upsert_batch_to_df)
+
+if TYPE_CHECKING:  # type-only: sources.hotcold imports streaming.upsert,
+    # so an eager import here would be circular via streaming/__init__
+    from aresdb_spark.sources.hotcold import HotColdStore
 
 
 def translate_enum_columns(df, schema_doc: dict, store: SchemaStore):
