@@ -475,10 +475,12 @@ class SchemaHandler:
 
 # --- bridge into the query catalog ------------------------------------------
 
-def table_def_from_schema(table: dict):
+def table_def_from_schema(table: dict, hotcold: bool = False):
     """A planner ``TableDef`` from a schema document: fact flag, time
     column (= column 0 of a fact table, query/aql_compiler.go:1013-1017),
-    primary key and sort columns by id → name (skipping tombstones)."""
+    primary key and sort columns by id → name (skipping tombstones).
+    ``hotcold=True`` marks the table as ingestion-backed (a HotColdStore
+    root instead of a plain parquet file — the live+archive scan)."""
     from aresdb_spark.catalog import TableDef
 
     cols = _columns(table)
@@ -494,15 +496,21 @@ def table_def_from_schema(table: dict):
         time_column=cols[0]["name"] if (is_fact and cols) else None,
         primary_key=names(table.get("primaryKeyColumns")),
         sort_columns=names(table.get("archivingSortColumns")),
+        hotcold=hotcold,
     )
 
 
-def catalog_from_store(sf_dir: str, store: SchemaStore):
+def catalog_from_store(sf_dir: str, store: SchemaStore,
+                       hotcold: set[str] | None = None):
     """A query ``Catalog`` whose table defs come from the metastore — the
     reference's metastore→memstore schema flow (schema changes propagate
-    to query planning)."""
+    to query planning). Tables named in ``hotcold`` resolve to
+    HotColdStore roots under ``sf_dir`` (ingestion-backed live+archive
+    scans) instead of plain parquet files."""
     from aresdb_spark.catalog import Catalog
 
+    hotcold = hotcold or set()
     return Catalog(sf_dir=sf_dir, tables={
-        name: table_def_from_schema(store.get_table(name))
+        name: table_def_from_schema(store.get_table(name),
+                                    hotcold=name in hotcold)
         for name in store.list_tables()})

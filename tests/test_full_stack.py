@@ -1,0 +1,113 @@
+"""Full-stack integration: the complete reference user journey in one
+test — DDL through the metastore, binary UpsertBatch ingestion through
+the data handler into a hot/cold store, then AQL queries through the
+metastore-driven catalog reading that store.
+
+This stitches every layer built for ingestion parity:
+SchemaStore/enum dicts → UpsertBatchBuilder (wire bytes) → DataHandler
+(POST /data analog: enum translation, time conversion, update modes) →
+HotColdStore (live+archive) → catalog_from_store(hotcold=...) →
+Planner/execute_request, with a DuckDB oracle over the store's parquet.
+"""
+
+import json
+from datetime import datetime
+
+import pytest
+
+from aresdb_spark.metastore import SchemaHandler, SchemaStore, \
+    catalog_from_store
+from aresdb_spark.sources.hotcold import HotColdStore
+from aresdb_spark.streaming.data_handler import DataHandler
+from aresdb_spark.streaming.upsert_wire import UpsertBatchBuilder
+
+CUTOFF = datetime(2024, 1, 1)
+T0 = int(datetime(2024, 1, 10).timestamp())
+
+SCHEMA = {
+    "name": "trips",
+    "columns": [{"name": "request_at", "type": "Uint32"},
+                {"name": "trip_id", "type": "Int64"},
+                {"name": "city_id", "type": "Uint16"},
+                {"name": "status", "type": "SmallEnum"},
+                {"name": "fare", "type": "Float32"}],
+    "primaryKeyColumns": [1],
+    "isFactTable": True,
+    "archivingSortColumns": [0, 2],
+}
+
+
+def test_wire_to_query_full_stack(spark, tmp_path):
+    # 1. DDL through the handler routes
+    h = SchemaHandler(SchemaStore())
+    assert h.add_table(SCHEMA)[0] == 200
+    assert h.add_enum_case("trips", "status",
+                           {"enumCases": ["completed", "cancelled"]})[0] == 200
+
+    # 2. the serving store + ingestion front door
+    store = HotColdStore(path=str(tmp_path / "trips"),
+                         time_column="request_at",
+                         primary_key=("trip_id",),
+                         sort_columns=("request_at", "city_id"))
+    store.init_from(spark.createDataFrame(
+        [], "request_at timestamp, trip_id bigint, city_id int, "
+            "status string, fare float"), cutoff=CUTOFF)
+    dh = DataHandler(spark, h.store, {"trips": store})
+
+    # 3. a reference client's batches (status as wire enum ids)
+    def post(rows, fare_mode=0):
+        b = UpsertBatchBuilder(arrival_time=T0)
+        b.add_column(0, "Uint32")
+        b.add_column(1, "Int64")
+        b.add_column(2, "Uint16")
+        b.add_column(3, "SmallEnum")
+        b.add_column(4, "Float32", update_mode=fare_mode)
+        for r, (ts, tid, city, status, fare) in enumerate(rows):
+            b.add_row()
+            for j, v in enumerate((ts, tid, city, status, fare)):
+                if v is not None:
+                    b.set_value(r, j, v)
+        status, body = dh.post_data("trips", 0, b.to_byte_array())
+        assert status == 200
+        return body
+
+    post([(T0 + 3600 * i, i, i % 3, i % 2, 10.0 + i) for i in range(8)])
+    post([(T0, 0, None, None, 5.0)], fare_mode=2)   # add-mode upsert on PK 0
+
+    # 4. AQL through the metastore-driven catalog over the live store
+    catalog = catalog_from_store(str(tmp_path), h.store, hotcold={"trips"})
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import Planner
+
+    df = Planner(spark, catalog).plan(Query(
+        table="trips",
+        dimensions=[Dimension(expr="status", alias="status")],
+        measures=[Measure(expr="round(sum(fare), 2)", alias="total_fare"),
+                  Measure(expr="count(*)", alias="trips")],
+        time_filter=None))
+    got = {r["status"]: r for r in df.collect()}
+    # ids 0/1 translated through the enum dictionary at ingest
+    assert got["completed"]["trips"] == 4
+    assert got["cancelled"]["trips"] == 4
+    # PK-0 add-mode: fare 10.0 + 5.0; status survived the NULL update
+    assert got["completed"]["total_fare"] == pytest.approx(
+        15.0 + 12.0 + 14.0 + 16.0)
+
+    # 5. time filter plans against the store's time column
+    res_df = Planner(spark, catalog).plan(Query(
+        table="trips",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        time_filter=__import__("aresdb_spark.aql", fromlist=["TimeFilter"])
+        .TimeFilter(from_="2024-01-10", to="2024-01-10")))
+    # day window [Jan10, Jan11): first 8 hourly trips all inside
+    assert res_df.collect()[0]["cnt"] == 8
+
+    # 6. DuckDB oracle over the store's own parquet agrees
+    import duckdb
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW trips AS SELECT * FROM "
+                 f"'{tmp_path}/trips/hot/*.parquet'")
+    oracle = dict(duck.execute(
+        "SELECT status, count(*) FROM trips GROUP BY 1").fetchall())
+    assert oracle == {"completed": 4, "cancelled": 4}
+    duck.close()
