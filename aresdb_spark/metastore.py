@@ -420,7 +420,7 @@ class SchemaHandler:
         self.store = store
 
     @staticmethod
-    def _run(fn, missing_404: bool = False):
+    def _run(fn):
         try:
             return 200, fn()
         except ErrTableDoesNotExist as e:

@@ -132,7 +132,8 @@ class HotColdStore:
 
     def ingest(self, spark: SparkSession, batch: DataFrame, cutoff: datetime,
                seq_col: str | None = None,
-               retention: datetime | None = None) -> None:
+               retention: datetime | None = None,
+               modes: "dict | None" = None) -> None:
         """Apply an upsert batch. Rows with event time >= cutoff merge into
         the hot store; older rows take the backfill path into cold
         (reference routes pre-cutoff records to the backfill queue,
@@ -147,16 +148,19 @@ class HotColdStore:
 
         hot_part = batch.filter(F.col(self.time_column) >= cut)
         cold_part = batch.filter(F.col(self.time_column) < cut)
+        # batch-scoped override (e.g. a wire batch's own update modes)
+        # without mutating the store's configured defaults
+        modes = self.modes if modes is None else modes
 
         # localCheckpoint both merge inputs: the hot/cold dirs are about to
         # be overwritten and parquet reads are lazy (can't read-after-drop)
         if hot_part.limit(1).count():
             merged = self._conform(apply_upsert_batch(
-                self.read_hot(spark), hot_part, pk, self.modes, seq_col))
+                self.read_hot(spark), hot_part, pk, modes, seq_col))
             self._write_hot(merged.localCheckpoint(eager=True))
         if cold_part.limit(1).count():
             merged = self._conform(apply_upsert_batch(
-                self.read_cold(spark), cold_part, pk, self.modes, seq_col))
+                self.read_cold(spark), cold_part, pk, modes, seq_col))
             self._write_cold(merged.localCheckpoint(eager=True))
 
     def _conform(self, df: DataFrame) -> DataFrame:

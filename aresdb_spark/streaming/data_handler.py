@@ -39,22 +39,31 @@ def translate_enum_columns(df, schema_doc: dict, store: SchemaStore):
     table = schema_doc["name"]
     for col in schema_doc.get("columns") or []:
         name = col["name"]
-        if col.get("deleted") or col["type"] not in ("SmallEnum", "BigEnum") \
+        is_enum = col["type"] in ("SmallEnum", "BigEnum")
+        is_enum_arr = col["type"] in ("SmallEnum[]", "BigEnum[]")
+        if col.get("deleted") or not (is_enum or is_enum_arr) \
                 or name not in df.columns:
             continue
         cases = store.get_enum_cases(table, name)
         if not cases:
             # no dictionary yet: every id is out-of-dictionary → NULL
             # (keeps the column string-typed like translated ones)
-            df = df.withColumn(name, F.lit(None).cast("string"))
+            df = df.withColumn(name, F.lit(None).cast(
+                "array<string>" if is_enum_arr else "string"))
             continue
         mapping = F.array(*[F.lit(c) for c in cases])
-        # element_at is 1-based; out-of-range yields NULL under ANSI=off,
-        # so guard explicitly for both modes
-        idx = F.col(name).cast("int")
-        df = df.withColumn(name, F.when(
-            (idx >= 0) & (idx < len(cases)),
-            F.element_at(mapping, idx + 1)).otherwise(F.lit(None)))
+
+        def translate(idx):
+            # element_at is 1-based; out-of-range yields NULL under
+            # ANSI=off, so guard explicitly for both modes
+            idx = idx.cast("int")
+            return F.when((idx >= 0) & (idx < len(cases)),
+                          F.element_at(mapping, idx + 1))
+
+        if is_enum_arr:
+            df = df.withColumn(name, F.transform(F.col(name), translate))
+        else:
+            df = df.withColumn(name, translate(F.col(name)))
     return df
 
 
@@ -79,7 +88,7 @@ class DataHandler:
             return 404, {"message": str(e)}
         try:
             batch = parse_upsert_batch(buffer)
-            df, modes = upsert_batch_to_df(self.spark, buffer, schema_doc)
+            df, modes = upsert_batch_to_df(self.spark, batch, schema_doc)
         except (ValueError, NotImplementedError) as e:
             return 400, {"message": str(e)}
 
@@ -93,9 +102,10 @@ class DataHandler:
             if tcol in df.columns:
                 df = df.withColumn(
                     tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
-        # wire update modes win over the store's configured defaults
-        store.modes = {**(store.modes or {}), **modes}
-        store.ingest(self.spark, df, cutoff=store.saved_cutoff())
+        # wire update modes win for THIS batch only — the store's
+        # configured defaults stay untouched for later direct ingests
+        store.ingest(self.spark, df, cutoff=store.saved_cutoff(),
+                     modes={**(store.modes or {}), **modes})
         return 200, {"rows": batch.num_rows,
                      "arrivalTime": batch.arrival_time}
 

@@ -446,7 +446,16 @@ def _read_array_value(buf: bytes, base: int, item: str) -> list:
 
 def parse_upsert_batch(buffer: bytes) -> UpsertBatch:
     """Deserialize a V1 buffer (without the redo log's 4-byte size
-    prefix), mirroring readUpsertBatch's offset arithmetic exactly."""
+    prefix), mirroring readUpsertBatch's offset arithmetic exactly.
+    Truncated/corrupt buffers raise ValueError (never struct.error /
+    IndexError), so every 'undecodable input' handler can rely on it."""
+    try:
+        return _parse_upsert_batch(buffer)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"corrupt upsert batch: {e}") from e
+
+
+def _parse_upsert_batch(buffer: bytes) -> UpsertBatch:
     (magic,) = struct.unpack_from("<I", buffer, 0)
     if magic != MAGIC_V1:
         raise ValueError(f"unsupported upsert batch version {magic:#x}")
@@ -557,19 +566,59 @@ def _spark_type(type_name: str) -> str:
     return _SPARK_TYPES.get(type_name, "string")
 
 
-def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
+def _wire_to_bridge_scalar(type_name: str, v):
+    """Parsed wire value → bridge (Spark-facing) value: UUID/GeoPoint
+    tuples render as strings, everything else passes through."""
+    if v is None:
+        return None
+    if type_name == "UUID":
+        return f"{v[0]:016x}{v[1]:016x}"
+    if type_name == "GeoPoint":
+        return f"point({v[0]:g} {v[1]:g})"
+    return v
+
+
+def _wire_to_bridge(type_name: str, v):
+    if v is None:
+        return None
+    if type_name.endswith("[]"):
+        return [_wire_to_bridge_scalar(type_name[:-2], x) for x in v]
+    return _wire_to_bridge_scalar(type_name, v)
+
+
+def _bridge_to_wire_scalar(type_name: str, v):
+    """Inverse of _wire_to_bridge_scalar: the string forms the decoder
+    emits (and users naturally hold) convert back to builder values."""
+    if v is None:
+        return None
+    if type_name == "UUID" and isinstance(v, str):
+        s = v.replace("-", "")
+        return (int(s[:16], 16), int(s[16:32], 16))
+    if type_name == "GeoPoint" and isinstance(v, str):
+        body = v.strip().lower()
+        if body.startswith("point"):
+            body = body[5:].strip().lstrip("(").rstrip(")")
+        parts = body.replace(",", " ").split()
+        return (float(parts[0]), float(parts[1]))
+    return v
+
+
+def upsert_batch_to_df(spark, buffer: "bytes | UpsertBatch",
+                       schema_doc: dict):
     """Decode a wire batch into ``(DataFrame, update_modes)`` ready for
     ``streaming.upsert.apply_upsert``: column ids resolve to names via a
     metastore table document (api/data_handler.go:58-83 does the same
     schema lookup server-side), and each column's wire update mode maps
     to its UpdateMode name. Unknown column ids error like the reference's
-    ingestion path."""
+    ingestion path. An already-parsed ``UpsertBatch`` is accepted so
+    callers that need batch metadata don't parse twice."""
     from pyspark.sql import types as T
 
+    batch = buffer if isinstance(buffer, UpsertBatch) \
+        else parse_upsert_batch(buffer)
     schema_cols = schema_doc.get("columns") or []
     fields, modes, keep = [], {}, []
-    for c in sorted(parse_upsert_batch(buffer).columns,
-                    key=lambda c: c.column_id):
+    for c in sorted(batch.columns, key=lambda c: c.column_id):
         if c.column_id >= len(schema_cols):
             raise ValueError(f"column id {c.column_id} not in schema "
                              f"{schema_doc.get('name')!r}")
@@ -581,23 +630,7 @@ def upsert_batch_to_df(spark, buffer: bytes, schema_doc: dict):
         fields.append(T.StructField(
             name, T._parse_datatype_string(_spark_type(c.type_name))))
 
-    def conv_scalar(type_name, v):
-        if v is None:
-            return None
-        if type_name == "UUID":
-            return f"{v[0]:016x}{v[1]:016x}"
-        if type_name == "GeoPoint":
-            return f"point({v[0]:g} {v[1]:g})"
-        return v
-
-    def conv(c, v):
-        if v is None:
-            return None
-        if c.type_name.endswith("[]"):
-            return [conv_scalar(c.type_name[:-2], x) for x in v]
-        return conv_scalar(c.type_name, v)
-
-    rows = [tuple(conv(c, c.values[r]) for c in keep)
+    rows = [tuple(_wire_to_bridge(c.type_name, c.values[r]) for c in keep)
             for r in range(len(keep[0].values) if keep else 0)]
     return spark.createDataFrame(rows, T.StructType(fields)), modes
 
@@ -640,10 +673,27 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
 
     def conv_column(c, vals):
         """One pass over a column's values → builder value list (None
-        for nulls); vectorized per column instead of per-cell .iloc."""
+        for nulls); vectorized per column instead of per-cell .iloc.
+        UUID/GeoPoint strings convert back to wire tuples, and NaN
+        inside numeric arrays (how Arrow/pandas renders null elements)
+        becomes None."""
         tname = type_by_name[c]
         is_arr = tname.endswith("[]")
+        item = tname[:-2] if is_arr else tname
         d = dicts.get(c)
+
+        def item_val(x):
+            if x is None or (isinstance(x, float) and x != x):
+                return None
+            if item == "Bool":
+                return bool(x)
+            if item in _PACK and _PACK[item] != "<f" and \
+                    isinstance(x, float):
+                # a None element promotes int arrays to float in pandas;
+                # surviving elements come back as floats — re-integerize
+                return int(x)
+            return _bridge_to_wire_scalar(item, x)
+
         out = []
         for v in vals:
             if v is None or (isinstance(v, float) and v != v):
@@ -651,9 +701,11 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
             elif d is not None and isinstance(v, str):
                 out.append(d.get(v))  # out-of-dict → NULL
             elif is_arr:
-                out.append([None if x is None else x for x in v])
+                out.append([item_val(x) for x in v])
             elif tname == "Bool":
                 out.append(bool(v))
+            elif tname in ("UUID", "GeoPoint"):
+                out.append(_bridge_to_wire_scalar(tname, v))
             elif tname != "Float32" and isinstance(v, (int, float)):
                 out.append(int(v))
             else:
@@ -714,8 +766,16 @@ def decode_upsert_batch_stream(raw, schema_doc: dict,
                 cols_by_id = {c.column_id: c for c in ub.columns}
                 for n in names:
                     c = cols_by_id.get(id_by_name[n])
-                    out[n].extend(c.values if c is not None
-                                  else [None] * ub.num_rows)
+                    if c is None:
+                        out[n].extend([None] * ub.num_rows)
+                    elif c.type_name in ("UUID", "GeoPoint") or \
+                            c.type_name.endswith("[]"):
+                        # bridge conversion: the output schema is
+                        # string/array-typed, never raw tuples
+                        out[n].extend(_wire_to_bridge(c.type_name, v)
+                                      for v in c.values)
+                    else:
+                        out[n].extend(c.values)
             yield pd.DataFrame(out, columns=names)
 
     return raw.mapInPandas(decode, schema=out_schema)

@@ -83,6 +83,39 @@ def test_post_data_error_codes(spark, tmp_path):
     h = make_handler(spark, tmp_path)
     assert h.post_data("nope", 0, b"whatever")[0] == 404
     assert h.post_data("trips", 0, b"\x00bad")[0] == 400
+    # truncated valid-magic bodies are a clean 400, not an unhandled
+    # struct.error (code-review r5 finding)
+    good = batch([(T0, 1, 0, 2.0)])
+    assert h.post_data("trips", 0, good[:30])[0] == 400
+    assert h.post_data("trips", 0, good[:52])[0] == 400
+
+
+def test_wire_modes_do_not_stick_to_the_store(spark, tmp_path):
+    """A wire batch's update modes are batch-scoped: the store's
+    configured defaults survive for later direct ingests (code-review r5
+    finding — post_data used to merge them into store.modes)."""
+    from datetime import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    h = make_handler(spark, tmp_path)
+    store = h.stores["trips"]
+    store.modes = {"fare": "max"}
+    # wire batch carries overwrite (mode 0) for fare — wins for itself
+    h.post_data("trips", 0, batch([(T0, 1, 0, 10.0)]))
+    h.post_data("trips", 0, batch([(T0, 1, None, 4.0)]))
+    rows = {r["trip_id"]: r
+            for r in store.read_hot(spark).collect()}
+    assert rows[1]["fare"] == pytest.approx(4.0)   # wire overwrite won
+    assert store.modes == {"fare": "max"}          # config untouched
+    # a direct ingest afterwards still applies the configured max
+    direct = spark.createDataFrame(
+        [(dt.fromtimestamp(T0), 1, None, 2.0)],
+        "request_at timestamp, trip_id bigint, status string, fare double"
+    ).withColumn("fare", F.col("fare").cast("float"))
+    store.ingest(spark, direct, cutoff=store.saved_cutoff())
+    rows = {r["trip_id"]: r for r in store.read_hot(spark).collect()}
+    assert rows[1]["fare"] == pytest.approx(4.0)   # max(4.0, 2.0)
 
 
 def test_enum_strings_encode_and_translate_back(spark, tmp_path):
@@ -112,6 +145,24 @@ def test_enum_strings_encode_and_translate_back(spark, tmp_path):
     blob = blobs.first()["value"]
     df, modes = upsert_batch_to_df(spark, bytes(blob), doc)
     assert "fare" not in df.columns and "fare" not in modes
+
+
+def test_enum_array_columns_translate(spark):
+    """SmallEnum[]/BigEnum[] wire ids translate element-wise through the
+    dictionary (code-review r5 finding: arrays were skipped)."""
+    from aresdb_spark.streaming.data_handler import translate_enum_columns
+
+    ss = SchemaStore()
+    doc = {"name": "t",
+           "columns": [{"name": "id", "type": "Int64"},
+                       {"name": "tags", "type": "SmallEnum[]"}],
+           "primaryKeyColumns": [0]}
+    ss.create_table(doc)
+    ss.extend_enum_dict("t", "tags", ["red", "green", "blue"])
+    df = spark.createDataFrame([(1, [0, 2, 7, None])],
+                               "id bigint, tags array<smallint>")
+    (row,) = translate_enum_columns(df, doc, ss).collect()
+    assert row["tags"] == ["red", "blue", None, None]  # 7 out-of-dict
 
 
 def test_recover_from_redo_log(spark, tmp_path):

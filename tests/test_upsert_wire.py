@@ -104,6 +104,62 @@ def test_parse_rejects_bad_magic():
         parse_upsert_batch(b"\x00\x00\x00\x00" + GOLDEN_EMPTY[4:])
 
 
+def test_parse_raises_valueerror_on_truncated_buffers():
+    """Corrupt/truncated input must surface as ValueError (never a bare
+    struct.error/IndexError), so 'undecodable input' handlers catch it
+    (code-review r5 finding)."""
+    with pytest.raises(ValueError):
+        parse_upsert_batch(b"\x01\x02")                      # too short
+    with pytest.raises(ValueError):
+        parse_upsert_batch(GOLDEN_ONE_ROW_ONE_VALUE[:30])    # mid-header
+    with pytest.raises(ValueError):
+        parse_upsert_batch(GOLDEN_ONE_ROW_ONE_VALUE[:52])    # mid-data
+
+
+def test_uuid_geopoint_round_trip_through_streams(spark):
+    """UUID/GeoPoint columns flow through encode→decode as the string
+    forms the bridge uses — raw wire tuples never reach the Arrow layer
+    (code-review r5 finding)."""
+    from aresdb_spark.streaming.upsert_wire import (
+        decode_upsert_batch_stream, encode_upsert_batch_stream)
+
+    doc = {"name": "t", "columns": [
+        {"name": "trip_id", "type": "Int64"},
+        {"name": "uuid", "type": "UUID"},
+        {"name": "loc", "type": "GeoPoint"}],
+        "primaryKeyColumns": [0]}
+    src = spark.createDataFrame(
+        [(1, "0011223344556677" + "8899aabbccddeeff", "point(1.5 -2.25)"),
+         (2, None, None)],
+        "trip_id bigint, uuid string, loc string")
+    blobs = encode_upsert_batch_stream(src, doc, arrival_time=3)
+    rows = {r["trip_id"]: r
+            for r in decode_upsert_batch_stream(blobs, doc).collect()}
+    assert rows[1]["uuid"] == "0011223344556677" + "8899aabbccddeeff"
+    assert rows[1]["loc"] == "point(1.5 -2.25)"
+    assert rows[2]["uuid"] is None and rows[2]["loc"] is None
+
+
+def test_encode_handles_nan_array_items(spark):
+    """Arrow renders null array elements as NaN in float ndarrays; the
+    encoder must map them to wire nulls (code-review r5 finding)."""
+    from aresdb_spark.streaming.upsert_wire import (
+        decode_upsert_batch_stream, encode_upsert_batch_stream)
+
+    doc = {"name": "t", "columns": [
+        {"name": "id", "type": "Int64"},
+        {"name": "xs", "type": "Float32[]"},
+        {"name": "ns", "type": "Int32[]"}],
+        "primaryKeyColumns": [0]}
+    src = spark.createDataFrame(
+        [(1, [1.5, None, 2.5], [7, None, 9])],
+        "id bigint, xs array<float>, ns array<int>")
+    blobs = encode_upsert_batch_stream(src, doc, arrival_time=1)
+    (row,) = decode_upsert_batch_stream(blobs, doc).collect()
+    assert row["xs"][0] == pytest.approx(1.5) and row["xs"][1] is None
+    assert row["ns"] == [7, None, 9]
+
+
 TYPE_VALUES = {
     "Bool": st.booleans(),
     "Int8": st.integers(-128, 127),
