@@ -44,15 +44,28 @@ SCALAR_TYPES = (
 ARRAY_TYPES = tuple(f"{t}[]" for t in SCALAR_TYPES if t != "GeoShape")
 VALID_TYPES = frozenset(SCALAR_TYPES + ARRAY_TYPES)
 
-# Spark dtypes for each reference type — used when materializing an empty
-# table or documenting DDL; unsigned widens to the next signed size.
+# Spark dtypes for each reference type — THE single source of truth
+# (wire codec and job config derive from it via spark_type_for);
+# unsigned widens to the next signed size.
 TYPE_TO_SPARK = {
     "Bool": "boolean", "Int8": "tinyint", "Uint8": "smallint",
     "Int16": "smallint", "Uint16": "int", "Int32": "int", "Uint32": "bigint",
     "Float32": "float", "SmallEnum": "string", "BigEnum": "string",
-    "UUID": "string", "GeoPoint": "struct<lat:float,lng:float>",
-    "GeoShape": "string", "Int64": "bigint",
+    "UUID": "string", "GeoPoint": "string", "GeoShape": "string",
+    "Int64": "bigint",
 }
+
+
+def spark_type_for(type_name: str, enum_ids: bool = False) -> str:
+    """Spark dtype for a reference type, arrays included. With
+    ``enum_ids=True`` (wire batches: enums travel as dictionary ids)
+    SmallEnum/BigEnum map to their id widths instead of strings."""
+    scalars = dict(TYPE_TO_SPARK)
+    if enum_ids:
+        scalars.update({"SmallEnum": "smallint", "BigEnum": "int"})
+    if type_name.endswith("[]"):
+        return f"array<{scalars.get(type_name[:-2], 'string')}>"
+    return scalars.get(type_name, "string")
 
 # --- default table config (disk_metastore.go:36-64) ------------------------
 
@@ -162,7 +175,13 @@ def _check_id_list(table: dict, ids: list[int], array_err) -> None:
 
 def validate_table(new: dict, old: dict | None = None) -> None:
     """Validate a table document, or a schema update when ``old`` is given.
-    Reference: metastore/validator.go:51-256 (same rule order)."""
+    Reference: metastore/validator.go:51-256 (same rule order).
+
+    Note the duplicate-name check counts TOMBSTONED columns too — exact
+    reference parity (validator.go:88-92 does not skip deleted columns),
+    so a deleted column's name cannot be reused via add_column; the
+    "reused name" tolerance in update_column/_enum_column is defensive
+    handling for documents produced by older deployments."""
     cols = _columns(new)
     names: set[str] = set()
     non_deleted = 0
@@ -369,7 +388,11 @@ class SchemaStore:
         """ExtendEnumDict (disk_metastore.go:686-756): idempotent append —
         existing cases return their ids, new cases get the next ids; the
         whole batch is rejected if it would exceed the type's cardinality
-        (SmallEnum 2^8, BigEnum 2^16)."""
+        (SmallEnum 2^8, BigEnum 2^16). The cardinality check runs BEFORE
+        dedup — reference parity (disk_metastore.go:728-731), so a
+        near-full dictionary can reject a retry of already-known cases;
+        callers should diff against get_enum_cases first when retrying
+        large payloads."""
         col = self._enum_column(name, column_name)
         existing = self._enums.setdefault((name, column_name), [])
         ids = {c: i for i, c in enumerate(existing)}
@@ -427,6 +450,10 @@ class SchemaHandler:
             return 404, {"message": str(e)}
         except MetaStoreError as e:
             return 400, {"message": str(e)}
+        except (KeyError, TypeError, AttributeError) as e:
+            # malformed body (missing 'name'/'column'/... fields) — the
+            # reference's ReadRequest decode failure path returns 400
+            return 400, {"message": f"malformed request: {e!r}"}
 
     # GET /schema/tables
     def list_tables(self):

@@ -95,13 +95,21 @@ class DataHandler:
         df = translate_enum_columns(df, schema_doc, self.schema_store)
 
         store = self.stores[table]
-        # fact time column: wire Uint32 epoch seconds → store timestamp
+        # fact time column: wire Uint32 epoch seconds → store timestamp;
+        # a well-formed batch that omits the time column (or carries no
+        # live columns) cannot route hot/cold — reject as 400 instead of
+        # letting the store's filter raise (the reference errors on a
+        # missing event time the same way, memstore/ingestion.go)
         cols = schema_doc.get("columns") or []
+        if not df.columns:
+            return 400, {"message": "batch has no live columns"}
         if schema_doc.get("isFactTable") and cols:
             tcol = cols[0]["name"]
-            if tcol in df.columns:
-                df = df.withColumn(
-                    tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
+            if tcol not in df.columns:
+                return 400, {"message":
+                             f"fact batch missing time column {tcol!r}"}
+            df = df.withColumn(
+                tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
         # wire update modes win for THIS batch only — the store's
         # configured defaults stay untouched for later direct ingests
         store.ingest(self.spark, df, cutoff=store.saved_cutoff(),

@@ -71,6 +71,7 @@ def start_upsert_stream(
     checkpoint_dir: str,
     transform: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = False,
+    modes: "dict | None" = None,
 ):
     """Run the ingest loop: per micro-batch, optionally transform (the
     subscriber's per-column transformations), then upsert into the store
@@ -85,7 +86,9 @@ def start_upsert_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if transform is not None:
             batch_df = transform(batch_df)
-        store.ingest(spark, batch_df, cutoff_fn())
+        # stream-scoped modes override (e.g. a subscriber job's
+        # updateMode map) without mutating the store's defaults
+        store.ingest(spark, batch_df, cutoff_fn(), modes=modes)
 
     writer = (source.writeStream
               .foreachBatch(process)

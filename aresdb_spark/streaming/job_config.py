@@ -43,19 +43,12 @@ _UPDATE_MODES = {
     "max": "max",
 }
 
-_SPARK_TYPES = {
-    "Bool": "boolean", "Int8": "tinyint", "Uint8": "smallint",
-    "Int16": "smallint", "Uint16": "int", "Int32": "int", "Uint32": "bigint",
-    "Float32": "float", "SmallEnum": "string", "BigEnum": "string",
-    "UUID": "string", "GeoPoint": "string", "GeoShape": "string",
-    "Int64": "bigint",
-}
-
-
 def _spark_type(type_name: str) -> str:
-    if type_name.endswith("[]"):
-        return f"array<{_SPARK_TYPES.get(type_name[:-2], 'string')}>"
-    return _SPARK_TYPES.get(type_name, "string")
+    """JSON payloads carry enum strings (the metastore map is the single
+    source of truth)."""
+    from aresdb_spark.metastore import spark_type_for
+
+    return spark_type_for(type_name)
 
 
 class JobConfig:
@@ -173,7 +166,7 @@ class JobConfig:
         else:
             src = ingest.kafka_source(spark, self.kafka_broker, self.topic,
                                       self.decode_schema())
-        store.modes = self.update_modes()
         return ingest.start_upsert_stream(
             src, store, cutoff_fn, checkpoint_dir,
-            transform=self.transform, available_now=available_now)
+            transform=self.transform, available_now=available_now,
+            modes=self.update_modes())

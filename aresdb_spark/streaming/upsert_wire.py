@@ -551,19 +551,12 @@ def iter_redo_log(data: bytes):
 # Spark bridge
 # --------------------------------------------------------------------------
 
-# reference type → Spark dtype for the ingest DataFrame (unsigned widens)
-_SPARK_TYPES = {
-    "Bool": "boolean", "Int8": "tinyint", "Uint8": "smallint",
-    "Int16": "smallint", "Uint16": "int", "Int32": "int", "Uint32": "bigint",
-    "Float32": "float", "SmallEnum": "smallint", "BigEnum": "int",
-    "Int64": "bigint", "UUID": "string", "GeoPoint": "string",
-}
-
-
 def _spark_type(type_name: str) -> str:
-    if type_name.endswith("[]"):
-        return f"array<{_SPARK_TYPES.get(type_name[:-2], 'string')}>"
-    return _SPARK_TYPES.get(type_name, "string")
+    """Wire-side Spark dtype: enums travel as dictionary ids (the
+    metastore map is the single source of truth)."""
+    from aresdb_spark.metastore import spark_type_for
+
+    return spark_type_for(type_name, enum_ids=True)
 
 
 def _wire_to_bridge_scalar(type_name: str, v):
@@ -574,7 +567,10 @@ def _wire_to_bridge_scalar(type_name: str, v):
     if type_name == "UUID":
         return f"{v[0]:016x}{v[1]:016x}"
     if type_name == "GeoPoint":
-        return f"point({v[0]:g} {v[1]:g})"
+        # shortest round-trip float32 rendering — %g's 6 significant
+        # digits would truncate coordinates (~10 m at city longitudes)
+        from aresdb_spark.functions.hll_wire import _format_float32_g
+        return f"point({_format_float32_g(v[0])} {_format_float32_g(v[1])})"
     return v
 
 
@@ -685,6 +681,8 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
         def item_val(x):
             if x is None or (isinstance(x, float) and x != x):
                 return None
+            if d is not None and isinstance(x, str):
+                return d.get(x)  # enum array element: string → id
             if item == "Bool":
                 return bool(x)
             if item in _PACK and _PACK[item] != "<f" and \
@@ -698,7 +696,7 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
         for v in vals:
             if v is None or (isinstance(v, float) and v != v):
                 out.append(None)
-            elif d is not None and isinstance(v, str):
+            elif d is not None and isinstance(v, str) and not is_arr:
                 out.append(d.get(v))  # out-of-dict → NULL
             elif is_arr:
                 out.append([item_val(x) for x in v])

@@ -147,6 +147,19 @@ def test_enum_strings_encode_and_translate_back(spark, tmp_path):
     assert "fare" not in df.columns and "fare" not in modes
 
 
+def test_post_data_missing_time_column_is_400(spark, tmp_path):
+    """A well-formed fact batch without the time column (or with no live
+    columns) is a clean 400, not an AnalysisException from the store's
+    hot/cold filter (code-review r5 #2 finding)."""
+    h = make_handler(spark, tmp_path)
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_row()
+    b.add_column(3, "Float32")   # fare only — no request_at
+    b.set_value(0, 0, 1.5)
+    status, body = h.post_data("trips", 0, b.to_byte_array())
+    assert status == 400 and "time column" in body["message"]
+
+
 def test_enum_array_columns_translate(spark):
     """SmallEnum[]/BigEnum[] wire ids translate element-wise through the
     dictionary (code-review r5 finding: arrays were skipped)."""

@@ -133,3 +133,6 @@ def test_file_backed_job_end_to_end(spark, tmp_path):
     # (overwrite-not-null + NoOp transform keeping NULLs)
     assert rows[1]["status"] == "completed"
     assert rows[2]["status"] is None
+    # the job's modes were stream-scoped: the store's own defaults were
+    # never mutated (code-review r5 #2 finding)
+    assert store.modes is None

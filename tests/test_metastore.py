@@ -233,6 +233,16 @@ def test_handler_status_codes():
     assert h.delete_table("trips")[0] == 404
 
 
+def test_handler_malformed_bodies_are_400():
+    """Bodies missing required fields return 400 like the reference's
+    decode-failure path, never a raw KeyError (code-review r5 #2)."""
+    h = SchemaHandler(SchemaStore())
+    assert h.add_table({"columns": []})[0] == 400          # no name
+    h.add_table(fact_table())
+    assert h.add_column("trips", {})[0] == 400             # no column
+    assert h.add_column("trips", {"column": {"name": "x"}})[0] == 400
+
+
 def test_enum_handler_routes():
     h = SchemaHandler(SchemaStore())
     t = dim_table()

@@ -140,6 +140,33 @@ def test_uuid_geopoint_round_trip_through_streams(spark):
     assert rows[2]["uuid"] is None and rows[2]["loc"] is None
 
 
+def test_enum_array_export_and_geopoint_precision(spark):
+    """Enum ARRAY strings encode element-wise through the dictionary,
+    and GeoPoint coordinates survive the string bridge at full float32
+    precision (code-review r5 #2 findings)."""
+    from aresdb_spark.streaming.upsert_wire import (
+        decode_upsert_batch_stream, encode_upsert_batch_stream)
+
+    doc = {"name": "t", "columns": [
+        {"name": "id", "type": "Int64"},
+        {"name": "tags", "type": "SmallEnum[]"},
+        {"name": "loc", "type": "GeoPoint"}],
+        "primaryKeyColumns": [0]}
+    src = spark.createDataFrame(
+        [(1, ["red", "blue", "nope"], "point(37.774929 -122.419418)")],
+        "id bigint, tags array<string>, loc string")
+    blobs = encode_upsert_batch_stream(
+        src, doc, arrival_time=1,
+        enum_dicts={"tags": ["red", "green", "blue"]})
+    (row,) = decode_upsert_batch_stream(blobs, doc).collect()
+    assert row["tags"] == [0, 2, None]  # ids; out-of-dict element → NULL
+    # shortest float32 round-trip digits, not %g's 6 significant digits
+    # (37.77493 IS float32(37.774929) exactly; %g gave 'point(37.7749 ...)')
+    assert row["loc"] == "point(37.77493 -122.41942)"
+    import numpy as np
+    assert np.float32("37.77493") == np.float32("37.774929")
+
+
 def test_encode_handles_nan_array_items(spark):
     """Arrow renders null array elements as NaN in float ndarrays; the
     encoder must map them to wire nulls (code-review r5 finding)."""
