@@ -31,17 +31,54 @@ def _is_aggregate_query(q: Query) -> bool:
     return any(_contains_aggregate(E.parse(m.expr)) for m in q.measures)
 
 
+def _run_one_with_context(spark: SparkSession, catalog: Catalog,
+                          query: Query | dict[str, Any],
+                          debug: bool = False) -> tuple[dict, dict]:
+    """Plan + execute one query and build its serialized query context —
+    the analog of the reference's per-query ``AQLQueryContext`` that
+    verbose mode marshals into the response (api/query_handler.go:209-212,
+    228-230). The reference's context carries the compiled OOPK plan and,
+    under debug, per-stage GPU timers; ours carries the Catalyst physical
+    plan and, under debug, per-stage wall timings (compile = dataclasses →
+    DataFrame, execute = Spark jobs + result shaping)."""
+    import time
+
+    t0 = time.perf_counter()
+    q = query_from_json(query) if isinstance(query, dict) else query
+    df: DataFrame = Planner(spark, catalog).plan(q)
+    is_agg = _is_aggregate_query(q)
+    t1 = time.perf_counter()
+    if is_agg:
+        result = to_aggregate_result(df, n_dims=len(q.dimensions))
+    else:
+        result = to_matrix_result(df)
+    t2 = time.perf_counter()
+
+    from aresdb_spark.plans.audit import formatted_explain
+    ctx: dict[str, Any] = {
+        "table": q.table,
+        "aggregate": is_agg,
+        "dimensions": [d.expr for d in q.dimensions],
+        "measures": [m.expr for m in q.measures],
+        "physicalPlan": formatted_explain(df),
+    }
+    if debug:
+        ctx["timings"] = {
+            "compileMs": round((t1 - t0) * 1e3, 3),
+            "executeMs": round((t2 - t1) * 1e3, 3),
+            "totalMs": round((t2 - t0) * 1e3, 3),
+        }
+    return result, ctx
+
+
 def execute_query(spark: SparkSession, catalog: Catalog | str,
                   query: Query | dict[str, Any]) -> dict:
     """Plan + execute one AQL query; return the reference-shaped result
     (nested dim map for aggregates, headers+matrixData for projections)."""
     if isinstance(catalog, str):
         catalog = Catalog(catalog)
-    q = query_from_json(query) if isinstance(query, dict) else query
-    df: DataFrame = Planner(spark, catalog).plan(q)
-    if _is_aggregate_query(q):
-        return to_aggregate_result(df, n_dims=len(q.dimensions))
-    return to_matrix_result(df)
+    result, _ctx = _run_one_with_context(spark, catalog, query)
+    return result
 
 
 def plan_set_op(spark: SparkSession, catalog: Catalog | str, op: str,
@@ -77,6 +114,13 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
     "errors": [...]} (errors list omitted when all queries succeed, like
     the reference's omitempty).
 
+    Verbose / debug (reference api/query_handler.go:209-212, 268-270):
+    request keys ``"verbose": 1`` and ``"debug": 1`` mirror the HTTP
+    query params. verbose > 0 adds a ``"context"`` key — one serialized
+    query context per query (compiled shape + Catalyst physical plan);
+    debug > 0 FORCES verbose and adds per-stage wall timings to each
+    context, exactly the reference's escalation rule.
+
     max_workers > 1 runs queries concurrently from driver threads (the
     reference's worker pool, api/query_handler.go:85-103) — Spark's
     scheduler interleaves the jobs across the cluster."""
@@ -85,22 +129,28 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
     if isinstance(catalog, str):
         catalog = Catalog(catalog)
     qobjs = request.get("queries", [])
+    debug = int(request.get("debug", 0) or 0) > 0
+    verbose = debug or int(request.get("verbose", 0) or 0) > 0
 
-    def run(qobj) -> tuple[dict, str | None]:
+    def run(qobj) -> tuple[dict, dict | None, str | None]:
         try:
-            return execute_query(spark, catalog, qobj), None
+            result, ctx = _run_one_with_context(spark, catalog, qobj,
+                                                debug=debug)
+            return result, ctx, None
         except Exception as e:  # per-query isolation, like the reference
-            return {}, str(e)
+            return {}, None, str(e)
 
     if max_workers > 1 and len(qobjs) > 1:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            pairs = list(pool.map(run, qobjs))
+            triples = list(pool.map(run, qobjs))
     else:
-        pairs = [run(q) for q in qobjs]
-    results = [r for r, _ in pairs]
-    errors = [e for _, e in pairs]
+        triples = [run(q) for q in qobjs]
+    results = [r for r, _, _ in triples]
+    errors = [e for _, _, e in triples]
     out: dict[str, Any] = {"results": results}
+    if verbose:
+        out["context"] = [c for _, c, _ in triples]
     if any(e is not None for e in errors):
         out["errors"] = errors
     return out

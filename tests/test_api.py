@@ -121,3 +121,67 @@ def test_null_dimension_key(spark):
                         "sqlExpression": "case when value > 1e9 then 'x' end"}],
     })
     assert list(res) == ["NULL"]
+
+
+def test_verbose_adds_context(spark):
+    """verbose > 0 attaches one serialized query context per query, like
+    the reference marshalling qcs into "context"
+    (api/query_handler.go:209-212). Non-verbose responses must not carry
+    the key (reference writes it only under the flag)."""
+    from aresdb_spark.aql.api import execute_request
+
+    req = {"queries": [
+        {"table": "events",
+         "measures": [{"alias": "c", "sqlExpression": "count(*)"}],
+         "dimensions": [{"alias": "et", "sqlExpression": "event_type"}]},
+        {"table": "nation",
+         "measures": [{"alias": "c", "sqlExpression": "count(*)"}]},
+    ]}
+    plain = execute_request(spark, SF_DIR, req)
+    assert "context" not in plain
+
+    res = execute_request(spark, SF_DIR, dict(req, verbose=1))
+    assert len(res["context"]) == 2
+    c0 = res["context"][0]
+    assert c0["table"] == "events" and c0["aggregate"] is True
+    assert c0["dimensions"] == ["event_type"]
+    # the Catalyst physical plan is the OOPK-context analog: a real
+    # formatted explain with the scan visible
+    assert "Physical Plan" in c0["physicalPlan"]
+    assert "parquet" in c0["physicalPlan"]
+    # verbose alone does NOT time stages (that's debug's escalation)
+    assert "timings" not in c0
+
+
+def test_debug_forces_verbose_and_times_stages(spark):
+    """debug > 0 forces verbose and adds per-stage timings — the
+    reference's escalation rule (api/query_handler.go:268-270: Debug>0 ⇒
+    qc.Debug = true; aqlRequest.Verbose = 1)."""
+    from aresdb_spark.aql.api import execute_request
+
+    res = execute_request(spark, SF_DIR, {
+        "debug": 1,  # note: no verbose key — debug must imply it
+        "queries": [{"table": "events",
+                     "measures": [{"alias": "c",
+                                   "sqlExpression": "count(*)"}]}],
+    })
+    [ctx] = res["context"]
+    t = ctx["timings"]
+    assert t["compileMs"] > 0 and t["executeMs"] > 0
+    assert t["totalMs"] >= max(t["compileMs"], t["executeMs"])
+
+
+def test_verbose_context_none_for_failed_query(spark):
+    """A failed query contributes an error and a null context slot —
+    per-query isolation extends to the verbose surface."""
+    from aresdb_spark.aql.api import execute_request
+
+    res = execute_request(spark, SF_DIR, {"verbose": 1, "queries": [
+        {"table": "nope",
+         "measures": [{"alias": "c", "sqlExpression": "count(*)"}]},
+        {"table": "events",
+         "measures": [{"alias": "c", "sqlExpression": "count(*)"}]},
+    ]})
+    assert res["context"][0] is None
+    assert res["context"][1]["table"] == "events"
+    assert "nope" in res["errors"][0] and res["errors"][1] is None
