@@ -442,3 +442,136 @@ def test_fuzz_sql_dialect_match_duckdb(spark, duck, pair):
     dialect_sql, oracle = pair
     df = plan_query(spark, SF_DIR, sql_to_query(dialect_sql))
     assert_df_matches_duck(df, duck, oracle, approx=True, tol=1e-6)
+
+
+@st.composite
+def topk_agg_query_pair(draw):
+    """Aggregate + ORDER BY measure DESC + dim tiebreaks + LIMIT — the
+    top-k path (TakeOrdered plan) under random dims/filters. The sort is
+    made total (measure, then every dim) so the LIMIT boundary is
+    deterministic on both engines."""
+    from aresdb_spark.aql import Measure, Query, SortField
+
+    dims = draw(st.lists(dim_pair(), min_size=1, max_size=2,
+                         unique_by=lambda p: p[0].alias))
+    i = draw(st.integers(0, 10_000))
+    malias = f"tk{i}"
+    agg, arg = draw(st.sampled_from(
+        [("count", "*"), ("sum", "user_id"), ("max", "user_id")]))
+    measure = Measure(expr=f"{agg}({arg})", alias=malias)
+    filters = draw(st.lists(filter_pair(), min_size=0, max_size=2,
+                            unique_by=lambda p: p[0]))
+    k = draw(st.sampled_from([5, 17, 100]))
+
+    select = ", ".join([d[1] for d in dims] + [f"{agg}({arg}) AS {malias}"])
+    where = (" WHERE " + " AND ".join(f[1] for f in filters)) if filters else ""
+    group = ", ".join(str(j + 1) for j in range(len(dims)))
+    order = ", ".join([f"{malias} DESC"] + [d[0].alias for d in dims])
+    sql = (f"SELECT {select} FROM events{where} GROUP BY {group} "
+           f"ORDER BY {order} LIMIT {k}")
+    q = Query(table="events",
+              dimensions=[d[0] for d in dims], measures=[measure],
+              filters=[f[0] for f in filters],
+              sorts=[SortField(malias, "desc")] +
+                    [SortField(d[0].alias) for d in dims],
+              limit=k)
+    return q, sql
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=topk_agg_query_pair())
+def test_fuzz_topk_agg_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
+
+
+@st.composite
+def grouping_set_query_pair(draw):
+    """ROLLUP / CUBE group types (extension; SURVEY §2.4) under random
+    dims, measures and filters — subtotal rows carry NULL dim keys on
+    both engines, so the row-set compare covers the grouping-set NULL
+    semantics too."""
+    from aresdb_spark.aql import Dimension, Measure, Query
+
+    gt = draw(st.sampled_from(["rollup", "cube"]))
+    i = draw(st.integers(0, 10_000))
+    # expression pool rendered identically on both sides (the oracle's
+    # GROUP BY ROLLUP/CUBE needs raw exprs, not ordinals)
+    pool = [("event_type", "event_type"),
+            (f"user_id % {draw(st.integers(2, 5))}",) * 2,
+            ("hour(ts)", "hour(ts)::INT"),
+            (f"floor(value / 100) * 100",) * 2]
+    picks = draw(st.lists(st.sampled_from(range(len(pool))),
+                          min_size=1, max_size=2, unique=True))
+    dims = [Dimension(expr=pool[k][0], alias=f"g{i}_{k}") for k in picks]
+    dim_sql = [f"{pool[k][1]} AS g{i}_{k}" for k in picks]
+    rollup_exprs = ", ".join(pool[k][1] for k in picks)
+
+    agg, arg = draw(st.sampled_from(
+        [("count", "*"), ("sum", "value"), ("avg", "value"),
+         ("min", "user_id")]))
+    measure_sql = f"{agg}({arg}) AS gm{i}"
+    filters = draw(st.lists(filter_pair(), min_size=0, max_size=1))
+    where = (" WHERE " + " AND ".join(f[1] for f in filters)) if filters else ""
+    sql = (f"SELECT {', '.join(dim_sql)}, {measure_sql} FROM events{where} "
+           f"GROUP BY {gt.upper()} ({rollup_exprs})")
+    q = Query(table="events", dimensions=dims,
+              measures=[Measure(expr=f"{agg}({arg})", alias=f"gm{i}")],
+              filters=[f[0] for f in filters], group_type=gt)
+    return q, sql
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=grouping_set_query_pair())
+def test_fuzz_grouping_sets_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
+
+
+@st.composite
+def setop_query_pair(draw):
+    """UNION [ALL] / INTERSECT / EXCEPT over two random agg queries with
+    the same output schema but independently drawn filters (small value
+    ranges so the branches overlap and the distinct/difference semantics
+    actually bite). Measures are integer-exact — float sums would make
+    cross-engine row equality (what set ops compare on) flaky."""
+    from aresdb_spark.aql import Dimension, Measure, Query
+
+    op = draw(st.sampled_from(["union", "union all", "intersect", "except"]))
+    i = draw(st.integers(0, 10_000))
+    dim_expr, dim_sql = draw(st.sampled_from(
+        [("event_type", "event_type"),
+         ("user_id % 7", "user_id % 7"),
+         ("hour(ts)", "hour(ts)::INT")]))
+    agg, arg = draw(st.sampled_from(
+        [("count", "*"), ("sum", "user_id"), ("min", "user_id")]))
+
+    def branch(x):
+        q = Query(table="events",
+                  dimensions=[Dimension(expr=dim_expr, alias=f"sd{i}")],
+                  measures=[Measure(expr=f"{agg}({arg})", alias=f"sm{i}")],
+                  filters=[f"value > {x}"])
+        sql = (f"SELECT {dim_sql} AS sd{i}, {agg}({arg}) AS sm{i} "
+               f"FROM events WHERE value > {x} GROUP BY 1")
+        return q, sql
+
+    # a narrow draw range makes equal cutoffs (fully overlapping branches)
+    # common — the interesting case for INTERSECT/EXCEPT
+    q1, sql1 = branch(draw(st.sampled_from([50, 100, 150])))
+    q2, sql2 = branch(draw(st.sampled_from([50, 100, 150])))
+    oracle = f"({sql1}) {op.upper()} ({sql2})"
+    return op, [q1, q2], oracle
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(triple=setop_query_pair())
+def test_fuzz_set_ops_match_duckdb(spark, duck, triple):
+    from aresdb_spark.aql.api import plan_set_op
+
+    op, queries, oracle = triple
+    df = plan_set_op(spark, SF_DIR, op, queries)
+    assert_df_matches_duck(df, duck, oracle, approx=True, tol=1e-6)
