@@ -246,17 +246,28 @@ class SchemaStore:
         self._enums: dict[tuple[str, str], list[str]] = {}
         if base_dir and os.path.isdir(base_dir):
             for name in sorted(os.listdir(base_dir)):
-                p = os.path.join(base_dir, name, "schema.json")
-                if os.path.isfile(p):
-                    with open(p) as f:
-                        self._tables[name] = json.load(f)
+                # "schema.json" is this store's name; bare "schema" is the
+                # reference's (disk_metastore.go getSchemaFilePath) — read
+                # either so a reference metastore dir loads as-is
+                for fn in ("schema.json", "schema"):
+                    p = os.path.join(base_dir, name, fn)
+                    if os.path.isfile(p):
+                        with open(p) as f:
+                            self._tables[name] = json.load(f)
+                        break
                 ed = os.path.join(base_dir, name, "enums")
                 if os.path.isdir(ed):
                     for col in sorted(os.listdir(ed)):
                         with open(os.path.join(ed, col)) as f:
-                            cases = f.read().split(ENUM_DELIMITER)
+                            raw = f.read()
+                        # reference format: every case (incl. an empty
+                        # one) is FOLLOWED by the delimiter — trim one
+                        # trailing delimiter then split
+                        # (disk_metastore.go:1169)
+                        if raw.endswith(ENUM_DELIMITER):
+                            raw = raw[:-len(ENUM_DELIMITER)]
                         self._enums[(name, col)] = \
-                            cases if cases != [""] else []
+                            raw.split(ENUM_DELIMITER) if raw != "" else []
 
     # -- persistence (writeSchemaFile analog) --
     def _persist(self, table: dict) -> None:
@@ -376,7 +387,11 @@ class SchemaStore:
         d = os.path.join(self.base_dir, name, "enums")
         os.makedirs(d, exist_ok=True)
         with open(os.path.join(d, column_name), "w") as f:
-            f.write(ENUM_DELIMITER.join(self._enums[(name, column_name)]))
+            # reference byte format: each case followed by the delimiter
+            # (disk_metastore.go writeEnumFile) — unambiguous even when a
+            # legitimate case is the empty string
+            f.write("".join(c + ENUM_DELIMITER
+                            for c in self._enums[(name, column_name)]))
 
     def get_enum_cases(self, name: str, column_name: str) -> list[str]:
         """ListEnumCases analog: cases in enum-id order."""

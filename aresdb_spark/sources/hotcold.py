@@ -194,3 +194,48 @@ class HotColdStore:
         for name in os.listdir(self.cold_path):
             if name.startswith("__day=") and name.split("=", 1)[1] < boundary:
                 shutil.rmtree(os.path.join(self.cold_path, name))
+
+
+@dataclass
+class DimensionStore:
+    """Dimension tables in the reference have no time column and never
+    archive — they live entirely in the live store, persisted by the
+    snapshot job (memstore/snapshot.go; dimension branch of ingestion at
+    memstore/ingestion.go:170-363). The Spark analog is one PK-upserted
+    parquet directory: every ingest is a merge, every read is the full
+    current snapshot.
+
+    Dimension tables are small by design (they broadcast-join against
+    facts — aql/planner.py), so the rewrite-on-ingest is bounded; a
+    Delta deployment would make it a MERGE."""
+
+    path: str
+    primary_key: tuple[str, ...]
+    modes: "dict[str, UpdateMode | str] | None" = None
+
+    def init_from(self, df: DataFrame) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+            f.write(df.schema.json())
+        df.write.mode("overwrite").parquet(os.path.join(self.path, "snap"))
+
+    def _schema(self):
+        from pyspark.sql.types import StructType
+        with open(os.path.join(self.path, "_schema.json")) as f:
+            return StructType.fromJson(__import__("json").load(f))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(self._schema()).parquet(
+            os.path.join(self.path, "snap"))
+
+    def ingest(self, spark: SparkSession, batch: DataFrame,
+               seq_col: str | None = None,
+               modes: "dict | None" = None) -> None:
+        merged = apply_upsert_batch(
+            self.read(spark), batch, list(self.primary_key),
+            self.modes if modes is None else modes, seq_col)
+        merged = merged.select(
+            [F.col(f.name).cast(f.dataType) for f in self._schema()])
+        # checkpoint before overwriting the dir the read is lazy over
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            os.path.join(self.path, "snap"))

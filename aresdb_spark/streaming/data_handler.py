@@ -27,7 +27,8 @@ from aresdb_spark.streaming.upsert_wire import (parse_upsert_batch,
 
 if TYPE_CHECKING:  # type-only: sources.hotcold imports streaming.upsert,
     # so an eager import here would be circular via streaming/__init__
-    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.sources.hotcold import (DimensionStore,
+                                               HotColdStore)
 
 
 def translate_enum_columns(df, schema_doc: dict, store: SchemaStore):
@@ -73,7 +74,7 @@ class DataHandler:
     with the ingested row count otherwise."""
 
     def __init__(self, spark: SparkSession, schema_store: SchemaStore,
-                 stores: dict[str, HotColdStore]):
+                 stores: "dict[str, HotColdStore | DimensionStore]"):
         self.spark = spark
         self.schema_store = schema_store
         self.stores = stores
@@ -103,6 +104,9 @@ class DataHandler:
         cols = schema_doc.get("columns") or []
         if not df.columns:
             return 400, {"message": "batch has no live columns"}
+        # wire update modes win for THIS batch only — the store's
+        # configured defaults stay untouched for later direct ingests
+        batch_modes = {**(store.modes or {}), **modes}
         if schema_doc.get("isFactTable") and cols:
             tcol = cols[0]["name"]
             if tcol not in df.columns:
@@ -110,10 +114,12 @@ class DataHandler:
                              f"fact batch missing time column {tcol!r}"}
             df = df.withColumn(
                 tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
-        # wire update modes win for THIS batch only — the store's
-        # configured defaults stay untouched for later direct ingests
-        store.ingest(self.spark, df, cutoff=store.saved_cutoff(),
-                     modes={**(store.modes or {}), **modes})
+            store.ingest(self.spark, df, cutoff=store.saved_cutoff(),
+                         modes=batch_modes)
+        else:
+            # dimension table: no time column, no hot/cold routing — the
+            # whole table is one PK-merged snapshot (DimensionStore)
+            store.ingest(self.spark, df, modes=batch_modes)
         return 200, {"rows": batch.num_rows,
                      "arrivalTime": batch.arrival_time}
 

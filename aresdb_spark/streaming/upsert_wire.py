@@ -524,10 +524,14 @@ def _parse_upsert_batch(buffer: bytes) -> UpsertBatch:
 # redo-log framing (redolog/file_redolog_manager.go:144-170, 270-300)
 # --------------------------------------------------------------------------
 
+REDO_LOG_MAGIC = 0xADDAFEED  # UpsertHeader, file_redolog_manager.go:27
+
+
 def write_redo_log(batches: list[bytes]) -> bytes:
-    """Concatenate batches with the redo log's 4-byte little-endian size
-    prefix per batch (AppendToRedoLog)."""
-    out = bytearray()
+    """A redo log file: the 0xADDAFEED magic header
+    (file_redolog_manager.go:120), then each batch with a 4-byte
+    little-endian size prefix (AppendToRedoLog)."""
+    out = bytearray(struct.pack("<I", REDO_LOG_MAGIC))
     for b in batches:
         out += struct.pack("<I", len(b))
         out += b
@@ -535,10 +539,16 @@ def write_redo_log(batches: list[bytes]) -> bytes:
 
 
 def iter_redo_log(data: bytes):
-    """Yield the raw batch buffers from a redo log byte string, stopping
-    at a truncated tail exactly like the reference's recovery reader
-    (file_redolog_manager.go:277-300 truncates the file there)."""
-    off = 0
+    """Yield the raw batch buffers from a redo log byte string. The
+    magic header is validated first — a mismatch means the whole file is
+    corrupt and recovery must not guess (the reference crashes the
+    server there, file_redolog_manager.go:262-270); a truncated TAIL is
+    recoverable and stops iteration exactly like the reference's reader
+    (:277-300 truncates the file there)."""
+    if len(data) < 4 or struct.unpack_from("<I", data, 0)[0] != REDO_LOG_MAGIC:
+        raise ValueError(
+            f"invalid redo log magic header (want {REDO_LOG_MAGIC:#x})")
+    off = 4
     while off + 4 <= len(data):
         (size,) = struct.unpack_from("<I", data, off)
         if off + 4 + size > len(data):

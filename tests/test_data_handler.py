@@ -188,3 +188,58 @@ def test_recover_from_redo_log(spark, tmp_path):
     got = sorted(r["trip_id"]
                  for r in h.stores["trips"].read_hot(spark).collect())
     assert got == [1, 2]
+
+
+# --- the reference's shipped sample-ares-root, replayed end-to-end ----------
+
+SAMPLE_ROOT = "/root/reference/testing/data/integration/sample-ares-root"
+
+
+def test_sample_ares_root_redo_log_replay(spark, tmp_path):
+    """Replay the reference's shipped integration fixture: its metastore
+    directory (schema file + \\x00\\n-delimited enum files) loads as-is,
+    and its redo log (0xADDAFEED header + size-framed V1 batches)
+    recovers through the same front door into a dimension-table
+    snapshot. Expected contents are pinned by the reference's own
+    redo-log browser test (memstore/redo_log_browser_test.go:68-74): one
+    batch at offset 4, rows (c1=123, c2=enum id 0) and (234, id 1)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir(SAMPLE_ROOT):
+        pytest.skip("reference fixtures not mounted")
+
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    ss = SchemaStore(base_dir=os.path.join(SAMPLE_ROOT, "metastore"))
+    assert ss.list_tables() == ["abc"]
+    # the enum file ends every case with the delimiter; id 2 is a
+    # legitimately-empty case (readEnumFile trims ONE trailing delimiter)
+    assert ss.get_enum_cases("abc", "c2") == ["case1", "case2", "", "case3"]
+
+    store = DimensionStore(path=str(tmp_path / "abc"), primary_key=("c1",))
+    store.init_from(spark.createDataFrame([], "c1 smallint, c2 string"))
+    h = DataHandler(spark, ss, {"abc": store})
+
+    with open(os.path.join(SAMPLE_ROOT, "data", "abc_0", "redologs",
+                           "1501869573.redolog"), "rb") as f:
+        log = f.read()
+    assert recover_from_redo_log(h, "abc", log) == 1
+
+    got = sorted(tuple(r) for r in store.read(spark).collect())
+    assert got == [(123, "case1"), (234, "case2")]
+
+
+def test_dimension_store_pk_merge(spark, tmp_path):
+    """DimensionStore upserts by PK with no time routing: a second
+    ingest overwrites matched rows and appends new PKs."""
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    store = DimensionStore(path=str(tmp_path / "dim"), primary_key=("k",))
+    store.init_from(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, v string"))
+    store.ingest(spark, spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k int, v string"))
+    got = sorted(tuple(r) for r in store.read(spark).collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c")]
