@@ -108,12 +108,18 @@ class Catalog:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-        if tdef.hotcold:
+        if tdef.hotcold and tdef.is_fact:
             from aresdb_spark.sources.hotcold import HotColdStore
             store = HotColdStore(
                 path=f"{self.sf_dir}/{name}", time_column=tdef.time_column,
                 primary_key=tdef.primary_key, sort_columns=tdef.sort_columns)
             df = store.read(spark, store.saved_cutoff())
+        elif tdef.hotcold:
+            # ingestion-backed dimension table: no time column, no
+            # cutoff — the whole table is one PK-merged snapshot
+            from aresdb_spark.sources.hotcold import DimensionStore
+            df = DimensionStore(path=f"{self.sf_dir}/{name}",
+                                primary_key=tdef.primary_key).read(spark)
         else:
             df = spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if time_range is not None and tdef.time_column:

@@ -111,3 +111,82 @@ def test_wire_to_query_full_stack(spark, tmp_path):
         "SELECT status, count(*) FROM trips GROUP BY 1").fetchall())
     assert oracle == {"completed": 4, "cancelled": 4}
     duck.close()
+
+
+CITY_SCHEMA = {
+    "name": "cities",
+    "columns": [{"name": "city_id", "type": "Uint16"},
+                {"name": "city_name", "type": "SmallEnum"}],
+    "primaryKeyColumns": [0],
+    "isFactTable": False,
+}
+
+
+def test_dimension_table_wire_ingest_then_join(spark, tmp_path):
+    """The dimension side of the same journey: a dimension table (no
+    time column) ingests through the wire front door into a
+    DimensionStore snapshot, the metastore catalog resolves it, and an
+    AQL dimension join (broadcast LEFT, miss ⇒ NULL) reads both stores."""
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    h = SchemaHandler(SchemaStore())
+    assert h.add_table(SCHEMA)[0] == 200
+    assert h.add_table(CITY_SCHEMA)[0] == 200
+    h.add_enum_case("trips", "status", {"enumCases": ["completed"]})
+    h.add_enum_case("cities", "city_name",
+                    {"enumCases": ["sf", "nyc", "sea"]})
+
+    trips = HotColdStore(path=str(tmp_path / "trips"),
+                         time_column="request_at",
+                         primary_key=("trip_id",),
+                         sort_columns=("request_at", "city_id"))
+    trips.init_from(spark.createDataFrame(
+        [], "request_at timestamp, trip_id bigint, city_id int, "
+            "status string, fare float"), cutoff=CUTOFF)
+    cities = DimensionStore(path=str(tmp_path / "cities"),
+                            primary_key=("city_id",))
+    cities.init_from(spark.createDataFrame(
+        [], "city_id int, city_name string"))
+    dh = DataHandler(spark, h.store, {"trips": trips, "cities": cities})
+
+    cb = UpsertBatchBuilder(arrival_time=T0)
+    cb.add_column(0, "Uint16")
+    cb.add_column(1, "SmallEnum")
+    for r, (cid, name_id) in enumerate([(0, 0), (1, 1), (2, 2)]):
+        cb.add_row()
+        cb.set_value(r, 0, cid)
+        cb.set_value(r, 1, name_id)
+    assert dh.post_data("cities", 0, cb.to_byte_array())[0] == 200
+
+    tb = UpsertBatchBuilder(arrival_time=T0)
+    tb.add_column(0, "Uint32")
+    tb.add_column(1, "Int64")
+    tb.add_column(2, "Uint16")
+    tb.add_column(3, "SmallEnum")
+    for r, (ts, tid, city) in enumerate(
+            [(T0, 1, 0), (T0 + 60, 2, 0), (T0 + 120, 3, 2),
+             (T0 + 180, 4, 9)]):  # city 9 has no dimension row → NULL
+        tb.add_row()
+        tb.set_value(r, 0, ts)
+        tb.set_value(r, 1, tid)
+        tb.set_value(r, 2, city)
+        tb.set_value(r, 3, 0)
+    assert dh.post_data("trips", 0, tb.to_byte_array())[0] == 200
+
+    catalog = catalog_from_store(str(tmp_path), h.store,
+                                 hotcold={"trips", "cities"})
+    from aresdb_spark.aql import Dimension, Join, Measure, Query
+    from aresdb_spark.aql.planner import Planner
+
+    df = Planner(spark, catalog).plan(Query(
+        table="trips",
+        joins=[Join(table="cities", alias="c",
+                    conditions=["c.city_id = city_id"])],
+        dimensions=[Dimension(expr="c.city_name", alias="city")],
+        measures=[Measure(expr="count(*)", alias="cnt")]))
+    got = {r["city"]: r["cnt"] for r in df.collect()}
+    assert got == {"sf": 2, "sea": 1, None: 1}
+
+    # the dimension join must broadcast (scale guarantee)
+    from aresdb_spark.plans.audit import has_broadcast_join
+    assert has_broadcast_join(df)
