@@ -243,3 +243,38 @@ def test_dimension_store_pk_merge(spark, tmp_path):
         [(2, "B"), (3, "c")], "k int, v string"))
     got = sorted(tuple(r) for r in store.read(spark).collect())
     assert got == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_redo_log_browser_matches_reference_expectations():
+    """The browser surfaces the reference's own pinned expectations for
+    the shipped fixture (memstore/redo_log_browser_test.go:56-85):
+    file list [1501869573], batch offsets [4], rows (123, 0) / (234, 1)
+    with column names (c1, c2), slice clamping, and the invalid-start
+    error."""
+    import json
+    import os
+
+    import pytest
+
+    if not os.path.isdir(SAMPLE_ROOT):
+        pytest.skip("reference fixtures not mounted")
+
+    from aresdb_spark.streaming.redolog_browser import RedoLogBrowser
+
+    with open(os.path.join(SAMPLE_ROOT, "metastore", "abc", "schema")) as f:
+        schema = json.load(f)
+    rb = RedoLogBrowser(
+        os.path.join(SAMPLE_ROOT, "data", "abc_0", "redologs"), schema)
+
+    assert rb.list_log_files() == [1501869573]
+    assert rb.list_upsert_batch(1501869573) == [4]
+
+    rows, names, num_rows = rb.read_data(1501869573, 4, 0, 5)
+    assert rows == [[123, 0], [234, 1]]
+    assert names == ["c1", "c2"] and num_rows == 2
+
+    rows, names, num_rows = rb.read_data(1501869573, 4, 1, 5)
+    assert rows == [[234, 1]] and num_rows == 2
+
+    with pytest.raises(ValueError, match="Invalid start or length"):
+        rb.read_data(1501869573, 4, 2, 5)
