@@ -5,4 +5,5 @@ an exactly-once cutoff between them (memstore/live_store.go:70-78,
 query/aql_processor.go:543-570).
 """
 
-from aresdb_spark.sources.hotcold import HotColdStore  # noqa: F401
+from aresdb_spark.sources.hotcold import (  # noqa: F401
+    DimensionStore, HotColdStore)

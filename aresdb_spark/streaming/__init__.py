@@ -16,3 +16,4 @@ from aresdb_spark.streaming.upsert_wire import (  # noqa: F401
 from aresdb_spark.streaming.data_handler import (  # noqa: F401
     DataHandler, recover_from_redo_log)
 from aresdb_spark.streaming.job_config import JobConfig  # noqa: F401
+from aresdb_spark.streaming.redolog_browser import RedoLogBrowser  # noqa: F401
