@@ -190,3 +190,57 @@ def test_dimension_table_wire_ingest_then_join(spark, tmp_path):
     # the dimension join must broadcast (scale guarantee)
     from aresdb_spark.plans.audit import has_broadcast_join
     assert has_broadcast_join(df)
+
+
+def test_data_sender_csv_roundtrip(spark, tmp_path):
+    """The data-sender client flow with the reference's shipped sample
+    CSV (testing/data/data-sender/sample.csv, the abc table's shape):
+    CSV → enum-id translation via the metastore dictionaries →
+    distributed wire encode → POST through the data handler → PK-merged
+    dimension snapshot. Repeated PKs collapse last-writer-wins, like the
+    reference applying records in order."""
+    import csv
+    import os
+
+    import pytest
+
+    SAMPLE = "/root/reference/testing/data/data-sender/sample.csv"
+    if not os.path.isfile(SAMPLE):
+        pytest.skip("reference fixtures not mounted")
+
+    from aresdb_spark.sources.hotcold import DimensionStore
+    from aresdb_spark.streaming.upsert_wire import encode_upsert_batch_stream
+
+    schema = {"name": "abc",
+              "columns": [{"name": "c1", "type": "Uint8"},
+                          {"name": "c2", "type": "SmallEnum"}],
+              "primaryKeyColumns": [0],
+              "isFactTable": False}
+    ss = SchemaStore()
+    ss.create_table(schema)
+
+    with open(SAMPLE) as f:
+        rows = list(csv.DictReader(f))
+    # the client registers the cases it sees, then encodes their ids
+    # (the reference data sender asks the schema service the same way)
+    ss.extend_enum_dict("abc", "c2", sorted({r["c2"] for r in rows}))
+
+    df = spark.createDataFrame(
+        [(int(r["c1"]), r["c2"]) for r in rows], "c1 smallint, c2 string") \
+        .coalesce(1)  # one wire batch, preserving CSV order for the fold
+    blobs = encode_upsert_batch_stream(
+        df, schema, arrival_time=7,
+        enum_dicts={"c2": ss.get_enum_cases("abc", "c2")}).collect()
+    assert len(blobs) == 1
+
+    store = DimensionStore(path=str(tmp_path / "abc"), primary_key=("c1",))
+    store.init_from(spark.createDataFrame([], "c1 smallint, c2 string"))
+    dh = DataHandler(spark, ss, {"abc": store})
+    status, body = dh.post_data("abc", 0, bytes(blobs[0]["value"]))
+    assert status == 200 and body["rows"] == len(rows)
+
+    got = dict(tuple(r) for r in store.read(spark).collect())
+    last = {}
+    for r in rows:  # PK fold in arrival order — last value per c1 wins
+        last[int(r["c1"])] = r["c2"]
+    assert got == last
