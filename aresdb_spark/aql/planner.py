@@ -185,7 +185,15 @@ class Planner:
                 return None
             v = node.value
             if isinstance(v, (int, float)) and v > 9_999_999:
-                return datetime.fromtimestamp(int(v), tz=timezone.utc)
+                v = int(v)
+                if v > 99_999_999_999:
+                    # reference: epoch values above 99999999999 are
+                    # milliseconds (time_filter.go:316-318)
+                    v //= 1000
+                try:
+                    return datetime.fromtimestamp(v, tz=timezone.utc)
+                except (OverflowError, OSError, ValueError):
+                    return None
             if isinstance(v, str):
                 try:
                     return timeutil.parse_time_window(v)[0]
@@ -221,6 +229,66 @@ class Planner:
                     h = vhi + timedelta(seconds=1)
                     hi = h if hi is None else min(hi, h)
         return (lo, hi) if (lo is not None or hi is not None) else None
+
+    def _timestamp_time_cols(self, q: Query, df) -> set[str]:
+        """Names (bare + table-qualified) under which the fact table's
+        time column can appear in a filter, when that column is
+        timestamp-typed in the loaded frame."""
+        tcol = self.catalog.table_def(q.table).time_column
+        if tcol is None:
+            return set()
+        dt = dict(df.dtypes).get(tcol, "")
+        if not dt.startswith("timestamp"):
+            return set()
+        return {tcol, f"{q.table}.{tcol}"}
+
+    def _epochify_time_literals(self, ast, tcols: set[str]):
+        """Rewrite numeric epoch literals compared against the (timestamp-
+        typed) time column into timestamp strings. The reference stores
+        time columns as Uint32 epoch seconds, so `ts >= 1540399020` is a
+        native numeric comparison there (and values above 99999999999 are
+        taken as MILLISECONDS, time_filter.go:316-318); here the column is
+        a real timestamp, so the literal converts instead. Strings coerce
+        in Spark comparisons for both timestamp and timestamp_ntz, which a
+        datetime literal would not."""
+        from datetime import datetime, timezone
+
+        CMP = {">", ">=", "<", "<=", "=", "==", "!=", "<>"}
+
+        def is_tcol(n):
+            return isinstance(n, E.Col) and n.name in tcols
+
+        def to_ts(n):
+            if isinstance(n, E.Lit) and isinstance(n.value, (int, float)) \
+                    and not isinstance(n.value, bool) \
+                    and n.value > 9_999_999:
+                v = int(n.value)
+                if v > 99_999_999_999:
+                    v //= 1000
+                try:
+                    dt = datetime.fromtimestamp(v, tz=timezone.utc)
+                except (OverflowError, OSError, ValueError):
+                    return n
+                return E.Lit(dt.strftime("%Y-%m-%d %H:%M:%S"))
+            return n
+
+        def walk(n):
+            if isinstance(n, E.Binary):
+                if n.op in CMP:
+                    if is_tcol(n.left):
+                        return E.Binary(n.op, n.left, to_ts(n.right))
+                    if is_tcol(n.right):
+                        return E.Binary(n.op, to_ts(n.left), n.right)
+                    return n
+                return E.Binary(n.op, walk(n.left), walk(n.right))
+            if isinstance(n, E.Unary):
+                return E.Unary(n.op, walk(n.operand))
+            if isinstance(n, E.Between) and is_tcol(n.operand):
+                return E.Between(n.operand, to_ts(n.low), to_ts(n.high),
+                                 n.negated)
+            return n
+
+        return walk(ast) if tcols else ast
 
     def _dim_only_filters(self, q: Query, alias: str) -> list[int]:
         """Indices of row filters referencing ONLY columns of `alias` —
@@ -351,10 +419,12 @@ class Planner:
             if hi is not None:
                 df = df.filter(tcol < F.lit(hi.replace(tzinfo=None)))
 
+        tcols = self._timestamp_time_cols(q, df)
         for i, f in enumerate(q.filters):
             if i in consumed_filters:
                 continue  # already applied to a pre-join (geo) dim side
-            df = df.filter(E.compile_expr(f, resolver))
+            ast = self._epochify_time_literals(E.parse(f), tcols)
+            df = df.filter(E.compile_ast(ast, resolver))
 
         # dimensions (time buckets computed in the query timezone — fixed
         # tz, or the per-row tz column from the timezone join;

@@ -325,3 +325,39 @@ def test_dst_fall_back_bucketing(spark, duck, tmp_path):
                hour(lts)::INT AS hod, count(*) AS cnt
         FROM local GROUP BY 1, 2
     """)
+
+
+def test_epoch_literal_time_filters(spark, duck):
+    """Numeric epoch literals on the time column behave like the
+    reference, where time columns ARE epoch seconds: seconds compare
+    directly, values above 99999999999 are milliseconds
+    (time_filter.go:316-318; promotion shape pinned by
+    aql_compiler_test.go:3465 'adjust filter to time filters'), and the
+    range is promoted into the scan."""
+    from aresdb_spark.aql import Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+    from aresdb_spark.plans.audit import scan_info
+    from tests.conftest import SF_DIR
+
+    lo_s, hi_s = 1705968000, 1706054400  # [2024-01-23, 2024-01-24) UTC
+    oracle = duck.execute(
+        f"SELECT count(*) FROM events WHERE ts >= to_timestamp({lo_s}) "
+        f"AND ts < to_timestamp({hi_s})").fetchone()[0]
+    assert oracle > 0
+
+    for lo, hi in [(lo_s, hi_s), (lo_s * 1000, hi_s * 1000)]:
+        df = plan_query(spark, SF_DIR, Query(
+            table="events",
+            measures=[Measure(expr="count(*)", alias="cnt")],
+            filters=[f"ts >= {lo}", f"ts < {hi}"]))
+        assert df.collect()[0]["cnt"] == oracle
+        # the promoted range reaches the parquet scan
+        pushed = " ".join(s.get("PushedFilters", "") for s in scan_info(df))
+        assert "GreaterThanOrEqual(ts" in pushed and "LessThan(ts" in pushed
+
+    # BETWEEN (inclusive upper) with epoch literals
+    df = plan_query(spark, SF_DIR, Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=[f"ts between {lo_s} and {hi_s - 1}"]))
+    assert df.collect()[0]["cnt"] == oracle
