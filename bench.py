@@ -63,11 +63,17 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
         ds.append(docs.select(
             (F.col("doc_id") + off).alias("doc_id"), text.alias("text"),
             "lang", "source", "n_chars"))
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    es = [emb.select((F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                     "embedding", "label")
+          for k in range(10)]
     import functools
     functools.reduce(lambda a, b: a.unionByName(b), evs) \
         .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
     functools.reduce(lambda a, b: a.unionByName(b), ds) \
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    functools.reduce(lambda a, b: a.unionByName(b), es) \
+        .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
     open(done, "w").close()
 
 
@@ -204,7 +210,10 @@ def _stress_queries():
             .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
 
     return {
+        "q1_count_hourly": base["q1_count_hourly"],      # scan+agg class
         "q7_minhash_neardup": base["q7_minhash_neardup"],
+        "q8_text_stats": base["q8_text_stats"],          # zero-shuffle scan
+        "q11_ivf_topk": base["q11_ivf_topk"],            # ANN probe class
         "q12_dedup_clusters": base["q12_dedup_clusters"],
         "q12s_dedup_clusters_star": q12s,
         "q13_asof_join": base["q13_asof_join"],
