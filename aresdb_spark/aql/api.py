@@ -43,13 +43,16 @@ def _run_one_with_context(spark: SparkSession, catalog: Catalog,
     DataFrame, execute = Spark jobs + result shaping)."""
     import time
 
+    from aresdb_spark.aql.result import dim_key_formatters
+
     t0 = time.perf_counter()
     q = query_from_json(query) if isinstance(query, dict) else query
     df: DataFrame = Planner(spark, catalog).plan(q)
     is_agg = _is_aggregate_query(q)
     t1 = time.perf_counter()
     if is_agg:
-        result = to_aggregate_result(df, n_dims=len(q.dimensions))
+        result = to_aggregate_result(df, n_dims=len(q.dimensions),
+                                     dim_formatters=dim_key_formatters(q))
     else:
         result = to_matrix_result(df)
     t2 = time.perf_counter()

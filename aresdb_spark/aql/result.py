@@ -11,6 +11,7 @@ a nested map keyed by dimension values (outermost = first dimension), leaf
 from __future__ import annotations
 
 import math
+import re
 from datetime import date, datetime, timezone
 from typing import Any
 
@@ -39,13 +40,95 @@ def _key(v: Any) -> str:
     return str(v)
 
 
+_WEEKDAYS = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+             "Saturday", "Sunday"]  # Monday=0, matching the -4d epoch shift
+
+
+def time_dim_formatter(bucketizer: str | None,
+                       time_unit: str | None):
+    """Key formatter for one time dimension — the reference's
+    formatTimeDimension (query/common/dimval.go:146-210).
+
+    With ``timeUnit`` set, keys are numeric: the epoch value divided to
+    the unit ("day"/"hour"/"minute", "millisecond" multiplies; anything
+    else — incl. "second" — passes through). Without it, keys are
+    human-formatted per bucketizer: minute-grain regular buckets →
+    "2006-01-02 15:04", hour → "2006-01-02 15:00", day → "2006-01-02",
+    "time of day"/"hour of day" → "15:04", "hour of week" →
+    "Monday 15:04", "day of week" → "Monday"; every other bucketizer
+    (week/month/quarter/year, day-of-month/-year, month/quarter-of-year,
+    N-minutes-of-day) falls through ParseRegularTimeBucketizer and
+    renders the raw value numerically.
+
+    Input values are this engine's bucket outputs (truncated naive
+    datetimes for regular buckets; ints for recurring), converted to the
+    reference's numeric val where the two representations differ."""
+    if bucketizer is None:
+        return None
+    b = bucketizer.strip().lower()
+
+    def epoch(v) -> int:
+        if isinstance(v, datetime):
+            return int(v.replace(tzinfo=timezone.utc).timestamp())
+        if isinstance(v, date):
+            return int(datetime(v.year, v.month, v.day,
+                                tzinfo=timezone.utc).timestamp())
+        return int(v)
+
+    if time_unit:
+        # our recurring ints → the reference's seconds-based val first
+        scale = {"hour of day": 3600, "hour of week": 3600,
+                 "day of week": 86400}.get(b, 1)
+        if re.match(r"^\d+\s+minutes of day$", b):
+            scale = 60
+        div = {"day": 86400, "hour": 3600, "minute": 60}.get(time_unit)
+
+        def fmt_unit(v):
+            val = epoch(v) * scale
+            if div:
+                return str(val // div)
+            if time_unit == "millisecond":
+                return str(val * 1000)
+            return str(val)
+        return fmt_unit
+
+    if b == "time of day":
+        return lambda v: f"{int(v) // 3600:02d}:{int(v) % 3600 // 60:02d}"
+    if b == "hour of day":
+        return lambda v: f"{int(v):02d}:00"
+    if b == "hour of week":
+        return lambda v: f"{_WEEKDAYS[int(v) // 24]} {int(v) % 24:02d}:00"
+    if b == "day of week":
+        return lambda v: _WEEKDAYS[int(v)]
+    if b in ("minute", "quarter-hour", "half-hour") \
+            or re.match(r"^\d+\s+minutes$", b):
+        return lambda v: v.strftime("%Y-%m-%d %H:%M")
+    if b == "hour" or re.match(r"^\d+\s+hours$", b):
+        return lambda v: v.strftime("%Y-%m-%d %H:00")
+    if b == "day":
+        return lambda v: v.strftime("%Y-%m-%d")
+    # week/month/quarter/year + remaining recurring buckets: the
+    # reference's ParseRegularTimeBucketizer fallback — numeric
+    return lambda v: str(epoch(v))
+
+
+def dim_key_formatters(query) -> list:
+    """One formatter (or None) per dimension of an AQL Query."""
+    return [time_dim_formatter(d.time_bucketizer, d.time_unit)
+            for d in query.dimensions]
+
+
 def to_aggregate_result(df: DataFrame, n_dims: int,
-                        max_rows: int = MAX_RESULT_ROWS) -> dict:
+                        max_rows: int = MAX_RESULT_ROWS,
+                        dim_formatters: "list | None" = None) -> dict:
     """Collect an aggregate query result into the nested map format.
 
     The driver/caller supplies n_dims = number of leading dimension
     columns; remaining columns are measures (one → scalar leaf, several →
     list leaf, generalizing the reference's single-measure rule).
+    ``dim_formatters`` (from dim_key_formatters) renders time-dimension
+    keys the way the reference's postprocessor does; without one a value
+    falls back to _key (epoch seconds for datetimes).
 
     Bounded: collects at most max_rows + 1 rows and errors past the cap
     rather than OOMing the driver on a runaway group-by cardinality.
@@ -55,6 +138,13 @@ def to_aggregate_result(df: DataFrame, n_dims: int,
         raise ValueError(
             f"aggregate result exceeds {max_rows} rows; add a LIMIT or "
             "reduce group-by cardinality (driver-collect guard)")
+    fmts = dim_formatters or [None] * n_dims
+
+    def key(i, v):
+        if v is None or fmts[i] is None:
+            return _key(v)
+        return fmts[i](v)
+
     result: dict = {}
     for row in rows:
         vals = list(row)
@@ -62,9 +152,10 @@ def to_aggregate_result(df: DataFrame, n_dims: int,
         if n_dims == 0:
             return {"value": measures[0] if len(measures) == 1 else measures}
         node = result
-        for d in dims[:-1]:
-            node = node.setdefault(_key(d), {})
-        node[_key(dims[-1])] = measures[0] if len(measures) == 1 else measures
+        for i, d in enumerate(dims[:-1]):
+            node = node.setdefault(key(i, d), {})
+        node[key(n_dims - 1, dims[-1])] = \
+            measures[0] if len(measures) == 1 else measures
     return result
 
 

@@ -50,16 +50,19 @@ def test_multi_query_request(spark, duck):
     q0.now = NOW
     res0 = execute_query(spark, cat, q0)
 
-    # golden: hourly buckets from duckdb, keys = epoch-second strings
+    # golden: hourly buckets from duckdb; keys use the reference's
+    # formatted rendering for hour buckets without timeUnit
+    # ("2006-01-02 15:00", query/common/dimval.go:195-200)
     rows = duck.execute(f"""
-        SELECT epoch(date_trunc('hour', ts))::BIGINT AS k, count(*) AS c
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS k,
+               count(*) AS c
         FROM events
         WHERE event_type = 'click'
           AND ts >= date_trunc('hour', to_timestamp({NOW})) - INTERVAL 24 HOUR
           AND ts < to_timestamp((epoch(to_timestamp({NOW}))::BIGINT // 900) * 900 + 900)
         GROUP BY 1
     """).fetchall()
-    want0 = {str(k): c for k, c in rows}
+    want0 = {k: c for k, c in rows}
     assert res0 == want0 and len(want0) > 0
 
     # full request fanout
@@ -185,3 +188,56 @@ def test_verbose_context_none_for_failed_query(spark):
     assert res["context"][0] is None
     assert res["context"][1]["table"] == "events"
     assert "nope" in res["errors"][0] and res["errors"][1] is None
+
+
+def test_time_dim_key_formatting(spark):
+    """Time-dimension JSON keys follow the reference's postprocessor
+    (query/common/dimval.go:146-210): formatted strings without timeUnit,
+    numeric unit division with it; recurring buckets render weekday/time
+    names; week+ grains fall back to numeric epoch."""
+    from aresdb_spark.aql.api import execute_query
+
+    def run(dim):
+        return execute_query(spark, SF_DIR, {
+            "table": "events",
+            "measures": [{"alias": "c", "sqlExpression": "count(*)"}],
+            "dimensions": [dim],
+            "timeFilter": {"column": "ts", "from": "2024-01-23",
+                           "to": "2024-01-23"},
+        })
+
+    hour = run({"alias": "b", "sqlExpression": "ts", "timeBucketizer": "hour"})
+    assert all(k.startswith("2024-01-23 ") and k.endswith(":00")
+               for k in hour)
+
+    day = run({"alias": "b", "sqlExpression": "ts", "timeBucketizer": "day"})
+    assert list(day) == ["2024-01-23"]
+
+    qh = run({"alias": "b", "sqlExpression": "ts",
+              "timeBucketizer": "quarter-hour"})
+    assert all(len(k) == 16 and k[13] == ":" for k in qh)  # "....-.. ..:.."
+
+    dow = run({"alias": "b", "sqlExpression": "ts",
+               "timeBucketizer": "day of week"})
+    assert list(dow) == ["Tuesday"]  # 2024-01-23 was a Tuesday
+
+    hod = run({"alias": "b", "sqlExpression": "ts",
+               "timeBucketizer": "hour of day"})
+    assert all(len(k) == 5 and k.endswith(":00") for k in hod)
+
+    how = run({"alias": "b", "sqlExpression": "ts",
+               "timeBucketizer": "hour of week"})
+    assert all(k.startswith("Tuesday ") for k in how)
+
+    # timeUnit set → numeric keys in that unit (dimval.go:149-163)
+    hour_s = run({"alias": "b", "sqlExpression": "ts",
+                  "timeBucketizer": "hour", "timeUnit": "second"})
+    assert all(k.isdigit() for k in hour_s)
+    hour_h = run({"alias": "b", "sqlExpression": "ts",
+                  "timeBucketizer": "hour", "timeUnit": "hour"})
+    assert {int(k) * 3600 for k in hour_h} == {int(k) for k in hour_s}
+
+    # week grain: ParseRegularTimeBucketizer fallback → numeric epoch
+    week = run({"alias": "b", "sqlExpression": "ts",
+                "timeBucketizer": "week"})
+    assert all(k.isdigit() for k in week)

@@ -7,10 +7,13 @@ import os
 HERE = os.path.dirname(os.path.abspath(__file__))
 EXAMPLES = os.path.join(os.path.dirname(HERE), "examples", "queries")
 
-# exact expected nested results at sf0.001 (pinned now=1706190420)
+# exact expected nested results at sf0.001 (pinned now=1706190420).
+# Keys use the reference's formatted rendering for hour buckets without
+# timeUnit ("2006-01-02 15:00", query/common/dimval.go:195-200).
 GOLDEN_TOTAL_EVENTS = {
-    "1706108400": 1, "1706130000": 1, "1706144400": 1, "1706148000": 1,
-    "1706151600": 1, "1706158800": 1, "1706162400": 1, "1706166000": 1,
+    "2024-01-24 15:00": 1, "2024-01-24 21:00": 1, "2024-01-25 01:00": 1,
+    "2024-01-25 02:00": 1, "2024-01-25 03:00": 1, "2024-01-25 05:00": 1,
+    "2024-01-25 06:00": 1, "2024-01-25 07:00": 1,
 }
 
 

@@ -98,7 +98,7 @@ def test_total_trips_aql_matches_oracle(spark, trips_env):
     got = res["results"][0]
 
     oracle = dict(duck.execute(f"""
-        SELECT CAST(CAST(epoch(date_trunc('hour', request_at)) AS BIGINT) AS VARCHAR),
+        SELECT strftime(date_trunc('hour', request_at), '%Y-%m-%d %H:00'),
                count(*)
         FROM trips WHERE status = 'completed' AND {WINDOW_SQL}
         GROUP BY 1
@@ -114,7 +114,7 @@ def test_total_fare_aql_matches_oracle(spark, trips_env):
     got = res["results"][0]
 
     oracle = dict(duck.execute(f"""
-        SELECT CAST(CAST(epoch(date_trunc('hour', request_at)) AS BIGINT) AS VARCHAR),
+        SELECT strftime(date_trunc('hour', request_at), '%Y-%m-%d %H:00'),
                sum(fare)
         FROM trips WHERE status = 'completed' AND {WINDOW_SQL}
         GROUP BY 1
