@@ -54,7 +54,8 @@ def _run_one_with_context(spark: SparkSession, catalog: Catalog,
         result = to_aggregate_result(df, n_dims=len(q.dimensions),
                                      dim_formatters=dim_key_formatters(q))
     else:
-        result = to_matrix_result(df)
+        result = to_matrix_result(df,
+                                  dim_formatters=dim_key_formatters(q))
     t2 = time.perf_counter()
 
     from aresdb_spark.plans.audit import formatted_explain

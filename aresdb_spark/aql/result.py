@@ -159,12 +159,28 @@ def to_aggregate_result(df: DataFrame, n_dims: int,
     return result
 
 
-def to_matrix_result(df: DataFrame, max_rows: int = MAX_RESULT_ROWS) -> dict:
+def to_matrix_result(df: DataFrame, max_rows: int = MAX_RESULT_ROWS,
+                     dim_formatters: "list | None" = None) -> dict:
     """Non-aggregate result: headers + matrixData
-    (reference: query/common/aql_query_result.go:35-40). Non-agg queries
-    always carry a LIMIT (default 1000) but the cap guards direct calls."""
+    (reference: query/common/aql_query_result.go:35-40). Every cell is a
+    STRING — the reference marshals ``[]*string`` rows read through
+    ReadDimension (aql_postprocessor.go:129-143), NULLs as "NULL" and
+    time dimensions formatted per their bucketizer. Non-agg queries
+    always carry a LIMIT (default 1000) but the cap guards direct calls.
+
+    ``dim_formatters`` aligns with the leading output columns (a
+    wildcard projection expands past the declared dimensions — those
+    extra columns take the default rendering)."""
     rows = df.limit(max_rows).collect()
+    fmts = dim_formatters or []
+
+    def cell(i, v):
+        if v is not None and i < len(fmts) and fmts[i] is not None:
+            return fmts[i](v)
+        return _key(v)
+
     return {
         "headers": list(df.columns),
-        "matrixData": [[_key(v) if v is None else v for v in row] for row in rows],
+        "matrixData": [[cell(i, v) for i, v in enumerate(row)]
+                       for row in rows],
     }

@@ -95,7 +95,10 @@ def test_non_agg_matrix_result(spark, duck):
     want = duck.execute(
         "SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 5").fetchall()
     assert res["headers"] == ["event_id", "event_type"]
-    assert [tuple(r) for r in res["matrixData"]] == [tuple(r) for r in want]
+    # every matrix cell is a string — the reference marshals []*string
+    # rows (aql_postprocessor.go:129-143)
+    assert [tuple(r) for r in res["matrixData"]] == \
+        [tuple(str(v) for v in r) for r in want]
 
 
 def test_request_error_isolation(spark):
