@@ -1,0 +1,92 @@
+"""Broker-style nested-result merge, pinned by the reference's own
+broker/result_merge_test.go cases (sum/count add, min/max compare, avg
+divides a sum tree by a count tree and errors on shape mismatch, maps
+union recursively, type mismatches error)."""
+
+import pytest
+
+from aresdb_spark.aql.merge import ResultMergeError, merge_aggregate_results
+
+
+def test_sum_same_shape():  # result_merge_test.go:27
+    got = merge_aggregate_results(
+        {"1234": {"foo": 123, "bar": 2}},
+        {"1234": {"foo": 1, "bar": 1}}, "sum")
+    assert got == {"1234": {"foo": 124, "bar": 3}}
+    assert merge_aggregate_results({}, {}, "sum") == {}
+
+
+def test_sum_different_shape():  # :59 — missing keys take the other side
+    got = merge_aggregate_results(
+        {"1234": {"foo": 123}},
+        {"1234": {"foo": 1, "bar": 1}}, "sum")
+    assert got == {"1234": {"foo": 124, "bar": 1}}
+    got = merge_aggregate_results(
+        {"1234": {"foo": 1, "bar": 1}},
+        {"5678": {"foo": 2}}, "count")
+    assert got == {"1234": {"foo": 1, "bar": 1}, "5678": {"foo": 2}}
+
+
+def test_min_max():  # :201, :288
+    assert merge_aggregate_results(
+        {"a": 3, "b": 9}, {"a": 5, "b": 2}, "max") == {"a": 5, "b": 9}
+    assert merge_aggregate_results(
+        {"a": 3, "b": 9}, {"a": 5, "b": 2}, "min") == {"a": 3, "b": 2}
+
+
+def test_avg_divides_sum_by_count():  # :375
+    got = merge_aggregate_results(
+        {"1234": {"foo": 2, "bar": 1}},
+        {"1234": {"foo": 1, "bar": 2}}, "avg")
+    assert got == {"1234": {"foo": 2, "bar": 0.5}}
+    assert merge_aggregate_results({}, {}, "avg") == {}
+
+
+def test_avg_errors_on_shape_mismatch():  # :407
+    with pytest.raises(ResultMergeError, match="error calculating avg"):
+        merge_aggregate_results(
+            {"1234": {"foo": 2}},
+            {"1234": {"foo": 1, "bar": 1}}, "avg")
+    with pytest.raises(ResultMergeError, match="error calculating avg"):
+        merge_aggregate_results(
+            {"1234": {"foo": 2, "bar": 1}},
+            {"1234": {"foo": 1}}, "avg")
+
+
+def test_type_mismatch_errors():
+    with pytest.raises(ResultMergeError, match="different type"):
+        merge_aggregate_results(
+            {"a": {"x": 1}}, {"a": 2}, "sum")
+
+
+def test_hll_leaves_merge():  # :448 — sketch leaves merge register-wise
+    from aresdb_spark.functions.hll_wire import HLL
+
+    l = HLL(sparse=[(1, 3), (2, 5)], non_zero=2)
+    r = HLL(sparse=[(2, 7), (9, 1)], non_zero=2)
+    got = merge_aggregate_results({"d": l}, {"d": r}, "hll")
+    merged = got["d"]
+    assert merged.convert_to_sparse()  # merge densifies; read back sparse
+    assert dict(merged.sparse) == {1: 3, 2: 7, 9: 1}
+
+    with pytest.raises(ResultMergeError, match="non-hll"):
+        merge_aggregate_results({"d": HLL(sparse=[(1, 1)], non_zero=1)},
+                                {"d": HLL(sparse=[], non_zero=0)}, "sum")
+
+
+def test_end_to_end_two_slices_equal_whole(spark):
+    """Splitting a query by time slice and broker-merging the two nested
+    results equals running it over the whole window — the datanode
+    scatter/gather identity the broker relies on."""
+    from aresdb_spark.aql.api import execute_query
+
+    def q(frm, to):
+        return execute_query(spark, "/root/testdata/sf0.001", {
+            "table": "events",
+            "measures": [{"alias": "v", "sqlExpression": "count(*)"}],
+            "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+            "timeFilter": {"column": "ts", "from": frm, "to": to}})
+
+    whole = q("2024-01-10", "2024-01-17")
+    left, right = q("2024-01-10", "2024-01-13"), q("2024-01-14", "2024-01-17")
+    assert merge_aggregate_results(left, right, "count") == whole
