@@ -93,3 +93,25 @@ def _merge(l: dict, r: dict, agg: str, path: list[str]) -> None:
                     f"error calculating avg: some dimension has only "
                     f"count. path: {path + [k]}")
             l[k] = r[k]
+
+
+def merge_matrix_results(results: list[dict],
+                         limit: int | None = None) -> dict:
+    """The broker's NON-aggregate gather (broker/query_plan_non_agg.go:
+    164-309): datanode row streams append in order with a running
+    rows-wanted budget (getRowsWanted = limit - flushed); headers must
+    agree across nodes."""
+    if not results:
+        return {"headers": [], "matrixData": []}
+    headers = results[0]["headers"]
+    rows: list = []
+    for res in results:
+        if res["headers"] != headers:
+            raise ResultMergeError(
+                f"error merging: header mismatch {res['headers']} "
+                f"vs {headers}")
+        if limit is not None and len(rows) >= limit:
+            break
+        want = None if limit is None else limit - len(rows)
+        rows.extend(res["matrixData"][:want])
+    return {"headers": headers, "matrixData": rows}

@@ -90,3 +90,19 @@ def test_end_to_end_two_slices_equal_whole(spark):
     whole = q("2024-01-10", "2024-01-17")
     left, right = q("2024-01-10", "2024-01-13"), q("2024-01-14", "2024-01-17")
     assert merge_aggregate_results(left, right, "count") == whole
+
+
+def test_matrix_merge_appends_with_running_limit():
+    a = {"headers": ["x", "y"], "matrixData": [["1", "a"], ["2", "b"]]}
+    b = {"headers": ["x", "y"], "matrixData": [["3", "c"], ["4", "d"]]}
+    from aresdb_spark.aql.merge import merge_matrix_results
+
+    got = merge_matrix_results([a, b], limit=3)
+    assert got == {"headers": ["x", "y"],
+                   "matrixData": [["1", "a"], ["2", "b"], ["3", "c"]]}
+    assert merge_matrix_results([a, b])["matrixData"] == \
+        a["matrixData"] + b["matrixData"]
+    assert merge_matrix_results([]) == {"headers": [], "matrixData": []}
+
+    with pytest.raises(ResultMergeError, match="header mismatch"):
+        merge_matrix_results([a, {"headers": ["z"], "matrixData": []}])
