@@ -575,3 +575,61 @@ def test_fuzz_set_ops_match_duckdb(spark, duck, triple):
     op, queries, oracle = triple
     df = plan_set_op(spark, SF_DIR, op, queries)
     assert_df_matches_duck(df, duck, oracle, approx=True, tol=1e-6)
+
+
+@st.composite
+def frontdoor_query_pair(draw):
+    """A random query through the FULL JSON front door (execute_query →
+    nested result with reference-formatted keys), with the expected
+    nested dict rebuilt independently from DuckDB rows — keys rendered
+    in SQL per the reference's formatting rules (dimval.go:146-210)."""
+    kind = draw(st.sampled_from(["hour", "day", "minute5", "dow", "hod",
+                                 "second_unit"]))
+    et = draw(st.sampled_from(EVENT_TYPES))
+    d0 = draw(st.integers(5, 20))
+    frm, to = f"2024-01-{d0:02d}", f"2024-01-{d0 + 3:02d}"
+    where = (f"event_type = '{et}' AND ts >= TIMESTAMP '{frm}' "
+             f"AND ts < TIMESTAMP '{to}' + INTERVAL 1 DAY")
+
+    dim = {"alias": "b", "sqlExpression": "ts"}
+    if kind == "hour":
+        dim["timeBucketizer"] = "hour"
+        key = "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00')"
+    elif kind == "day":
+        dim["timeBucketizer"] = "day"
+        key = "strftime(date_trunc('day', ts), '%Y-%m-%d')"
+    elif kind == "minute5":
+        dim["timeBucketizer"] = "5 minutes"
+        key = ("strftime(to_timestamp((epoch(ts)::BIGINT // 300) * 300), "
+               "'%Y-%m-%d %H:%M')")
+    elif kind == "dow":
+        dim["timeBucketizer"] = "day of week"
+        key = "dayname(ts)"  # duckdb full weekday name
+    elif kind == "hod":
+        dim["timeBucketizer"] = "hour of day"
+        key = "lpad(hour(ts)::VARCHAR, 2, '0') || ':00'"
+    else:  # timeUnit=second → numeric epoch keys
+        dim["timeBucketizer"] = "hour"
+        dim["timeUnit"] = "second"
+        key = "epoch(date_trunc('hour', ts))::BIGINT::VARCHAR"
+
+    query = {"table": "events",
+             "measures": [{"alias": "v", "sqlExpression": "count(*)"}],
+             "dimensions": [dim],
+             "timeFilter": {"column": "ts", "from": frm, "to": to}}
+    sql = f"SELECT {key} AS k, count(*) FROM events WHERE {where} GROUP BY 1"
+    query["measures"][0]["rowFilters"] = [f"event_type = '{et}'"]
+    return query, sql
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=frontdoor_query_pair())
+def test_fuzz_frontdoor_nested_result_keys(spark, duck, pair):
+    from aresdb_spark.aql.api import execute_query
+
+    query, sql = pair
+    got = execute_query(spark, SF_DIR, query)
+    want = {k: c for k, c in duck.execute(sql).fetchall()}
+    assert got == want
