@@ -557,3 +557,36 @@ def test_hll_registers_plan_shape(spark):
     assert plan.count("Exchange") == 1, plan
     assert "partial_max" in plan, plan
     assert "isnotnull(user_id" in plan, plan
+
+
+def test_slice_merge_identity_matches_whole(spark):
+    """Sketches are mergeable across slices: registers built over two
+    disjoint time slices, merged with HLL.merge (register-wise max),
+    equal the registers — and therefore the estimate — built over the
+    whole window. This is the property the broker's scatter/gather and
+    the daily-rollup sink both rely on (query/common/hll.go:189-215)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.functions.hll import hll_registers
+    from aresdb_spark.functions.hll_wire import HLL
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("u", F.col("user_id").cast("long"))
+    mid = "2024-01-15"
+
+    def regs(df):
+        rows = hll_registers(df, [], "u").collect()
+        return {r["reg_index"]: r["rho"] for r in rows}
+
+    whole = regs(ev)
+    a = regs(ev.filter(F.col("ts") < F.lit(mid)))
+    b = regs(ev.filter(F.col("ts") >= F.lit(mid)))
+    assert a and b  # both slices non-empty
+
+    ha = HLL(sparse=sorted(a.items()), non_zero=len(a))
+    hb = HLL(sparse=sorted(b.items()), non_zero=len(b))
+    ha.merge(hb)
+    ha.convert_to_sparse()
+    assert dict(ha.sparse) == whole
+    hw = HLL(sparse=sorted(whole.items()), non_zero=len(whole))
+    assert ha.compute() == hw.compute()
