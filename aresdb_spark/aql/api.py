@@ -33,14 +33,18 @@ def _is_aggregate_query(q: Query) -> bool:
 
 def _run_one_with_context(spark: SparkSession, catalog: Catalog,
                           query: Query | dict[str, Any],
-                          debug: bool = False) -> tuple[dict, dict]:
-    """Plan + execute one query and build its serialized query context —
-    the analog of the reference's per-query ``AQLQueryContext`` that
-    verbose mode marshals into the response (api/query_handler.go:209-212,
-    228-230). The reference's context carries the compiled OOPK plan and,
-    under debug, per-stage GPU timers; ours carries the Catalyst physical
-    plan and, under debug, per-stage wall timings (compile = dataclasses →
-    DataFrame, execute = Spark jobs + result shaping)."""
+                          verbose: bool = False,
+                          debug: bool = False) -> tuple[dict, dict | None]:
+    """Plan + execute one query; under ``verbose`` (or ``debug``, which
+    implies it) also build its serialized query context — the analog of
+    the reference's per-query ``AQLQueryContext`` that verbose mode
+    marshals into the response (api/query_handler.go:209-212, 228-230).
+    The reference's context carries the compiled OOPK plan and, under
+    debug, per-stage GPU timers; ours carries the Catalyst physical plan
+    and, under debug, per-stage wall timings (compile = dataclasses →
+    DataFrame, execute = Spark jobs + result shaping). Non-verbose calls
+    return a None context and skip the plan-formatting JVM round-trip —
+    the hot path pays nothing for the feature."""
     import time
 
     from aresdb_spark.aql.result import dim_key_formatters
@@ -58,6 +62,8 @@ def _run_one_with_context(spark: SparkSession, catalog: Catalog,
                                   dim_formatters=dim_key_formatters(q))
     t2 = time.perf_counter()
 
+    if not (verbose or debug):
+        return result, None
     from aresdb_spark.plans.audit import formatted_explain
     ctx: dict[str, Any] = {
         "table": q.table,
@@ -139,7 +145,7 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
     def run(qobj) -> tuple[dict, dict | None, str | None]:
         try:
             result, ctx = _run_one_with_context(spark, catalog, qobj,
-                                                debug=debug)
+                                                verbose=verbose, debug=debug)
             return result, ctx, None
         except Exception as e:  # per-query isolation, like the reference
             return {}, None, str(e)

@@ -50,15 +50,24 @@ def _is_num(v: Any) -> bool:
 
 
 def _merge_leaf(l: Any, r: Any, agg: str, path: list[str]) -> Any:
-    if isinstance(l, HLL):
+    if isinstance(l, HLL) or isinstance(r, HLL):
+        if not (isinstance(l, HLL) and isinstance(r, HLL)):
+            raise ResultMergeError(
+                f"error merging: different type lhs: {type(l).__name__} "
+                f"vs. rhs: {type(r).__name__} at {path}")
         if agg != "hll":
             raise ResultMergeError(
                 f"HLL value found for non-hll aggregation at {path}")
         l.merge(r)
         return l
-    if not _is_num(l):
+    if agg == "hll":
         raise ResultMergeError(
-            f"unmergeable leaf type {type(l).__name__} at {path}")
+            f"non-HLL leaf {type(l).__name__} under hll aggregation "
+            f"at {path}")
+    if not _is_num(l) or not _is_num(r):
+        raise ResultMergeError(
+            f"unmergeable leaf type {type(l).__name__}/{type(r).__name__} "
+            f"at {path}")
     if agg in ("count", "sum"):
         return l + r
     if agg == "max":
@@ -72,12 +81,22 @@ def _merge_leaf(l: Any, r: Any, agg: str, path: list[str]) -> Any:
 def _merge(l: dict, r: dict, agg: str, path: list[str]) -> None:
     for k in list(l):
         lv, rv = l[k], r.get(k)
+        # a missing key and a JSON-null leaf are the same case, exactly
+        # as in Go where r[k] of an absent key IS nil
+        # (result_merge.go:47-66): the non-nil side wins, avg errors
         if rv is None:
             if agg == "avg":
                 raise ResultMergeError(
                     f"error calculating avg: some dimension has only sum. "
                     f"path: {path + [k]}")
             continue  # keep lhs subtree
+        if lv is None:
+            if agg == "avg":
+                raise ResultMergeError(
+                    f"error calculating avg: some dimension has only "
+                    f"count. path: {path + [k]}")
+            l[k] = rv
+            continue
         if isinstance(lv, dict) != isinstance(rv, dict):
             raise ResultMergeError(
                 f"error merging: different type lhs: {type(lv).__name__} "

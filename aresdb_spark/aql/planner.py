@@ -286,6 +286,9 @@ class Planner:
             if isinstance(n, E.Between) and is_tcol(n.operand):
                 return E.Between(n.operand, to_ts(n.low), to_ts(n.high),
                                  n.negated)
+            if isinstance(n, E.InList) and is_tcol(n.operand):
+                return E.InList(n.operand, [to_ts(i) for i in n.items],
+                                n.negated)
             return n
 
         return walk(ast) if tcols else ast

@@ -75,16 +75,20 @@ def time_dim_formatter(bucketizer: str | None,
                                 tzinfo=timezone.utc).timestamp())
         return int(v)
 
-    if time_unit:
-        # our recurring ints → the reference's seconds-based val first
-        scale = {"hour of day": 3600, "hour of week": 3600,
+    # our recurring ints → the reference's seconds-based val (its
+    # recurring buckets are floor(ts % bucketSize, baseUnit) SECONDS,
+    # time_bucketizer.go:52-57,176-194; irregular recurring functors
+    # like day-of-month emit plain numbers — scale 1)
+    ref_scale = {"hour of day": 3600, "hour of week": 3600,
                  "day of week": 86400}.get(b, 1)
-        if re.match(r"^\d+\s+minutes of day$", b):
-            scale = 60
+    if re.match(r"^\d+\s+minutes of day$", b):
+        ref_scale = 60
+
+    if time_unit:
         div = {"day": 86400, "hour": 3600, "minute": 60}.get(time_unit)
 
         def fmt_unit(v):
-            val = epoch(v) * scale
+            val = epoch(v) * ref_scale
             if div:
                 return str(val // div)
             if time_unit == "millisecond":
@@ -108,12 +112,19 @@ def time_dim_formatter(bucketizer: str | None,
     if b == "day":
         return lambda v: v.strftime("%Y-%m-%d")
     # week/month/quarter/year + remaining recurring buckets: the
-    # reference's ParseRegularTimeBucketizer fallback — numeric
-    return lambda v: str(epoch(v))
+    # reference's ParseRegularTimeBucketizer fallback — numeric, in the
+    # reference's val convention (seconds-based for N-minutes-of-day,
+    # epoch for coarse regular buckets, plain numbers for irregular)
+    return lambda v: str(epoch(v) * ref_scale)
 
 
 def dim_key_formatters(query) -> list:
-    """One formatter (or None) per dimension of an AQL Query."""
+    """One formatter (or None) per dimension of an AQL Query. A wildcard
+    dimension expands to a variable number of output columns in the
+    planner, breaking positional alignment — such queries (which cannot
+    carry bucketizers on the wildcard anyway) get no formatters."""
+    if any(d.expr == "*" for d in query.dimensions):
+        return []
     return [time_dim_formatter(d.time_bucketizer, d.time_unit)
             for d in query.dimensions]
 

@@ -261,13 +261,18 @@ class SchemaStore:
                         with open(os.path.join(ed, col)) as f:
                             raw = f.read()
                         # reference format: every case (incl. an empty
-                        # one) is FOLLOWED by the delimiter — trim one
-                        # trailing delimiter then split
+                        # one) is FOLLOWED by the delimiter — an empty
+                        # FILE means no cases, but a file holding one
+                        # delimiter means one empty-string case; trim
+                        # one trailing delimiter then split
                         # (disk_metastore.go:1169)
-                        if raw.endswith(ENUM_DELIMITER):
-                            raw = raw[:-len(ENUM_DELIMITER)]
-                        self._enums[(name, col)] = \
-                            raw.split(ENUM_DELIMITER) if raw != "" else []
+                        if raw == "":
+                            self._enums[(name, col)] = []
+                        else:
+                            if raw.endswith(ENUM_DELIMITER):
+                                raw = raw[:-len(ENUM_DELIMITER)]
+                            self._enums[(name, col)] = \
+                                raw.split(ENUM_DELIMITER)
 
     # -- persistence (writeSchemaFile analog) --
     def _persist(self, table: dict) -> None:

@@ -96,29 +96,31 @@ class DataHandler:
         df = translate_enum_columns(df, schema_doc, self.schema_store)
 
         store = self.stores[table]
-        # fact time column: wire Uint32 epoch seconds → store timestamp;
-        # a well-formed batch that omits the time column (or carries no
-        # live columns) cannot route hot/cold — reject as 400 instead of
+        # a batch that omits the time column (or carries no live
+        # columns) cannot route hot/cold — reject as 400 instead of
         # letting the store's filter raise (the reference errors on a
         # missing event time the same way, memstore/ingestion.go)
-        cols = schema_doc.get("columns") or []
         if not df.columns:
             return 400, {"message": "batch has no live columns"}
         # wire update modes win for THIS batch only — the store's
         # configured defaults stay untouched for later direct ingests
         batch_modes = {**(store.modes or {}), **modes}
-        if schema_doc.get("isFactTable") and cols:
-            tcol = cols[0]["name"]
+        # route on the STORE's shape, not the table flag: a hot/cold
+        # store needs its time column converted (wire Uint32 epoch →
+        # timestamp) and its cutoff — whether or not the schema marks
+        # the table fact (a non-fact table registered against a
+        # hot/cold store still time-routes); a dimension snapshot store
+        # has neither
+        if hasattr(store, "saved_cutoff"):
+            tcol = store.time_column
             if tcol not in df.columns:
                 return 400, {"message":
-                             f"fact batch missing time column {tcol!r}"}
+                             f"batch missing time column {tcol!r}"}
             df = df.withColumn(
                 tcol, F.timestamp_seconds(F.col(tcol).cast("long")))
             store.ingest(self.spark, df, cutoff=store.saved_cutoff(),
                          modes=batch_modes)
         else:
-            # dimension table: no time column, no hot/cold routing — the
-            # whole table is one PK-merged snapshot (DimensionStore)
             store.ingest(self.spark, df, modes=batch_modes)
         return 200, {"rows": batch.num_rows,
                      "arrivalTime": batch.arrival_time}

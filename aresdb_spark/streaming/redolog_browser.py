@@ -79,7 +79,7 @@ class RedoLogBrowser:
             names.append(cols[c.column_id]["name"])
 
         length = min(length, batch.num_rows - start)
-        if length <= 0:
+        if start < 0 or length <= 0:
             raise ValueError("Invalid start or length")
         rows = [list(r) for r in batch.rows()[start:start + length]]
         return rows, names, batch.num_rows

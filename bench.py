@@ -44,7 +44,10 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     done = os.path.join(out_dir, "_DONE")
-    if os.path.exists(done):
+    # the marker alone is not enough: a tier built before the embeddings
+    # table joined the stress set must re-materialize
+    if os.path.exists(done) and \
+            os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
         return
     alpha = "abcdefghijklmnopqrstuvwxyz"
     ev = spark.read.parquet(f"{src_dir}/events.parquet")

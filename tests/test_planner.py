@@ -361,3 +361,29 @@ def test_epoch_literal_time_filters(spark, duck):
         measures=[Measure(expr="count(*)", alias="cnt")],
         filters=[f"ts between {lo_s} and {hi_s - 1}"]))
     assert df.collect()[0]["cnt"] == oracle
+
+
+def test_epoch_literal_in_list(spark, duck):
+    """IN lists on the time column accept epoch literals too — the same
+    rewrite comparisons get (review follow-up)."""
+    from aresdb_spark.aql import Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+    from tests.conftest import SF_DIR
+
+    ts = duck.execute(
+        "SELECT epoch(ts)::BIGINT FROM events LIMIT 2").fetchall()
+    lits = ", ".join(str(r[0]) for r in ts)
+    df = plan_query(spark, SF_DIR, Query(
+        table="events",
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=[f"ts in ({lits})"]))
+    want = duck.execute(
+        f"SELECT count(*) FROM events WHERE ts IN "
+        f"(to_timestamp({ts[0][0]}), to_timestamp({ts[1][0]}))"
+    ).fetchone()[0]
+    # event timestamps carry sub-second parts, so the truncated-epoch
+    # literals may match zero rows on BOTH engines — the regression
+    # being pinned is that the query ANALYZES (pre-fix: Catalyst
+    # DATATYPE_MISMATCH on timestamp-vs-int isin) and agrees with the
+    # oracle
+    assert df.collect()[0]["cnt"] == want

@@ -106,3 +106,22 @@ def test_matrix_merge_appends_with_running_limit():
 
     with pytest.raises(ResultMergeError, match="header mismatch"):
         merge_matrix_results([a, {"headers": ["z"], "matrixData": []}])
+
+
+def test_review_fixes_merge_edge_cases():
+    """Regression pins for review findings: hll over numeric leaves
+    errors (no silent division), numeric-vs-HLL leaves are a type error,
+    and a JSON-null leaf behaves like a missing key on either side (the
+    Go nil convention), erroring only under avg."""
+    from aresdb_spark.functions.hll_wire import HLL
+
+    with pytest.raises(ResultMergeError, match="non-HLL leaf"):
+        merge_aggregate_results({"a": 10}, {"a": 5}, "hll")
+    with pytest.raises(ResultMergeError, match="different type"):
+        merge_aggregate_results({"a": 10},
+                                {"a": HLL(sparse=[], non_zero=0)}, "sum")
+    # null leaf on either side: present side wins under sum
+    assert merge_aggregate_results({"a": None}, {"a": 3}, "sum") == {"a": 3}
+    assert merge_aggregate_results({"a": 3}, {"a": None}, "sum") == {"a": 3}
+    with pytest.raises(ResultMergeError, match="only count"):
+        merge_aggregate_results({"a": None}, {"a": 3}, "avg")
