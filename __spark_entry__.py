@@ -661,8 +661,22 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         from aresdb_spark.operators import similarity as S
         return S.ivf_topk_oracle_sql(QUERY_VEC, k=10, nprobe=2)
 
+    def q_ivf_pq(spark, sf_dir):
+        """IVF-PQ compressed-domain ANN (operators/similarity.py:
+        pq_train_codebooks/pq_encode/pq_adc_distance — Jégou et al.,
+        TPAMI 2011). No SQL oracle: the per-subspace k-means training is
+        not SQL-expressible; exactness of the encode/ADC expressions vs
+        driver-side numpy and self-recall are pytest-pinned
+        (tests/test_operators.py::test_pq_*)."""
+        from aresdb_spark.operators import similarity as S
+        emb = _emb(spark, sf_dir)
+        cb = S.pq_train_codebooks(emb, len(QUERY_VEC), m=8, k=16)
+        return S.ivf_pq_topk(emb, QUERY_VEC, k=10, nprobe=2,
+                             codebooks=cb)
+
     out["sim_cosine_topk"] = (q_topk, topk_sql())
     out["sim_ivf_topk"] = (q_ivf, ivf_sql())
+    out["sim_ivf_pq_topk"] = (q_ivf_pq, None)
     out["sim_embedding_near_dup"] = (q_emb_neardup, emb_neardup_sql())
 
     # --- HLL / approx distinct: no exact oracle by nature (rows-only) ---

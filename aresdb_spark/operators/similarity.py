@@ -449,3 +449,163 @@ FROM (SELECT {id_col}, {vec_col}::DOUBLE[] AS v,
              list_max(list_transform({vec_col}::DOUBLE[], x -> abs(x))) AS m
       FROM {table})
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN, the IVF-PQ scale path
+# ---------------------------------------------------------------------------
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011 — public): split the vector into M subspaces,
+# k-means each subspace to K centroids, store each vector as M small
+# codes (M bytes at K ≤ 256 vs 4·dim bytes raw — 32x at dim=64, M=8),
+# and score queries against codes via an Asymmetric Distance Computation
+# (ADC) lookup table. At 100 TB this is the difference between embedding
+# scans that fit in cluster memory and ones that do not; composed with
+# IVF, the probe filter prunes rows and ADC scores the survivors without
+# ever touching the raw vectors.
+
+PQ_SEED = 0x9A_C0DE  # committed constant, not runtime randomness
+
+
+def pq_train_codebooks(df: DataFrame, dim: int, m: int = 8, k: int = 16,
+                       sample_rows: int = 10_000, iters: int = 5,
+                       seed: int = PQ_SEED, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> np.ndarray:
+    """Per-subspace k-means codebooks, shape (m, k, dim // m).
+
+    Same bounded-driver-memory discipline as ivf_train_centroids: an
+    md5(id)-ordered pseudo-random sample (reproducible AND unbiased
+    w.r.t. id order), L2-normalized so PQ distances rank like cosine,
+    Lloyd iterations per subspace with empty-cluster re-seeding."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    sample = np.array(
+        [r[0] for r in df.select(vec_col)
+         .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+         .limit(sample_rows).collect()], dtype=float)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    if len(sample) == 0:
+        cb = rng.standard_normal((m, k, dsub))
+        return np.round(cb, 6)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    books = np.empty((m, k, dsub))
+    for mi in range(m):
+        sub = sample[:, mi * dsub:(mi + 1) * dsub]
+        # deterministic init: k distinct sample rows per subspace
+        idx = rng.choice(len(sub), size=min(k, len(sub)), replace=False)
+        cents = np.concatenate(
+            [sub[idx], rng.standard_normal((max(0, k - len(sub)), dsub))])
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(k):
+                members = sub[assign == ci]
+                if len(members):
+                    cents[ci] = members.mean(axis=0)
+                else:  # re-seed from the worst-covered point
+                    cents[ci] = sub[int(np.argmax(np.min(d2, axis=1)))]
+        books[mi] = cents
+    return np.round(books, 6)
+
+
+def pq_encode(vec: Column, codebooks: np.ndarray) -> Column:
+    """M 1-based codes per vector (array<int>): per subspace, the argmin
+    squared-L2 centroid of the NORMALIZED vector — pure Column
+    expressions, scan-side, no UDF. Ties break to the lowest code
+    (array_position finds the first match)."""
+    from aresdb_spark.operators.util import let
+
+    m, k, dsub = codebooks.shape
+
+    def code_for(v: Column, mi: int) -> Column:
+        sub = F.slice(v, mi * dsub + 1, dsub)
+
+        def d2s(s: Column) -> Column:
+            return F.array(*[
+                F.round(F.aggregate(
+                    F.zip_with(s, F.array(*[F.lit(float(x))
+                                            for x in codebooks[mi, ci]]),
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+                for ci in range(k)])
+
+        return let(sub, lambda s: let(
+            d2s(s), lambda ds: F.array_position(ds, F.array_min(ds))))
+
+    def normalized(v: Column) -> Column:
+        n = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                               F.lit(0.0), lambda a, x: a + x))
+        return F.transform(v, lambda x: x / F.greatest(n, F.lit(1e-12)))
+
+    return let(normalized(_as_double(vec)),
+               lambda v: F.array(*[code_for(v, mi) for mi in range(m)]))
+
+
+def _pq_lut(query_vec: list[float], codebooks: np.ndarray) -> np.ndarray:
+    """ADC lookup table, shape (m, k): squared L2 between the normalized
+    query's mi-th subvector and each centroid."""
+    m, k, dsub = codebooks.shape
+    q = np.asarray(query_vec, dtype=float)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    lut = np.empty((m, k))
+    for mi in range(m):
+        sub = q[mi * dsub:(mi + 1) * dsub]
+        lut[mi] = ((codebooks[mi] - sub[None, :]) ** 2).sum(axis=1)
+    return np.round(lut, 6)
+
+
+def pq_adc_distance(codes: Column, lut: np.ndarray) -> Column:
+    """Approximate squared L2 distance from the query: Σ_m lut[m][code_m],
+    a pure lookup-and-sum over the code array (the compressed-domain
+    scoring that never touches raw vectors)."""
+    luts = F.array(*[F.array(*[F.lit(float(x)) for x in row])
+                     for row in lut])
+    # codes come from array_position (BIGINT); element_at wants INT
+    return F.aggregate(
+        F.zip_with(codes, luts,
+                   lambda c, row: F.element_at(row, c.cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+            codebooks: "np.ndarray | None" = None, m: int = 8,
+            n_codes: int = 16, vec_col: str = "embedding",
+            id_col: str = "vec_id") -> DataFrame:
+    """PQ ADC top-k over the whole corpus (ascending approximate
+    distance; ties to the lower id for determinism). Trains codebooks
+    from the corpus when none are supplied."""
+    cb = codebooks if codebooks is not None else pq_train_codebooks(
+        df, len(query_vec), m=m, k=n_codes,
+        vec_col=vec_col, id_col=id_col)
+    lut = _pq_lut(query_vec, cb)
+    scored = df.select(
+        F.col(id_col),
+        pq_adc_distance(pq_encode(F.col(vec_col), cb), lut).alias("adc"))
+    return scored.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_pq_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+                nprobe: int = 2, n_clusters: int = 8,
+                codebooks: "np.ndarray | None" = None,
+                centroids: "np.ndarray | None" = None, m: int = 8,
+                n_codes: int = 16, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ: the coarse quantizer prunes to the nprobe nearest
+    clusters (scan-side filter — partition pruning when the corpus is
+    written partitioned by cluster), then ADC scores only the survivors
+    in the compressed domain. The standard billion-scale ANN shape."""
+    dim = len(query_vec)
+    cents = centroids if centroids is not None \
+        else ivf_train_centroids(df, dim, n_clusters,
+                                 vec_col=vec_col, id_col=id_col)
+    if codebooks is None:
+        # train on the WHOLE corpus sample, not the probed subset —
+        # codebooks must be query-independent to be reusable
+        codebooks = pq_train_codebooks(df, dim, m=m, k=n_codes,
+                                       vec_col=vec_col, id_col=id_col)
+    probed = _ivf_probe_set(query_vec, cents, nprobe)
+    cand = df.filter(ivf_assign(F.col(vec_col), cents).isin(probed))
+    return pq_topk(cand, query_vec, k=k, codebooks=codebooks,
+                   vec_col=vec_col, id_col=id_col)
