@@ -636,6 +636,21 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     out["dedup_simhash"] = (q_simhash, simhash_sql())
     out["dedup_simhash_pairs"] = (q_simhash_pairs, simhash_pairs_sql())
 
+    def q_shared_substrings(spark, sf_dir):
+        """Cross-document exact-substring pairs at 10-token window
+        granularity (operators/dedup.py shared_substring_pairs — the
+        window-granular ExactSubstr analog, Lee et al. ACL 2022)."""
+        from aresdb_spark.operators.dedup import shared_substring_pairs
+        return shared_substring_pairs(_docs(spark, sf_dir), window=10)
+
+    def shared_substrings_sql():
+        from aresdb_spark.operators.dedup import \
+            shared_substring_pairs_oracle_sql
+        return shared_substring_pairs_oracle_sql(window=10)
+
+    out["dedup_shared_substrings"] = (q_shared_substrings,
+                                      shared_substrings_sql())
+
     # --- similarity search ---
     def q_topk(spark, sf_dir):
         from aresdb_spark.operators import similarity as S

@@ -628,3 +628,86 @@ bad AS (SELECT DISTINCT c.{id_col} FROM corp c JOIN bench b ON b.sh = c.sh)
 SELECT {id_col} FROM {table}
 WHERE {corpus_pred} AND {id_col} NOT IN (SELECT {id_col} FROM bad)
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document shared substrings (windowed exact-match dedup)
+# ---------------------------------------------------------------------------
+# The window-granular analog of exact-substring training-data dedup
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", ACL 2022 — public; their suffix-array ExactSubstr finds
+# any-offset matches, this finds every shared run of >= `window` tokens
+# at stride-1 window granularity, which is the same detection guarantee
+# for runs of that length and a join-friendly shape for Spark).
+
+
+def _token_windows(text: Column, window: int, stride: int) -> Column:
+    """Distinct md5 hashes of every `window`-token run (at `stride`);
+    docs shorter than the window contribute their whole text as one
+    window, mirroring the shingle convention."""
+    def build(toks: Column) -> Column:
+        joined = F.array_join(toks, " ")
+        runs = F.transform(
+            F.sequence(F.lit(1),
+                       F.greatest(F.size(toks) - (window - 1), F.lit(1)),
+                       F.lit(stride)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, window), " ")),
+        )
+        return F.when(F.size(toks) >= window, F.array_distinct(runs)) \
+                .otherwise(F.array(F.md5(joined)))
+
+    return _let(tokens(F.lower(text)), build)
+
+
+def shared_substring_pairs(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 20,
+                           stride: int = 1) -> DataFrame:
+    """Pairs of documents sharing at least one exact `window`-token run,
+    with the count of distinct shared windows → (id_a, id_b,
+    shared_windows), id_a < id_b.
+
+    Plan shape (the minhash bucket pattern): windows hashed scan-side →
+    explode → ONE shuffle on the window hash → in-bucket pair
+    generation → one count aggregation per pair. stride=1 detects every
+    shared run >= window tokens; a larger stride trades detection of
+    misaligned runs (caught only when offsets agree mod stride) for
+    stride-x fewer exploded rows — at 100 TB use winnowing-style
+    sampling or run exact dedup first, same caveat as LSH's mega-bucket
+    note above."""
+    w = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
+        .select("id", F.explode(
+            _token_windows(F.col(text_col), window, stride)).alias("h"))
+    buckets = (w.groupBy("h")
+               .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    combos = F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + 2,
+                    F.greatest(F.lit(0), F.size(F.col("ids")) - i - 1)),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+    return (buckets.select(F.explode(combos).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(F.count("*").alias("shared_windows"))
+            .select(F.col("id_a"), F.col("id_b"), "shared_windows"))
+
+
+def shared_substring_pairs_oracle_sql(table: str = "documents",
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      window: int = 20,
+                                      stride: int = 1) -> str:
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    runs = (f"list_distinct([md5(array_to_string(({toks})[i:i+{window - 1}],"
+            f" ' ')) for i in range(1, len({toks}) - {window - 2},"
+            f" {stride})])")
+    windows = (f"(CASE WHEN len({toks}) >= {window} THEN {runs} "
+               f"ELSE [md5(array_to_string({toks}, ' '))] END)")
+    return f"""
+WITH w AS (
+  SELECT {id_col} AS id, unnest({windows}) AS h FROM {table}
+)
+SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_windows
+FROM w a JOIN w b ON a.h = b.h AND a.id < b.id
+GROUP BY 1, 2
+"""

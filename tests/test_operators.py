@@ -619,3 +619,30 @@ def test_pq_self_recall_and_ivf_pq(spark):
     want = pq_topk(emb, list(q), k=5, codebooks=cb).collect()
     # probing ALL clusters must equal the unpruned PQ ranking
     assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+
+
+def test_shared_substring_pairs(spark, duck):
+    """Cross-doc exact-substring pairs match the DuckDB oracle and catch
+    a planted duplicated passage regardless of its offset (stride=1)."""
+    from aresdb_spark.operators.dedup import (shared_substring_pairs,
+                                              shared_substring_pairs_oracle_sql)
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(tuple(r) for r in
+                 shared_substring_pairs(docs, window=10).collect())
+    want = sorted(tuple(r) for r in duck.execute(
+        shared_substring_pairs_oracle_sql(window=10)).fetchall())
+    assert got == want and len(got) > 0
+
+    # planted: the same 12-token passage at DIFFERENT offsets
+    passage = " ".join(f"w{i}" for i in range(12))
+    planted = spark.createDataFrame(
+        [(1, "alpha beta " + passage + " tail"),
+         (2, passage + " something else entirely here"),
+         (3, "unrelated text with none of those words at all ok")],
+        "doc_id long, text string")
+    pairs = shared_substring_pairs(planted, window=10).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    # 12-token passage → 3 distinct shared 10-token windows
+    assert pairs[0]["shared_windows"] == 3
