@@ -17,3 +17,4 @@ from aresdb_spark.streaming.data_handler import (  # noqa: F401
     DataHandler, recover_from_redo_log)
 from aresdb_spark.streaming.job_config import JobConfig  # noqa: F401
 from aresdb_spark.streaming.redolog_browser import RedoLogBrowser  # noqa: F401
+from aresdb_spark.streaming.connector import Connector  # noqa: F401

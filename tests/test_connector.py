@@ -1,0 +1,104 @@
+"""The Go client's Insert path (client/connector.go), rule-for-rule:
+shape validation, PK/time-column checks, enum auto-expansion +
+translation + abandoned-rows accounting, update-mode restrictions, and
+the end-to-end post into a queryable store."""
+
+from datetime import datetime
+
+import pytest
+
+from aresdb_spark.metastore import SchemaStore
+from aresdb_spark.sources.hotcold import HotColdStore
+from aresdb_spark.streaming.connector import Connector, ConnectorError
+from aresdb_spark.streaming.data_handler import DataHandler
+
+CUTOFF = datetime(2024, 1, 1)
+T0 = int(datetime(2024, 1, 5).timestamp())
+
+SCHEMA = {
+    "name": "trips",
+    "columns": [{"name": "request_at", "type": "Uint32"},
+                {"name": "trip_id", "type": "Int64"},
+                {"name": "status", "type": "SmallEnum",
+                 "caseInsensitive": True},
+                {"name": "fare", "type": "Float32"}],
+    "primaryKeyColumns": [1],
+    "isFactTable": True,
+    "archivingSortColumns": [0],
+}
+
+
+@pytest.fixture()
+def conn(spark, tmp_path):
+    ss = SchemaStore()
+    ss.create_table(SCHEMA)
+    store = HotColdStore(path=str(tmp_path / "trips"),
+                         time_column="request_at",
+                         primary_key=("trip_id",))
+    store.init_from(spark.createDataFrame(
+        [], "request_at timestamp, trip_id bigint, status string, "
+            "fare float"), cutoff=CUTOFF)
+    return Connector(ss, DataHandler(spark, ss, {"trips": store})), store, ss
+
+
+def test_insert_validations(conn):
+    c, _store, _ss = conn
+    with pytest.raises(ConnectorError, match="No column names"):
+        c.insert("trips", [], [[1]])
+    with pytest.raises(ConnectorError, match="update modes"):
+        c.insert("trips", ["request_at", "trip_id"], [[T0, 1]], [0])
+    with pytest.raises(ConnectorError, match="match length"):
+        c.insert("trips", ["request_at", "trip_id"], [[T0]])
+    assert c.insert("trips", ["request_at", "trip_id"], []) == 0
+    with pytest.raises(ConnectorError, match="Missing primary key"):
+        c.insert("trips", ["request_at", "fare"], [[T0, 1.0]])
+    with pytest.raises(ConnectorError, match="Missing time column"):
+        c.insert("trips", ["trip_id", "fare"], [[1, 1.0]])
+    # sort/PK columns and dimension-ish types only allow overwrite modes
+    with pytest.raises(ConnectorError, match="only supports overwrite"):
+        c.insert("trips", ["request_at", "trip_id"], [[T0, 1]],
+                 update_modes=[2, 0])  # additive on the sort column
+
+
+def test_insert_enum_autoexpand_and_row_drops(spark, conn):
+    c, store, ss = conn
+    n = c.insert(
+        "trips", ["request_at", "trip_id", "status", "fare"],
+        [[T0, 1, "Completed", 10.0],       # case-insensitive → completed
+         [T0 + 60, 2, "CANCELLED", 20.0],  # new case auto-registered
+         [T0 + 120, None, "completed", 5.0],   # nil PK → dropped
+         [None, 4, "completed", 5.0],          # nil time → dropped
+         [T0 + 180, 5, 123, 5.0],          # non-string enum → abandoned
+         [T0 + 240, 6, None, 6.0]])        # NULL enum stays NULL
+    assert n == 3
+    # the dictionary auto-expanded with the LOWERED cases (the reference
+    # iterates a Go map — no order contract; ours registers sorted)
+    assert sorted(ss.get_enum_cases("trips", "status")) == \
+        ["cancelled", "completed"]
+
+    got = {r["trip_id"]: (r["status"], r["fare"])
+           for r in store.read_hot(spark).collect()}
+    assert set(got) == {1, 2, 6}
+    assert got[1][0] == "completed" and got[2][0] == "cancelled"
+    assert got[6][0] is None
+
+
+def test_unknown_enum_translates_to_null_when_expand_disabled(spark, conn):
+    c, store, ss = conn
+    ss.get_table("trips")["columns"][2]["disableAutoExpand"] = True
+    ss.extend_enum_dict("trips", "status", ["completed"])
+    n = c.insert("trips", ["request_at", "trip_id", "status"],
+                 [[T0, 1, "completed"], [T0 + 60, 2, "mystery"]])
+    assert n == 2
+    got = {r["trip_id"]: r["status"] for r in store.read_hot(spark).collect()}
+    # unknown case with expansion disabled → NULL (TranslateEnum -1 ⇒ nil)
+    assert got == {1: "completed", 2: None}
+    assert ss.get_enum_cases("trips", "status") == ["completed"]
+
+
+def test_unknown_columns_are_skipped(spark, conn):
+    c, store, _ss = conn
+    n = c.insert("trips", ["request_at", "trip_id", "nonexistent"],
+                 [[T0, 1, "ignored"]])
+    assert n == 1
+    assert store.read_hot(spark).count() == 1
