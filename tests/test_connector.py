@@ -102,3 +102,36 @@ def test_unknown_columns_are_skipped(spark, conn):
                  [[T0, 1, "ignored"]])
     assert n == 1
     assert store.read_hot(spark).count() == 1
+
+
+def test_enum_array_column_roundtrip(spark, tmp_path):
+    """Array-enum values travel as JSON-encoded string lists
+    (prepareEnumCases' array branch): cases auto-register, items
+    translate to ids, bad JSON abandons the row, null items survive."""
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    ss = SchemaStore()
+    ss.create_table({
+        "name": "tags",
+        "columns": [{"name": "k", "type": "Int64"},
+                    {"name": "labels", "type": "SmallEnum[]"}],
+        "primaryKeyColumns": [0],
+        "isFactTable": False,
+    })
+    store = DimensionStore(path=str(tmp_path / "tags"), primary_key=("k",))
+    store.init_from(spark.createDataFrame(
+        [], "k bigint, labels array<string>"))
+    c = Connector(ss, DataHandler(spark, ss, {"tags": store}))
+
+    n = c.insert("tags", ["k", "labels"],
+                 [[1, '["red", "blue"]'],
+                  [2, '["blue", null]'],
+                  [3, 'not-json'],        # abandoned
+                  [4, '["red", 7]'],      # non-string item → abandoned
+                  [5, None]])
+    assert n == 3
+    got = {r["k"]: r["labels"] for r in store.read(spark).collect()}
+    assert got[1] == ["red", "blue"]
+    assert got[2] == ["blue", None]
+    assert got[5] is None
+    assert sorted(ss.get_enum_cases("tags", "labels")) == ["blue", "red"]
