@@ -226,6 +226,17 @@ class Connector:
                 elif (col.get("hllConfig") or {}).get("isHLLColumn") \
                         and value is not None:
                     value = self._compute_hll_value(col["type"], value)
+                elif value is not None:
+                    # the reference's SetValue runs memCom.ConvertToXxx —
+                    # string forms ("123", "1.5", "true", dashed UUIDs,
+                    # "Point(a b)") coerce per the column dtype; an
+                    # unconvertible value drops the row, same as the Go
+                    # client's RemoveRow on SetValue error
+                    try:
+                        value = self._coerce_value(col["type"], value)
+                    except (ValueError, TypeError, IndexError):
+                        ok = False
+                        break
                 vals.append(value)
             if ok:
                 out_rows.append(vals)
@@ -242,6 +253,31 @@ class Connector:
                 if v is not None:
                     b.set_value(r, ci, v)
         return b.to_byte_array(), len(out_rows)
+
+    @staticmethod
+    def _coerce_value(type_name: str, value):
+        """memCom.ConvertToXxx analog: accept the string forms a CSV (or
+        any loosely-typed client) naturally holds."""
+        from aresdb_spark.streaming.upsert_wire import _bridge_to_wire_scalar
+
+        if type_name == "Bool":
+            if isinstance(value, str):
+                low = value.strip().lower()
+                if low in ("true", "1"):
+                    return True
+                if low in ("false", "0"):
+                    return False
+                raise ValueError(f"not a bool: {value!r}")
+            return bool(value)
+        if type_name == "Float32":
+            return float(value)
+        if type_name in ("UUID", "GeoPoint"):
+            return _bridge_to_wire_scalar(type_name, value)
+        if type_name.endswith("[]"):
+            return value  # array columns pass through (enum arrays above)
+        if type_name in ("SmallEnum", "BigEnum"):
+            return value  # already translated to an id
+        return int(value)  # all integer widths
 
     @staticmethod
     def _compute_hll_value(type_name: str, value) -> int:

@@ -28,13 +28,16 @@ NOW = 1706190420  # pinned "now" so relative time filters are reproducible
 
 
 def main():
-    from pyspark.sql import functions as F
+    from datetime import datetime
 
     from aresdb_spark import get_spark
     from aresdb_spark.aql.api import execute_request
     from aresdb_spark.aql.planner import Planner
     from aresdb_spark.aql.sql import sql_to_query
     from aresdb_spark.metastore import SchemaStore, catalog_from_store
+    from aresdb_spark.sources.hotcold import DimensionStore, HotColdStore
+    from aresdb_spark.streaming.connector import Connector
+    from aresdb_spark.streaming.data_handler import DataHandler
 
     spark = get_spark(app_name="1k-trips", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
@@ -47,29 +50,40 @@ def main():
             store.create_table(json.load(f))
     print("tables:", store.list_tables())
 
-    # 2. data: CSVs with {1d} spread deterministically over [now-1d, now)
+    # 2. data: CSV rows (all strings, like the Go example's reader) go
+    # through the client Connector — type coercion, enum auto-expand,
+    # wire batches, the data handler, the hot/cold + dimension stores
+    trips_store = HotColdStore(
+        path=f"{root}/trips", time_column="request_at",
+        primary_key=("uuid",), sort_columns=("city_id", "status"))
+    trips_store.init_from(spark.createDataFrame(
+        [], "request_at timestamp, uuid string, city_id int, "
+            "status string, fare float, driver_uuid string, "
+            "driver_uuid_hll bigint, request_point string"),
+        cutoff=datetime(2024, 1, 1))
+    cities_store = DimensionStore(path=f"{root}/cities",
+                                  primary_key=("id",))
+    cities_store.init_from(spark.createDataFrame([], "id int, name string"))
+    conn = Connector(store, DataHandler(
+        spark, store, {"trips": trips_store, "cities": cities_store}))
+
     with open(os.path.join(EXAMPLE, "data", "cities.csv")) as f:
-        cities = list(csv.DictReader(f))
-    spark.createDataFrame(
-        [(int(r["id"]), r["name"]) for r in cities], "id int, name string"
-    ).write.mode("overwrite").parquet(f"{root}/cities.parquet")
+        reader = csv.reader(f)
+        headers = next(reader)
+        n_cities = conn.insert("cities", headers,
+                               [list(r) for r in reader])
 
     with open(os.path.join(EXAMPLE, "data", "trips.csv")) as f:
-        trips = list(csv.DictReader(f))
-    rows = [(NOW - 86400 + (i * 86400) // len(trips), r["uuid"],
-             int(r["city_id"]), r["status"], float(r["fare"]),
-             r["driver_uuid"], int(r["driver_uuid_hll"]), r["request_point"])
-            for i, r in enumerate(trips)]
-    (spark.createDataFrame(
-        rows, "request_at bigint, uuid string, city_id int, status string, "
-              "fare double, driver_uuid string, driver_uuid_hll bigint, "
-              "request_point string")
-     .withColumn("request_at", F.timestamp_seconds("request_at"))
-     .write.mode("overwrite").parquet(f"{root}/trips.parquet"))
-    print(f"ingested {len(rows)} trips, {len(cities)} cities -> {root}")
+        reader = csv.reader(f)
+        headers = next(reader)
+        rows = [list(r) for r in reader]
+    for i, row in enumerate(rows):  # {1d} → deterministic [now-1d, now)
+        row[0] = str(NOW - 86400 + (i * 86400) // len(rows))
+    n_trips = conn.insert("trips", headers, rows)
+    print(f"ingested {n_trips} trips, {n_cities} cities -> {root}")
 
     # 3. the reference's own query files
-    catalog = catalog_from_store(root, store)
+    catalog = catalog_from_store(root, store, hotcold={"trips", "cities"})
     for name in ("total_trips.aql", "total_fare.aql"):
         with open(os.path.join(EXAMPLE, "queries", name)) as f:
             req = json.load(f)

@@ -27,8 +27,18 @@ NOW = 1706190420
 
 @pytest.fixture(scope="module")
 def trips_env(spark, tmp_path_factory):
+    """The full reference user journey, through the same layers the Go
+    example uses: schema documents → metastore; CSV rows (ALL values as
+    strings, exactly as examples/utils/example_utils.go:228-263 reads
+    them) → client Connector (type coercion, enum auto-expansion) →
+    wire batches → DataHandler → hot/cold + dimension stores → the
+    metastore-driven catalog the queries read."""
+    from datetime import datetime
+
     from aresdb_spark.metastore import SchemaStore, catalog_from_store
-    from pyspark.sql import functions as F
+    from aresdb_spark.sources.hotcold import DimensionStore, HotColdStore
+    from aresdb_spark.streaming.connector import Connector
+    from aresdb_spark.streaming.data_handler import DataHandler
 
     root = tmp_path_factory.mktemp("trips_example")
     store = SchemaStore()
@@ -36,37 +46,49 @@ def trips_env(spark, tmp_path_factory):
         with open(os.path.join(EXAMPLE, "schema", fn)) as f:
             store.create_table(json.load(f))
 
+    trips_store = HotColdStore(
+        path=str(root / "trips"), time_column="request_at",
+        primary_key=("uuid",), sort_columns=("city_id", "status"))
+    trips_store.init_from(spark.createDataFrame(
+        [], "request_at timestamp, uuid string, city_id int, "
+            "status string, fare float, driver_uuid string, "
+            "driver_uuid_hll bigint, request_point string"),
+        cutoff=datetime(2024, 1, 1))
+    cities_store = DimensionStore(path=str(root / "cities"),
+                                  primary_key=("id",))
+    cities_store.init_from(spark.createDataFrame([], "id int, name string"))
+    conn = Connector(store, DataHandler(
+        spark, store, {"trips": trips_store, "cities": cities_store}))
+
     with open(os.path.join(EXAMPLE, "data", "cities.csv")) as f:
-        cities = list(csv.DictReader(f))
-    spark.createDataFrame(
-        [(int(r["id"]), r["name"]) for r in cities], "id int, name string"
-    ).write.mode("overwrite").parquet(str(root / "cities.parquet"))
+        reader = csv.reader(f)
+        headers = next(reader)
+        n = conn.insert("cities", headers, [list(r) for r in reader])
+    assert n == 10  # cities.csv data rows
 
     with open(os.path.join(EXAMPLE, "data", "trips.csv")) as f:
-        trips = list(csv.DictReader(f))
-    n = len(trips)
-    rows = []
-    for i, r in enumerate(trips):
-        assert r["request_at"] == "{1d}"  # the only template in this file
-        epoch = NOW - 86400 + (i * 86400) // n
-        rows.append((epoch, r["uuid"], int(r["city_id"]), r["status"],
-                     float(r["fare"]), r["driver_uuid"],
-                     int(r["driver_uuid_hll"]), r["request_point"]))
-    df = spark.createDataFrame(
-        rows, "request_at bigint, uuid string, city_id int, status string, "
-              "fare double, driver_uuid string, driver_uuid_hll bigint, "
-              "request_point string")
-    (df.withColumn("request_at", F.timestamp_seconds("request_at"))
-       .write.mode("overwrite").parquet(str(root / "trips.parquet")))
+        reader = csv.reader(f)
+        headers = next(reader)
+        rows = []
+        for i, r in enumerate(reader):
+            row = list(r)
+            # the {1d} time template resolves deterministically over
+            # [now-1d, now) instead of the Go example's randomness
+            assert row[0] == "{1d}"
+            rows.append(row)
+        for i, row in enumerate(rows):
+            row[0] = str(NOW - 86400 + (i * 86400) // len(rows))
+    assert conn.insert("trips", headers, rows) == len(rows)
 
-    catalog = catalog_from_store(str(root), store)
+    catalog = catalog_from_store(str(root), store,
+                                 hotcold={"trips", "cities"})
 
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW trips AS SELECT * FROM "
-                 f"'{root}/trips.parquet/*.parquet'")
+                 f"'{root}/trips/hot/*.parquet'")
     duck.execute(f"CREATE VIEW cities AS SELECT * FROM "
-                 f"'{root}/cities.parquet/*.parquet'")
+                 f"'{root}/cities/snap/*.parquet'")
     yield catalog, duck
     duck.close()
 
