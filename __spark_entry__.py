@@ -1030,8 +1030,10 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             table="embeddings",
             dimensions=[Dimension(expr="length(embedding)", alias="dim")],
             measures=[Measure(expr="count(*)", alias="cnt")],
-            filters=["element_at(embedding, 1) > 0",
-                     "element_at(embedding, -1) < 1"],  # negative = from end
+            # element_at is 0-based like the reference functor; negative
+            # counts from the end (functor.hpp:540-569)
+            filters=["element_at(embedding, 0) > 0",
+                     "element_at(embedding, -1) < 1"],
         ))
 
     out["aql_array_predicates"] = (q_array, """

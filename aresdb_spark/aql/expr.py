@@ -373,8 +373,16 @@ _FUNCTIONS: dict[str, Callable[[list[Column]], Column]] = {
     "array_length": lambda a: F.size(a[0]),
     "contains": lambda a: F.array_contains(a[0], a[1]),
     "array_contains": lambda a: F.array_contains(a[0], a[1]),
-    "element_at": lambda a: F.element_at(a[0], a[1]),
-    "array_element_at": lambda a: F.element_at(a[0], a[1]),
+    # reference element_at is 0-BASED for non-negative indices
+    # (ArrayElementAtFunctor, query/functor.hpp:540-569: index 0 = first,
+    # negative = from end, out-of-range = null) — Spark's is 1-based, so
+    # shift non-negative indices by one
+    "element_at": lambda a: F.element_at(
+        a[0], F.when(a[1] >= 0, a[1].cast("int") + 1)
+               .otherwise(a[1].cast("int"))),
+    "array_element_at": lambda a: F.element_at(
+        a[0], F.when(a[1] >= 0, a[1].cast("int") + 1)
+               .otherwise(a[1].cast("int"))),
     # numeric floor(x, N) → floor(x / N) * N (reference: SQL udfRegister.go:83-87)
     "floor": lambda a: F.floor(a[0] / a[1]) * a[1] if len(a) == 2 else F.floor(a[0]),
     "ceil": lambda a: F.ceil(a[0]),

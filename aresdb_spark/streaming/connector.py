@@ -274,7 +274,11 @@ class Connector:
         if type_name in ("UUID", "GeoPoint"):
             return _bridge_to_wire_scalar(type_name, value)
         if type_name.endswith("[]"):
-            return value  # array columns pass through (enum arrays above)
+            # item-wise coercion (UUID[]/GeoPoint[] strings, numeric
+            # strings); enum arrays were already translated above
+            item = type_name[:-2]
+            return [None if v is None else Connector._coerce_value(item, v)
+                    for v in value]
         if type_name in ("SmallEnum", "BigEnum"):
             return value  # already translated to an id
         return int(value)  # all integer widths
