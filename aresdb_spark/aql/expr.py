@@ -498,6 +498,18 @@ def _compile(node: Any, r: Resolver) -> Column:
         c = x.between(_compile(node.low, r), _compile(node.high, r))
         return ~c if node.negated else c
     if isinstance(node, Call):
+        # reference rewrite: from_unixtime(X / 1000) IS the raw time
+        # value X — millisecond-stored clients write this form and the
+        # compiler unwraps it to the column itself
+        # (query_context_helper.go:436-459). Other argument shapes fall
+        # through to Spark's general from_unixtime (our engines's time
+        # columns are real timestamps, so the generalization is safe).
+        if node.func == "from_unixtime" and len(node.args) == 1 \
+                and isinstance(node.args[0], Binary) \
+                and node.args[0].op == "/" \
+                and isinstance(node.args[0].right, Lit) \
+                and node.args[0].right.value == 1000:
+            return _compile(node.args[0].left, r)
         fn = _FUNCTIONS.get(node.func)
         if fn is None:
             raise UnknownFunctionError(

@@ -146,3 +146,25 @@ def test_parser_roundtrip_compile():
         assert col is not None and ast is not None
 
     run()
+
+
+def test_from_unixtime_div_1000_unwraps_to_time_value(spark):
+    """The reference's only accepted from_unixtime form,
+    from_unixtime(col / 1000), IS the raw time value — the compiler
+    unwraps it (query_context_helper.go:436-459). A reference query
+    using it over a timestamp column must behave as the column itself."""
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+    from tests.conftest import SF_DIR
+
+    df = plan_query(spark, SF_DIR, Query(
+        table="events",
+        dimensions=[Dimension(expr="from_unixtime(ts / 1000)",
+                              time_bucketizer="day", alias="d")],
+        measures=[Measure(expr="count(*)", alias="c")]))
+    plain = plan_query(spark, SF_DIR, Query(
+        table="events",
+        dimensions=[Dimension(expr="ts", time_bucketizer="day", alias="d")],
+        measures=[Measure(expr="count(*)", alias="c")]))
+    assert sorted(map(tuple, df.collect())) == \
+        sorted(map(tuple, plain.collect()))
