@@ -361,6 +361,16 @@ class Planner:
                 ast = E.parse(j.conditions[0])
                 if negated:
                     ast = ast.operand  # anti join needs the POSITIVE predicate
+                # the reference accepts either argument order and swaps
+                # so the SHAPE side is first (query_context_helper.go:
+                # 520-523); the shape column lives on the joined dim
+                if isinstance(ast, E.Call) and len(ast.args) == 2:
+                    def on_dim(a):
+                        return isinstance(a, E.Col) and \
+                            a.name.startswith(f"{j.name}.")
+                    if on_dim(ast.args[1]) and not on_dim(ast.args[0]):
+                        ast = E.Call(ast.func,
+                                     [ast.args[1], ast.args[0]])
                 cond = E.compile_ast(ast, self._resolver(aliases, q))
                 if negated:
                     df = df.join(F.broadcast(dim), on=cond, how="left_anti")

@@ -140,3 +140,39 @@ def test_geo_constraint_errors(spark, geo_catalog):
                         conditions=["geography_intersects(g.shape, lat, lng)",
                                     "g.shape_id = 'A'"])],
             measures=[Measure(expr="count(*)", alias="cnt")]))
+
+
+def test_geo_args_accept_either_order(spark, tmp_path):
+    """The reference accepts geography_intersects in either argument
+    order and normalizes so the shape is first (query_context_helper.go:
+    520-523); the planner applies the same swap using the join's shape
+    table alias. Exercised with the 2-arg point-struct form, where a
+    swapped call would otherwise crash on field access."""
+    from aresdb_spark.aql import Dimension, Join, Measure, Query
+    from aresdb_spark.aql.planner import Planner
+
+    spark.createDataFrame(
+        SHAPES,
+        "shape_id string, shape array<array<struct<lat:float,long:float>>>"
+    ).write.parquet(f"{tmp_path}/shapes.parquet")
+    spark.createDataFrame(
+        [(i, ((i % 12) * 5 + 0.5, ((i // 12) % 12) * 5 + 0.5))
+         for i in range(300)],
+        "pid long, pt struct<lat:double,long:double>"
+    ).write.parquet(f"{tmp_path}/points2.parquet")
+    catalog = Catalog(str(tmp_path), tables={
+        "points2": TableDef("points2", is_fact=True, primary_key=("pid",)),
+        "shapes": TableDef("shapes", primary_key=("shape_id",)),
+    })
+
+    def run(cond):
+        return sorted(map(tuple, Planner(spark, catalog).plan(Query(
+            table="points2",
+            joins=[Join(table="shapes", alias="g", conditions=[cond])],
+            dimensions=[Dimension(expr="g.shape_id", alias="sid")],
+            measures=[Measure(expr="count(*)", alias="c")],
+        )).collect()))
+
+    shape_first = run("geography_intersects(g.shape, pt)")
+    point_first = run("geography_intersects(pt, g.shape)")
+    assert shape_first == point_first and len(shape_first) > 0
