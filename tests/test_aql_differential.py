@@ -633,3 +633,53 @@ def test_fuzz_frontdoor_nested_result_keys(spark, duck, pair):
     got = execute_query(spark, SF_DIR, query)
     want = {k: c for k, c in duck.execute(sql).fetchall()}
     assert got == want
+
+
+@st.composite
+def array_fn_query_pair(draw):
+    """Array scalar functions over the embeddings table: 0-based
+    element_at (functor.hpp:540-569 — duckdb is 1-based, so oracle index
+    = i + 1 for i >= 0), negative from-the-end indices, contains, and
+    length, composed into filters and dimensions."""
+    kind = draw(st.sampled_from(["elem_cmp", "elem_neg", "len_dim",
+                                 "contains"]))
+    i = draw(st.integers(0, 10_000))
+    if kind == "elem_cmp":
+        idx = draw(st.integers(0, 63))
+        x = draw(st.sampled_from([-0.5, 0.0, 0.25, 0.5]))
+        op = draw(st.sampled_from([">", "<", ">=", "<="]))
+        where_aql = f"element_at(embedding, {idx}) {op} {x}"
+        where_sql = f"embedding[{idx + 1}] {op} {x}"
+    elif kind == "elem_neg":
+        idx = draw(st.integers(1, 64))
+        x = draw(st.sampled_from([-0.25, 0.0, 0.25]))
+        where_aql = f"element_at(embedding, -{idx}) > {x}"
+        where_sql = f"embedding[-{idx}] > {x}"
+    elif kind == "len_dim":
+        where_aql = where_sql = None
+    else:
+        v = draw(st.sampled_from([0.0, 0.25, 0.5, 1.0]))
+        where_aql = f"contains(embedding, {v})"
+        where_sql = f"list_contains(embedding, {v})"
+
+    from aresdb_spark.aql import Dimension, Measure, Query
+
+    dims = [Dimension(expr="length(embedding)" if kind == "len_dim"
+                      else "label % 4", alias=f"ad{i}")]
+    dim_sql = ("len(embedding)::INT" if kind == "len_dim"
+               else "label % 4") + f" AS ad{i}"
+    q = Query(table="embeddings", dimensions=dims,
+              measures=[Measure(expr="count(*)", alias=f"ac{i}")],
+              filters=[where_aql] if where_aql else [])
+    where = f" WHERE {where_sql}" if where_sql else ""
+    sql = (f"SELECT {dim_sql}, count(*) AS ac{i} FROM embeddings{where} "
+           f"GROUP BY 1")
+    return q, sql
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=array_fn_query_pair())
+def test_fuzz_array_functions_match_duckdb(spark, duck, pair):
+    _run_both(spark, duck, *pair)
