@@ -75,12 +75,12 @@ def _compile_aggregate(node: E.Call, resolver, measure_filter: Column | None) ->
         return c
 
     if func == "count":
-        if not node.args or (isinstance(node.args[0], E.Col) and node.args[0].name == "*"):
-            # count(*) ≡ sum(1) in the reference (:1191-1197)
-            if measure_filter is not None:
-                return F.sum(F.when(measure_filter, F.lit(1)).otherwise(F.lit(0)))
-            return F.count(F.lit(1))
-        return F.count(arg())
+        # the reference REPLACES count's argument with the literal 1 and
+        # sums it (aql_compiler.go:1191-1197) — count(c1) is a pure ROW
+        # count even when c1 is null, not Spark's null-skipping count
+        if measure_filter is not None:
+            return F.sum(F.when(measure_filter, F.lit(1)).otherwise(F.lit(0)))
+        return F.count(F.lit(1))
     if func == "sum":
         return F.sum(arg())
     if func == "avg":

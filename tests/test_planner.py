@@ -387,3 +387,21 @@ def test_epoch_literal_in_list(spark, duck):
     # DATATYPE_MISMATCH on timestamp-vs-int isin) and agrees with the
     # oracle
     assert df.collect()[0]["cnt"] == want
+
+
+def test_count_is_row_count_even_with_null_arg(spark, duck):
+    """count(col) is a ROW count in the reference — the compiler replaces
+    the argument with literal 1 (aql_compiler.go:1191-1197) — not
+    Spark's null-skipping count."""
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.planner import plan_query
+    from tests.conftest import SF_DIR
+
+    # a dimension expression that is null for ~half the rows
+    df = plan_query(spark, SF_DIR, Query(
+        table="events",
+        measures=[Measure(
+            expr="count(case when value > 100 then value end)",
+            alias="c")]))
+    want = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert df.collect()[0]["c"] == want  # rows, not non-null values
