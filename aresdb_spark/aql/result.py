@@ -105,11 +105,11 @@ def time_dim_formatter(bucketizer: str | None,
     if b == "day of week":
         return lambda v: _WEEKDAYS[int(v)]
     if b in ("minute", "quarter-hour", "half-hour") \
-            or re.match(r"^\d+\s+minutes$", b):
+            or re.fullmatch(r"\d+\s+minutes|\d*m", b):
         return lambda v: v.strftime("%Y-%m-%d %H:%M")
-    if b == "hour" or re.match(r"^\d+\s+hours$", b):
+    if b == "hour" or re.fullmatch(r"\d+\s+hours|\d*h", b):
         return lambda v: v.strftime("%Y-%m-%d %H:00")
-    if b == "day":
+    if b == "day" or b == "d" or re.fullmatch(r"\d+d", b):
         return lambda v: v.strftime("%Y-%m-%d")
     # week/month/quarter/year + remaining recurring buckets: the
     # reference's ParseRegularTimeBucketizer fallback — numeric, in the

@@ -252,6 +252,14 @@ def time_bucket(ts: Column, bucketizer: str, tz: "str | Column | None" = None) -
         secs = n * (60 if unit.startswith("minute") else 3600)
         return _floor_seconds(ts, secs)
 
+    # regular: the reference's short forms — "m"/"h"/"d" and "3m"/"2h"
+    # (ParseRegularTimeBucketizer, time_bucketizer.go:100-119)
+    m = re.fullmatch(r"(\d*)([mhd])", b)
+    if m:
+        n = int(m.group(1) or 1)
+        secs = n * {"m": 60, "h": 3600, "d": 86400}[m.group(2)]
+        return _floor_seconds(ts, secs)
+
     # recurring (reference: time_bucketizer.go:44-65)
     if b == "time of day":
         return F.hour(ts) * 3600 + F.minute(ts) * 60 + F.second(ts)

@@ -50,12 +50,21 @@ def _strip(line: str) -> str:
     return line.split("#", 1)[0].strip()
 
 
-def _parse_item(item: str, is_array: bool):
+def _parse_item(item: str, is_array: bool, dtype: str = "Uint32"):
+    def scalar(s: str):
+        if s == "null":
+            return None
+        if dtype == "Bool":
+            return s == "true"
+        if dtype.startswith("Float"):
+            return float(s)
+        return int(s)
+
     if item == "null":
         return None
     if is_array:
-        return [int(x) for x in item.split(",")]
-    return int(item)
+        return [scalar(x) for x in item.split(",")]
+    return scalar(item)
 
 
 def parse_vp(path: str) -> list:
@@ -83,7 +92,10 @@ def parse_vp(path: str) -> list:
             else:
                 header[key] = val
     length = int(header["length"])
-    is_array = header["data_type"].endswith("[]")
+    dtype = header["data_type"]
+    is_array = dtype.endswith("[]")
+    if is_array:
+        dtype = dtype[:-2]
     has_counts = header.get("has_counts") == "true"
     assert len(items) == length, path  # length counts STORED entries
     if not is_array and has_counts:
@@ -93,10 +105,10 @@ def parse_vp(path: str) -> list:
         prev = 0
         for it in items:
             v, end = it.rsplit(",", 1)
-            out.extend([_parse_item(v, False)] * (int(end) - prev))
+            out.extend([_parse_item(v, False, dtype)] * (int(end) - prev))
             prev = int(end)
         return out
-    return [_parse_item(it, is_array) for it in items]
+    return [_parse_item(it, is_array, dtype) for it in items]
 
 
 def parse_batch_rows(name: str) -> tuple[list[dict], list[int]]:

@@ -1,0 +1,126 @@
+"""Golden: the reference's own ProcessQuery fixture scenario
+(query/aql_processor_test.go:1047-1090 "ProcessQuery should work").
+
+The reference assembles a shard from its batch fixtures — archive batch
+archiveBatch0 below the archiving cutoff (100), live batches -110 and
+-101 above it — and pins the exact result of a minute-bucket count over
+[1970-01-01, 1970-01-02):
+
+    {"0": 5, "60000": 4, "120000": 3}
+
+Scan-time visibility decodes to: all 5 archive rows (c0 = 0..40), live
+batch -110 up to its capacity of 5 with the cutoff filter dropping
+c0=90 (visible: 100,110,120,130), and live batch -101 up to
+LastReadRecord index 3 (100,110,120). Running the same AQL query
+(minute bucketizer, timeUnit=millisecond, count(c1) — a ROW count even
+though c1 is null on several of those rows) over a HotColdStore holding
+those rows must produce the reference's exact JSON result.
+
+The c0=90 row is the one semantic difference worth pinning: in the
+reference it sits in the live store awaiting the asynchronous backfill
+job, invisible to the scan; this engine backfills at ingest time, so
+the same row becomes visible immediately — the post-convergence state
+the reference reaches after its backfill runs. Asserted explicitly."""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from tests.test_reference_backfill import parse_vp
+
+VPS = "/root/reference/testing/data/vps/archiving"
+pytestmark = pytest.mark.skipif(not os.path.isdir(VPS),
+                                reason="reference fixtures not mounted")
+
+CUTOFF_EPOCH = 100        # aql_processor_test.go:222 ArchivingCutoff
+LIVE_110_CAPACITY = 5     # :200 Capacity
+LIVE_101_LAST_READ = 3    # :193 LastReadRecord{BatchID: -101, Index: 3}
+
+
+def _rows(*vp_names, limit=None):
+    cols = [parse_vp(os.path.join(VPS, n)) for n in vp_names]
+    n = min(len(c) for c in cols)
+    if limit is not None:
+        n = min(n, limit)
+    return [tuple(c[i] for c in cols) for i in range(n)]
+
+
+def _query(spark, catalog):
+    from aresdb_spark.aql.api import execute_query
+
+    return execute_query(spark, catalog, {
+        "table": "table1",
+        "measures": [{"alias": "value", "sqlExpression": "count(c1)"}],
+        "dimensions": [{"alias": "t", "sqlExpression": "c0",
+                        "timeBucketizer": "m",
+                        "timeUnit": "millisecond"}],
+        "timeFilter": {"column": "c0", "from": "1970-01-01",
+                       "to": "1970-01-02"}})
+
+
+def _make_store(spark, path, rows):
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    def to_ts(r):
+        return (datetime.fromtimestamp(r[0], tz=timezone.utc)
+                .replace(tzinfo=None), r[1], r[2])
+
+    store = HotColdStore(path=str(path), time_column="c0",
+                         primary_key=("c0",))
+    store.init_from(
+        spark.createDataFrame([to_ts(r) for r in rows],
+                              "c0 timestamp, c1 boolean, c2 float"),
+        cutoff=datetime.fromtimestamp(CUTOFF_EPOCH, tz=timezone.utc))
+    return store
+
+
+def test_reference_process_query_golden(spark, tmp_path):
+    from aresdb_spark.catalog import Catalog, TableDef
+
+    archive = _rows("sortedVP0", "sortedVP1", "sortedVP2")
+    live110 = _rows("vp10", "vp11", "vp12", limit=LIVE_110_CAPACITY)
+    live101 = _rows("vp00", "vp01", "vp02", limit=LIVE_101_LAST_READ)
+    assert [r[0] for r in archive] == [0, 10, 20, 30, 40]
+    assert [r[0] for r in live110] == [90, 100, 110, 120, 130]
+    assert [r[0] for r in live101] == [100, 110, 120]
+
+    # the rows the reference's scan SEES: its live iteration starts at
+    # the cutoff, so the c0=90 row (pending backfill) is invisible
+    visible = archive + [r for r in live110 if r[0] >= CUTOFF_EPOCH] \
+        + live101
+    store = _make_store(spark, tmp_path / "table1", visible)
+    catalog = Catalog(str(tmp_path), tables={
+        "table1": TableDef("table1", is_fact=True, time_column="c0",
+                           primary_key=("c0",), hotcold=True)})
+    res = _query(spark, catalog)
+    # aql_processor_test.go:1082-1086 — byte-for-byte the reference's
+    # result map (minute buckets rendered in milliseconds)
+    assert res == {"0": 5, "60000": 4, "120000": 3}
+    # several counted rows have null c1 (vp11/sortedVP1) — count(c1)
+    # must be a row count for the 5/4/3 split to hold
+    assert sum(1 for r in visible if r[1] is None) >= 4
+
+
+def test_backfill_row_becomes_visible_at_ingest(spark, tmp_path):
+    """The same scenario INCLUDING the pre-cutoff live row (c0=90): the
+    reference hides it until its asynchronous backfill job runs; this
+    engine routes it to the cold store at ingest, so the result is the
+    reference's POST-backfill converged state — one more row in the
+    second minute bucket."""
+    from aresdb_spark.catalog import Catalog, TableDef
+
+    archive = _rows("sortedVP0", "sortedVP1", "sortedVP2")
+    live110 = _rows("vp10", "vp11", "vp12", limit=LIVE_110_CAPACITY)
+    live101 = _rows("vp00", "vp01", "vp02", limit=LIVE_101_LAST_READ)
+    store = _make_store(spark, tmp_path / "table1",
+                        archive + live110 + live101)
+    # init_from split the backfill row to the cold side
+    cold = sorted(int(r["c0"].replace(tzinfo=timezone.utc).timestamp())
+                  for r in store.read_cold(spark).collect())
+    assert cold == [0, 10, 20, 30, 40, 90]
+
+    catalog = Catalog(str(tmp_path), tables={
+        "table1": TableDef("table1", is_fact=True, time_column="c0",
+                           primary_key=("c0",), hotcold=True)})
+    assert _query(spark, catalog) == {"0": 5, "60000": 5, "120000": 3}
