@@ -24,7 +24,7 @@ NULL_STRING = "NULL"  # queryCom.NULLString
 MAX_RESULT_ROWS = 1_000_000
 
 
-def _key(v: Any) -> str:
+def _key(v: Any, float32: bool = False) -> str:
     if v is None:
         return NULL_STRING
     if isinstance(v, datetime):
@@ -34,9 +34,20 @@ def _key(v: Any) -> str:
     if isinstance(v, date):
         return str(int(datetime(v.year, v.month, v.day, tzinfo=timezone.utc).timestamp()))
     if isinstance(v, bool):
-        return "true" if v else "false"
-    if isinstance(v, float) and v.is_integer() and not math.isinf(v):
-        return str(int(v))
+        # the reference renders booleans through FormatInt
+        # (dimval.go:61-72): true = "1", false = "0"
+        return "1" if v else "0"
+    if isinstance(v, float):
+        if v.is_integer() and not math.isinf(v):
+            return str(int(v))
+        if float32:
+            # float columns carry float32 values widened to double on
+            # collect; the reference formats them shortest-round-trip at
+            # 32 bits (strconv.FormatFloat 'g' -1 32, dimval.go:57) —
+            # "1.2", not the double expansion "1.2000000476837158"
+            from aresdb_spark.functions.hll_wire import _format_float32_g
+            return _format_float32_g(v)
+        return str(v)
     return str(v)
 
 
@@ -150,10 +161,11 @@ def to_aggregate_result(df: DataFrame, n_dims: int,
             f"aggregate result exceeds {max_rows} rows; add a LIMIT or "
             "reduce group-by cardinality (driver-collect guard)")
     fmts = dim_formatters or [None] * n_dims
+    f32 = [t == "float" for _n, t in df.dtypes]
 
     def key(i, v):
         if v is None or fmts[i] is None:
-            return _key(v)
+            return _key(v, float32=f32[i])
         return fmts[i](v)
 
     result: dict = {}
@@ -184,11 +196,12 @@ def to_matrix_result(df: DataFrame, max_rows: int = MAX_RESULT_ROWS,
     extra columns take the default rendering)."""
     rows = df.limit(max_rows).collect()
     fmts = dim_formatters or []
+    f32 = [t == "float" for _n, t in df.dtypes]
 
     def cell(i, v):
         if v is not None and i < len(fmts) and fmts[i] is not None:
             return fmts[i](v)
-        return _key(v)
+        return _key(v, float32=f32[i])
 
     return {
         "headers": list(df.columns),

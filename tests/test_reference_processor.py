@@ -124,3 +124,44 @@ def test_backfill_row_becomes_visible_at_ingest(spark, tmp_path):
         "table1": TableDef("table1", is_fact=True, time_column="c0",
                            primary_key=("c0",), hotcold=True)})
     assert _query(spark, catalog) == {"0": 5, "60000": 5, "120000": 3}
+
+
+def test_reference_nonagg_matrix_golden(spark, tmp_path):
+    """The non-agg projection golden (aql_processor_test.go:2130-2192):
+    SELECT c0, c1, c2 over the same fixture rows, every cell a string —
+    bools as "0"/"1", float32s shortest-round-trip ("1.2", "1"), nulls
+    as "NULL", the raw epoch for the unbucketized time column. The
+    reference's matrixData order is its physical scan order (live
+    batches then archive); row ORDER is not part of this engine's
+    contract, so the comparison is a multiset."""
+    from aresdb_spark.aql.api import execute_query
+    from aresdb_spark.catalog import Catalog, TableDef
+
+    archive = _rows("sortedVP0", "sortedVP1", "sortedVP2")
+    live110 = _rows("vp10", "vp11", "vp12", limit=LIVE_110_CAPACITY)
+    live101 = _rows("vp00", "vp01", "vp02", limit=LIVE_101_LAST_READ)
+    visible = archive + [r for r in live110 if r[0] >= CUTOFF_EPOCH] \
+        + live101
+    _make_store(spark, tmp_path / "table1", visible)
+    catalog = Catalog(str(tmp_path), tables={
+        "table1": TableDef("table1", is_fact=True, time_column="c0",
+                           primary_key=("c0",), hotcold=True)})
+
+    res = execute_query(spark, catalog, {
+        "table": "table1",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"alias": "c0", "sqlExpression": "c0"},
+                       {"alias": "c1", "sqlExpression": "c1"},
+                       {"alias": "c2", "sqlExpression": "c2"}],
+        "timeFilter": {"column": "c0", "from": "1970-01-01",
+                       "to": "1970-01-02"},
+        "limit": 20})
+    assert res["headers"] == ["c0", "c1", "c2"]
+    expected = [  # aql_processor_test.go:2175-2191, as a multiset
+        ["100", "0", "1"], ["110", "1", "NULL"], ["120", "NULL", "1.2"],
+        ["130", "0", "1.3"], ["100", "0", "NULL"], ["110", "1", "1.1"],
+        ["120", "0", "1.2"], ["0", "NULL", "NULL"], ["10", "NULL", "1.1"],
+        ["20", "NULL", "1.2"], ["30", "0", "1.3"], ["40", "1", "NULL"],
+    ]
+    assert sorted(map(tuple, res["matrixData"])) == \
+        sorted(map(tuple, expected))
