@@ -72,6 +72,9 @@ def collapse_batch(batch: DataFrame, pk_cols: list[str],
                 F.max_by(c, F.when(F.col(c).isNotNull(), F.col(seq))).alias(c))
     if seq_col:
         aggs.append(F.max(seq).alias(seq_col))
+    if not aggs:
+        # a PK-only table: nothing to fold, collapsing is just dedupe
+        return b.select(*pk_cols).distinct()
     return b.groupBy(*pk_cols).agg(*aggs)
 
 

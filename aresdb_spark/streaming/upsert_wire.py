@@ -575,7 +575,10 @@ def _wire_to_bridge_scalar(type_name: str, v):
     if v is None:
         return None
     if type_name == "UUID":
-        return f"{v[0]:016x}{v[1]:016x}"
+        # the reference renders UUIDs dashed lowercase
+        # (ConvertToHumanReadable, memstore/common/data_value.go:284-292)
+        s = f"{v[0]:016x}{v[1]:016x}"
+        return f"{s[:8]}-{s[8:12]}-{s[12:16]}-{s[16:20]}-{s[20:]}"
     if type_name == "GeoPoint":
         # shortest round-trip float32 rendering — %g's 6 significant
         # digits would truncate coordinates (~10 m at city longitudes)

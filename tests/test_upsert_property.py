@@ -89,3 +89,16 @@ def test_composite_pk_with_null_components(spark):
     got = {(r["k1"], r["k2"]): r["v"] for r in out.collect()}
     assert got == {(1, None): 100, (1, 2): 20, (None, None): 300,
                    (2, 2): 400}
+
+
+def test_pk_only_table_collapses_to_distinct(spark):
+    """A table whose only columns ARE the primary key: collapsing a batch
+    has nothing to fold — it is a plain dedupe (regression: groupBy with
+    zero aggregate expressions raised)."""
+    from aresdb_spark.streaming.upsert import apply_upsert_batch
+
+    base = spark.createDataFrame([("a",), ("b",)], "k string")
+    batch = spark.createDataFrame([("b",), ("c",), ("c",)], "k string")
+    got = sorted(r["k"] for r in
+                 apply_upsert_batch(base, batch, ["k"]).collect())
+    assert got == ["a", "b", "c"]

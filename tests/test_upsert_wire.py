@@ -135,7 +135,8 @@ def test_uuid_geopoint_round_trip_through_streams(spark):
     blobs = encode_upsert_batch_stream(src, doc, arrival_time=3)
     rows = {r["trip_id"]: r
             for r in decode_upsert_batch_stream(blobs, doc).collect()}
-    assert rows[1]["uuid"] == "0011223344556677" + "8899aabbccddeeff"
+    # dashed lowercase — ConvertToHumanReadable parity (data_value.go:284-292)
+    assert rows[1]["uuid"] == "00112233-4455-6677-8899-aabbccddeeff"
     assert rows[1]["loc"] == "point(1.5 -2.25)"
     assert rows[2]["uuid"] is None and rows[2]["loc"] is None
 
