@@ -128,6 +128,14 @@ class Query:
                                  # extension: post-aggregation filters over
                                  # OUTPUT column names (dims + measure
                                  # aliases); reference has no HAVING
+    supporting_measures: list[Measure] = field(default_factory=list)
+                                 # computed during aggregation so derived
+                                 # measures can reference them by alias,
+                                 # but NOT emitted (reference
+                                 # SupportingMeasures,
+                                 # query/common/aql.go:148-151; filled by
+                                 # the SQL composite-measure translation,
+                                 # sql_parser.go SQL2AqlContext)
 
     def validate_strict(self) -> None:
         """Reference constraint checks (errors, mirroring compile errors)."""
@@ -182,4 +190,6 @@ def query_from_json(obj: dict[str, Any]) -> Query:
         now=obj.get("now"),  # extension: pin "now" for deterministic replay
         group_type=obj.get("groupType", "groupby"),
         having=obj.get("having", []),
+        supporting_measures=[_measure(m)
+                             for m in obj.get("supportingMeasures", [])],
     )

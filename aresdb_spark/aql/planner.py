@@ -463,14 +463,18 @@ class Planner:
         # non-aggregate query: measure literal 1 / no measures ⇒ projection
         # (reference: query/aql_compiler.go:1147-1154, default limit 1000)
         parsed_measures = [(m, E.parse(m.expr)) for m in q.measures]
-        is_agg = any(_contains_aggregate(ast) for _, ast in parsed_measures)
+        parsed_supporting = [(m, E.parse(m.expr))
+                             for m in q.supporting_measures]
+        is_agg = any(_contains_aggregate(ast)
+                     for _, ast in parsed_measures + parsed_supporting)
 
         # reference parity: with exactly ONE measure, its rowFilters merge
         # into the WHERE set (rows are EXCLUDED — groups with no passing
         # rows disappear; query/aql_compiler.go:807-818). The per-measure
         # when() rewrite below only generalizes multi-measure queries.
         merged_measure_filters = False
-        if len(parsed_measures) == 1 and parsed_measures[0][0].filters:
+        if (len(parsed_measures) == 1 and parsed_measures[0][0].filters
+                and not parsed_supporting):
             for f in parsed_measures[0][0].filters:
                 df = df.filter(E.compile_expr(f, resolver))
             merged_measure_filters = True
@@ -489,14 +493,27 @@ class Planner:
             out = self._apply_sorts(out, q, resolver)
             return out.limit(q.limit if q.limit is not None else 1000)
 
+        # Measures with a non-aggregate expression in an aggregate query
+        # are DERIVED: computed post-aggregation over the other measures'
+        # output aliases (reference composite measures, e.g.
+        # "Completed/Requested" — query/sql/sql_parser_test.go:257-319).
+        # Supporting measures aggregate like the rest but are dropped
+        # from the output (SupportingMeasures, query/common/aql.go).
         agg_cols: list[Column] = []
-        for i, (m, ast) in enumerate(parsed_measures):
+        derived: list[tuple[str, object]] = []
+        n_main = len(parsed_measures)
+        for i, (m, ast) in enumerate(parsed_measures + parsed_supporting):
+            name = (m.output_name(i) if i < n_main
+                    else m.alias or f"s{i - n_main}")
+            if i < n_main and not _contains_aggregate(ast):
+                derived.append((name, ast))
+                continue
             mf: Column | None = None
             if not merged_measure_filters:
                 for f in m.filters:
                     c = E.compile_expr(f, resolver)
                     mf = c if mf is None else mf & c
-            agg_cols.append(self._measure_col(ast, resolver, mf).alias(m.output_name(i)))
+            agg_cols.append(self._measure_col(ast, resolver, mf).alias(name))
 
         if q.group_type not in ("groupby", "rollup", "cube"):
             raise ValueError(f"unknown group_type: {q.group_type!r}")
@@ -507,10 +524,20 @@ class Planner:
             out = grouped.agg(*agg_cols)
         else:
             out = df.agg(*agg_cols)
+        for name, ast in derived:
+            # default resolver: refs bind against the aggregated output
+            out = out.withColumn(name, E.compile_ast(ast))
         for h in q.having:
             # having refs OUTPUT columns (dims/measure aliases) by name;
             # the default resolver (F.col) binds them against `out`
             out = out.filter(E.compile_expr(h))
+        if parsed_supporting or derived:
+            # supporting columns drop; output order follows q.measures.
+            # out[name] (not select-by-string) — derived names like
+            # "Completed/Requested" must not be parsed as expressions
+            out = out.select(*[out[n] for n in dim_names],
+                             *[out[m.output_name(i)] for i, (m, _) in
+                               enumerate(parsed_measures)])
         out = self._apply_sorts(out, q, resolver)
         if q.limit is not None:
             out = out.limit(q.limit)

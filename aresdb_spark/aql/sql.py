@@ -115,6 +115,24 @@ def _split_top(s: str, sep: str) -> list[str]:
     return [p.strip() for p in parts if p.strip()]
 
 
+def _split_conjuncts(s: str) -> list[str]:
+    """Split a boolean clause into top-level conjuncts with SQL
+    precedence (AND binds tighter than OR). An OR at top level makes the
+    whole expression ONE term — the reference emits the entire OR
+    subtree as a single filter string (VisitLogicalBinary,
+    sql_parser.go:676-689), so ``a AND b OR c`` is the one filter
+    ``(a AND b) OR c``, never the conjuncts ``a`` and ``b OR c``."""
+    top = {i for i, _ in _scan_top_level(s)}
+    if any(m.start() in top for m in
+           re.finditer(r"(?<![a-z0-9_])or(?![a-z0-9_])", s.lower())):
+        if re.search(r"(?<![a-z0-9_])aql_[a-z_]+\s*\(", s.lower()):
+            # sql_parser.go:973-975
+            raise SQLSyntaxError(
+                "aql_ macro functions can not appear in an OR expression")
+        return [s.strip()]
+    return _split_top(s, "and")
+
+
 def _strip_quotes(s: str) -> str:
     s = s.strip()
     if len(s) >= 2 and s[0] == s[-1] and s[0] in ("'", '"'):
@@ -185,7 +203,8 @@ def _parse_group_item(item: str) -> tuple[Dimension, str | None]:
         bucket = _BUCKET_NAME.get(suffix)
         if bucket is None:
             raise SQLSyntaxError(f"unknown time bucket macro {name!r}")
-        col = args[0]
+        # the reference's UDF accepts a quoted column ("request_at")
+        col = _strip_quotes(args[0])
         unit = _strip_quotes(args[1]) if len(args) > 1 else None
         tz = _strip_quotes(args[2]) if len(args) > 2 else None
         return Dimension(expr=col, time_bucketizer=bucket,
@@ -201,9 +220,186 @@ def _parse_group_item(item: str) -> tuple[Dimension, str | None]:
     raise SQLSyntaxError(f"unknown aql_ macro {name!r} in GROUP BY")
 
 
+def _balanced(s: str, start: int) -> tuple[str, int]:
+    """Body of the paren group opening at s[start]=='(' (exclusive) and
+    the index just past the closing paren."""
+    assert s[start] == "("
+    depth, quote = 0, None
+    for i in range(start, len(s)):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[start + 1:i], i + 1
+    raise SQLSyntaxError("unbalanced parentheses")
+
+
+_NATURAL_JOIN = re.compile(
+    r"(?<![a-z0-9_])natural\s+(?:left\s+)?join(?![a-z0-9_])", re.IGNORECASE)
+
+
+def _try_composite(sql: str) -> "Query | None":
+    """Composite measures: the reference's named-subquery forms
+    (sql_parser_test.go:257-386) —
+
+        WITH m1 (A) AS (SELECT ...), m2 (B) AS (SELECT ...)
+        SELECT A, B, A/B FROM m1 NATURAL LEFT JOIN m2
+
+        SELECT A, B, A/B FROM (SELECT ...) AS m1
+        NATURAL LEFT JOIN (SELECT ...) AS m2
+
+    Every subquery must share FROM/joins/GROUP BY/time filter
+    (sql_parser.go checkSubQueries); each contributes its aggregate
+    measures with its OWN row filters as per-measure filters. Outer
+    SELECT items that name a subquery measure select it; other items
+    become derived measures over the aliases; unselected subquery
+    measures land in supporting_measures (computed, not emitted).
+    Returns None when `sql` is not in either composite form."""
+    named: dict[str, tuple[list[str], str]] = {}
+    order: list[str] = []
+    m = re.match(r"^\s*with(?![a-z0-9_])\s*", sql, re.IGNORECASE)
+    if m:
+        if re.match(r"^\s*recursive(?![a-z0-9_])", sql[m.end():],
+                    re.IGNORECASE):
+            # sql_parser_test.go:388 "With RECURSIVE is not allowed"
+            raise SQLSyntaxError("WITH RECURSIVE is not allowed")
+        pos = m.end()
+        while True:
+            mm = re.match(
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?\s*as\s*\(",
+                sql[pos:], re.IGNORECASE)
+            if not mm:
+                raise SQLSyntaxError("cannot parse WITH item")
+            decl = [a.strip() for a in (mm.group(2) or "").split(",")
+                    if a.strip()]
+            body, end = _balanced(sql, pos + mm.end() - 1)
+            named[mm.group(1)] = (decl, body)
+            order.append(mm.group(1))
+            pos = end
+            mc = re.match(r"\s*,\s*", sql[pos:])
+            if not mc:
+                break
+            pos += mc.end()
+        outer = sql[pos:]
+    else:
+        if not re.match(r"^\s*select\s", sql, re.IGNORECASE) or \
+                not re.search(r"(?<![a-z0-9_])from\s*\(\s*select(?![a-z0-9_])",
+                              sql, re.IGNORECASE):
+            return None
+        outer = sql
+
+    mo = re.match(r"^\s*select\s+(.*?)\s+from\s+(.*)$", outer,
+                  re.IGNORECASE | re.DOTALL)
+    if not mo:
+        raise SQLSyntaxError("composite query: expected SELECT ... FROM ...")
+    select_body, tail = mo.group(1), mo.group(2)
+
+    # optional trailing LIMIT / ORDER BY on the outer query
+    limit = None
+    ml = re.search(r"(?<![a-z0-9_])limit\s+(\d+)\s*$", tail, re.IGNORECASE)
+    if ml:
+        limit, tail = int(ml.group(1)), tail[:ml.start()]
+    sorts: list[SortField] = []
+    ms = re.search(r"(?<![a-z0-9_])order\s+by\s+(.*)$", tail,
+                   re.IGNORECASE | re.DOTALL)
+    if ms:
+        for item in _split_top(ms.group(1), ","):
+            mi = re.match(r"^(.*?)(?:\s+(asc|desc))?$", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            sorts.append(SortField(mi.group(1).strip(),
+                                   (mi.group(2) or "asc").lower()))
+        tail = tail[:ms.start()]
+
+    # the FROM relation: named or inline subqueries, NATURAL [LEFT] JOINed
+    subqs: list[tuple[list[str], Query]] = []
+    for part in (p.strip() for p in _NATURAL_JOIN.split(tail.strip())):
+        if part.startswith("("):
+            body, end = _balanced(part, 0)
+            subqs.append(([], sql_to_query(body)))
+            # the name is decorative here (an alias-less subquery still
+            # fails below as a plain subquery, like the reference)
+            if not re.fullmatch(
+                    r"\s*(?:(?:as\s+)?[A-Za-z_][A-Za-z0-9_]*)?\s*",
+                    part[end:], re.IGNORECASE):
+                raise SQLSyntaxError(f"cannot parse subquery alias in "
+                                     f"{part[end:]!r}")
+        elif part in named:
+            decl, body = named[part]
+            subqs.append((decl, sql_to_query(body)))
+        else:
+            if named:
+                raise SQLSyntaxError(f"unknown WITH name {part!r}")
+            return None  # plain FROM table — not a composite query
+
+    # sql_parser_test.go:454 — subqueries must agree on everything but
+    # measures and filters
+    def skeleton(q: Query):
+        return (q.table,
+                tuple((j.table, j.alias, tuple(j.conditions), j.how)
+                      for j in q.joins),
+                tuple((d.expr, d.time_bucketizer, d.time_unit,
+                       d.numeric_bucketizer) for d in q.dimensions),
+                q.time_filter, q.timezone, q.group_type)
+
+    base = subqs[0][1]
+    for _, sub in subqs[1:]:
+        if skeleton(sub) != skeleton(base):
+            raise SQLSyntaxError(
+                "FROM, GROUP BY and ORDER BY clause are required to be "
+                "same in each subquery")
+
+    by_alias: dict[str, Measure] = {}
+    for decl, sub in subqs:
+        if all(m.expr == "1" and m.alias is None for m in sub.measures):
+            # a non-aggregate subquery is not a composite-measure leg —
+            # reject with the reference's plain-subquery message
+            # (sql_parser.go:2018-2021)
+            raise SQLSyntaxError("sub query not supported yet")
+        if decl and len(decl) != len(sub.measures):
+            raise SQLSyntaxError("WITH column list does not match subquery")
+        for i, sm in enumerate(sub.measures):
+            alias = decl[i] if decl else sm.alias
+            if not alias:
+                raise SQLSyntaxError(
+                    "composite subquery measures need an alias")
+            by_alias[alias] = Measure(expr=sm.expr, alias=alias,
+                                      filters=list(sm.filters) + sub.filters)
+
+    measures: list[Measure] = []
+    selected: set[str] = set()
+    for item in _split_top(select_body, ","):
+        expr_text, alias = _parse_select_item(item)
+        if expr_text in by_alias:
+            picked = by_alias[expr_text]
+            selected.add(expr_text)
+            measures.append(picked if alias is None else
+                            Measure(expr=picked.expr, alias=alias,
+                                    filters=picked.filters))
+        else:
+            measures.append(Measure(expr=expr_text, alias=alias))
+
+    return Query(
+        table=base.table, joins=base.joins, dimensions=base.dimensions,
+        measures=measures,
+        supporting_measures=[m for a, m in by_alias.items()
+                             if a not in selected],
+        time_filter=base.time_filter, timezone=base.timezone,
+        group_type=base.group_type, sorts=sorts, limit=limit)
+
+
 def sql_to_query(sql: str) -> Query:
     """Translate one dialect-SQL string into an AQL Query."""
     sql = sql.strip().rstrip(";")
+    composite = _try_composite(sql)
+    if composite is not None:
+        return composite
     clauses = _find_clauses(sql)
     if "select" not in clauses or "from" not in clauses:
         raise SQLSyntaxError("expected SELECT ... FROM ...")
@@ -246,14 +442,14 @@ def sql_to_query(sql: str) -> Query:
         if n + 1 < len(join_bodies):
             jcond, next_how = _pop_join_type(jcond)
         q.joins.append(Join(table=jt, alias=jalias,
-                            conditions=_split_top(jcond, "and"), how=how))
+                            conditions=_split_conjuncts(jcond), how=how))
     # defensive: a dangling LEFT in later clause bodies
     if "where" in clauses:
         clauses["where"] = re.sub(r"\s+left\s*$", "", clauses["where"],
                                   flags=re.IGNORECASE)
 
     # WHERE: aql_time_filter / aql_now macros + plain row filters
-    for term in _split_top(clauses.get("where", ""), "and") if clauses.get("where") else []:
+    for term in _split_conjuncts(clauses["where"]) if clauses.get("where") else []:
         m = _AQL_CALL.match(term)
         if m and m.group(1).lower() == "aql_time_filter":
             args = _call_args(m.group(2))
@@ -262,7 +458,7 @@ def sql_to_query(sql: str) -> Query:
             from aresdb_spark.aql.model import TimeFilter
             q.time_filter = TimeFilter(from_=_strip_quotes(args[1]),
                                        to=_strip_quotes(args[2]),
-                                       column=args[0])
+                                       column=_strip_quotes(args[0]))
             if len(args) == 4:
                 q.timezone = _strip_quotes(args[3])
         elif m and m.group(1).lower() == "aql_now":
@@ -341,10 +537,21 @@ def sql_to_query(sql: str) -> Query:
             return re.sub(r"\s+", "", s.lower())
 
         for e, a in plain_selects:
-            ne = norm(e)
+            ne, na = norm(e), norm(a) if a else None
             for d, raw in zip(dims, dim_raw):
                 if (norm(raw) == ne or norm(d.expr) == ne) and d.alias is None:
                     d.alias = a or (e if not _AQL_CALL.match(e) else None)
+                    break
+                # GROUP BY (or a bucketizer macro) referring to this
+                # SELECT item's ALIAS: resolve the alias back to the
+                # underlying expression, like the reference's
+                # `GROUP BY trip_status` ⇒ {Alias: trip_status,
+                # Expr: status} (sql_parser_test.go:73-86) and
+                # `aql_numeric_bucket_logbase(pop, 2)` over
+                # `population AS pop` (:213-230)
+                if na and norm(d.expr) == na and d.alias is None:
+                    d.expr = e
+                    d.alias = a
                     break
             else:
                 extra, tz = _parse_group_item(e)

@@ -175,7 +175,11 @@ def filter_pair(draw):
         return f"event_type not in ({lst})", f"event_type NOT IN ({lst})"
     x = draw(st.integers(1, 320))  # or
     et = draw(st.sampled_from(EVENT_TYPES))
-    return (f"value > {x} or event_type = '{et}'",
+    # parenthesized on BOTH sides: an unparenthesized `a AND b OR c`
+    # binds as `(a AND b) OR c` in the dialect (reference AND/OR
+    # precedence, pinned by test_reference_sql_parser.py), so a filter
+    # meant as one disjunctive term must carry its own parens
+    return (f"(value > {x} or event_type = '{et}')",
             f"(value > {x} OR event_type = '{et}')")
 
 
