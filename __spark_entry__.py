@@ -845,6 +845,33 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     """
     out["sql_join_bucket_topk"] = (q_sql2, sql2_oracle)
 
+    # SQL dialect round 3: composite + supporting measures
+    # (sql_parser_test.go:257-386) — two WITH legs NATURAL LEFT JOINed
+    # compile to ONE single-pass aggregation with per-measure filters
+    # and a post-agg derived ratio
+    def q_sql3(spark, sf_dir):
+        from aresdb_spark.aql.planner import plan_query
+        from aresdb_spark.aql.sql import sql_to_query
+        return plan_query(spark, sf_dir, sql_to_query("""
+            WITH m1 (clicks) AS (
+                SELECT count(*) AS clicks FROM events
+                WHERE event_type='click' GROUP BY user_id % 5),
+            m2 (total) AS (
+                SELECT count(*) AS total FROM events GROUP BY user_id % 5)
+            SELECT clicks, total, clicks/total AS ctr
+            FROM m1 NATURAL LEFT JOIN m2
+        """))
+
+    sql3_oracle = """
+        SELECT user_id % 5 AS d0,
+               count(*) FILTER (WHERE event_type = 'click') AS clicks,
+               count(*) AS total,
+               count(*) FILTER (WHERE event_type = 'click')
+                   / count(*) AS ctr
+        FROM events GROUP BY 1
+    """
+    out["sql_composite_measures"] = (q_sql3, sql3_oracle)
+
     # --- timezone-column join (§2.3): per-row tz via lookup join ---
     def q_tzcol(spark, sf_dir):
         import tempfile
