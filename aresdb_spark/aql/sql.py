@@ -317,9 +317,18 @@ def _try_composite(sql: str) -> "Query | None":
                                    (mi.group(2) or "asc").lower()))
         tail = tail[:ms.start()]
 
-    # the FROM relation: named or inline subqueries, NATURAL [LEFT] JOINed
+    # the FROM relation: named or inline subqueries, NATURAL [LEFT]
+    # JOINed. Mixing the two kinds is rejected like the reference's
+    # "Both left and right in joinRelation must be either tableName or
+    # With/subqueryRelation at the same time" (sql_parser_test.go:437)
     subqs: list[tuple[list[str], Query]] = []
+    kinds: set[str] = set()
     for part in (p.strip() for p in _NATURAL_JOIN.split(tail.strip())):
+        kinds.add("inline" if part.startswith("(") else "named")
+        if len(kinds) > 1:
+            raise SQLSyntaxError(
+                "join relations must be all named (WITH) or all inline "
+                "subqueries")
         if part.startswith("("):
             body, end = _balanced(part, 0)
             subqs.append(([], sql_to_query(body)))

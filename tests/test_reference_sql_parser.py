@@ -275,6 +275,15 @@ def test_supporting_measures():
     ]
 
 
+def test_composite_mixed_relation_kinds_rejected():
+    """sql_parser_test.go:437-452 — a join relation mixing an inline
+    subquery with a plain name is rejected."""
+    with pytest.raises(SQLSyntaxError, match="all named|all inline"):
+        sql_to_query(
+            f"SELECT Requested FROM ({_requested()}) AS m1 "
+            f"NATURAL LEFT JOIN m2")
+
+
 def test_composite_mismatched_group_by_rejected():
     """sql_parser_test.go:454-500 — subqueries must share FROM and
     GROUP BY."""
