@@ -151,6 +151,38 @@ def test_merge_deleted_rows_single_sort_column(spark):
     assert got == expect
 
 
+def test_merge_array_columns(spark):
+    """memstore/merge_arrayvp_test.go — array columns ride through the
+    merge as payload. Base keys (1,1)×2,(1,2)×2 carry strVals1, patch
+    keys (1,2)×2,(1,3),(2,3) carry strVals2; the merged run-lengths
+    {1:7,2:1} / {1:2, 2:4, 3:1, 3:1} with base-before-patch on the (1,2)
+    tie put the arrays in exactly strVals1 + strVals2 order
+    (mergedVals)."""
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
+
+    from aresdb_spark.sources.archive_merge import merge_archive_batch
+
+    schema = StructType([
+        StructField("k0", LongType()), StructField("k1", LongType()),
+        StructField("arr", ArrayType(IntegerType())),
+        StructField("__pos", LongType())])
+    base_rows = [(1, 1, [11, 12]), (1, 1, [13, 14]),
+                 (1, 2, [15, 16]), (1, 2, [17, 18])]
+    patch_rows = [(1, 2, [21, 22]), (1, 2, [23, 24]),
+                  (1, 3, [25, 26]), (2, 3, [27, 28])]
+    base = spark.createDataFrame(
+        [r + (i,) for i, r in enumerate(base_rows)], schema)
+    patch = spark.createDataFrame(
+        [r + (i,) for i, r in enumerate(patch_rows)], schema)
+    out = merge_archive_batch(base, patch, ("k0", "k1"), pos_col="__pos")
+    got = [(r["k0"], r["k1"], r["arr"]) for r in out.collect()]
+    assert got == [
+        (1, 1, [11, 12]), (1, 1, [13, 14]), (1, 2, [15, 16]),
+        (1, 2, [17, 18]), (1, 2, [21, 22]), (1, 2, [23, 24]),
+        (1, 3, [25, 26]), (2, 3, [27, 28])]
+
+
 def test_merge_nil_base(spark, main_inputs):
     """merge_test.go:693-722 — nil base: merged is the patch alone in
     sort order."""
