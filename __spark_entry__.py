@@ -1580,7 +1580,12 @@ _DRIVER_WINDOW = [
     "aql_array_contains", "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
     "dedup_clusters_star", "aql_topk_users", "geo_join_shapes",
-    "sql_total_trips", "sql_join_bucket_topk", "stream_hotcold_upsert",
+    # sql_join_bucket_topk rotated out (its join / numeric-bucket /
+    # order-limit paths are each covered by aql_dim_join,
+    # aql_numeric_bucket and aql_topk_users in-window; it stays in
+    # check_contract) for the composite-measures row, whose
+    # supporting-measure planner path is unique
+    "sql_total_trips", "sql_composite_measures", "stream_hotcold_upsert",
     "stream_session_window", "stream_sliding_window", "hll_approx_distinct",
     "text_token_counts", "text_quality", "text_language_id",
     "text_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
