@@ -33,11 +33,12 @@ def main():
         print(f"== {name} ==")
         print(json.dumps(res, indent=2, default=str))
 
-    with open(os.path.join(HERE, "queries", "total_events.sql")) as f:
-        sql_req = json.load(f)
-    results = [execute_sql(spark, SF_DIR, s) for s in sql_req["queries"]]
-    print("== total_events.sql ==")
-    print(json.dumps({"results": results}, indent=2, default=str))
+    for name in ("total_events.sql", "click_share.sql"):
+        with open(os.path.join(HERE, "queries", name)) as f:
+            sql_req = json.load(f)
+        results = [execute_sql(spark, SF_DIR, s) for s in sql_req["queries"]]
+        print(f"== {name} ==")
+        print(json.dumps({"results": results}, indent=2, default=str))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,24 @@ def test_sql_twin_matches_aql_golden(spark):
     assert res == GOLDEN_TOTAL_EVENTS
 
 
+def test_click_share_composite_golden(spark, duck):
+    """Composite-measure SQL example end-to-end: dim key → [clicks,
+    total, share] with the share derived post-aggregation. Counts
+    cross-checked against DuckDB, share = clicks/total exactly."""
+    from aresdb_spark.aql.sql import execute_sql
+
+    with open(os.path.join(EXAMPLES, "click_share.sql")) as f:
+        sql_req = json.load(f)
+    res = execute_sql(spark, "/root/testdata/sf0.001", sql_req["queries"][0])
+    exp = {
+        str(b): [c, t, c / t]
+        for b, c, t in duck.execute(
+            "SELECT user_id % 2, "
+            "count(*) FILTER (WHERE event_type='click'), count(*) "
+            "FROM events GROUP BY 1").fetchall()}
+    assert res == exp
+
+
 def test_concurrent_fanout_same_results(spark):
     from aresdb_spark.aql.api import execute_request
 
