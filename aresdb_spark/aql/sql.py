@@ -576,7 +576,9 @@ def sql_to_query(sql: str) -> Query:
     if clauses.get("having"):
         if not group_items:
             raise SQLSyntaxError("HAVING requires GROUP BY")
-        q.having = _split_top(clauses["having"], "and")
+        # same AND/OR precedence rule as WHERE: a top-level OR keeps the
+        # whole HAVING expression as one conjunct
+        q.having = _split_conjuncts(clauses["having"])
 
     # ORDER BY / LIMIT
     if clauses.get("order by"):

@@ -294,6 +294,22 @@ def test_composite_mismatched_group_by_rejected():
             "SELECT A/B FROM m1 NATURAL LEFT JOIN m2")
 
 
+def test_having_or_precedence(spark, duck):
+    """HAVING a AND b OR c keeps (a AND b) OR c semantics too."""
+    from aresdb_spark.aql.planner import plan_query
+    from tests.conftest import SF_DIR, assert_df_matches_duck
+
+    q = sql_to_query(
+        "SELECT user_id % 7 AS b, count(*) AS cnt FROM events "
+        "GROUP BY user_id % 7 "
+        "HAVING cnt > 120 AND b > 3 OR b = 0")
+    assert q.having == ["cnt > 120 AND b > 3 OR b = 0"]
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT user_id % 7 AS b, count(*) AS cnt FROM events GROUP BY 1
+        HAVING (cnt > 120 AND b > 3) OR b = 0""")
+
+
 def test_composite_executes_vs_duckdb(spark, duck):
     """Composite + supporting measures EXECUTE: click share per user_id
     bucket over events, derived clicks/total with total unselected."""
