@@ -87,6 +87,26 @@ def test_agg_single_shuffle(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_composite_measures_single_shuffle(spark):
+    """A WITH-composite SQL query (two legs + derived ratio + supporting
+    measure) compiles to ONE aggregation: single exchange, partial+final
+    HashAggregate, and a scan reading only the referenced columns — the
+    single-pass shape the reference compiles composite measures to."""
+    from aresdb_spark.aql.sql import sql_to_query
+
+    q = sql_to_query(
+        "WITH m1 (clicks) AS (SELECT count(*) AS clicks FROM events "
+        "WHERE event_type='click' GROUP BY user_id % 5), "
+        "m2 (total) AS (SELECT count(*) AS total FROM events "
+        "GROUP BY user_id % 5) "
+        "SELECT clicks, clicks/total AS ctr FROM m1 NATURAL LEFT JOIN m2")
+    df = plan_query(spark, SF_DIR, q)
+    assert count_exchanges(df) == 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "ReadSchema: struct<user_id:bigint,event_type:string>" in plan
+
+
 def test_archive_write_sorted_and_partitioned(spark, tmp_path):
     """write_archive produces day-partition dirs; rows inside each file
     are sorted by the sort columns (row-group stats → prefilter slice);
