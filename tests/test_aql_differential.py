@@ -449,6 +449,53 @@ def test_fuzz_sql_dialect_match_duckdb(spark, duck, pair):
 
 
 @st.composite
+def composite_query_pair(draw):
+    """Random composite-measure query (WITH legs, NATURAL LEFT JOIN,
+    derived ratio) vs its single-pass DuckDB FILTER-clause twin. The
+    last leg is always an unfiltered count(*) so the ratio denominator
+    is never 0/NULL."""
+    k = draw(st.integers(2, 9))
+    dim = draw(st.sampled_from([f"user_id % {k}", "event_type"]))
+    n_legs = draw(st.integers(2, 3))
+    legs, oracle_measures, aliases = [], [], []
+    for li in range(n_legs):
+        alias = f"leg{li}"
+        last = li == n_legs - 1
+        agg = "count(*)" if last else draw(
+            st.sampled_from(["count(*)", "sum(value)", "min(value)"]))
+        flt = None if last else draw(st.one_of(st.none(), filter_pair()))
+        where = f" WHERE {flt[0]}" if flt else ""
+        legs.append(f"m{li} ({alias}) AS (SELECT {agg} AS {alias} "
+                    f"FROM events{where} GROUP BY {dim})")
+        oracle_measures.append(
+            f"{agg} FILTER (WHERE {flt[1]}) AS {alias}" if flt
+            else f"{agg} AS {alias}")
+        aliases.append(alias)
+    ratio = f"{aliases[0]}/{aliases[-1]}"
+    sel = ", ".join(aliases + [f"{ratio} AS ratio"])
+    rel = " NATURAL LEFT JOIN ".join(f"m{li}" for li in range(n_legs))
+    dialect = f"WITH {', '.join(legs)} SELECT {sel} FROM {rel}"
+    oracle_ratio = oracle_measures[0].rsplit(" AS ", 1)[0] \
+        + f" / ({oracle_measures[-1].rsplit(' AS ', 1)[0]})"
+    oracle = (f"SELECT {dim} AS d0, {', '.join(oracle_measures)}, "
+              f"{oracle_ratio} AS ratio FROM events GROUP BY 1")
+    return dialect, oracle
+
+
+@settings(max_examples=N_EXAMPLES, deadline=None, derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=composite_query_pair())
+def test_fuzz_composite_measures_match_duckdb(spark, duck, pair):
+    from aresdb_spark.aql.planner import plan_query
+    from aresdb_spark.aql.sql import sql_to_query
+
+    dialect_sql, oracle = pair
+    df = plan_query(spark, SF_DIR, sql_to_query(dialect_sql))
+    assert_df_matches_duck(df, duck, oracle, approx=True, tol=1e-6)
+
+
+@st.composite
 def topk_agg_query_pair(draw):
     """Aggregate + ORDER BY measure DESC + dim tiebreaks + LIMIT — the
     top-k path (TakeOrdered plan) under random dims/filters. The sort is
