@@ -531,6 +531,9 @@ class Planner:
             # having refs OUTPUT columns (dims/measure aliases) by name;
             # the default resolver (F.col) binds them against `out`
             out = out.filter(E.compile_expr(h))
+        # sorts BEFORE the supporting-column drop, so ORDER BY may
+        # reference an unselected supporting alias
+        out = self._apply_sorts(out, q, resolver)
         if parsed_supporting or derived:
             # supporting columns drop; output order follows q.measures.
             # out[name] (not select-by-string) — derived names like
@@ -538,7 +541,6 @@ class Planner:
             out = out.select(*[out[n] for n in dim_names],
                              *[out[m.output_name(i)] for i, (m, _) in
                                enumerate(parsed_measures)])
-        out = self._apply_sorts(out, q, resolver)
         if q.limit is not None:
             out = out.limit(q.limit)
         return out

@@ -210,11 +210,11 @@ def _parse_group_item(item: str) -> tuple[Dimension, str | None]:
         return Dimension(expr=col, time_bucketizer=bucket,
                          time_unit=unit or None), tz
     if name == "aql_numeric_bucket_bucket_width":
-        return Dimension(expr=args[0],
+        return Dimension(expr=_strip_quotes(args[0]),
                          numeric_bucketizer=NumericBucketizer(
                              bucket_width=float(_strip_quotes(args[1])))), None
     if name == "aql_numeric_bucket_logbase":
-        return Dimension(expr=args[0],
+        return Dimension(expr=_strip_quotes(args[0]),
                          numeric_bucketizer=NumericBucketizer(
                              log_base=float(_strip_quotes(args[1])))), None
     raise SQLSyntaxError(f"unknown aql_ macro {name!r} in GROUP BY")
@@ -263,7 +263,6 @@ def _try_composite(sql: str) -> "Query | None":
     measures land in supporting_measures (computed, not emitted).
     Returns None when `sql` is not in either composite form."""
     named: dict[str, tuple[list[str], str]] = {}
-    order: list[str] = []
     m = re.match(r"^\s*with(?![a-z0-9_])\s*", sql, re.IGNORECASE)
     if m:
         if re.match(r"^\s*recursive(?![a-z0-9_])", sql[m.end():],
@@ -281,7 +280,6 @@ def _try_composite(sql: str) -> "Query | None":
                     if a.strip()]
             body, end = _balanced(sql, pos + mm.end() - 1)
             named[mm.group(1)] = (decl, body)
-            order.append(mm.group(1))
             pos = end
             mc = re.match(r"\s*,\s*", sql[pos:])
             if not mc:
@@ -301,16 +299,22 @@ def _try_composite(sql: str) -> "Query | None":
         raise SQLSyntaxError("composite query: expected SELECT ... FROM ...")
     select_body, tail = mo.group(1), mo.group(2)
 
-    # optional trailing LIMIT / ORDER BY on the outer query
+    # optional trailing LIMIT / ORDER BY on the outer query. The ORDER
+    # BY keyword is located at paren depth 0 only, so a leg's own ORDER
+    # BY (inside its parens) is never mistaken for the outer one; the
+    # LIMIT pattern is end-anchored, which a leg's limit (followed by
+    # its closing paren) can't be.
     limit = None
     ml = re.search(r"(?<![a-z0-9_])limit\s+(\d+)\s*$", tail, re.IGNORECASE)
     if ml:
         limit, tail = int(ml.group(1)), tail[:ml.start()]
     sorts: list[SortField] = []
-    ms = re.search(r"(?<![a-z0-9_])order\s+by\s+(.*)$", tail,
-                   re.IGNORECASE | re.DOTALL)
+    top = {i for i, _ in _scan_top_level(tail)}
+    ms = next((m for m in re.finditer(r"(?<![a-z0-9_])order\s+by\s+",
+                                      tail, re.IGNORECASE)
+               if m.start() in top), None)
     if ms:
-        for item in _split_top(ms.group(1), ","):
+        for item in _split_top(tail[ms.end():], ","):
             mi = re.match(r"^(.*?)(?:\s+(asc|desc))?$", item.strip(),
                           re.IGNORECASE | re.DOTALL)
             sorts.append(SortField(mi.group(1).strip(),
@@ -348,14 +352,19 @@ def _try_composite(sql: str) -> "Query | None":
             return None  # plain FROM table — not a composite query
 
     # sql_parser_test.go:454 — subqueries must agree on everything but
-    # measures and filters
+    # measures and filters. `now`, HAVING, ORDER BY and LIMIT are part
+    # of the shared skeleton (they change group membership / output),
+    # so a leg-level disagreement is an error, and the agreed values
+    # propagate to the combined query below rather than being dropped.
     def skeleton(q: Query):
         return (q.table,
                 tuple((j.table, j.alias, tuple(j.conditions), j.how)
                       for j in q.joins),
                 tuple((d.expr, d.time_bucketizer, d.time_unit,
                        d.numeric_bucketizer) for d in q.dimensions),
-                q.time_filter, q.timezone, q.group_type)
+                q.time_filter, q.timezone, q.group_type,
+                q.now, tuple(q.having),
+                tuple((s.expr, s.order) for s in q.sorts), q.limit)
 
     base = subqs[0][1]
     for _, sub in subqs[1:]:
@@ -378,8 +387,20 @@ def _try_composite(sql: str) -> "Query | None":
             if not alias:
                 raise SQLSyntaxError(
                     "composite subquery measures need an alias")
+            if alias in by_alias:
+                # a silent overwrite would drop the first leg's filters
+                raise SQLSyntaxError(
+                    f"duplicate measure alias {alias!r} across subqueries")
             by_alias[alias] = Measure(expr=sm.expr, alias=alias,
                                       filters=list(sm.filters) + sub.filters)
+
+    def _dim_for(text: str) -> "Dimension | None":
+        norm = re.sub(r"\s+", "", text.lower())
+        for d in base.dimensions:
+            if norm in (re.sub(r"\s+", "", d.expr.lower()),
+                        (d.alias or "").lower()):
+                return d
+        return None
 
     measures: list[Measure] = []
     selected: set[str] = set()
@@ -391,8 +412,15 @@ def _try_composite(sql: str) -> "Query | None":
             measures.append(picked if alias is None else
                             Measure(expr=picked.expr, alias=alias,
                                     filters=picked.filters))
-        else:
-            measures.append(Measure(expr=expr_text, alias=alias))
+            continue
+        dim = _dim_for(expr_text)
+        if dim is not None:
+            # outer SELECT naming a group-by dimension selects (and may
+            # rename) the dimension, it is not a derived measure
+            if alias:
+                dim.alias = alias
+            continue
+        measures.append(Measure(expr=expr_text, alias=alias))
 
     return Query(
         table=base.table, joins=base.joins, dimensions=base.dimensions,
@@ -400,7 +428,9 @@ def _try_composite(sql: str) -> "Query | None":
         supporting_measures=[m for a, m in by_alias.items()
                              if a not in selected],
         time_filter=base.time_filter, timezone=base.timezone,
-        group_type=base.group_type, sorts=sorts, limit=limit)
+        group_type=base.group_type, now=base.now, having=base.having,
+        sorts=sorts or base.sorts,
+        limit=limit if limit is not None else base.limit)
 
 
 def sql_to_query(sql: str) -> Query:

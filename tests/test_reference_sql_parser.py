@@ -332,6 +332,79 @@ def test_composite_executes_vs_duckdb(spark, duck):
         FROM events GROUP BY 1""", approx=True, tol=1e-9)
 
 
+def test_composite_duplicate_alias_rejected():
+    """Two legs declaring the same measure alias must error, not
+    silently drop the first leg's filters."""
+    with pytest.raises(SQLSyntaxError, match="duplicate measure alias"):
+        sql_to_query(
+            "WITH m1 (a) AS (SELECT count(*) AS a FROM events "
+            "WHERE event_type='click' GROUP BY user_id % 3), "
+            "m2 (a) AS (SELECT count(*) AS a FROM events "
+            "GROUP BY user_id % 3) "
+            "SELECT a FROM m1 NATURAL LEFT JOIN m2")
+
+
+def test_composite_propagates_leg_now_and_leg_order_by():
+    """Leg-level aql_now and an agreed leg ORDER BY survive into the
+    combined query (they are skeleton state, not droppable); a leg
+    ORDER BY inside the parens must not be mistaken for the outer
+    one."""
+    leg = ("SELECT count(*) AS {a} FROM events "
+           "WHERE aql_time_filter(ts, \"2 days ago\", \"now\", UTC) "
+           "AND aql_now(ts, 1706190420){f} "
+           "GROUP BY user_id % 3 ORDER BY d0 DESC")
+    q = sql_to_query(
+        "WITH m1 (clicks) AS (" + leg.format(a="clicks",
+                                             f=" AND event_type='click'")
+        + "), m2 (total) AS (" + leg.format(a="total", f="")
+        + ") SELECT clicks, clicks/total AS ctr "
+        "FROM m1 NATURAL LEFT JOIN m2")
+    assert q.now == 1706190420
+    assert [(s.expr, s.order) for s in q.sorts] == [("d0", "desc")]
+    # legs disagreeing on ORDER BY are a skeleton mismatch
+    with pytest.raises(SQLSyntaxError, match="same"):
+        sql_to_query(
+            "WITH m1 (a) AS (SELECT count(*) AS a FROM events "
+            "GROUP BY user_id % 3 ORDER BY d0), "
+            "m2 (b) AS (SELECT count(*) AS b FROM events "
+            "GROUP BY user_id % 3) "
+            "SELECT a/b FROM m1 NATURAL LEFT JOIN m2")
+
+
+def test_composite_outer_select_dimension_and_order_by_supporting(
+        spark, duck):
+    """Outer SELECT naming the group-by dimension selects/renames the
+    dimension (not a derived measure), and ORDER BY may reference an
+    unselected supporting alias."""
+    from aresdb_spark.aql.planner import plan_query
+    from tests.conftest import SF_DIR, assert_df_matches_duck
+
+    q = sql_to_query(
+        "WITH m1 (clicks) AS (SELECT count(*) AS clicks FROM events "
+        "WHERE event_type='click' GROUP BY user_id % 3), "
+        "m2 (total) AS (SELECT count(*) AS total FROM events "
+        "GROUP BY user_id % 3) "
+        "SELECT user_id % 3 AS ub, clicks "
+        "FROM m1 NATURAL LEFT JOIN m2 ORDER BY total DESC, ub LIMIT 2")
+    assert q.dimensions[0].alias == "ub"
+    assert [m.alias for m in q.measures] == ["clicks"]
+    assert [m.alias for m in q.supporting_measures] == ["total"]
+    df = plan_query(spark, SF_DIR, q)
+    assert_df_matches_duck(df, duck, """
+        SELECT user_id % 3 AS ub,
+               count(*) FILTER (WHERE event_type = 'click') AS clicks
+        FROM events GROUP BY 1 ORDER BY count(*) DESC, ub LIMIT 2""")
+
+
+def test_numeric_bucket_quoted_column_arg():
+    """A quoted column argument in aql_numeric_bucket_* strips like the
+    time-bucket macros — it must not become a string-literal dim."""
+    q = sql_to_query(
+        'SELECT count(*) AS c FROM trips '
+        'GROUP BY aql_numeric_bucket_logbase("pop", 2);')
+    assert q.dimensions[0].expr == "pop"
+
+
 def test_with_recursive_rejected():
     """sql_parser_test.go:388-403 — WITH RECURSIVE is an error (here:
     the whole WITH/subquery family is out of dialect, rejected loudly)."""
