@@ -244,3 +244,32 @@ def test_time_dim_key_formatting(spark):
     week = run({"alias": "b", "sqlExpression": "ts",
                 "timeBucketizer": "week"})
     assert all(k.isdigit() for k in week)
+
+
+def test_supporting_measures_via_json_front_door(spark):
+    """The JSON shape's supportingMeasures field (query/common/aql.go
+    SupportingMeasures) computes but does not emit: the derived ratio
+    references the supporting count by alias, and only the selected
+    measures appear in the result."""
+    from aresdb_spark.aql.api import execute_request
+
+    res = execute_request(spark, SF_DIR, {"queries": [{
+        "table": "events",
+        "dimensions": [{"alias": "b", "sqlExpression": "user_id % 2"}],
+        "measures": [
+            {"alias": "clicks", "sqlExpression": "count(*)",
+             "rowFilters": ["event_type = 'click'"]},
+            {"alias": "share", "sqlExpression": "clicks/total"},
+        ],
+        "supportingMeasures": [
+            {"alias": "total", "sqlExpression": "count(*)"}],
+    }]})
+    assert "errors" not in res
+    out = res["results"][0]
+    assert set(out) == {"0", "1"}
+    for row in out.values():
+        clicks, share = row
+        assert share > 0 and clicks > 0
+    # sf0.001 golden: same numbers as the click_share example
+    assert out["1"][0] == 93 and abs(out["1"][1] - 93 / 438) < 1e-12
+    assert out["0"][0] == 117 and abs(out["0"][1] - 117 / 562) < 1e-12
