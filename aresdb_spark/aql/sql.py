@@ -140,6 +140,22 @@ def _strip_quotes(s: str) -> str:
     return s
 
 
+def _norm(s: str) -> str:
+    """Whitespace-free lowercase form for textual expr matching."""
+    return re.sub(r"\s+", "", s.lower())
+
+
+def _parse_sort_items(text: str) -> list[SortField]:
+    """ORDER BY item list → SortFields (default ASC)."""
+    out = []
+    for item in _split_top(text, ","):
+        m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", item.strip(),
+                     re.IGNORECASE | re.DOTALL)
+        out.append(SortField(m.group(1).strip(),
+                             (m.group(2) or "asc").lower()))
+    return out
+
+
 def _call_args(body: str) -> list[str]:
     return [a.strip() for a in _split_top(body, ",")]
 
@@ -314,11 +330,7 @@ def _try_composite(sql: str) -> "Query | None":
                                       tail, re.IGNORECASE)
                if m.start() in top), None)
     if ms:
-        for item in _split_top(tail[ms.end():], ","):
-            mi = re.match(r"^(.*?)(?:\s+(asc|desc))?$", item.strip(),
-                          re.IGNORECASE | re.DOTALL)
-            sorts.append(SortField(mi.group(1).strip(),
-                                   (mi.group(2) or "asc").lower()))
+        sorts = _parse_sort_items(tail[ms.end():])
         tail = tail[:ms.start()]
 
     # the FROM relation: named or inline subqueries, NATURAL [LEFT]
@@ -395,10 +407,8 @@ def _try_composite(sql: str) -> "Query | None":
                                       filters=list(sm.filters) + sub.filters)
 
     def _dim_for(text: str) -> "Dimension | None":
-        norm = re.sub(r"\s+", "", text.lower())
         for d in base.dimensions:
-            if norm in (re.sub(r"\s+", "", d.expr.lower()),
-                        (d.alias or "").lower()):
+            if _norm(text) in (_norm(d.expr), (d.alias or "").lower()):
                 return d
         return None
 
@@ -572,13 +582,10 @@ def sql_to_query(sql: str) -> Query:
         # attach aliases: match plain SELECT items to group-by dimensions
         # textually (normalized, including bucketizer-macro calls repeated
         # verbatim in SELECT); unmatched select items become extra dims
-        def norm(s: str) -> str:
-            return re.sub(r"\s+", "", s.lower())
-
         for e, a in plain_selects:
-            ne, na = norm(e), norm(a) if a else None
+            ne, na = _norm(e), _norm(a) if a else None
             for d, raw in zip(dims, dim_raw):
-                if (norm(raw) == ne or norm(d.expr) == ne) and d.alias is None:
+                if (_norm(raw) == ne or _norm(d.expr) == ne) and d.alias is None:
                     d.alias = a or (e if not _AQL_CALL.match(e) else None)
                     break
                 # GROUP BY (or a bucketizer macro) referring to this
@@ -588,7 +595,7 @@ def sql_to_query(sql: str) -> Query:
                 # Expr: status} (sql_parser_test.go:73-86) and
                 # `aql_numeric_bucket_logbase(pop, 2)` over
                 # `population AS pop` (:213-230)
-                if na and norm(d.expr) == na and d.alias is None:
+                if na and _norm(d.expr) == na and d.alias is None:
                     d.expr = e
                     d.alias = a
                     break
@@ -612,11 +619,7 @@ def sql_to_query(sql: str) -> Query:
 
     # ORDER BY / LIMIT
     if clauses.get("order by"):
-        for item in _split_top(clauses["order by"], ","):
-            m = re.match(r"^(.*?)(?:\s+(asc|desc))?$", item.strip(),
-                         re.IGNORECASE | re.DOTALL)
-            q.sorts.append(SortField(m.group(1).strip(),
-                                     (m.group(2) or "asc").lower()))
+        q.sorts = _parse_sort_items(clauses["order by"])
     if clauses.get("limit"):
         q.limit = int(clauses["limit"].strip())
     return q
