@@ -66,6 +66,61 @@ def _shift_months(dt: datetime, months: int) -> datetime:
     return dt.replace(year=year, month=month0 + 1, day=day)
 
 
+def _resolve_wall(dt: datetime) -> datetime:
+    """Epoch-resolve a possibly-nonexistent wall time the way Go's
+    time.Date does (reference parseAbsoluteTime/applyTimeOffset build
+    times with it): a wall clock inside a DST spring-forward gap takes
+    the POST-transition offset — Python's ``fold=1`` — so
+    "2016-03-13 02" in New York means epoch 06:00Z, not 07:00Z.
+    Ambiguous fall-back times keep the first occurrence (``fold=0``),
+    matching the golden "2015-11-01 01" → -04:00 case
+    (query/common/time_filter_test.go:100-104). Returns a normalized
+    (real-wall) aware datetime."""
+    if dt.tzinfo is None:
+        return dt
+    rt = dt.replace(fold=0).astimezone(timezone.utc).astimezone(dt.tzinfo)
+    if rt.replace(tzinfo=None) != dt.replace(tzinfo=None):
+        dt = dt.replace(fold=1)
+    # normalize via UTC — astimezone(same tz) is a no-op and would keep
+    # the imaginary wall fields
+    return dt.astimezone(timezone.utc).astimezone(dt.tzinfo)
+
+
+def _midnight_adjust(dt: datetime) -> datetime:
+    """Reference adjustMidnight (time_filter.go:52-66): calendar-unit
+    boundaries stay on the transition-day "midnight" in zones whose DST
+    jump happens AT midnight. A boundary rendering as 23:00 (previous
+    day) advances one hour; one rendering as 01:00 rewinds an hour only
+    if that stays on the same day (the America/Sao_Paulo and Asia/Beirut
+    cases in the reference's own comments). `dt` must be normalized
+    (output of _resolve_wall)."""
+    if dt.hour == 23:
+        return (dt.astimezone(timezone.utc)
+                + timedelta(hours=1)).astimezone(dt.tzinfo)
+    if dt.hour == 1:
+        back = (dt.astimezone(timezone.utc)
+                - timedelta(hours=1)).astimezone(dt.tzinfo)
+        if back.day == dt.day:
+            return back
+    return dt
+
+
+def _calendar_bounds(start: datetime, end: datetime) -> tuple[datetime, datetime]:
+    return (_midnight_adjust(_resolve_wall(start)),
+            _midnight_adjust(_resolve_wall(end)))
+
+
+def _instant_bounds(anchor: datetime, amount: int,
+                    step: timedelta) -> tuple[datetime, datetime]:
+    """Sub-day units use ABSOLUTE instant arithmetic (reference
+    applyTimeOffset 'h'/'15m'/'m' use time.Add, not AddDate), so
+    "70 hours ago" across a spring-forward lands on the hour the clock
+    actually showed, one real hour per step."""
+    tz = anchor.tzinfo
+    start = _resolve_wall(anchor).astimezone(timezone.utc) + amount * step
+    return start.astimezone(tz), (start + step).astimezone(tz)
+
+
 def _apply_offset(base: datetime, amount: int, unit: str) -> tuple[datetime, datetime]:
     """Start and end of the calendar `unit` that is `amount` units from
     `base` (reference applyTimeOffset, time_filter.go:93-145)."""
@@ -74,33 +129,33 @@ def _apply_offset(base: datetime, amount: int, unit: str) -> tuple[datetime, dat
     if unit == "y":
         start = base.replace(year=base.year + amount, month=1, day=1,
                              hour=0, minute=0, second=0, microsecond=0)
-        return start, start.replace(year=start.year + 1)
+        return _calendar_bounds(start, start.replace(year=start.year + 1))
     if unit == "q":
         start = _shift_months(month_start, -((base.month - 1) % 3) + 3 * amount)
-        return start, _shift_months(start, 3)
+        return _calendar_bounds(start, _shift_months(start, 3))
     if unit == "M":
         start = _shift_months(month_start, amount)
-        return start, _shift_months(start, 1)
+        return _calendar_bounds(start, _shift_months(start, 1))
     if unit == "w":
         start = day_start - timedelta(days=day_start.weekday()) + timedelta(weeks=amount)
-        return start, start + timedelta(days=7)
+        return _calendar_bounds(start, start + timedelta(days=7))
     if unit == "d":
         start = day_start + timedelta(days=amount)
-        return start, start + timedelta(days=1)
+        return _calendar_bounds(start, start + timedelta(days=1))
     if unit == "h":
-        start = base.replace(minute=0, second=0, microsecond=0) + timedelta(hours=amount)
-        return start, start + timedelta(hours=1)
+        return _instant_bounds(base.replace(minute=0, second=0, microsecond=0),
+                               amount, timedelta(hours=1))
     if unit == "15m":
-        start = base.replace(minute=base.minute - base.minute % 15, second=0,
-                             microsecond=0) + timedelta(minutes=15 * amount)
-        return start, start + timedelta(minutes=15)
+        return _instant_bounds(
+            base.replace(minute=base.minute - base.minute % 15, second=0,
+                         microsecond=0), amount, timedelta(minutes=15))
     if unit == "m":
-        start = base.replace(second=0, microsecond=0) + timedelta(minutes=amount)
-        return start, start + timedelta(minutes=1)
+        return _instant_bounds(base.replace(second=0, microsecond=0),
+                               amount, timedelta(minutes=1))
     if unit == "s":
         # superset: the reference only allows seconds via "now"
-        start = base.replace(microsecond=0) + timedelta(seconds=amount)
-        return start, start + timedelta(seconds=1)
+        return _instant_bounds(base.replace(microsecond=0), amount,
+                               timedelta(seconds=1))
     raise ValueError(f"unknown time filter unit: {unit!r}")
 
 
