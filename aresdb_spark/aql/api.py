@@ -27,8 +27,13 @@ from aresdb_spark.catalog import Catalog
 
 def _is_aggregate_query(q: Query) -> bool:
     """Non-agg ⇔ no measure contains an aggregate call (measure literal 1
-    marks a projection query, reference aql_compiler.go:1147-1154)."""
-    return any(_contains_aggregate(E.parse(m.expr)) for m in q.measures)
+    marks a projection query, reference aql_compiler.go:1147-1154).
+    Supporting measures count too — a composite query whose outer SELECT
+    holds only derived ratios (each WITH leg lands in
+    ``supporting_measures``) is aggregated by the planner and must be
+    shaped as the nested aggregate map, not a matrix."""
+    return any(_contains_aggregate(E.parse(m.expr))
+               for m in q.measures + q.supporting_measures)
 
 
 def _run_one_with_context(spark: SparkSession, catalog: Catalog,

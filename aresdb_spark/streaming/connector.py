@@ -146,19 +146,24 @@ class Connector:
             if new:
                 self.store.extend_enum_dict(table, col["name"], new)
 
-    def _translate_enum(self, table: str, col: dict, value: str):
+    def _enum_dict(self, table: str, col: dict) -> tuple[dict, "int | None"]:
+        """One ``{case: id}`` map per column (the Go client builds
+        ``enumDict`` once in TranslateEnum's caller, client/schema.go:199-240
+        — resolving the cases list per cell would be O(rows × cases))
+        plus the pre-resolved defaultValue id."""
+        known = self.store.get_enum_cases(table, col["name"])
+        ids = {case: i for i, case in enumerate(known)}
+        default = col.get("defaultValue")
+        return ids, ids.get(default) if default is not None else None
+
+    @staticmethod
+    def _translate_enum(col: dict, value: str, enum_ids: dict,
+                        default_id: "int | None"):
         """String case → wire id; unknown → the column's defaultValue id,
         else None (TranslateEnum: unknown = -1 ⇒ nil)."""
         if col.get("caseInsensitive"):
             value = value.lower()
-        known = self.store.get_enum_cases(table, col["name"])
-        try:
-            return known.index(value)
-        except ValueError:
-            default = col.get("defaultValue")
-            if default is not None and default in known:
-                return known.index(default)
-            return None
+        return enum_ids.get(value, default_id)
 
     # -- the batch builder (prepareUpsertBatch) ------------------------------
 
@@ -200,6 +205,11 @@ class Connector:
                 self._prepare_enum_cases(table, col, in_idx, rows, abandoned)
             resolved.append((in_idx, cid, col, update_modes[in_idx]))
 
+        # enum dictionaries resolve ONCE per column, after auto-expansion
+        enum_dicts = {cid: self._enum_dict(table, col)
+                      for _i, cid, col, _m in resolved
+                      if col["type"] in _ENUM_TYPES + _ENUM_ARRAY_TYPES}
+
         # translate each surviving row; PK/time nils drop the row
         out_rows: list[list[Any]] = []
         for ri, row in enumerate(rows):
@@ -217,11 +227,12 @@ class Connector:
                     ok = False  # "Time column is nil"
                     break
                 if col["type"] in _ENUM_TYPES and value is not None:
-                    value = self._translate_enum(table, col, value)
+                    value = self._translate_enum(col, value, *enum_dicts[cid])
                 elif col["type"] in _ENUM_ARRAY_TYPES and value is not None:
                     items = json.loads(value)
                     value = [None if i is None
-                             else self._translate_enum(table, col, i)
+                             else self._translate_enum(col, i,
+                                                       *enum_dicts[cid])
                              for i in items]
                 elif (col.get("hllConfig") or {}).get("isHLLColumn") \
                         and value is not None:

@@ -273,3 +273,24 @@ def test_supporting_measures_via_json_front_door(spark):
     # sf0.001 golden: same numbers as the click_share example
     assert out["1"][0] == 93 and abs(out["1"][1] - 93 / 438) < 1e-12
     assert out["0"][0] == 117 and abs(out["0"][1] - 117 / 562) < 1e-12
+
+
+def test_composite_derived_only_is_aggregate_shaped(spark):
+    """A composite query whose outer SELECT holds only derived measures
+    (every WITH leg lands in supporting_measures) must shape as the
+    nested aggregate map, not headers/matrixData — _is_aggregate_query
+    mirrors the planner's is_agg over measures + supporting_measures."""
+    from aresdb_spark.aql.sql import execute_sql
+
+    res = execute_sql(spark, SF_DIR, """
+        WITH m1 (clicks) AS (SELECT count(*) AS clicks FROM events
+                             WHERE event_type = 'click'
+                             GROUP BY user_id % 2),
+             m2 (total) AS (SELECT count(*) AS total FROM events
+                            GROUP BY user_id % 2)
+        SELECT clicks/total AS ctr FROM m1 NATURAL LEFT JOIN m2""")
+    # nested aggregate map: dim value → scalar, no matrix keys
+    assert "headers" not in res and "matrixData" not in res
+    assert set(res) == {"0", "1"}
+    assert abs(res["1"] - 93 / 438) < 1e-12
+    assert abs(res["0"] - 117 / 562) < 1e-12
