@@ -83,6 +83,32 @@ def geography_intersects(shape: Column, lat: Column, lng: Column) -> Column:
     return _let(bbox, with_bbox)
 
 
+def wkt_to_geo_shape(col: Column) -> Column:
+    """WKT-ish polygon string → GEO_SHAPE (array of rings of
+    struct<lat,long>), entirely with built-in string/array functions so
+    the conversion stays inside codegen — no Python in the path.
+
+    Accepts the format GeoShapeFromString accepts
+    (reference memstore/common/data_type.go:482-512):
+    ``POLYGON ((lng lat, lng lat), (...))`` case-insensitively, lng
+    first per WKT, stored lat-first like GeoPointGo. This is the bridge
+    from wire-ingested shape columns (which the metastore types as
+    string) to ``geography_intersects``."""
+    body = F.regexp_replace(F.lower(col), r"^[polygon() ]*", "")
+    body = F.regexp_replace(body, r"[polygon() ]*$", "")
+    rings = F.split(body, r"\)\s*,\s*\(")
+
+    def parse_pair(pair: Column) -> Column:
+        parts = F.split(F.trim(pair), r"\s+")
+        return F.struct(
+            F.element_at(parts, 2).cast("float").alias("lat"),
+            F.element_at(parts, 1).cast("float").alias("long"))
+
+    return F.transform(
+        rings, lambda ring: F.transform(F.split(ring, r"\s*,\s*"),
+                                        parse_pair))
+
+
 def _geo_fn(args: list[Column]) -> Column:
     # AQL surface: geography_intersects(shape_col, point_col) where point
     # is struct<lat,long>, OR (shape, lat, lng)
@@ -92,3 +118,4 @@ def _geo_fn(args: list[Column]) -> Column:
 
 
 _expr.register_function("geography_intersects", _geo_fn)
+_expr.register_function("geo_shape", lambda args: wkt_to_geo_shape(args[0]))

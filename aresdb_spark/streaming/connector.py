@@ -282,7 +282,10 @@ class Connector:
             return bool(value)
         if type_name == "Float32":
             return float(value)
-        if type_name in ("UUID", "GeoPoint"):
+        if type_name in ("UUID", "GeoPoint", "GeoShape"):
+            # GeoShape: ConvertToGeoShape analog (data_type.go:514-531) —
+            # a WKT polygon string (or nested lat/long lists); an invalid
+            # shape raises and drops the row like the Go client's RemoveRow
             return _bridge_to_wire_scalar(type_name, value)
         if type_name.endswith("[]"):
             # item-wise coercion (UUID[]/GeoPoint[] strings, numeric

@@ -23,11 +23,16 @@ The writer is byte-exact with the reference's ``ToByteArray``
 the reference's own upsert_batch_builder_test.go — and the parser mirrors
 ``NewUpsertBatch``/``readUpsertBatch`` (upsert_batch.go:437-555).
 
-All thirteen fixed-size scalar types plus their array variants
+All fourteen scalar types — including the variable-length GeoShape,
+which the format carries as a Go-type column: a 4-aligned local-offset
+vector then per-row ``uint32 numPolygons (uint32 numPoints,
+float32 lat/lng pairs)*`` payloads (GeoShapeGo.Write,
+data_value.go:562-589; written by the builder at
+upsert_batch_builder.go:271-279) — plus the thirteen array variants
 (``Int32[]`` etc., ArrayValue payloads with local offset vectors —
-data_value.go:615-729) are supported; only GeoShape raises
-``NotImplementedError`` (a variable-length Go type the batch format
-doesn't carry in fixed-size form).
+data_value.go:615-729) are supported. Go-type columns never carry a
+null bitvector even in HasNullVector mode; a null row is encoded as
+offset equality (upsert_batch_builder.go:119-121, upsert_batch.go:46-49).
 
 ``upsert_batch_to_df`` bridges a parsed batch into the Spark upsert path:
 column ids resolve to names through a metastore schema document and the
@@ -81,14 +86,68 @@ def _align(off: int, n: int) -> int:
     return (off + n - 1) // n * n
 
 
-class UnsupportedUpsertType(NotImplementedError):
-    """GeoShape — a variable-length Go type (WKT-ish shape payload) the
-    fixed-size batch format doesn't carry; array types ARE supported."""
+def geo_shape_from_wkt(s: str) -> list[list[tuple[float, float]]]:
+    """WKT-ish polygon string → polygons of (lat, lng) float pairs,
+    mirroring GeoShapeFromString (data_type.go:482-512): accepts
+    ``POLYGON ((lng lat, lng lat), (...))`` case-insensitively, validates
+    lng ∈ [-180, 180] and lat ∈ [-90, 90], and stores points LAT-FIRST
+    like GeoPointGo (WKT itself is lng-first)."""
+    import re
+
+    body = s.strip().lower().strip("polygon() ")
+    polygons = []
+    for poly_str in re.split(r"\),\s*\(", body):
+        polygon = []
+        for pair in poly_str.split(","):
+            parts = pair.split()
+            if len(parts) != 2:
+                raise ValueError(f"invalid point format {pair!r}")
+            lng, lat = float(parts[0]), float(parts[1])
+            if not -180 <= lng <= 180:
+                raise ValueError(f"invalid longitude {parts[0]}")
+            if not -90 <= lat <= 90:
+                raise ValueError(f"invalid latitude {parts[1]}")
+            polygon.append((lat, lng))
+        polygons.append(polygon)
+    return polygons
 
 
-def _check_supported(type_name: str) -> None:
-    if type_name in ("GeoShape", "GeoShape[]"):
-        raise UnsupportedUpsertType(type_name)
+def geo_shape_to_wkt(polygons) -> str:
+    """Polygons of (lat, lng) pairs → the WKT-ish string
+    ``GeoShapeFromString`` round-trips (lng-first, shortest lossless
+    float32 rendering — the reference's %.4f display form would move
+    coordinates ~10 m)."""
+    from aresdb_spark.functions.hll_wire import _format_float32_g
+
+    return "Polygon(%s)" % ",".join(
+        "(%s)" % ",".join(f"{_format_float32_g(p[1])} "
+                          f"{_format_float32_g(p[0])}" for p in poly)
+        for poly in polygons)
+
+
+def _shape_polygons(v) -> list[list[tuple[float, float]]]:
+    """Normalize a builder/bridge GeoShape value: a WKT string, or nested
+    sequences of (lat, lng) pairs / {lat, long} dicts (the Spark-side
+    ``array<array<struct<lat,long>>>`` rendering)."""
+    if isinstance(v, str):
+        return geo_shape_from_wkt(v)
+    out = []
+    for poly in v:
+        ring = []
+        for p in poly:
+            if isinstance(p, dict):
+                ring.append((float(p["lat"]), float(p["long"])))
+            else:
+                ring.append((float(p[0]), float(p[1])))
+        out.append(ring)
+    return out
+
+
+def _shape_ser_bytes(polygons) -> int:
+    """GeoShapeGo.GetSerBytes (data_value.go:516-528): uint32 numPolygons
+    + per polygon uint32 numPoints + 8 bytes per point. Always a multiple
+    of 4, so the reference's trailing WritePadding(…, 4) adds nothing."""
+    return 4 + sum(4 + 8 * len(p) for p in polygons)
 
 
 def _array_ser_bytes(item_type: str, length: int) -> int:
@@ -181,7 +240,6 @@ class UpsertBatchBuilder:
 
     def add_column(self, column_id: int, type_name: str,
                    update_mode: int | str = 0) -> None:
-        _check_supported(type_name)
         if type_name not in DATA_TYPES:
             raise ValueError(f"unknown data type {type_name!r}")
         if isinstance(update_mode, str):
@@ -209,9 +267,18 @@ class UpsertBatchBuilder:
             s = off
             mode = c.mode()
             if mode != ALL_VALUES_DEFAULT:
-                if mode == HAS_NULL_VECTOR:
+                # Go-type columns (GeoShape) never carry a null vector,
+                # even in HasNullVector mode (CalculateBufferSize's
+                # `if !isGoType`, upsert_batch_builder.go:119-121)
+                if mode == HAS_NULL_VECTOR and c.type_name != "GeoShape":
                     off += (len(c.values) + 7) // 8
-                if c.type_name.endswith("[]"):
+                if c.type_name == "GeoShape":
+                    off = _align(off, 4)
+                    off += (len(c.values) + 1) * 4  # offset vector
+                    off = _align(off, 8)
+                    off += sum(_shape_ser_bytes(_shape_polygons(v))
+                               for v in c.values if v is not None)
+                elif c.type_name.endswith("[]"):
                     off = _align(off, 4)
                     off += (len(c.values) + 1) * 4  # offset vector
                     off = _align(off, 8)
@@ -262,9 +329,12 @@ class UpsertBatchBuilder:
             if mode == ALL_VALUES_DEFAULT:
                 continue
             w.bit = s * 8
-            if mode == HAS_NULL_VECTOR:
+            if mode == HAS_NULL_VECTOR and c.type_name != "GeoShape":
                 for v in c.values:
                     w.append_bit(v is not None)
+            if c.type_name == "GeoShape":
+                self._write_goshape_column(w, c)
+                continue
             if c.type_name.endswith("[]"):
                 self._write_array_column(w, c)
                 continue
@@ -312,6 +382,31 @@ class UpsertBatchBuilder:
         w.buf[w.byte:w.byte + len(raw)] = raw
         w.bit += len(raw) * 8
         return True
+
+    @staticmethod
+    def _write_goshape_column(w: "_BitWriter", c: _ColumnBuilder) -> None:
+        """Go-type (GeoShape) column: 4-aligned local-offset vector, then
+        8-aligned value vector of GeoShapeGo payloads — uint32 numPolygons,
+        per polygon uint32 numPoints + (lat, lng) float32 pairs
+        (GeoShapeGo.Write, data_value.go:562-589; builder loop
+        upsert_batch_builder.go:271-279). Null rows repeat the offset."""
+        w.align(4)
+        off_vec = w.byte
+        w.skip_bits((len(c.values) + 1) * 4 * 8)
+        w.align(8)
+        cur = 0
+        for r, v in enumerate(c.values):
+            w.write_at(off_vec + r * 4, struct.pack("<I", cur))
+            if v is None:
+                continue
+            polygons = _shape_polygons(v)
+            w.append_bytes(struct.pack("<I", len(polygons)))
+            for poly in polygons:
+                w.append_bytes(struct.pack("<I", len(poly)))
+                for lat, lng in poly:
+                    w.append_bytes(struct.pack("<ff", lat, lng))
+            cur += _shape_ser_bytes(polygons)
+        w.write_at(off_vec + len(c.values) * 4, struct.pack("<I", cur))
 
     @staticmethod
     def _write_array_column(w: "_BitWriter", c: _ColumnBuilder) -> None:
@@ -425,6 +520,23 @@ def _read_fixed_vectorized(buf: bytes, type_name: str, num_rows: int,
     return vals
 
 
+def _read_geo_shape(buf: bytes, base: int) -> list[list[tuple[float, float]]]:
+    """GeoShapeGo payload (GeoShapeGo.Read, data_value.go:531-559):
+    uint32 numPolygons, per polygon uint32 numPoints + (lat, lng)
+    float32 pairs."""
+    (n_poly,) = struct.unpack_from("<I", buf, base)
+    base += 4
+    polygons = []
+    for _ in range(n_poly):
+        (n_pts,) = struct.unpack_from("<I", buf, base)
+        base += 4
+        pts = struct.unpack_from(f"<{n_pts * 2}f", buf, base)
+        base += n_pts * 8
+        polygons.append([(pts[j], pts[j + 1])
+                         for j in range(0, n_pts * 2, 2)])
+    return polygons
+
+
 def _read_array_value(buf: bytes, base: int, item: str) -> list:
     """ArrayValue payload (data_value.go:615-729): uint32 count, packed
     items, then validity bits starting at the next byte boundary."""
@@ -480,17 +592,26 @@ def _parse_upsert_batch(buffer: bytes) -> UpsertBatch:
         type_name = TYPE_NAMES.get(type_codes[i])
         if type_name is None:
             raise ValueError(f"unknown data type code {type_codes[i]:#x}")
-        _check_supported(type_name)
         mode = flags[i] & 0x07
         update_mode = (flags[i] >> 3) & 0x07
         bits = _bits(type_codes[i])
         cur = offsets[i]
         null_base_bit = None
-        if mode == HAS_NULL_VECTOR:
+        if mode == HAS_NULL_VECTOR and type_name != "GeoShape":
+            # Go-type columns carry no null vector; nulls are offset
+            # equality (readUpsertBatch's `if !isGoType`, upsert_batch.go:515)
             null_base_bit = cur * 8
             cur += _align(num_rows, 8) // 8
         values: list[Any] = [None] * num_rows
-        if mode != ALL_VALUES_DEFAULT and type_name.endswith("[]"):
+        if mode != ALL_VALUES_DEFAULT and type_name == "GeoShape":
+            off_vec = _align(cur, 4)
+            row_offs = struct.unpack_from(f"<{num_rows + 1}I", buffer, off_vec)
+            val_base = _align(off_vec + (num_rows + 1) * 4, 8)
+            for r in range(num_rows):
+                if row_offs[r] == row_offs[r + 1]:
+                    continue  # null shape (ReadGoValue, upsert_batch.go:46-49)
+                values[r] = _read_geo_shape(buffer, val_base + row_offs[r])
+        elif mode != ALL_VALUES_DEFAULT and type_name.endswith("[]"):
             off_vec = _align(cur, 4)
             row_offs = struct.unpack_from(f"<{num_rows + 1}I", buffer, off_vec)
             val_base = _align(off_vec + (num_rows + 1) * 4, 8)
@@ -584,6 +705,10 @@ def _wire_to_bridge_scalar(type_name: str, v):
         # digits would truncate coordinates (~10 m at city longitudes)
         from aresdb_spark.functions.hll_wire import _format_float32_g
         return f"point({_format_float32_g(v[0])} {_format_float32_g(v[1])})"
+    if type_name == "GeoShape":
+        # the metastore maps GeoShape → string: shapes travel Spark-side
+        # as the WKT form GeoShapeFromString accepts (lng-first)
+        return geo_shape_to_wkt(v)
     return v
 
 
@@ -609,6 +734,8 @@ def _bridge_to_wire_scalar(type_name: str, v):
             body = body[5:].strip().lstrip("(").rstrip(")")
         parts = body.replace(",", " ").split()
         return (float(parts[0]), float(parts[1]))
+    if type_name == "GeoShape":
+        return _shape_polygons(v)  # WKT string or nested lat/long lists
     return v
 
 
@@ -715,7 +842,7 @@ def encode_upsert_batch_stream(df, schema_doc: dict, arrival_time: int,
                 out.append([item_val(x) for x in v])
             elif tname == "Bool":
                 out.append(bool(v))
-            elif tname in ("UUID", "GeoPoint"):
+            elif tname in ("UUID", "GeoPoint", "GeoShape"):
                 out.append(_bridge_to_wire_scalar(tname, v))
             elif tname != "Float32" and isinstance(v, (int, float)):
                 out.append(int(v))
@@ -779,8 +906,8 @@ def decode_upsert_batch_stream(raw, schema_doc: dict,
                     c = cols_by_id.get(id_by_name[n])
                     if c is None:
                         out[n].extend([None] * ub.num_rows)
-                    elif c.type_name in ("UUID", "GeoPoint") or \
-                            c.type_name.endswith("[]"):
+                    elif c.type_name in ("UUID", "GeoPoint", "GeoShape") \
+                            or c.type_name.endswith("[]"):
                         # bridge conversion: the output schema is
                         # string/array-typed, never raw tuples
                         out[n].extend(_wire_to_bridge(c.type_name, v)

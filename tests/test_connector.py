@@ -135,3 +135,61 @@ def test_enum_array_column_roundtrip(spark, tmp_path):
     assert got[2] == ["blue", None]
     assert got[5] is None
     assert sorted(ss.get_enum_cases("tags", "labels")) == ["blue", "red"]
+
+
+def test_geoshape_ingest_feeds_geo_join(spark, tmp_path):
+    """A reference client ingesting a geofence dimension table (GeoShape
+    column as WKT) through the connector: wire round-trip → dimension
+    snapshot → AQL geo join over the ingested shapes via geo_shape()
+    (WKT → array<array<struct<lat,long>>> inside codegen)."""
+    from aresdb_spark.aql import Dimension, Join, Measure, Query
+    from aresdb_spark.aql.planner import Planner
+    from aresdb_spark.catalog import Catalog, TableDef
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    ss = SchemaStore()
+    ss.create_table({
+        "name": "geofences",
+        "columns": [{"name": "fence_id", "type": "Int64"},
+                    {"name": "shape", "type": "GeoShape"}],
+        "primaryKeyColumns": [0]})
+    store = DimensionStore(path=str(tmp_path / "geofences_store"),
+                           primary_key=("fence_id",))
+    store.init_from(spark.createDataFrame([], "fence_id bigint, shape string"))
+    c = Connector(ss, DataHandler(spark, ss, {"geofences": store}))
+
+    def rect(x0, y0, x1, y1):  # lng-first WKT, lat/lng rectangle corners
+        return (f"POLYGON(({y0} {x0}, {y1} {x0}, {y1} {x1}, "
+                f"{y0} {x1}, {y0} {x0}))")
+
+    n = c.insert("geofences", ["fence_id", "shape"],
+                 [[1, rect(0, 0, 10, 10)],
+                  [2, rect(20, 0, 30, 10)],
+                  [3, "not a shape"]])     # invalid WKT → row dropped
+    assert n == 2
+    got = {r["fence_id"]: r["shape"] for r in store.read(spark).collect()}
+    # wire round-trip preserved the shape (render differs only in case)
+    assert got[1].lower().replace(" ", "") == rect(0, 0, 10, 10) \
+        .lower().replace(" ", "")
+
+    store.read(spark).write.mode("overwrite").parquet(
+        str(tmp_path / "geofences.parquet"))
+    spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 25.0, 5.0), (3, 45.0, 45.0)],
+        "point_id bigint, lat double, lng double"
+    ).write.mode("overwrite").parquet(str(tmp_path / "points.parquet"))
+    cat = Catalog(str(tmp_path), tables={
+        "points": TableDef("points", is_fact=True,
+                           primary_key=("point_id",)),
+        "geofences": TableDef("geofences", primary_key=("fence_id",)),
+    })
+    rows = Planner(spark, cat).plan(Query(
+        table="points",
+        joins=[Join(table="geofences", alias="g",
+                    conditions=[
+                        "geography_intersects(geo_shape(g.shape), lat, lng)"])],
+        dimensions=[Dimension(expr="g.fence_id", alias="fence_id")],
+        measures=[Measure(expr="count(*)", alias="cnt")],
+        filters=["g.fence_id is not null"],
+    )).collect()
+    assert sorted((r["fence_id"], r["cnt"]) for r in rows) == [(1, 1), (2, 1)]

@@ -242,11 +242,123 @@ def test_write_parse_round_trip_property(data):
                 assert g == e
 
 
-def test_unsupported_types_raise():
-    from aresdb_spark.streaming.upsert_wire import UnsupportedUpsertType
+def test_unknown_types_raise():
     b = UpsertBatchBuilder()
-    with pytest.raises(UnsupportedUpsertType):
-        b.add_column(0, "GeoShape")
+    with pytest.raises(ValueError):
+        b.add_column(0, "GeoShape[]")  # no array-of-shape in the reference
+
+
+def test_geoshape_round_trip_reference_scenario():
+    """The reference's 'works for geoshape' case
+    (upsert_batch_test.go:547-598): Uint32 + GeoShape + Bool columns, one
+    valued row (WKT string, lng-first) and one all-nil row. The parsed
+    shape holds lat-first pairs like GeoShapeGo."""
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_column(0, "Uint32")
+    b.add_column(1, "GeoShape")
+    b.add_column(2, "Bool")
+    b.add_row()
+    b.set_value(0, 0, 2)
+    b.set_value(0, 1, "POLYGON((-180.0 90.0, -180.0 90.0))")
+    b.set_value(0, 2, True)
+    b.add_row()  # all nil
+
+    ub = parse_upsert_batch(b.to_byte_array())
+    assert ub.column_by_id(0).values == [2, None]
+    assert ub.column_by_id(2).values == [True, None]
+    shape = ub.column_by_id(1).values
+    assert shape[1] is None
+    assert shape[0] == [[(90.0, -180.0), (90.0, -180.0)]]
+
+
+def test_geoshape_byte_layout_golden():
+    """Byte-exact layout pin for a GeoShape column, hand-assembled from
+    the documented reference layout (upsert_batch_builder.go:112-151,
+    :271-279; data_value.go:562-589): a Go-type column in HasNullVector
+    mode writes NO null bitvector — only the 4-aligned offset vector
+    (null = repeated offset) and the 8-aligned shape payloads."""
+    b = UpsertBatchBuilder(arrival_time=10)
+    b.add_column(0, "Uint32")
+    b.add_column(1, "GeoShape")
+    b.add_column(2, "Bool")
+    b.add_row()
+    b.set_value(0, 0, 2)
+    b.set_value(0, 1, [[(90.0, -180.0), (90.0, -180.0)]])  # lat-first
+    b.set_value(0, 2, True)
+    b.add_row()
+
+    # header: 28 fixed + (3+1)*4 offsets + 3*4 enum + 3*4 reserved
+    #         + 3*4 types + 3*2 ids + 3*1 modes = 89
+    g = bytearray(160)
+    struct.pack_into("<IiH", g, 0, 0xFEED0001, 2, 3)
+    struct.pack_into("<I", g, 24, 10)                      # arrival
+    struct.pack_into("<4I", g, 28, 89, 104, 144, 153)      # column spans
+    struct.pack_into("<3I", g, 68, DATA_TYPES["Uint32"],
+                     DATA_TYPES["GeoShape"], DATA_TYPES["Bool"])
+    struct.pack_into("<3H", g, 80, 0, 1, 2)                # column ids
+    g[86:89] = bytes([HAS_NULL_VECTOR] * 3)                # modes
+    # col0 Uint32: null vector byte @89 (row0 valid), values 8-aligned @96
+    g[89] = 0b01
+    struct.pack_into("<I", g, 96, 2)
+    # col1 GeoShape: NO null vector; offsets 4-aligned @104 (end repeats
+    # for the null row), payload 8-aligned @120
+    struct.pack_into("<3I", g, 104, 0, 24, 24)
+    struct.pack_into("<II", g, 120, 1, 2)                  # 1 polygon, 2 pts
+    struct.pack_into("<4f", g, 128, 90.0, -180.0, 90.0, -180.0)
+    # col2 Bool: null vector byte @144, bit-packed values @152
+    g[144] = 0b01
+    g[152] = 0b01
+    assert b.to_byte_array() == bytes(g)
+
+
+def test_geoshape_wkt_parse_render():
+    from aresdb_spark.streaming.upsert_wire import (geo_shape_from_wkt,
+                                                    geo_shape_to_wkt)
+
+    polys = geo_shape_from_wkt(
+        "Polygon((1.5 2.5, 3 4), (-10 -20, 30.25 40))")
+    assert polys == [[(2.5, 1.5), (4.0, 3.0)], [(-20.0, -10.0),
+                                                (40.0, 30.25)]]
+    # render → parse is the identity (lossless float32 rendering)
+    assert geo_shape_from_wkt(geo_shape_to_wkt(polys)) == polys
+    # validation mirrors GeoShapeFromString (data_type.go:482-512)
+    with pytest.raises(ValueError):
+        geo_shape_from_wkt("POLYGON((181 0))")    # lng out of range
+    with pytest.raises(ValueError):
+        geo_shape_from_wkt("POLYGON((0 91))")     # lat out of range
+    with pytest.raises(ValueError):
+        geo_shape_from_wkt("POLYGON((1 2 3))")    # bad pair
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(data=st.data())
+def test_geoshape_round_trip_property(data):
+    """Random shape columns: multi-polygon, empty-polygon, null rows —
+    parse(write(batch)) preserves every (lat, lng) pair exactly
+    (float32 in, float32 out)."""
+    coord = st.tuples(st.floats(-90.0, 90.0, width=32),
+                      st.floats(-180.0, 180.0, width=32))
+    shape = st.lists(st.lists(coord, max_size=5), min_size=1, max_size=3)
+    n_rows = data.draw(st.integers(1, 8))
+    b = UpsertBatchBuilder(arrival_time=7)
+    b.add_column(0, "Int32")
+    b.add_column(1, "GeoShape")
+    expected = []
+    for r in range(n_rows):
+        b.add_row()
+        b.set_value(r, 0, r)
+        v = data.draw(st.none() | shape)
+        if v is not None:
+            b.set_value(r, 1, v)
+        expected.append(v)
+    got = parse_upsert_batch(b.to_byte_array()).column_by_id(1).values
+    for g, e in zip(got, expected):
+        if e is None:
+            assert g is None
+        else:
+            assert g == [[(pytest.approx(la, rel=1e-6),
+                           pytest.approx(lo, rel=1e-6))
+                          for la, lo in poly] for poly in e]
 
 
 def test_array_column_round_trip_reference_scenario():
