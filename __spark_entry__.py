@@ -1568,13 +1568,19 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 # in-window code path — aql_snowflake_join (equi-join path == aql_dim_join),
 # aql_scalar_functions2 (expr whitelist path == aql_scalar_functions), and
 # aql_set_union (plan_set_op, judge-verified r4).
+# r6 rotation (VERDICT r5 #3): aql_set_union returns — the r5 rotation had
+# left the set-op family (plan_set_op, aql/api.py) with no driver-graded
+# row. It displaces aql_numeric_bucket_log, whose numeric_bucket code path
+# (timeutil.py numeric bucketizers) keeps TWO in-window siblings
+# (aql_numeric_bucket, aql_numeric_bucket_manual); _log stays in
+# check_contract.
 _DRIVER_WINDOW = [
     "aql_count_hourly", "aql_sum_measure_filter", "aql_time_filter_absolute",
     "aql_time_filter_relative", "aql_dim_join", "join_asof",
     "aql_non_agg_projection", "aql_scalar_functions", "join_range_brackets",
     "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
     "aql_count_distinct", "aql_case_when_measure", "aql_numeric_bucket",
-    "aql_numeric_bucket_log", "aql_numeric_bucket_manual", "aql_day_of_week",
+    "aql_set_union", "aql_numeric_bucket_manual", "aql_day_of_week",
     "aql_hour_of_day", "aql_recurring_buckets", "aql_week_month_buckets",
     "aql_dst_bucket", "aql_bitwise_ops", "aql_is_true_not_in",
     "aql_array_contains", "aql_array_predicates", "aql_left_join_nulls",
