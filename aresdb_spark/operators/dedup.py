@@ -46,6 +46,11 @@ MINHASH_B = (
 N_HASHES = 16
 N_BANDS = 4          # 4 bands × 4 rows: catches jaccard ≳ 0.5 reliably
 ROWS_PER_BAND = 4
+# largest LSH bucket before the job aborts: at 100k ids one bucket is
+# ~5×10⁹ candidate pairs — already pathological; a real corpus hits this
+# only via a degenerate key (empty docs, boilerplate) that exact dedup
+# should have removed
+MAX_BUCKET_SIZE = 100_000
 SHINGLE_SIZE = 3
 
 
@@ -166,7 +171,8 @@ def minhash_signature_sql(col: str, n_hashes: int = N_HASHES) -> str:
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            n_bands: int = N_BANDS,
-                           rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+                           rows_per_band: int = ROWS_PER_BAND,
+                           max_bucket_size: int = MAX_BUCKET_SIZE) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Plan shape: scan → explode to (doc, band, band_hash) [n_bands rows
@@ -176,7 +182,14 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     both sides and shuffle twice). Pair count is Σ bucket² either way —
     tiny unless everything collides (i.e., actual dups); a degenerate
     mega-bucket (a million identical docs) blows up any LSH variant and
-    should be removed by exact dedup first."""
+    should be removed by exact dedup first.
+
+    ``max_bucket_size`` enforces that contract at scale: a bucket larger
+    than the cap fails LOUDLY at execution time (an in-plan assert — the
+    collect_list of a planted degenerate key would otherwise OOM one
+    task and the bucket² pair expansion would build a 10¹²-row plan)
+    instead of silently truncating candidates. Raise the cap explicitly
+    if a corpus legitimately needs bigger buckets."""
     sig = minhash_signature(F.col(text_col))
     base = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
         .select("id", sig.alias("sig"))
@@ -196,6 +209,16 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     buckets = (bands.groupBy("band", "bh")
                .agg(F.array_sort(F.collect_list("id")).alias("ids"))
                .filter(F.size("ids") >= 2))
+    # mega-bucket guard: executes inside the plan (assert_true returns
+    # NULL when the predicate holds, so the filter keeps every row and
+    # cannot be optimized away); an oversized bucket aborts the job with
+    # a message naming this parameter
+    buckets = buckets.filter(F.assert_true(
+        F.size("ids") <= max_bucket_size,
+        F.concat(
+            F.lit("LSH bucket of size "), F.size("ids").cast("string"),
+            F.lit(f" exceeds max_bucket_size={max_bucket_size}; run exact "
+                  "dedup first or raise max_bucket_size"))).isNull())
     combos = F.flatten(F.transform(
         F.col("ids"),
         lambda a, i: F.transform(
@@ -230,10 +253,13 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
 
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            max_bucket_size: int = MAX_BUCKET_SIZE
+                            ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥
     threshold. Returns (id_a, id_b, jaccard) sorted pairs."""
-    cand = minhash_lsh_candidates(df, text_col, id_col)
+    cand = minhash_lsh_candidates(df, text_col, id_col,
+                                  max_bucket_size=max_bucket_size)
     return (ngram_jaccard(cand, df, text_col, id_col)
             .filter(F.col("jaccard") >= threshold))
 

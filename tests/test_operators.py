@@ -119,6 +119,24 @@ def test_minhash_near_duplicates(spark, duck):
     assert df.count() >= 0
 
 
+def test_minhash_mega_bucket_guard(spark):
+    """A planted degenerate key (many identical docs sharing every LSH
+    bucket) fails LOUDLY at the cap instead of building an O(bucket²)
+    pair plan; the error names max_bucket_size. Under the cap the same
+    corpus executes fine."""
+    import pytest
+
+    from aresdb_spark.operators import dedup as D
+
+    same = spark.createDataFrame(
+        [(i, "identical boilerplate text repeated for every document")
+         for i in range(40)], "doc_id int, text string")
+    with pytest.raises(Exception, match="max_bucket_size"):
+        D.minhash_lsh_candidates(same, max_bucket_size=10).count()
+    assert D.minhash_lsh_candidates(same, max_bucket_size=100).count() \
+        == 40 * 39 // 2
+
+
 def test_simhash(spark, duck):
     from aresdb_spark.operators import dedup as D
 
