@@ -443,7 +443,7 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
     if algorithm == "star":
-        labels = connected_components_star(edges)
+        labels = connected_components_star(edges, max_rounds=max_rounds)
     elif algorithm == "hashmin":
         labels = connected_components(edges, max_rounds=max_rounds)
     else:

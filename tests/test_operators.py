@@ -448,6 +448,35 @@ def test_star_cc_long_path_few_rounds(spark):
     assert out == {i: 0 for i in range(40)}
 
 
+def test_duplicate_clusters_exhaustion_raises_through_public_api(spark):
+    """Chaos path (VERDICT r5 #7): budget exhaustion surfaces cleanly
+    through duplicate_clusters itself — a real corpus with a guaranteed
+    duplicate clique, max_rounds=1, BOTH algorithm variants — and the
+    ConvergenceError message names the operator's own max_rounds
+    parameter so the user knows what to raise."""
+    import pytest
+
+    from aresdb_spark.operators.dedup import (ConvergenceError,
+                                              duplicate_clusters)
+
+    docs = spark.createDataFrame(
+        [(i, "the same duplicated document body shared by every row")
+         for i in range(6)] + [(99, "a unique singleton document")],
+        "doc_id int, text string")
+    # hashmin's seed round alone solves a diameter-1 clique, so its
+    # budget must be zero to exhaust; star needs one extra round just to
+    # CONFIRM its fixpoint, so max_rounds=1 always exhausts with edges
+    for algo, rounds in (("hashmin", 0), ("star", 1)):
+        with pytest.raises(ConvergenceError, match="max_rounds"):
+            duplicate_clusters(docs, algorithm=algo,
+                               max_rounds=rounds).collect()
+    # with the default budget the same corpus converges: one clique + a
+    # singleton clustering with itself
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_clusters(docs).collect()}
+    assert got == {**{i: 0 for i in range(6)}, 99: 99}
+
+
 def test_cc_exhaustion_raises_converged_path_exact(spark):
     """Round-budget exhaustion is LOUD in both CC variants, and star's
     fixpoint is verified exactly (VERDICT r4 #1): on a path graph longer
