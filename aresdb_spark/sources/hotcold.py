@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from contextlib import contextmanager
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -45,6 +46,37 @@ def _utc_naive(dt: datetime) -> datetime:
     if dt.tzinfo is not None:
         dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
     return dt
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a store mutation while one was in
+    flight. Store mutations are full-directory parquet rewrites, so
+    concurrent writers would be last-writer-wins (one batch silently
+    lost); the reference serializes ingestion per shard the same way
+    with LiveStore.WriterLock (memstore/ingestion.go:44-62)."""
+
+
+@contextmanager
+def _single_writer(path: str):
+    """Advisory single-writer lock for a store directory: O_EXCL lock
+    file held across the mutation, released on success OR error. A
+    crashed writer leaves the lock behind on purpose — the directory may
+    hold a half-written rewrite and needs operator attention; delete the
+    named file to release."""
+    lock = os.path.join(path, "_writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"store at {path} has a writer in flight (or a crashed one); "
+            f"mutations are single-writer — remove {lock} if the previous "
+            f"writer is known dead") from None
+    try:
+        os.write(fd, f"{os.getpid()}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        os.unlink(lock)
 
 
 @dataclass
@@ -139,29 +171,38 @@ class HotColdStore:
         (reference routes pre-cutoff records to the backfill queue,
         memstore/live_store.go:74-78). Rows older than `retention` are
         DROPPED on ingest (recordRetentionInDays,
-        metastore/common/model.go:111-113)."""
-        if retention is not None:
-            batch = batch.filter(
-                F.col(self.time_column) >= F.lit(_utc_naive(retention)))
-        cut = F.lit(_utc_naive(cutoff))
-        pk = list(self.primary_key)
+        metastore/common/model.go:111-113).
 
-        hot_part = batch.filter(F.col(self.time_column) >= cut)
-        cold_part = batch.filter(F.col(self.time_column) < cut)
-        # batch-scoped override (e.g. a wire batch's own update modes)
-        # without mutating the store's configured defaults
-        modes = self.modes if modes is None else modes
+        Mutations are SINGLE-WRITER per store (like the reference's
+        per-shard LiveStore.WriterLock, memstore/ingestion.go:44-62):
+        each ingest rewrites the hot (and possibly cold) parquet dir in
+        full, so a concurrent second writer would silently lose one
+        batch. The advisory lock turns that race into a loud
+        ConcurrentWriteError instead."""
+        with _single_writer(self.path):
+            if retention is not None:
+                batch = batch.filter(
+                    F.col(self.time_column) >= F.lit(_utc_naive(retention)))
+            cut = F.lit(_utc_naive(cutoff))
+            pk = list(self.primary_key)
 
-        # localCheckpoint both merge inputs: the hot/cold dirs are about to
-        # be overwritten and parquet reads are lazy (can't read-after-drop)
-        if hot_part.limit(1).count():
-            merged = self._conform(apply_upsert_batch(
-                self.read_hot(spark), hot_part, pk, modes, seq_col))
-            self._write_hot(merged.localCheckpoint(eager=True))
-        if cold_part.limit(1).count():
-            merged = self._conform(apply_upsert_batch(
-                self.read_cold(spark), cold_part, pk, modes, seq_col))
-            self._write_cold(merged.localCheckpoint(eager=True))
+            hot_part = batch.filter(F.col(self.time_column) >= cut)
+            cold_part = batch.filter(F.col(self.time_column) < cut)
+            # batch-scoped override (e.g. a wire batch's own update modes)
+            # without mutating the store's configured defaults
+            modes = self.modes if modes is None else modes
+
+            # localCheckpoint both merge inputs: the hot/cold dirs are
+            # about to be overwritten and parquet reads are lazy (can't
+            # read-after-drop)
+            if hot_part.limit(1).count():
+                merged = self._conform(apply_upsert_batch(
+                    self.read_hot(spark), hot_part, pk, modes, seq_col))
+                self._write_hot(merged.localCheckpoint(eager=True))
+            if cold_part.limit(1).count():
+                merged = self._conform(apply_upsert_batch(
+                    self.read_cold(spark), cold_part, pk, modes, seq_col))
+                self._write_cold(merged.localCheckpoint(eager=True))
 
     def _conform(self, df: DataFrame) -> DataFrame:
         """Cast merged output back to the declared store schema. Update
@@ -174,26 +215,31 @@ class HotColdStore:
     def archive(self, spark: SparkSession, new_cutoff: datetime) -> None:
         """Advance the cutoff: move hot rows older than `new_cutoff` into
         the cold store (sorted, day-partitioned) and compact them out of
-        hot — the reference's daily archiving job (memstore/archiving.go)."""
-        cut = F.lit(_utc_naive(new_cutoff))
-        hot = self.read_hot(spark)
-        to_cold = hot.filter(F.col(self.time_column) < cut)
-        stay_hot = hot.filter(F.col(self.time_column) >= cut)
-        if to_cold.limit(1).count():
-            merged_cold = self.read_cold(spark).unionByName(to_cold)
-            self._write_cold(merged_cold.localCheckpoint(eager=True))
-            self._write_hot(stay_hot.localCheckpoint(eager=True))
-        self._save_cutoff(new_cutoff)
+        hot — the reference's daily archiving job (memstore/archiving.go).
+        Takes the same single-writer lock as ingest (the reference's
+        archiving job competes for the identical WriterLock)."""
+        with _single_writer(self.path):
+            cut = F.lit(_utc_naive(new_cutoff))
+            hot = self.read_hot(spark)
+            to_cold = hot.filter(F.col(self.time_column) < cut)
+            stay_hot = hot.filter(F.col(self.time_column) >= cut)
+            if to_cold.limit(1).count():
+                merged_cold = self.read_cold(spark).unionByName(to_cold)
+                self._write_cold(merged_cold.localCheckpoint(eager=True))
+                self._write_hot(stay_hot.localCheckpoint(eager=True))
+            self._save_cutoff(new_cutoff)
 
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
         """Retention delete: drop cold day-partitions entirely below the
         retention boundary (reference memstore/purge.go drops whole
         archive batches). Partition-level delete — no data rewrite for
         fully-expired days."""
-        boundary = _utc_naive(older_than).strftime("%Y-%m-%d")
-        for name in os.listdir(self.cold_path):
-            if name.startswith("__day=") and name.split("=", 1)[1] < boundary:
-                shutil.rmtree(os.path.join(self.cold_path, name))
+        with _single_writer(self.path):
+            boundary = _utc_naive(older_than).strftime("%Y-%m-%d")
+            for name in os.listdir(self.cold_path):
+                if name.startswith("__day=") and \
+                        name.split("=", 1)[1] < boundary:
+                    shutil.rmtree(os.path.join(self.cold_path, name))
 
 
 @dataclass
@@ -231,11 +277,14 @@ class DimensionStore:
     def ingest(self, spark: SparkSession, batch: DataFrame,
                seq_col: str | None = None,
                modes: "dict | None" = None) -> None:
-        merged = apply_upsert_batch(
-            self.read(spark), batch, list(self.primary_key),
-            self.modes if modes is None else modes, seq_col)
-        merged = merged.select(
-            [F.col(f.name).cast(f.dataType) for f in self._schema()])
-        # checkpoint before overwriting the dir the read is lazy over
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            os.path.join(self.path, "snap"))
+        # single-writer like the fact store: ingest is a full snapshot
+        # rewrite, so a concurrent writer would drop a batch silently
+        with _single_writer(self.path):
+            merged = apply_upsert_batch(
+                self.read(spark), batch, list(self.primary_key),
+                self.modes if modes is None else modes, seq_col)
+            merged = merged.select(
+                [F.col(f.name).cast(f.dataType) for f in self._schema()])
+            # checkpoint before overwriting the dir the read is lazy over
+            merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                os.path.join(self.path, "snap"))

@@ -367,3 +367,44 @@ def test_kafka_shaped_stream_decode_to_store(spark, tmp_path):
 
     rows = {r["id"]: r["v"] for r in store.read(spark, cutoff).collect()}
     assert rows == {1: 3.0, 3: 7.0}
+
+
+def test_store_mutations_are_single_writer(spark, tmp_path):
+    """Store mutations are full-dir parquet rewrites, so they're
+    single-writer per store (the reference's per-shard
+    LiveStore.WriterLock, memstore/ingestion.go:44-62): a writer already
+    in flight makes a second ingest/archive raise ConcurrentWriteError
+    loudly instead of last-writer-wins losing a batch. The lock releases
+    on success and on error."""
+    import pytest
+
+    from aresdb_spark.sources.hotcold import (ConcurrentWriteError,
+                                              DimensionStore, HotColdStore,
+                                              _single_writer)
+
+    cutoff = datetime(2024, 1, 1)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",))
+    store.init_from(spark.createDataFrame([], "id int, ts timestamp, v int"),
+                    cutoff=cutoff)
+    batch = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), 1)], "id int, ts timestamp, v int")
+
+    with _single_writer(store.path):  # a writer in flight
+        with pytest.raises(ConcurrentWriteError, match="single-writer"):
+            store.ingest(spark, batch, cutoff=cutoff)
+        with pytest.raises(ConcurrentWriteError):
+            store.archive(spark, datetime(2024, 1, 2))
+    # released → the same calls succeed, and again after an error
+    store.ingest(spark, batch, cutoff=cutoff)
+    assert store.read_hot(spark).count() == 1
+    with pytest.raises(Exception):
+        store.ingest(spark, spark.range(1), cutoff=cutoff)  # wrong schema
+    store.ingest(spark, batch, cutoff=cutoff)  # lock was released on error
+
+    dim = DimensionStore(path=str(tmp_path / "d"), primary_key=("k",))
+    dim.init_from(spark.createDataFrame([], "k int, v string"))
+    with _single_writer(dim.path):
+        with pytest.raises(ConcurrentWriteError):
+            dim.ingest(spark, spark.createDataFrame([(1, "a")],
+                                                    "k int, v string"))
