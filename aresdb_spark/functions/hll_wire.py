@@ -435,19 +435,36 @@ def _align(n: int, to: int = 8) -> int:
 
 # --- single-result payload (hll.go:364-502) ---------------------------------
 
-def parse_hll_result(buf: bytes, ignore_enum: bool = False) -> dict:
+def parse_hll_result(buf: bytes, ignore_enum: bool = False,
+                     old_format: bool = False) -> dict:
     """Parse one query result payload into the nested dict shape of the
     reference's AQLQueryResult: dim-value strings (``"NULL"`` for null) as
-    keys level by level, ``HLL`` sketches at the leaves."""
+    keys level by level, ``HLL`` sketches at the leaves.
+
+    ``old_format`` parses the 0xACED0101 migration layout
+    (parseOldTimeseriesHLLResult, hll.go:217-280): the header leads with
+    per-width dim counts ``[u8 four][u8 two][u8 one][u8 numEnum]`` (no
+    8-byte dims in the old format) then ``[u32 resultSize][u32
+    paddedDimLen][4 pad]``; everything from the dim-index vector on is
+    byte-identical to the current format."""
     if len(buf) == 0:
         return {}
     mv = memoryview(buf)
     pos = 0
-    num_enum_columns = mv[pos]; pos += 1
-    num_dims_per_width = list(mv[pos:pos + 5]); pos += 5
+    if old_format:
+        four, two, one, num_enum_columns = mv[0], mv[1], mv[2], mv[3]
+        num_dims_per_width = [0, 0, four, two, one]
+        pos = 4
+        result_size, padded_dim_len = struct.unpack_from("<II", mv, pos)
+        pos += 8
+        pos += 4  # explicit SkipBytes(4), hll.go:259-261
+    else:
+        num_enum_columns = mv[pos]; pos += 1
+        num_dims_per_width = list(mv[pos:pos + 5]); pos += 5
+        pos = _align(pos)
+        result_size, padded_dim_len = struct.unpack_from("<II", mv, pos)
+        pos += 8
     total_dims = sum(num_dims_per_width)
-    pos = _align(pos)
-    result_size, padded_dim_len = struct.unpack_from("<II", mv, pos); pos += 8
     dim_indexes = list(mv[pos:pos + total_dims]); pos += total_dims
     pos = _align(pos)
     data_types = list(struct.unpack_from(f"<{total_dims}I", mv, pos))
@@ -511,8 +528,10 @@ def parse_hll_query_results(data: bytes, ignore_enum: bool = False
     magic = struct.unpack_from("<I", data, 0)[0]
     if magic not in (HLL_DATA_HEADER, OLD_HLL_DATA_HEADER):
         raise ValueError(f"bad magic 0x{magic:08x}")
-    if magic == OLD_HLL_DATA_HEADER:
-        raise NotImplementedError("old (0xACED0101) hll format")
+    # the reference parses BOTH headers through the same envelope loop
+    # (ParseHLLQueryResults, hll.go:583-607) and dispatches per-result
+    # payloads on the magic (NewTimeSeriesHLLResult, hll.go:529-540)
+    old_format = magic == OLD_HLL_DATA_HEADER
     pos = 8  # magic + 4 padding
     results: list[dict | None] = []
     errors: list[str | None] = []
@@ -532,7 +551,8 @@ def parse_hll_query_results(data: bytes, ignore_enum: bool = False
             if size % 8 == 0 and data[pos:pos + 8] == b"\x00" * 8:
                 pos += 8
         else:
-            results.append(parse_hll_result(payload, ignore_enum))
+            results.append(parse_hll_result(payload, ignore_enum,
+                                            old_format=old_format))
             errors.append(None)
     return results, errors
 

@@ -169,6 +169,48 @@ def test_writer_parser_roundtrip():
         sparse=[(255, 1), (254, 2)], non_zero=2)
 
 
+def test_old_header_0xACED0101_parses_like_new():
+    """Read-side migration parity (VERDICT r5 #5): an old-format
+    (0xACED0101) response parses to the same result dict as the current
+    format. The old per-result layout (parseOldTimeseriesHLLResult,
+    hll.go:217-280) differs from the new one ONLY in the first 16 header
+    bytes — [u8 four][u8 two][u8 one][u8 numEnum][u32 resultSize]
+    [u32 paddedDimLen][4 pad] vs [u8 numEnum][5 dim counts][2 pad]
+    [u32 resultSize][u32 paddedDimLen] — so the fixture is synthesized
+    from the writer's payload by rewriting exactly that documented
+    header."""
+    import struct as st
+
+    from aresdb_spark.functions.hll_wire import OLD_HLL_DATA_HEADER
+
+    rows = [
+        ([None, None, None], HLL(sparse=[(1, 255)], non_zero=1)),
+        ([1, "c", 2], HLL(sparse=[(7, 3)], non_zero=1)),
+        ([4294967295, "d", 514], HLL(sparse=[(255, 1), (254, 2)], non_zero=2)),
+    ]
+    w = HLLQueryResultsWriter()
+    w.write_result(rows, [DT_UINT32, DT_SMALL_ENUM, DT_UINT16],
+                   enum_dicts={1: ["a", "b", "c", "d"]})
+    new_env = w.get_bytes()
+    (size,) = st.unpack_from("<I", new_env, 8)
+    payload = new_env[16:16 + size]
+
+    # new header: numEnum, [16B,8B,4B,2B,1B] counts, 2 pad, 2x u32
+    num_enum = payload[0]
+    counts = payload[1:6]
+    assert list(counts[:2]) == [0, 0]  # no 16/8-byte dims -> old-expressible
+    old_payload = (bytes([counts[2], counts[3], counts[4], num_enum])
+                   + payload[8:16] + b"\x00" * 4 + payload[16:])
+    old_env = (st.pack("<II", OLD_HLL_DATA_HEADER, 0)
+               + st.pack("<IB3x", len(old_payload), 0) + old_payload)
+
+    new_results, _ = parse_hll_query_results(new_env)
+    old_results, old_errors = parse_hll_query_results(old_env)
+    assert old_errors == [None]
+    assert old_results == new_results
+    assert old_results[0]["1"]["c"]["2"] == HLL(sparse=[(7, 3)], non_zero=1)
+
+
 def test_error_record_padding_parity():
     """The reference WriteError appends 8 uncounted zero bytes when the
     message length is a multiple of 8 (hll.go:983); the writer mirrors
