@@ -58,6 +58,20 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
 
 
+def l2_topk_oracle_sql(query_vec: list[float], k: int = 50,
+                       table: str = "embeddings",
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> str:
+    """Exact squared-L2 top-k in DuckDB — the ground truth PQ's ADC
+    distance approximates (Jégou et al. TPAMI'11 measure recall@R the
+    same way: hits of the ANN top-k inside the exact top-R)."""
+    qlit = "[" + ", ".join(f"{float(x)!r}" for x in query_vec) + "]"
+    l2 = (f"list_sum(list_transform(list_zip({vec_col}, {qlit}::DOUBLE[]), "
+          f"p -> (p[1]::DOUBLE - p[2]::DOUBLE) "
+          f"* (p[1]::DOUBLE - p[2]::DOUBLE)))")
+    return f"SELECT {id_col} FROM {table} ORDER BY {l2} ASC, {id_col} LIMIT {k}"
+
+
 # ---------------------------------------------------------------------------
 # Brute-force top-k (exact baseline)
 # ---------------------------------------------------------------------------

@@ -23,11 +23,27 @@ ONLY = set(sys.argv[2:])
 # joined on the key columns. hll() is Spark approx_count_distinct
 # (HLL++, default rsd=0.05); 3x the rsd is a generous-but-meaningful
 # 3-sigma band. (The driver's row for these stays rows-only.)
+def _pq_recall_oracle():
+    from __spark_entry__ import QUERY_VEC
+    from aresdb_spark.operators.similarity import l2_topk_oracle_sql
+    return l2_topk_oracle_sql(QUERY_VEC, k=50)
+
+
 BOUNDED = {
     "hll_approx_distinct": {
         "oracle": "SELECT event_type AS et, count(DISTINCT user_id) AS n "
                   "FROM events GROUP BY 1",
         "key": "et", "est": "approx_users", "rtol": 0.15,
+    },
+    # IVF-PQ is deterministic given the committed constants (md5-sampled
+    # k-means training), so recall@(10, exact-50) is a stable number, not
+    # a flake source. Ground truth is exact squared-L2 (what ADC
+    # approximates). Measured 6/10 at sf0.01; random picks from the
+    # 500-vector corpus would expect 1/10 — the floor of 3 separates
+    # "working quantizer" from "broken" with a wide margin either side.
+    "sim_ivf_pq_topk": {
+        "kind": "recall", "oracle": _pq_recall_oracle,
+        "id": "vec_id", "min_hits": 3,
     },
 }
 
@@ -95,6 +111,21 @@ def main():
             spec = BOUNDED.get(name)
             if spec is None:
                 print(f"ok    {name}: rows={len(srows)} (no oracle, rows-only)")
+                continue
+            if spec.get("kind") == "recall":
+                exact_ids = {r[0] for r in
+                             duck.execute(spec["oracle"]()).fetchall()}
+                ii = scols.index(spec["id"])
+                hits = sum(1 for r in srows if r[ii] in exact_ids)
+                if hits < spec["min_hits"]:
+                    failures.append(name)
+                    print(f"FAIL  {name}: recall check: {hits}/{len(srows)} "
+                          f"ids in the exact top-{len(exact_ids)} "
+                          f"(floor {spec['min_hits']})")
+                else:
+                    print(f"ok    {name}: rows={len(srows)} bounded recall "
+                          f"({hits}/{len(srows)} in exact "
+                          f"top-{len(exact_ids)}, floor {spec['min_hits']})")
                 continue
             exact = dict(duck.execute(spec["oracle"]).fetchall())
             ki, ei = scols.index(spec["key"]), scols.index(spec["est"])
