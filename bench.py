@@ -230,7 +230,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = _queries()
 
-    times = {}
+    times, mins = {}, {}
     for name, fn in qs.items():
         fn(spark, SF_DIR).collect()  # warmup (untimed)
         # median of 3 timed passes: a single pass is noise-sensitive on a
@@ -241,6 +241,7 @@ def main():
             fn(spark, SF_DIR).collect()
             samples.append(time.perf_counter() - t0)
         times[name] = round(sorted(samples)[1], 4)
+        mins[name] = round(min(samples), 4)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -253,6 +254,14 @@ def main():
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        # the host's run-to-run variance band (PERF_NOTES.md records
+        # same-HEAD session totals spanning 7.97-10.37s): min-of-passes
+        # is the noise floor — compare THIS across rounds, not the
+        # median headline alone (VERDICT r5 "What's wrong" #2)
+        "variance": {
+            "per_query_min": mins,
+            "min_total": round(sum(mins.values()), 4),
+        },
     }
 
     if SF1_ENABLED:
@@ -260,18 +269,26 @@ def main():
             _ensure_sf1(spark, SF_DIR, SF1_DIR)
             stress = _stress_queries()
 
-            def timed(fn, d):
+            def timed_median(fn, d, n=3):
                 fn(spark, d).collect()            # warmup
-                t0 = time.perf_counter()
-                fn(spark, d).collect()
-                return round(time.perf_counter() - t0, 4)
+                samples = []
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    fn(spark, d).collect()
+                    samples.append(time.perf_counter() - t0)
+                return round(sorted(samples)[n // 2], 4)
 
             t1, t10, ratio = {}, {}, {}
             for name, fn in stress.items():
-                # base-scale time: reuse the headline median where we
-                # have one; time the extra star variant here
-                t1[name] = times.get(name) or timed(fn, SF_DIR)
-                t10[name] = timed(fn, SF1_DIR)
+                # base and 10x are timed BACK-TO-BACK per query, median
+                # of 3 on both sides (VERDICT r5 #2: reusing the headline
+                # medians measured minutes earlier mixed measurement
+                # phases — on a host with a ±30% band that manufactured
+                # impossible sub-1.0 ratios). Same warmup, same
+                # methodology, adjacent in time ⇒ the ratio is
+                # apples-to-apples.
+                t1[name] = timed_median(fn, SF_DIR)
+                t10[name] = timed_median(fn, SF1_DIR)
                 ratio[name] = round(t10[name] / max(t1[name], 1e-9), 2)
             payload["sf1"] = {"dir": SF1_DIR, "scale_factor": 10,
                               "base_sec": t1, "queries": t10,
