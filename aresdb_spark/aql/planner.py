@@ -366,9 +366,20 @@ class Planner:
                 # 520-523); the shape column lives on the joined dim
                 if isinstance(ast, E.Call) and len(ast.args) == 2:
                     def on_dim(a):
-                        return isinstance(a, E.Col) and \
-                            a.name.startswith(f"{j.name}.")
-                    if on_dim(ast.args[1]) and not on_dim(ast.args[0]):
+                        # any column ref on the joined shape table, so a
+                        # wrapped shape (geo_shape(g.wkt)) counts too
+                        return any(r.startswith(f"{j.name}.")
+                                   for r in E.column_refs(a))
+                    # exactly ONE argument must be the joined shape
+                    # table's column (the reference type-checks one
+                    # GeoShape + one GeoPoint and errors otherwise —
+                    # aql_compiler_test.go:2343-2423; same message)
+                    if on_dim(ast.args[0]) == on_dim(ast.args[1]):
+                        raise ValueError(
+                            "expect exactly one geo shape column and one "
+                            "geo point column for geography_intersects, "
+                            "got geography_intersects")
+                    if on_dim(ast.args[1]):
                         ast = E.Call(ast.func,
                                      [ast.args[1], ast.args[0]])
                 cond = E.compile_ast(ast, self._resolver(aliases, q))

@@ -176,3 +176,19 @@ def test_geo_args_accept_either_order(spark, tmp_path):
     shape_first = run("geography_intersects(g.shape, pt)")
     point_first = run("geography_intersects(pt, g.shape)")
     assert shape_first == point_first and len(shape_first) > 0
+
+
+def test_geo_arg_validation_matches_reference(spark, geo_catalog):
+    """Two fact-side (point) arguments or two shape-table arguments in a
+    2-arg geography_intersects error with the reference compiler's
+    message (aql_compiler_test.go:2343-2423: 'expect exactly one geo
+    shape column and one geo point column')."""
+    for cond in ("geography_intersects(lat, lng)",
+                 "geography_intersects(g.shape, g.shape)"):
+        with pytest.raises(ValueError,
+                           match="exactly one geo shape column"):
+            Planner(spark, geo_catalog).plan(Query(
+                table="points",
+                joins=[Join(table="shapes", alias="g",
+                            conditions=[cond])],
+                measures=[Measure(expr="count(*)", alias="cnt")]))
