@@ -689,10 +689,24 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return S.ivf_pq_topk(emb, QUERY_VEC, k=10, nprobe=2,
                              codebooks=cb)
 
+    def q_semantic_dedup(spark, sf_dir):
+        """SemDeDup-style semantic dedup (Abbas et al. arXiv:2303.09540):
+        k-means clusters (fixed seeded centroids, deterministic),
+        within-cluster cosine pairs only, keep = min id of each
+        epsilon-group. Threshold 0.4 exercises a real keep/drop mix on
+        the synthetic embeddings."""
+        from aresdb_spark.operators import similarity as S
+        return S.semantic_dedup(_emb(spark, sf_dir), threshold=0.4)
+
+    def semantic_dedup_sql():
+        from aresdb_spark.operators import similarity as S
+        return S.semantic_dedup_oracle_sql(threshold=0.4)
+
     out["sim_cosine_topk"] = (q_topk, topk_sql())
     out["sim_ivf_topk"] = (q_ivf, ivf_sql())
     out["sim_ivf_pq_topk"] = (q_ivf_pq, None)
     out["sim_embedding_near_dup"] = (q_emb_neardup, emb_neardup_sql())
+    out["sim_semantic_dedup"] = (q_semantic_dedup, semantic_dedup_sql())
 
     # --- HLL / approx distinct: no exact oracle by nature (rows-only) ---
     def q_hll(spark, sf_dir):

@@ -391,6 +391,72 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
     )
 
 
+def semantic_dedup(df: DataFrame, threshold: float = 0.95,
+                   n_clusters: int = 8, dim: int = 64,
+                   centroids: "np.ndarray | None" = None,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540 — public): k-means cluster the embedding space,
+    compare pairs ONLY within a cluster, and drop every item that has a
+    lower-id semantic twin (cosine ≥ threshold) in its cluster. Returns
+    one row per input: (id, cluster, keep).
+
+    100 TB shape: assignment is a scan-side expression (no UDF); the
+    within-cluster self-join shuffles both sides once on the cluster key,
+    and pair cost is Σ cluster² — the paper's own cost model, controlled
+    by n_clusters (they use ~11k clusters for LAION-scale; size
+    n_clusters so the mean cluster fits a task). Keep = the minimum id of
+    each epsilon-group, a deterministic stand-in for the paper's random
+    exemplar. Default centroids are the fixed seeded ones
+    (``ivf_centroids``) so the DuckDB oracle can inline them; pass
+    md5-sample-trained centroids for real corpora."""
+    cents = centroids if centroids is not None \
+        else ivf_centroids(dim, n_clusters)
+    assigned = df.select(
+        F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
+        ivf_assign(F.col(vec_col), cents).alias("cluster"))
+    right = (assigned.select(F.col("id").alias("id_b"),
+                             F.col("v").alias("v_b"),
+                             F.col("cluster").alias("cluster_b")))
+    dominated = (
+        assigned.join(right, (F.col("cluster") == F.col("cluster_b"))
+                      & (F.col("id") < F.col("id_b")))
+        .filter(F.round(cosine(F.col("v"), F.col("v_b")), 6)
+                >= threshold)
+        .select(F.col("id_b").alias("id")).distinct()
+        .withColumn("_dropped", F.lit(True)))
+    return (assigned.join(dominated, "id", "left")
+            .select(F.col("id").alias(id_col), F.col("cluster"),
+                    F.col("_dropped").isNull().alias("keep")))
+
+
+def semantic_dedup_oracle_sql(threshold: float = 0.95, n_clusters: int = 8,
+                              dim: int = 64, table: str = "embeddings",
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> str:
+    """DuckDB twin of semantic_dedup with the fixed centroids inlined as
+    literals (assignment and cosine both rounded to 6dp on both engines)."""
+    cents = ivf_centroids(dim, n_clusters)
+    assign = _ivf_assign_sql(vec_col, cents)
+    cos = cosine_sql("a.v", "b.v")
+    return f"""
+        WITH assigned AS (
+          SELECT {id_col} AS id, {vec_col} AS v,
+                 {assign} AS cluster
+          FROM {table}),
+        dominated AS (
+          SELECT DISTINCT b.id AS id
+          FROM assigned a JOIN assigned b
+            ON a.cluster = b.cluster AND a.id < b.id
+          WHERE round({cos}, 6) >= {threshold})
+        SELECT a.id AS {id_col}, a.cluster AS cluster,
+               d.id IS NULL AS keep
+        FROM assigned a LEFT JOIN dominated d ON a.id = d.id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Embedding storage prep: L2 normalization + symmetric int quantization
 # ---------------------------------------------------------------------------

@@ -331,6 +331,35 @@ def test_duplicate_clusters(spark, duck):
     assert len(set(clusters.values())) < len(clusters)  # something merged
 
 
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup keep/drop semantics on a planted corpus: exact duplicate
+    vectors collapse to the lowest id; near-orthogonal vectors all
+    survive; every input row comes back exactly once."""
+    from aresdb_spark.operators import similarity as S
+
+    def unit(i):  # 8-dim one-hot (near-orthogonal set)
+        return [1.0 if j == i else 0.0 for j in range(8)]
+
+    rows = [(0, unit(0)), (1, unit(0)),      # dup of 0 -> dropped
+            (2, unit(1)), (3, unit(2)),
+            (4, [0.9999, 0.0001] + [0.0] * 6)]  # near-dup of 0 -> dropped
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {r["vec_id"]: r["keep"]
+           for r in S.semantic_dedup(df, threshold=0.95, n_clusters=4,
+                                     dim=8).collect()}
+    assert got == {0: True, 1: False, 2: True, 3: True, 4: False}
+
+
+def test_semantic_dedup_matches_oracle(spark, duck):
+    """Full keep/drop/cluster parity with the DuckDB oracle (fixed
+    centroids inlined as literals) on the synthetic embeddings."""
+    from aresdb_spark.operators import similarity as S
+
+    df = S.semantic_dedup(_emb(spark), threshold=0.4)
+    assert_df_matches_duck(df, duck, S.semantic_dedup_oracle_sql(
+        threshold=0.4))
+
+
 def test_normalize_embeddings_matches_oracle(spark, duck):
     from aresdb_spark.operators.similarity import (
         normalize_embeddings, normalize_embeddings_oracle_sql)
