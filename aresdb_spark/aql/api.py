@@ -173,6 +173,119 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
 
 # --- application/hll response (reference api/query_handler.go:382-420) -------
 
+def _hll_result_tree(spark: SparkSession, catalog: Catalog,
+                     q: Query) -> dict:
+    """One shard's nested AQL result with mergeable HLL SKETCH leaves
+    (the form a datanode returns to the broker before ComputeHLLResult —
+    query/common/hll.go:505-527): dim-key strings level by level, an
+    ``HLL`` at each leaf, built from the reference-exact register
+    pipeline."""
+    from aresdb_spark.functions.hll import hll_registers
+    from aresdb_spark.functions.hll_wire import HLL
+
+    ast = E.parse(q.measures[0].expr)
+    if not isinstance(ast, E.Call) or \
+            ast.func not in ("hll", "countdistincthll"):
+        raise ValueError("hll result tree requires an hll() measure")
+    planner = Planner(spark, catalog)
+    df, resolver, dim_cols, dim_names = planner._filtered_rows(q)
+    rows = df.select(*dim_cols,
+                     E.compile_ast(ast.args[0], resolver).alias("__hv_in"))
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    for r in hll_registers(rows, dim_names, "__hv_in").collect():
+        key = tuple("NULL" if r[n] is None else str(r[n])
+                    for n in dim_names)
+        groups.setdefault(key, []).append((r["reg_index"], r["rho"]))
+    result: dict = {}
+    for key, sparse in groups.items():
+        h = HLL(sparse=sorted(sparse), non_zero=len(sparse))
+        if not h.convert_to_sparse():
+            h.convert_to_dense()
+        node = result
+        for part in key[:-1]:
+            node = node.setdefault(part, {})
+        node[key[-1] if key else "NULL"] = h
+    return result
+
+
+def compute_hll_result(tree):
+    """ComputeHLLResult analog (query/common/hll.go:505-527): replace
+    every HLL sketch leaf with its computed estimate, recursively."""
+    from aresdb_spark.functions.hll_wire import HLL
+
+    if isinstance(tree, HLL):
+        return tree.compute()
+    if isinstance(tree, dict):
+        return {k: compute_hll_result(v) for k, v in tree.items()}
+    return tree
+
+
+def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
+                          query: Query | dict[str, Any]) -> dict:
+    """Broker scatter/gather (broker/executor.go QueryExecutor +
+    broker/query_plan_agg.go AggQueryPlan): execute the SAME aggregate
+    AQL query independently on every shard root (one datanode's parquet
+    dir) and fold the per-shard partial results with the result-merge
+    algebra (aql/merge.py = broker/result_merge.go).
+
+    The merge rule comes from the query's single aggregate measure, the
+    same way the broker's plan builder reads it:
+      - count/sum/min/max: partials merge leaf-wise;
+      - avg: the broker's two-phase plan — a sum scatter and a count
+        scatter (count(x) = ROW count per the reference compiler), each
+        merged, then leaf-divided (query_plan_agg.go avg subplans);
+      - hll: per-shard REGISTER trees merge sketch-wise, the estimate is
+        computed once at the end (never average partial estimates).
+
+    Inside one Spark cluster the shuffle does all of this; the surface
+    exists for the cross-cluster / datanode topology the reference
+    broker serves."""
+    import copy
+    import re
+
+    from aresdb_spark.aql.merge import merge_aggregate_results
+
+    if not shard_dirs:
+        raise ValueError("sharded execution requires at least one shard")
+    q = query_from_json(query) if isinstance(query, dict) \
+        else copy.deepcopy(query)
+    if len(q.measures) != 1:
+        raise ValueError("sharded execution requires exactly one "
+                         "aggregate measure (the broker's plan rule)")
+    ast = E.parse(q.measures[0].expr)
+    if not isinstance(ast, E.Call):
+        raise ValueError("sharded execution requires an aggregate measure")
+    agg = ast.func.lower()
+
+    def scatter(qq: Query, kind: str) -> dict:
+        parts = [execute_query(spark, Catalog(d), copy.deepcopy(qq))
+                 for d in shard_dirs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = merge_aggregate_results(out, p, kind)
+        return out
+
+    if agg in ("count", "sum", "min", "max"):
+        return scatter(q, agg)
+    if agg == "avg":
+        qs = copy.deepcopy(q)
+        qs.measures[0].expr = re.sub(r"^\s*avg", "sum",
+                                     qs.measures[0].expr, flags=re.I)
+        qc = copy.deepcopy(q)
+        qc.measures[0].expr = "count(*)"
+        return merge_aggregate_results(scatter(qs, "sum"),
+                                       scatter(qc, "count"), "avg")
+    if agg in ("hll", "countdistincthll"):
+        parts = [_hll_result_tree(spark, Catalog(d), q)
+                 for d in shard_dirs]
+        out = parts[0]
+        for p in parts[1:]:
+            out = merge_aggregate_results(out, p, "hll")
+        return compute_hll_result(out)
+    raise ValueError(f"unsupported sharded aggregate {agg!r} "
+                     "(count|sum|min|max|avg|hll)")
+
+
 def execute_request_hll(spark: SparkSession, catalog: Catalog | str,
                         request: dict[str, Any] | str,
                         row_cap: int = 100_000,

@@ -125,3 +125,43 @@ def test_review_fixes_merge_edge_cases():
     assert merge_aggregate_results({"a": 3}, {"a": None}, "sum") == {"a": 3}
     with pytest.raises(ResultMergeError, match="only count"):
         merge_aggregate_results({"a": None}, {"a": 3}, "avg")
+
+
+def test_execute_query_sharded_scatter_gather_identity(spark, tmp_path):
+    """execute_query_sharded over a 2-way row split of events equals the
+    single-store result for every broker merge rule — count, sum, min,
+    max, the two-phase avg plan, and hll (register trees merge
+    sketch-wise, so the estimate is EXACTLY the whole-corpus estimate,
+    not an average of partials)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql.api import execute_query, execute_query_sharded
+
+    whole_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{whole_dir}/events.parquet")
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).write.mode("overwrite")
+         .parquet(str(tmp_path / f"shard{i}" / "events.parquet")))
+    shards = [str(tmp_path / "shard0"), str(tmp_path / "shard1")]
+
+    def q(measure):
+        return {"table": "events",
+                "measures": [{"alias": "v", "sqlExpression": measure}],
+                "dimensions": [{"alias": "et", "sqlExpression": "event_type"}]}
+
+    for m in ("count(*)", "sum(value)", "min(value)", "max(value)",
+              "avg(value)", "hll(user_id)"):
+        got = execute_query_sharded(spark, shards, q(m))
+        want = execute_query(spark, whole_dir, q(m))
+        if m in ("sum(value)", "avg(value)"):
+            # float sums depend on addition order (shard partials add in
+            # a different order than one whole-table fold) — identical
+            # to ~1e-9 relative; avg follows the broker's two-phase
+            # plan: merged sums / merged ROW counts
+            assert set(got) == set(want)
+            for k in want:
+                assert abs(got[k] - want[k]) <= 1e-9 * max(abs(want[k]), 1), \
+                    (k, got[k], want[k])
+        else:
+            # count/min/max and hll (register-exact merge) are identical
+            assert got == want, (m, got, want)
