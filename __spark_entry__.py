@@ -545,10 +545,22 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         from aresdb_spark.operators import text as X
         return f"SELECT doc_id, {X.fingerprint_oracle_sql('text')} AS fp FROM documents"
 
+    def q_gopher(spark, sf_dir):
+        """Gopher rule-based quality gates (Rae et al. arXiv:2112.11446
+        A1.1): per-rule booleans + keep conjunction, zero-shuffle scan
+        expressions."""
+        from aresdb_spark.operators import text as X
+        return X.gopher_rules(_docs(spark, sf_dir))
+
+    def gopher_sql():
+        from aresdb_spark.operators import text as X
+        return X.gopher_rules_oracle_sql()
+
     out["text_token_counts"] = (q_token_counts, token_counts_sql())
     out["text_quality"] = (q_quality, quality_sql())
     out["text_language_id"] = (q_language, language_sql())
     out["text_fingerprint"] = (q_fingerprint, fingerprint_sql())
+    out["text_gopher_rules"] = (q_gopher, gopher_sql())
 
     # --- dedup ---
     def q_exact_dedup(spark, sf_dir):

@@ -310,3 +310,117 @@ def repetition_ratio_oracle_sql(col: str, n: int = 2) -> str:
     return (f"CASE WHEN len({toks}) >= {n} THEN "
             f"round(1.0 - len(list_distinct({grams})) / len({grams}), 8) "
             f"ELSE 0.0 END")
+
+
+# --- Gopher rule-based quality gates -----------------------------------------
+# The repetition-independent document filters of Rae et al., "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher"
+# (arXiv:2112.11446, Appendix A1.1 — public). Committed constants; each
+# rule is a pure scan-side expression with a DuckDB oracle twin, so the
+# per-rule booleans hash-match across engines.
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1           # '#' or '...' per word
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3     # lines ending in '...'
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9       # lines starting with a bullet
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8        # words containing a letter
+GOPHER_MIN_STOPWORD_HITS = 2            # distinct stopwords present
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document Gopher rule booleans + the conjunction (`keep`).
+
+    Zero-shuffle: one let-bound tokenization and one line split per row;
+    every rule is a JVM-side expression. At 100 TB this is a pure scan
+    projection — pushdown-friendly and safe to fuse with any downstream
+    filter (the standard usage: ``.filter("keep")`` before tokenizing)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda ln: F.trim(ln) != "")
+
+    def rules(tk: Column, lns: Column) -> Column:
+        n = F.size(tk)
+        n_lines = F.greatest(F.size(lns), F.lit(1)).cast("double")
+        mwl = _mean_len(tk)
+        symbol_ratio = F.round(
+            F.size(F.filter(tk, lambda t: t.contains("#")
+                            | t.contains("..."))) / F.greatest(n, F.lit(1)),
+            8)
+        ellipsis_frac = F.round(
+            F.size(F.filter(lns, lambda ln:
+                            F.trim(ln).endswith("..."))) / n_lines, 8)
+        bullet_frac = F.round(
+            F.size(F.filter(lns, lambda ln:
+                            F.trim(ln).rlike(r"^([-*•])\s"))) / n_lines,
+            8)
+        alpha_frac = F.round(
+            F.size(F.filter(tk, lambda t: t.rlike("[a-z]")))
+            / F.greatest(n, F.lit(1)), 8)
+        stop_hits = F.size(F.array_intersect(
+            F.array_distinct(tk),
+            F.array(*[F.lit(w) for w in STOPWORDS_EN])))
+        return F.struct(
+            ((n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS))
+            .alias("r_word_count"),
+            ((mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX))
+            .alias("r_mean_word_len"),
+            (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO).alias("r_symbols"),
+            (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+            .alias("r_ellipsis_lines"),
+            (bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC)
+            .alias("r_bullet_lines"),
+            (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC).alias("r_alpha_words"),
+            (stop_hits >= GOPHER_MIN_STOPWORD_HITS).alias("r_stopwords"),
+        )
+
+    s = _let(toks, lambda tk: _let(lines, lambda lns: rules(tk, lns)))
+    flags = ["r_word_count", "r_mean_word_len", "r_symbols",
+             "r_ellipsis_lines", "r_bullet_lines", "r_alpha_words",
+             "r_stopwords"]
+    out = df.withColumn("__g", s).select(
+        id_col, *[f"__g.{f}" for f in flags])
+    keep = F.lit(True)
+    for f in flags:
+        keep = keep & F.col(f)
+    return out.withColumn("keep", keep)
+
+
+def gopher_rules_oracle_sql(table: str = "documents", text_col: str = "text",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB twin of gopher_rules: same tokenization, same rounded
+    ratios, same committed thresholds."""
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    lines = (f"list_filter(regexp_split_to_array({text_col}, chr(10)), "
+             f"ln -> trim(ln) <> '')")
+    n = f"len(tk)"
+    nd = f"greatest(len(tk), 1)"
+    n_lines = "greatest(len(lns), 1)"
+    mwl = "list_sum(list_transform(tk, t -> len(t))) / greatest(len(tk), 1)"
+    symbol_ratio = ("round(len(list_filter(tk, t -> contains(t, '#') OR "
+                    f"contains(t, '...'))) / {nd}, 8)")
+    ellipsis = ("round(len(list_filter(lns, ln -> suffix(trim(ln), '...')))"
+                f" / {n_lines}, 8)")
+    bullet = ("round(len(list_filter(lns, ln -> "
+              "regexp_matches(trim(ln), '^([-*\u2022])\\s')))"
+              f" / {n_lines}, 8)")
+    alpha = ("round(len(list_filter(tk, t -> regexp_matches(t, '[a-z]')))"
+             f" / {nd}, 8)")
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    stop_hits = (f"len(list_intersect(list_distinct(tk), [{stops}]))")
+    rules = {
+        "r_word_count": f"({n} >= {GOPHER_MIN_WORDS} AND {n} <= {GOPHER_MAX_WORDS})",
+        "r_mean_word_len": f"({mwl} >= {GOPHER_MWL_MIN} AND {mwl} <= {GOPHER_MWL_MAX})",
+        "r_symbols": f"({symbol_ratio} <= {GOPHER_MAX_SYMBOL_RATIO})",
+        "r_ellipsis_lines": f"({ellipsis} <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC})",
+        "r_bullet_lines": f"({bullet} <= {GOPHER_MAX_BULLET_LINE_FRAC})",
+        "r_alpha_words": f"({alpha} >= {GOPHER_MIN_ALPHA_WORD_FRAC})",
+        "r_stopwords": f"({stop_hits} >= {GOPHER_MIN_STOPWORD_HITS})",
+    }
+    cols = ",\n               ".join(f"{e} AS {k}" for k, e in rules.items())
+    conj = " AND ".join(rules.values())
+    return (f"SELECT {id_col},\n               {cols},\n"
+            f"               ({conj}) AS keep\n"
+            f"        FROM (SELECT {id_col}, {toks} AS tk, {lines} AS lns "
+            f"FROM {table})")

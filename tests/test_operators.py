@@ -59,6 +59,46 @@ def test_fingerprint(spark, duck):
     """)
 
 
+def test_gopher_rules_matches_oracle(spark, duck):
+    """Per-rule booleans + keep conjunction hash-match the DuckDB twin on
+    the document corpus (Rae et al. arXiv:2112.11446 A1.1 rule set,
+    committed thresholds)."""
+    from aresdb_spark.operators import text as X
+
+    df = X.gopher_rules(_docs(spark))
+    assert_df_matches_duck(df, duck, X.gopher_rules_oracle_sql())
+
+
+def test_gopher_rules_planted_violations(spark):
+    """Each rule trips on a crafted violating document and passes on a
+    clean one."""
+    from aresdb_spark.operators import text as X
+
+    clean = ("the project is a good example of clear writing and it "
+             "covers many of the topics that people want to read about "
+             "in plain language for the benefit of the whole team "
+             "today " * 2)
+    rows = [
+        (0, clean),                                   # keeps
+        (1, "too short"),                             # r_word_count
+        (2, " ".join(["a"] * 60)),                    # r_mean_word_len low
+        (3, " ".join(["the"] + ["#tag"] * 59)),       # r_symbols
+        (4, "\n".join([("the line of it is ..." )] * 10) + " " +
+            " ".join(["and"] * 40)),                  # r_ellipsis_lines
+        (5, " ".join(["12345678"] * 60) + " the of"), # r_alpha_words
+        (6, " ".join(["zebra"] * 60)),                # r_stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict() for r in X.gopher_rules(df).collect()}
+    assert got[0]["keep"] is True
+    assert got[1]["r_word_count"] is False and got[1]["keep"] is False
+    assert got[2]["r_mean_word_len"] is False
+    assert got[3]["r_symbols"] is False
+    assert got[4]["r_ellipsis_lines"] is False
+    assert got[5]["r_alpha_words"] is False
+    assert got[6]["r_stopwords"] is False
+
+
 def test_bpe_token_count(spark, duck):
     from aresdb_spark.operators import text as X
 
