@@ -249,6 +249,13 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
         raise ValueError("sharded execution requires at least one shard")
     q = query_from_json(query) if isinstance(query, dict) \
         else copy.deepcopy(query)
+    if not _is_aggregate_query(q):
+        # the broker's NON-agg plan (query_plan_non_agg.go:164-309):
+        # datanode row streams append in order under a running limit
+        from aresdb_spark.aql.merge import merge_matrix_results
+        parts = [execute_query(spark, Catalog(d), copy.deepcopy(q))
+                 for d in shard_dirs]
+        return merge_matrix_results(parts, limit=q.limit)
     if len(q.measures) != 1:
         raise ValueError("sharded execution requires exactly one "
                          "aggregate measure (the broker's plan rule)")

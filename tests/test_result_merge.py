@@ -165,3 +165,30 @@ def test_execute_query_sharded_scatter_gather_identity(spark, tmp_path):
         else:
             # count/min/max and hll (register-exact merge) are identical
             assert got == want, (m, got, want)
+
+
+def test_execute_query_sharded_non_agg_gather(spark, tmp_path):
+    """The broker's non-agg plan through the sharded executor: per-shard
+    row streams append in shard order under the running limit
+    (query_plan_non_agg.go getRowsWanted), headers identical."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql.api import execute_query_sharded
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).write.mode("overwrite")
+         .parquet(str(tmp_path / f"shard{i}" / "events.parquet")))
+    shards = [str(tmp_path / "shard0"), str(tmp_path / "shard1")]
+
+    got = execute_query_sharded(spark, shards, {
+        "table": "events",
+        "measures": [{"sqlExpression": "1"}],
+        "dimensions": [{"alias": "event_id", "sqlExpression": "event_id"}],
+        "sorts": [{"sqlExpression": "event_id"}],
+        "limit": 7})
+    assert got["headers"] == ["event_id"]
+    assert len(got["matrixData"]) == 7
+    ids = [int(r[0]) for r in got["matrixData"]]
+    # the first shard (even ids) fills the whole budget before shard 1
+    assert all(i % 2 == 0 for i in ids) and ids == sorted(ids)
