@@ -384,6 +384,21 @@ class Planner:
                                      [ast.args[1], ast.args[0]])
                 cond = E.compile_ast(ast, self._resolver(aliases, q))
                 if negated:
+                    # the reference kernel removes NULL points from BOTH
+                    # the in and not-in results (a null test point writes
+                    # !inOrOut to the predicate and GeoRemoveFilter drops
+                    # it either way — iterator.hpp:1378-1388,
+                    # geo_intersects.cu:217-228); the anti join alone
+                    # would keep them, so filter them out first
+                    fact_resolver = self._resolver(aliases - {j.name}, q)
+                    for parg in (isinstance(ast, E.Call)
+                                 and ast.args[1:] or []):
+                        pc = E.compile_ast(parg, fact_resolver)
+                        if len(ast.args) == 2:  # struct point column
+                            df = df.filter(pc["lat"].isNotNull()
+                                           & pc["long"].isNotNull())
+                        else:                   # (shape, lat, lng) form
+                            df = df.filter(pc.isNotNull())
                     df = df.join(F.broadcast(dim), on=cond, how="left_anti")
                     aliases.discard(j.name)  # anti join exposes no dim columns
                 else:
