@@ -212,6 +212,14 @@ def _stress_queries():
         return duplicate_clusters(docs, threshold=0.5, algorithm="star") \
             .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
 
+    def q15_sem(spark, sf):
+        # bounded within-cluster self-join class (Σ cluster² cost model)
+        from aresdb_spark.operators.similarity import semantic_dedup
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return semantic_dedup(emb, threshold=0.4) \
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.sum(F.col("keep").cast("int")).alias("kept"))
+
     return {
         "q1_count_hourly": base["q1_count_hourly"],      # scan+agg class
         "q7_minhash_neardup": base["q7_minhash_neardup"],
@@ -220,6 +228,7 @@ def _stress_queries():
         "q12_dedup_clusters": base["q12_dedup_clusters"],
         "q12s_dedup_clusters_star": q12s,
         "q13_asof_join": base["q13_asof_join"],
+        "q15_semantic_dedup": q15_sem,   # within-cluster self-join class
     }
 
 
