@@ -762,3 +762,35 @@ def test_shared_substring_pairs(spark, duck):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
     # 12-token passage → 3 distinct shared 10-token windows
     assert pairs[0]["shared_windows"] == 3
+
+
+def test_semantic_dedup_property_vs_numpy(spark):
+    """Deterministic parity with a driver-side numpy reference of the
+    same rule (same fixed centroids, same 6dp rounding): keep ⇔ no
+    lower-id same-cluster vector with cosine ≥ threshold. Randomized
+    corpora via hypothesis-style seeds, executed as one batch."""
+    import numpy as np
+
+    from aresdb_spark.operators import similarity as S
+
+    dim, n_clusters, threshold = 6, 4, 0.8
+    cents = S.ivf_centroids(dim, n_clusters)
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 25))
+        V = rng.standard_normal((n, dim))
+        V[rng.integers(0, n)] = V[0] * 2.0  # planted scaled duplicate
+        rows = [(i, V[i].tolist()) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        got = {r["vec_id"]: (r["cluster"], r["keep"])
+               for r in S.semantic_dedup(df, threshold=threshold,
+                                         n_clusters=n_clusters,
+                                         dim=dim).collect()}
+
+        assign = np.argmax(np.round(V @ cents.T, 6), axis=1) + 1
+        norms = np.linalg.norm(V, axis=1)
+        cos = np.round((V @ V.T) / np.outer(norms, norms), 6)
+        for i in range(n):
+            dominated = any(j < i and assign[j] == assign[i]
+                            and cos[i, j] >= threshold for j in range(n))
+            assert got[i] == (assign[i], not dominated), (seed, i, got[i])
