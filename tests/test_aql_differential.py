@@ -734,3 +734,37 @@ def array_fn_query_pair(draw):
 @given(pair=array_fn_query_pair())
 def test_fuzz_array_functions_match_duckdb(spark, duck, pair):
     _run_both(spark, duck, *pair)
+
+
+@settings(max_examples=max(N_EXAMPLES // 2, 5), deadline=None,
+          derandomize=DERANDOMIZE,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(pair=composite_query_pair())
+def test_fuzz_composite_derived_only_front_door(spark, duck, pair):
+    """The ADVICE-r5 bug class, fuzzed at the FRONT DOOR: a composite
+    whose outer SELECT keeps only the derived ratio (every WITH leg a
+    supporting measure) must shape as the nested aggregate map — and its
+    values must match DuckDB's single-pass twin."""
+    dialect_sql, oracle = pair
+    # rewrite the OUTER select (the last " SELECT ") to keep only the
+    # derived ratio term
+    head, outer = dialect_sql.rsplit(" SELECT ", 1)
+    sel, rel = outer.split(" FROM ", 1)
+    ratio_term = sel.rsplit(", ", 1)[1]        # "legA/legB AS ratio"
+    dialect_only = f"{head} SELECT {ratio_term} FROM {rel}"
+
+    from aresdb_spark.aql.sql import execute_sql
+    res = execute_sql(spark, SF_DIR, dialect_only)
+    assert "matrixData" not in res  # aggregate-shaped, not a matrix
+
+    want_rows = duck.execute(
+        f"SELECT d0, ratio FROM ({oracle})").fetchall()
+    want = {"NULL" if d is None else str(d): r for d, r in want_rows}
+    assert set(res) == set(want)
+    for k, v in want.items():
+        got = res[k]
+        if v is None:
+            assert got is None, (k, got)
+        else:
+            assert got == pytest.approx(v, rel=1e-9), (k, got, v)
