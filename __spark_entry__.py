@@ -708,7 +708,10 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         epsilon-group. Threshold 0.4 exercises a real keep/drop mix on
         the synthetic embeddings."""
         from aresdb_spark.operators import similarity as S
-        return S.semantic_dedup(_emb(spark, sf_dir), threshold=0.4)
+        # n_clusters pinned to the oracle's (adaptive sizing would pick
+        # the same 8 at this corpus size, but the tie must be explicit)
+        return S.semantic_dedup(_emb(spark, sf_dir), threshold=0.4,
+                                n_clusters=8)
 
     def semantic_dedup_sql():
         from aresdb_spark.operators import similarity as S

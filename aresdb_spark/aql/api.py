@@ -173,13 +173,20 @@ def execute_request(spark: SparkSession, catalog: Catalog | str,
 
 # --- application/hll response (reference api/query_handler.go:382-420) -------
 
-def _hll_result_tree(spark: SparkSession, catalog: Catalog,
-                     q: Query) -> dict:
+def _hll_result_tree(spark: SparkSession, catalog: Catalog, q: Query,
+                     register_cap: int = 8_000_000) -> dict:
     """One shard's nested AQL result with mergeable HLL SKETCH leaves
     (the form a datanode returns to the broker before ComputeHLLResult —
-    query/common/hll.go:505-527): dim-key strings level by level, an
-    ``HLL`` at each leaf, built from the reference-exact register
-    pipeline."""
+    query/common/hll.go:505-527): dim keys formatted exactly like
+    ``to_aggregate_result`` (same ``dim_key_formatters``/``_key``
+    pipeline, so a merged tree computes to the same shape as a
+    single-store ``execute_query``), an ``HLL`` at each leaf, built from
+    the reference-exact register pipeline. Measure-level row filters
+    merge into the WHERE set like the single-measure planner rule, and
+    the driver collect is bounded by ``register_cap``."""
+    import copy
+
+    from aresdb_spark.aql.result import _key, dim_key_formatters
     from aresdb_spark.functions.hll import hll_registers
     from aresdb_spark.functions.hll_wire import HLL
 
@@ -187,14 +194,31 @@ def _hll_result_tree(spark: SparkSession, catalog: Catalog,
     if not isinstance(ast, E.Call) or \
             ast.func not in ("hll", "countdistincthll"):
         raise ValueError("hll result tree requires an hll() measure")
+    if q.measures[0].filters:
+        q = copy.deepcopy(q)
+        q.filters = list(q.filters) + list(q.measures[0].filters)
     planner = Planner(spark, catalog)
     df, resolver, dim_cols, dim_names = planner._filtered_rows(q)
     rows = df.select(*dim_cols,
                      E.compile_ast(ast.args[0], resolver).alias("__hv_in"))
+    fmts = dim_key_formatters(q)
+    f32 = {n: t == "float" for n, t in rows.select(*dim_names).dtypes} \
+        if dim_names else {}
+
+    def kf(i, v):
+        if v is None or fmts[i] is None:
+            return _key(v, float32=f32.get(dim_names[i], False))
+        return fmts[i](v)
+
+    regs = hll_registers(rows, dim_names, "__hv_in")
+    collected = regs.limit(register_cap + 1).collect()
+    if len(collected) > register_cap:
+        raise ValueError(
+            f"hll register payload exceeds register cap ({register_cap}); "
+            "raise register_cap= or reduce dimension cardinality")
     groups: dict[tuple, list[tuple[int, int]]] = {}
-    for r in hll_registers(rows, dim_names, "__hv_in").collect():
-        key = tuple("NULL" if r[n] is None else str(r[n])
-                    for n in dim_names)
+    for r in collected:
+        key = tuple(kf(i, r[n]) for i, n in enumerate(dim_names))
         groups.setdefault(key, []).append((r["reg_index"], r["rho"]))
     result: dict = {}
     for key, sparse in groups.items():
@@ -251,11 +275,14 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
         else copy.deepcopy(query)
     if not _is_aggregate_query(q):
         # the broker's NON-agg plan (query_plan_non_agg.go:164-309):
-        # datanode row streams append in order under a running limit
+        # datanode row streams append in order under a running limit —
+        # the engine's default limit (1000, aql_compiler.go:38) is a
+        # GLOBAL budget, not per-shard, so it applies to the gather too
         from aresdb_spark.aql.merge import merge_matrix_results
         parts = [execute_query(spark, Catalog(d), copy.deepcopy(q))
                  for d in shard_dirs]
-        return merge_matrix_results(parts, limit=q.limit)
+        return merge_matrix_results(
+            parts, limit=q.limit if q.limit is not None else 1000)
     if len(q.measures) != 1:
         raise ValueError("sharded execution requires exactly one "
                          "aggregate measure (the broker's plan rule)")
@@ -263,6 +290,13 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
     if not isinstance(ast, E.Call):
         raise ValueError("sharded execution requires an aggregate measure")
     agg = ast.func.lower()
+
+    # per-shard aggregate subqueries must see EVERY group: a per-shard
+    # limit/sort would truncate a different group set on each shard and
+    # merge partial sums silently (the broker also merges full partials
+    # and leaves topN to post-processing)
+    q = copy.deepcopy(q)
+    q.limit, q.sorts = None, []
 
     def scatter(qq: Query, kind: str) -> dict:
         parts = [execute_query(spark, Catalog(d), copy.deepcopy(qq))
@@ -275,11 +309,18 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
     if agg in ("count", "sum", "min", "max"):
         return scatter(q, agg)
     if agg == "avg":
+        # two-phase avg: a sum scatter and a count scatter, leaf-divided.
+        # The count leg counts rows where the argument is NON-NULL so the
+        # merged ratio equals the single-store Spark avg (null-skipping);
+        # count(x) alone would be a row count per the reference-compiler
+        # parity rule and silently shift the average on NULLs.
+        arg = re.match(r"\s*avg\s*\((.*)\)\s*$", q.measures[0].expr,
+                       re.I | re.S).group(1)
         qs = copy.deepcopy(q)
-        qs.measures[0].expr = re.sub(r"^\s*avg", "sum",
-                                     qs.measures[0].expr, flags=re.I)
+        qs.measures[0].expr = f"sum({arg})"
         qc = copy.deepcopy(q)
         qc.measures[0].expr = "count(*)"
+        qc.filters = list(qc.filters) + [f"not (({arg}) is null)"]
         return merge_aggregate_results(scatter(qs, "sum"),
                                        scatter(qc, "count"), "avg")
     if agg in ("hll", "countdistincthll"):

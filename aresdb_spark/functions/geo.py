@@ -96,7 +96,11 @@ def wkt_to_geo_shape(col: Column) -> Column:
     string) to ``geography_intersects``."""
     body = F.regexp_replace(F.lower(col), r"^[polygon() ]*", "")
     body = F.regexp_replace(body, r"[polygon() ]*$", "")
-    rings = F.split(body, r"\)\s*,\s*\(")
+    # ring split matches GeoShapeFromString's regex EXACTLY (no space
+    # before the comma) so ingest-side and query-side accept the same
+    # inputs — a lenient variant here would parse strings the wire
+    # codec's parser rejects
+    rings = F.split(body, r"\),\s*\(")
 
     def parse_pair(pair: Column) -> Column:
         parts = F.split(F.trim(pair), r"\s+")

@@ -415,7 +415,7 @@ WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
 
 def duplicate_clusters(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", threshold: float = 0.5,
-                       max_rounds: int = 10,
+                       max_rounds: "int | None" = None,
                        algorithm: str = "hashmin") -> DataFrame:
     """Group documents into duplicate clusters: connected components of
     the MinHash near-duplicate graph, labeled by the minimum reachable
@@ -442,10 +442,16 @@ def duplicate_clusters(df: DataFrame, text_col: str = "text",
     truncation)."""
     edges = (minhash_near_duplicates(df, text_col, id_col, threshold=threshold)
              .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")))
+    # max_rounds=None keeps each variant's own default budget (hash-min
+    # 10 = O(diameter); star 20 = O(log n) + its confirmation round)
     if algorithm == "star":
-        labels = connected_components_star(edges, max_rounds=max_rounds)
+        labels = connected_components_star(
+            edges, **({} if max_rounds is None
+                      else {"max_rounds": max_rounds}))
     elif algorithm == "hashmin":
-        labels = connected_components(edges, max_rounds=max_rounds)
+        labels = connected_components(
+            edges, **({} if max_rounds is None
+                      else {"max_rounds": max_rounds}))
     else:
         raise ValueError(f"algorithm must be hashmin|star: {algorithm!r}")
     return (df.select(F.col(id_col).cast("long").alias("id"))

@@ -392,8 +392,9 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
 
 
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
-                   n_clusters: int = 8, dim: int = 64,
+                   n_clusters: "int | None" = None, dim: int = 64,
                    centroids: "np.ndarray | None" = None,
+                   target_cluster_size: int = 1000,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
@@ -405,13 +406,20 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
 
     100 TB shape: assignment is a scan-side expression (no UDF); the
     within-cluster self-join shuffles both sides once on the cluster key,
-    and pair cost is Σ cluster² — the paper's own cost model, controlled
-    by n_clusters (they use ~11k clusters for LAION-scale; size
-    n_clusters so the mean cluster fits a task). Keep = the minimum id of
-    each epsilon-group, a deterministic stand-in for the paper's random
-    exemplar. Default centroids are the fixed seeded ones
-    (``ivf_centroids``) so the DuckDB oracle can inline them; pass
-    md5-sample-trained centroids for real corpora."""
+    and pair cost is Σ cluster² — the paper's own cost model (they use
+    ~11k clusters for LAION-scale). With n_clusters=None the count is
+    sized from the corpus as ceil(n / target_cluster_size): FIXED
+    cluster size ⇒ pair count ≈ n × target_cluster_size, LINEAR in
+    corpus size (a fixed cluster COUNT would be n²/k — measured 8.8x
+    wall at 10x data in the sf1 stress tier before this was adaptive).
+    Keep = the minimum id of each epsilon-group, a deterministic
+    stand-in for the paper's random exemplar. Default centroids are the
+    fixed seeded ones (``ivf_centroids``) so the DuckDB oracle can
+    inline them; pass md5-sample-trained centroids for real corpora."""
+    import math
+
+    if centroids is None and n_clusters is None:
+        n_clusters = max(8, math.ceil(df.count() / target_cluster_size))
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_clusters)
     assigned = df.select(

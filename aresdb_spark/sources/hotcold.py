@@ -59,10 +59,13 @@ class ConcurrentWriteError(RuntimeError):
 @contextmanager
 def _single_writer(path: str):
     """Advisory single-writer lock for a store directory: O_EXCL lock
-    file held across the mutation, released on success OR error. A
-    crashed writer leaves the lock behind on purpose — the directory may
-    hold a half-written rewrite and needs operator attention; delete the
-    named file to release."""
+    file held across the mutation, released on success AND on an
+    in-process error (the writer is finished either way; like the
+    reference's WriterLock, holding the lock would not repair a
+    half-applied mutation). Only a KILLED process leaves the lock
+    behind — that stale lock is deliberate: the directory may hold a
+    half-written rewrite and needs operator attention; delete the named
+    file to release."""
     lock = os.path.join(path, "_writer.lock")
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)

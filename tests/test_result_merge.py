@@ -4,6 +4,7 @@ divides a sum tree by a count tree and errors on shape mismatch, maps
 union recursively, type mismatches error)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from aresdb_spark.aql.merge import ResultMergeError, merge_aggregate_results
 
@@ -192,3 +193,72 @@ def test_execute_query_sharded_non_agg_gather(spark, tmp_path):
     ids = [int(r[0]) for r in got["matrixData"]]
     # the first shard (even ids) fills the whole budget before shard 1
     assert all(i % 2 == 0 for i in ids) and ids == sorted(ids)
+
+
+def test_sharded_avg_null_skipping_matches_single_store(spark, tmp_path):
+    """Sharded avg must equal single-store Spark avg when the measure
+    column holds NULLs: the count scatter counts NON-NULL rows, not all
+    rows (review r6 fix — sum/rowcount would silently shift the mean)."""
+    from aresdb_spark.aql.api import execute_query, execute_query_sharded
+
+    rows = [(i, "a" if i % 2 else "b",
+             None if i % 3 == 0 else float(i)) for i in range(20)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, "
+                                     "value double")
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).write.mode("overwrite")
+         .parquet(str(tmp_path / f"s{i}" / "events.parquet")))
+    q = {"table": "events",
+         "measures": [{"alias": "v", "sqlExpression": "avg(value)"}],
+         "dimensions": [{"alias": "et", "sqlExpression": "event_type"}]}
+    got = execute_query_sharded(
+        spark, [str(tmp_path / "s0"), str(tmp_path / "s1")], q)
+    whole = str(tmp_path / "whole")
+    ev.write.parquet(f"{whole}/events.parquet")
+    want = execute_query(spark, whole, q)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12), (k, got, want)
+
+
+def test_sharded_agg_ignores_per_shard_limit(spark, tmp_path):
+    """A limit on an aggregate query must NOT truncate per-shard group
+    sets before the merge (partial sums would be silently wrong); the
+    scatter strips it and merges full partials."""
+    from aresdb_spark.aql.api import execute_query_sharded
+
+    rows = [(i, f"g{i % 10}", 1.0) for i in range(100)]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, "
+                                     "value double")
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).write.mode("overwrite")
+         .parquet(str(tmp_path / f"s{i}" / "events.parquet")))
+    got = execute_query_sharded(
+        spark, [str(tmp_path / "s0"), str(tmp_path / "s1")], {
+            "table": "events",
+            "measures": [{"alias": "v", "sqlExpression": "count(*)"}],
+            "dimensions": [{"alias": "et", "sqlExpression": "event_type"}],
+            "limit": 3})
+    assert got == {f"g{i}": 10 for i in range(10)}
+
+
+def test_sharded_hll_measure_filter_and_time_keys(spark, tmp_path):
+    """The hll scatter honors measure-level row filters and formats dim
+    keys through the same pipeline as execute_query (epoch-derived
+    bucket keys, not str(datetime)) — merged trees compute to the same
+    dict as the single store."""
+    from aresdb_spark.aql.api import execute_query, execute_query_sharded
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for i in (0, 1):
+        (ev.filter(F.col("event_id") % 2 == i).write.mode("overwrite")
+         .parquet(str(tmp_path / f"s{i}" / "events.parquet")))
+    q = {"table": "events",
+         "measures": [{"alias": "v", "sqlExpression": "hll(user_id)",
+                       "rowFilters": ["event_type = 'click'"]}],
+         "dimensions": [{"alias": "d", "sqlExpression": "ts",
+                         "timeBucketizer": "d"}]}
+    got = execute_query_sharded(
+        spark, [str(tmp_path / "s0"), str(tmp_path / "s1")], q)
+    want = execute_query(spark, "/root/testdata/sf0.001", q)
+    assert got == want
