@@ -394,7 +394,7 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
 def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    n_clusters: "int | None" = None, dim: int = 64,
                    centroids: "np.ndarray | None" = None,
-                   target_cluster_size: int = 1000,
+                   target_cluster_size: int = 250,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
@@ -411,7 +411,9 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     sized from the corpus as ceil(n / target_cluster_size): FIXED
     cluster size ⇒ pair count ≈ n × target_cluster_size, LINEAR in
     corpus size (a fixed cluster COUNT would be n²/k — measured 8.8x
-    wall at 10x data in the sf1 stress tier before this was adaptive).
+    wall at 10x data in the sf1 stress tier before this was adaptive;
+    2.6x after; target 250 keeps the per-cluster pair block ~31k
+    cosines, sized for one task).
     Keep = the minimum id of each epsilon-group, a deterministic
     stand-in for the paper's random exemplar. Default centroids are the
     fixed seeded ones (``ivf_centroids``) so the DuckDB oracle can
