@@ -101,6 +101,10 @@ class HotColdStore:
     def cold_path(self) -> str:
         return os.path.join(self.path, "cold")
 
+    @property
+    def backfill_path(self) -> str:
+        return os.path.join(self.path, "backfill")
+
     # -- bootstrap -----------------------------------------------------------
 
     def init_from(self, df: DataFrame, cutoff: datetime) -> None:
@@ -157,7 +161,12 @@ class HotColdStore:
         cutoff, hot rows at/above it (reference cutoff filter,
         query/aql_processor.go:543-570). Rows present on both sides of
         the boundary (e.g. archived but not yet compacted out of hot) are
-        never double-counted because each side is filtered."""
+        never double-counted because each side is filtered. Rows sitting
+        in the deferred-backfill queue are NOT visible until
+        ``flush_backfill`` folds them into cold — same as the reference,
+        where backfill-buffered records only become queryable once the
+        backfill job merges them into archive batches
+        (memstore/backfill.go)."""
         cut = F.lit(_utc_naive(cutoff))
         cold = self.read_cold(spark).filter(F.col(self.time_column) < cut)
         hot = self.read_hot(spark).filter(F.col(self.time_column) >= cut)
@@ -168,13 +177,23 @@ class HotColdStore:
     def ingest(self, spark: SparkSession, batch: DataFrame, cutoff: datetime,
                seq_col: str | None = None,
                retention: datetime | None = None,
-               modes: "dict | None" = None) -> None:
+               modes: "dict | None" = None,
+               defer_backfill: bool = False) -> None:
         """Apply an upsert batch. Rows with event time >= cutoff merge into
         the hot store; older rows take the backfill path into cold
         (reference routes pre-cutoff records to the backfill queue,
         memstore/live_store.go:74-78). Rows older than `retention` are
         DROPPED on ingest (recordRetentionInDays,
         metastore/common/model.go:111-113).
+
+        With ``defer_backfill=True`` pre-cutoff rows are APPENDED to a
+        backfill queue directory instead of merging into cold inline —
+        the reference's BackfillManager buffer (backfill_manager.go:62-120):
+        the cold store is immutable between backfill jobs and ingest never
+        pays a cold rewrite. ``flush_backfill`` (the backfill job,
+        memstore/backfill.go) later folds the queue into cold in arrival
+        order. At 100 TB this is the only viable shape — an out-of-order
+        row must not trigger an archive rewrite per batch.
 
         Mutations are SINGLE-WRITER per store (like the reference's
         per-shard LiveStore.WriterLock, memstore/ingestion.go:44-62):
@@ -203,9 +222,69 @@ class HotColdStore:
                     self.read_hot(spark), hot_part, pk, modes, seq_col))
                 self._write_hot(merged.localCheckpoint(eager=True))
             if cold_part.limit(1).count():
-                merged = self._conform(apply_upsert_batch(
-                    self.read_cold(spark), cold_part, pk, modes, seq_col))
-                self._write_cold(merged.localCheckpoint(eager=True))
+                if defer_backfill:
+                    self._enqueue_backfill(cold_part)
+                else:
+                    merged = self._conform(apply_upsert_batch(
+                        self.read_cold(spark), cold_part, pk, modes, seq_col))
+                    self._write_cold(merged.localCheckpoint(eager=True))
+
+    # -- backfill queue (BackfillManager buffer, backfill_manager.go) ---------
+
+    def _enqueue_backfill(self, batch: DataFrame) -> None:
+        """Append one pre-cutoff batch to the queue under a monotonically
+        numbered subdir — arrival order IS replay order, like the redo-log
+        offsets the reference's backfill buffer keys on
+        (backfill_manager.go:84-120)."""
+        os.makedirs(self.backfill_path, exist_ok=True)
+        nxt = 1 + max((int(n.split("=")[1])
+                       for n in os.listdir(self.backfill_path)
+                       if n.startswith("batch=")), default=-1)
+        batch.write.mode("errorifexists").parquet(
+            os.path.join(self.backfill_path, f"batch={nxt}"))
+
+    def queued_backfill_batches(self) -> list[str]:
+        if not os.path.isdir(self.backfill_path):
+            return []
+        return sorted((n for n in os.listdir(self.backfill_path)
+                       if n.startswith("batch=")),
+                      key=lambda n: int(n.split("=")[1]))
+
+    def backfill_buffer_bytes(self) -> int:
+        """On-disk size of the queued backfill batches — the scheduler's
+        size-based trigger reads this the way the reference reads
+        ``CurrentBufferSize`` (backfill_manager.go:177-181)."""
+        total = 0
+        for name in self.queued_backfill_batches():
+            d = os.path.join(self.backfill_path, name)
+            total += sum(e.stat().st_size for e in os.scandir(d)
+                         if e.is_file())
+        return total
+
+    def flush_backfill(self, spark: SparkSession,
+                       seq_col: str | None = None,
+                       modes: "dict | None" = None) -> int:
+        """The backfill job (memstore/backfill.go): fold every queued
+        batch into the cold store IN ARRIVAL ORDER under the table's
+        update modes, then drop the queue. One cold rewrite per flush, no
+        matter how many batches queued. Returns the number of batches
+        flushed."""
+        with _single_writer(self.path):
+            names = self.queued_backfill_batches()
+            if not names:
+                return 0
+            modes = self.modes if modes is None else modes
+            base = self.read_cold(spark)
+            for name in names:
+                batch = spark.read.schema(self._schema()).parquet(
+                    os.path.join(self.backfill_path, name))
+                base = apply_upsert_batch(base, batch,
+                                          list(self.primary_key),
+                                          modes, seq_col)
+            self._write_cold(self._conform(base).localCheckpoint(eager=True))
+            for name in names:
+                shutil.rmtree(os.path.join(self.backfill_path, name))
+            return len(names)
 
     def _conform(self, df: DataFrame) -> DataFrame:
         """Cast merged output back to the declared store schema. Update
@@ -273,9 +352,33 @@ class DimensionStore:
         with open(os.path.join(self.path, "_schema.json")) as f:
             return StructType.fromJson(__import__("json").load(f))
 
-    def read(self, spark: SparkSession) -> DataFrame:
+    @property
+    def journal_path(self) -> str:
+        return os.path.join(self.path, "journal")
+
+    def _journal_batches(self) -> list[str]:
+        if not os.path.isdir(self.journal_path):
+            return []
+        return sorted((n for n in os.listdir(self.journal_path)
+                       if n.startswith("batch=")),
+                      key=lambda n: int(n.split("=")[1]))
+
+    def _read_snap(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(self._schema()).parquet(
             os.path.join(self.path, "snap"))
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current table state: last snapshot + journaled mutations
+        replayed in arrival order — the reference reconstructs dimension
+        state as snapshot + redo-log replay the same way
+        (memstore/recovery.go, snapshot branch)."""
+        base = self._read_snap(spark)
+        for name in self._journal_batches():
+            batch = spark.read.schema(self._schema()).parquet(
+                os.path.join(self.journal_path, name))
+            base = apply_upsert_batch(base, batch, list(self.primary_key),
+                                      self.modes, None)
+        return base
 
     def ingest(self, spark: SparkSession, batch: DataFrame,
                seq_col: str | None = None,
@@ -291,3 +394,60 @@ class DimensionStore:
             # checkpoint before overwriting the dir the read is lazy over
             merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
                 os.path.join(self.path, "snap"))
+            for name in self._journal_batches():
+                shutil.rmtree(os.path.join(self.journal_path, name))
+
+    # -- mutation journal (redo-log analog feeding the snapshot job) ----------
+
+    def journal_ingest(self, batch: DataFrame) -> None:
+        """Cheap ingest: APPEND the upsert batch to the mutation journal
+        instead of rewriting the snapshot — the reference's dimension
+        ingest path (rows land in the live store + redo log; disk state
+        only changes when the snapshot job runs,
+        memstore/ingestion.go:170-363). ``read`` replays the journal;
+        ``snapshot`` compacts it. Store-level update modes apply at
+        replay (per-batch mode overrides need the eager ``ingest``)."""
+        with _single_writer(self.path):
+            os.makedirs(self.journal_path, exist_ok=True)
+            nxt = 1 + max((int(n.split("=")[1])
+                           for n in os.listdir(self.journal_path)
+                           if n.startswith("batch=")), default=-1)
+            batch.write.mode("errorifexists").parquet(
+                os.path.join(self.journal_path, f"batch={nxt}"))
+
+    def num_mutations(self) -> int:
+        """Journaled mutation count since the last snapshot — what the
+        reference's SnapshotManager tracks as ``NumMutations``
+        (snapshot_manager.go:40-46): row count, not byte size."""
+        import pyarrow.parquet as pq
+        total = 0
+        for name in self._journal_batches():
+            d = os.path.join(self.journal_path, name)
+            for e in os.scandir(d):
+                if e.name.endswith(".parquet"):
+                    total += pq.ParquetFile(e.path).metadata.num_rows
+        return total
+
+    def snapshot(self, spark: SparkSession) -> int:
+        """The snapshot job (memstore/snapshot.go): persist current state
+        (snapshot + journal replay) as the new snapshot and truncate the
+        journal. Returns the number of mutations compacted."""
+        with _single_writer(self.path):
+            names = self._journal_batches()
+            if not names:
+                return 0
+            compacted = self.num_mutations()
+            base = self._read_snap(spark)
+            for name in names:
+                batch = spark.read.schema(self._schema()).parquet(
+                    os.path.join(self.journal_path, name))
+                base = apply_upsert_batch(base, batch,
+                                          list(self.primary_key),
+                                          self.modes, None)
+            base = base.select(
+                [F.col(f.name).cast(f.dataType) for f in self._schema()])
+            base.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+                os.path.join(self.path, "snap"))
+            for name in names:
+                shutil.rmtree(os.path.join(self.journal_path, name))
+            return compacted
