@@ -48,6 +48,15 @@ def _utc_naive(dt: datetime) -> datetime:
     return dt
 
 
+class MissingEventTimeError(ValueError):
+    """A fact-table upsert carried a NULL event time on a table that
+    does not allow it — the reference rejects the batch with "Event time
+    for row %d is null" (memstore/ingestion.go:228-230). Set
+    ``allow_missing_event_time=True`` (allowMissingEventTime,
+    metastore/common/model.go:123) to accept such rows into the hot
+    store instead."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """A second writer attempted a store mutation while one was in
     flight. Store mutations are full-directory parquet rewrites, so
@@ -92,6 +101,13 @@ class HotColdStore:
     primary_key: tuple[str, ...]
     sort_columns: tuple[str, ...] = ()
     modes: dict[str, UpdateMode | str] | None = None
+    # allowMissingEventTime (metastore/common/model.go:123): when False a
+    # fact-table row with NULL event time is REJECTED at ingest
+    # (ingestion.go:228-230 "Event time for row %d is null"); when True
+    # such rows live in the HOT store and never archive — the reference
+    # skips them in createArchivingPatches (archiving.go:150-165, pinned
+    # by the batch-120 golden in archiving_test.go:316-363).
+    allow_missing_event_time: bool = False
 
     @property
     def hot_path(self) -> str:
@@ -115,8 +131,10 @@ class HotColdStore:
         with open(os.path.join(self.path, "_schema.json"), "w") as f:
             f.write(df.schema.json())
         cut = F.lit(_utc_naive(cutoff))
-        self._write_cold(df.filter(F.col(self.time_column) < cut))
-        self._write_hot(df.filter(F.col(self.time_column) >= cut))
+        t = F.col(self.time_column)
+        self._write_cold(df.filter(t < cut))
+        # NULL event times (when allowed) belong to hot — they never archive
+        self._write_hot(df.filter((t >= cut) | t.isNull()))
         self._save_cutoff(cutoff)
 
     def _save_cutoff(self, cutoff: datetime) -> None:
@@ -168,8 +186,11 @@ class HotColdStore:
         backfill job merges them into archive batches
         (memstore/backfill.go)."""
         cut = F.lit(_utc_naive(cutoff))
-        cold = self.read_cold(spark).filter(F.col(self.time_column) < cut)
-        hot = self.read_hot(spark).filter(F.col(self.time_column) >= cut)
+        t = F.col(self.time_column)
+        cold = self.read_cold(spark).filter(t < cut)
+        # NULL-event-time rows (allow_missing_event_time) exist only in
+        # hot, so including them here can never double-count
+        hot = self.read_hot(spark).filter((t >= cut) | t.isNull())
         return cold.unionByName(hot)
 
     # -- write path ----------------------------------------------------------
@@ -202,14 +223,27 @@ class HotColdStore:
         batch. The advisory lock turns that race into a loud
         ConcurrentWriteError instead."""
         with _single_writer(self.path):
+            t = F.col(self.time_column)
+            if not self.allow_missing_event_time:
+                # reference rejects the whole batch on the first NULL
+                # event time (ingestion.go:228-230)
+                n_null = batch.filter(t.isNull()).count()
+                if n_null:
+                    raise MissingEventTimeError(
+                        f"event time ({self.time_column}) is null for "
+                        f"{n_null} row(s) and the table does not allow "
+                        f"missing event time (allowMissingEventTime)")
             if retention is not None:
                 batch = batch.filter(
-                    F.col(self.time_column) >= F.lit(_utc_naive(retention)))
+                    (t >= F.lit(_utc_naive(retention))) | t.isNull())
             cut = F.lit(_utc_naive(cutoff))
             pk = list(self.primary_key)
 
-            hot_part = batch.filter(F.col(self.time_column) >= cut)
-            cold_part = batch.filter(F.col(self.time_column) < cut)
+            # NULL event times route to hot: the reference keeps
+            # missing-event-time records in the live store, keyed by
+            # arrival time (ingestion.go:230-235)
+            hot_part = batch.filter((t >= cut) | t.isNull())
+            cold_part = batch.filter(t < cut)
             # batch-scoped override (e.g. a wire batch's own update modes)
             # without mutating the store's configured defaults
             modes = self.modes if modes is None else modes
@@ -303,8 +337,13 @@ class HotColdStore:
         with _single_writer(self.path):
             cut = F.lit(_utc_naive(new_cutoff))
             hot = self.read_hot(spark)
-            to_cold = hot.filter(F.col(self.time_column) < cut)
-            stay_hot = hot.filter(F.col(self.time_column) >= cut)
+            t = F.col(self.time_column)
+            to_cold = hot.filter(t < cut)
+            # NULL-event-time rows never archive — the reference skips
+            # them in createArchivingPatches (archiving.go:150-165,
+            # batch-120 golden); without the isNull() arm they would be
+            # silently DELETED here (in neither filter's output)
+            stay_hot = hot.filter((t >= cut) | t.isNull())
             if to_cold.limit(1).count():
                 merged_cold = self.read_cold(spark).unionByName(to_cold)
                 self._write_cold(merged_cold.localCheckpoint(eager=True))

@@ -36,9 +36,16 @@ def decode_json_values(raw: DataFrame, value_schema: StructType,
     out = raw.select(
         F.from_json(F.col(value_col).cast("string"), value_schema).alias("v"))
     # reference skips undecodable messages (DecodeMsg returns the error and
-    # the message is dropped, json_decoder.go:28-35); from_json yields a
-    # NULL struct for malformed input — filter it out to match
-    return out.filter(F.col("v").isNotNull()).select("v.*")
+    # the message is dropped, json_decoder.go:28-35). from_json yields a
+    # NULL struct for malformed input — but for PARTIALLY corrupt records
+    # (input starting with '{' that fails mid-parse) PERMISSIVE mode yields
+    # a non-null struct whose fields are all NULL, so require at least one
+    # decoded field. (A legitimately all-null message decodes to the same
+    # thing and is equally undeliverable: no primary key, no event time.)
+    decoded_any = F.lit(False)
+    for f in value_schema.fields:
+        decoded_any = decoded_any | F.col(f"v.{f.name}").isNotNull()
+    return out.filter(F.col("v").isNotNull() & decoded_any).select("v.*")
 
 
 def kafka_source(spark: SparkSession, brokers: str, topic: str,

@@ -58,6 +58,8 @@ def _parse_item(item: str, is_array: bool, dtype: str = "Uint32"):
             return s == "true"
         if dtype.startswith("Float"):
             return float(s)
+        if dtype == "UUID":
+            return s
         return int(s)
 
     if item == "null":
