@@ -766,6 +766,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     """
     out["stream_hotcold_upsert"] = (q_hotcold, hotcold_sql)
 
+    # --- deferred backfill + lifecycle scheduler (SURVEY §2.1, §2.9;
+    # reference BackfillManager buffer backfill_manager.go:62-120 and the
+    # scheduler's size-triggered backfill job job_manager.go:189-236):
+    # late rows queue instead of rewriting cold; the scheduler tick folds
+    # them in, after which the union view includes the updates ---
+    def q_backfill_scheduler(spark, sf_dir):
+        import tempfile
+        from datetime import datetime
+
+        from aresdb_spark.metastore import DEFAULT_TABLE_CONFIG
+        from aresdb_spark.sources.hotcold import HotColdStore
+        from aresdb_spark.sources.lifecycle import (
+            ARCHIVING, Scheduler, TableLifecycle)
+
+        ev = _events(spark, sf_dir)
+        cutoff = datetime(2024, 1, 20)
+        store = HotColdStore(
+            path=tempfile.mkdtemp(prefix="aresdb_backfill_"),
+            time_column="ts", primary_key=("event_id",),
+            sort_columns=("ts", "user_id"), modes={"value": "add"})
+        store.init_from(ev, cutoff)
+        # deterministic LATE batch: pre-cutoff rows on event_id % 11 == 0,
+        # +500 value each (additive mode); deferred — queued, not merged
+        late = (ev.filter((F.col("event_id") % 11 == 0)
+                          & (F.col("ts") < F.lit(cutoff)))
+                .withColumn("value", F.lit(500.0)))
+        store.ingest(spark, late, cutoff, defer_backfill=True)
+        # one scheduler tick; threshold 1 byte makes the size-based
+        # backfill trigger fire (backfill_manager.go:177-181), archiving
+        # disabled to isolate the backfill job (EnableJobType analog)
+        cfg = {**DEFAULT_TABLE_CONFIG, "backfillThresholdInBytes": 1}
+        sched = Scheduler([TableLifecycle(name="events", store=store,
+                                          config=cfg)])
+        sched.enable_job_type(ARCHIVING, False)
+        ran = sched.run_once(spark, datetime(2024, 1, 21))
+        assert "events|0|backfill" in ran, ran
+        return (store.read(spark, cutoff)
+                .groupBy(F.col("event_type").alias("et"))
+                .agg(F.count("*").alias("cnt"),
+                     F.round(F.sum("value"), 4).alias("sv")))
+
+    backfill_scheduler_sql = """
+        SELECT event_type AS et, count(*) AS cnt,
+               round(sum(value + CASE WHEN event_id % 11 = 0
+                                       AND ts < TIMESTAMP '2024-01-20'
+                                      THEN 500.0 ELSE 0 END), 4) AS sv
+        FROM events GROUP BY 1
+    """
+    out["stream_backfill_scheduler"] = (q_backfill_scheduler,
+                                        backfill_scheduler_sql)
+
     # --- geo join through the planner (SURVEY §2.3): points derived
     # deterministically from events, rectangle shapes (one with a hole) so
     # the DuckDB oracle is exact range logic ---
