@@ -328,25 +328,42 @@ class HotColdStore:
         return df.select(
             [F.col(f.name).cast(f.dataType) for f in self._schema()])
 
-    def archive(self, spark: SparkSession, new_cutoff: datetime) -> None:
+    def archive(self, spark: SparkSession, new_cutoff: datetime,
+                arrival_column: str | None = None) -> None:
         """Advance the cutoff: move hot rows older than `new_cutoff` into
         the cold store (sorted, day-partitioned) and compact them out of
         hot — the reference's daily archiving job (memstore/archiving.go).
         Takes the same single-writer lock as ingest (the reference's
-        archiving job competes for the identical WriterLock)."""
+        archiving job competes for the identical WriterLock).
+
+        NULL-event-time rows (allow_missing_event_time) never archive —
+        the reference skips them in createArchivingPatches
+        (archiving.go:150-165, batch-120 golden). They are EXPIRED here
+        instead when ``arrival_column`` is given: a null-time row whose
+        arrival time has fallen below the cutoff is dropped, the
+        row-level analog of the reference purging live batches with
+        ``MaxArrivalTime < cutoff`` after archiving (getBatchIDsToPurge,
+        archiving.go:145-171; "event with invalid event time will be
+        ignored once arrival time is older than archiving cutoff",
+        ingestion.go:231-235). Without an arrival column, null-time rows
+        stay in hot indefinitely — the caller owns their lifecycle."""
         with _single_writer(self.path):
             cut = F.lit(_utc_naive(new_cutoff))
             hot = self.read_hot(spark)
             t = F.col(self.time_column)
             to_cold = hot.filter(t < cut)
-            # NULL-event-time rows never archive — the reference skips
-            # them in createArchivingPatches (archiving.go:150-165,
-            # batch-120 golden); without the isNull() arm they would be
-            # silently DELETED here (in neither filter's output)
-            stay_hot = hot.filter((t >= cut) | t.isNull())
+            keep_null = t.isNull()
+            if arrival_column is not None:
+                keep_null = keep_null & (F.col(arrival_column) >= cut)
+            # without the null arm, null-time rows would be silently
+            # DELETED here (in neither filter's output)
+            stay_hot = hot.filter((t >= cut) | keep_null)
             if to_cold.limit(1).count():
                 merged_cold = self.read_cold(spark).unionByName(to_cold)
                 self._write_cold(merged_cold.localCheckpoint(eager=True))
+                self._write_hot(stay_hot.localCheckpoint(eager=True))
+            elif arrival_column is not None:
+                # no rows to archive, but expired null-time rows still purge
                 self._write_hot(stay_hot.localCheckpoint(eager=True))
             self._save_cutoff(new_cutoff)
 

@@ -246,3 +246,36 @@ def test_ingest_rejects_null_event_time_by_default(spark, tmp_path):
     allowed.init_from(base, cutoff=datetime(2024, 1, 1))
     allowed.ingest(spark, bad, cutoff=datetime(2024, 1, 1))
     assert {r.id for r in allowed.read_hot(spark).collect()} == {1, 2}
+
+
+def test_archive_expires_null_time_rows_by_arrival(spark, tmp_path):
+    """getBatchIDsToPurge (archiving.go:145-171): with
+    allowMissingEventTime, a live batch whose rows are all below the
+    cutoff is purged only once its max ARRIVAL time is also below the
+    cutoff ("purge live batch with missing event time" golden,
+    archiving_test.go:366-395). Row-level analog: archive() with an
+    arrival column drops null-time rows whose arrival expired, keeps
+    the rest."""
+    from datetime import datetime
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    store = HotColdStore(str(tmp_path / "t"), time_column="ts",
+                         primary_key=["id"], allow_missing_event_time=True)
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), datetime(2024, 1, 1), 1.0),
+         (2, None, datetime(2024, 1, 2), 2.0),    # arrival < new cutoff
+         (3, None, datetime(2024, 1, 7), 3.0)],   # arrival >= new cutoff
+        "id int, ts timestamp, arrival timestamp, v double")
+    store.init_from(df, cutoff=datetime(2024, 1, 3))
+
+    store.archive(spark, datetime(2024, 1, 6), arrival_column="arrival")
+    hot = {r.id for r in store.read_hot(spark).collect()}
+    assert hot == {3}                       # expired null-time row gone
+    view = {r.id for r in store.read(spark, datetime(2024, 1, 6)).collect()}
+    assert view == {1, 3}
+
+    # cutoff passes the last arrival: the remaining null-time row expires
+    # even though nothing new archives
+    store.archive(spark, datetime(2024, 1, 8), arrival_column="arrival")
+    assert store.read_hot(spark).count() == 0
