@@ -428,7 +428,14 @@ class Planner:
             key = self._resolver(aliases, q)(tz_key)
             df = df.join(F.broadcast(tzt), on=key == F.col(f"{alias}.id"), how="left")
             aliases.add(alias)
-            tz_col = F.coalesce(F.col(f"{alias}.timezone"), F.lit("UTC"))
+            # join miss ⇒ UTC; and a BLANK timezone string is UTC too —
+            # the reference builds its offset lookup with Go's
+            # time.LoadLocation, for which "" is UTC (aql_processor.go:
+            # 487-497 prepareTimezoneTable; its tz-column golden has ""
+            # enum cases)
+            tzv = F.col(f"{alias}.timezone")
+            tz_col = F.when(tzv.isNull() | (F.trim(tzv) == ""),
+                            F.lit("UTC")).otherwise(tzv)
         return df, self._resolver(aliases, q), consumed, tz_col
 
     def _resolver(self, aliases: set[str], q: Query) -> E.Resolver:

@@ -165,3 +165,90 @@ def test_reference_nonagg_matrix_golden(spark, tmp_path):
     ]
     assert sorted(map(tuple, res["matrixData"])) == \
         sorted(map(tuple, expected))
+
+
+def test_reference_timezone_column_golden(spark, tmp_path):
+    """The timezone-column ProcessQuery golden
+    (aql_processor_test.go:1126-1293): main table = live/batch-130
+    (c0 = archiving/vp10 clipped to capacity 5, city_id =
+    archiving/vp00), timezone table = live/batch-120 (id =
+    archiving/vp00, timezone enum = archiving/vp13 over ReverseDict
+    ["Africa/Algiers", "", ""]), query = 3m buckets in
+    timezone(city_id), count(*). Reference result: {"0": 4, "3600": 1}.
+
+    DOCUMENTED DEVIATION (in this engine's favor): the reference builds
+    its offset lookup ONCE with each zone's offset at time.Now()
+    (aql_processor.go:487-497 `time.Now().In(loc).Zone()`), so 1970
+    event times get TODAY's Algiers offset (+01:00; Algeria has been
+    CET since 1981). This engine converts at the event's own timestamp
+    (Algiers was UTC+0 in Jan 1970), giving {"0": 5}. Both are pinned:
+    the engine's history-correct result directly, and the reference's
+    byte-exact golden by materializing its fixed-offset lookup rule
+    into the timezone table (exactly what prepareTimezoneTable does).
+    The blank enum cases ("" → UTC, Go LoadLocation("")) ride through
+    the planner's blank-is-UTC rule either way."""
+    from datetime import datetime as _dt
+    from datetime import timezone as _tz
+    from zoneinfo import ZoneInfo
+
+    from aresdb_spark.aql.api import execute_query
+    from aresdb_spark.catalog import Catalog, TableDef
+
+    REVERSE_DICT = ["Africa/Algiers", "", ""]  # :1171 EnumDicts
+
+    facts = _rows("vp10", "vp00", limit=5)     # batch-130, capacity 5
+    assert [r[0] for r in facts] == [90, 100, 110, 120, 130]
+    tz_rows = _rows("vp00", "vp13")            # batch-120
+    assert [r[1] for r in tz_rows] == [0, 1, 2, 3, 1]
+
+    def tz_name(enum_id):
+        # enum id 3 is out of the 3-entry ReverseDict ⇒ no case ⇒ NULL
+        return (REVERSE_DICT[enum_id]
+                if enum_id < len(REVERSE_DICT) else None)
+
+    def write_tables(root, zone_of):
+        spark.createDataFrame(
+            [( _dt.fromtimestamp(r[0], tz=_tz.utc).replace(tzinfo=None),
+               r[1]) for r in facts],
+            "c0 timestamp, city_id long"
+        ).write.mode("overwrite").parquet(f"{root}/table1.parquet")
+        spark.createDataFrame(
+            [(r[0], zone_of(r[1])) for r in tz_rows],
+            "id long, timezone string"
+        ).write.mode("overwrite").parquet(f"{root}/timezones.parquet")
+        return Catalog(str(root), tables={
+            "table1": TableDef("table1", is_fact=True, time_column="c0",
+                               primary_key=("c0",)),
+            "timezones": TableDef("timezones", primary_key=("id",)),
+        })
+
+    def run(catalog):
+        return execute_query(spark, catalog, {
+            "table": "table1",
+            "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+            "dimensions": [{"alias": "t", "sqlExpression": "c0",
+                            "timeBucketizer": "3m", "timeUnit": "second"}],
+            "timeFilter": {"column": "c0", "from": "1970-01-01",
+                           "to": "1970-01-02"},
+            "timezone": "timezone(city_id)"})
+
+    # 1) this engine: offsets at the EVENT's timestamp — Algiers was
+    # UTC+0 in Jan 1970, so every row lands in bucket 0
+    d1 = tmp_path / "historic"
+    assert run(write_tables(d1, tz_name)) == {"0": 5}
+
+    # 2) the reference's rule: one fixed offset per zone, taken NOW —
+    # materialize it (prepareTimezoneTable's int16 lookup) and the
+    # byte-exact reference golden falls out
+    def fixed_offset_zone(enum_id):
+        name = tz_name(enum_id)
+        if not name:            # NULL / "" ⇒ UTC, offset 0
+            return None
+        off = _dt.now(ZoneInfo(name)).utcoffset()
+        total = int(off.total_seconds())
+        sign = "+" if total >= 0 else "-"
+        h, m = divmod(abs(total) // 60, 60)
+        return f"GMT{sign}{h:02d}:{m:02d}"
+
+    d2 = tmp_path / "reference_rule"
+    assert run(write_tables(d2, fixed_offset_zone)) == {"0": 4, "3600": 1}
