@@ -252,3 +252,32 @@ def test_reference_timezone_column_golden(spark, tmp_path):
 
     d2 = tmp_path / "reference_rule"
     assert run(write_tables(d2, fixed_offset_zone)) == {"0": 4, "3600": 1}
+
+
+def test_reference_no_regular_filters_golden(spark, tmp_path):
+    """aql_processor_test.go:2327-2359 "ProcessQuery should work for
+    query without regular filters": archiveBatch1 (same five archive
+    times via the RLE'd sortedVP00) + the live batches, a CONSTANT
+    dimension "0" and count(*) — the whole visible set lands in one
+    group: {"0": 12}."""
+    from aresdb_spark.aql.api import execute_query
+    from aresdb_spark.catalog import Catalog, TableDef
+
+    archive = _rows("sortedVP00", "sortedVP1", "sortedVP2")
+    assert [r[0] for r in archive] == [0, 10, 20, 30, 40]
+    live110 = _rows("vp10", "vp11", "vp12", limit=LIVE_110_CAPACITY)
+    live101 = _rows("vp00", "vp01", "vp02", limit=LIVE_101_LAST_READ)
+    visible = archive + [r for r in live110 if r[0] >= CUTOFF_EPOCH] \
+        + live101
+    assert len(visible) == 12
+    store = _make_store(spark, tmp_path / "table1", visible)
+    catalog = Catalog(str(tmp_path), tables={
+        "table1": TableDef("table1", is_fact=True, time_column="c0",
+                           primary_key=("c0",), hotcold=True)})
+    res = execute_query(spark, catalog, {
+        "table": "table1",
+        "measures": [{"alias": "value", "sqlExpression": "count(*)"}],
+        "dimensions": [{"alias": "d", "sqlExpression": "0"}],
+        "timeFilter": {"column": "c0", "from": "1970-01-01",
+                       "to": "1970-01-02"}})
+    assert res == {"0": 12}
