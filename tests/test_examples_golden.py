@@ -64,3 +64,46 @@ def test_concurrent_fanout_same_results(spark):
     threaded = execute_request(spark, "/root/testdata/sf0.001", req, max_workers=3)
     assert serial == threaded
     assert all(r == GOLDEN_TOTAL_EVENTS for r in threaded["results"])
+
+
+def test_lifecycle_walkthrough_golden(spark, tmp_path):
+    """examples/run_table_lifecycle.py is deterministic (injected
+    clock): the week of scheduler ticks produces this exact job log and
+    final state — archiving every day, backfill flush from day 1, the
+    daily purge on alternating ticks (QualifyForPurge's strict
+    `now > last + interval`, purge_manager.go:47-51, with exactly-24h
+    ticks), retention dropping days 0-1, late rows folded in."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_table_lifecycle",
+        os.path.join(os.path.dirname(HERE), "examples",
+                     "run_table_lifecycle.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, str(tmp_path))
+
+    assert out["jobs"] == [
+        "day0: trips|0|archiving",
+        "day1: trips|0|archiving", "day1: trips|0|backfill",
+        "day2: trips|0|archiving", "day2: trips|0|backfill",
+        "day2: trips|0|purge",
+        "day3: trips|0|archiving", "day3: trips|0|backfill",
+        "day4: trips|0|archiving", "day4: trips|0|backfill",
+        "day4: trips|0|purge",
+        "day5: trips|0|archiving", "day5: trips|0|backfill",
+        "day6: trips|0|archiving", "day6: trips|0|backfill",
+        "day6: trips|0|purge",
+    ]
+    # retention 4: days 2024-01-10/11 purged; late corrections (2 per
+    # interior day, fare 99/100) folded into their true day
+    assert out["daily"] == {
+        "2024-01-12": [12, 364.0],
+        "2024-01-13": [12, 374.0],
+        "2024-01-14": [12, 384.0],
+        "2024-01-15": [12, 394.0],
+        "2024-01-16": [10, 205.0],
+    }
+    assert out["cold_days"] == ["2024-01-12", "2024-01-13", "2024-01-14",
+                                "2024-01-15", "2024-01-16"]
+    assert out["queued_backfill"] == 0
