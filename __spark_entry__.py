@@ -1661,7 +1661,13 @@ _DRIVER_WINDOW = [
     "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
     "aql_count_distinct", "aql_case_when_measure", "aql_numeric_bucket",
     "aql_set_union", "aql_numeric_bucket_manual", "aql_day_of_week",
-    "aql_hour_of_day", "aql_recurring_buckets", "aql_week_month_buckets",
+    # aql_hour_of_day rotated out for the r6 deferred-backfill scheduler
+    # row: its recurring-bucket path keeps TWO in-window siblings
+    # (aql_day_of_week, aql_recurring_buckets — same timeutil recurring
+    # code); it stays in check_contract. stream_backfill_scheduler's
+    # queue+flush path had no in-window coverage.
+    "stream_backfill_scheduler", "aql_recurring_buckets",
+    "aql_week_month_buckets",
     "aql_dst_bucket", "aql_bitwise_ops", "aql_is_true_not_in",
     "aql_array_contains", "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
