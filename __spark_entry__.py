@@ -645,6 +645,22 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     out["dedup_clusters_star"] = (q_clusters_star, clusters_sql())
     out["pipeline_training_prep"] = (q_prep, prep_sql())
     out["dedup_minhash_lsh"] = (q_minhash, minhash_sql())
+
+    # exact all-pairs n-gram Jaccard: the brute-force baseline of the
+    # LSH family on a deterministic id % 3 sample (O(n²) by design —
+    # the scale path is dedup_minhash_lsh); its oracle is banding-free,
+    # so an LSH bug can't hide in a matching oracle
+    def q_ngram_jaccard(spark, sf_dir):
+        from aresdb_spark.operators.dedup import ngram_jaccard_pairs
+        return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3,
+                                   sample_mod=3)
+
+    def ngram_jaccard_sql():
+        from aresdb_spark.operators.dedup import (
+            ngram_jaccard_pairs_oracle_sql)
+        return ngram_jaccard_pairs_oracle_sql(threshold=0.3, sample_mod=3)
+
+    out["dedup_ngram_jaccard"] = (q_ngram_jaccard, ngram_jaccard_sql())
     out["dedup_simhash"] = (q_simhash, simhash_sql())
     out["dedup_simhash_pairs"] = (q_simhash_pairs, simhash_pairs_sql())
 

@@ -251,6 +251,55 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     return out
 
 
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        threshold: float = 0.5,
+                        n: int = SHINGLE_SIZE,
+                        sample_mod: int | None = None) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard near-dup pairs — the brute-force
+    baseline of the MinHash-LSH family (the same role sim_cosine_topk
+    plays for IVF): every pair, no banding, so an LSH-implementation
+    bug can't hide in a matching oracle.
+
+    O(n²) BY DESIGN: run it on a bounded slice (``sample_mod`` keeps
+    ``id % sample_mod == 0``, a deterministic sample) to validate the
+    banded pipeline; at 100 TB the scale path is
+    ``minhash_near_duplicates`` (candidates ≪ all pairs). Returns
+    (id_a, id_b, jaccard) with id_a < id_b."""
+    base = df.select(F.col(id_col).alias("id"),
+                     shingles(F.col(text_col), n).alias("sh"))
+    if sample_mod is not None:
+        base = base.filter(F.col("id") % sample_mod == 0)
+    a = base.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                     / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+                     ).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_pairs_oracle_sql(table: str = "documents",
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   threshold: float = 0.5,
+                                   n: int = SHINGLE_SIZE,
+                                   sample_mod: int | None = None) -> str:
+    sh = shingles_oracle_sql(text_col, n)
+    pred = (f"WHERE {id_col} % {sample_mod} = 0"
+            if sample_mod is not None else "")
+    return f"""
+WITH s AS (SELECT {id_col} AS id, {sh} AS sh FROM {table} {pred})
+SELECT a.id AS id_a, b.id AS id_b,
+       (len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) AS jaccard
+FROM s a JOIN s b ON a.id < b.id
+WHERE (len(list_intersect(a.sh, b.sh))::DOUBLE
+        / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE) >= {threshold}
+"""
+
+
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             threshold: float = 0.5,

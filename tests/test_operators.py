@@ -794,3 +794,25 @@ def test_semantic_dedup_property_vs_numpy(spark):
             dominated = any(j < i and assign[j] == assign[i]
                             and cos[i, j] >= threshold for j in range(n))
             assert got[i] == (assign[i], not dominated), (seed, i, got[i])
+
+
+def test_ngram_jaccard_pairs_exact(spark, duck):
+    """Brute-force all-pairs n-gram Jaccard: hash-matches its
+    banding-free DuckDB oracle, and a planted near-dup pair (one word
+    changed) surfaces above the threshold while unrelated docs don't."""
+    from aresdb_spark.operators import dedup as D
+
+    df = D.ngram_jaccard_pairs(_docs(spark), threshold=0.3, sample_mod=3) \
+          .select("id_a", "id_b", F.round("jaccard", 8).alias("j"))
+    oracle = (f"SELECT id_a, id_b, round(jaccard, 8) AS j FROM "
+              f"({D.ngram_jaccard_pairs_oracle_sql(threshold=0.3, sample_mod=3)})")
+    assert_df_matches_duck(df, duck, oracle)
+
+    words = "the quick brown fox jumps over the lazy dog again and again"
+    planted = spark.createDataFrame(
+        [(0, words), (1, words.replace("lazy", "sleepy")),
+         (2, "completely different text with no shared shingles here")],
+        "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in D.ngram_jaccard_pairs(planted, threshold=0.3).collect()}
+    assert got == {(0, 1)}
