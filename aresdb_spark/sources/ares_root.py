@@ -1,0 +1,528 @@
+"""Read a reference on-disk deployment (an "ares-root") into the engine.
+
+The reference persists each table shard under a root directory
+(diskstore/diskstore_util.go:104-112, metastore/disk_metastore.go):
+
+    {root}/metastore/{table}/schema                    table schema JSON
+    {root}/metastore/{table}/enums/{column}            enum cases, "\\x00\\n"
+    {root}/metastore/{table}/shards/{n}/version        archiving cutoff
+    {root}/metastore/{table}/shards/{n}/batches/{day}  "version[-seq],size"
+    {root}/metastore/{table}/shards/{n}/snapshot       "redolog,offset,batch,index"
+    {root}/data/{table}_{n}/archiving_batches/{YYYY-MM-DD}_{ver}[-{seq}]/{col}.data
+    {root}/data/{table}_{n}/snapshots/{redolog}_{offset}/{batch}/{col}.data
+
+Each ``{col}.data`` file is one serialized vector party
+(memstore/vector_party.go:435-506 Write/Read): a 24-byte header — uint32
+magic 0xFADEFACE (vector_party_serializer.go:24), int32 length, uint32
+data type, int32 nonDefaultValueCount, uint16 column mode, 6 pad bytes —
+followed by up to three vectors gated by the mode (0 = all default, no
+vectors; 1 = values; 2 = values + validity bits; 3 = values + validity +
+uint32 counts of length+1, the RLE form archiving produces for sort
+columns).  Every vector is padded to a 64-byte multiple
+(vectors/vector.go CalculateVectorBytes), bools are 1-bit little-endian,
+and a validity bit of 1 means NOT NULL (vector_party.go:161-169
+GetValidity).
+
+This module is the migration path for a reference user switching to this
+engine: ``migrate_ares_root`` walks the metastore exactly like the
+reference's recovery does — latest archive batch version per day under
+the shard's archiving cutoff (disk_metastore.go:881-960
+GetArchiveBatchVersion), latest snapshot for dimension tables — and
+lands each table as day-partitioned sorted parquet (fact) or a plain
+parquet snapshot (dimension), ready for the AQL planner.
+
+At 100 TB the unit of decode parallelism is the archive batch (one day ×
+one shard): batch directories fan out over executors via
+``mapInPandas`` — the driver only lists the metastore (pure metadata,
+bytes per shard), so a 1000-shard migration decodes 1000-wide with no
+driver collect.  One batch is bounded by the reference's own batch size
+(it had to fit the node that archived it), so per-task memory is bounded
+by construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from aresdb_spark.streaming.upsert_wire import (
+    DATA_TYPES,
+    TYPE_NAMES,
+    _bits,
+    _bridge_to_wire_scalar,
+    _read_fixed_vectorized,
+    _read_scalar,
+    _wire_to_bridge_scalar,
+)
+
+# vector_party_serializer.go:24
+VP_MAGIC = 0xFADEFACE
+
+# memstore/common/vector_party.go:30-44 (ColumnMode)
+ALL_VALUES_DEFAULT = 0
+ALL_VALUES_PRESENT = 1
+HAS_NULL_VECTOR = 2
+HAS_COUNT_VECTOR = 3
+_MAX_COLUMN_MODE = 4
+
+_HEADER = struct.Struct("<IiIiH6x")  # magic, length, type, nonDefault, mode
+assert _HEADER.size == 24
+
+
+class VectorPartyCorruptError(ValueError):
+    """Raised for a bad magic header or mode — the reference refuses to
+    guess at corrupt files (vector_party.go:512-548)."""
+
+
+def _vector_bytes(type_name: str, size: int) -> int:
+    """CalculateVectorBytes (vectors/vector.go:75-85): unitBits * size
+    rounded up to 512 bits (64 bytes)."""
+    bits = _bits(DATA_TYPES[type_name]) * size
+    rem = bits % 512
+    if rem:
+        bits += 512 - rem
+    return bits // 8
+
+
+@dataclass
+class VectorParty:
+    """One decoded vector party. ``values`` holds the STORED entries in
+    bridge (Spark-facing) form — UUIDs dashed-lower, GeoPoints
+    ``point(lat lng)`` — with ``None`` for nulls; for mode 3 the stored
+    entries are run-length groups and ``counts`` holds the length+1
+    cumulative row offsets."""
+
+    type_name: str
+    length: int
+    mode: int
+    non_default_count: int
+    values: list
+    counts: "list[int] | None" = None
+
+    def num_rows(self) -> int:
+        """Logical row count: counts[-1] for RLE parties, else length."""
+        if self.mode == HAS_COUNT_VECTOR:
+            return int(self.counts[-1]) if self.counts else 0
+        return self.length
+
+    def rows(self) -> list:
+        """Per-row values with mode-3 run-length groups expanded."""
+        if self.mode != HAS_COUNT_VECTOR:
+            return list(self.values)
+        out: list = []
+        for i, v in enumerate(self.values):
+            out.extend([v] * (int(self.counts[i + 1]) - int(self.counts[i])))
+        return out
+
+
+def _pack_values(type_name: str, values: list) -> bytes:
+    """Pack non-null-normalized stored entries into the value vector
+    (nulls write their slot as zero, like the reference's unset
+    memory)."""
+    bits = _bits(DATA_TYPES[type_name])
+    n = len(values)
+    if type_name == "Bool":
+        buf = bytearray((n + 7) // 8)
+        for i, v in enumerate(values):
+            if v:
+                buf[i // 8] |= 1 << (i % 8)
+        return bytes(buf)
+    buf = bytearray(n * bits // 8)
+    for i, v in enumerate(values):
+        if v is None:
+            continue
+        w = _bridge_to_wire_scalar(type_name, v)
+        off = i * bits // 8
+        if type_name == "UUID":
+            struct.pack_into("<QQ", buf, off, *w)
+        elif type_name == "GeoPoint":
+            struct.pack_into("<ff", buf, off, *w)
+        else:
+            from aresdb_spark.streaming.upsert_wire import _PACK
+
+            struct.pack_into(_PACK[type_name], buf, off, w)
+    return bytes(buf)
+
+
+def _pad64(b: bytes) -> bytes:
+    rem = len(b) % 64
+    return b if rem == 0 else b + b"\x00" * (64 - rem)
+
+
+def write_vector_party_bytes(type_name: str, values: list,
+                             counts: "list[int] | None" = None) -> bytes:
+    """Serialize one vector party in the reference's archive/snapshot
+    file format (vector_party.go:435-506 Write). The mode is judged the
+    way the archiving prune does (JudgeMode): all entries null → mode 0;
+    ``counts`` given → mode 3; any null → mode 2; else mode 1.  The
+    default value is NULL (the reference's default default,
+    data_value.go), so nonDefaultValueCount = number of valid entries."""
+    if type_name not in DATA_TYPES or type_name.endswith("[]"):
+        raise NotImplementedError(
+            f"{type_name}: array vector parties use the list-archive "
+            "format (memstore/list/archive_vector_party.go), not the "
+            "cVectorParty file format")
+    n = len(values)
+    non_default = sum(1 for v in values if v is not None)
+    if counts is not None:
+        if len(counts) != n + 1:
+            raise ValueError("counts must have length+1 entries "
+                             "(cumulative row offsets)")
+        mode = HAS_COUNT_VECTOR
+    elif non_default == 0:
+        mode = ALL_VALUES_DEFAULT
+    elif non_default < n:
+        mode = HAS_NULL_VECTOR
+    else:
+        mode = ALL_VALUES_PRESENT
+    out = bytearray(_HEADER.pack(VP_MAGIC, n, DATA_TYPES[type_name],
+                                 non_default, mode))
+    if mode == ALL_VALUES_DEFAULT:
+        return bytes(out)
+    out += _pad64(_pack_values(type_name, values))
+    if mode >= HAS_NULL_VECTOR:
+        nulls = bytearray((n + 7) // 8)
+        for i, v in enumerate(values):
+            if v is not None:
+                nulls[i // 8] |= 1 << (i % 8)  # 1 = valid (GetValidity)
+        out += _pad64(bytes(nulls))
+    if mode == HAS_COUNT_VECTOR:
+        out += _pad64(struct.pack(f"<{n + 1}I", *counts))
+    return bytes(out)
+
+
+def read_vector_party_bytes(data: bytes) -> VectorParty:
+    """Parse one vector party file (vector_party.go:508-618 Read).
+
+    A zero-length buffer decodes as an all-default party of unknown
+    length (the reference's OpenVectorPartyFileForRead treats a missing
+    file the same way, vector_party_serializer.go:104-118) — callers
+    resolve the length from a sibling column."""
+    if len(data) == 0:
+        return VectorParty("Uint32", -1, ALL_VALUES_DEFAULT, 0, [])
+    if len(data) < _HEADER.size:
+        raise VectorPartyCorruptError(
+            "vector party file shorter than its 24-byte header")
+    magic, length, raw_type, non_default, mode = _HEADER.unpack_from(data)
+    if magic != VP_MAGIC:
+        # error message parity: vector_party.go:517
+        raise VectorPartyCorruptError(
+            "Magic number does not match, vector party file may be "
+            "corrupted")
+    if raw_type not in TYPE_NAMES:
+        raise VectorPartyCorruptError(f"unknown data type {raw_type:#x}")
+    if mode >= _MAX_COLUMN_MODE:
+        raise VectorPartyCorruptError(f"Invalid mode {mode}")
+    type_name = TYPE_NAMES[raw_type]
+    if mode == ALL_VALUES_DEFAULT:
+        return VectorParty(type_name, length, mode, non_default,
+                           [None] * length)
+    val_base = _HEADER.size
+    null_base = val_base + _vector_bytes(type_name, length)
+    null_base_bit = null_base * 8 if mode >= HAS_NULL_VECTOR else None
+    values = _read_fixed_vectorized(data, type_name, length, val_base,
+                                    null_base_bit)
+    if values is None:  # UUID / GeoPoint keep the scalar loop
+        bits = _bits(DATA_TYPES[type_name])
+        values = []
+        for i in range(length):
+            if null_base_bit is not None and not (
+                    data[null_base + i // 8] >> (i % 8) & 1):
+                values.append(None)
+            else:
+                values.append(_wire_to_bridge_scalar(
+                    type_name,
+                    _read_scalar(data, val_base + i * bits // 8,
+                                 type_name)))
+    counts = None
+    if mode == HAS_COUNT_VECTOR:
+        count_base = null_base + _vector_bytes("Bool", length)
+        counts = list(struct.unpack_from(f"<{length + 1}I", data,
+                                         count_base))
+    return VectorParty(type_name, length, mode, non_default, values,
+                       counts)
+
+
+# --------------------------------------------------------------------------
+# disk metastore (metastore/disk_metastore.go)
+# --------------------------------------------------------------------------
+
+from aresdb_spark.metastore import ENUM_DELIMITER  # noqa: E402  "\x00\n"
+
+
+def parse_batch_versions(text: str) -> list[tuple[int, int, int]]:
+    """Parse a ``batches/{day}`` file into (version, seqNum, size)
+    tuples. Lines are ``version,size`` or ``version-seq,size``
+    (disk_metastore.go:806-828); versions are archiving cutoffs and the
+    file is append-ordered, so it is sorted."""
+    out = []
+    for line in text.rstrip("\n").split("\n"):
+        if not line:
+            continue
+        ver_str, _, size_str = line.partition(",")
+        ver, dash, seq = ver_str.partition("-")
+        out.append((int(ver), int(seq) if dash else 0, int(size_str)))
+    return out
+
+
+def select_batch_version(entries: list[tuple[int, int, int]],
+                         cutoff: int) -> tuple[int, int, int]:
+    """GetArchiveBatchVersion (disk_metastore.go:896-960): the last
+    entry whose version is <= cutoff, or (0, 0, 0) when every version is
+    newer (the batch does not exist yet at that cutoff)."""
+    import bisect
+
+    idx = bisect.bisect_right([e[0] for e in entries], cutoff)
+    return entries[idx - 1] if idx else (0, 0, 0)
+
+
+def _batch_date(batch_id: int) -> str:
+    """Archive batch directory date: batch id is days since epoch
+    (diskstore_util.go:107 "batch_id is UTC date")."""
+    return datetime.fromtimestamp(batch_id * 86400,
+                                  tz=timezone.utc).strftime("%Y-%m-%d")
+
+
+def archive_batch_dir(root: str, table: str, shard: int, batch_id: int,
+                      version: int, seq: int = 0) -> str:
+    """GetPathForTableArchiveBatchDir (diskstore_util.go:117-130): seq 0
+    renders ``{date}_{version}``, otherwise ``{date}_{version}-{seq}``."""
+    name = (f"{_batch_date(batch_id)}_{version}-{seq}" if seq
+            else f"{_batch_date(batch_id)}_{version}")
+    return os.path.join(root, "data", f"{table}_{shard}",
+                        "archiving_batches", name)
+
+
+@dataclass
+class ShardMeta:
+    shard: int
+    archiving_cutoff: int
+    # batch_id -> (version, seqNum, size) selected at the cutoff
+    batches: dict[int, tuple[int, int, int]]
+    snapshot: "tuple[int, int, int, int] | None"  # redolog,offset,batch,index
+
+
+@dataclass
+class TableMeta:
+    name: str
+    schema: dict
+    enums: dict[str, list[str]]  # column name -> cases in id order
+    shards: list[ShardMeta]
+
+
+def read_table_meta(root: str, table: str) -> TableMeta:
+    """Read one table's disk metastore the way recovery does: schema
+    JSON, enum case files, and per shard the archiving cutoff
+    (``version`` file, disk_metastore.go GetArchivingCutoff), the batch
+    version selected at that cutoff for every listed day, and the
+    snapshot pointer ``redoLogFile,offset,batchID,index``
+    (GetSnapshotProgress)."""
+    mdir = os.path.join(root, "metastore", table)
+    with open(os.path.join(mdir, "schema")) as f:
+        schema = json.load(f)
+    enums: dict[str, list[str]] = {}
+    edir = os.path.join(mdir, "enums")
+    if os.path.isdir(edir):
+        for col in os.listdir(edir):
+            with open(os.path.join(edir, col)) as f:
+                raw = f.read()
+            if raw.endswith(ENUM_DELIMITER):
+                raw = raw[:-len(ENUM_DELIMITER)]
+            enums[col] = raw.split(ENUM_DELIMITER) if raw else []
+    shards = []
+    sdir = os.path.join(mdir, "shards")
+    for shard_name in sorted(os.listdir(sdir), key=int):
+        shard_dir = os.path.join(sdir, shard_name)
+        cutoff = 0
+        vpath = os.path.join(shard_dir, "version")
+        if os.path.exists(vpath):
+            with open(vpath) as f:
+                cutoff = int(f.read().strip() or 0)
+        batches: dict[int, tuple[int, int, int]] = {}
+        bdir = os.path.join(shard_dir, "batches")
+        if os.path.isdir(bdir):
+            for bname in os.listdir(bdir):
+                try:
+                    batch_id = int(bname)
+                except ValueError:
+                    continue  # skipped like ListArchiveBatches
+                with open(os.path.join(bdir, bname)) as f:
+                    entries = parse_batch_versions(f.read())
+                sel = select_batch_version(entries, cutoff)
+                if sel[2] > 0:  # version 0 size 0 = not yet archived
+                    batches[batch_id] = sel
+        snapshot = None
+        spath = os.path.join(shard_dir, "snapshot")
+        if os.path.exists(spath):
+            with open(spath) as f:
+                parts = f.read().strip().split(",")
+            snapshot = tuple(int(p) for p in parts)  # type: ignore
+        shards.append(ShardMeta(int(shard_name), cutoff, batches,
+                                snapshot))
+    return TableMeta(table, schema, enums, shards)
+
+
+def list_tables(root: str) -> list[str]:
+    mdir = os.path.join(root, "metastore")
+    return sorted(
+        t for t in os.listdir(mdir)
+        if os.path.exists(os.path.join(mdir, t, "schema")))
+
+
+# --------------------------------------------------------------------------
+# batch decode
+# --------------------------------------------------------------------------
+
+def read_batch_columns(batch_dir: str, schema: dict,
+                       enums: dict[str, list[str]]) -> dict[str, list]:
+    """Decode every column file of one archive/snapshot batch directory
+    into per-row bridge values, RLE-expanded, enum ids translated to
+    their cases.  Missing, empty, and all-default column files resolve
+    to NULL rows of the batch's length (the reference backfills absent
+    columns the same way); deleted columns are skipped."""
+    cols = [c for c in schema.get("columns") or []]
+    parties: dict[int, VectorParty] = {}
+    num_rows = 0
+    for cid, col in enumerate(cols):
+        if col.get("deleted"):
+            continue
+        path = os.path.join(batch_dir, f"{cid}.data")
+        if not os.path.exists(path):
+            continue
+        with open(path, "rb") as f:
+            vp = read_vector_party_bytes(f.read())
+        parties[cid] = vp
+        if vp.length >= 0:
+            num_rows = max(num_rows, vp.num_rows())
+    out: dict[str, list] = {}
+    for cid, col in enumerate(cols):
+        if col.get("deleted"):
+            continue
+        vp = parties.get(cid)
+        if vp is None or vp.length < 0:
+            out[col["name"]] = [None] * num_rows
+            continue
+        rows = vp.rows()
+        if len(rows) != num_rows:
+            raise VectorPartyCorruptError(
+                f"column {col['name']} has {len(rows)} rows, batch has "
+                f"{num_rows}")
+        if col["type"] in ("SmallEnum", "BigEnum"):
+            cases = enums.get(col["name"], [])
+            rows = [cases[v] if v is not None and v < len(cases) else None
+                    for v in rows]
+        out[col["name"]] = rows
+    return out
+
+
+def _spark_fields(schema: dict):
+    from pyspark.sql import types as T
+
+    from aresdb_spark.metastore import spark_type_for
+
+    return T.StructType([
+        T.StructField(c["name"],
+                      T._parse_datatype_string(spark_type_for(c["type"])))
+        for c in schema.get("columns") or [] if not c.get("deleted")])
+
+
+def read_archive_table(spark, root: str, meta: TableMeta):
+    """All selected archive batches of a fact table as one DataFrame.
+
+    The driver handles only metadata (one row per batch directory); the
+    VP decode runs executor-side via ``mapInPandas`` over the batch
+    list, so shards × days is the parallelism width and no batch's data
+    ever lands on the driver."""
+    import pandas as pd
+
+    dirs = []
+    for sh in meta.shards:
+        for batch_id, (ver, seq, _size) in sorted(sh.batches.items()):
+            d = archive_batch_dir(root, meta.name, sh.shard, batch_id,
+                                  ver, seq)
+            if os.path.isdir(d):
+                dirs.append(d)
+    out_schema = _spark_fields(meta.schema)
+    schema_doc, enums = meta.schema, meta.enums
+    names = [f.name for f in out_schema.fields]
+
+    def decode(iterator):
+        for pdf in iterator:
+            for d in pdf["dir"]:
+                cols = read_batch_columns(d, schema_doc, enums)
+                yield pd.DataFrame({n: cols.get(n, []) for n in names},
+                                   columns=names)
+
+    seed = spark.createDataFrame([(d,) for d in dirs], "dir string") \
+        .repartition(max(len(dirs), 1))
+    return seed.mapInPandas(decode, schema=out_schema)
+
+
+def read_snapshot_table(spark, root: str, meta: TableMeta):
+    """A dimension table's latest snapshot as one DataFrame: per shard,
+    the metastore's snapshot pointer names the live directory
+    ``snapshots/{redolog}_{offset}`` (diskstore_util.go:66-70) whose
+    numbered subdirectories are live batches."""
+    import pandas as pd
+
+    dirs = []
+    for sh in meta.shards:
+        if not sh.snapshot:
+            continue
+        redolog, offset = sh.snapshot[0], sh.snapshot[1]
+        snap = os.path.join(root, "data", f"{meta.name}_{sh.shard}",
+                            "snapshots", f"{redolog}_{offset}")
+        if os.path.isdir(snap):
+            dirs.extend(os.path.join(snap, b)
+                        for b in sorted(os.listdir(snap)))
+    out_schema = _spark_fields(meta.schema)
+    schema_doc, enums = meta.schema, meta.enums
+    names = [f.name for f in out_schema.fields]
+
+    def decode(iterator):
+        for pdf in iterator:
+            for d in pdf["dir"]:
+                cols = read_batch_columns(d, schema_doc, enums)
+                yield pd.DataFrame({n: cols.get(n, []) for n in names},
+                                   columns=names)
+
+    seed = spark.createDataFrame([(d,) for d in dirs], "dir string") \
+        .repartition(max(len(dirs), 1))
+    return seed.mapInPandas(decode, schema=out_schema)
+
+
+def migrate_ares_root(spark, root: str, dest: str) -> dict[str, dict]:
+    """Migrate every table of a reference ares-root into this engine's
+    parquet layout: fact tables land day-partitioned and sorted by their
+    archiving sort columns (the same layout ``sources.writer`` produces,
+    so row-group pruning works immediately), dimension tables land as a
+    plain parquet snapshot.  Returns per-table ``{path, rows, kind}``."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.sources.writer import write_archive
+
+    report: dict[str, dict] = {}
+    for table in list_tables(root):
+        meta = read_table_meta(root, table)
+        cols = meta.schema.get("columns") or []
+        path = os.path.join(dest, table)
+        if meta.schema.get("isFactTable"):
+            df = read_archive_table(spark, root, meta)
+            time_col = cols[0]["name"]
+            sort_cols = tuple(
+                cols[i]["name"]
+                for i in meta.schema.get("archivingSortColumns") or [])
+            write_archive(
+                df.withColumn(time_col,
+                              F.col(time_col).cast("timestamp")),
+                path, time_col, sort_cols)
+            kind = "fact"
+        else:
+            df = read_snapshot_table(spark, root, meta)
+            df.write.mode("overwrite").parquet(path)
+            kind = "dimension"
+        rows = spark.read.parquet(path).count()
+        report[table] = {"path": path, "rows": rows, "kind": kind}
+    return report

@@ -1,0 +1,312 @@
+"""ares-root migration: the binary vector-party file codec
+(memstore/vector_party.go:435-618), the disk-metastore reader
+(metastore/disk_metastore.go), and the end-to-end migrate path — golden
+against the reference's shipped bootstrap metastore fixture
+(testing/data/bootstrap)."""
+
+import os
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from aresdb_spark.sources.ares_root import (
+    ALL_VALUES_DEFAULT,
+    ALL_VALUES_PRESENT,
+    HAS_COUNT_VECTOR,
+    HAS_NULL_VECTOR,
+    VP_MAGIC,
+    VectorPartyCorruptError,
+    archive_batch_dir,
+    list_tables,
+    migrate_ares_root,
+    parse_batch_versions,
+    read_batch_columns,
+    read_table_meta,
+    read_vector_party_bytes,
+    select_batch_version,
+    write_vector_party_bytes,
+)
+
+BOOTSTRAP = "/root/reference/testing/data/bootstrap"
+
+
+# --------------------------------------------------------------------------
+# codec: byte layout
+# --------------------------------------------------------------------------
+
+def test_header_layout_golden():
+    """Hand-pinned bytes of a 3-value Uint32 party, mode 1: magic
+    0xFADEFACE little-endian, length, type 0x00060020, nonDefault,
+    mode, 6 pad bytes, then the value vector padded to 64 bytes."""
+    buf = write_vector_party_bytes("Uint32", [7, 0, 9])
+    assert buf[:4] == bytes.fromhex("cefadefa")
+    assert struct.unpack_from("<i", buf, 4)[0] == 3
+    assert struct.unpack_from("<I", buf, 8)[0] == 0x00060020
+    assert struct.unpack_from("<i", buf, 12)[0] == 3
+    assert struct.unpack_from("<H", buf, 16)[0] == ALL_VALUES_PRESENT
+    assert buf[18:24] == b"\x00" * 6
+    assert len(buf) == 24 + 64  # 12 value bytes padded to one 64B unit
+    assert struct.unpack_from("<3I", buf, 24) == (7, 0, 9)
+    assert buf[36:] == b"\x00" * 52
+
+
+def test_mode0_writes_header_only():
+    buf = write_vector_party_bytes("Int16", [None] * 5)
+    assert len(buf) == 24
+    vp = read_vector_party_bytes(buf)
+    assert vp.mode == ALL_VALUES_DEFAULT
+    assert vp.values == [None] * 5
+    assert vp.non_default_count == 0
+
+
+def test_vector_padding_is_64_bytes():
+    # 17 Uint8 values: 17 value bytes -> 64; validity 3 bytes -> 64
+    buf = write_vector_party_bytes("Uint8", [1] * 16 + [None])
+    assert len(buf) == 24 + 64 + 64
+    vp = read_vector_party_bytes(buf)
+    assert vp.mode == HAS_NULL_VECTOR
+    assert vp.values == [1] * 16 + [None]
+
+
+def test_count_vector_rle_roundtrip():
+    """Mode 3, the archiving sort-column form: stored entries are
+    run-length groups, counts are cumulative END offsets of length+1
+    (vector_party.go:497-506 writes length+1 uint32s)."""
+    buf = write_vector_party_bytes("Uint16", [5, 8, None],
+                                   counts=[0, 2, 3, 7])
+    vp = read_vector_party_bytes(buf)
+    assert vp.mode == HAS_COUNT_VECTOR
+    assert vp.counts == [0, 2, 3, 7]
+    assert vp.num_rows() == 7
+    assert vp.rows() == [5, 5, 8, None, None, None, None]
+
+
+def test_bad_magic_message_parity():
+    buf = bytearray(write_vector_party_bytes("Uint8", [1]))
+    buf[0] ^= 0xFF
+    with pytest.raises(VectorPartyCorruptError,
+                       match="Magic number does not match"):
+        read_vector_party_bytes(bytes(buf))
+
+
+def test_invalid_mode_rejected():
+    buf = bytearray(write_vector_party_bytes("Uint8", [1]))
+    struct.pack_into("<H", buf, 16, 9)
+    with pytest.raises(VectorPartyCorruptError, match="Invalid mode 9"):
+        read_vector_party_bytes(bytes(buf))
+
+
+def test_empty_file_is_all_default_unknown_length():
+    vp = read_vector_party_bytes(b"")
+    assert vp.mode == ALL_VALUES_DEFAULT and vp.length == -1
+
+
+def test_array_type_rejected():
+    with pytest.raises(NotImplementedError, match="list-archive"):
+        write_vector_party_bytes("Int32[]", [[1]])
+
+
+_SCALARS = {
+    "Bool": st.booleans(),
+    "Int8": st.integers(-128, 127),
+    "Uint8": st.integers(0, 255),
+    "Int16": st.integers(-2**15, 2**15 - 1),
+    "Uint16": st.integers(0, 2**16 - 1),
+    "Int32": st.integers(-2**31, 2**31 - 1),
+    "Uint32": st.integers(0, 2**32 - 1),
+    "Int64": st.integers(-2**63, 2**63 - 1),
+    "Float32": st.floats(width=32, allow_nan=False),
+    "SmallEnum": st.integers(0, 254),
+    "BigEnum": st.integers(0, 2**16 - 2),
+}
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.sampled_from(sorted(_SCALARS)), st.data())
+def test_roundtrip_property(type_name, data):
+    values = data.draw(st.lists(
+        st.one_of(st.none(), _SCALARS[type_name]), max_size=40))
+    vp = read_vector_party_bytes(
+        write_vector_party_bytes(type_name, values))
+    assert vp.type_name == type_name
+    assert vp.length == len(values)
+    assert vp.values == values
+    assert vp.non_default_count == sum(v is not None for v in values)
+
+
+def test_uuid_and_geopoint_roundtrip():
+    uuids = ["0b5e8a3c-11d0-4c31-8f3a-000102030405", None,
+             "ffffffff-ffff-ffff-ffff-ffffffffffff"]
+    vp = read_vector_party_bytes(write_vector_party_bytes("UUID", uuids))
+    assert vp.values == uuids
+    pts = ["point(37.617 -122.386)", None, "point(-90 180)"]
+    got = read_vector_party_bytes(
+        write_vector_party_bytes("GeoPoint", pts)).values
+    assert got[1] is None
+    lat, lng = got[0][6:-1].split()
+    assert abs(float(lat) - 37.617) < 1e-4
+    assert abs(float(lng) + 122.386) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# disk metastore semantics
+# --------------------------------------------------------------------------
+
+def test_batch_version_selection_reference_example():
+    """The documented example at disk_metastore.go:882-895: cutoff 6 ->
+    5-2,38; cutoff 4 -> 4-0,20; cutoff 0 -> 0-0,0."""
+    entries = parse_batch_versions(
+        "1-0,10\n2-0,20\n2-1,26\n4-0,20\n5-0,20\n5-1,25\n5-2,38\n")
+    assert select_batch_version(entries, 6) == (5, 2, 38)
+    assert select_batch_version(entries, 4) == (4, 0, 20)
+    assert select_batch_version(entries, 0) == (0, 0, 0)
+    # versions without a seq suffix parse as seq 0 (backward compat)
+    assert parse_batch_versions("3,7\n") == [(3, 0, 7)]
+
+
+def test_bootstrap_metastore_golden():
+    """The reference's shipped bootstrap fixture parses exactly:
+    facttable1 schema (6 cols, PK [0,1], sort [3,4]), cutoff
+    1560049865, nine archive days 18048..18056, and dimtable1's
+    snapshot pointer 1560032167,605,-2147483648,603670."""
+    assert list_tables(BOOTSTRAP) == ["dimtable1", "facttable1"]
+    fact = read_table_meta(BOOTSTRAP, "facttable1")
+    assert fact.schema["isFactTable"] is True
+    assert [c["name"] for c in fact.schema["columns"]] == [
+        "end", "uuid1", "uuid2", "rid", "vid", "cid"]
+    assert fact.schema["primaryKeyColumns"] == [0, 1]
+    assert fact.schema["archivingSortColumns"] == [3, 4]
+    (shard,) = fact.shards
+    assert shard.archiving_cutoff == 1560049865
+    assert sorted(shard.batches) == list(range(18048, 18057))
+    # the selected version for every day matches the shipped batch dir
+    for batch_id, (ver, seq, size) in shard.batches.items():
+        assert size > 0
+        d = archive_batch_dir(BOOTSTRAP, "facttable1", 0, batch_id,
+                              ver, seq)
+        assert os.path.isdir(d), d
+    # 2019-06-01 specifically: last version line of batches/18048
+    assert shard.batches[18048] == (1559436638, 0, 78347676)
+
+    dim = read_table_meta(BOOTSTRAP, "dimtable1")
+    assert dim.schema["isFactTable"] is False
+    (dshard,) = dim.shards
+    assert dshard.snapshot == (1560032167, 605, -2147483648, 603670)
+    snap_dir = os.path.join(BOOTSTRAP, "data", "dimtable1_0",
+                            "snapshots", "1560032167_605")
+    assert os.path.isdir(snap_dir)
+
+
+# --------------------------------------------------------------------------
+# batch decode + end-to-end migration over a synthetic ares-root
+# --------------------------------------------------------------------------
+
+def _write(path, data):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    mode = "wb" if isinstance(data, bytes) else "w"
+    with open(path, mode) as f:
+        f.write(data)
+
+
+FACT_SCHEMA = {
+    "name": "trips",
+    "isFactTable": True,
+    "primaryKeyColumns": [1],
+    "archivingSortColumns": [2],
+    "columns": [
+        {"name": "request_at", "type": "Uint32", "config": {}},
+        {"name": "uuid", "type": "UUID", "config": {}},
+        {"name": "city_id", "type": "Uint16", "config": {}},
+        {"name": "status", "type": "SmallEnum", "config": {}},
+        {"name": "fare", "type": "Float32", "config": {}},
+        {"name": "gone", "type": "Int32", "deleted": True},
+    ],
+}
+
+DIM_SCHEMA = {
+    "name": "cities",
+    "isFactTable": False,
+    "primaryKeyColumns": [0],
+    "columns": [
+        {"name": "id", "type": "Uint16", "config": {}},
+        {"name": "name", "type": "BigEnum", "config": {}},
+    ],
+}
+
+
+def _build_root(tmp) -> str:
+    import json
+
+    root = str(tmp)
+    day = 18048  # 2019-06-01
+    t0 = day * 86400
+    _write(f"{root}/metastore/trips/schema", json.dumps(FACT_SCHEMA))
+    _write(f"{root}/metastore/trips/enums/status",
+           "completed\x00\nactive\x00\n")
+    _write(f"{root}/metastore/trips/shards/0/version", "1559500000")
+    # two versions for the day; only 1559436638 <= cutoff AND shipped
+    _write(f"{root}/metastore/trips/shards/0/batches/{day}",
+           "1559400000,2\n1559436638,4\n1559600000,9\n")
+    bdir = archive_batch_dir(root, "trips", 0, day, 1559436638)
+    _write(f"{bdir}/0.data", write_vector_party_bytes(
+        "Uint32", [t0 + 10, t0 + 20, t0 + 30, t0 + 40]))
+    _write(f"{bdir}/1.data", write_vector_party_bytes("UUID", [
+        "00000000-0000-0000-0000-000000000001",
+        "00000000-0000-0000-0000-000000000002",
+        "00000000-0000-0000-0000-000000000003",
+        "00000000-0000-0000-0000-000000000004"]))
+    # sort column: RLE with counts (mode 3) — two cities over four rows
+    _write(f"{bdir}/2.data", write_vector_party_bytes(
+        "Uint16", [7, 9], counts=[0, 3, 4]))
+    _write(f"{bdir}/3.data", write_vector_party_bytes(
+        "SmallEnum", [0, 1, None, 0]))
+    _write(f"{bdir}/4.data", b"")  # fare absent -> NULL column
+
+    _write(f"{root}/metastore/cities/schema", json.dumps(DIM_SCHEMA))
+    _write(f"{root}/metastore/cities/enums/name",
+           "sf\x00\nnyc\x00\n")
+    _write(f"{root}/metastore/cities/shards/0/snapshot",
+           "1559500000,42,-2147483648,2")
+    sdir = (f"{root}/data/cities_0/snapshots/1559500000_42/"
+            f"{-2**31}")
+    _write(f"{sdir}/0.data", write_vector_party_bytes("Uint16", [7, 9]))
+    _write(f"{sdir}/1.data", write_vector_party_bytes("BigEnum", [0, 1]))
+    return root
+
+
+def test_read_batch_columns_synthetic(tmp_path):
+    root = _build_root(tmp_path)
+    meta = read_table_meta(root, "trips")
+    assert meta.shards[0].batches[18048] == (1559436638, 0, 4)
+    bdir = archive_batch_dir(root, "trips", 0, 18048, 1559436638)
+    cols = read_batch_columns(bdir, meta.schema, meta.enums)
+    assert "gone" not in cols  # deleted columns are skipped
+    assert cols["city_id"] == [7, 7, 7, 9]  # RLE expanded
+    assert cols["status"] == ["completed", "active", None, "completed"]
+    assert cols["fare"] == [None] * 4  # empty file -> NULL column
+    assert cols["uuid"][0] == "00000000-0000-0000-0000-000000000001"
+
+
+def test_migrate_ares_root_end_to_end(spark, tmp_path):
+    """Full migration: synthetic ares-root -> parquet -> queryable.
+    The fact table lands day-partitioned (write_archive layout) with
+    enum cases translated; the dimension snapshot lands as parquet."""
+    root = _build_root(tmp_path / "root")
+    dest = str(tmp_path / "out")
+    report = migrate_ares_root(spark, root, dest)
+    assert report["trips"]["rows"] == 4
+    assert report["trips"]["kind"] == "fact"
+    assert report["cities"]["rows"] == 2
+
+    trips = spark.read.parquet(report["trips"]["path"])
+    assert trips.filter("__day = '2019-06-01'").count() == 4
+    cities = spark.read.parquet(report["cities"]["path"])
+    got = spark.sql(
+        "SELECT c.name, count(*) AS cnt, sum(CAST(t.fare AS double)) "
+        "AS fare FROM {t} t JOIN {c} c ON t.city_id = c.id "
+        "GROUP BY c.name ORDER BY c.name",
+        t=trips, c=cities).collect()
+    assert [(r.name, r.cnt, r.fare) for r in got] == [
+        ("nyc", 1, None), ("sf", 3, None)]
