@@ -59,6 +59,12 @@ from aresdb_spark.streaming.upsert_wire import (
 
 # vector_party_serializer.go:24
 VP_MAGIC = 0xFADEFACE
+# memstore/list/archive_vector_party.go:31 — array columns use their own
+# magic and layout (offset/length pairs + packed ArrayValue payloads)
+LIST_VP_MAGIC = 0xFADEFACF
+# data_value.go:41 — offset flag distinguishing an EMPTY array row from a
+# NULL row (both have element count 0)
+ZERO_LENGTH_ARRAY_FLAG = 0xFFFFFFFF
 
 # memstore/common/vector_party.go:30-44 (ColumnMode)
 ALL_VALUES_DEFAULT = 0
@@ -151,6 +157,105 @@ def _pad64(b: bytes) -> bytes:
     return b if rem == 0 else b + b"\x00" * (64 - rem)
 
 
+def _list_element_bytes(item_type: str, length: int) -> int:
+    """CalculateListElementBytes (data_value.go:790-800): uint32 count +
+    packed items + validity bits, rounded to 8 bytes — but 0 for an
+    empty array (unlike the wire format's GetSerBytes, which pads empty
+    arrays to 8; the archive layout flags them in the offset vector
+    instead)."""
+    if length == 0:
+        return 0
+    bits = _bits(DATA_TYPES[item_type])
+    return (4 * 8 + (bits * length + 7) // 8 * 8 + (length + 7) // 8 * 8
+            + 63) // 64 * 8
+
+
+def write_list_vector_party_bytes(type_name: str, values: list) -> bytes:
+    """Serialize an array-typed vector party in the list-archive file
+    format (memstore/list/archive_vector_party.go:197-249 Write): the
+    same 24-byte header under magic 0xFADEFACF with nonDefaultValueCount
+    0 and mode AllValuesPresent, then the (offset, elemCount) uint32
+    pair vector, a uint64 totalValueBytes, and the packed ArrayValue
+    payloads. A NULL row is the pair (0, 0); an empty-but-valid array is
+    (ZeroLengthArrayFlag, 0) with no payload (vector_party.go:54-67
+    SetOffsetLength)."""
+    item = type_name[:-2]
+    if item not in DATA_TYPES or item in ("GeoShape",):
+        raise NotImplementedError(f"unsupported array item type {item}")
+    item_bits = _bits(DATA_TYPES[item])
+    n = len(values)
+    offsets: list[int] = []
+    payload = bytearray()
+    for v in values:
+        if v is None:
+            offsets += [0, 0]
+            continue
+        if len(v) == 0:
+            offsets += [ZERO_LENGTH_ARRAY_FLAG, 0]
+            continue
+        offsets += [len(payload), len(v)]
+        row = bytearray(_list_element_bytes(item, len(v)))
+        struct.pack_into("<I", row, 0, len(v))
+        item_base = 4
+        for j, x in enumerate(v):
+            if x is None:
+                continue
+            w = _bridge_to_wire_scalar(item, x)
+            if item == "Bool":
+                if w:
+                    row[item_base + j // 8] |= 1 << (j % 8)
+            elif item == "UUID":
+                struct.pack_into("<QQ", row, item_base + j * 16, *w)
+            elif item == "GeoPoint":
+                struct.pack_into("<ff", row, item_base + j * 8, *w)
+            else:
+                from aresdb_spark.streaming.upsert_wire import _PACK
+
+                struct.pack_into(_PACK[item], row,
+                                 item_base + j * item_bits // 8, w)
+        # validity bits start at the byte boundary after the items
+        # (CalculateListNilOffset, data_value.go:802-804)
+        nil_base = item_base + (item_bits * len(v) + 7) // 8
+        for j, x in enumerate(v):
+            if x is not None:
+                row[nil_base + j // 8] |= 1 << (j % 8)
+        payload += row
+    out = bytearray(_HEADER.pack(LIST_VP_MAGIC, n, DATA_TYPES[type_name],
+                                 0, ALL_VALUES_PRESENT))
+    out += _pad64(struct.pack(f"<{2 * n}I", *offsets))
+    out += struct.pack("<Q", len(payload))
+    out += _pad64(bytes(payload))
+    return bytes(out)
+
+
+def _read_list_vector_party(data: bytes) -> VectorParty:
+    """Parse a list-archive vector party
+    (list/archive_vector_party.go:252-345 Read)."""
+    _magic, length, raw_type, _nd, mode = _HEADER.unpack_from(data)
+    if raw_type not in TYPE_NAMES or not TYPE_NAMES[raw_type].endswith("[]"):
+        raise VectorPartyCorruptError(
+            f"unknown array data type {raw_type:#x}")
+    if mode >= _MAX_COLUMN_MODE:
+        raise VectorPartyCorruptError(f"Invalid mode {mode}")
+    type_name = TYPE_NAMES[raw_type]
+    item = type_name[:-2]
+    off_base = _HEADER.size
+    offsets = struct.unpack_from(f"<{2 * length}I", data, off_base)
+    val_base = off_base + _vector_bytes("Uint32", 2 * length) + 8
+    from aresdb_spark.streaming.upsert_wire import _read_array_value
+
+    values: list = []
+    for i in range(length):
+        off, cnt = offsets[2 * i], offsets[2 * i + 1]
+        if cnt == 0:
+            values.append([] if off == ZERO_LENGTH_ARRAY_FLAG else None)
+            continue
+        raw = _read_array_value(data, val_base + off, item)
+        values.append([_wire_to_bridge_scalar(item, x) for x in raw])
+    return VectorParty(type_name, length, ALL_VALUES_PRESENT,
+                       sum(v is not None for v in values), values)
+
+
 def write_vector_party_bytes(type_name: str, values: list,
                              counts: "list[int] | None" = None) -> bytes:
     """Serialize one vector party in the reference's archive/snapshot
@@ -159,11 +264,13 @@ def write_vector_party_bytes(type_name: str, values: list,
     ``counts`` given → mode 3; any null → mode 2; else mode 1.  The
     default value is NULL (the reference's default default,
     data_value.go), so nonDefaultValueCount = number of valid entries."""
-    if type_name not in DATA_TYPES or type_name.endswith("[]"):
-        raise NotImplementedError(
-            f"{type_name}: array vector parties use the list-archive "
-            "format (memstore/list/archive_vector_party.go), not the "
-            "cVectorParty file format")
+    if type_name.endswith("[]"):
+        if counts is not None:
+            raise ValueError("array columns are never sort columns — the "
+                             "list-archive format has no count vector")
+        return write_list_vector_party_bytes(type_name, values)
+    if type_name not in DATA_TYPES:
+        raise NotImplementedError(f"unknown data type {type_name}")
     n = len(values)
     non_default = sum(1 for v in values if v is not None)
     if counts is not None:
@@ -206,6 +313,8 @@ def read_vector_party_bytes(data: bytes) -> VectorParty:
         raise VectorPartyCorruptError(
             "vector party file shorter than its 24-byte header")
     magic, length, raw_type, non_default, mode = _HEADER.unpack_from(data)
+    if magic == LIST_VP_MAGIC:
+        return _read_list_vector_party(data)
     if magic != VP_MAGIC:
         # error message parity: vector_party.go:517
         raise VectorPartyCorruptError(
@@ -412,6 +521,12 @@ def read_batch_columns(batch_dir: str, schema: dict,
         if col["type"] in ("SmallEnum", "BigEnum"):
             cases = enums.get(col["name"], [])
             rows = [cases[v] if v is not None and v < len(cases) else None
+                    for v in rows]
+        elif col["type"] in ("SmallEnum[]", "BigEnum[]"):
+            cases = enums.get(col["name"], [])
+            rows = [None if v is None else
+                    [cases[x] if x is not None and x < len(cases) else None
+                     for x in v]
                     for v in rows]
         out[col["name"]] = rows
     return out

@@ -103,9 +103,9 @@ def test_empty_file_is_all_default_unknown_length():
     assert vp.mode == ALL_VALUES_DEFAULT and vp.length == -1
 
 
-def test_array_type_rejected():
-    with pytest.raises(NotImplementedError, match="list-archive"):
-        write_vector_party_bytes("Int32[]", [[1]])
+def test_unknown_type_rejected():
+    with pytest.raises(NotImplementedError, match="unknown data type"):
+        write_vector_party_bytes("Decimal", [1])
 
 
 _SCALARS = {
@@ -232,6 +232,7 @@ DIM_SCHEMA = {
     "columns": [
         {"name": "id", "type": "Uint16", "config": {}},
         {"name": "name", "type": "BigEnum", "config": {}},
+        {"name": "zips", "type": "Int32[]", "config": {}},
     ],
 }
 
@@ -273,6 +274,8 @@ def _build_root(tmp) -> str:
             f"{-2**31}")
     _write(f"{sdir}/0.data", write_vector_party_bytes("Uint16", [7, 9]))
     _write(f"{sdir}/1.data", write_vector_party_bytes("BigEnum", [0, 1]))
+    _write(f"{sdir}/2.data", write_vector_party_bytes(
+        "Int32[]", [[94103, 94110], None]))
     return root
 
 
@@ -303,6 +306,8 @@ def test_migrate_ares_root_end_to_end(spark, tmp_path):
     trips = spark.read.parquet(report["trips"]["path"])
     assert trips.filter("__day = '2019-06-01'").count() == 4
     cities = spark.read.parquet(report["cities"]["path"])
+    assert dict(cities.select("id", "zips").collect()) == {
+        7: [94103, 94110], 9: None}
     got = spark.sql(
         "SELECT c.name, count(*) AS cnt, sum(CAST(t.fare AS double)) "
         "AS fare FROM {t} t JOIN {c} c ON t.city_id = c.id "
@@ -310,3 +315,60 @@ def test_migrate_ares_root_end_to_end(spark, tmp_path):
         t=trips, c=cities).collect()
     assert [(r.name, r.cnt, r.fare) for r in got] == [
         ("nyc", 1, None), ("sf", 3, None)]
+
+
+# --------------------------------------------------------------------------
+# list-archive codec (memstore/list/archive_vector_party.go)
+# --------------------------------------------------------------------------
+
+def test_list_vp_header_and_flags():
+    """Magic 0xFADEFACF, mode AllValuesPresent, nonDefault 0; NULL row
+    -> offset pair (0,0), empty array -> (0xFFFFFFFF, 0) with no
+    payload (SetOffsetLength, vector_party.go:54-67)."""
+    buf = write_vector_party_bytes("Int32[]", [[1, 2], None, []])
+    assert buf[:4] == bytes.fromhex("cffadefa")
+    assert struct.unpack_from("<i", buf, 4)[0] == 3
+    assert struct.unpack_from("<I", buf, 8)[0] == 0x01050020
+    assert struct.unpack_from("<i", buf, 12)[0] == 0
+    assert struct.unpack_from("<H", buf, 16)[0] == ALL_VALUES_PRESENT
+    offs = struct.unpack_from("<6I", buf, 24)
+    assert offs == (0, 2, 0, 0, 0xFFFFFFFF, 0)
+    # offsets pad to 64B, then uint64 totalValueBytes: one 2-int row
+    # occupies (4 + 8 + 1 -> pad 8) = 16 bytes
+    assert struct.unpack_from("<Q", buf, 24 + 64)[0] == 16
+    vp = read_vector_party_bytes(buf)
+    assert vp.values == [[1, 2], None, []]
+    assert vp.num_rows() == 3
+
+
+def test_list_vp_roundtrip_item_nulls_and_types():
+    cases = {
+        "Bool[]": [[True, None, False], None, []],
+        "Uint8[]": [[0, 255, None]],
+        "Int64[]": [[-2**40, None], [7]],
+        "UUID[]": [["00000000-0000-0000-0000-0000000000aa", None]],
+        "Float32[]": [[1.5, None, -2.25]],
+    }
+    for tn, vals in cases.items():
+        vp = read_vector_party_bytes(write_vector_party_bytes(tn, vals))
+        assert vp.type_name == tn
+        assert vp.values == vals, tn
+
+
+def test_list_vp_enum_array_translation(tmp_path):
+    import json
+
+    schema = {"name": "t", "isFactTable": False, "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "tags", "type": "SmallEnum[]"}]}
+    d = str(tmp_path / "b")
+    _write(f"{d}/0.data", write_vector_party_bytes("Uint16", [1, 2]))
+    _write(f"{d}/1.data", write_vector_party_bytes(
+        "SmallEnum[]", [[0, 1], None]))
+    cols = read_batch_columns(d, schema, {"tags": ["red", "blue"]})
+    assert cols["tags"] == [["red", "blue"], None]
+
+
+def test_array_sort_column_rejected():
+    with pytest.raises(ValueError, match="never sort columns"):
+        write_vector_party_bytes("Int32[]", [[1]], counts=[0, 1])
