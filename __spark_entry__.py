@@ -1650,6 +1650,85 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
           (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         GROUP BY 1
     """)
+
+    # --- ares-root migration round-trip (SURVEY §2.1; the reference's
+    # on-disk archive format, memstore/vector_party.go:435-618 +
+    # metastore/disk_metastore.go): a deterministic slice of events is
+    # serialized into reference-format archive batches (one per UTC day,
+    # sort column RLE'd with a count vector, enum dictionary in the disk
+    # metastore), migrated back through migrate_ares_root, and
+    # aggregated — the oracle aggregates the same slice directly, so any
+    # codec or metastore-walk defect breaks the hash ---
+    def q_migrate(spark, sf_dir):
+        import itertools
+        import json
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+
+        from aresdb_spark.sources.ares_root import (
+            archive_batch_dir, migrate_ares_root, write_vector_party_bytes)
+
+        pdf = pq.read_table(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"]).to_pandas()
+        pdf = pdf[pdf.event_id % 13 == 0].copy()
+        pdf["ts_sec"] = pdf.ts.astype("int64") // 1_000_000_000
+        cases = sorted(pdf.event_type.unique())
+        case_id = {c: i for i, c in enumerate(cases)}
+        pdf["etype_id"] = pdf.event_type.map(case_id)
+
+        root = tempfile.mkdtemp(prefix="aresdb_root_")
+        schema = {"name": "events_mig", "isFactTable": True,
+                  "primaryKeyColumns": [1], "archivingSortColumns": [3],
+                  "columns": [
+                      {"name": "ts_sec", "type": "Uint32"},
+                      {"name": "event_id", "type": "Int64"},
+                      {"name": "user_id", "type": "Int64"},
+                      {"name": "etype", "type": "SmallEnum"}]}
+
+        def w(path, data):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "wb" if isinstance(data, bytes) else "w") as f:
+                f.write(data)
+
+        meta = f"{root}/metastore/events_mig"
+        w(f"{meta}/schema", json.dumps(schema))
+        w(f"{meta}/enums/etype", "".join(c + "\x00\n" for c in cases))
+        cutoff = int(pdf.ts_sec.max()) + 1
+        w(f"{meta}/shards/0/version", str(cutoff))
+        for day, chunk in pdf.groupby(pdf.ts_sec // 86400):
+            day = int(day)
+            # archiving sorts the day by the sort column (etype id)
+            chunk = chunk.sort_values(["etype_id", "event_id"])
+            w(f"{meta}/shards/0/batches/{day}", f"{cutoff},{len(chunk)}\n")
+            d = archive_batch_dir(root, "events_mig", 0, day, cutoff)
+            w(f"{d}/0.data", write_vector_party_bytes(
+                "Uint32", [int(v) for v in chunk.ts_sec]))
+            w(f"{d}/1.data", write_vector_party_bytes(
+                "Int64", [int(v) for v in chunk.event_id]))
+            w(f"{d}/2.data", write_vector_party_bytes(
+                "Int64", [int(v) for v in chunk.user_id]))
+            runs, counts, total = [], [0], 0
+            for eid, grp in itertools.groupby(chunk.etype_id):
+                runs.append(int(eid))
+                total += len(list(grp))
+                counts.append(total)
+            w(f"{d}/3.data", write_vector_party_bytes(
+                "SmallEnum", runs, counts=counts))
+        report = migrate_ares_root(
+            spark, root, tempfile.mkdtemp(prefix="aresdb_mig_"))
+        migrated = spark.read.parquet(report["events_mig"]["path"])
+        return (migrated.groupBy(F.col("etype").alias("et"))
+                .agg(F.count("*").alias("cnt"),
+                     F.sum("user_id").cast("double").alias("su")))
+
+    out["migrate_ares_root"] = (q_migrate, """
+        SELECT event_type AS et, count(*) AS cnt,
+               CAST(sum(user_id) AS double) AS su
+        FROM events WHERE event_id % 13 = 0 GROUP BY 1
+    """)
     return out
 
 
