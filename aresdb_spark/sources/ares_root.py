@@ -641,3 +641,147 @@ def migrate_ares_root(spark, root: str, dest: str) -> dict[str, dict]:
         rows = spark.read.parquet(path).count()
         report[table] = {"path": path, "rows": rows, "kind": kind}
     return report
+
+
+# --------------------------------------------------------------------------
+# export: engine tables -> reference ares-root (the reverse direction)
+# --------------------------------------------------------------------------
+
+def _collect_enum_dicts(df, schema: dict) -> dict[str, list[str]]:
+    """Build enum dictionaries for every enum-typed column: distinct
+    cases in sorted order (deterministic across runs), capped at the
+    type's cardinality (metastore/common/model.go:180-189) like
+    ExtendEnumDict's limit. The collect is bounded by that cap
+    (256 / 65536), never by table size."""
+    from aresdb_spark.metastore import enum_cardinality
+
+    enums: dict[str, list[str]] = {}
+    for col in schema.get("columns") or []:
+        if col["type"] not in ("SmallEnum", "BigEnum",
+                               "SmallEnum[]", "BigEnum[]"):
+            continue
+        c = df[col["name"]]
+        if col["type"].endswith("[]"):
+            from pyspark.sql import functions as F
+
+            vals = (df.select(F.explode(c).alias("v"))
+                    .where("v IS NOT NULL").distinct())
+        else:
+            vals = df.select(c.alias("v")).where("v IS NOT NULL").distinct()
+        cap = enum_cardinality(col["type"])
+        cases = sorted(r.v for r in vals.limit(cap + 1).collect())
+        if len(cases) > cap:
+            raise ValueError(
+                f"{col['name']}: {len(cases)} distinct cases exceed the "
+                f"{col['type']} cardinality {cap}")
+        enums[col["name"]] = cases
+    return enums
+
+
+def export_ares_root(spark, df, root: str, schema: dict,
+                     cutoff: "int | None" = None) -> dict:
+    """Write a fact-table DataFrame out as a reference-format ares-root
+    (the reverse of ``migrate_ares_root``): per-UTC-day archive batch
+    directories of vector-party files with sort columns RLE'd, plus the
+    disk metastore (schema JSON, enum case files, per-day batch-version
+    entries, the shard ``version`` cutoff).  The reference's recovery
+    path — and this module's migrate — can both read the result, which
+    makes gradual cutover two-way: no lock-in either direction.
+
+    Scale shape: one ``applyInPandas`` task per day writes that day's
+    batch directory (the same unit the reference's archiving job
+    produces); the driver writes only metastore entries from the
+    per-day row counts the tasks return.  ``df``'s time column (schema
+    column 0) must be epoch seconds or a timestamp."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    cols = [c for c in schema.get("columns") or [] if not c.get("deleted")]
+    names = [c["name"] for c in cols]
+    types = {c["name"]: c["type"] for c in schema.get("columns") or []}
+    table = schema["name"]
+    time_col = cols[0]["name"]
+    sort_ids = schema.get("archivingSortColumns") or []
+    sort_names = [schema["columns"][i]["name"] for i in sort_ids]
+    missing = [n for n in names if n not in df.columns]
+    if missing:
+        raise ValueError(f"DataFrame lacks schema columns {missing}")
+
+    work = df.select(*names)
+    if dict(work.dtypes)[time_col].startswith("timestamp"):
+        work = work.withColumn(
+            time_col, F.unix_timestamp(time_col).cast("long"))
+    enums = _collect_enum_dicts(work, schema)
+    enum_ids = {k: {c: i for i, c in enumerate(v)} for k, v in enums.items()}
+    if cutoff is None:
+        cutoff = int(work.agg(F.max(time_col)).first()[0]) + 1
+    work = work.withColumn("__day", (F.col(time_col) / 86400)
+                           .cast("long"))
+
+    all_cols = schema["columns"]  # ids include deleted columns
+
+    def write_day(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        day = int(pdf["__day"].iloc[0])
+        if sort_names:
+            pdf = pdf.sort_values(sort_names, na_position="first")
+        d = archive_batch_dir(root, table, 0, day, cutoff)
+        os.makedirs(d, exist_ok=True)
+        for cid, col in enumerate(all_cols):
+            if col.get("deleted"):
+                continue
+            name, tname = col["name"], col["type"]
+            series = pdf[name]
+            vals = [None if v is None or v != v else v for v in series] \
+                if not tname.endswith("[]") else \
+                [None if v is None else list(v) for v in series]
+            if tname in ("SmallEnum", "BigEnum"):
+                ids = enum_ids.get(name, {})
+                vals = [None if v is None else ids[v] for v in vals]
+            elif tname in ("SmallEnum[]", "BigEnum[]"):
+                ids = enum_ids.get(name, {})
+                vals = [None if v is None else
+                        [None if x is None else ids[x] for x in v]
+                        for v in vals]
+            elif tname in ("Int8", "Uint8", "Int16", "Uint16", "Int32",
+                           "Uint32", "Int64") and vals:
+                # pandas promotes nullable int columns to float
+                vals = [None if v is None else int(v) for v in vals]
+            counts = None
+            if cid in sort_ids and not tname.endswith("[]"):
+                # archiving RLEs sort columns (mode 3): collapse runs
+                runs, offs, n = [], [0], 0
+                for v in vals:
+                    if runs and ((v is None and runs[-1] is None)
+                                 or (v is not None and runs[-1] == v)):
+                        offs[-1] += 1
+                    else:
+                        runs.append(v)
+                        offs.append(offs[-1] + 1)
+                vals, counts = runs, offs
+            with open(os.path.join(d, f"{cid}.data"), "wb") as f:
+                f.write(write_vector_party_bytes(tname, vals,
+                                                 counts=counts))
+        return pd.DataFrame({"day": [day], "rows": [len(pdf)]})
+
+    day_rows = (work.repartition("__day").groupBy("__day")
+                .applyInPandas(write_day, "day long, rows long")
+                .collect())
+
+    meta = os.path.join(root, "metastore", table)
+    os.makedirs(os.path.join(meta, "shards", "0", "batches"),
+                exist_ok=True)
+    with open(os.path.join(meta, "schema"), "w") as f:
+        json.dump(schema, f)
+    if enums:
+        os.makedirs(os.path.join(meta, "enums"), exist_ok=True)
+        for name, cases in enums.items():
+            with open(os.path.join(meta, "enums", name), "w") as f:
+                f.write("".join(c + ENUM_DELIMITER for c in cases))
+    with open(os.path.join(meta, "shards", "0", "version"), "w") as f:
+        f.write(str(cutoff))
+    for r in day_rows:
+        with open(os.path.join(meta, "shards", "0", "batches",
+                               str(r.day)), "w") as f:
+            f.write(f"{cutoff},{r.rows}\n")
+    return {"table": table, "cutoff": cutoff,
+            "days": {r.day: r.rows for r in day_rows}}

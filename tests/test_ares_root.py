@@ -372,3 +372,63 @@ def test_list_vp_enum_array_translation(tmp_path):
 def test_array_sort_column_rejected():
     with pytest.raises(ValueError, match="never sort columns"):
         write_vector_party_bytes("Int32[]", [[1]], counts=[0, 1])
+
+
+# --------------------------------------------------------------------------
+# export direction: engine -> reference format -> back (two-way cutover)
+# --------------------------------------------------------------------------
+
+def test_export_then_migrate_roundtrip(spark, tmp_path):
+    """export_ares_root writes a reference-format root that
+    migrate_ares_root (and the reference's recovery) reads back:
+    values, nulls, enums, and day batching all survive the loop."""
+    from aresdb_spark.sources.ares_root import export_ares_root
+
+    schema = {"name": "ev", "isFactTable": True,
+              "primaryKeyColumns": [1], "archivingSortColumns": [2],
+              "columns": [
+                  {"name": "t", "type": "Uint32"},
+                  {"name": "id", "type": "Int64"},
+                  {"name": "kind", "type": "SmallEnum"},
+                  {"name": "score", "type": "Float32"},
+              ]}
+    day = 19000 * 86400
+    rows = [(day + 10, 1, "a", 1.5), (day + 20, 2, "b", None),
+            (day + 30, 3, "a", -2.25),
+            (day + 86400 + 5, 4, None, 0.5),
+            (day + 86400 + 6, 5, "c", 9.0)]
+    df = spark.createDataFrame(
+        rows, "t long, id long, kind string, score float")
+    root = str(tmp_path / "root")
+    rep = export_ares_root(spark, df, root, schema)
+    assert rep["days"] == {19000: 3, 19001: 2}
+    # metastore written in the reference's own file formats
+    meta = read_table_meta(root, "ev")
+    assert meta.enums["kind"] == ["a", "b", "c"]
+    assert meta.shards[0].archiving_cutoff == day + 86400 + 7
+    # the sort column landed RLE'd (mode 3) on the 3-row day
+    bdir = archive_batch_dir(root, "ev", 0, 19000,
+                             meta.shards[0].archiving_cutoff)
+    with open(os.path.join(bdir, "2.data"), "rb") as f:
+        vp = read_vector_party_bytes(f.read())
+    assert vp.mode == HAS_COUNT_VECTOR
+    assert vp.rows() == [0, 0, 1]  # enum ids a,a,b after the day sort
+
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    assert out["ev"]["rows"] == 5
+    back = spark.read.parquet(out["ev"]["path"])
+    got = {r.id: (r.kind, r.score) for r in back.collect()}
+    assert got == {1: ("a", 1.5), 2: ("b", None), 3: ("a", -2.25),
+                   4: (None, 0.5), 5: ("c", 9.0)}
+
+
+def test_export_enum_cardinality_guard(spark, tmp_path):
+    from aresdb_spark.sources.ares_root import export_ares_root
+
+    schema = {"name": "big", "isFactTable": True,
+              "columns": [{"name": "t", "type": "Uint32"},
+                          {"name": "kind", "type": "SmallEnum"}]}
+    df = spark.range(300).selectExpr(
+        "1000 AS t", "CAST(id AS string) AS kind")
+    with pytest.raises(ValueError, match="cardinality 256"):
+        export_ares_root(spark, df, str(tmp_path / "r"), schema)
