@@ -785,3 +785,55 @@ def export_ares_root(spark, df, root: str, schema: dict,
             f.write(f"{cutoff},{r.rows}\n")
     return {"table": table, "cutoff": cutoff,
             "days": {r.day: r.rows for r in day_rows}}
+
+
+def export_dimension_snapshot(spark, df, root: str, schema: dict,
+                              redo_log: int = 1, offset: int = 0) -> dict:
+    """Write a dimension-table DataFrame as a reference-format snapshot:
+    ``snapshots/{redolog}_{offset}/{batchID}/{col}.data`` live-batch
+    vector parties plus the metastore snapshot pointer
+    ``redoLogFile,offset,batchID,index`` (diskstore_util.go:66-70,
+    disk_metastore.go GetSnapshotProgress).  Dimension snapshots are
+    small by definition (they broadcast-join against facts), so the
+    single-batch collect here is bounded the same way the reference's
+    snapshot job is."""
+    cols = [c for c in schema.get("columns") or [] if not c.get("deleted")]
+    names = [c["name"] for c in cols]
+    table = schema["name"]
+    enums = _collect_enum_dicts(df.select(*names), schema)
+    enum_ids = {k: {c: i for i, c in enumerate(v)} for k, v in enums.items()}
+    batch_id = -(2 ** 31)  # the live store's base batch id
+    d = os.path.join(root, "data", f"{table}_0", "snapshots",
+                     f"{redo_log}_{offset}", str(batch_id))
+    os.makedirs(d, exist_ok=True)
+    rows = df.select(*names).collect()
+    n = len(rows)
+    for cid, col in enumerate(schema["columns"]):
+        if col.get("deleted"):
+            continue
+        name, tname = col["name"], col["type"]
+        vals = [r[name] for r in rows]
+        if tname in ("SmallEnum", "BigEnum"):
+            ids = enum_ids.get(name, {})
+            vals = [None if v is None else ids[v] for v in vals]
+        elif tname in ("SmallEnum[]", "BigEnum[]"):
+            ids = enum_ids.get(name, {})
+            vals = [None if v is None else
+                    [None if x is None else ids[x] for x in v]
+                    for v in vals]
+        elif tname.endswith("[]"):
+            vals = [None if v is None else list(v) for v in vals]
+        with open(os.path.join(d, f"{cid}.data"), "wb") as f:
+            f.write(write_vector_party_bytes(tname, vals))
+    meta = os.path.join(root, "metastore", table)
+    os.makedirs(os.path.join(meta, "shards", "0"), exist_ok=True)
+    with open(os.path.join(meta, "schema"), "w") as f:
+        json.dump(schema, f)
+    if enums:
+        os.makedirs(os.path.join(meta, "enums"), exist_ok=True)
+        for name, cases in enums.items():
+            with open(os.path.join(meta, "enums", name), "w") as f:
+                f.write("".join(c + ENUM_DELIMITER for c in cases))
+    with open(os.path.join(meta, "shards", "0", "snapshot"), "w") as f:
+        f.write(f"{redo_log},{offset},{batch_id},{max(n - 1, 0)}")
+    return {"table": table, "rows": n}

@@ -432,3 +432,26 @@ def test_export_enum_cardinality_guard(spark, tmp_path):
         "1000 AS t", "CAST(id AS string) AS kind")
     with pytest.raises(ValueError, match="cardinality 256"):
         export_ares_root(spark, df, str(tmp_path / "r"), schema)
+
+
+def test_export_dimension_snapshot_roundtrip(spark, tmp_path):
+    from aresdb_spark.sources.ares_root import (
+        export_dimension_snapshot, migrate_ares_root)
+
+    schema = {"name": "cities", "isFactTable": False,
+              "primaryKeyColumns": [0], "columns": [
+                  {"name": "id", "type": "Uint16"},
+                  {"name": "name", "type": "BigEnum"},
+                  {"name": "tags", "type": "SmallEnum[]"}]}
+    df = spark.createDataFrame(
+        [(7, "sf", ["x", "y"]), (9, "nyc", None)],
+        "id int, name string, tags array<string>")
+    root = str(tmp_path / "root")
+    rep = export_dimension_snapshot(spark, df, root, schema)
+    assert rep["rows"] == 2
+    meta = read_table_meta(root, "cities")
+    assert meta.shards[0].snapshot == (1, 0, -2**31, 1)
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    back = spark.read.parquet(out["cities"]["path"])
+    got = {r.id: (r.name, r.tags) for r in back.collect()}
+    assert got == {7: ("sf", ["x", "y"]), 9: ("nyc", None)}
