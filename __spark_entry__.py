@@ -1729,6 +1729,37 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
                CAST(sum(user_id) AS double) AS su
         FROM events WHERE event_id % 13 = 0 GROUP BY 1
     """)
+
+    # --- incremental dedup against a persisted signature store (the
+    # continuous-crawl pattern: history is never re-shingled — each
+    # increment costs one store scan + the new batch's signatures).
+    # Deterministic scenario: the store holds doc_id % 3 == 0; the new
+    # batch is doc_id % 3 == 1 plus re-crawled copies of % 9 == 0 under
+    # shifted ids (exactly what a recurring crawl produces) ---
+    def q_dedup_incremental(spark, sf_dir):
+        import tempfile
+
+        from aresdb_spark.operators.dedup import (
+            build_signature_store, incremental_near_duplicates)
+
+        docs = _docs(spark, sf_dir)
+        old = docs.filter(F.col("doc_id") % 3 == 0)
+        recrawl = (old.filter(F.col("doc_id") % 9 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 1000000))
+        new = docs.filter(F.col("doc_id") % 3 == 1).unionByName(recrawl)
+        store = tempfile.mkdtemp(prefix="aresdb_sigstore_") + "/store"
+        build_signature_store(old, store)
+        return incremental_near_duplicates(spark, new, store,
+                                           threshold=0.5)
+
+    out["dedup_incremental"] = (q_dedup_incremental, __import__(
+        "aresdb_spark.operators.dedup", fromlist=["incremental_oracle_sql"]
+    ).incremental_oracle_sql(
+        "doc_id % 3 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 9 = 0",
+        threshold=0.5))
     return out
 
 

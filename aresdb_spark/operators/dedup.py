@@ -348,6 +348,140 @@ WHERE (len(list_intersect(a.sh, b.sh))::DOUBLE
 
 
 # ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature store (continuous crawl)
+# ---------------------------------------------------------------------------
+
+
+def signature_bands(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", n_bands: int = N_BANDS,
+                    rows_per_band: int = ROWS_PER_BAND) -> DataFrame:
+    """One row per (doc, band): the banded-index form of the corpus —
+    (id, band, bh, bhp, sig). ``bhp`` is the first hex char of the band
+    hash, the store's partition key. Signatures are computed once
+    scan-side and carried on every band row so the incremental probe
+    can estimate Jaccard without a second pass over the corpus."""
+    sig = minhash_signature(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+    def band_hash(b: int) -> Column:
+        piece = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        return F.md5(F.array_join(
+            F.transform(piece, lambda x: x.cast("string")), "-"))
+
+    return (base.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            for b in range(n_bands)])).alias("bb"))
+        .select("id", "sig", "bb.band", "bb.bh",
+                F.substring("bb.bh", 1, 1).alias("bhp")))
+
+
+def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          mode: str = "overwrite") -> None:
+    """Persist a corpus's banded MinHash index so later batches dedup
+    against it WITHOUT re-mining the corpus (the continuous-crawl
+    pattern: at 100 TB you never re-shingle history — each increment
+    costs one store scan plus the new batch's signatures).
+
+    Layout: parquet partitioned by ``bhp`` (16 directories). The
+    incremental probe broadcasts the (small) new batch, so the store
+    side never shuffles, and the partition column participates in the
+    join so dynamic partition pruning can skip store partitions whose
+    band-hash prefixes the probe doesn't touch. ``mode="append"``
+    extends the store with an already-deduped increment."""
+    (signature_bands(df, text_col, id_col)
+     .write.mode(mode).partitionBy("bhp").parquet(path))
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column,
+                      n_hashes: int = N_HASHES) -> Column:
+    """MinHash Jaccard estimate: the fraction of agreeing signature
+    components (the standard unbiased estimator — exact shingle sets
+    are not available for store docs, by design)."""
+    return (F.size(F.filter(F.zip_with(sig_a, sig_b,
+                                       lambda x, y: x == y),
+                            lambda v: v)).cast("double") / n_hashes)
+
+
+def incremental_near_duplicates(spark, new_df: DataFrame, store_path: str,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                threshold: float = 0.5) -> DataFrame:
+    """New-batch docs that near-duplicate a document already in the
+    signature store: (new_id, store_id, est_jaccard).
+
+    Plan shape: store scan → join the BROADCAST banded probe on
+    (band, bhp, bh) → distinct pairs → signature-agreement estimate.
+    The store is never shuffled and never re-shingled; the increment's
+    cost is one store scan (partition-prunable) + the new batch's
+    scan-side signatures. Intra-batch duplicates are a separate
+    ``minhash_near_duplicates(new_df)`` call — this operator is the
+    history side only."""
+    store = spark.read.parquet(store_path)
+    probe = (signature_bands(new_df, text_col, id_col)
+             .withColumnRenamed("id", "new_id")
+             .withColumnRenamed("sig", "new_sig"))
+    cand = (store.join(F.broadcast(probe), ["band", "bhp", "bh"])
+            .select(F.col("new_id"), F.col("id").alias("store_id"),
+                    "new_sig", "sig")
+            .distinct())
+    return (cand.select(
+        "new_id", "store_id",
+        estimated_jaccard(F.col("sig"), F.col("new_sig"))
+        .alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold))
+
+
+def incremental_oracle_sql(old_where: str, new_select: str,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           threshold: float = 0.5,
+                           n_bands: int = N_BANDS,
+                           rows_per_band: int = ROWS_PER_BAND,
+                           table: str = "documents") -> str:
+    """DuckDB twin of build_signature_store + incremental_near_duplicates:
+    ``old_where`` filters the store slice; ``new_select`` is a full
+    SELECT yielding the new batch as (doc_id, text) columns."""
+    sig = minhash_signature_sql(text_col)
+    sig_new = minhash_signature_sql("text")
+
+    def bands(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"  SELECT id, sig, {b} AS band, "
+            f"md5(array_to_string(sig[{b * rows_per_band + 1}:"
+            f"{(b + 1) * rows_per_band}], '-')) AS bh FROM {src}"
+            for b in range(n_bands))
+
+    agree = (f"(len([i for i in range(1, {N_HASHES + 1}) "
+             f"if a.sig[i] = b.sig[i]]) / {N_HASHES}.0)")
+    return f"""
+WITH old_sigs AS (
+  SELECT {id_col} AS id, {sig} AS sig FROM {table} WHERE {old_where}
+),
+new_docs AS ({new_select}),
+new_sigs AS (
+  SELECT doc_id AS id, {sig_new} AS sig FROM new_docs
+),
+old_bands AS (
+{bands('old_sigs')}
+),
+new_bands AS (
+{bands('new_sigs')}
+),
+pairs AS (
+  SELECT DISTINCT n.id AS new_id, o.id AS store_id
+  FROM old_bands o JOIN new_bands n ON o.band = n.band AND o.bh = n.bh
+)
+SELECT p.new_id, p.store_id, {agree} AS est_jaccard
+FROM pairs p
+JOIN old_sigs a ON a.id = p.store_id
+JOIN new_sigs b ON b.id = p.new_id
+WHERE {agree} >= {threshold}
+"""
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

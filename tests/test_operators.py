@@ -816,3 +816,91 @@ def test_ngram_jaccard_pairs_exact(spark, duck):
     got = {(r.id_a, r.id_b)
            for r in D.ngram_jaccard_pairs(planted, threshold=0.3).collect()}
     assert got == {(0, 1)}
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature store
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_near_duplicates_matches_oracle(spark, duck, tmp_path):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, incremental_near_duplicates,
+        incremental_oracle_sql)
+
+    docs = _docs(spark)
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    recrawl = (old.filter(F.col("doc_id") % 9 == 0)
+               .withColumn("doc_id", F.col("doc_id") + 1000000))
+    new = docs.filter(F.col("doc_id") % 3 == 1).unionByName(recrawl)
+    store = str(tmp_path / "store")
+    build_signature_store(old, store)
+    out = incremental_near_duplicates(spark, new, store, threshold=0.5)
+    got = sorted((r.new_id, r.store_id, r.est_jaccard)
+                 for r in out.collect())
+    want = sorted(tuple(r) for r in duck.execute(incremental_oracle_sql(
+        "doc_id % 3 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1 "
+        "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "WHERE doc_id % 9 = 0",
+        threshold=0.5)).fetchall())
+    assert got == want and len(got) > 0
+    # every re-crawled (identical-text) doc matches its original at 1.0
+    recrawled = {r.new_id - 1000000: r.est_jaccard for r in out.collect()
+                 if r.new_id >= 1000000 and r.store_id == r.new_id - 1000000}
+    originals = {r.doc_id for r in recrawl.select(
+        (F.col("doc_id") - 1000000).alias("doc_id")).collect()}
+    assert set(recrawled) == originals
+    assert all(v == 1.0 for v in recrawled.values())
+
+
+def test_incremental_probe_broadcasts_not_store(spark, tmp_path):
+    """The scale contract: the store side must never shuffle — the
+    banded probe is broadcast (an Exchange on the store would re-move
+    history on every increment)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, incremental_near_duplicates)
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    build_signature_store(docs.filter(F.col("doc_id") % 3 == 0), store)
+    out = incremental_near_duplicates(
+        spark, docs.filter(F.col("doc_id") % 3 == 1), store)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the only exchanges allowed are the broadcast one and the final
+    # distinct/aggregate on the (small) candidate set — never a
+    # hash-partitioning of the store scan itself
+    import re
+
+    assert not re.search(
+        r"Exchange hashpartitioning[^\n]*\n[^\n]*Scan parquet[^\n]*store",
+        plan), plan
+
+
+def test_incremental_store_append(spark, tmp_path):
+    """mode='append' extends the store: a doc matched only by the
+    appended increment is found afterwards, not before."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, incremental_near_duplicates)
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    build_signature_store(docs.filter(F.col("doc_id") % 3 == 0), store)
+    probe = (docs.filter(F.col("doc_id") % 3 == 1).limit(5)
+             .withColumn("doc_id", F.col("doc_id") + 500000))
+    before = incremental_near_duplicates(
+        spark, probe, store, threshold=0.99).count()
+    assert before == 0
+    build_signature_store(docs.filter(F.col("doc_id") % 3 == 1),
+                          store, mode="append")
+    after = incremental_near_duplicates(
+        spark, probe, store, threshold=0.99)
+    got = {r.new_id - 500000: r.store_id for r in after.collect()}
+    assert got and all(k == v for k, v in got.items())
