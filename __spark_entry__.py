@@ -1786,7 +1786,12 @@ _DRIVER_WINDOW = [
     "aql_non_agg_projection", "aql_scalar_functions", "join_range_brackets",
     "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
     "aql_count_distinct", "aql_case_when_measure", "aql_numeric_bucket",
-    "aql_set_union", "aql_numeric_bucket_manual", "aql_day_of_week",
+    # aql_numeric_bucket_manual rotated out for migrate_ares_root: the
+    # manual-bounds variant shares timeutil.py's numeric-bucket path with
+    # the in-window aql_numeric_bucket (it stays in check_contract);
+    # the ares-root migration family (sources/ares_root.py: binary VP
+    # codec + disk-metastore walk) had no driver-graded row at all.
+    "aql_set_union", "migrate_ares_root", "aql_day_of_week",
     # aql_hour_of_day rotated out for the r6 deferred-backfill scheduler
     # row: its recurring-bucket path keeps TWO in-window siblings
     # (aql_day_of_week, aql_recurring_buckets — same timeutil recurring
