@@ -107,3 +107,30 @@ def test_lifecycle_walkthrough_golden(spark, tmp_path):
     assert out["cold_days"] == ["2024-01-12", "2024-01-13", "2024-01-14",
                                 "2024-01-15", "2024-01-16"]
     assert out["queued_backfill"] == 0
+
+
+def test_migrate_off_reference_walkthrough_golden(spark, tmp_path):
+    """examples/run_migrate_off_reference.py is deterministic: the
+    fabricated legacy deployment migrates to exactly these rows (enum
+    cases resolved, RLE sort column expanded, deleted column skipped),
+    the AQL query sees them, and export→re-migrate round-trips."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_migrate_off_reference",
+        os.path.join(os.path.dirname(HERE), "examples",
+                     "run_migrate_off_reference.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, str(tmp_path))
+
+    assert out["migrated_rows"] == 6
+    assert out["days"] == ["2019-06-01", "2019-06-02"]
+    assert out["by_status"] == {"completed": [3, 47.75],
+                                "cancelled": [2, 12.0],
+                                "NULL": [1, 9.5]}
+    # export rebuilds the enum dictionary sorted (ids may differ from
+    # the legacy dictionary; the CASES round-trip, which is what joins
+    # and filters see)
+    assert out["exported_enums"] == ["cancelled", "completed"]
+    assert out["roundtrip_equal"] is True
