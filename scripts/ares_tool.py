@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""ares_tool — offline inspection CLI for reference-format data.
+
+The read-only analog of the reference's debug endpoints
+(api/debug_handler.go:74-97) plus its redo-log browser
+(memstore/redo_log_browser.go), pointed at files instead of a running
+server — the tool a migration operator uses to answer "what is in this
+deployment?" before and after ``migrate_ares_root``:
+
+    tables ROOT                     — every table: kind, shards, cutoff,
+                                      day batches, sizes (ShowShardMeta)
+    show-batch ROOT TABLE BATCH     — decode one archive batch's rows
+        [--shard N --start I --rows N]        (ShowBatch startRow/numRows)
+    show-vp FILE [--values N]       — one vector-party file's header +
+                                      leading values (LoadVectorParty)
+    redologs DIR                    — redo log files + their batch
+                                      offsets/sizes (ListRedoLogs /
+                                      ListUpsertBatches)
+    read-upsert-batch FILE OFFSET   — decode the batch at a byte offset
+                                      (ReadUpsertBatch)
+    migrate ROOT DEST               — run migrate_ares_root (needs Spark)
+
+Every command prints one JSON document to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def cmd_tables(root: str) -> dict:
+    from aresdb_spark.sources.ares_root import list_tables, read_table_meta
+
+    out = {}
+    for t in list_tables(root):
+        meta = read_table_meta(root, t)
+        shards = {}
+        for sh in meta.shards:
+            shards[sh.shard] = {
+                "archivingCutoff": sh.archiving_cutoff,
+                "batches": {str(b): {"version": v[0], "seqNum": v[1],
+                                     "size": v[2]}
+                            for b, v in sorted(sh.batches.items())},
+                "snapshot": (None if sh.snapshot is None else dict(zip(
+                    ("redoLogFile", "offset", "batchID", "index"),
+                    sh.snapshot))),
+            }
+        out[t] = {
+            "isFactTable": bool(meta.schema.get("isFactTable")),
+            "columns": [{"name": c["name"], "type": c["type"],
+                         "deleted": bool(c.get("deleted"))}
+                        for c in meta.schema.get("columns") or []],
+            "primaryKeyColumns": meta.schema.get("primaryKeyColumns"),
+            "archivingSortColumns": meta.schema.get("archivingSortColumns"),
+            "enums": {k: len(v) for k, v in meta.enums.items()},
+            "shards": shards,
+        }
+    return out
+
+
+def cmd_show_batch(root: str, table: str, batch: int, shard: int = 0,
+                   start: int = 0, rows: int = 20) -> dict:
+    """ShowBatch analog (debug_handler.go:139-175): decode the batch the
+    metastore selects at the shard's cutoff and window its rows with
+    startRow/numRows."""
+    from aresdb_spark.sources.ares_root import (
+        archive_batch_dir, read_batch_columns, read_table_meta)
+
+    meta = read_table_meta(root, table)
+    sh = next(s for s in meta.shards if s.shard == shard)
+    if batch not in sh.batches:
+        raise SystemExit(f"batch {batch} not in metastore for {table} "
+                         f"(have {sorted(sh.batches)})")
+    ver, seq, size = sh.batches[batch]
+    d = archive_batch_dir(root, table, shard, batch, ver, seq)
+    cols = read_batch_columns(d, meta.schema, meta.enums)
+    names = list(cols)
+    n = len(cols[names[0]]) if names else 0
+    window = slice(start, start + rows)
+    return {"batchID": batch, "version": ver, "seqNum": seq,
+            "metastoreSize": size, "numRows": n, "startRow": start,
+            "columns": names,
+            "rows": [dict(zip(names, vals)) for vals in
+                     zip(*(cols[c][window] for c in names))] if n else []}
+
+
+def cmd_show_vp(path: str, values: int = 10) -> dict:
+    from aresdb_spark.sources.ares_root import read_vector_party_bytes
+
+    with open(path, "rb") as f:
+        vp = read_vector_party_bytes(f.read())
+    return {"dataType": vp.type_name, "length": vp.length,
+            "mode": vp.mode, "nonDefaultValueCount": vp.non_default_count,
+            "numRows": vp.num_rows(),
+            "values": vp.values[:values],
+            "counts": None if vp.counts is None else vp.counts[:values + 1]}
+
+
+def cmd_redologs(dirpath: str) -> dict:
+    """ListRedoLogs + ListUpsertBatches analog: every *.redolog file's
+    creation time (its name) and the byte offset + size of each framed
+    batch inside (redolog/file_redolog_manager.go:144-170)."""
+    import struct
+
+    from aresdb_spark.streaming.upsert_wire import REDO_LOG_MAGIC
+
+    out = {}
+    for name in sorted(os.listdir(dirpath)):
+        if not name.endswith(".redolog"):
+            continue
+        with open(os.path.join(dirpath, name), "rb") as f:
+            data = f.read()
+        entry = {"bytes": len(data), "batches": []}
+        if len(data) >= 4 and struct.unpack_from(
+                "<I", data, 0)[0] == REDO_LOG_MAGIC:
+            off = 4
+            while off + 4 <= len(data):
+                (size,) = struct.unpack_from("<I", data, off)
+                if off + 4 + size > len(data):
+                    entry["truncatedTail"] = True
+                    break
+                entry["batches"].append({"offset": off, "size": size})
+                off += 4 + size
+        else:
+            entry["error"] = "bad magic header"
+        out[name.removesuffix(".redolog")] = entry
+    return out
+
+
+def cmd_read_upsert_batch(path: str, offset: int, rows: int = 20) -> dict:
+    """ReadUpsertBatch analog (debug_handler.go:94): decode the
+    size-framed batch at a byte offset of a redo log file."""
+    import struct
+
+    from aresdb_spark.streaming.upsert_wire import parse_upsert_batch
+
+    with open(path, "rb") as f:
+        data = f.read()
+    (size,) = struct.unpack_from("<I", data, offset)
+    ub = parse_upsert_batch(bytes(data[offset + 4:offset + 4 + size]))
+    return {"numRows": ub.num_rows, "arrivalTime": ub.arrival_time,
+            "columns": [{"columnID": c.column_id, "type": c.type_name,
+                         "updateMode": c.update_mode_name}
+                        for c in ub.columns],
+            "rows": [list(r) for r in ub.rows()[:rows]]}
+
+
+def cmd_migrate(root: str, dest: str) -> dict:
+    from aresdb_spark.session import get_spark
+    from aresdb_spark.sources.ares_root import migrate_ares_root
+
+    spark = get_spark(app_name="ares-migrate", cpus=8,
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    return migrate_ares_root(spark, root, dest)
+
+
+def main(argv: "list[str] | None" = None) -> dict:
+    p = argparse.ArgumentParser(prog="ares_tool",
+                                description=__doc__.split("\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+    s = sub.add_parser("tables")
+    s.add_argument("root")
+    s = sub.add_parser("show-batch")
+    s.add_argument("root")
+    s.add_argument("table")
+    s.add_argument("batch", type=int)
+    s.add_argument("--shard", type=int, default=0)
+    s.add_argument("--start", type=int, default=0)
+    s.add_argument("--rows", type=int, default=20)
+    s = sub.add_parser("show-vp")
+    s.add_argument("file")
+    s.add_argument("--values", type=int, default=10)
+    s = sub.add_parser("redologs")
+    s.add_argument("dir")
+    s = sub.add_parser("read-upsert-batch")
+    s.add_argument("file")
+    s.add_argument("offset", type=int)
+    s.add_argument("--rows", type=int, default=20)
+    s = sub.add_parser("migrate")
+    s.add_argument("root")
+    s.add_argument("dest")
+    a = p.parse_args(argv)
+    if a.cmd == "tables":
+        out = cmd_tables(a.root)
+    elif a.cmd == "show-batch":
+        out = cmd_show_batch(a.root, a.table, a.batch, a.shard, a.start,
+                             a.rows)
+    elif a.cmd == "show-vp":
+        out = cmd_show_vp(a.file, a.values)
+    elif a.cmd == "redologs":
+        out = cmd_redologs(a.dir)
+    elif a.cmd == "read-upsert-batch":
+        out = cmd_read_upsert_batch(a.file, a.offset, a.rows)
+    else:
+        out = cmd_migrate(a.root, a.dest)
+    print(json.dumps(out, indent=2, default=str))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,66 @@
+"""ares_tool CLI: the offline analog of the reference's debug
+endpoints (api/debug_handler.go:74-97) driven against the reference's
+own shipped fixtures and a synthetic ares-root."""
+
+import importlib.util
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "ares_tool", os.path.join(os.path.dirname(HERE), "scripts",
+                              "ares_tool.py"))
+ares_tool = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(ares_tool)
+
+BOOTSTRAP = "/root/reference/testing/data/bootstrap"
+SAMPLE_REDOLOGS = ("/root/reference/testing/data/integration/"
+                   "sample-ares-root/data/abc_0/redologs")
+
+
+def test_tables_on_shipped_bootstrap():
+    out = ares_tool.main(["tables", BOOTSTRAP])
+    assert set(out) == {"dimtable1", "facttable1"}
+    fact = out["facttable1"]
+    assert fact["isFactTable"] is True
+    assert fact["archivingSortColumns"] == [3, 4]
+    shard = fact["shards"][0]
+    assert shard["archivingCutoff"] == 1560049865
+    assert shard["batches"]["18048"] == {
+        "version": 1559436638, "seqNum": 0, "size": 78347676}
+    assert out["dimtable1"]["shards"][0]["snapshot"] == {
+        "redoLogFile": 1560032167, "offset": 605,
+        "batchID": -2147483648, "index": 603670}
+
+
+def test_redologs_and_read_upsert_batch_on_shipped_sample():
+    """The reference's shipped redolog decodes exactly as its own
+    redo_log_browser_test pins: one 88-byte batch of 2 rows, Uint8 +
+    SmallEnum columns."""
+    logs = ares_tool.main(["redologs", SAMPLE_REDOLOGS])
+    assert logs == {"1501869573": {
+        "bytes": 96, "batches": [{"offset": 4, "size": 88}]}}
+    batch = ares_tool.main([
+        "read-upsert-batch",
+        os.path.join(SAMPLE_REDOLOGS, "1501869573.redolog"), "4"])
+    assert batch["numRows"] == 2
+    assert [c["type"] for c in batch["columns"]] == ["Uint8", "SmallEnum"]
+    assert batch["rows"] == [[123, 0], [234, 1]]
+
+
+def test_show_batch_and_show_vp_on_synthetic_root(tmp_path):
+    from tests.test_ares_root import _build_root
+
+    root = _build_root(tmp_path)
+    out = ares_tool.main(["show-batch", root, "trips", "18048",
+                          "--start", "1", "--rows", "2"])
+    assert out["numRows"] == 4 and out["startRow"] == 1
+    assert out["version"] == 1559436638
+    assert [r["city_id"] for r in out["rows"]] == [7, 7]
+    assert [r["status"] for r in out["rows"]] == ["active", None]
+
+    vp = ares_tool.main([
+        "show-vp",
+        os.path.join(root, "data", "trips_0", "archiving_batches",
+                     "2019-06-01_1559436638", "2.data")])
+    assert vp["mode"] == 3 and vp["numRows"] == 4
+    assert vp["values"] == [7, 9] and vp["counts"] == [0, 3, 4]
