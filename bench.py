@@ -220,6 +220,30 @@ def _stress_queries():
             .groupBy().agg(F.count("*").alias("n"),
                            F.sum(F.col("keep").cast("int")).alias("kept"))
 
+    # incremental-dedup probe class: the signature store is built ONCE
+    # per tier (on the warmup call — building is the accepted cost of
+    # ingesting history); the timed passes measure the per-increment
+    # probe, whose claim is "one store scan + broadcast join, never a
+    # corpus re-mine" — the 10x ratio should track scan cost, not
+    # re-shingling cost
+    _sig_stores: dict = {}
+
+    def q16_incremental(spark, sf):
+        import tempfile
+
+        from aresdb_spark.operators.dedup import (
+            build_signature_store, incremental_near_duplicates)
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        if sf not in _sig_stores:
+            path = tempfile.mkdtemp(prefix="bench_sigstore_") + "/store"
+            build_signature_store(docs.filter(F.col("doc_id") % 3 == 0),
+                                  path)
+            _sig_stores[sf] = path
+        probe = docs.filter(F.col("doc_id") % 31 == 1)
+        return incremental_near_duplicates(spark, probe, _sig_stores[sf],
+                                           threshold=0.5) \
+            .groupBy().agg(F.count("*").alias("n"))
+
     return {
         "q1_count_hourly": base["q1_count_hourly"],      # scan+agg class
         "q7_minhash_neardup": base["q7_minhash_neardup"],
@@ -229,6 +253,7 @@ def _stress_queries():
         "q12s_dedup_clusters_star": q12s,
         "q13_asof_join": base["q13_asof_join"],
         "q15_semantic_dedup": q15_sem,   # within-cluster self-join class
+        "q16_incremental_dedup": q16_incremental,  # store-probe class
     }
 
 
