@@ -64,3 +64,75 @@ def test_show_batch_and_show_vp_on_synthetic_root(tmp_path):
                      "2019-06-01_1559436638", "2.data")])
     assert vp["mode"] == 3 and vp["numRows"] == 4
     assert vp["values"] == [7, 9] and vp["counts"] == [0, 3, 4]
+
+
+# --------------------------------------------------------------------------
+# no-Spark property tests over the batch layer (fast, pure codec)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(data=st.data())
+def test_batch_write_read_property(tmp_path_factory, data):
+    """A random schema + random rows, written column-by-column with the
+    codec (sort column RLE'd), reads back row-identical through
+    read_batch_columns."""
+    from aresdb_spark.sources.ares_root import (
+        read_batch_columns, write_vector_party_bytes)
+
+    tmp = tmp_path_factory.mktemp("batch")
+    typed = {
+        "Uint32": st.integers(0, 2**32 - 1),
+        "Int64": st.integers(-2**63, 2**63 - 1),
+        "Bool": st.booleans(),
+        "Float32": st.floats(width=32, allow_nan=False),
+        "Int32[]": st.lists(st.one_of(
+            st.none(), st.integers(-2**31, 2**31 - 1)), max_size=4),
+    }
+    col_types = data.draw(st.lists(
+        st.sampled_from(sorted(typed)), min_size=1, max_size=4))
+    n = data.draw(st.integers(1, 25))
+    schema = {"name": "t", "columns": [
+        {"name": f"c{i}", "type": t} for i, t in enumerate(col_types)]}
+    want = {}
+    for i, t in enumerate(col_types):
+        vals = data.draw(st.lists(st.one_of(st.none(), typed[t]),
+                                  min_size=n, max_size=n))
+        want[f"c{i}"] = vals
+        # first column doubles as an RLE'd sort column when scalar
+        if i == 0 and not t.endswith("[]") and t != "Float32":
+            runs, counts = [], [0]
+            for v in vals:
+                if runs and runs[-1] == v:
+                    counts[-1] += 1
+                else:
+                    runs.append(v)
+                    counts.append(counts[-1] + 1)
+            buf = write_vector_party_bytes(t, runs, counts=counts)
+        else:
+            buf = write_vector_party_bytes(t, vals)
+        with open(os.path.join(str(tmp), f"{i}.data"), "wb") as f:
+            f.write(buf)
+    got = read_batch_columns(str(tmp), schema, {})
+    assert got == want
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 50), st.integers(0, 3),
+                          st.integers(1, 99)), max_size=8),
+       st.integers(0, 60))
+def test_select_batch_version_model(entries, cutoff):
+    """select_batch_version == the brute-force model of
+    GetArchiveBatchVersion: last appended entry with version <= cutoff,
+    else (0,0,0). Entries arrive append-ordered by version."""
+    from aresdb_spark.sources.ares_root import select_batch_version
+
+    entries = sorted(entries)
+    want = (0, 0, 0)
+    for e in entries:
+        if e[0] <= cutoff:
+            want = e
+    assert select_batch_version(entries, cutoff) == want
