@@ -269,6 +269,10 @@ def write_vector_party_bytes(type_name: str, values: list,
             raise ValueError("array columns are never sort columns — the "
                              "list-archive format has no count vector")
         return write_list_vector_party_bytes(type_name, values)
+    if type_name == "GeoShape":
+        if counts is not None:
+            raise ValueError("GeoShape columns are never sort columns")
+        return write_go_vector_party_bytes(type_name, values)
     if type_name not in DATA_TYPES:
         raise NotImplementedError(f"unknown data type {type_name}")
     n = len(values)
@@ -352,6 +356,80 @@ def read_vector_party_bytes(data: bytes) -> VectorParty:
                                          count_base))
     return VectorParty(type_name, length, mode, non_default, values,
                        counts)
+
+
+# --------------------------------------------------------------------------
+# Go-type vector parties (GeoShape columns — goLiveVectorParty)
+# --------------------------------------------------------------------------
+
+def write_go_vector_party_bytes(type_name: str, values: list) -> bytes:
+    """Serialize a Go-type vector party (GeoShape columns) in the
+    goLiveVectorParty file format (memstore/live_vector_party.go:191-237
+    Write): uint64 totalBytes (the memory-reporting hint — Σ points ×
+    SizeOfGeoPoint=8 over valid shapes, data_value.go:506-513), uint32
+    length, uint32 numValidValues, then each valid value as [uint32 row
+    index, omitted when all rows are valid] + the GeoShapeGo payload
+    (uint32 numPolygons, per polygon uint32 numPoints + (lat, lng)
+    float32 pairs — data_value.go:562-580). The format carries no magic
+    or type header, so reading requires the schema's column type.
+
+    ``values`` are WKT strings or nested (lat, lng) sequences, None for
+    null rows."""
+    from aresdb_spark.streaming.upsert_wire import _shape_polygons
+
+    if type_name != "GeoShape":
+        raise NotImplementedError(
+            f"{type_name} is not a Go-type column (only GeoShape)")
+    polys = [None if v is None else _shape_polygons(v) for v in values]
+    n = len(polys)
+    valid = [i for i, p in enumerate(polys) if p is not None]
+    total_bytes = sum(len(ring) * 8 for i in valid for ring in polys[i])
+    out = bytearray(struct.pack("<QII", total_bytes, n, len(valid)))
+    all_valid = len(valid) == n
+    for i in valid:
+        if not all_valid:
+            out += struct.pack("<I", i)
+        out += struct.pack("<I", len(polys[i]))
+        for ring in polys[i]:
+            out += struct.pack("<I", len(ring))
+            for lat, lng in ring:
+                out += struct.pack("<ff", lat, lng)
+    return bytes(out)
+
+
+def read_go_vector_party_bytes(data: bytes,
+                               type_name: str = "GeoShape") -> VectorParty:
+    """Parse a goLiveVectorParty file
+    (live_vector_party.go:241-280 Read). Returns WKT bridge values."""
+    from aresdb_spark.streaming.upsert_wire import geo_shape_to_wkt
+
+    if type_name != "GeoShape":
+        raise NotImplementedError(
+            f"{type_name} is not a Go-type column (only GeoShape)")
+    _total, n, n_valid = struct.unpack_from("<QII", data, 0)
+    off = 16
+    all_valid = n_valid == n
+    values: list = [None] * n
+    for k in range(n_valid):
+        if all_valid:
+            idx = k
+        else:
+            (idx,) = struct.unpack_from("<I", data, off)
+            off += 4
+        (n_poly,) = struct.unpack_from("<I", data, off)
+        off += 4
+        polygons = []
+        for _ in range(n_poly):
+            (n_pts,) = struct.unpack_from("<I", data, off)
+            off += 4
+            pts = struct.unpack_from(f"<{n_pts * 2}f", data, off)
+            off += n_pts * 8
+            polygons.append([(pts[j], pts[j + 1])
+                             for j in range(0, n_pts * 2, 2)])
+        values[idx] = geo_shape_to_wkt(polygons)
+    return VectorParty(type_name, n, ALL_VALUES_PRESENT
+                       if all_valid else HAS_NULL_VECTOR,
+                       n_valid, values)
 
 
 # --------------------------------------------------------------------------
@@ -501,7 +579,13 @@ def read_batch_columns(batch_dir: str, schema: dict,
         if not os.path.exists(path):
             continue
         with open(path, "rb") as f:
-            vp = read_vector_party_bytes(f.read())
+            raw = f.read()
+        if col["type"] == "GeoShape" and raw:
+            # Go-type columns have no magic header; the schema's type
+            # selects the codec, like the reference's factory does
+            vp = read_go_vector_party_bytes(raw, col["type"])
+        else:
+            vp = read_vector_party_bytes(raw)
         parties[cid] = vp
         if vp.length >= 0:
             num_rows = max(num_rows, vp.num_rows())

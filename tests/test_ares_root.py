@@ -455,3 +455,61 @@ def test_export_dimension_snapshot_roundtrip(spark, tmp_path):
     back = spark.read.parquet(out["cities"]["path"])
     got = {r.id: (r.name, r.tags) for r in back.collect()}
     assert got == {7: ("sf", ["x", "y"]), 9: ("nyc", None)}
+
+
+# --------------------------------------------------------------------------
+# Go-type (GeoShape) vector parties — goLiveVectorParty format
+# --------------------------------------------------------------------------
+
+def test_geoshape_vp_roundtrip_and_layout():
+    from aresdb_spark.sources.ares_root import (
+        read_go_vector_party_bytes, write_go_vector_party_bytes)
+
+    shapes = ["Polygon((10 1,20 2,30 3))", None,
+              "Polygon((0 0,1 0,1 1),(0.2 0.2,0.4 0.2))"]
+    buf = write_go_vector_party_bytes("GeoShape", shapes)
+    # header: totalBytes = (3 + 3 + 2) points * 8; length 3; numValid 2
+    assert struct.unpack_from("<QII", buf, 0) == (64, 3, 2)
+    # not all valid -> each value is prefixed by its row index
+    assert struct.unpack_from("<I", buf, 16)[0] == 0
+    vp = read_go_vector_party_bytes(buf)
+    assert vp.length == 3 and vp.non_default_count == 2
+    assert vp.values[1] is None
+    assert vp.values[0].lower().startswith("polygon((10 1")
+    # WKT is lng-first; repo shapes store lat-first — round-trip exact
+    assert vp.values[2].lower() == "polygon((0 0,1 0,1 1),(0.2 0.2,0.4 0.2))"
+
+
+def test_geoshape_all_valid_omits_indices():
+    from aresdb_spark.sources.ares_root import (
+        read_go_vector_party_bytes, write_go_vector_party_bytes)
+
+    buf = write_go_vector_party_bytes(
+        "GeoShape", ["Polygon((1 1,2 2))", "Polygon((3 3,4 4))"])
+    # all-valid: payloads start right after the 16-byte header, no
+    # per-value row index (live_vector_party.go:219-224)
+    assert struct.unpack_from("<I", buf, 16)[0] == 1  # numPolygons of row 0
+    vp = read_go_vector_party_bytes(buf)
+    assert vp.non_default_count == 2 and None not in vp.values
+
+
+def test_geoshape_dimension_snapshot_migration(spark, tmp_path):
+    """A geofence dimension table (the reference's geo-join pattern)
+    round-trips: export snapshot -> migrate -> WKT intact."""
+    from aresdb_spark.sources.ares_root import (
+        export_dimension_snapshot, migrate_ares_root)
+
+    schema = {"name": "geofences", "isFactTable": False,
+              "primaryKeyColumns": [0], "columns": [
+                  {"name": "fence_id", "type": "Int64"},
+                  {"name": "shape", "type": "GeoShape"}]}
+    df = spark.createDataFrame(
+        [(1, "Polygon((0 0,40 0,40 30,0 30))"), (2, None)],
+        "fence_id long, shape string")
+    root = str(tmp_path / "root")
+    export_dimension_snapshot(spark, df, root, schema)
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    got = {r.fence_id: r.shape for r in spark.read.parquet(
+        out["geofences"]["path"]).collect()}
+    assert got[2] is None
+    assert got[1].lower() == "polygon((0 0,40 0,40 30,0 30))"
