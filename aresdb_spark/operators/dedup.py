@@ -434,6 +434,32 @@ def incremental_near_duplicates(spark, new_df: DataFrame, store_path: str,
         .filter(F.col("est_jaccard") >= threshold))
 
 
+def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
+                            id_col: str = "doc_id") -> int:
+    """Retention for the signature store: rewrite it down to the ids
+    still in the corpus (the dedup-index half of the reference's purge
+    job — a doc dropped by ``recordRetentionInDays`` must also stop
+    matching new crawls, or the store pins deleted content forever).
+
+    One broadcast semi-join against the keep-set, one partitioned
+    rewrite; returns the number of band rows kept. Like the purge job,
+    run it on the lifecycle cadence, not per increment."""
+    import tempfile
+
+    store = spark.read.parquet(store_path)
+    kept = store.join(
+        F.broadcast(keep_ids.select(F.col(id_col).alias("id")).distinct()),
+        "id", "left_semi")
+    tmp = tempfile.mkdtemp(prefix="sigstore_compact_") + "/store"
+    kept.write.partitionBy("bhp").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    import shutil
+
+    shutil.rmtree(store_path)
+    shutil.move(tmp, store_path)
+    return n
+
+
 def incremental_oracle_sql(old_where: str, new_select: str,
                            text_col: str = "text", id_col: str = "doc_id",
                            threshold: float = 0.5,

@@ -904,3 +904,34 @@ def test_incremental_store_append(spark, tmp_path):
         spark, probe, store, threshold=0.99)
     got = {r.new_id - 500000: r.store_id for r in after.collect()}
     assert got and all(k == v for k, v in got.items())
+
+
+def test_compact_signature_store_retention(spark, tmp_path):
+    """Purge parity for the dedup index: after compaction to the
+    retained ids, an expired doc no longer matches a re-crawl of its
+    own text; a retained doc still does."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store,
+        incremental_near_duplicates)
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    store = str(tmp_path / "store")
+    build_signature_store(corpus, store)
+    expired = corpus.orderBy("doc_id").limit(3)
+    retained = corpus.join(expired.select("doc_id"), "doc_id",
+                           "left_anti")
+    kept_rows = compact_signature_store(spark, store, retained)
+    assert kept_rows == retained.count() * 4  # n_bands rows per doc
+
+    probe = corpus.withColumn("doc_id", F.col("doc_id") + 500000)
+    hits = incremental_near_duplicates(spark, probe, store,
+                                       threshold=0.99)
+    hit_ids = {r.new_id - 500000 for r in hits.collect()
+               if r.store_id == r.new_id - 500000}
+    expired_ids = {r.doc_id for r in expired.collect()}
+    retained_ids = {r.doc_id for r in retained.collect()}
+    assert hit_ids.isdisjoint(expired_ids)
+    assert hit_ids == retained_ids
