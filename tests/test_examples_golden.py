@@ -134,3 +134,35 @@ def test_migrate_off_reference_walkthrough_golden(spark, tmp_path):
     # and filters see)
     assert out["exported_enums"] == ["cancelled", "completed"]
     assert out["roundtrip_equal"] is True
+
+
+def test_continuous_crawl_walkthrough_golden(spark, tmp_path):
+    """examples/run_continuous_crawl.py is deterministic: three crawl
+    days over the documents corpus produce exactly this acceptance log
+    — day 2's 56 re-crawled pages are all flagged against history plus
+    12 organic near-dups, and compaction leaves n_bands rows per
+    retained doc."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_continuous_crawl",
+        os.path.join(os.path.dirname(HERE), "examples",
+                     "run_continuous_crawl.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.run(spark, str(tmp_path))
+
+    assert out["days"] == [
+        {"day": 0, "crawled": 167, "after_exact": 167,
+         "after_quality": 167, "near_dup_of_history": 0,
+         "accepted": 167},
+        {"day": 1, "crawled": 167, "after_exact": 167,
+         "after_quality": 167, "near_dup_of_history": 5,
+         "accepted": 162},
+        {"day": 2, "crawled": 222, "after_exact": 222,
+         "after_quality": 222, "near_dup_of_history": 68,
+         "accepted": 154},
+    ]
+    assert out["corpus_size"] == 483
+    assert out["expired"] == 48
+    assert out["store_rows_after_compaction"] == (483 - 48) * 4
