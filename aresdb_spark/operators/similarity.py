@@ -176,6 +176,23 @@ def write_ann_index(df: DataFrame, path: str, dim: int,
     out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
+def append_ann_index(df: DataFrame, path: str, dim: int,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     n_planes: int = 6) -> None:
+    """Incrementally extend a written ANN index with new vectors (the
+    embedding-side analog of the dedup signature store's append): the
+    hyperplanes are a deterministic function of (dim, n_planes), so new
+    rows land in exactly the buckets a full rebuild would give them —
+    an append is indistinguishable from a rebuild, proven by test.
+    Cost is one scan of the NEW batch; the existing index is not
+    touched."""
+    planes = lsh_planes(dim, n_planes)
+    out = df.select(F.col(id_col), F.col(vec_col),
+                    lsh_bucket(F.col(vec_col), planes).alias("__bucket"))
+    out = out.repartition(F.col("__bucket"))
+    out.write.mode("append").partitionBy("__bucket").parquet(path)
+
+
 def ann_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      n_planes: int = 6, max_hamming: int = 2) -> DataFrame:

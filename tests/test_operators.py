@@ -935,3 +935,27 @@ def test_compact_signature_store_retention(spark, tmp_path):
     retained_ids = {r.doc_id for r in retained.collect()}
     assert hit_ids.isdisjoint(expired_ids)
     assert hit_ids == retained_ids
+
+
+def test_ann_index_append_equals_rebuild(spark, tmp_path):
+    """append_ann_index on the second half of the corpus produces an
+    index indistinguishable from a full rebuild (the hyperplanes are
+    deterministic in (dim, n_planes)), so incremental ingestion never
+    degrades ANN results."""
+    from aresdb_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    qv = emb.filter(F.col("vec_id") == 3).select(
+        "embedding").first()["embedding"]
+    inc_path = str(tmp_path / "ann_inc")
+    full_path = str(tmp_path / "ann_full")
+    S.write_ann_index(emb.filter(F.col("vec_id") % 2 == 0), inc_path,
+                      dim=len(qv))
+    S.append_ann_index(emb.filter(F.col("vec_id") % 2 == 1), inc_path,
+                       dim=len(qv))
+    S.write_ann_index(emb, full_path, dim=len(qv))
+    a = [tuple(r) for r in S.ann_topk_indexed(
+        spark, inc_path, list(qv), k=10).collect()]
+    b = [tuple(r) for r in S.ann_topk_indexed(
+        spark, full_path, list(qv), k=10).collect()]
+    assert a == b and len(a) == 10
