@@ -513,3 +513,30 @@ def test_geoshape_dimension_snapshot_migration(spark, tmp_path):
         out["geofences"]["path"]).collect()}
     assert got[2] is None
     assert got[1].lower() == "polygon((0 0,40 0,40 30,0 30))"
+
+
+def test_migrate_multi_shard_root(spark, tmp_path):
+    """A table sharded across N datanodes migrates whole: every shard's
+    selected batches union into one table (the engine has no shard
+    concept at rest — Spark partitioning replaces it)."""
+    import json
+
+    root = str(tmp_path / "root")
+    day, t0 = 18048, 18048 * 86400
+    schema = {"name": "ev", "isFactTable": True, "primaryKeyColumns": [1],
+              "columns": [{"name": "t", "type": "Uint32"},
+                          {"name": "id", "type": "Int64"}]}
+    _write(f"{root}/metastore/ev/schema", json.dumps(schema))
+    for shard, ids in ((0, [1, 2]), (1, [3]), (2, [4, 5, 6])):
+        _write(f"{root}/metastore/ev/shards/{shard}/version", "1600000000")
+        _write(f"{root}/metastore/ev/shards/{shard}/batches/{day}",
+               f"1559436638,{len(ids)}\n")
+        d = archive_batch_dir(root, "ev", shard, day, 1559436638)
+        _write(f"{d}/0.data", write_vector_party_bytes(
+            "Uint32", [t0 + i for i in ids]))
+        _write(f"{d}/1.data", write_vector_party_bytes("Int64", ids))
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    assert out["ev"]["rows"] == 6
+    got = sorted(r.id for r in spark.read.parquet(
+        out["ev"]["path"]).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
