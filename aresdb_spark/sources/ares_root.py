@@ -921,3 +921,38 @@ def export_dimension_snapshot(spark, df, root: str, schema: dict,
     with open(os.path.join(meta, "shards", "0", "snapshot"), "w") as f:
         f.write(f"{redo_log},{offset},{batch_id},{max(n - 1, 0)}")
     return {"table": table, "rows": n}
+
+
+def validate_migration(spark, root: str, table: str, migrated_path: str,
+                       shard: "int | None" = None) -> dict:
+    """Verify a migrated fact table against the source deployment's own
+    metadata: the disk metastore records each archive batch's row count
+    (the ``size`` field of the batch-version line the migration
+    selected), so expected-vs-actual is ONE day-grouped count over the
+    migrated parquet — no second read of the legacy data. At 100 TB
+    this is the difference between a checkable migration and a leap of
+    faith.
+
+    Returns {day: {"expected", "actual", "match"}} plus an "ok"
+    rollup. Dimension snapshots have no per-batch sizes; validate those
+    by count against the source store directly."""
+    from pyspark.sql import functions as F
+
+    meta = read_table_meta(root, table)
+    expected: dict[str, int] = {}
+    for sh in meta.shards:
+        if shard is not None and sh.shard != shard:
+            continue
+        for batch_id, (_ver, _seq, size) in sh.batches.items():
+            day = _batch_date(batch_id)
+            expected[day] = expected.get(day, 0) + size
+    actual = {r.d: r.n for r in (
+        spark.read.parquet(migrated_path)
+        .groupBy(F.col("__day").cast("string").alias("d"))
+        .agg(F.count("*").alias("n")).collect())}
+    days = {}
+    for day in sorted(set(expected) | set(actual)):
+        e, a = expected.get(day, 0), actual.get(day, 0)
+        days[day] = {"expected": e, "actual": a, "match": e == a}
+    return {"table": table, "ok": all(d["match"] for d in days.values()),
+            "days": days}

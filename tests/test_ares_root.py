@@ -540,3 +540,28 @@ def test_migrate_multi_shard_root(spark, tmp_path):
     got = sorted(r.id for r in spark.read.parquet(
         out["ev"]["path"]).collect())
     assert got == [1, 2, 3, 4, 5, 6]
+
+
+def test_validate_migration(spark, tmp_path):
+    """Per-day counts of the migrated table reconcile against the
+    metastore's own batch sizes; a tampered metastore size is caught."""
+    import json
+
+    from aresdb_spark.sources.ares_root import validate_migration
+
+    root = _build_root(tmp_path / "root")
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    rep = validate_migration(spark, root, "trips", out["trips"]["path"])
+    assert rep["ok"] is True
+    assert rep["days"] == {"2019-06-01": {
+        "expected": 4, "actual": 4, "match": True}}
+
+    # tamper: metastore claims 9 rows for the day
+    bpath = os.path.join(str(tmp_path / "root"), "metastore", "trips",
+                         "shards", "0", "batches", "18048")
+    with open(bpath, "w") as f:
+        f.write("1559400000,2\n1559436638,9\n")
+    bad = validate_migration(spark, root, "trips", out["trips"]["path"])
+    assert bad["ok"] is False
+    assert bad["days"]["2019-06-01"] == {
+        "expected": 9, "actual": 4, "match": False}
