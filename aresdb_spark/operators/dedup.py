@@ -168,6 +168,26 @@ def minhash_signature_sql(col: str, n_hashes: int = N_HASHES) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _band_hash(sig: Column, b: int, rows_per_band: int) -> Column:
+    """Band hash: md5 over the band's slice of the signature — THE
+    persisted-store format; both the in-corpus LSH and the incremental
+    store derive buckets from this one definition."""
+    piece = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+    return F.md5(F.array_join(
+        F.transform(piece, lambda x: x.cast("string")), "-"))
+
+
+def _band_selects_sql(src: str, n_bands: int, rows_per_band: int,
+                      extra: str = "") -> str:
+    """DuckDB twin of _band_hash, one SELECT per band over ``src``
+    (which must expose ``id`` and ``sig``)."""
+    return "\nUNION ALL\n".join(
+        f"  SELECT id, {extra}{b} AS band, "
+        f"md5(array_to_string(sig[{b * rows_per_band + 1}:"
+        f"{(b + 1) * rows_per_band}], '-')) AS bh FROM {src}"
+        for b in range(n_bands))
+
+
 def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            n_bands: int = N_BANDS,
@@ -194,14 +214,11 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
     base = _parallelize(df.select(F.col(id_col).alias("id"), F.col(text_col))) \
         .select("id", sig.alias("sig"))
 
-    def band_hash(b: int) -> Column:
-        piece = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        return F.md5(F.array_join(F.transform(piece, lambda x: x.cast("string")), "-"))
-
     bands = base.select(
         "id",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            F.struct(F.lit(b).alias("band"),
+                     _band_hash(F.col("sig"), b, rows_per_band).alias("bh"))
             for b in range(n_bands)
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bh")
@@ -319,12 +336,7 @@ def minhash_oracle_sql(table: str = "documents", text_col: str = "text",
                        rows_per_band: int = ROWS_PER_BAND) -> str:
     sig = minhash_signature_sql(text_col)
     sh = shingles_oracle_sql(text_col)
-    band_selects = "\nUNION ALL\n".join(
-        f"  SELECT id, {b} AS band, "
-        f"md5(array_to_string(sig[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], '-')) AS bh "
-        f"FROM sigs"
-        for b in range(n_bands)
-    )
+    band_selects = _band_selects_sql("sigs", n_bands, rows_per_band)
     return f"""
 WITH sigs AS (
   SELECT {id_col} AS id, {sig} AS sig, {sh} AS sh FROM {table}
@@ -363,15 +375,11 @@ def signature_bands(df: DataFrame, text_col: str = "text",
     sig = minhash_signature(F.col(text_col))
     base = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
-    def band_hash(b: int) -> Column:
-        piece = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        return F.md5(F.array_join(
-            F.transform(piece, lambda x: x.cast("string")), "-"))
-
     return (base.select(
         "id", "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"), band_hash(b).alias("bh"))
+            F.struct(F.lit(b).alias("band"),
+                     _band_hash(F.col("sig"), b, rows_per_band).alias("bh"))
             for b in range(n_bands)])).alias("bb"))
         .select("id", "sig", "bb.band", "bb.bh",
                 F.substring("bb.bh", 1, 1).alias("bhp")))
@@ -443,18 +451,27 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
 
     One broadcast semi-join against the keep-set, one partitioned
     rewrite; returns the number of band rows kept. Like the purge job,
-    run it on the lifecycle cadence, not per increment."""
-    import tempfile
+    run it on the lifecycle cadence, not per increment.
+
+    The rewrite lands in a SIBLING ``<store>.compact-tmp`` directory and
+    swaps in after it is complete, so a crash mid-compaction leaves
+    either the old store intact or both directories on disk (recover by
+    moving the tmp over) — never no store at all. A keep-set that
+    empties the store writes an unpartitioned empty parquet (a
+    partitioned zero-row write has no schema-bearing part file and
+    would make every later read fail)."""
+    import shutil
 
     store = spark.read.parquet(store_path)
     kept = store.join(
         F.broadcast(keep_ids.select(F.col(id_col).alias("id")).distinct()),
         "id", "left_semi")
-    tmp = tempfile.mkdtemp(prefix="sigstore_compact_") + "/store"
-    kept.write.partitionBy("bhp").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    import shutil
-
+    n = kept.count()
+    tmp = store_path.rstrip("/") + ".compact-tmp"
+    if n == 0:
+        kept.write.mode("overwrite").parquet(tmp)
+    else:
+        kept.write.mode("overwrite").partitionBy("bhp").parquet(tmp)
     shutil.rmtree(store_path)
     shutil.move(tmp, store_path)
     return n
@@ -473,11 +490,8 @@ def incremental_oracle_sql(old_where: str, new_select: str,
     sig_new = minhash_signature_sql("text")
 
     def bands(src: str) -> str:
-        return "\nUNION ALL\n".join(
-            f"  SELECT id, sig, {b} AS band, "
-            f"md5(array_to_string(sig[{b * rows_per_band + 1}:"
-            f"{(b + 1) * rows_per_band}], '-')) AS bh FROM {src}"
-            for b in range(n_bands))
+        return _band_selects_sql(src, n_bands, rows_per_band,
+                                 extra="sig, ")
 
     agree = (f"(len([i for i in range(1, {N_HASHES + 1}) "
              f"if a.sig[i] = b.sig[i]]) / {N_HASHES}.0)")

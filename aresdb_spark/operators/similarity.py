@@ -160,7 +160,7 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def write_ann_index(df: DataFrame, path: str, dim: int,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    n_planes: int = 6) -> None:
+                    n_planes: int = 6, mode: str = "overwrite") -> None:
     """Materialize the corpus partitioned by LSH bucket.
 
     This is the scale path promised by `lsh_bucket`: the bucket id is
@@ -173,7 +173,7 @@ def write_ann_index(df: DataFrame, path: str, dim: int,
     out = df.select(F.col(id_col), F.col(vec_col),
                     lsh_bucket(F.col(vec_col), planes).alias("__bucket"))
     out = out.repartition(F.col("__bucket"))
-    out.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    out.write.mode(mode).partitionBy("__bucket").parquet(path)
 
 
 def append_ann_index(df: DataFrame, path: str, dim: int,
@@ -186,11 +186,8 @@ def append_ann_index(df: DataFrame, path: str, dim: int,
     an append is indistinguishable from a rebuild, proven by test.
     Cost is one scan of the NEW batch; the existing index is not
     touched."""
-    planes = lsh_planes(dim, n_planes)
-    out = df.select(F.col(id_col), F.col(vec_col),
-                    lsh_bucket(F.col(vec_col), planes).alias("__bucket"))
-    out = out.repartition(F.col("__bucket"))
-    out.write.mode("append").partitionBy("__bucket").parquet(path)
+    write_ann_index(df, path, dim, vec_col, id_col, n_planes,
+                    mode="append")
 
 
 def ann_topk_indexed(spark, path: str, query_vec: list[float], k: int = 10,

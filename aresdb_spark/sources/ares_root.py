@@ -237,6 +237,8 @@ def _read_list_vector_party(data: bytes) -> VectorParty:
             f"unknown array data type {raw_type:#x}")
     if mode >= _MAX_COLUMN_MODE:
         raise VectorPartyCorruptError(f"Invalid mode {mode}")
+    if length < 0:
+        raise VectorPartyCorruptError(f"negative vector length {length}")
     type_name = TYPE_NAMES[raw_type]
     item = type_name[:-2]
     off_base = _HEADER.size
@@ -328,6 +330,11 @@ def read_vector_party_bytes(data: bytes) -> VectorParty:
         raise VectorPartyCorruptError(f"unknown data type {raw_type:#x}")
     if mode >= _MAX_COLUMN_MODE:
         raise VectorPartyCorruptError(f"Invalid mode {mode}")
+    if length < 0:
+        # a negative count would silently misdecode (np.frombuffer
+        # reads the whole buffer for count<0) — refuse like the other
+        # header checks
+        raise VectorPartyCorruptError(f"negative vector length {length}")
     type_name = TYPE_NAMES[raw_type]
     if mode == ALL_VALUES_DEFAULT:
         return VectorParty(type_name, length, mode, non_default,
@@ -520,7 +527,14 @@ def read_table_meta(root: str, table: str) -> TableMeta:
             enums[col] = raw.split(ENUM_DELIMITER) if raw else []
     shards = []
     sdir = os.path.join(mdir, "shards")
-    for shard_name in sorted(os.listdir(sdir), key=int):
+    shard_names = []
+    if os.path.isdir(sdir):
+        for name in os.listdir(sdir):
+            try:
+                shard_names.append(int(name))
+            except ValueError:
+                continue  # stray files skipped, like ListArchiveBatches
+    for shard_name in map(str, sorted(shard_names)):
         shard_dir = os.path.join(sdir, shard_name)
         cutoff = 0
         vpath = os.path.join(shard_dir, "version")
@@ -562,6 +576,25 @@ def list_tables(root: str) -> list[str]:
 # batch decode
 # --------------------------------------------------------------------------
 
+def _parse_default(type_name: str, s: "str | None"):
+    """Parse a schema ``defaultValue`` string the way the reference's
+    SetDefaultValue does (memstore/common/schema.go:116 →
+    ValueFromString): typed for scalars, the case string itself for
+    enums (translation is skipped — the default IS the case)."""
+    if s is None:
+        return None
+    if type_name in ("SmallEnum", "BigEnum", "GeoPoint", "GeoShape"):
+        return s
+    if type_name == "Bool":
+        return str(s).lower() in ("true", "1")
+    if type_name == "Float32":
+        return float(s)
+    if type_name == "UUID":
+        w = _bridge_to_wire_scalar("UUID", str(s))
+        return _wire_to_bridge_scalar("UUID", w)
+    return int(s)
+
+
 def read_batch_columns(batch_dir: str, schema: dict,
                        enums: dict[str, list[str]]) -> dict[str, list]:
     """Decode every column file of one archive/snapshot batch directory
@@ -594,8 +627,15 @@ def read_batch_columns(batch_dir: str, schema: dict,
         if col.get("deleted"):
             continue
         vp = parties.get(cid)
+        default = _parse_default(col["type"], col.get("defaultValue"))
         if vp is None or vp.length < 0:
-            out[col["name"]] = [None] * num_rows
+            out[col["name"]] = [default] * num_rows
+            continue
+        if vp.mode == ALL_VALUES_DEFAULT and default is not None:
+            # an all-default file means every row holds the column's
+            # CONFIGURED default (schema.go SetDefaultValue), which is
+            # NULL only when defaultValue is absent
+            out[col["name"]] = [default] * num_rows
             continue
         rows = vp.rows()
         if len(rows) != num_rows:
@@ -627,22 +667,14 @@ def _spark_fields(schema: dict):
         for c in schema.get("columns") or [] if not c.get("deleted")])
 
 
-def read_archive_table(spark, root: str, meta: TableMeta):
-    """All selected archive batches of a fact table as one DataFrame.
-
-    The driver handles only metadata (one row per batch directory); the
-    VP decode runs executor-side via ``mapInPandas`` over the batch
-    list, so shards × days is the parallelism width and no batch's data
-    ever lands on the driver."""
+def _decode_batch_dirs(spark, dirs: list, meta: TableMeta):
+    """Shared decode plan for archive and snapshot readers: the driver
+    holds only the directory list (pure metadata); each batch directory
+    decodes executor-side via ``mapInPandas``, so shards × batches is
+    the parallelism width and no batch's data ever lands on the
+    driver."""
     import pandas as pd
 
-    dirs = []
-    for sh in meta.shards:
-        for batch_id, (ver, seq, _size) in sorted(sh.batches.items()):
-            d = archive_batch_dir(root, meta.name, sh.shard, batch_id,
-                                  ver, seq)
-            if os.path.isdir(d):
-                dirs.append(d)
     out_schema = _spark_fields(meta.schema)
     schema_doc, enums = meta.schema, meta.enums
     names = [f.name for f in out_schema.fields]
@@ -659,13 +691,23 @@ def read_archive_table(spark, root: str, meta: TableMeta):
     return seed.mapInPandas(decode, schema=out_schema)
 
 
+def read_archive_table(spark, root: str, meta: TableMeta):
+    """All selected archive batches of a fact table as one DataFrame."""
+    dirs = []
+    for sh in meta.shards:
+        for batch_id, (ver, seq, _size) in sorted(sh.batches.items()):
+            d = archive_batch_dir(root, meta.name, sh.shard, batch_id,
+                                  ver, seq)
+            if os.path.isdir(d):
+                dirs.append(d)
+    return _decode_batch_dirs(spark, dirs, meta)
+
+
 def read_snapshot_table(spark, root: str, meta: TableMeta):
     """A dimension table's latest snapshot as one DataFrame: per shard,
     the metastore's snapshot pointer names the live directory
     ``snapshots/{redolog}_{offset}`` (diskstore_util.go:66-70) whose
     numbered subdirectories are live batches."""
-    import pandas as pd
-
     dirs = []
     for sh in meta.shards:
         if not sh.snapshot:
@@ -676,20 +718,7 @@ def read_snapshot_table(spark, root: str, meta: TableMeta):
         if os.path.isdir(snap):
             dirs.extend(os.path.join(snap, b)
                         for b in sorted(os.listdir(snap)))
-    out_schema = _spark_fields(meta.schema)
-    schema_doc, enums = meta.schema, meta.enums
-    names = [f.name for f in out_schema.fields]
-
-    def decode(iterator):
-        for pdf in iterator:
-            for d in pdf["dir"]:
-                cols = read_batch_columns(d, schema_doc, enums)
-                yield pd.DataFrame({n: cols.get(n, []) for n in names},
-                                   columns=names)
-
-    seed = spark.createDataFrame([(d,) for d in dirs], "dir string") \
-        .repartition(max(len(dirs), 1))
-    return seed.mapInPandas(decode, schema=out_schema)
+    return _decode_batch_dirs(spark, dirs, meta)
 
 
 def migrate_ares_root(spark, root: str, dest: str) -> dict[str, dict]:
@@ -782,7 +811,6 @@ def export_ares_root(spark, df, root: str, schema: dict,
 
     cols = [c for c in schema.get("columns") or [] if not c.get("deleted")]
     names = [c["name"] for c in cols]
-    types = {c["name"]: c["type"] for c in schema.get("columns") or []}
     table = schema["name"]
     time_col = cols[0]["name"]
     sort_ids = schema.get("archivingSortColumns") or []
@@ -797,8 +825,17 @@ def export_ares_root(spark, df, root: str, schema: dict,
             time_col, F.unix_timestamp(time_col).cast("long"))
     enums = _collect_enum_dicts(work, schema)
     enum_ids = {k: {c: i for i, c in enumerate(v)} for k, v in enums.items()}
+    if work.filter(F.col(time_col).isNull()).limit(1).count():
+        raise ValueError(
+            f"{time_col} has NULL values: the archive layout keys every "
+            "row by its UTC day — drop or backfill null-time rows before "
+            "export (the reference's live store holds them un-archived)")
     if cutoff is None:
-        cutoff = int(work.agg(F.max(time_col)).first()[0]) + 1
+        max_t = work.agg(F.max(time_col)).first()[0]
+        if max_t is None:
+            raise ValueError("cannot export an empty DataFrame: no rows "
+                             "to derive the archiving cutoff from")
+        cutoff = int(max_t) + 1
     work = work.withColumn("__day", (F.col(time_col) / 86400)
                            .cast("long"))
 
@@ -946,9 +983,11 @@ def validate_migration(spark, root: str, table: str, migrated_path: str,
         for batch_id, (_ver, _seq, size) in sh.batches.items():
             day = _batch_date(batch_id)
             expected[day] = expected.get(day, 0) + size
+    from aresdb_spark.sources.writer import DAY_COL
+
     actual = {r.d: r.n for r in (
         spark.read.parquet(migrated_path)
-        .groupBy(F.col("__day").cast("string").alias("d"))
+        .groupBy(F.col(DAY_COL).cast("string").alias("d"))
         .agg(F.count("*").alias("n")).collect())}
     days = {}
     for day in sorted(set(expected) | set(actual)):

@@ -89,11 +89,17 @@ def cmd_show_batch(root: str, table: str, batch: int, shard: int = 0,
                      zip(*(cols[c][window] for c in names))] if n else []}
 
 
-def cmd_show_vp(path: str, values: int = 10) -> dict:
-    from aresdb_spark.sources.ares_root import read_vector_party_bytes
+def cmd_show_vp(path: str, values: int = 10,
+                type_name: "str | None" = None) -> dict:
+    from aresdb_spark.sources.ares_root import (
+        read_go_vector_party_bytes, read_vector_party_bytes)
 
     with open(path, "rb") as f:
-        vp = read_vector_party_bytes(f.read())
+        raw = f.read()
+    # Go-type files (GeoShape) carry no magic header; --type selects
+    # their codec the way read_batch_columns does via the schema
+    vp = (read_go_vector_party_bytes(raw, type_name)
+          if type_name == "GeoShape" else read_vector_party_bytes(raw))
     return {"dataType": vp.type_name, "length": vp.length,
             "mode": vp.mode, "nonDefaultValueCount": vp.non_default_count,
             "numRows": vp.num_rows(),
@@ -176,6 +182,9 @@ def main(argv: "list[str] | None" = None) -> dict:
     s = sub.add_parser("show-vp")
     s.add_argument("file")
     s.add_argument("--values", type=int, default=10)
+    s.add_argument("--type", dest="type_name", default=None,
+                   help="column type for header-less Go-type files "
+                        "(GeoShape)")
     s = sub.add_parser("redologs")
     s.add_argument("dir")
     s = sub.add_parser("read-upsert-batch")
@@ -192,7 +201,7 @@ def main(argv: "list[str] | None" = None) -> dict:
         out = cmd_show_batch(a.root, a.table, a.batch, a.shard, a.start,
                              a.rows)
     elif a.cmd == "show-vp":
-        out = cmd_show_vp(a.file, a.values)
+        out = cmd_show_vp(a.file, a.values, a.type_name)
     elif a.cmd == "redologs":
         out = cmd_redologs(a.dir)
     elif a.cmd == "read-upsert-batch":

@@ -565,3 +565,65 @@ def test_validate_migration(spark, tmp_path):
     assert bad["ok"] is False
     assert bad["days"]["2019-06-01"] == {
         "expected": 9, "actual": 4, "match": False}
+
+
+# --------------------------------------------------------------------------
+# review regressions: defaults, corruption, robustness
+# --------------------------------------------------------------------------
+
+def test_mode0_and_missing_columns_use_schema_default(tmp_path):
+    """An all-default file (or a missing one) reads as the column's
+    CONFIGURED defaultValue (schema.go SetDefaultValue), not NULL; a
+    mode-2 null stays NULL — nulls in a present file are genuine."""
+    schema = {"name": "t", "columns": [
+        {"name": "id", "type": "Uint16"},
+        {"name": "n", "type": "Uint32", "defaultValue": "7"},
+        {"name": "flag", "type": "Bool", "defaultValue": "true"},
+        {"name": "kind", "type": "SmallEnum", "defaultValue": "b"},
+        {"name": "missing", "type": "Int64", "defaultValue": "-5"},
+        {"name": "no_default", "type": "Int32"},
+    ]}
+    d = str(tmp_path / "b")
+    _write(f"{d}/0.data", write_vector_party_bytes("Uint16", [1, 2]))
+    _write(f"{d}/1.data", write_vector_party_bytes("Uint32", [None, None]))
+    _write(f"{d}/2.data", write_vector_party_bytes("Bool", [None, None]))
+    _write(f"{d}/3.data", write_vector_party_bytes(
+        "SmallEnum", [None, None]))
+    # column 4 has no file at all; column 5 is all-default w/o default
+    _write(f"{d}/5.data", write_vector_party_bytes("Int32", [None, None]))
+    cols = read_batch_columns(d, schema, {"kind": ["a", "b"]})
+    assert cols["n"] == [7, 7]
+    assert cols["flag"] == [True, True]
+    assert cols["kind"] == ["b", "b"]  # default IS the case string
+    assert cols["missing"] == [-5, -5]
+    assert cols["no_default"] == [None, None]
+
+
+def test_negative_length_refused():
+    buf = bytearray(write_vector_party_bytes("Uint8", [1, 2]))
+    struct.pack_into("<i", buf, 4, -2)
+    with pytest.raises(VectorPartyCorruptError, match="negative"):
+        read_vector_party_bytes(bytes(buf))
+
+
+def test_stray_files_in_shards_dir_skipped(tmp_path):
+    root = _build_root(tmp_path)
+    _write(os.path.join(str(tmp_path), "metastore", "trips", "shards",
+                        ".DS_Store"), "junk")
+    meta = read_table_meta(root, "trips")
+    assert [s.shard for s in meta.shards] == [0]
+
+
+def test_export_rejects_empty_and_null_time(spark, tmp_path):
+    from aresdb_spark.sources.ares_root import export_ares_root
+
+    schema = {"name": "t", "isFactTable": True, "columns": [
+        {"name": "ts", "type": "Uint32"},
+        {"name": "id", "type": "Int64"}]}
+    empty = spark.createDataFrame([], "ts long, id long")
+    with pytest.raises(ValueError, match="empty DataFrame"):
+        export_ares_root(spark, empty, str(tmp_path / "a"), schema)
+    nulls = spark.createDataFrame([(None, 1), (1000, 2)],
+                                  "ts long, id long")
+    with pytest.raises(ValueError, match="NULL values"):
+        export_ares_root(spark, nulls, str(tmp_path / "b"), schema)

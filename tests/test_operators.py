@@ -959,3 +959,22 @@ def test_ann_index_append_equals_rebuild(spark, tmp_path):
     b = [tuple(r) for r in S.ann_topk_indexed(
         spark, full_path, list(qv), k=10).collect()]
     assert a == b and len(a) == 10
+
+
+def test_compact_signature_store_to_empty(spark, tmp_path):
+    """A keep-set that empties the store leaves a READABLE empty store
+    (a partitioned zero-row write would have no schema-bearing file),
+    and probes against it return no matches instead of crashing."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store,
+        incremental_near_duplicates)
+
+    docs = _docs(spark).filter(F.col("doc_id") % 10 == 0)
+    store = str(tmp_path / "store")
+    build_signature_store(docs, store)
+    none_kept = spark.createDataFrame([], "doc_id long")
+    assert compact_signature_store(spark, store, none_kept) == 0
+    assert incremental_near_duplicates(spark, docs.limit(3),
+                                       store).count() == 0
