@@ -84,13 +84,21 @@ def test_batch_write_read_property(tmp_path_factory, data):
         read_batch_columns, write_vector_party_bytes)
 
     tmp = tmp_path_factory.mktemp("batch")
+    uuid_s = st.integers(0, 2**128 - 1).map(
+        lambda v: "-".join((f"{v:032x}"[:8], f"{v:032x}"[8:12],
+                            f"{v:032x}"[12:16], f"{v:032x}"[16:20],
+                            f"{v:032x}"[20:])))
     typed = {
         "Uint32": st.integers(0, 2**32 - 1),
         "Int64": st.integers(-2**63, 2**63 - 1),
         "Bool": st.booleans(),
         "Float32": st.floats(width=32, allow_nan=False),
+        "UUID": uuid_s,
         "Int32[]": st.lists(st.one_of(
             st.none(), st.integers(-2**31, 2**31 - 1)), max_size=4),
+        "Bool[]": st.lists(st.one_of(st.none(), st.booleans()),
+                           max_size=5),
+        "UUID[]": st.lists(st.one_of(st.none(), uuid_s), max_size=3),
     }
     col_types = data.draw(st.lists(
         st.sampled_from(sorted(typed)), min_size=1, max_size=4))
