@@ -1760,6 +1760,58 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         "UNION ALL SELECT doc_id + 1000000, text FROM documents "
         "WHERE doc_id % 9 = 0",
         threshold=0.5))
+
+    # --- the same continuous-crawl pipeline as a Structured Streaming
+    # sink (streaming/ingest.py start_dedup_stream): two file-source
+    # micro-batches — batch 1 seeds the store, batch 2's re-crawled
+    # copies drop against history, fresh docs land. The oracle models
+    # the accepted set in SQL: all of batch 1, plus batch-2 docs that
+    # are neither re-crawls nor near-dups of batch 1 ---
+    def q_stream_dedup(spark, sf_dir):
+        import tempfile
+
+        from aresdb_spark.streaming.ingest import (
+            file_source, start_dedup_stream)
+
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        work = tempfile.mkdtemp(prefix="aresdb_crawl_")
+        src = f"{work}/in"
+        import os as _os
+
+        _os.makedirs(src)
+        store, out_path = f"{work}/store", f"{work}/accepted"
+
+        def run():
+            q = start_dedup_stream(
+                file_source(spark, f"{src}/*", docs.schema), store,
+                out_path, checkpoint_dir=f"{work}/ckpt", threshold=0.8,
+                available_now=True)
+            q.awaitTermination(180)
+
+        b1 = docs.filter(F.col("doc_id") % 3 == 0)
+        b1.coalesce(1).write.parquet(f"{src}/b1")
+        run()
+        recrawl = (b1.filter(F.col("doc_id") % 9 == 0)
+                   .withColumn("doc_id", F.col("doc_id") + 1000000))
+        docs.filter(F.col("doc_id") % 3 == 1).unionByName(recrawl) \
+            .coalesce(1).write.parquet(f"{src}/b2")
+        run()
+        return (spark.read.parquet(out_path)
+                .select("doc_id").orderBy("doc_id"))
+
+    from aresdb_spark.operators.dedup import incremental_oracle_sql
+
+    stream_dedup_sql = f"""
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        UNION ALL
+        SELECT doc_id FROM documents WHERE doc_id % 3 = 1
+          AND doc_id NOT IN (SELECT new_id FROM ({incremental_oracle_sql(
+        "doc_id % 3 = 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1",
+        threshold=0.8)}) h)
+        ORDER BY doc_id
+    """
+    out["stream_dedup_crawl"] = (q_stream_dedup, stream_dedup_sql)
     return out
 
 

@@ -103,3 +103,73 @@ def start_upsert_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_stream(
+    source: DataFrame,
+    store_path: str,
+    accepted_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    available_now: bool = False,
+):
+    """Continuous-crawl dedup as a Structured Streaming sink: per
+    micro-batch, (1) exact-dedup within the batch, (2) probe the
+    persisted MinHash signature store for near-dups of HISTORY
+    (operators.dedup.incremental_near_duplicates — broadcast probe, one
+    store scan, no re-shingling), (3) append accepted docs to
+    ``accepted_path`` AND their signatures to the store, so the next
+    micro-batch dedups against them.
+
+    Exactly-once: source offsets checkpoint per batch; a replayed batch
+    re-probes the store that already contains its docs, finds them as
+    self-matches, and would drop everything — so the probe excludes
+    exact self-id matches, making replay idempotent for the store (same
+    ids re-append is prevented by the id guard below).
+
+    Durability boundary (same as the reference's redo-log + snapshot
+    pair): the accepted-parquet write and the store append are two
+    non-transactional writes. A crash BETWEEN them leaves accepted docs
+    whose signatures are missing from the store; the replayed batch
+    re-accepts only ids absent from the store, so the accepted output
+    can hold duplicates of exactly that interrupted batch — run exact
+    dedup on the output (cheap, one hash shuffle) when consuming after
+    an unclean stop."""
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, dedup_exact, incremental_near_duplicates)
+
+    spark = source.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = dedup_exact(batch_df, text_col, id_col)
+        import os
+
+        first = not os.path.isdir(store_path)
+        if first:
+            accepted = batch
+        else:
+            hits = incremental_near_duplicates(
+                spark, batch, store_path, text_col, id_col, threshold)
+            # replay idempotence: a doc already IN the store matches
+            # itself at est 1.0; dropping only ids not present keeps a
+            # replayed batch from re-appending
+            store_ids = spark.read.parquet(store_path).select(
+                F.col("id").alias(id_col)).distinct()
+            replayed = batch.join(store_ids, id_col, "left_semi")
+            dup_new = hits.select(
+                F.col("new_id").alias(id_col)).distinct()
+            accepted = (batch
+                        .join(replayed, id_col, "left_anti")
+                        .join(dup_new, id_col, "left_anti"))
+        accepted.write.mode("append").parquet(accepted_path)
+        build_signature_store(accepted, store_path, text_col, id_col,
+                              mode="overwrite" if first else "append")
+
+    writer = (source.writeStream
+              .foreachBatch(process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
