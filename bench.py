@@ -213,10 +213,15 @@ def _stress_queries():
             .groupBy().agg(F.count_distinct("cluster_id").alias("n_clusters"))
 
     def q15_sem(spark, sf):
-        # bounded within-cluster self-join class (Σ cluster² cost model)
+        # bounded within-cluster self-join class (Σ cluster² cost model);
+        # n_rows from the parquet footers (driver-side metadata, no Spark
+        # job at plan time — VERDICT r6 #3)
+        import pyarrow.dataset as pads
+
         from aresdb_spark.operators.similarity import semantic_dedup
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return semantic_dedup(emb, threshold=0.4) \
+        n = pads.dataset(f"{sf}/embeddings.parquet").count_rows()
+        return semantic_dedup(emb, threshold=0.4, n_rows=n) \
             .groupBy().agg(F.count("*").alias("n"),
                            F.sum(F.col("keep").cast("int")).alias("kept"))
 

@@ -395,9 +395,37 @@ def test_semantic_dedup_matches_oracle(spark, duck):
     centroids inlined as literals) on the synthetic embeddings."""
     from aresdb_spark.operators import similarity as S
 
-    df = S.semantic_dedup(_emb(spark), threshold=0.4)
+    emb = _emb(spark)
+    df = S.semantic_dedup(emb, threshold=0.4, n_rows=emb.count())
     assert_df_matches_duck(df, duck, S.semantic_dedup_oracle_sql(
         threshold=0.4))
+
+
+def test_semantic_dedup_plans_without_running_a_job(spark):
+    """VERDICT r6 #3: plan construction must not run a Spark job. With
+    n_rows supplied, semantic_dedup returns its DataFrame with zero jobs
+    submitted in the job group; executing it then submits some. Without
+    any sizing input it refuses loudly instead of counting."""
+    import pytest
+
+    from aresdb_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("semantic-dedup-plan-probe", "plan-time job probe")
+    try:
+        planned = S.semantic_dedup(emb, threshold=0.4, n_rows=500)
+        assert list(tracker.getJobIdsForGroup(
+            "semantic-dedup-plan-probe")) == []
+        planned.collect()
+        assert len(tracker.getJobIdsForGroup(
+            "semantic-dedup-plan-probe")) > 0
+    finally:
+        sc.setJobGroup("", "")
+
+    with pytest.raises(ValueError, match="plan time"):
+        S.semantic_dedup(emb, threshold=0.4)
 
 
 def test_normalize_embeddings_matches_oracle(spark, duck):
