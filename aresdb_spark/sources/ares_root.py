@@ -805,7 +805,20 @@ def export_ares_root(spark, df, root: str, schema: dict,
     batch directory (the same unit the reference's archiving job
     produces); the driver writes only metastore entries from the
     per-day row counts the tasks return.  ``df``'s time column (schema
-    column 0) must be epoch seconds or a timestamp."""
+    column 0) must be epoch seconds or a timestamp.
+
+    Filesystem requirement: the per-day tasks open ``root``'s paths
+    with plain ``open()`` ON THE EXECUTORS, so ``root`` must be a
+    SHARED POSIX mount visible at the same path from every executor
+    (NFS/Lustre/fuse-mounted bucket) — the same constraint the
+    reference's diskstore has (diskstore/local_disk_store.go assumes
+    one local root per node). On an unshared cluster, export to a
+    node-local root per executor is NOT supported; run the export with
+    the data coalesced to executors that mount the target (or export
+    from a single-node session). The publication ORDER inside root is
+    still crash-safe: batch files land before their metastore
+    batch-version entries, version files last (the pointer pattern,
+    sources/pointer.py)."""
     import pandas as pd
     from pyspark.sql import functions as F
 

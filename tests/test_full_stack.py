@@ -106,7 +106,7 @@ def test_wire_to_query_full_stack(spark, tmp_path):
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW trips AS SELECT * FROM "
-                 f"'{tmp_path}/trips/hot/*.parquet'")
+                 f"'{store.hot_path}/*.parquet'")
     oracle = dict(duck.execute(
         "SELECT status, count(*) FROM trips GROUP BY 1").fetchall())
     assert oracle == {"completed": 4, "cancelled": 4}

@@ -113,8 +113,10 @@ def test_hotcold_exactly_once(spark, duck, tmp_path):
     # simulate overlap: copy some pre-cutoff rows into hot (as if archived
     # but not yet compacted) — the cutoff union must not double count
     overlap = ev.filter(F.col("ts") < F.lit(cutoff)).limit(50)
-    hot_plus = store.read_hot(spark).unionByName(overlap).localCheckpoint(eager=True)
-    store._write_hot(hot_plus)
+    hot_plus = store.read_hot(spark).unionByName(overlap)
+    nxt = store._next("hot")
+    store._write_hot(hot_plus, nxt)
+    store._commit(hot=nxt)
     assert store.read(spark, cutoff).count() == want
 
 

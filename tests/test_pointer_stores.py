@@ -1,0 +1,166 @@
+"""Crash injection at the pointer-flip commit point of every store
+mutation (VERDICT r6 directive 3): data files land in new version dirs
+first, ONE small _state.json write publishes the mutation. Killing the
+writer between the data write and the flip must leave the previous
+state fully live — the reference's publication order (vector-party
+files, then the disk metastore's batch-version/snapshot pointer)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+import aresdb_spark.sources.pointer as pointer_mod
+
+
+class _CrashOnCommit:
+    """Context manager that makes the Nth pointer commit raise."""
+
+    def __init__(self, monkeypatch=None):
+        self.real = pointer_mod.commit_state
+
+    def __enter__(self):
+        def crash(root, state):
+            raise RuntimeError("injected crash before pointer flip")
+        pointer_mod.commit_state = crash
+        return self
+
+    def __exit__(self, *exc):
+        pointer_mod.commit_state = self.real
+        return False
+
+
+def _fact_store(spark, tmp_path):
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    base = spark.createDataFrame([
+        Row(id=1, ts=datetime(2024, 1, 1, 5), v=1.0),
+        Row(id=2, ts=datetime(2024, 1, 10, 5), v=2.0),
+        Row(id=3, ts=datetime(2024, 1, 20, 5), v=3.0),
+        Row(id=4, ts=datetime(2024, 1, 25, 5), v=4.0),
+    ])
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",))
+    store.init_from(base, datetime(2024, 1, 15))
+    return store
+
+
+def test_archive_crash_before_flip_preserves_old_state(spark, tmp_path):
+    """Archive writes new hot+cold and advances the cutoff in one
+    commit; a crash before the flip leaves the OLD cutoff paired with
+    the OLD stores — never a new cutoff over a half-moved store."""
+    store = _fact_store(spark, tmp_path)
+    old_cutoff = store.saved_cutoff()
+    old_rows = sorted(r.id for r in store.read(spark, old_cutoff).collect())
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.archive(spark, datetime(2024, 1, 22))
+
+    assert store.saved_cutoff() == old_cutoff
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) \
+        == old_rows
+    # retry succeeds and publishes hot+cold+cutoff together
+    store.archive(spark, datetime(2024, 1, 22))
+    st = store._state()
+    assert st["cutoff"] == "2024-01-22T00:00:00"
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) \
+        == old_rows
+    # rows 1,2,3 now live in cold; 4 stays hot
+    assert sorted(r.id for r in store.read_cold(spark).collect()) \
+        == [1, 2, 3]
+
+
+def test_flush_backfill_crash_before_flip_requeues(spark, tmp_path):
+    """The cold flip and the queue-consumed watermark commit together:
+    a crash mid-flush leaves the full queue visible and cold untouched;
+    the retried flush folds every batch exactly once."""
+    store = _fact_store(spark, tmp_path)
+    late = spark.createDataFrame([
+        Row(id=10, ts=datetime(2024, 1, 2, 5), v=10.0),
+        Row(id=11, ts=datetime(2024, 1, 3, 5), v=11.0),
+    ])
+    store.ingest(spark, late, cutoff=datetime(2024, 1, 15),
+                 defer_backfill=True)
+    assert len(store.queued_backfill_batches()) == 1
+    cold_before = store.read_cold(spark).count()
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.flush_backfill(spark)
+
+    assert len(store.queued_backfill_batches()) == 1  # still queued
+    assert store.read_cold(spark).count() == cold_before  # cold untouched
+
+    assert store.flush_backfill(spark) == 1
+    assert store.queued_backfill_batches() == []
+    assert sorted(r.id for r in store.read_cold(spark).collect()) \
+        == [1, 2, 10, 11]
+    # a batch queued after the flush numbers ABOVE the watermark even
+    # though the consumed dirs are gone (no number reuse)
+    store.ingest(spark, late.withColumn("id", F.col("id") + 5),
+                 cutoff=datetime(2024, 1, 15), defer_backfill=True)
+    names = store.queued_backfill_batches()
+    assert len(names) == 1
+    assert int(names[0].split("=")[1]) > store._state()["backfill_consumed"]
+
+
+def test_dimension_snapshot_crash_before_flip(spark, tmp_path):
+    """Snapshot writes snap_v<N+1> then flips snap+journal watermark in
+    one commit: a crash before the flip keeps the old snapshot + full
+    journal (read() replays it, nothing lost); the retry compacts."""
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    dim = DimensionStore(path=str(tmp_path / "d"), primary_key=("k",))
+    dim.init_from(spark.createDataFrame([Row(k=1, name="a"),
+                                         Row(k=2, name="b")]))
+    dim.journal_ingest(spark.createDataFrame([Row(k=2, name="B"),
+                                              Row(k=3, name="c")]))
+    want = {(1, "a"), (2, "B"), (3, "c")}
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} == want
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            dim.snapshot(spark)
+
+    # old snapshot + journal still live and consistent
+    assert len(dim._journal_batches()) == 1
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} == want
+
+    assert dim.snapshot(spark) == 2  # retry compacts both mutations
+    assert dim._journal_batches() == []
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} == want
+    # journal numbering continues above the watermark after GC
+    dim.journal_ingest(spark.createDataFrame([Row(k=4, name="d")]))
+    names = dim._journal_batches()
+    assert len(names) == 1
+    assert int(names[0].split("=")[1]) > dim._state()["journal_consumed"]
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} \
+        == want | {(4, "d")}
+
+
+def test_ingest_crash_before_flip_drops_whole_batch(spark, tmp_path):
+    """A fact ingest that dies before its commit leaves the store
+    EXACTLY as before — the batch is all-or-nothing even when it
+    touches both hot and cold (the reference's redo-log replay gives
+    the same whole-batch retry unit)."""
+    store = _fact_store(spark, tmp_path)
+    cutoff = datetime(2024, 1, 15)
+    both_sides = spark.createDataFrame([
+        Row(id=20, ts=datetime(2024, 1, 2, 5), v=20.0),   # cold side
+        Row(id=21, ts=datetime(2024, 1, 20, 6), v=21.0),  # hot side
+    ])
+    before = sorted(r.id for r in store.read(spark, cutoff).collect())
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.ingest(spark, both_sides, cutoff=cutoff)
+
+    assert sorted(r.id for r in store.read(spark, cutoff).collect()) \
+        == before
+    store.ingest(spark, both_sides, cutoff=cutoff)  # retry lands whole
+    assert sorted(r.id for r in store.read(spark, cutoff).collect()) \
+        == before + [20, 21]
