@@ -973,8 +973,26 @@ def export_dimension_snapshot(spark, df, root: str, schema: dict,
     return {"table": table, "rows": n}
 
 
+def _day_value_hash(df, day_col, cols: list) -> dict:
+    """Order-independent per-day content hash: md5 of each row's JSON
+    rendering (covers nested arrays and NULLs), folded per day as an
+    exact decimal sum — the contract suite's sorted-row-hash method
+    made commutative so no sort is needed. Fully distributed; the
+    driver receives one (hash, count) pair per day."""
+    from pyspark.sql import functions as F
+
+    row_h = F.conv(
+        F.substring(F.md5(F.to_json(F.struct(*[F.col(c) for c in cols]))),
+                    1, 14), 16, 10).cast("decimal(38,0)")
+    return {r.d: (str(r.h), r.n) for r in (
+        df.groupBy(day_col.cast("string").alias("d"))
+        .agg(F.sum(row_h).alias("h"), F.count("*").alias("n"))
+        .collect())}
+
+
 def validate_migration(spark, root: str, table: str, migrated_path: str,
-                       shard: "int | None" = None) -> dict:
+                       shard: "int | None" = None,
+                       check_values: bool = False) -> dict:
     """Verify a migrated fact table against the source deployment's own
     metadata: the disk metastore records each archive batch's row count
     (the ``size`` field of the batch-version line the migration
@@ -983,28 +1001,59 @@ def validate_migration(spark, root: str, table: str, migrated_path: str,
     this is the difference between a checkable migration and a leap of
     faith.
 
-    Returns {day: {"expected", "actual", "match"}} plus an "ok"
-    rollup. Dimension snapshots have no per-batch sizes; validate those
-    by count against the source store directly."""
+    ``check_values=True`` adds a per-day CONTENT hash (``_day_value_hash``)
+    computed on both sides — the legacy batches re-decoded through the
+    same executor-side codec the migration used, and the migrated
+    parquet — catching value corruption that row counts cannot (a
+    flipped enum id, a truncated array, a mis-signed integer). This one
+    DOES re-read the legacy data; run it as the migration's acceptance
+    gate, not per query.
+
+    Returns {day: {"expected", "actual", "match"[, "value_match"]}}
+    plus an "ok" rollup over every check performed. Dimension snapshots
+    have no per-batch sizes; validate those by count against the source
+    store directly."""
     from pyspark.sql import functions as F
 
     meta = read_table_meta(root, table)
     expected: dict[str, int] = {}
+    dirs = []
     for sh in meta.shards:
         if shard is not None and sh.shard != shard:
             continue
-        for batch_id, (_ver, _seq, size) in sh.batches.items():
+        for batch_id, (ver, seq, size) in sorted(sh.batches.items()):
             day = _batch_date(batch_id)
             expected[day] = expected.get(day, 0) + size
+            d = archive_batch_dir(root, table, sh.shard, batch_id, ver, seq)
+            if os.path.isdir(d):
+                dirs.append(d)
     from aresdb_spark.sources.writer import DAY_COL
 
+    migrated = spark.read.parquet(migrated_path)
     actual = {r.d: r.n for r in (
-        spark.read.parquet(migrated_path)
+        migrated
         .groupBy(F.col(DAY_COL).cast("string").alias("d"))
         .agg(F.count("*").alias("n")).collect())}
+
+    value_hashes = None
+    if check_values:
+        cols = [c["name"] for c in meta.schema.get("columns") or []
+                if not c.get("deleted")]
+        time_col = cols[0]
+        legacy = _decode_batch_dirs(spark, dirs, meta).withColumn(
+            time_col, F.col(time_col).cast("timestamp"))
+        legacy_h = _day_value_hash(
+            legacy, F.date_format(time_col, "yyyy-MM-dd"), cols)
+        migrated_h = _day_value_hash(migrated, F.col(DAY_COL), cols)
+        value_hashes = (legacy_h, migrated_h)
+
     days = {}
     for day in sorted(set(expected) | set(actual)):
         e, a = expected.get(day, 0), actual.get(day, 0)
         days[day] = {"expected": e, "actual": a, "match": e == a}
-    return {"table": table, "ok": all(d["match"] for d in days.values()),
-            "days": days}
+        if value_hashes is not None:
+            lh, mh = value_hashes
+            days[day]["value_match"] = lh.get(day) == mh.get(day)
+    ok = all(d["match"] and d.get("value_match", True)
+             for d in days.values())
+    return {"table": table, "ok": ok, "days": days}

@@ -85,7 +85,8 @@ def run(spark, workdir: str) -> dict:
     from pyspark.sql import functions as F
 
     from aresdb_spark.sources.ares_root import (
-        export_ares_root, migrate_ares_root, read_table_meta)
+        export_ares_root, migrate_ares_root, read_table_meta,
+        validate_migration)
 
     legacy = os.path.join(workdir, "legacy_root")
     _legacy_root(legacy)
@@ -95,6 +96,13 @@ def run(spark, workdir: str) -> dict:
     # slot straight in under that name ---
     migrated = migrate_ares_root(spark, legacy,
                                  os.path.join(workdir, "migrated"))
+    # acceptance gate BEFORE cutover: per-day counts against the legacy
+    # metastore's own batch sizes, plus per-day CONTENT hashes (the
+    # legacy batches re-decoded vs the migrated parquet) — corruption
+    # that preserves row counts still fails the gate
+    validation = validate_migration(spark, legacy, "trips",
+                                    migrated["trips"]["path"],
+                                    check_values=True)
     qroot = os.path.join(workdir, "catalog")
     os.makedirs(qroot, exist_ok=True)
     os.rename(migrated["trips"]["path"],
@@ -142,6 +150,7 @@ def run(spark, workdir: str) -> dict:
         == sorted(map(tuple, again.select(cols).collect())))
 
     return {
+        "validation": validation,
         "migrated_rows": migrated["trips"]["rows"],
         "days": sorted(n.split("=")[1]
                        for n in os.listdir(migrated["trips"]["path"])

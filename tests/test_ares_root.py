@@ -567,6 +567,43 @@ def test_validate_migration(spark, tmp_path):
         "expected": 9, "actual": 4, "match": False}
 
 
+def test_validate_migration_value_hashes(spark, tmp_path):
+    """check_values=True re-decodes the legacy batches through the same
+    codec and compares per-day CONTENT hashes against the migrated
+    parquet — catching value corruption that leaves row counts intact
+    (VERDICT r6 directive 7)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.sources.ares_root import validate_migration
+
+    root = _build_root(tmp_path / "root")
+    out = migrate_ares_root(spark, root, str(tmp_path / "back"))
+    path = out["trips"]["path"]
+
+    rep = validate_migration(spark, root, "trips", path, check_values=True)
+    assert rep["ok"] is True
+    assert rep["days"]["2019-06-01"]["match"] is True
+    assert rep["days"]["2019-06-01"]["value_match"] is True
+
+    # corrupt one VALUE in the migrated copy, preserving the row count:
+    # per-day counts still reconcile, only the content hash catches it
+    tampered = spark.read.parquet(path).withColumn(
+        "city_id", F.when(F.col("uuid") ==
+                          "00000000-0000-0000-0000-000000000001",
+                          F.lit(999)).otherwise(F.col("city_id"))) \
+        .drop("__day").localCheckpoint(eager=True)
+    from aresdb_spark.sources.writer import write_archive
+    write_archive(tampered.withColumn("request_at",
+                                      F.col("request_at").cast("timestamp")),
+                  path, "request_at", ("city_id",))
+
+    bad = validate_migration(spark, root, "trips", path, check_values=True)
+    assert bad["ok"] is False
+    day = bad["days"]["2019-06-01"]
+    assert day["match"] is True          # counts alone can't see it
+    assert day["value_match"] is False   # the content hash does
+
+
 # --------------------------------------------------------------------------
 # review regressions: defaults, corruption, robustness
 # --------------------------------------------------------------------------

@@ -125,6 +125,9 @@ def test_migrate_off_reference_walkthrough_golden(spark, tmp_path):
     out = mod.run(spark, str(tmp_path))
 
     assert out["migrated_rows"] == 6
+    assert out["validation"]["ok"] is True
+    assert all(d["match"] and d["value_match"]
+               for d in out["validation"]["days"].values())
     assert out["days"] == ["2019-06-01", "2019-06-02"]
     assert out["by_status"] == {"completed": [3, 47.75],
                                 "cancelled": [2, 12.0],
