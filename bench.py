@@ -30,8 +30,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
-SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       ".benchdata", "sf1")
+# the tier is DERIVED from SF_DIR — key the default cache dir by the
+# base sf name so a run at another scale never reuses a stale tier
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".benchdata",
+    "sf1_from_" + os.path.basename(SF_DIR.rstrip("/")))
 
 
 def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
@@ -44,10 +47,11 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     done = os.path.join(out_dir, "_DONE")
-    # the marker alone is not enough: a tier built before the embeddings
+    # the marker alone is not enough: a tier built before the newest
     # table joined the stress set must re-materialize
     if os.path.exists(done) and \
-            os.path.exists(os.path.join(out_dir, "embeddings.parquet")):
+            os.path.exists(os.path.join(out_dir, "embeddings.parquet")) and \
+            os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         return
     alpha = "abcdefghijklmnopqrstuvwxyz"
     ev = spark.read.parquet(f"{src_dir}/events.parquet")
@@ -70,6 +74,23 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
     es = [emb.select((F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
                      "embedding", "label")
           for k in range(10)]
+    # lineitem ⋈ part (q3's join class): shift BOTH sides' partkeys by
+    # the same offset so per-part join fan-out — and therefore the
+    # broadcast-join work profile — is preserved exactly at 10x
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    pt = spark.read.parquet(f"{src_dir}/part.parquet")
+    lis, pts = [], []
+    for k in range(10):
+        off = F.lit(k * 10_000_000)
+        lis.append(li.select(
+            (F.col("l_orderkey") + off).alias("l_orderkey"),
+            (F.col("l_partkey") + off).alias("l_partkey"),
+            "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate"))
+        pts.append(pt.select(
+            (F.col("p_partkey") + off).alias("p_partkey"),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
     import functools
     functools.reduce(lambda a, b: a.unionByName(b), evs) \
         .write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
@@ -77,6 +98,10 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> None:
         .write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     functools.reduce(lambda a, b: a.unionByName(b), es) \
         .write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    functools.reduce(lambda a, b: a.unionByName(b), lis) \
+        .write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    functools.reduce(lambda a, b: a.unionByName(b), pts) \
+        .write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
     open(done, "w").close()
 
 
@@ -249,17 +274,14 @@ def _stress_queries():
                                            threshold=0.5) \
             .groupBy().agg(F.count("*").alias("n"))
 
-    return {
-        "q1_count_hourly": base["q1_count_hourly"],      # scan+agg class
-        "q7_minhash_neardup": base["q7_minhash_neardup"],
-        "q8_text_stats": base["q8_text_stats"],          # zero-shuffle scan
-        "q11_ivf_topk": base["q11_ivf_topk"],            # ANN probe class
-        "q12_dedup_clusters": base["q12_dedup_clusters"],
-        "q12s_dedup_clusters_star": q12s,
-        "q13_asof_join": base["q13_asof_join"],
-        "q15_semantic_dedup": q15_sem,   # within-cluster self-join class
-        "q16_incremental_dedup": q16_incremental,  # store-probe class
-    }
+    # ALL 14 headline queries run at both scales (VERDICT r6 #5: the
+    # cheap scans are exactly where a hidden driver-side cost would
+    # show as superlinear), plus the three non-headline stress classes
+    out = dict(base)
+    out["q12s_dedup_clusters_star"] = q12s
+    out["q15_semantic_dedup"] = q15_sem   # within-cluster self-join class
+    out["q16_incremental_dedup"] = q16_incremental  # store-probe class
+    return out
 
 
 def main():
