@@ -1863,7 +1863,18 @@ _DRIVER_WINDOW = [
     "sql_total_trips", "sql_composite_measures", "stream_hotcold_upsert",
     "stream_session_window", "stream_sliding_window", "hll_approx_distinct",
     "text_token_counts", "text_quality", "text_language_id",
-    "text_fingerprint", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
+    # continuous-crawl Structured Streaming sink — now one bucket-pruned
+    # store scan per micro-batch) displaces text_fingerprint, whose
+    # rolling-hash path keeps THREE in-window text siblings
+    # (text_token_counts/quality/language_id) and stays in
+    # check_contract; dedup_incremental (the scale-defining dedup path:
+    # history probed via the persisted signature store, never
+    # re-shingled) displaces dedup_simhash, whose single-fold signature
+    # path stays contract-verified while the dedup family keeps
+    # exact/minhash_lsh/clusters/clusters_star in-window.
+    "stream_dedup_crawl", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_clusters", "sim_cosine_topk", "sim_ivf_topk",
     "sim_embedding_near_dup",
 ]
