@@ -31,8 +31,14 @@ def get_spark(
         # overrides this (AQE coalesces the excess anyway).
         shuffle_partitions = max(cpus, 32)
 
+    # SPARK_GRAFT_MASTER overrides the single-JVM default — used by
+    # scripts/check_contract_cluster.sh to run the whole contract suite
+    # under local-cluster[N,C,M] (separate executor JVMs: catches
+    # driver-local assumptions — unshared temp paths, driver-only state —
+    # that local[N] cannot)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         # --- planner / runtime adaptivity ---
         .config("spark.sql.adaptive.enabled", "true")

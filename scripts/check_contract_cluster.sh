@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# Run the full contract suite under local-cluster — separate executor
+# JVMs on this machine (VERDICT r6 directive 6). local[N] runs
+# everything in one JVM, which can hide driver-local assumptions:
+# executor-side code that accidentally touches driver-only state, temp
+# paths assumed shared, closures capturing non-serializable handles.
+# local-cluster[2,2,2048] = 2 workers x 2 cores, 2 GiB each (1 GiB per
+# the directive OOMs the heaviest rows' executor-side Arrow batches —
+# raising memory keeps the multi-JVM property being tested).
+#
+# Known-benign noise: at JVM teardown the standalone Worker logs
+# "Failed to launch executor ... Shutdown hooks cannot be modified
+# during shutdown" while the master races executor relaunch against
+# shutdown — this happens AFTER the summary line and fails nothing.
+#
+# Usage: scripts/check_contract_cluster.sh [sf_dir] [query ...]
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SPARK_GRAFT_MASTER='local-cluster[2,2,2048]' \
+  python scripts/check_contract.py "${1:-/root/testdata/sf0.01}" "${@:2}"
