@@ -8,6 +8,15 @@
 # the directive OOMs the heaviest rows' executor-side Arrow batches —
 # raising memory keeps the multi-JVM property being tested).
 #
+# First real catch (kept as the motivating example): executor Python
+# workers import `aresdb_spark` from closures (mapInPandas codecs, the
+# multimodal featurizer, HLL merge) — local[N] resolved it through the
+# driver's sys.path, separate executor JVMs could not
+# (ModuleNotFoundError). On a real cluster the package ships via
+# --py-files / executor pip install; here PYTHONPATH carries it to the
+# executor-spawned workers, which is the same declaration a deployment
+# makes explicit.
+#
 # Known-benign noise: at JVM teardown the standalone Worker logs
 # "Failed to launch executor ... Shutdown hooks cannot be modified
 # during shutdown" while the master races executor relaunch against
@@ -16,5 +25,6 @@
 # Usage: scripts/check_contract_cluster.sh [sf_dir] [query ...]
 set -uo pipefail
 cd "$(dirname "$0")/.."
+PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}" \
 SPARK_GRAFT_MASTER='local-cluster[2,2,2048]' \
   python scripts/check_contract.py "${1:-/root/testdata/sf0.01}" "${@:2}"
