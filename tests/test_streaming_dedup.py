@@ -191,6 +191,33 @@ def test_compact_crash_before_pointer_flip_leaves_store_live(
     assert read_signature_store(spark, store).count() == kept
 
 
+def test_store_reregisters_in_fresh_catalog(spark, tmp_path):
+    """Bucket metadata lives in the session catalog; a LATER session
+    must rebuild the external table from the _state.json record (same
+    name, same bucket spec) and keep pruning. Simulated by dropping the
+    table between build and read."""
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, incremental_near_duplicates,
+        read_signature_store)
+    from aresdb_spark.sources.pointer import read_state
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    build_signature_store(docs.filter(F.col("doc_id") % 3 == 0), store)
+    state = read_state(store)
+    spark.sql(f"DROP TABLE {state['table']}")  # "new session"
+
+    df = read_signature_store(spark, store)
+    assert df.count() > 0
+    assert spark.catalog.tableExists(state["table"])  # re-registered
+    hits = incremental_near_duplicates(
+        spark, docs.filter(F.col("doc_id") == 9), store,
+        threshold=0.8, prune=True)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"SelectedBucketsCount: \d+ out of \d+", plan)
+    assert hits.filter(F.col("new_id") == F.col("store_id")).count() == 1
+
+
 def test_pointer_commit_is_atomic_roundtrip(tmp_path):
     """pointer.commit_state publishes via write-temp + rename: after any
     successful commit the state file parses and matches; next_version
