@@ -274,13 +274,29 @@ def _stress_queries():
                                            threshold=0.5) \
             .groupBy().agg(F.count("*").alias("n"))
 
+    # the continuous-crawl sink's cost unit (r7): a MICRO-BATCH-sized
+    # probe with prune=True — the bucket filter should keep per-batch
+    # cost tracking bucket size, not store size, so the 10x-store ratio
+    # stays far below 10 (q16 measures the same store with a large
+    # UNpruned batch probe for contrast: its claim is one full scan)
+    def q17_pruned_probe(spark, sf):
+        from aresdb_spark.operators.dedup import incremental_near_duplicates
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        if sf not in _sig_stores:  # shared store bootstrap (see q16)
+            q16_incremental(spark, sf).collect()
+        probe = docs.filter(F.col("doc_id").isin([1, 4, 7, 10, 13]))
+        return incremental_near_duplicates(
+            spark, probe, _sig_stores[sf], threshold=0.5, prune=True) \
+            .groupBy().agg(F.count("*").alias("n"))
+
     # ALL 14 headline queries run at both scales (VERDICT r6 #5: the
     # cheap scans are exactly where a hidden driver-side cost would
-    # show as superlinear), plus the three non-headline stress classes
+    # show as superlinear), plus the four non-headline stress classes
     out = dict(base)
     out["q12s_dedup_clusters_star"] = q12s
     out["q15_semantic_dedup"] = q15_sem   # within-cluster self-join class
     out["q16_incremental_dedup"] = q16_incremental  # store-probe class
+    out["q17_pruned_micro_probe"] = q17_pruned_probe  # sink lookup class
     return out
 
 
