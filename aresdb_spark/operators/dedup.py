@@ -448,7 +448,10 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
     bands = signature_bands(df, text_col, id_col)
     state = pointer.read_state(path)
     if mode == "append":
-        if state is None and os.path.isdir(path):  # legacy layout
+        if state is None and os.path.isdir(path) and os.listdir(path):
+            # legacy layout (data files, no pointer). An EMPTY dir is
+            # NOT legacy — appending into it would freeze a brand-new
+            # store on the unbucketed layout; fall through and create.
             bands.write.mode("append").partitionBy("bhp").parquet(path)
             return
         if state is not None:

@@ -164,17 +164,32 @@ class HotColdStore:
         """Split an initial dataset at `cutoff` into cold (< cutoff) and
         hot (>= cutoff). The schema is persisted (the metastore's table
         DDL analog) so empty stores stay readable. Both sides land in
-        version-0 dirs and become visible with the first state commit."""
+        FRESH version dirs and become visible with the state commit —
+        re-initializing an existing store is a normal versioned
+        mutation, never an in-place overwrite of the live dirs, and any
+        leftover backfill queue dirs stay invisible behind an advanced
+        watermark (stale pre-reinit batches must not fold into the new
+        dataset on the next flush)."""
         os.makedirs(self.path, exist_ok=True)
+        before = self._state()
         with open(os.path.join(self.path, "_schema.json"), "w") as f:
             f.write(df.schema.json())
         cut = F.lit(_utc_naive(cutoff))
         t = F.col(self.time_column)
-        self._write_cold(df.filter(t < cut), 0)
+        hv, cv = self._next("hot"), self._next("cold")
+        self._write_cold(df.filter(t < cut), cv)
         # NULL event times (when allowed) belong to hot — they never archive
-        self._write_hot(df.filter((t >= cut) | t.isNull()), 0)
-        self._commit(hot=0, cold=0, backfill_consumed=-1,
+        self._write_hot(df.filter((t >= cut) | t.isNull()), hv)
+        consumed = int((before or {}).get("backfill_consumed", -1))
+        if os.path.isdir(self.backfill_path):
+            consumed = max([consumed] + [
+                int(n.split("=")[1]) for n in os.listdir(self.backfill_path)
+                if n.startswith("batch=")])
+        self._commit(hot=hv, cold=cv, backfill_consumed=consumed,
                      cutoff=_utc_naive(cutoff).isoformat())
+        if before is not None:
+            self._gc_version("hot", before)
+            self._gc_version("cold", before)
 
     def saved_cutoff(self) -> datetime:
         """The persisted archiving cutoff (set by init_from/archive) —
@@ -506,13 +521,26 @@ class DimensionStore:
     modes: "dict[str, UpdateMode | str] | None" = None
 
     def init_from(self, df: DataFrame) -> None:
+        """Fresh-version write + pointer commit (re-init is a versioned
+        mutation like any other; leftover journal dirs stay invisible
+        behind an advanced watermark)."""
         os.makedirs(self.path, exist_ok=True)
+        before = pointer.read_state(self.path)
         with open(os.path.join(self.path, "_schema.json"), "w") as f:
             f.write(df.schema.json())
+        nxt = pointer.next_version(before, "snap")
         df.write.mode("overwrite").parquet(
-            os.path.join(self.path, "snap_v0"))
+            os.path.join(self.path, f"snap_v{nxt}"))
+        consumed = int((before or {}).get("journal_consumed", -1))
+        if os.path.isdir(self.journal_path):
+            consumed = max([consumed] + [
+                int(n.split("=")[1]) for n in os.listdir(self.journal_path)
+                if n.startswith("batch=")])
         pointer.commit_state(self.path, {
-            "format": 2, "snap": 0, "journal_consumed": -1})
+            "format": 2, "snap": nxt, "journal_consumed": consumed})
+        if before is not None and "snap" in before:
+            pointer.gc_dir(os.path.join(
+                self.path, f"snap_v{before['snap']}"))
 
     def _state(self) -> "dict | None":
         return pointer.read_state(self.path)

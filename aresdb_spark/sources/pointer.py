@@ -54,13 +54,26 @@ def read_state(root: str) -> "dict | None":
 def commit_state(root: str, state: dict) -> None:
     """Atomically publish ``state`` as the store's committed state —
     THE commit point of a mutation: everything written before this call
-    is invisible, everything is visible after it."""
+    is invisible, everything is visible after it.
+
+    Durability: the temp file is fsync'd before the rename and the
+    directory after it — without both, ext4-style delayed allocation
+    can surface a zero-length state file (or a lost rename paired with
+    a persisted post-commit GC) after power loss, which is precisely
+    the torn state this layout exists to rule out."""
     os.makedirs(root, exist_ok=True)
     path = os.path.join(root, STATE_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(state, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, path)
+    dfd = os.open(root, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def version_dir(root: str, version: int) -> str:

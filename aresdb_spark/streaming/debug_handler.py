@@ -102,7 +102,14 @@ class DebugDaemon:
         NumRows outside (0, 100] → 100, StartRow < 0 → 0
         (debug_handler.go:141-160). ``batch`` is "hot" for the live
         store or a "YYYY-MM-DD" day for an archive batch (the
-        reference's batchID *is* the day for archive batches)."""
+        reference's batchID *is* the day for archive batches).
+
+        Pagination collects the ``start_row + num_rows`` prefix on the
+        driver (parquet has no stable record ids to seek by), so
+        ``start_row`` is additionally capped at 10_000 — a debug
+        endpoint must never be able to pull an unbounded prefix of a
+        large store onto the driver (the reference pages within one
+        in-memory batch, which bounds it structurally)."""
         from pyspark.sql import functions as F
 
         store = self.stores.get(table)
@@ -110,8 +117,7 @@ class DebugDaemon:
             return 400, {"message": f"unknown table {table!r}"}
         if num_rows <= 0 or num_rows > 100:
             num_rows = 100
-        if start_row < 0:
-            start_row = 0
+        start_row = min(max(start_row, 0), 10_000)
         if batch == "hot":
             if hasattr(store, "read_hot"):
                 df = store.read_hot(self.spark)

@@ -160,8 +160,12 @@ def start_dedup_stream(
         batch = dedup_exact(batch_df, text_col, id_col)
         import os
 
-        first = read_state(store_path) is None \
-            and not os.path.isdir(store_path)
+        # "first" = no committed state AND no legacy data files; an
+        # empty pre-created directory (mkdir -p of work dirs) is still
+        # a first batch — treating it as an existing store would try to
+        # read parquet from nothing and brick the stream
+        first = read_state(store_path) is None and (
+            not os.path.isdir(store_path) or not os.listdir(store_path))
         if first:
             accepted = batch
         else:
@@ -173,6 +177,11 @@ def start_dedup_stream(
             dup_new = hits.select(
                 F.col("new_id").alias(id_col)).distinct()
             accepted = batch.join(dup_new, id_col, "left_anti")
+        # materialize ONCE: the accepted set feeds two writes (corpus
+        # append + signature append) — without this the second write
+        # re-executes the whole plan, including a second store probe,
+        # doubling exactly the per-batch cost this sink exists to bound
+        accepted = accepted.localCheckpoint(eager=True)
         accepted.write.mode("append").parquet(accepted_path)
         build_signature_store(accepted, store_path, text_col, id_col,
                               mode="overwrite" if first else "append")

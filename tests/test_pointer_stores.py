@@ -142,6 +142,43 @@ def test_dimension_snapshot_crash_before_flip(spark, tmp_path):
         == want | {(4, "d")}
 
 
+def test_reinit_is_versioned_and_hides_stale_backfill(spark, tmp_path):
+    """Re-initializing an existing store is a normal versioned mutation:
+    fresh dirs (never an in-place overwrite of the live hot_v0/cold_v0),
+    and backfill batches queued before the re-init stay invisible behind
+    the advanced watermark — a later flush must not fold stale pre-reinit
+    data into the new dataset."""
+    store = _fact_store(spark, tmp_path)
+    stale = spark.createDataFrame(
+        [Row(id=10, ts=datetime(2024, 1, 2, 5), v=10.0)])
+    store.ingest(spark, stale, cutoff=datetime(2024, 1, 15),
+                 defer_backfill=True)
+    assert len(store.queued_backfill_batches()) == 1
+
+    fresh = spark.createDataFrame([
+        Row(id=100, ts=datetime(2024, 1, 1, 5), v=1.0),
+        Row(id=101, ts=datetime(2024, 1, 20, 5), v=2.0),
+    ])
+    store.init_from(fresh, datetime(2024, 1, 15))
+    st = store._state()
+    assert st["hot"] >= 1 and st["cold"] >= 1  # fresh versions, not v0
+    assert store.queued_backfill_batches() == []  # stale queue hidden
+    assert store.flush_backfill(spark) == 0
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) \
+        == [100, 101]
+
+    # dimension re-init: same contract
+    from aresdb_spark.sources.hotcold import DimensionStore
+    dim = DimensionStore(path=str(tmp_path / "d"), primary_key=("k",))
+    dim.init_from(spark.createDataFrame([Row(k=1, name="a")]))
+    dim.journal_ingest(spark.createDataFrame([Row(k=2, name="b")]))
+    dim.init_from(spark.createDataFrame([Row(k=9, name="z")]))
+    assert dim._state()["snap"] == 1
+    assert dim._journal_batches() == []  # stale journal hidden
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} == {(9, "z")}
+
+
 def test_ingest_crash_before_flip_drops_whole_batch(spark, tmp_path):
     """A fact ingest that dies before its commit leaves the store
     EXACTLY as before — the batch is all-or-nothing even when it

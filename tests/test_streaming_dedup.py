@@ -191,6 +191,28 @@ def test_compact_crash_before_pointer_flip_leaves_store_live(
     assert read_signature_store(spark, store).count() == kept
 
 
+def test_sink_tolerates_precreated_empty_store_dir(spark, tmp_path):
+    """mkdir -p of work dirs before starting the stream must still count
+    as a first batch: an empty dir has no state and no data, and
+    treating it as an existing store would read parquet from nothing
+    (and freeze the store on the legacy layout)."""
+    import os
+
+    from aresdb_spark.operators.dedup import read_signature_store
+    from aresdb_spark.sources.pointer import read_state
+
+    docs = _docs(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    os.makedirs(store)  # the pre-created empty dir
+    docs.filter(F.col("doc_id") % 7 == 0).coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    _run_sink(spark, src, store, out, str(tmp_path / "ckpt"))
+    assert read_state(store) is not None  # v2 layout, not legacy
+    assert read_signature_store(spark, store).count() > 0
+
+
 def test_store_reregisters_in_fresh_catalog(spark, tmp_path):
     """Bucket metadata lives in the session catalog; a LATER session
     must rebuild the external table from the _state.json record (same
