@@ -85,7 +85,7 @@ def array_env(spark, tmp_path_factory):
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW arraytest AS SELECT * FROM "
-                 f"'{root}/arraytest/hot/*.parquet'")
+                 f"'{hc.hot_path}/*.parquet'")
     yield catalog, duck
     duck.close()
 

@@ -86,9 +86,9 @@ def trips_env(spark, tmp_path_factory):
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW trips AS SELECT * FROM "
-                 f"'{root}/trips/hot/*.parquet'")
+                 f"'{trips_store.hot_path}/*.parquet'")
     duck.execute(f"CREATE VIEW cities AS SELECT * FROM "
-                 f"'{root}/cities/snap/*.parquet'")
+                 f"'{cities_store._snap_dir()}/*.parquet'")
     yield catalog, duck
     duck.close()
 
