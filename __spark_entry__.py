@@ -1442,6 +1442,24 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["text_repetition_ratio"] = (q_repetition, repetition_sql())
 
+    # --- CCNet-style LM-perplexity corpus filtering (Wenzek et al.
+    # arXiv:1911.00359): in-corpus add-alpha bigram LM trained on the
+    # even-id half (the "clean reference" slice), scoring the odd-id
+    # half — exactly the train-on-Wikipedia / score-the-crawl split ---
+    def q_lm_perplexity(spark, sf_dir):
+        from aresdb_spark.operators.text import (
+            lm_perplexity, train_bigram_lm)
+        docs = _docs(spark, sf_dir)
+        lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        return lm_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm)
+
+    def lm_perplexity_sql():
+        from aresdb_spark.operators.text import lm_perplexity_oracle_sql
+        return lm_perplexity_oracle_sql("doc_id % 2 = 0",
+                                        "doc_id % 2 = 1")
+
+    out["text_lm_perplexity"] = (q_lm_perplexity, lm_perplexity_sql())
+
     # --- as-of join (nearest-earlier-timestamp; DuckDB ASOF JOIN oracle) ---
     def q_asof(spark, sf_dir):
         from aresdb_spark.catalog import Catalog

@@ -424,3 +424,134 @@ def gopher_rules_oracle_sql(table: str = "documents", text_col: str = "text",
             f"               ({conj}) AS keep\n"
             f"        FROM (SELECT {id_col}, {toks} AS tk, {lines} AS lns "
             f"FROM {table})")
+
+
+# --- LM-perplexity corpus filtering (CCNet) ----------------------------------
+# Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets from
+# Web Crawl Data" (arXiv:1911.00359 — public) filters crawl documents by
+# the perplexity of a small n-gram language model. Without external model
+# files, the LM here is an in-corpus add-alpha bigram model: train on a
+# reference corpus (CCNet uses Wikipedia; any clean slice works), score
+# any corpus against it. Deterministic, so the DuckDB twin hash-matches.
+
+LM_ALPHA = 0.1  # add-alpha smoothing mass per (history, word) pair
+
+
+def _gram_array(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array (shared shape with ngram_counts;
+    guard: sequence(1, stop) DESCENDS when stop < 1)."""
+    built = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, built) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def train_bigram_lm(train_df: DataFrame,
+                    text_col: str = "text") -> DataFrame:
+    """Count-based bigram LM: one row per observed bigram with its count
+    and its history (first word) unigram count — everything a smoothed
+    conditional P(w2|w1) needs, joined flat so scoring is ONE equi-join.
+
+    100 TB shape: two map-side-combined count shuffles over the training
+    corpus (unigrams, bigrams) plus one broadcast of the single-row
+    vocabulary size; the LM lives as a DataFrame keyed by bigram — at
+    web scale it shuffle-joins against the scored corpus's exploded
+    bigrams, no driver materialization anywhere."""
+    uni = (train_df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                           .alias("w"))
+           .groupBy("w").agg(F.count("*").alias("u_cnt")))
+    bi = (train_df.select(F.explode(
+        _let(tokens(F.lower(F.col(text_col))),
+             lambda t: _gram_array(t, 2))).alias("gram"))
+        .groupBy("gram").agg(F.count("*").alias("b_cnt")))
+    vocab = uni.agg(F.count("*").alias("v"))  # 1 row, broadcast below
+    return (bi
+            .withColumn("w1", F.split(F.col("gram"), " ")[0])
+            .join(uni.withColumnRenamed("w", "w1"), "w1")
+            .crossJoin(F.broadcast(vocab))
+            .select("gram", "b_cnt", "u_cnt", "v"))
+
+
+def lm_perplexity(df: DataFrame, lm: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  alpha: float = LM_ALPHA) -> DataFrame:
+    """Per-document bigram perplexity under the trained LM:
+    ppl = 2^(mean over the doc's bigrams of -log2 P(w2|w1)), with
+    P = (b_cnt + alpha) / (u_cnt + alpha * V); a bigram whose history
+    was never seen in training backs off to the uniform floor
+    alpha / (alpha * V) = 1/V. Returns (id, n_bigrams, ppl) — ppl NULL
+    for docs with fewer than two tokens; LOW ppl = fluent under the
+    reference corpus (CCNet keeps the head/middle of the distribution).
+
+    Plan: scan-side bigram explode → LEFT join the LM on the bigram key
+    (the one scoring shuffle; Spark broadcasts it instead when the LM
+    is small) → per-doc partial-agg mean. The uniform-floor constant
+    (V) rides in via a single-row broadcast, never a plan-time
+    collect."""
+    # the LM rows already carry v; the 1-row broadcast exists so docs
+    # whose bigrams ALL miss the LM still get the uniform floor (their
+    # joined v is NULL) — renamed to avoid colliding with the LM's v
+    floor_v = F.broadcast(lm.agg(F.first("v").alias("v_floor")))
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_let(tokens(F.lower(F.col(text_col))),
+                             lambda t: _gram_array(t, 2))).alias("gram"))
+    scored = (grams.join(lm, "gram", "left").crossJoin(floor_v)
+              .select(
+                  F.col(id_col), F.col("gram"),
+                  F.when(F.col("gram").isNull(), None)
+                  .when(F.col("b_cnt").isNotNull(),
+                        -F.log2((F.col("b_cnt") + alpha)
+                                / (F.col("u_cnt") + alpha * F.col("v"))))
+                  .otherwise(-F.log2(F.lit(1.0) / F.col("v_floor")))
+                  .alias("nll")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("nll").alias("n_bigrams"),
+                 F.round(F.pow(F.lit(2.0), F.avg("nll")), 4).alias("ppl")))
+
+
+def lm_perplexity_oracle_sql(train_where: str = "TRUE",
+                             score_where: str = "TRUE",
+                             table: str = "documents",
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             alpha: float = LM_ALPHA) -> str:
+    """DuckDB twin: identical counts, smoothing, floor and rounding."""
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    grams = (f"[array_to_string(({toks})[i:i+1], ' ') "
+             f"for i in range(1, len({toks}))]")
+    return f"""
+WITH uni AS (
+  SELECT w, count(*) AS u_cnt
+  FROM (SELECT unnest({toks}) AS w FROM {table} WHERE {train_where})
+  GROUP BY 1
+),
+bi AS (
+  SELECT gram, count(*) AS b_cnt
+  FROM (SELECT unnest({grams}) AS gram FROM {table} WHERE {train_where})
+  GROUP BY 1
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+lm AS (
+  SELECT bi.gram, bi.b_cnt, uni.u_cnt, vocab.v
+  FROM bi JOIN uni ON uni.w = split_part(bi.gram, ' ', 1)
+  CROSS JOIN vocab
+),
+doc_grams AS (
+  SELECT {id_col}, unnest(CASE WHEN len({grams}) = 0
+                          THEN [NULL]::VARCHAR[] ELSE {grams} END) AS gram
+  FROM {table} WHERE {score_where}
+),
+scored AS (
+  SELECT d.{id_col},
+         CASE WHEN d.gram IS NULL THEN NULL
+              WHEN lm.b_cnt IS NOT NULL THEN
+                -log2((lm.b_cnt + {alpha}) / (lm.u_cnt + {alpha} * lm.v))
+              ELSE -log2(1.0 / (SELECT v FROM vocab)) END AS nll
+  FROM doc_grams d LEFT JOIN lm ON lm.gram = d.gram
+)
+SELECT {id_col}, count(nll) AS n_bigrams,
+       round(pow(2.0, avg(nll)), 4) AS ppl
+FROM scored GROUP BY 1
+"""

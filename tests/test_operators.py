@@ -59,6 +59,43 @@ def test_fingerprint(spark, duck):
     """)
 
 
+def test_lm_perplexity_matches_oracle(spark, duck):
+    """CCNet-style bigram-LM perplexity (Wenzek et al. arXiv:1911.00359):
+    train on the even-id half, score the odd-id half; per-doc
+    (n_bigrams, ppl) hash-match the DuckDB twin (identical counts,
+    smoothing, uniform floor, 4dp rounding)."""
+    from aresdb_spark.operators import text as X
+
+    docs = _docs(spark)
+    lm = X.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    df = X.lm_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm)
+    assert_df_matches_duck(df, duck, X.lm_perplexity_oracle_sql(
+        "doc_id % 2 = 0", "doc_id % 2 = 1"))
+
+
+def test_lm_perplexity_planted_fluency(spark):
+    """Semantics on a planted corpus: a doc repeating the training
+    corpus's dominant bigram scores far lower perplexity than a doc of
+    never-seen vocabulary (which backs off to the uniform floor); a
+    one-token doc has no bigrams → NULL ppl."""
+    from aresdb_spark.operators import text as X
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(100, "the cat sat"), (101, "zyx wvu tsr qpo"), (102, "the")],
+        "doc_id long, text string")
+    lm = X.train_bigram_lm(train)
+    got = {r.doc_id: (r.n_bigrams, r.ppl)
+           for r in X.lm_perplexity(score, lm).collect()}
+    assert got[100][0] == 2 and got[101][0] == 3 and got[102][0] == 0
+    assert got[102][1] is None
+    assert got[100][1] < got[101][1]  # fluent ≪ unseen-vocab
+    # unseen bigrams hit exactly the uniform floor 1/V (V=5 words)
+    assert got[101][1] == 5.0
+
+
 def test_gopher_rules_matches_oracle(spark, duck):
     """Per-rule booleans + keep conjunction hash-match the DuckDB twin on
     the document corpus (Rae et al. arXiv:2112.11446 A1.1 rule set,
