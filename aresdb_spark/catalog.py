@@ -113,7 +113,10 @@ class Catalog:
             store = HotColdStore(
                 path=f"{self.sf_dir}/{name}", time_column=tdef.time_column,
                 primary_key=tdef.primary_key, sort_columns=tdef.sort_columns)
-            df = store.read(spark, store.saved_cutoff())
+            # cutoff=None: the cutoff and both version dirs resolve from
+            # ONE state snapshot — a concurrent archive commit can never
+            # produce a torn union view (hotcold.read docstring)
+            df = store.read(spark)
         elif tdef.hotcold:
             # ingestion-backed dimension table: no time column, no
             # cutoff — the whole table is one PK-merged snapshot

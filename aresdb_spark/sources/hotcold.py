@@ -137,11 +137,15 @@ class HotColdStore:
         st.update(updates)
         pointer.commit_state(self.path, st)
 
-    def _version_path(self, kind: str) -> str:
+    def _version_path(self, kind: str,
+                      st: "dict | None | str" = "__load__") -> str:
         """Resolve the live data dir for ``kind`` ("hot"/"cold"):
         ``<path>/<kind>_v<N>`` under the committed state, or the flat
-        legacy dir for stores written before the versioned layout."""
-        st = self._state()
+        legacy dir for stores written before the versioned layout.
+        Pass ``st`` to resolve against an already-read state snapshot
+        (so multiple dirs resolve CONSISTENTLY — see ``read``)."""
+        if st == "__load__":
+            st = self._state()
         if st is None or kind not in st:
             return os.path.join(self.path, kind)
         return os.path.join(self.path, f"{kind}_v{st[kind]}")
@@ -245,7 +249,8 @@ class HotColdStore:
         cols = [f.name for f in self._schema().fields]
         return spark.read.schema(self._schema()).parquet(self.cold_path).select(*cols)
 
-    def read(self, spark: SparkSession, cutoff: datetime) -> DataFrame:
+    def read(self, spark: SparkSession,
+             cutoff: "datetime | None" = None) -> DataFrame:
         """The exactly-once union view: cold rows strictly below the
         cutoff, hot rows at/above it (reference cutoff filter,
         query/aql_processor.go:543-570). Rows present on both sides of
@@ -255,13 +260,35 @@ class HotColdStore:
         ``flush_backfill`` folds them into cold — same as the reference,
         where backfill-buffered records only become queryable once the
         backfill job merges them into archive batches
-        (memstore/backfill.go)."""
+        (memstore/backfill.go).
+
+        Both sides — and, with ``cutoff=None``, the cutoff itself —
+        resolve from ONE state snapshot: a writer committing between
+        two separate resolutions could otherwise pair a new hot with an
+        old cold (an archive advancing mid-read would make the moved
+        rows vanish from the torn view). The reference gets the same
+        guarantee from flipping cutoff + batch versions in one
+        metastore transaction. Passing an explicit cutoff is for
+        time-travel-style reads against the CURRENT dirs; prefer None
+        for query paths."""
+        st = self._state()
+        if cutoff is None:
+            if st is not None and "cutoff" in st:
+                cutoff = datetime.fromisoformat(st["cutoff"])
+            else:
+                cutoff = self.saved_cutoff()
+        schema = self._schema()
+        cols = [f.name for f in schema.fields]
         cut = F.lit(_utc_naive(cutoff))
         t = F.col(self.time_column)
-        cold = self.read_cold(spark).filter(t < cut)
+        cold = (spark.read.schema(schema)
+                .parquet(self._version_path("cold", st))
+                .select(*cols).filter(t < cut))
         # NULL-event-time rows (allow_missing_event_time) exist only in
         # hot, so including them here can never double-count
-        hot = self.read_hot(spark).filter((t >= cut) | t.isNull())
+        hot = (spark.read.schema(schema)
+               .parquet(self._version_path("hot", st))
+               .filter((t >= cut) | t.isNull()))
         return cold.unionByName(hot)
 
     # -- write path ----------------------------------------------------------
