@@ -581,27 +581,32 @@ class DimensionStore:
     def journal_path(self) -> str:
         return os.path.join(self.path, "journal")
 
-    def _journal_batches(self) -> list[str]:
+    def _journal_batches(self,
+                         st: "dict | None | str" = "__load__") -> list[str]:
         """Journal entries not yet folded into a snapshot (above the
         committed watermark; a consumed dir whose best-effort delete
-        failed stays invisible behind it)."""
+        failed stays invisible behind it). Pass ``st`` to list against
+        an already-read state snapshot."""
         if not os.path.isdir(self.journal_path):
             return []
-        st = self._state() or {}
-        consumed = int(st.get("journal_consumed", -1))
+        if st == "__load__":
+            st = self._state()
+        consumed = int((st or {}).get("journal_consumed", -1))
         return sorted((n for n in os.listdir(self.journal_path)
                        if n.startswith("batch=")
                        and int(n.split("=")[1]) > consumed),
                       key=lambda n: int(n.split("=")[1]))
 
-    def _snap_dir(self) -> str:
-        st = self._state()
+    def _snap_dir(self, st: "dict | None | str" = "__load__") -> str:
+        if st == "__load__":
+            st = self._state()
         if st is None or "snap" not in st:
             return os.path.join(self.path, "snap")  # pre-versioned layout
         return os.path.join(self.path, f"snap_v{st['snap']}")
 
-    def _read_snap(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(self._schema()).parquet(self._snap_dir())
+    def _read_snap(self, spark: SparkSession,
+                   st: "dict | None | str" = "__load__") -> DataFrame:
+        return spark.read.schema(self._schema()).parquet(self._snap_dir(st))
 
     def _publish_snap(self, spark: SparkSession, merged: DataFrame,
                       consumed_names: list[str]) -> None:
@@ -631,9 +636,14 @@ class DimensionStore:
         """Current table state: last snapshot + journaled mutations
         replayed in arrival order — the reference reconstructs dimension
         state as snapshot + redo-log replay the same way
-        (memstore/recovery.go, snapshot branch)."""
-        base = self._read_snap(spark)
-        for name in self._journal_batches():
+        (memstore/recovery.go, snapshot branch). Snap dir and journal
+        watermark resolve from ONE state snapshot: a snapshot job
+        committing in between would otherwise pair the OLD snap with
+        the truncated journal and the folded mutations would vanish
+        from the torn view."""
+        st = self._state()
+        base = self._read_snap(spark, st)
+        for name in self._journal_batches(st):
             batch = spark.read.schema(self._schema()).parquet(
                 os.path.join(self.journal_path, name))
             base = apply_upsert_batch(base, batch, list(self.primary_key),
