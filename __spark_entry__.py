@@ -1460,6 +1460,27 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["text_lm_perplexity"] = (q_lm_perplexity, lm_perplexity_sql())
 
+    # --- DSIR importance weights (Xie et al. arXiv:2302.03169): target
+    # LM = the English slice, source LM = the even-id raw pool; odd-id
+    # docs scored by log p_target − log p_source. Positive ⇒ doc looks
+    # like the target; feed the weights to the sampling ops to select ---
+    def q_dsir(spark, sf_dir):
+        from aresdb_spark.operators.text import (
+            dsir_log_importance, train_bigram_lm)
+        docs = _docs(spark, sf_dir)
+        lm_t = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+        lm_s = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        return dsir_log_importance(
+            docs.filter(F.col("doc_id") % 2 == 1), lm_t, lm_s)
+
+    def dsir_sql():
+        from aresdb_spark.operators.text import (
+            dsir_log_importance_oracle_sql)
+        return dsir_log_importance_oracle_sql(
+            "lang = 'en'", "doc_id % 2 = 0", "doc_id % 2 = 1")
+
+    out["text_dsir_weights"] = (q_dsir, dsir_sql())
+
     # --- as-of join (nearest-earlier-timestamp; DuckDB ASOF JOIN oracle) ---
     def q_asof(spark, sf_dir):
         from aresdb_spark.catalog import Catalog

@@ -555,3 +555,115 @@ SELECT {id_col}, count(nll) AS n_bigrams,
        round(pow(2.0, avg(nll)), 4) AS ppl
 FROM scored GROUP BY 1
 """
+
+
+def dsir_log_importance(df: DataFrame, target_lm: DataFrame,
+                        source_lm: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        alpha: float = LM_ALPHA) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", arXiv:2302.03169 — public): per
+    document, log p_target(x) − log p_source(x) under two n-gram LMs —
+    positive = the doc looks more like the target corpus than the raw
+    pool. Returns (id, n_bigrams, log_ratio); select by resampling on
+    the weights (the paper's Gumbel top-k ≙ operators.sampling's
+    weighted sampler) or deterministically by top fraction.
+
+    Both conditionals use ``train_bigram_lm``'s add-α estimate with the
+    same uniform floor as ``lm_perplexity`` for unseen histories, so a
+    doc outside both vocabularies scores log(1/V_t) − log(1/V_s) per
+    bigram — the vocabulary-size prior, not zero.
+
+    Plan: one scan-side bigram explode → TWO LM left-joins on the gram
+    key (each LM is a flat DataFrame; Spark broadcasts small ones) →
+    per-doc partial-agg sum. The two uniform floors ride in via a
+    single-row broadcast cross join; no plan-time collect."""
+    tl = target_lm.select("gram", F.col("b_cnt").alias("t_b"),
+                          F.col("u_cnt").alias("t_u"),
+                          F.col("v").alias("t_v"))
+    sl = source_lm.select("gram", F.col("b_cnt").alias("s_b"),
+                          F.col("u_cnt").alias("s_u"),
+                          F.col("v").alias("s_v"))
+    floors = F.broadcast(
+        target_lm.agg(F.first("v").alias("t_vf"))
+        .crossJoin(source_lm.agg(F.first("v").alias("s_vf"))))
+    grams = df.select(
+        F.col(id_col),
+        F.explode_outer(_let(tokens(F.lower(F.col(text_col))),
+                             lambda t: _gram_array(t, 2))).alias("gram"))
+
+    def logp(b, u, v, vf):
+        return (F.when(F.col(b).isNotNull(),
+                       F.log2((F.col(b) + alpha)
+                              / (F.col(u) + alpha * F.col(v))))
+                .otherwise(F.log2(F.lit(1.0) / F.col(vf))))
+
+    scored = (grams.join(tl, "gram", "left").join(sl, "gram", "left")
+              .crossJoin(floors)
+              .select(F.col(id_col),
+                      F.when(F.col("gram").isNull(), None)
+                      .otherwise(logp("t_b", "t_u", "t_v", "t_vf")
+                                 - logp("s_b", "s_u", "s_v", "s_vf"))
+                      .alias("lr")))
+    return (scored.groupBy(id_col)
+            .agg(F.count("lr").alias("n_bigrams"),
+                 F.round(F.coalesce(F.sum("lr"), F.lit(0.0)), 4)
+                 .alias("log_ratio")))
+
+
+def dsir_log_importance_oracle_sql(target_where: str, source_where: str,
+                                   score_where: str = "TRUE",
+                                   table: str = "documents",
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   alpha: float = LM_ALPHA) -> str:
+    """DuckDB twin: identical two-LM log-ratio, floors and rounding."""
+    toks = tokens_oracle_sql(f"lower({text_col})")
+    grams = (f"[array_to_string(({toks})[i:i+1], ' ') "
+             f"for i in range(1, len({toks}))]")
+
+    def lm(where: str, p: str) -> str:
+        return f"""
+{p}uni AS (
+  SELECT w, count(*) AS u_cnt
+  FROM (SELECT unnest({toks}) AS w FROM {table} WHERE {where})
+  GROUP BY 1
+),
+{p}bi AS (
+  SELECT gram, count(*) AS b_cnt
+  FROM (SELECT unnest({grams}) AS gram FROM {table} WHERE {where})
+  GROUP BY 1
+),
+{p}vocab AS (SELECT count(*) AS v FROM {p}uni),
+{p}lm AS (
+  SELECT {p}bi.gram, {p}bi.b_cnt, {p}uni.u_cnt, {p}vocab.v
+  FROM {p}bi JOIN {p}uni ON {p}uni.w = split_part({p}bi.gram, ' ', 1)
+  CROSS JOIN {p}vocab
+)"""
+
+    def logp(p: str) -> str:
+        return (f"CASE WHEN {p}lm.b_cnt IS NOT NULL THEN "
+                f"log2(({p}lm.b_cnt + {alpha}) / "
+                f"({p}lm.u_cnt + {alpha} * {p}lm.v)) "
+                f"ELSE log2(1.0 / (SELECT v FROM {p}vocab)) END")
+
+    return f"""
+WITH {lm(target_where, 't_')},
+{lm(source_where, 's_')[1:]},
+doc_grams AS (
+  SELECT {id_col}, unnest(CASE WHEN len({grams}) = 0
+                          THEN [NULL]::VARCHAR[] ELSE {grams} END) AS gram
+  FROM {table} WHERE {score_where}
+),
+scored AS (
+  SELECT d.{id_col},
+         CASE WHEN d.gram IS NULL THEN NULL
+              ELSE ({logp('t_')}) - ({logp('s_')}) END AS lr
+  FROM doc_grams d
+  LEFT JOIN t_lm ON t_lm.gram = d.gram
+  LEFT JOIN s_lm ON s_lm.gram = d.gram
+)
+SELECT {id_col}, count(lr) AS n_bigrams,
+       round(coalesce(sum(lr), 0.0), 4) AS log_ratio
+FROM scored GROUP BY 1
+"""

@@ -166,6 +166,22 @@ def cmd_migrate(root: str, dest: str) -> dict:
     return migrate_ares_root(spark, root, dest)
 
 
+def cmd_validate(root: str, table: str, migrated: str,
+                 check_values: bool = False) -> dict:
+    """The migration acceptance gate: per-day counts vs the legacy
+    metastore's own batch sizes; --values adds per-day content hashes
+    (legacy batches re-decoded vs the migrated parquet) that catch
+    corruption counts cannot."""
+    from aresdb_spark.session import get_spark
+    from aresdb_spark.sources.ares_root import validate_migration
+
+    spark = get_spark(app_name="ares-validate", cpus=8,
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    return validate_migration(spark, root, table, migrated,
+                              check_values=check_values)
+
+
 def main(argv: "list[str] | None" = None) -> dict:
     p = argparse.ArgumentParser(prog="ares_tool",
                                 description=__doc__.split("\n")[0])
@@ -194,6 +210,13 @@ def main(argv: "list[str] | None" = None) -> dict:
     s = sub.add_parser("migrate")
     s.add_argument("root")
     s.add_argument("dest")
+    s = sub.add_parser("validate")
+    s.add_argument("root")
+    s.add_argument("table")
+    s.add_argument("migrated")
+    s.add_argument("--values", action="store_true",
+                   help="also compare per-day content hashes (re-decodes "
+                        "the legacy batches)")
     a = p.parse_args(argv)
     if a.cmd == "tables":
         out = cmd_tables(a.root)
@@ -206,6 +229,8 @@ def main(argv: "list[str] | None" = None) -> dict:
         out = cmd_redologs(a.dir)
     elif a.cmd == "read-upsert-batch":
         out = cmd_read_upsert_batch(a.file, a.offset, a.rows)
+    elif a.cmd == "validate":
+        out = cmd_validate(a.root, a.table, a.migrated, a.values)
     else:
         out = cmd_migrate(a.root, a.dest)
     print(json.dumps(out, indent=2, default=str))

@@ -66,6 +66,21 @@ def test_show_batch_and_show_vp_on_synthetic_root(tmp_path):
     assert vp["values"] == [7, 9] and vp["counts"] == [0, 3, 4]
 
 
+def test_validate_command_with_value_hashes(spark, tmp_path):
+    """`ares_tool migrate` + `ares_tool validate --values` on a synthetic
+    root: counts AND per-day content hashes reconcile (the CLI face of
+    validate_migration's acceptance gate)."""
+    from tests.test_ares_root import _build_root
+
+    root = _build_root(tmp_path / "root")
+    mig = ares_tool.main(["migrate", root, str(tmp_path / "dest")])
+    out = ares_tool.main(["validate", root, "trips",
+                          mig["trips"]["path"], "--values"])
+    assert out["ok"] is True
+    assert all(d["match"] and d["value_match"]
+               for d in out["days"].values())
+
+
 # --------------------------------------------------------------------------
 # no-Spark property tests over the batch layer (fast, pure codec)
 # --------------------------------------------------------------------------

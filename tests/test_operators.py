@@ -96,6 +96,36 @@ def test_lm_perplexity_planted_fluency(spark):
     assert got[101][1] == 5.0
 
 
+def test_dsir_weights_match_oracle_and_rank_target_like_docs(spark, duck):
+    """DSIR importance weights (Xie et al. arXiv:2302.03169): per-doc
+    (n_bigrams, log_ratio) hash-match the DuckDB twin; semantics pinned
+    on a planted corpus — a doc drawn from the target distribution
+    outscores one drawn from the source distribution."""
+    from aresdb_spark.operators import text as X
+
+    docs = _docs(spark)
+    lm_t = X.train_bigram_lm(docs.filter(F.col("lang") == "en"))
+    lm_s = X.train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+    df = X.dsir_log_importance(docs.filter(F.col("doc_id") % 2 == 1),
+                               lm_t, lm_s)
+    assert_df_matches_duck(df, duck, X.dsir_log_importance_oracle_sql(
+        "lang = 'en'", "doc_id % 2 = 0", "doc_id % 2 = 1"))
+
+    target = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(10)],
+        "doc_id long, text string")
+    source = spark.createDataFrame(
+        [(i, "one two three four") for i in range(10)],
+        "doc_id long, text string")
+    score = spark.createDataFrame(
+        [(100, "alpha beta gamma"), (101, "one two three")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.log_ratio for r in X.dsir_log_importance(
+        score, X.train_bigram_lm(target),
+        X.train_bigram_lm(source)).collect()}
+    assert got[100] > 0 > got[101]
+
+
 def test_gopher_rules_matches_oracle(spark, duck):
     """Per-rule booleans + keep conjunction hash-match the DuckDB twin on
     the document corpus (Rae et al. arXiv:2112.11446 A1.1 rule set,
