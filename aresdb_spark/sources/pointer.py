@@ -40,6 +40,15 @@ import shutil
 STATE_FILE = "_state.json"
 
 
+class StateCorruptionError(RuntimeError):
+    """The store's pointer file exists but does not parse. With the
+    fsync'd commit protocol this should be unreachable on a filesystem
+    with atomic rename/PUT; seeing it means the storage layer violated
+    that contract (or the file was hand-edited). The data version dirs
+    are intact — recover by restoring the pointer to the latest complete
+    version, don't delete anything."""
+
+
 def read_state(root: str) -> "dict | None":
     """The committed state of the store at ``root``, or None when the
     store predates the versioned layout (legacy: data lives directly in
@@ -48,7 +57,14 @@ def read_state(root: str) -> "dict | None":
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)
+        raw = f.read()
+    try:
+        return json.loads(raw)
+    except ValueError as e:
+        raise StateCorruptionError(
+            f"store pointer {path} is corrupt ({e}; {len(raw)} bytes). "
+            f"Data version dirs are intact — restore the pointer to the "
+            f"latest complete version instead of re-initializing") from e
 
 
 def commit_state(root: str, state: dict) -> None:

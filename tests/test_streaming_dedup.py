@@ -240,6 +240,22 @@ def test_store_reregisters_in_fresh_catalog(spark, tmp_path):
     assert hits.filter(F.col("new_id") == F.col("store_id")).count() == 1
 
 
+def test_corrupt_pointer_raises_named_error(tmp_path):
+    """A torn/hand-edited pointer file raises StateCorruptionError with
+    recovery guidance, never a bare JSONDecodeError (and never reads as
+    'no store here' — that would silently re-initialize over live
+    data)."""
+    from aresdb_spark.sources import pointer
+
+    root = str(tmp_path / "s")
+    pointer.commit_state(root, {"version": 3})
+    with open(f"{root}/{pointer.STATE_FILE}", "w") as f:
+        f.write("")  # zero-length, the classic torn-write symptom
+    with pytest.raises(pointer.StateCorruptionError,
+                       match="restore the pointer"):
+        pointer.read_state(root)
+
+
 def test_pointer_commit_is_atomic_roundtrip(tmp_path):
     """pointer.commit_state publishes via write-temp + rename: after any
     successful commit the state file parses and matches; next_version
