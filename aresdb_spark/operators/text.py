@@ -457,7 +457,14 @@ def train_bigram_lm(train_df: DataFrame,
     corpus (unigrams, bigrams) plus one broadcast of the single-row
     vocabulary size; the LM lives as a DataFrame keyed by bigram — at
     web scale it shuffle-joins against the scored corpus's exploded
-    bigrams, no driver materialization anywhere."""
+    bigrams, no driver materialization anywhere.
+
+    PERSIST THE RESULT before scoring (``.cache()``, or write it to
+    parquet — the LM is the trained-model artifact, CCNet ships its LM
+    files the same way): the returned plan is lazy, and each consumer
+    (the scorer's floor broadcast, its LM join, every later corpus
+    scored) would otherwise re-run the corpus-sized training
+    aggregation from scratch (plan-audited in PERF_NOTES.md r7)."""
     uni = (train_df.select(F.explode(tokens(F.lower(F.col(text_col))))
                            .alias("w"))
            .groupBy("w").agg(F.count("*").alias("u_cnt")))
