@@ -26,8 +26,24 @@ the way the single-shard subscriber configs treat it (shard 0)."""
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime
+
+
+def _footer_rows(path: str) -> int:
+    """Row count of a flat parquet dir from the file footers alone
+    (pyarrow metadata read — no Spark job). The ops analog of the
+    reference reading batch sizes out of its in-memory shard metadata
+    (debug_handler.go ShowShardMeta serializes the shard struct, it
+    never scans vector parties)."""
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(path):
+        return 0
+    return sum(pq.ParquetFile(e.path).metadata.num_rows
+               for e in os.scandir(path)
+               if e.is_file() and e.name.endswith(".parquet"))
 
 
 @dataclass
@@ -69,9 +85,11 @@ class DebugDaemon:
         """GET /dbg/{table}/{shard} — the live-store state the r6 review
         flagged as missing: committed versions, cutoff, queue depths,
         row counts, writer-lock state. All metadata reads (one pointer
-        file + dir listings + parquet footers); no data scan."""
-        import os
-
+        file + dir listings + parquet footers); schedules ZERO Spark
+        jobs (asserted by test_debug_handler's job-group probe) — an
+        ops dashboard may poll this without scheduling cluster work,
+        like the reference serializing its in-memory shard struct
+        (debug_handler.go ShowShardMeta)."""
         store = self.stores.get(table)
         if store is None:
             return 400, {"message": f"unknown table {table!r}"}
@@ -82,7 +100,7 @@ class DebugDaemon:
         if hasattr(store, "saved_cutoff"):  # fact (hot/cold) store
             meta["kind"] = "fact"
             meta["cutoff"] = store.saved_cutoff().isoformat()
-            meta["hot_rows"] = store.read_hot(self.spark).count()
+            meta["hot_rows"] = _footer_rows(store.hot_path)
             meta["cold_days"] = sorted(
                 n.split("=", 1)[1] for n in os.listdir(store.cold_path)
                 if n.startswith("__day="))
@@ -109,7 +127,11 @@ class DebugDaemon:
         ``start_row`` is additionally capped at 10_000 — a debug
         endpoint must never be able to pull an unbounded prefix of a
         large store onto the driver (the reference pages within one
-        in-memory batch, which bounds it structurally)."""
+        in-memory batch, which bounds it structurally). Pages are
+        ordered by the table's primary key, so successive calls see a
+        stable sequence (an unordered limit would repeat or skip rows
+        across pages — parquet scan order is not deterministic across
+        calls)."""
         from pyspark.sql import functions as F
 
         store = self.stores.get(table)
@@ -129,6 +151,7 @@ class DebugDaemon:
                              "dimension tables have no archive batches"}
             day = F.date_format(F.col(store.time_column), "yyyy-MM-dd")
             df = store.read_cold(self.spark).filter(day == batch)
+        df = df.orderBy(*[F.col(c) for c in store.primary_key])
         rows = df.limit(start_row + num_rows).collect()[start_row:]
         return 200, {"numRows": len(rows), "startRow": start_row,
                      "columns": df.columns,
@@ -152,10 +175,12 @@ class DebugDaemon:
             return 400, {"message":
                          f"key must have {len(pk)} comma-separated "
                          f"component(s) for primary key {pk}"}
-        if hasattr(store, "saved_cutoff"):
-            df = store.read(self.spark, store.saved_cutoff())
-        else:
-            df = store.read(self.spark)
+        # cutoff=None: cutoff and version dirs resolve from ONE state
+        # snapshot inside read() — passing saved_cutoff() here would read
+        # the state twice, and an archive committing in between pairs an
+        # old cutoff with new dirs (the torn-view class catalog.py
+        # eliminates the same way)
+        df = store.read(self.spark)
         cond = None
         for col, val in zip(pk, parts):
             c = F.col(col).cast("string") == val

@@ -83,6 +83,50 @@ def test_show_batch_clamps_and_contents(spark, tmp_path):
     assert status == 200 and body["numRows"] == 2
 
 
+def test_show_shard_meta_schedules_no_spark_jobs(spark, tmp_path):
+    """The probe is metadata-only (pointer file + dir listings + parquet
+    footers): polling it from an ops dashboard must not schedule cluster
+    work. Asserted through the job-group tracker — any Spark action the
+    endpoint ran would register a job under the group."""
+    d = DebugDaemon(spark, _stores(spark, tmp_path))
+    sc = spark.sparkContext
+    sc.setJobGroup("shard-meta-probe", "metadata-only assert")
+    try:
+        status, meta = d.show_shard_meta("events")
+        assert status == 200
+        assert meta["hot_rows"] == 1            # footer count == row count
+        status, dmeta = d.show_shard_meta("cities")
+        assert status == 200 and dmeta["num_mutations"] == 0
+        assert list(sc.statusTracker().getJobIdsForGroup(
+            "shard-meta-probe")) == []
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    # footer counts track mutations like the scan did: archive empties hot
+    d.trigger("archive", "events", cutoff=datetime(2024, 1, 22))
+    _, meta = d.show_shard_meta("events")
+    assert meta["hot_rows"] == 0
+
+
+def test_show_batch_pages_are_stable(spark, tmp_path):
+    """Pages order by primary key, so paging through a batch yields each
+    row exactly once and repeated calls return identical pages (an
+    unordered limit/slice could repeat or skip rows across calls)."""
+    stores = _stores(spark, tmp_path)
+    stores["cities"].journal_ingest(spark.createDataFrame(
+        [Row(city=c, name=f"c{c}") for c in (1, 3, 5, 8)]))
+    d = DebugDaemon(spark, stores)
+    pages = []
+    for start in range(0, 6, 2):
+        status, body = d.show_batch("cities", batch="hot",
+                                    start_row=start, num_rows=2)
+        assert status == 200
+        pages.append([r[0] for r in body["rows"]])
+    assert pages == [[1, 3], [5, 7], [8, 9]]
+    # identical re-read: stable across calls
+    _, again = d.show_batch("cities", batch="hot", start_row=2, num_rows=2)
+    assert [r[0] for r in again["rows"]] == [5, 7]
+
+
 def test_lookup_primary_key_message_parity(spark, tmp_path):
     """debug_handler.go:336-360: comma-split key, 404 with the
     reference's exact message when absent."""
