@@ -388,6 +388,89 @@ def signature_bands(df: DataFrame, text_col: str = "text",
 
 
 SIGSTORE_BUCKETS = 16
+# Read-grace window for displaced store versions: a version unreferenced
+# by an overwrite/compaction stays on disk (and in the catalog) until it
+# has been displaced for at least this long, so a reader that resolved it
+# just before the pointer flip can finish its probe join over intact
+# files. The reference keeps displaced archive batch versions the same
+# way — purge, on its own cadence, reaps them, never the archiving swap
+# itself (memstore/purge.go). 15 min dwarfs any store-probe scan; tune
+# per deployment via the writers' ``gc_grace_seconds``.
+SIGSTORE_GC_GRACE_SECONDS = 900.0
+
+
+def _legacy_root_files(path: str) -> "list[str]":
+    """Data files of a pre-v2 (unversioned) store sitting AT the root:
+    ``bhp=*`` partition dirs, or bare parquet part files for the empty
+    unpartitioned case. This — not mere non-emptiness — is the legacy
+    test: a root holding only ``v*/`` remnants is a CRASHED v2 initial
+    write, not a legacy store (treating it as legacy would append
+    ``bhp=*`` dirs beside the orphan and leave the root unreadable)."""
+    import glob as _glob
+    return (_glob.glob(os.path.join(path, "bhp=*"))
+            or [p for p in _glob.glob(os.path.join(path, "*.parquet"))
+                if os.path.isfile(p)]
+            or [p for p in _glob.glob(os.path.join(path, "part-*"))
+                if os.path.isfile(p)])
+
+
+def _displace(state: "dict | None", path: str) -> "list[dict]":
+    """The displaced-version ledger for the NEXT commit: carry forward
+    un-reaped entries and add the record this mutation unreferences —
+    the live version being replaced, or the legacy root files on a
+    first conversion. Committed atomically WITH the flip, so the ledger
+    can never disagree with the pointer."""
+    import time
+
+    displaced = list((state or {}).get("displaced", []))
+    if state is not None:
+        displaced.append({"version": state["version"],
+                          "table": state["table"], "at": time.time()})
+    elif _legacy_root_files(path):
+        displaced.append({"legacy_root": True, "at": time.time()})
+    return displaced
+
+
+def gc_signature_store(spark, path: str,
+                       grace_seconds: float = SIGSTORE_GC_GRACE_SECONDS
+                       ) -> int:
+    """Reap displaced store versions older than the read-grace window;
+    returns how many were reaped. Run this on the lifecycle cadence
+    (alongside ``compact_signature_store``) — the writers call it with
+    the default grace after every flip, so steady-state garbage is one
+    window deep; an explicit ``grace_seconds=0`` force-reaps everything
+    displaced (safe only when no reader can be mid-scan on an old
+    version).
+
+    Order: files first, ledger commit second — a crash mid-reap leaves
+    entries whose dirs are already gone, and the next pass re-reaps
+    them as no-ops (``DROP TABLE IF EXISTS`` + best-effort ``gc_dir``);
+    the reverse order would leak the dirs invisibly forever."""
+    import time
+
+    from aresdb_spark.sources import pointer
+
+    state = pointer.read_state(path)
+    if state is None or not state.get("displaced"):
+        return 0
+    now = time.time()
+    keep = [d for d in state["displaced"]
+            if now - d["at"] < grace_seconds]
+    reap = [d for d in state["displaced"] if d not in keep]
+    if not reap:
+        return 0
+    for d in reap:
+        if d.get("legacy_root"):
+            for entry in os.listdir(path):
+                if entry.startswith("bhp=") or entry.endswith(".parquet") \
+                        or entry.startswith("part-") or entry == "_SUCCESS":
+                    pointer.gc_dir(os.path.join(path, entry))
+        else:
+            spark.sql(f"DROP TABLE IF EXISTS {d['table']}")
+            pointer.gc_dir(pointer.version_dir(path, d["version"]))
+    pointer.commit_state(path, {**pointer.read_state(path),
+                                "displaced": keep})
+    return len(reap)
 
 
 def _sigstore_table(path: str, version: int) -> str:
@@ -417,7 +500,9 @@ def _sigstore_register(spark, state: dict, path: str) -> str:
 def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
                           id_col: str = "doc_id",
                           mode: str = "overwrite",
-                          n_buckets: int = SIGSTORE_BUCKETS) -> None:
+                          n_buckets: int = SIGSTORE_BUCKETS,
+                          gc_grace_seconds: float =
+                          SIGSTORE_GC_GRACE_SECONDS) -> None:
     """Persist a corpus's banded MinHash index so later batches dedup
     against it WITHOUT re-mining the corpus (the continuous-crawl
     pattern: at 100 TB you never re-shingle history — each increment
@@ -440,7 +525,12 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
     bucketed table with an already-deduped increment (plain file
     appends — new files become visible as they are listed, no swap
     needed). Stores written before v2 (plain parquet partitioned by
-    ``bhp``) stay readable; appends keep their legacy layout."""
+    ``bhp``) stay readable; appends keep their legacy layout.
+
+    The displaced version is NOT deleted at the flip: it enters the
+    state's ``displaced`` ledger and survives ``gc_grace_seconds`` so a
+    reader that resolved it mid-probe finishes over intact files
+    (``gc_signature_store``)."""
     from aresdb_spark.sources import pointer
     from aresdb_spark.sources.bucketed import write_bucketed
 
@@ -448,10 +538,10 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
     bands = signature_bands(df, text_col, id_col)
     state = pointer.read_state(path)
     if mode == "append":
-        if state is None and os.path.isdir(path) and os.listdir(path):
-            # legacy layout (data files, no pointer). An EMPTY dir is
-            # NOT legacy — appending into it would freeze a brand-new
-            # store on the unbucketed layout; fall through and create.
+        if state is None and _legacy_root_files(path):
+            # legacy layout: data files (not mere non-emptiness — a root
+            # holding only v*/ remnants of a crashed initial v2 write is
+            # a FRESH store) live at the root; keep their layout
             bands.write.mode("append").partitionBy("bhp").parquet(path)
             return
         if state is not None:
@@ -463,16 +553,17 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
         # append to a store that doesn't exist yet == create it
     version = pointer.next_version(state)
     table = _sigstore_table(path, version)
+    target = pointer.version_dir(path, version)
+    if os.path.isdir(target):  # orphan of a crashed, uncommitted write
+        pointer.gc_dir(target)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in bands.schema.fields)
-    write_bucketed(bands, table, pointer.version_dir(path, version),
-                   n_buckets, ["bh"])
+    write_bucketed(bands, table, target, n_buckets, ["bh"])
     pointer.commit_state(path, {
         "format": 2, "version": version, "table": table,
-        "n_buckets": n_buckets, "schema_ddl": ddl})
-    if state is not None:  # unreference + GC the displaced version
-        spark.sql(f"DROP TABLE IF EXISTS {state['table']}")
-        pointer.gc_dir(pointer.version_dir(path, state["version"]))
+        "n_buckets": n_buckets, "schema_ddl": ddl,
+        "displaced": _displace(state, path)})
+    gc_signature_store(spark, path, gc_grace_seconds)
 
 
 def read_signature_store(spark, path: str) -> DataFrame:
@@ -549,7 +640,9 @@ def incremental_near_duplicates(spark, new_df: DataFrame, store_path: str,
 
 
 def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
-                            id_col: str = "doc_id") -> int:
+                            id_col: str = "doc_id",
+                            gc_grace_seconds: float =
+                            SIGSTORE_GC_GRACE_SECONDS) -> int:
     """Retention for the signature store: rewrite it down to the ids
     still in the corpus (the dedup-index half of the reference's purge
     job — a doc dropped by ``recordRetentionInDays`` must also stop
@@ -566,24 +659,33 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
     ``_state.json`` pointer flips (sources/pointer.py — one small
     atomic write, object-store-safe; no rmtree+rename of data files on
     the committed path). A crash before the flip leaves the old version
-    fully live; after the flip, the old dir is unreferenced garbage and
-    is GC'd best-effort. A pre-v2 store is converted to the versioned
-    layout by its first compaction."""
+    fully live; after the flip, the old version enters the ``displaced``
+    ledger and survives the read-grace window before
+    ``gc_signature_store`` reaps it — a reader that resolved the old
+    version just before the flip finishes its probe over intact files
+    (the reference keeps displaced archive batch versions until purge
+    the same way, memstore/purge.go). A pre-v2 store is converted to
+    the versioned layout by its first compaction."""
     from aresdb_spark.sources import pointer
     from aresdb_spark.sources.bucketed import write_bucketed
 
     state = pointer.read_state(store_path)
     if state is None:
         # legacy layout: data files sit AT the root we are about to put
-        # v0 under. Read only the partition dirs (basePath keeps `bhp` a
-        # partition column) so the new version dir never enters the scan.
-        legacy_parts = os.path.join(store_path, "bhp=*")
+        # v0 under. Read only the data files (basePath keeps `bhp` a
+        # partition column) so neither the new version dir nor orphaned
+        # v*/ remnants of a crashed earlier write enter the scan.
         import glob as _glob
-        if _glob.glob(legacy_parts):
+        if _glob.glob(os.path.join(store_path, "bhp=*")):
             store = (spark.read.option("basePath", store_path)
-                     .parquet(legacy_parts))
+                     .parquet(os.path.join(store_path, "bhp=*")))
         else:  # empty legacy store (unpartitioned schema-only parquet)
-            store = spark.read.parquet(store_path).localCheckpoint(eager=True)
+            files = _legacy_root_files(store_path)
+            if not files:
+                raise FileNotFoundError(
+                    f"no signature store at {store_path}: neither a "
+                    f"committed _state.json nor legacy data files")
+            store = spark.read.parquet(*files).localCheckpoint(eager=True)
         n_buckets = SIGSTORE_BUCKETS
     else:
         store = read_signature_store(spark, store_path)
@@ -593,23 +695,18 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
         "id", "left_semi").select("id", "sig", "band", "bh", "bhp")
     version = pointer.next_version(state)
     table = _sigstore_table(store_path, version)
+    target = pointer.version_dir(store_path, version)
+    if os.path.isdir(target):  # orphan of a crashed, uncommitted write
+        pointer.gc_dir(target)
     ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                     for f in kept.schema.fields)
-    write_bucketed(kept, table, pointer.version_dir(store_path, version),
-                   n_buckets, ["bh"])
+    write_bucketed(kept, table, target, n_buckets, ["bh"])
     pointer.commit_state(store_path, {
         "format": 2, "version": version, "table": table,
-        "n_buckets": n_buckets, "schema_ddl": ddl})
+        "n_buckets": n_buckets, "schema_ddl": ddl,
+        "displaced": _displace(state, store_path)})
     n = spark.table(table).count()
-    # unreference + GC the displaced data (best-effort, post-commit)
-    if state is not None:
-        spark.sql(f"DROP TABLE IF EXISTS {state['table']}")
-        pointer.gc_dir(pointer.version_dir(store_path, state["version"]))
-    else:
-        for entry in os.listdir(store_path):
-            if entry.startswith("bhp=") or entry.endswith(".parquet") \
-                    or entry.startswith("part-") or entry == "_SUCCESS":
-                pointer.gc_dir(os.path.join(store_path, entry))
+    gc_signature_store(spark, store_path, gc_grace_seconds)
     return n
 
 

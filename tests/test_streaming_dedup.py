@@ -191,6 +191,127 @@ def test_compact_crash_before_pointer_flip_leaves_store_live(
     assert read_signature_store(spark, store).count() == kept
 
 
+def test_displaced_version_survives_grace_for_inflight_reader(
+        spark, tmp_path):
+    """VERDICT r7 #1: a reader that resolved the OLD store version
+    completes its scan across a concurrent compaction — the flip moves
+    the old version into the ``displaced`` ledger instead of deleting
+    it, and only ``gc_signature_store`` (age-gated, lifecycle-cadence)
+    reaps it."""
+    import os
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store,
+        gc_signature_store, incremental_near_duplicates,
+        read_signature_store)
+    from aresdb_spark.sources.pointer import read_state, version_dir
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    build_signature_store(corpus, store)
+
+    # the in-flight reader: plan resolved against v0, not yet executed
+    probe = docs.filter(F.col("doc_id").isin([2, 3, 4, 5]))
+    reader = incremental_near_duplicates(spark, probe, store, threshold=0.8)
+    expected = {(r.new_id, r.store_id) for r in reader.collect()}
+
+    # concurrent compaction flips to v1 (default grace: old files live)
+    retained = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    compact_signature_store(spark, store, retained)
+    st = read_state(store)
+    assert st["version"] == 1
+    assert [d["version"] for d in st["displaced"]] == [0]
+    assert os.path.isdir(version_dir(store, 0))  # old files intact
+
+    # the old-version reader finishes its scan with correct results
+    assert {(r.new_id, r.store_id) for r in reader.collect()} == expected
+
+    # GC after the window (forced): old version reaped, ledger empty
+    assert gc_signature_store(spark, store, grace_seconds=0) == 1
+    assert not os.path.isdir(version_dir(store, 0))
+    assert read_state(store)["displaced"] == []
+    # live version unaffected
+    assert read_signature_store(spark, store).count() > 0
+
+
+def test_gc_reaps_only_expired_displaced_versions(spark, tmp_path):
+    """The ledger accumulates across flips; GC is age-gated — a huge
+    grace reaps nothing, grace 0 reaps everything, and re-running GC
+    after a partial crash re-reaps as a no-op."""
+    import os
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store, gc_signature_store)
+    from aresdb_spark.sources.pointer import read_state, version_dir
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    build_signature_store(corpus, store)
+    compact_signature_store(spark, store, corpus.select("doc_id"))
+    compact_signature_store(spark, store, corpus.select("doc_id"))
+    st = read_state(store)
+    assert [d["version"] for d in st["displaced"]] == [0, 1]
+    assert gc_signature_store(spark, store, grace_seconds=3600) == 0
+    assert os.path.isdir(version_dir(store, 0))
+    assert gc_signature_store(spark, store, grace_seconds=0) == 2
+    assert not os.path.isdir(version_dir(store, 0))
+    assert not os.path.isdir(version_dir(store, 1))
+    assert gc_signature_store(spark, store, grace_seconds=0) == 0  # idempotent
+
+
+def test_crashed_initial_write_is_not_legacy(spark, tmp_path):
+    """ADVICE r7: a crash during the first v2 write leaves a partial
+    v0/ dir and no pointer. The replayed first batch must take the
+    CREATE branch (legacy detection keys on bhp=*/root data files, not
+    dir non-emptiness) — the old rule appended bhp=* dirs beside the
+    orphan and left the root unreadable."""
+    import os
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, read_signature_store)
+    from aresdb_spark.sources.pointer import read_state
+
+    docs = _docs(spark)
+    store = tmp_path / "store"
+    (store / "v0").mkdir(parents=True)  # partial uncommitted write
+    (store / "v0" / "part-00000.parquet.tmp").write_bytes(b"torn")
+
+    build_signature_store(docs.filter(F.col("doc_id") % 7 == 0),
+                          str(store), mode="append")  # the sink's replay
+    st = read_state(str(store))
+    assert st is not None and st["version"] == 0  # fresh v2 store
+    assert not [n for n in os.listdir(store) if n.startswith("bhp=")]
+    assert read_signature_store(spark, str(store)).count() > 0
+    assert not (store / "v0" / "part-00000.parquet.tmp").exists()  # orphan gone
+
+
+def test_legacy_conversion_respects_read_grace(spark, tmp_path):
+    """First compaction of a pre-v2 store: the root-level legacy files
+    enter the ledger as ``legacy_root`` and survive until GC, so a
+    reader mid-scan on the legacy layout is safe too."""
+    import glob
+
+    from aresdb_spark.operators.dedup import (
+        compact_signature_store, gc_signature_store, read_signature_store,
+        signature_bands)
+    from aresdb_spark.sources.pointer import read_state
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+    signature_bands(corpus).write.partitionBy("bhp").parquet(store)  # legacy
+    n = compact_signature_store(spark, store, corpus.select("doc_id"))
+    assert n > 0
+    st = read_state(store)
+    assert st["displaced"][0]["legacy_root"] is True
+    assert glob.glob(f"{store}/bhp=*")          # legacy files still live
+    assert gc_signature_store(spark, store, grace_seconds=0) == 1
+    assert not glob.glob(f"{store}/bhp=*")      # reaped after the window
+    assert read_signature_store(spark, store).count() == n
+
+
 def test_sink_tolerates_precreated_empty_store_dir(spark, tmp_path):
     """mkdir -p of work dirs before starting the stream must still count
     as a first batch: an empty dir has no state and no data, and
