@@ -173,10 +173,14 @@ class HotColdStore:
         mutation, never an in-place overwrite of the live dirs, and any
         leftover backfill queue dirs stay invisible behind an advanced
         watermark (stale pre-reinit batches must not fold into the new
-        dataset on the next flush)."""
+        dataset on the next flush). The schema file is versioned like
+        the data dirs (``_schema_v<N>.json``, referenced by the pointer
+        commit) — an in-place overwrite would pair a NEW schema with the
+        OLD committed dirs if the re-init crashed before its commit."""
         os.makedirs(self.path, exist_ok=True)
         before = self._state()
-        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+        sv = pointer.next_version(before, "schema")
+        with open(os.path.join(self.path, f"_schema_v{sv}.json"), "w") as f:
             f.write(df.schema.json())
         cut = F.lit(_utc_naive(cutoff))
         t = F.col(self.time_column)
@@ -189,11 +193,12 @@ class HotColdStore:
             consumed = max([consumed] + [
                 int(n.split("=")[1]) for n in os.listdir(self.backfill_path)
                 if n.startswith("batch=")])
-        self._commit(hot=hv, cold=cv, backfill_consumed=consumed,
+        self._commit(hot=hv, cold=cv, schema=sv, backfill_consumed=consumed,
                      cutoff=_utc_naive(cutoff).isoformat())
         if before is not None:
             self._gc_version("hot", before)
             self._gc_version("cold", before)
+        pointer.gc_dir(self._schema_path(before))  # displaced (or legacy)
 
     def saved_cutoff(self) -> datetime:
         """The persisted archiving cutoff (set by init_from/archive) —
@@ -208,9 +213,20 @@ class HotColdStore:
         with open(os.path.join(self.path, "_cutoff.txt")) as f:
             return datetime.fromisoformat(f.read().strip())
 
-    def _schema(self):
+    def _schema_path(self, st: "dict | None | str" = "__load__") -> str:
+        """The schema file the committed state references
+        (``_schema_v<N>.json``), or the flat legacy name for stores
+        initialized before schema versioning. Pass ``st`` to resolve
+        against an already-read state snapshot."""
+        if st == "__load__":
+            st = self._state()
+        if st is not None and "schema" in st:
+            return os.path.join(self.path, f"_schema_v{st['schema']}.json")
+        return os.path.join(self.path, "_schema.json")
+
+    def _schema(self, st: "dict | None | str" = "__load__"):
         from pyspark.sql.types import StructType
-        with open(os.path.join(self.path, "_schema.json")) as f:
+        with open(self._schema_path(st)) as f:
             return StructType.fromJson(__import__("json").load(f))
 
     def _write_cold(self, df: DataFrame, version: int) -> None:
@@ -242,12 +258,19 @@ class HotColdStore:
     # -- read ----------------------------------------------------------------
 
     def read_hot(self, spark: SparkSession) -> DataFrame:
-        return spark.read.schema(self._schema()).parquet(self.hot_path)
+        # schema + dir from ONE state snapshot (a re-init committing in
+        # between could pair a new schema with the old hot dir)
+        st = self._state()
+        return spark.read.schema(self._schema(st)).parquet(
+            self._version_path("hot", st))
 
     def read_cold(self, spark: SparkSession) -> DataFrame:
         # __day is a partition column, re-derivable; select the base schema
-        cols = [f.name for f in self._schema().fields]
-        return spark.read.schema(self._schema()).parquet(self.cold_path).select(*cols)
+        st = self._state()
+        schema = self._schema(st)
+        cols = [f.name for f in schema.fields]
+        return spark.read.schema(schema).parquet(
+            self._version_path("cold", st)).select(*cols)
 
     def read(self, spark: SparkSession,
              cutoff: "datetime | None" = None) -> DataFrame:
@@ -277,7 +300,7 @@ class HotColdStore:
                 cutoff = datetime.fromisoformat(st["cutoff"])
             else:
                 cutoff = self.saved_cutoff()
-        schema = self._schema()
+        schema = self._schema(st)
         cols = [f.name for f in schema.fields]
         cut = F.lit(_utc_naive(cutoff))
         t = F.col(self.time_column)
@@ -443,11 +466,17 @@ class HotColdStore:
                                           modes, seq_col)
             nxt = self._next("cold")
             self._write_cold(self._conform(base), nxt)
-            self._commit(cold=nxt, backfill_consumed=int(
-                names[-1].split("=")[1]))
+            consumed = int(names[-1].split("=")[1])
+            self._commit(cold=nxt, backfill_consumed=consumed)
             self._gc_version("cold", before)
-            for name in names:
-                pointer.gc_dir(os.path.join(self.backfill_path, name))
+            # reap EVERYTHING at/below the watermark, not just this
+            # flush's names — survivors of a crash between an earlier
+            # commit and its deletes are invisible (watermark) but
+            # would otherwise leak storage forever
+            for name in os.listdir(self.backfill_path):
+                if name.startswith("batch=") and \
+                        int(name.split("=")[1]) <= consumed:
+                    pointer.gc_dir(os.path.join(self.backfill_path, name))
             return len(names)
 
     def _conform(self, df: DataFrame) -> DataFrame:
@@ -550,10 +579,13 @@ class DimensionStore:
     def init_from(self, df: DataFrame) -> None:
         """Fresh-version write + pointer commit (re-init is a versioned
         mutation like any other; leftover journal dirs stay invisible
-        behind an advanced watermark)."""
+        behind an advanced watermark). The schema file is versioned and
+        referenced by the commit, like the fact store's — never an
+        in-place overwrite."""
         os.makedirs(self.path, exist_ok=True)
         before = pointer.read_state(self.path)
-        with open(os.path.join(self.path, "_schema.json"), "w") as f:
+        sv = pointer.next_version(before, "schema")
+        with open(os.path.join(self.path, f"_schema_v{sv}.json"), "w") as f:
             f.write(df.schema.json())
         nxt = pointer.next_version(before, "snap")
         df.write.mode("overwrite").parquet(
@@ -564,17 +596,26 @@ class DimensionStore:
                 int(n.split("=")[1]) for n in os.listdir(self.journal_path)
                 if n.startswith("batch=")])
         pointer.commit_state(self.path, {
-            "format": 2, "snap": nxt, "journal_consumed": consumed})
+            "format": 2, "snap": nxt, "schema": sv,
+            "journal_consumed": consumed})
         if before is not None and "snap" in before:
             pointer.gc_dir(os.path.join(
                 self.path, f"snap_v{before['snap']}"))
+        pointer.gc_dir(self._schema_path(before))  # displaced (or legacy)
 
     def _state(self) -> "dict | None":
         return pointer.read_state(self.path)
 
-    def _schema(self):
+    def _schema_path(self, st: "dict | None | str" = "__load__") -> str:
+        if st == "__load__":
+            st = self._state()
+        if st is not None and "schema" in st:
+            return os.path.join(self.path, f"_schema_v{st['schema']}.json")
+        return os.path.join(self.path, "_schema.json")
+
+    def _schema(self, st: "dict | None | str" = "__load__"):
         from pyspark.sql.types import StructType
-        with open(os.path.join(self.path, "_schema.json")) as f:
+        with open(self._schema_path(st)) as f:
             return StructType.fromJson(__import__("json").load(f))
 
     @property
@@ -606,7 +647,10 @@ class DimensionStore:
 
     def _read_snap(self, spark: SparkSession,
                    st: "dict | None | str" = "__load__") -> DataFrame:
-        return spark.read.schema(self._schema()).parquet(self._snap_dir(st))
+        if st == "__load__":
+            st = self._state()
+        return spark.read.schema(self._schema(st)).parquet(
+            self._snap_dir(st))
 
     def _publish_snap(self, spark: SparkSession, merged: DataFrame,
                       consumed_names: list[str]) -> None:
@@ -629,8 +673,13 @@ class DimensionStore:
         else:
             pointer.gc_dir(os.path.join(
                 self.path, f"snap_v{st_before['snap']}"))
-        for name in consumed_names:
-            pointer.gc_dir(os.path.join(self.journal_path, name))
+        # reap EVERYTHING at/below the watermark (crash survivors of an
+        # earlier commit-then-die are invisible but would leak storage)
+        if os.path.isdir(self.journal_path):
+            for name in os.listdir(self.journal_path):
+                if name.startswith("batch=") and \
+                        int(name.split("=")[1]) <= consumed:
+                    pointer.gc_dir(os.path.join(self.journal_path, name))
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current table state: last snapshot + journaled mutations
@@ -643,8 +692,9 @@ class DimensionStore:
         from the torn view."""
         st = self._state()
         base = self._read_snap(spark, st)
+        sch = self._schema(st)
         for name in self._journal_batches(st):
-            batch = spark.read.schema(self._schema()).parquet(
+            batch = spark.read.schema(sch).parquet(
                 os.path.join(self.journal_path, name))
             base = apply_upsert_batch(base, batch, list(self.primary_key),
                                       self.modes, None)

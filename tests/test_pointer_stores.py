@@ -179,6 +179,104 @@ def test_reinit_is_versioned_and_hides_stale_backfill(spark, tmp_path):
     assert {(r.k, r.name) for r in dim.read(spark).collect()} == {(9, "z")}
 
 
+def test_reinit_crash_never_pairs_new_schema_with_old_dirs(spark, tmp_path):
+    """ADVICE r7: the schema file is versioned and referenced by the
+    pointer commit, not overwritten in place — a re-init with a CHANGED
+    schema that crashes before its commit must leave the old schema
+    paired with the old committed dirs (an in-place _schema.json write
+    would have already poisoned every read of the live store)."""
+    from pyspark.sql import Row as R
+
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    store = _fact_store(spark, tmp_path)
+    old_fields = [f.name for f in store._schema().fields]
+    wider = spark.createDataFrame(
+        [Row(id=1, ts=datetime(2024, 2, 1, 5), v=1.0, extra="x")])
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.init_from(wider, datetime(2024, 2, 15))
+
+    # old schema + old dirs still live and CONSISTENT with each other
+    assert [f.name for f in store._schema().fields] == old_fields
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) \
+        == [1, 2, 3, 4]
+    # retry publishes the new schema WITH the new dirs, displacing the old
+    store.init_from(wider, datetime(2024, 2, 15))
+    assert [f.name for f in store._schema().fields] == old_fields + ["extra"]
+    assert [r.extra for r in store.read(spark).collect()] == ["x"]
+    import os
+    assert not os.path.exists(os.path.join(store.path, "_schema.json"))
+
+    # dimension store: same contract
+    dim = DimensionStore(path=str(tmp_path / "d"), primary_key=("k",))
+    dim.init_from(spark.createDataFrame([R(k=1, name="a")]))
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            dim.init_from(spark.createDataFrame([R(k=1, name="a", e=2)]))
+    assert [f.name for f in dim._schema().fields] == ["k", "name"]
+    assert {(r.k, r.name) for r in dim.read(spark).collect()} == {(1, "a")}
+    dim.init_from(spark.createDataFrame([R(k=1, name="a", e=2)]))
+    assert [f.name for f in dim._schema().fields] == ["k", "name", "e"]
+
+
+def test_snapshot_crash_between_commit_and_journal_gc(spark, tmp_path):
+    """VERDICT r7 directive 5: kill the snapshot job BETWEEN its pointer
+    commit (snap flip + journal watermark) and the consumed-journal-dir
+    deletes. The surviving dirs sit at or below the watermark, so a
+    reader replaying the journal applies every mutation EXACTLY once —
+    neither lost (they're in the new snapshot) nor double-applied (the
+    watermark hides the leftover dirs)."""
+    import os
+
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    dim = DimensionStore(path=str(tmp_path / "d"), primary_key=("k",),
+                         modes={"n": "add"})
+    dim.init_from(spark.createDataFrame([Row(k=1, n=10), Row(k=2, n=20)]))
+    dim.journal_ingest(spark.createDataFrame([Row(k=1, n=1)]))   # 10+1
+    dim.journal_ingest(spark.createDataFrame([Row(k=3, n=30)]))
+    want = {(1, 11), (2, 20), (3, 30)}
+    assert {(r.k, r.n) for r in dim.read(spark).collect()} == want
+
+    real_gc = pointer_mod.gc_dir
+
+    def crash_gc(path):  # the process dies before any consumed-dir delete
+        raise RuntimeError("injected kill between commit and journal GC")
+
+    pointer_mod.gc_dir = crash_gc
+    try:
+        with pytest.raises(RuntimeError, match="journal GC"):
+            dim.snapshot(spark)
+    finally:
+        pointer_mod.gc_dir = real_gc
+
+    # the commit landed: consumed dirs survive ON DISK but are hidden
+    # behind the watermark — the add-mode mutation is not re-applied
+    # (a double replay would read k=1 as 12, not 11)
+    on_disk = [n for n in os.listdir(dim.journal_path)
+               if n.startswith("batch=")]
+    assert len(on_disk) == 2
+    assert dim._journal_batches() == []
+    assert {(r.k, r.n) for r in dim.read(spark).collect()} == want
+    assert dim.snapshot(spark) == 0  # nothing left to compact
+
+    # a writer appending AFTER the crash numbers above the watermark:
+    # the replay applies it once, on top of the snapshotted state
+    dim.journal_ingest(spark.createDataFrame([Row(k=1, n=5)]))
+    names = dim._journal_batches()
+    assert len(names) == 1
+    assert int(names[0].split("=")[1]) > dim._state()["journal_consumed"]
+    assert {(r.k, r.n) for r in dim.read(spark).collect()} \
+        == {(1, 16), (2, 20), (3, 30)}
+    # the next successful snapshot reaps the survivors
+    assert dim.snapshot(spark) == 1
+    left = [n for n in os.listdir(dim.journal_path) if n.startswith("batch=")]
+    assert left == []
+
+
 def test_ingest_crash_before_flip_drops_whole_batch(spark, tmp_path):
     """A fact ingest that dies before its commit leaves the store
     EXACTLY as before — the batch is all-or-nothing even when it
