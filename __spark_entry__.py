@@ -1901,7 +1901,12 @@ _DRIVER_WINDOW = [
     # supporting-measure planner path is unique
     "sql_total_trips", "sql_composite_measures", "stream_hotcold_upsert",
     "stream_session_window", "stream_sliding_window", "hll_approx_distinct",
-    "text_token_counts", "text_quality", "text_language_id",
+    # r8 rotation (VERDICT r7 #3): text_lm_perplexity — the CCNet LM
+    # family was new r7 surface with no in-window row — displaces
+    # text_token_counts, whose tokens() scan path stays exercised
+    # in-window by the LM query's own bigram explode (and by
+    # text_quality); token_counts stays in check_contract.
+    "text_lm_perplexity", "text_quality", "text_language_id",
     # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
     # continuous-crawl Structured Streaming sink — now one bucket-pruned
     # store scan per micro-batch) displaces text_fingerprint, whose
