@@ -549,6 +549,9 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
             (bands.write.mode("append").format("parquet")
              .bucketBy(state["n_buckets"], "bh").sortBy("bh")
              .saveAsTable(table))
+            # drop this session's cached file listing for the table;
+            # OTHER sessions refresh on read (read_signature_store)
+            spark.catalog.refreshTable(table)
             return
         # append to a store that doesn't exist yet == create it
     version = pointer.next_version(state)
@@ -569,13 +572,23 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
 def read_signature_store(spark, path: str) -> DataFrame:
     """Resolve the committed store version and return it as a DataFrame
     (through the catalog, so bucket metadata — and therefore bucket
-    pruning — survives; sources/bucketed.py read_bucketed rationale)."""
+    pruning — survives; sources/bucketed.py read_bucketed rationale).
+
+    The table's cached FILE LISTING is refreshed first: catalog tables
+    cache their file index per session, and a store appended by ANOTHER
+    session (the continuous-crawl sink's micro-batches each run in a
+    cloned session) is otherwise served STALE — the r8 soak caught the
+    probe deduping against only the first batch's signatures. Cost: one
+    re-list of the live version dir per read; bounded by n_buckets ×
+    appends-since-compaction, and paid only at plan time."""
     from aresdb_spark.sources import pointer
 
     state = pointer.read_state(path)
     if state is None:  # pre-v2 store: plain parquet at the root
         return spark.read.parquet(path)
-    return spark.table(_sigstore_register(spark, state, path))
+    table = _sigstore_register(spark, state, path)
+    spark.catalog.refreshTable(table)
+    return spark.table(table)
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column,
@@ -688,11 +701,27 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
             store = spark.read.parquet(*files).localCheckpoint(eager=True)
         n_buckets = SIGSTORE_BUCKETS
     else:
-        store = read_signature_store(spark, store_path)
+        # read the live version dir as PLAIN parquet, not through the
+        # bucketed catalog table: compaction rewrites every row, so
+        # bucket pruning buys nothing — and the table scan's
+        # HashPartitioning claim makes Catalyst eliminate the
+        # one-file-per-bucket repartition below while the actual task
+        # layout is coalesced mixed-bucket file chunks (measured: a
+        # 50-append store compacted to 189 files instead of 16)
+        store = spark.read.parquet(
+            pointer.version_dir(store_path, int(state["version"])))
         n_buckets = int(state["n_buckets"])
     kept = store.join(
         F.broadcast(keep_ids.select(F.col(id_col).alias("id")).distinct()),
         "id", "left_semi").select("id", "sig", "band", "bh", "bhp")
+    # one output file per bucket: repartition on the bucket column with
+    # n_buckets partitions (same Murmur3 hash as the bucket spec, so
+    # each task holds exactly one bucket's rows). Without this a
+    # K-task compaction writes K × n_buckets files — the r8 soak
+    # measured 50 micro-batch appends compacting to 189 files, which
+    # defeats the fold-the-small-files purpose. n_buckets scales with
+    # corpus size, so the write parallelism stays right at scale.
+    kept = kept.repartition(n_buckets, F.col("bh"))
     version = pointer.next_version(state)
     table = _sigstore_table(store_path, version)
     target = pointer.version_dir(store_path, version)

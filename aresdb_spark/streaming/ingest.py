@@ -150,22 +150,38 @@ def start_dedup_stream(
     a ``.distinct()`` pass (cheap, one hash shuffle) restores exactness
     when consuming after an unclean stop (pinned by
     tests/test_streaming_dedup.py::test_crash_between_accept_and_store_append)."""
-    from aresdb_spark.operators.dedup import (
-        build_signature_store, dedup_exact, incremental_near_duplicates)
-    from aresdb_spark.sources.pointer import read_state
+    writer = (source.writeStream
+              .foreachBatch(dedup_batch_processor(
+                  source.sparkSession, store_path, accepted_path,
+                  text_col, id_col, threshold))
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
-    spark = source.sparkSession
+
+def dedup_batch_processor(spark: SparkSession, store_path: str,
+                          accepted_path: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          threshold: float = 0.5):
+    """The sink's per-micro-batch body (exposed so harnesses — e.g. the
+    soak test — can attach reader options like maxFilesPerTrigger while
+    exercising the EXACT production path)."""
+    from aresdb_spark.operators.dedup import (
+        _legacy_root_files, build_signature_store, dedup_exact,
+        incremental_near_duplicates)
+    from aresdb_spark.sources.pointer import read_state
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = dedup_exact(batch_df, text_col, id_col)
-        import os
-
-        # "first" = no committed state AND no legacy data files; an
+        # "first" = no committed state AND no legacy DATA files. An
         # empty pre-created directory (mkdir -p of work dirs) is still
-        # a first batch — treating it as an existing store would try to
-        # read parquet from nothing and brick the stream
-        first = read_state(store_path) is None and (
-            not os.path.isdir(store_path) or not os.listdir(store_path))
+        # a first batch, and so is a root holding only the v*/ remnants
+        # of a batch that crashed MID-initial-write (no pointer commit
+        # = nothing published) — treating either as an existing store
+        # would read parquet from nothing/garbage and brick the stream
+        first = read_state(store_path) is None \
+            and not _legacy_root_files(store_path)
         if first:
             accepted = batch
         else:
@@ -186,9 +202,4 @@ def start_dedup_stream(
         build_signature_store(accepted, store_path, text_col, id_col,
                               mode="overwrite" if first else "append")
 
-    writer = (source.writeStream
-              .foreachBatch(process)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return process

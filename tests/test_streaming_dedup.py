@@ -150,6 +150,109 @@ def test_crash_between_accept_and_store_append(spark, tmp_path):
     _run_sink(spark, src, store, out, ckpt)
 
 
+def test_soak_fifty_microbatches_stays_flat(spark, tmp_path):
+    """VERDICT r8 directive 6 (soak, deliberately in-suite): run the
+    continuous-crawl sink for 50 micro-batches and assert the two
+    slow-killer signals stay bounded:
+
+    1. per-batch wall time is FLAT — the pruned probe must track batch
+       size, not accumulated store size (late-window batches no slower
+       than early ones beyond a noise factor);
+    2. small-file accumulation from per-batch bucketed appends is
+       folded by one lifecycle compaction back to ~n_buckets files
+       with no row lost.
+    """
+    import glob
+    import os
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aresdb_spark.operators.dedup import (
+        SIGSTORE_BUCKETS, compact_signature_store, read_signature_store)
+    from aresdb_spark.sources.pointer import read_state, version_dir
+
+    n_batches, per_batch = 50, 20
+    src = tmp_path / "in"
+    src.mkdir()
+    # batch k: 15 fresh docs + 5 near-verbatim repeats of batch 0 (the
+    # probe must keep rejecting them against ever-older history)
+    for k in range(n_batches):
+        ids, texts = [], []
+        for j in range(per_batch):
+            if k > 0 and j >= 15:
+                ids.append(k * 1000 + j)
+                texts.append(f"repeated crawl document number {j} "
+                             f"with stable words " + "lorem ipsum " * 10)
+            else:
+                ids.append(k * 1000 + j)
+                texts.append(f"unique document {k}-{j} " + " ".join(
+                    f"w{(k * 37 + j * 11 + i) % 9973}" for i in range(30)))
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())}),
+            str(src / f"b{k:03d}.parquet"))
+
+    from aresdb_spark.streaming.ingest import dedup_batch_processor
+
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    schema = _docs(spark).schema
+    q = (spark.readStream.format("parquet").schema(schema)
+         .option("maxFilesPerTrigger", 1).load(f"{src}/*")
+         .writeStream
+         .foreachBatch(dedup_batch_processor(spark, store, out,
+                                             threshold=0.8))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(600)
+
+    progress = [p for p in (q.recentProgress or []) if p is not None]
+    durs = [p["durationMs"].get("triggerExecution", 0) for p in progress
+            if p.get("numInputRows", 0) > 0]
+    assert len(durs) >= 40, f"expected ~50 batches, saw {len(durs)}"
+    early = statistics.median(durs[5:15])   # skip JIT warmup batches
+    late = statistics.median(durs[-10:])
+    print(f"\nsoak: {len(durs)} batches, per-batch median early={early}ms "
+          f"late={late}ms ratio={late / max(early, 1):.2f}")
+    assert late <= max(3.0 * early, early + 2000), \
+        f"per-batch time drifted: early median {early}ms late {late}ms"
+
+    # dedup semantics over the whole soak: each repeated TEXT survives
+    # exactly once across all 50 batches — ROW count, not distinct-text
+    # count (the weaker form passed even when a stale table-file-index
+    # cache froze the probe's store view at batch 0; r8's fix refreshes
+    # the listing on every store read)
+    accepted = spark.read.parquet(out)
+    assert accepted.count() == accepted.select("doc_id").distinct().count()
+    n_rep_rows = accepted.filter(
+        F.col("text").contains("repeated crawl")).count()
+    assert n_rep_rows == 5, \
+        f"{n_rep_rows} repeated-text rows accepted (want exactly 5)"
+
+    # the store grew with every accepted batch (N_BANDS rows per doc)
+    st = read_state(store)
+    live = version_dir(store, st["version"])
+    files_before = len(glob.glob(os.path.join(live, "*.parquet")))
+    rows_before = read_signature_store(spark, store).count()
+    assert rows_before == 4 * accepted.count(), \
+        f"store rows {rows_before} != 4 x {accepted.count()} accepted"
+
+    # small files: 50 bucketed appends accumulate many part files;
+    # one lifecycle compaction folds them to ~n_buckets with no row lost
+    assert files_before > 2 * SIGSTORE_BUCKETS  # soak accumulated files
+    kept = compact_signature_store(spark, store,
+                                   accepted.select("doc_id"))
+    assert kept == rows_before  # nothing dropped: all ids retained
+    st2 = read_state(store)
+    files_after = len(glob.glob(
+        os.path.join(version_dir(store, st2["version"]), "*.parquet")))
+    print(f"soak: store files {files_before} -> {files_after} "
+          f"after compaction ({rows_before} rows kept)")
+    assert files_after <= 2 * SIGSTORE_BUCKETS, \
+        f"compaction left {files_after} files"
+
+
 def test_compact_crash_before_pointer_flip_leaves_store_live(
         spark, tmp_path):
     """compact_signature_store writes the new version first and commits
