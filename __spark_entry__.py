@@ -751,6 +751,67 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["hll_approx_distinct"] = (q_hll, None)
 
+    # --- driver-side serialization round-trips (VERDICT r7 #7): the
+    # HLL binary envelope and the matrixData JSON sink are the two
+    # result-serialization paths; these rows run them end-to-end —
+    # serialize on the driver, parse the wire/JSON form back, return
+    # the reconstructed rows — so the contract (local AND
+    # local-cluster) grades the codecs, not just the plans that feed
+    # them. ---
+    def q_hll_envelope(spark, sf_dir):
+        """application/hll round-trip: execute_request_hll serializes
+        the reference-exact register pipeline into the binary envelope
+        (magic 0xACED0102, functions/hll_wire.py HLLQueryResultsWriter);
+        parse_hll_query_results reads it back. Bounded-checked in
+        check_contract against exact DuckDB distinct counts (same rule
+        as hll_approx_distinct)."""
+        from aresdb_spark.aql.api import compute_hll_result, execute_request_hll
+        from aresdb_spark.functions.hll_wire import parse_hll_query_results
+        blob = execute_request_hll(spark, sf_dir, {"queries": [{
+            "table": "events",
+            "dimensions": [{"sqlExpression": "event_type", "alias": "et"}],
+            "measures": [{"sqlExpression": "hll(user_id)"}],
+        }]})
+        results, errors = parse_hll_query_results(blob)
+        assert errors == [None], errors
+        # the envelope carries mergeable SKETCHES (the broker computes
+        # estimates after the scatter-gather merge); compute here
+        computed = compute_hll_result(results[0])
+        rows = sorted((k, int(v)) for k, v in computed.items())
+        return spark.createDataFrame(rows, "et string, approx_users long")
+
+    out["hll_result_envelope"] = (q_hll_envelope, None)
+
+    def q_matrix_roundtrip(spark, sf_dir):
+        """Non-aggregate matrixData round-trip: execute_request returns
+        headers + all-string matrixData (aql/result.py to_matrix_result,
+        reference aql_query_result.go:35-40 []*string rows); rebuild a
+        DataFrame from the serialized strings. Exact oracle: the same
+        projection cast to VARCHAR in DuckDB."""
+        from aresdb_spark.aql.api import execute_request
+        res = execute_request(spark, sf_dir, {"queries": [{
+            "table": "events",
+            "dimensions": [
+                {"sqlExpression": "event_id", "alias": "event_id"},
+                {"sqlExpression": "user_id", "alias": "user_id"},
+                {"sqlExpression": "event_type", "alias": "event_type"}],
+            "measures": [{"sqlExpression": "1"}],
+            "sorts": [{"sqlExpression": "event_id"}],
+            "limit": 40,
+        }]})
+        m = res["results"][0]
+        assert m["headers"] == ["event_id", "user_id", "event_type"]
+        return spark.createDataFrame(
+            [tuple(r) for r in m["matrixData"]],
+            "event_id string, user_id string, event_type string")
+
+    out["aql_matrix_roundtrip"] = (q_matrix_roundtrip, """
+        SELECT event_id::VARCHAR AS event_id, user_id::VARCHAR AS user_id,
+               event_type
+        FROM (SELECT event_id, user_id, event_type
+              FROM events ORDER BY event_id LIMIT 40)
+    """)
+
     # --- ingestion: hot/cold split + upsert-by-PK (additive mode) +
     # backfill routing + exactly-once union read (SURVEY §2.1, §2.9) ---
     def q_hotcold(spark, sf_dir):

@@ -35,6 +35,13 @@ BOUNDED = {
                   "FROM events GROUP BY 1",
         "key": "et", "est": "approx_users", "rtol": 0.15,
     },
+    # the binary-envelope round-trip serves the same estimates through
+    # the reference-exact register pipeline + wire codec; same band
+    "hll_result_envelope": {
+        "oracle": "SELECT event_type AS et, count(DISTINCT user_id) AS n "
+                  "FROM events GROUP BY 1",
+        "key": "et", "est": "approx_users", "rtol": 0.15,
+    },
     # IVF-PQ is deterministic given the committed constants (md5-sampled
     # k-means training), so recall@(10, exact-50) is a stable number, not
     # a flake source. Ground truth is exact squared-L2 (what ADC
