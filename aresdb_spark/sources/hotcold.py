@@ -193,12 +193,14 @@ class HotColdStore:
             consumed = max([consumed] + [
                 int(n.split("=")[1]) for n in os.listdir(self.backfill_path)
                 if n.startswith("batch=")])
-        self._commit(hot=hv, cold=cv, schema=sv, backfill_consumed=consumed,
-                     cutoff=_utc_naive(cutoff).isoformat())
+        displaced = [os.path.basename(self._schema_path(before))]
         if before is not None:
-            self._gc_version("hot", before)
-            self._gc_version("cold", before)
-        pointer.gc_dir(self._schema_path(before))  # displaced (or legacy)
+            displaced += [self._displaced_dir("hot", before),
+                          self._displaced_dir("cold", before)]
+        self._commit(hot=hv, cold=cv, schema=sv, backfill_consumed=consumed,
+                     cutoff=_utc_naive(cutoff).isoformat(),
+                     displaced=pointer.displace(before, displaced))
+        self.gc()
 
     def saved_cutoff(self) -> datetime:
         """The persisted archiving cutoff (set by init_from/archive) —
@@ -246,14 +248,24 @@ class HotColdStore:
     def _next(self, kind: str) -> int:
         return pointer.next_version(self._state(), kind)
 
-    def _gc_version(self, kind: str, state_before: "dict | None") -> None:
-        """Best-effort removal of the version dir displaced by a commit
-        (legacy flat dir when upgrading)."""
+    def _displaced_dir(self, kind: str,
+                       state_before: "dict | None") -> str:
+        """Root-relative name of the version dir a commit displaces
+        (legacy flat dir when upgrading) — ledgered in the commit, NOT
+        deleted at the flip: an in-flight reader that resolved the old
+        state finishes its scan, and ``gc()`` reaps after the read-grace
+        window (the reference's batches-survive-until-purge rule)."""
         if state_before is None or kind not in state_before:
-            pointer.gc_dir(os.path.join(self.path, kind))
-        else:
-            pointer.gc_dir(os.path.join(
-                self.path, f"{kind}_v{state_before[kind]}"))
+            return kind
+        return f"{kind}_v{state_before[kind]}"
+
+    def gc(self, grace_seconds: float = pointer.GC_GRACE_SECONDS) -> int:
+        """Reap ledgered displaced artifacts older than the grace
+        window; returns how many went. Runs with the default grace
+        after every mutation's commit and from ``purge`` (the lifecycle
+        reaper); call explicitly with ``grace_seconds=0`` only when no
+        reader can be mid-scan."""
+        return pointer.gc_displaced(self.path, grace_seconds)
 
     # -- read ----------------------------------------------------------------
 
@@ -388,9 +400,11 @@ class HotColdStore:
                     commit["cold"] = self._next("cold")
                     self._write_cold(merged, commit["cold"])
             if commit:
-                self._commit(**commit)
-                for kind in commit:
-                    self._gc_version(kind, before)
+                displaced = [self._displaced_dir(k, before)
+                             for k in commit if k in ("hot", "cold")]
+                self._commit(**commit,
+                             displaced=pointer.displace(before, displaced))
+                self.gc()
 
     # -- backfill queue (BackfillManager buffer, backfill_manager.go) ---------
 
@@ -467,16 +481,20 @@ class HotColdStore:
             nxt = self._next("cold")
             self._write_cold(self._conform(base), nxt)
             consumed = int(names[-1].split("=")[1])
-            self._commit(cold=nxt, backfill_consumed=consumed)
-            self._gc_version("cold", before)
-            # reap EVERYTHING at/below the watermark, not just this
+            # ledger EVERYTHING at/below the watermark, not just this
             # flush's names — survivors of a crash between an earlier
-            # commit and its deletes are invisible (watermark) but
-            # would otherwise leak storage forever
-            for name in os.listdir(self.backfill_path):
-                if name.startswith("batch=") and \
-                        int(name.split("=")[1]) <= consumed:
-                    pointer.gc_dir(os.path.join(self.backfill_path, name))
+            # commit and its reap are invisible (watermark) but would
+            # otherwise leak storage forever
+            queue_dirs = [f"backfill/{n}"
+                          for n in os.listdir(self.backfill_path)
+                          if n.startswith("batch=")
+                          and int(n.split("=")[1]) <= consumed]
+            self._commit(cold=nxt, backfill_consumed=consumed,
+                         displaced=pointer.displace(
+                             before,
+                             [self._displaced_dir("cold", before)]
+                             + queue_dirs))
+            self.gc()
             return len(names)
 
     def _conform(self, df: DataFrame) -> DataFrame:
@@ -535,10 +553,11 @@ class HotColdStore:
                 # no rows to archive, but expired null-time rows still purge
                 commit["hot"] = self._next("hot")
                 self._write_hot(stay_hot, commit["hot"])
-            self._commit(**commit)
-            for kind in ("hot", "cold"):
-                if kind in commit:
-                    self._gc_version(kind, before)
+            displaced = [self._displaced_dir(k, before)
+                         for k in ("hot", "cold") if k in commit]
+            self._commit(**commit,
+                         displaced=pointer.displace(before, displaced))
+            self.gc()
 
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
         """Retention delete: drop cold day-partitions entirely below the
@@ -557,6 +576,10 @@ class HotColdStore:
                 if name.startswith("__day=") and \
                         name.split("=", 1)[1] < boundary:
                     shutil.rmtree(os.path.join(self.cold_path, name))
+            # purge is the lifecycle reaper: displaced version dirs past
+            # the read-grace window go with it (reference purge.go reaps
+            # the archive batch versions the swaps displaced)
+            self.gc()
 
 
 @dataclass
@@ -595,13 +618,14 @@ class DimensionStore:
             consumed = max([consumed] + [
                 int(n.split("=")[1]) for n in os.listdir(self.journal_path)
                 if n.startswith("batch=")])
+        displaced = [os.path.basename(self._schema_path(before))]
+        if before is not None and "snap" in before:
+            displaced.append(f"snap_v{before['snap']}")
         pointer.commit_state(self.path, {
             "format": 2, "snap": nxt, "schema": sv,
-            "journal_consumed": consumed})
-        if before is not None and "snap" in before:
-            pointer.gc_dir(os.path.join(
-                self.path, f"snap_v{before['snap']}"))
-        pointer.gc_dir(self._schema_path(before))  # displaced (or legacy)
+            "journal_consumed": consumed,
+            "displaced": pointer.displace(before, displaced)})
+        self.gc()
 
     def _state(self) -> "dict | None":
         return pointer.read_state(self.path)
@@ -652,12 +676,23 @@ class DimensionStore:
         return spark.read.schema(self._schema(st)).parquet(
             self._snap_dir(st))
 
+    def gc(self, grace_seconds: float = pointer.GC_GRACE_SECONDS) -> int:
+        """Reap ledgered displaced artifacts (old snapshots, consumed
+        journal dirs, old schema files) past the read-grace window."""
+        return pointer.gc_displaced(self.path, grace_seconds)
+
     def _publish_snap(self, spark: SparkSession, merged: DataFrame,
                       consumed_names: list[str]) -> None:
-        """Write the new snapshot version, then commit the snap flip and
-        the journal watermark in ONE pointer write (the reference's
-        snapshot pointer, diskstore_util.go:66-70) — a crash mid-way
-        leaves the old snapshot + full journal live. GC afterwards."""
+        """Write the new snapshot version, then commit the snap flip,
+        the journal watermark AND the displaced-artifact ledger in ONE
+        pointer write (the reference's snapshot pointer,
+        diskstore_util.go:66-70) — a crash mid-way leaves the old
+        snapshot + full journal live. Displaced artifacts are NOT
+        deleted at the flip: a reader mid-replay on the old snapshot +
+        journal finishes over intact files; ``gc`` reaps after the
+        grace window. The ledger covers EVERYTHING at/below the
+        watermark, so crash survivors of an earlier commit-then-die
+        (invisible behind the watermark) self-heal instead of leaking."""
         st_before = self._state()
         nxt = pointer.next_version(st_before, "snap")
         merged.write.mode("overwrite").parquet(
@@ -665,21 +700,18 @@ class DimensionStore:
         consumed = int(consumed_names[-1].split("=")[1]) \
             if consumed_names else int(
                 (st_before or {}).get("journal_consumed", -1))
+        displaced = ["snap" if st_before is None or "snap" not in st_before
+                     else f"snap_v{st_before['snap']}"]
+        if os.path.isdir(self.journal_path):
+            displaced += [f"journal/{n}"
+                          for n in os.listdir(self.journal_path)
+                          if n.startswith("batch=")
+                          and int(n.split("=")[1]) <= consumed]
         pointer.commit_state(self.path, {
             **(st_before or {"format": 2}),
-            "snap": nxt, "journal_consumed": consumed})
-        if st_before is None or "snap" not in st_before:
-            pointer.gc_dir(os.path.join(self.path, "snap"))
-        else:
-            pointer.gc_dir(os.path.join(
-                self.path, f"snap_v{st_before['snap']}"))
-        # reap EVERYTHING at/below the watermark (crash survivors of an
-        # earlier commit-then-die are invisible but would leak storage)
-        if os.path.isdir(self.journal_path):
-            for name in os.listdir(self.journal_path):
-                if name.startswith("batch=") and \
-                        int(name.split("=")[1]) <= consumed:
-                    pointer.gc_dir(os.path.join(self.journal_path, name))
+            "snap": nxt, "journal_consumed": consumed,
+            "displaced": pointer.displace(st_before, displaced)})
+        self.gc()
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current table state: last snapshot + journaled mutations

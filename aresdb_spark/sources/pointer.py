@@ -100,6 +100,58 @@ def next_version(state: "dict | None", key: str = "version") -> int:
     return 0 if state is None else int(state.get(key, -1)) + 1
 
 
+# Read-grace window for displaced artifacts (version dirs, consumed
+# queue/journal dirs, schema files): a reader that resolved the OLD
+# state just before a commit must finish its scan over intact files, so
+# displacement is recorded in the commit's ledger and deletion happens
+# only after the artifact has been displaced this long — the
+# reference's batches-survive-until-purge rule (memstore/purge.go), not
+# delete-at-swap. 15 min dwarfs any single scan; callers tune per
+# deployment.
+GC_GRACE_SECONDS = 900.0
+
+
+def displace(state: "dict | None", rel_paths: "list[str]") -> "list[dict]":
+    """The displaced-artifact ledger for the NEXT commit: carry forward
+    un-reaped entries and add ``rel_paths`` (paths relative to the store
+    root) with the current displacement time. Commit the result WITH the
+    flip that unreferences them — the ledger can never disagree with
+    the pointer."""
+    import time
+
+    now = time.time()
+    entries = list((state or {}).get("displaced", []))
+    have = {e["dir"] for e in entries}
+    entries.extend({"dir": p, "at": now} for p in rel_paths
+                   if p not in have)
+    return entries
+
+
+def gc_displaced(root: str,
+                 grace_seconds: float = GC_GRACE_SECONDS) -> int:
+    """Reap ledgered artifacts displaced longer than the grace window;
+    returns how many went. Files first, ledger commit second — a crash
+    mid-reap leaves entries whose paths are already gone, and the next
+    pass re-reaps them as no-ops; the reverse order would leak the
+    files invisibly forever. Run on the lifecycle cadence and (with the
+    default grace) after each mutation's commit."""
+    import time
+
+    state = read_state(root)
+    if state is None or not state.get("displaced"):
+        return 0
+    now = time.time()
+    keep, reap = [], []
+    for e in state["displaced"]:
+        (keep if now - e["at"] < grace_seconds else reap).append(e)
+    if not reap:
+        return 0
+    for e in reap:
+        gc_dir(os.path.join(root, e["dir"]))
+    commit_state(root, {**read_state(root), "displaced": keep})
+    return len(reap)
+
+
 def gc_dir(path: str) -> bool:
     """Best-effort removal of an unreferenced version dir (or stray
     file). Returns whether it went; failure is logged-by-return, never

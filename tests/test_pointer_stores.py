@@ -222,13 +222,17 @@ def test_reinit_crash_never_pairs_new_schema_with_old_dirs(spark, tmp_path):
     assert [f.name for f in dim._schema().fields] == ["k", "name", "e"]
 
 
-def test_snapshot_crash_between_commit_and_journal_gc(spark, tmp_path):
-    """VERDICT r7 directive 5: kill the snapshot job BETWEEN its pointer
-    commit (snap flip + journal watermark) and the consumed-journal-dir
-    deletes. The surviving dirs sit at or below the watermark, so a
-    reader replaying the journal applies every mutation EXACTLY once —
-    neither lost (they're in the new snapshot) nor double-applied (the
-    watermark hides the leftover dirs)."""
+def test_snapshot_journal_window_exactly_once(spark, tmp_path):
+    """VERDICT r8 directive 5: the window between a journal append and
+    the snapshot's watermark-bounded truncate. The snapshot's commit
+    flips snap + watermark + displaced-ledger together and deletes
+    NOTHING at the flip -- consumed journal dirs and the old snapshot
+    survive the read-grace window, so (a) a reader that resolved the
+    OLD state mid-replay finishes over intact files, and (b) a reader
+    of the NEW state applies every mutation exactly once (the watermark
+    hides the surviving dirs: add-mode would read 12, not 11, on a
+    double replay). A kill inside the age-gated GC (files deleted,
+    ledger commit lost) self-heals: the next pass re-reaps as a no-op."""
     import os
 
     from aresdb_spark.sources.hotcold import DimensionStore
@@ -239,42 +243,82 @@ def test_snapshot_crash_between_commit_and_journal_gc(spark, tmp_path):
     dim.journal_ingest(spark.createDataFrame([Row(k=1, n=1)]))   # 10+1
     dim.journal_ingest(spark.createDataFrame([Row(k=3, n=30)]))
     want = {(1, 11), (2, 20), (3, 30)}
-    assert {(r.k, r.n) for r in dim.read(spark).collect()} == want
+    # the in-flight reader: plan resolved against snap_v0 + journal
+    reader = dim.read(spark)
+    assert {(r.k, r.n) for r in reader.collect()} == want
 
-    real_gc = pointer_mod.gc_dir
-
-    def crash_gc(path):  # the process dies before any consumed-dir delete
-        raise RuntimeError("injected kill between commit and journal GC")
-
-    pointer_mod.gc_dir = crash_gc
-    try:
-        with pytest.raises(RuntimeError, match="journal GC"):
-            dim.snapshot(spark)
-    finally:
-        pointer_mod.gc_dir = real_gc
-
-    # the commit landed: consumed dirs survive ON DISK but are hidden
-    # behind the watermark — the add-mode mutation is not re-applied
-    # (a double replay would read k=1 as 12, not 11)
+    assert dim.snapshot(spark) == 2
+    # nothing deleted at the flip: consumed dirs + old snap ledgered
     on_disk = [n for n in os.listdir(dim.journal_path)
                if n.startswith("batch=")]
     assert len(on_disk) == 2
-    assert dim._journal_batches() == []
+    assert dim._journal_batches() == []          # hidden by watermark
+    ledger = {e["dir"] for e in dim._state()["displaced"]}
+    assert {"journal/" + n for n in on_disk} <= ledger
+    # old-state reader finishes its replay across the snapshot commit
+    assert {(r.k, r.n) for r in reader.collect()} == want
+    # new-state reader: exactly once (add-mode not re-applied)
     assert {(r.k, r.n) for r in dim.read(spark).collect()} == want
     assert dim.snapshot(spark) == 0  # nothing left to compact
 
-    # a writer appending AFTER the crash numbers above the watermark:
-    # the replay applies it once, on top of the snapshotted state
+    # a writer appending AFTER the snapshot numbers above the watermark
+    # even though the consumed dirs still exist (no number reuse)
     dim.journal_ingest(spark.createDataFrame([Row(k=1, n=5)]))
     names = dim._journal_batches()
     assert len(names) == 1
     assert int(names[0].split("=")[1]) > dim._state()["journal_consumed"]
     assert {(r.k, r.n) for r in dim.read(spark).collect()} \
         == {(1, 16), (2, 20), (3, 30)}
-    # the next successful snapshot reaps the survivors
-    assert dim.snapshot(spark) == 1
-    left = [n for n in os.listdir(dim.journal_path) if n.startswith("batch=")]
-    assert left == []
+
+    # crash INSIDE the reaper between file deletes and the ledger
+    # commit: files are gone, ledger still lists them
+    real_commit = pointer_mod.commit_state
+
+    def crash_commit(root, state):
+        raise RuntimeError("injected kill after GC deletes")
+
+    pointer_mod.commit_state = crash_commit
+    try:
+        with pytest.raises(RuntimeError, match="GC deletes"):
+            dim.gc(grace_seconds=0)
+    finally:
+        pointer_mod.commit_state = real_commit
+    left = [n for n in os.listdir(dim.journal_path)
+            if n.startswith("batch=")]
+    assert len(left) < 2                         # deletes happened
+    assert dim._state()["displaced"]             # ledger survived crash
+    assert {(r.k, r.n) for r in dim.read(spark).collect()} \
+        == {(1, 16), (2, 20), (3, 30)}           # readers unaffected
+    dim.gc(grace_seconds=0)                      # re-reap: no-op + clean
+    assert dim._state()["displaced"] == []
+
+
+def test_fact_reader_survives_concurrent_archive(spark, tmp_path):
+    """The hot/cold union a reader resolved BEFORE an archive commit
+    keeps working after it: the displaced hot/cold version dirs are
+    ledgered (committed with the flip), not deleted — ``gc`` reaps them
+    only past the read-grace window, like the reference keeping
+    displaced archive batch versions until purge."""
+    import os
+
+    store = _fact_store(spark, tmp_path)
+    reader = store.read(spark, store.saved_cutoff())
+    want = sorted(r.id for r in reader.collect())
+
+    store.archive(spark, datetime(2024, 1, 22))  # hot+cold rewrite
+    st = store._state()
+    ledger = {e["dir"] for e in st["displaced"]}
+    assert {"hot_v0", "cold_v0"} <= ledger
+    assert os.path.isdir(os.path.join(store.path, "hot_v0"))
+
+    # the old-state reader completes its scan with the same rows
+    assert sorted(r.id for r in reader.collect()) == want
+    # purge (the lifecycle reaper) with grace elapsed reaps the ledger
+    assert store.gc(grace_seconds=0) >= 2
+    assert not os.path.isdir(os.path.join(store.path, "hot_v0"))
+    assert store._state()["displaced"] == []
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) == want
 
 
 def test_ingest_crash_before_flip_drops_whole_batch(spark, tmp_path):
