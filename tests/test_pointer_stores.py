@@ -293,6 +293,49 @@ def test_snapshot_journal_window_exactly_once(spark, tmp_path):
     assert dim._state()["displaced"] == []
 
 
+def test_pre_r8_store_layout_reads_and_upgrades(spark, tmp_path):
+    """Stores committed before schema versioning / the displaced ledger
+    (flat _schema.json, state without "schema"/"displaced") must read
+    as-is, and the next mutation upgrades them in place: new mutations
+    ledger what they displace, the schema file goes versioned on the
+    next re-init, and the legacy flat file is ledgered, not orphaned."""
+    import json
+    import os
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    # fabricate the r7 layout: versioned data dirs + flat schema file +
+    # a pointer without the r8 keys
+    store = _fact_store(spark, tmp_path)
+    st = store._state()
+    flat = os.path.join(store.path, "_schema.json")
+    os.replace(store._schema_path(st), flat)
+    legacy_state = {k: v for k, v in st.items()
+                    if k not in ("schema", "displaced")}
+    pointer_mod.commit_state(store.path, legacy_state)
+
+    # reads resolve through the legacy fallback
+    assert sorted(r.id for r in
+                  store.read(spark, store.saved_cutoff()).collect()) \
+        == [1, 2, 3, 4]
+    # a mutation on the legacy store ledgers its displacement normally
+    store.archive(spark, datetime(2024, 1, 22))
+    ledger = {e["dir"] for e in store._state()["displaced"]}
+    assert {"hot_v0", "cold_v0"} <= ledger
+    assert "schema" not in store._state()  # schema untouched until re-init
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4]
+    # re-init versions the schema and ledgers the flat legacy file
+    store.init_from(spark.createDataFrame(
+        [Row(id=9, ts=datetime(2024, 2, 1, 5), v=9.0)]),
+        datetime(2024, 2, 15))
+    assert store._state()["schema"] == 0
+    assert "_schema.json" in {e["dir"] for e in store._state()["displaced"]}
+    assert os.path.exists(flat)            # grace: still on disk
+    store.gc(grace_seconds=0)
+    assert not os.path.exists(flat)
+    assert [r.id for r in store.read(spark).collect()] == [9]
+
+
 def test_fact_reader_survives_concurrent_archive(spark, tmp_path):
     """The hot/cold union a reader resolved BEFORE an archive commit
     keeps working after it: the displaced hot/cold version dirs are
