@@ -812,6 +812,74 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
               FROM events ORDER BY event_id LIMIT 40)
     """)
 
+    def q_sharded_scatter(spark, sf_dir):
+        """Broker scatter/gather round-trip (VERDICT r8 coverage widen):
+        split events into two shard roots by user hash, fan ONE AQL
+        aggregate across them with execute_query_sharded (per-shard
+        execute_query → broker merge algebra, reference
+        broker/result_merge.go), and rebuild rows from the merged
+        nested result. count(*) leaves are integers, so the gather is
+        hash-EXACT against DuckDB over the unsharded table; sum leaves
+        ride along rounded to 4dp (float add across shards)."""
+        import tempfile
+
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.api import execute_query_sharded
+        ev = _events(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="aql_shards_")
+        shard_dirs = []
+        for i in (0, 1):
+            d = f"{base}/s{i}"
+            ev.filter(F.col("user_id") % 2 == i).write.mode(
+                "overwrite").parquet(f"{d}/events.parquet")
+            shard_dirs.append(d)
+        counts = execute_query_sharded(spark, shard_dirs, Query(
+            table="events",
+            dimensions=[Dimension(expr="event_type", alias="et")],
+            measures=[Measure(expr="count(*)", alias="cnt")]))
+        sums = execute_query_sharded(spark, shard_dirs, Query(
+            table="events",
+            dimensions=[Dimension(expr="event_type", alias="et")],
+            measures=[Measure(expr="sum(value)", alias="s")]))
+        rows = sorted((k, int(v), round(float(sums[k]), 4))
+                      for k, v in counts.items())
+        return spark.createDataFrame(rows, "et string, cnt long, s double")
+
+    out["aql_sharded_scatter"] = (q_sharded_scatter, """
+        SELECT event_type AS et, count(*) AS cnt,
+               round(sum(value), 4) AS s
+        FROM events GROUP BY 1
+    """)
+
+    def q_hll_sharded(spark, sf_dir):
+        """Sharded hll(): per-shard register TREES merge through the
+        broker algebra and compute ONE estimate after the gather
+        (api._hll_result_tree → merge 'hll' → compute_hll_result, the
+        reference's ComputeHLLResult-after-merge order). Registers
+        merge exactly, so the sharded estimate equals the unsharded
+        pipeline's; bounded-checked vs exact DuckDB distinct counts in
+        check_contract (same band as hll_approx_distinct)."""
+        import tempfile
+
+        from aresdb_spark.aql import Dimension, Measure, Query
+        from aresdb_spark.aql.api import execute_query_sharded
+        ev = _events(spark, sf_dir)
+        base = tempfile.mkdtemp(prefix="aql_shards_hll_")
+        shard_dirs = []
+        for i in (0, 1):
+            d = f"{base}/s{i}"
+            ev.filter(F.col("user_id") % 2 == i).write.mode(
+                "overwrite").parquet(f"{d}/events.parquet")
+            shard_dirs.append(d)
+        res = execute_query_sharded(spark, shard_dirs, Query(
+            table="events",
+            dimensions=[Dimension(expr="event_type", alias="et")],
+            measures=[Measure(expr="hll(user_id)", alias="approx_users")]))
+        rows = sorted((k, int(v)) for k, v in res.items())
+        return spark.createDataFrame(rows, "et string, approx_users long")
+
+    out["hll_sharded_distinct"] = (q_hll_sharded, None)
+
     # --- ingestion: hot/cold split + upsert-by-PK (additive mode) +
     # backfill routing + exactly-once union read (SURVEY §2.1, §2.9) ---
     def q_hotcold(spark, sf_dir):

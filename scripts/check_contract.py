@@ -42,6 +42,13 @@ BOUNDED = {
                   "FROM events GROUP BY 1",
         "key": "et", "est": "approx_users", "rtol": 0.15,
     },
+    # per-shard register trees merged through the broker algebra then
+    # computed once — registers merge exactly, so the same band holds
+    "hll_sharded_distinct": {
+        "oracle": "SELECT event_type AS et, count(DISTINCT user_id) AS n "
+                  "FROM events GROUP BY 1",
+        "key": "et", "est": "approx_users", "rtol": 0.15,
+    },
     # IVF-PQ is deterministic given the committed constants (md5-sampled
     # k-means training), so recall@(10, exact-50) is a stable number, not
     # a flake source. Ground truth is exact squared-L2 (what ADC
