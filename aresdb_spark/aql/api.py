@@ -244,8 +244,23 @@ def compute_hll_result(tree):
     return tree
 
 
+class QueryTimeoutError(RuntimeError):
+    """A sharded query ran past its executor bound and its in-flight
+    Spark jobs were cancelled — the analog of the broker's per-request
+    context timeout (broker/executor.go:29 ``executorTimeoutSeconds=30``,
+    :50 ``context.WithTimeout``): a straggler shard must fail the
+    request, not hang the broker."""
+
+
+# the reference broker's bound; pass explicitly — the default here is
+# no timeout so library callers opt in (a batch backfill legitimately
+# runs long)
+EXECUTOR_TIMEOUT_SECONDS = 30.0
+
+
 def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
-                          query: Query | dict[str, Any]) -> dict:
+                          query: Query | dict[str, Any],
+                          timeout_seconds: "float | None" = None) -> dict:
     """Broker scatter/gather (broker/executor.go QueryExecutor +
     broker/query_plan_agg.go AggQueryPlan): execute the SAME aggregate
     AQL query independently on every shard root (one datanode's parquet
@@ -261,9 +276,61 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
       - hll: per-shard REGISTER trees merge sketch-wise, the estimate is
         computed once at the end (never average partial estimates).
 
+    ``timeout_seconds`` bounds the WHOLE fan-out like the broker's
+    request context (executorTimeoutSeconds=30, broker/executor.go:50):
+    the scatter runs in its own Spark job group, a watchdog cancels the
+    group's jobs once the deadline passes, and the call raises
+    ``QueryTimeoutError``. Pass ``EXECUTOR_TIMEOUT_SECONDS`` for the
+    reference's bound; default None = unbounded (library callers opt
+    in).
+
     Inside one Spark cluster the shuffle does all of this; the surface
     exists for the cross-cluster / datanode topology the reference
     broker serves."""
+    if timeout_seconds is None:
+        return _scatter_gather(spark, shard_dirs, query)
+
+    import threading
+    import time
+    import uuid
+
+    sc = spark.sparkContext
+    group = f"aql-sharded-{uuid.uuid4().hex[:8]}"
+    done = threading.Event()
+    deadline = time.monotonic() + timeout_seconds
+
+    def watchdog():
+        while not done.wait(0.05):
+            if time.monotonic() >= deadline:
+                # cancel REPEATEDLY until the scatter thread notices:
+                # cancelJobGroup kills only jobs active at call time,
+                # and the scatter submits one job per shard
+                sc.cancelJobGroup(group)
+
+    guard = threading.Thread(target=watchdog, daemon=True)
+    guard.start()
+    # job groups are driver-thread-local, so this tags exactly the
+    # scatter's jobs; interruptOnCancel interrupts running tasks
+    sc.setJobGroup(group, f"execute_query_sharded "
+                          f"(timeout {timeout_seconds}s)", True)
+    try:
+        return _scatter_gather(spark, shard_dirs, query)
+    except Exception as e:
+        if time.monotonic() >= deadline:
+            raise QueryTimeoutError(
+                f"sharded query exceeded {timeout_seconds}s and its "
+                f"in-flight shard jobs were cancelled (the broker's "
+                f"executor bound, broker/executor.go:29)") from e
+        raise
+    finally:
+        done.set()
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+
+def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
+                    query: Query | dict[str, Any]) -> dict:
     import copy
     import re
 

@@ -294,3 +294,45 @@ def test_composite_derived_only_is_aggregate_shaped(spark):
     assert set(res) == {"0", "1"}
     assert abs(res["1"] - 93 / 438) < 1e-12
     assert abs(res["0"] - 117 / 562) < 1e-12
+
+
+def test_sharded_query_timeout_cancels_jobs(spark, tmp_path):
+    """The broker bounds its whole scatter/gather with a request
+    timeout (broker/executor.go:29 executorTimeoutSeconds, :50
+    context.WithTimeout) — a straggler shard fails the request rather
+    than hanging the broker. Spark analog: the scatter runs in its own
+    job group; a watchdog cancels the group past the deadline and the
+    call raises the named error. An already-expired deadline must
+    cancel the very first shard job; without a timeout the same query
+    completes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.api import QueryTimeoutError, execute_query_sharded
+    from tests.conftest import load_events
+
+    ev = load_events(spark)
+    # pad each shard so its count job runs long enough for the 50ms
+    # watchdog cadence to land mid-job deterministically
+    fat = ev.unionByName(ev).unionByName(ev).unionByName(ev)
+    dirs = []
+    for i in (0, 1):
+        d = str(tmp_path / f"s{i}")
+        fat.filter(F.col("user_id") % 2 == i) \
+           .write.parquet(f"{d}/events.parquet")
+        dirs.append(d)
+    q = Query(table="events",
+              dimensions=[Dimension(expr="event_type", alias="et")],
+              measures=[Measure(expr="count(*)", alias="cnt")])
+
+    res = execute_query_sharded(spark, dirs, q)   # unbounded: completes
+    assert sum(res.values()) == fat.count()
+
+    with pytest.raises(QueryTimeoutError, match="executor bound"):
+        execute_query_sharded(spark, dirs, q, timeout_seconds=0.0)
+
+    # the group cleanup leaves the session usable for the next query
+    res2 = execute_query_sharded(spark, dirs, q,
+                                 timeout_seconds=120.0)
+    assert res2 == res
