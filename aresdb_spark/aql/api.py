@@ -260,7 +260,8 @@ EXECUTOR_TIMEOUT_SECONDS = 30.0
 
 def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
                           query: Query | dict[str, Any],
-                          timeout_seconds: "float | None" = None) -> dict:
+                          timeout_seconds: "float | None" = None,
+                          max_workers: int = 1) -> dict:
     """Broker scatter/gather (broker/executor.go QueryExecutor +
     broker/query_plan_agg.go AggQueryPlan): execute the SAME aggregate
     AQL query independently on every shard root (one datanode's parquet
@@ -284,11 +285,22 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
     reference's bound; default None = unbounded (library callers opt
     in).
 
+    ``max_workers > 1`` submits the per-shard jobs CONCURRENTLY from
+    driver threads — the reference broker queries its datanodes in
+    parallel goroutines (broker/executor.go), and sequentially the
+    gather's wall-clock is Σ(shards) instead of max(shards). Spark's
+    scheduler interleaves the concurrent jobs across the cluster; the
+    merge itself stays ordered and deterministic. Each worker thread
+    re-tags itself with the scatter's job group (driver-side thread
+    locals do not cross py4j connections), so the timeout watchdog
+    cancels concurrent shards too.
+
     Inside one Spark cluster the shuffle does all of this; the surface
     exists for the cross-cluster / datanode topology the reference
     broker serves."""
     if timeout_seconds is None:
-        return _scatter_gather(spark, shard_dirs, query)
+        return _scatter_gather(spark, shard_dirs, query,
+                               max_workers=max_workers)
 
     import threading
     import time
@@ -314,7 +326,8 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
     sc.setJobGroup(group, f"execute_query_sharded "
                           f"(timeout {timeout_seconds}s)", True)
     try:
-        return _scatter_gather(spark, shard_dirs, query)
+        return _scatter_gather(spark, shard_dirs, query,
+                               max_workers=max_workers, job_group=group)
     except Exception as e:
         if time.monotonic() >= deadline:
             raise QueryTimeoutError(
@@ -330,7 +343,9 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
 
 
 def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
-                    query: Query | dict[str, Any]) -> dict:
+                    query: Query | dict[str, Any],
+                    max_workers: int = 1,
+                    job_group: "str | None" = None) -> dict:
     import copy
     import re
 
@@ -338,6 +353,26 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
 
     if not shard_dirs:
         raise ValueError("sharded execution requires at least one shard")
+
+    def fan_out(run_one) -> list:
+        """Run ``run_one(shard_dir)`` across shards, concurrently when
+        asked (the broker's parallel datanode goroutines); result order
+        always follows shard order so every merge is deterministic."""
+        if max_workers <= 1 or len(shard_dirs) == 1:
+            return [run_one(d) for d in shard_dirs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        def tagged(d):
+            if job_group is not None:
+                # thread locals don't cross py4j connections — each
+                # worker re-tags so the timeout watchdog reaches it
+                spark.sparkContext.setJobGroup(
+                    job_group, "execute_query_sharded worker", True)
+            return run_one(d)
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            return list(pool.map(tagged, shard_dirs))
+
     q = query_from_json(query) if isinstance(query, dict) \
         else copy.deepcopy(query)
     if not _is_aggregate_query(q):
@@ -346,8 +381,8 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
         # the engine's default limit (1000, aql_compiler.go:38) is a
         # GLOBAL budget, not per-shard, so it applies to the gather too
         from aresdb_spark.aql.merge import merge_matrix_results
-        parts = [execute_query(spark, Catalog(d), copy.deepcopy(q))
-                 for d in shard_dirs]
+        parts = fan_out(
+            lambda d: execute_query(spark, Catalog(d), copy.deepcopy(q)))
         return merge_matrix_results(
             parts, limit=q.limit if q.limit is not None else 1000)
     if len(q.measures) != 1:
@@ -366,8 +401,8 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
     q.limit, q.sorts = None, []
 
     def scatter(qq: Query, kind: str) -> dict:
-        parts = [execute_query(spark, Catalog(d), copy.deepcopy(qq))
-                 for d in shard_dirs]
+        parts = fan_out(
+            lambda d: execute_query(spark, Catalog(d), copy.deepcopy(qq)))
         out = parts[0]
         for p in parts[1:]:
             out = merge_aggregate_results(out, p, kind)
@@ -391,8 +426,7 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
         return merge_aggregate_results(scatter(qs, "sum"),
                                        scatter(qc, "count"), "avg")
     if agg in ("hll", "countdistincthll"):
-        parts = [_hll_result_tree(spark, Catalog(d), q)
-                 for d in shard_dirs]
+        parts = fan_out(lambda d: _hll_result_tree(spark, Catalog(d), q))
         out = parts[0]
         for p in parts[1:]:
             out = merge_aggregate_results(out, p, "hll")

@@ -336,3 +336,39 @@ def test_sharded_query_timeout_cancels_jobs(spark, tmp_path):
     res2 = execute_query_sharded(spark, dirs, q,
                                  timeout_seconds=120.0)
     assert res2 == res
+
+
+def test_sharded_concurrent_scatter_identity(spark, tmp_path):
+    """max_workers > 1 fans the per-shard jobs out from driver threads
+    (the broker's parallel datanode goroutines, broker/executor.go) —
+    results must be IDENTICAL to the sequential scatter for every merge
+    rule, and the timeout watchdog must reach concurrently running
+    shard jobs (workers re-tag the job group per thread)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from aresdb_spark.aql.api import QueryTimeoutError, execute_query_sharded
+    from tests.conftest import load_events
+
+    ev = load_events(spark)
+    dirs = []
+    for i in (0, 1, 2):
+        d = str(tmp_path / f"s{i}")
+        ev.filter(F.col("user_id") % 3 == i) \
+          .write.parquet(f"{d}/events.parquet")
+        dirs.append(d)
+
+    def q(measure):
+        return Query(table="events",
+                     dimensions=[Dimension(expr="event_type", alias="et")],
+                     measures=[Measure(expr=measure, alias="m")])
+
+    for m in ("count(*)", "sum(value)", "avg(value)", "hll(user_id)"):
+        seq = execute_query_sharded(spark, dirs, q(m))
+        par = execute_query_sharded(spark, dirs, q(m), max_workers=3)
+        assert par == seq, m
+
+    with pytest.raises(QueryTimeoutError, match="executor bound"):
+        execute_query_sharded(spark, dirs, q("count(*)"),
+                              timeout_seconds=0.0, max_workers=3)
