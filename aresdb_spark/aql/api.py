@@ -257,6 +257,11 @@ class QueryTimeoutError(RuntimeError):
 # runs long)
 EXECUTOR_TIMEOUT_SECONDS = 30.0
 
+# total attempts per shard, the broker's scan-node retry loop
+# (broker/query_plan_agg.go:37 rpcRetries=2, :167 `trial <= rpcRetries`;
+# a canceled request is NOT retried, :171-176)
+RPC_RETRIES = 2
+
 
 def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
                           query: Query | dict[str, Any],
@@ -327,7 +332,8 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
                           f"(timeout {timeout_seconds}s)", True)
     try:
         return _scatter_gather(spark, shard_dirs, query,
-                               max_workers=max_workers, job_group=group)
+                               max_workers=max_workers, job_group=group,
+                               deadline=deadline)
     except Exception as e:
         if time.monotonic() >= deadline:
             raise QueryTimeoutError(
@@ -345,9 +351,11 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
 def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
                     query: Query | dict[str, Any],
                     max_workers: int = 1,
-                    job_group: "str | None" = None) -> dict:
+                    job_group: "str | None" = None,
+                    deadline: "float | None" = None) -> dict:
     import copy
     import re
+    import time
 
     from aresdb_spark.aql.merge import merge_aggregate_results
 
@@ -357,21 +365,35 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
     def fan_out(run_one) -> list:
         """Run ``run_one(shard_dir)`` across shards, concurrently when
         asked (the broker's parallel datanode goroutines); result order
-        always follows shard order so every merge is deterministic."""
-        if max_workers <= 1 or len(shard_dirs) == 1:
-            return [run_one(d) for d in shard_dirs]
-        from concurrent.futures import ThreadPoolExecutor
+        always follows shard order so every merge is deterministic.
+        A failed shard call is retried like the broker's scan node
+        (RPC_RETRIES total attempts) — but never past the request
+        deadline (a canceled request is not retried,
+        query_plan_agg.go:171-176)."""
 
-        def tagged(d):
+        def attempt(d):
             if job_group is not None:
                 # thread locals don't cross py4j connections — each
                 # worker re-tags so the timeout watchdog reaches it
                 spark.sparkContext.setJobGroup(
                     job_group, "execute_query_sharded worker", True)
-            return run_one(d)
+            last = None
+            for _trial in range(RPC_RETRIES):
+                try:
+                    return run_one(d)
+                except Exception as e:
+                    last = e
+                    if deadline is not None and \
+                            time.monotonic() >= deadline:
+                        break  # canceled, don't resubmit
+            raise last
+
+        if max_workers <= 1 or len(shard_dirs) == 1:
+            return [attempt(d) for d in shard_dirs]
+        from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            return list(pool.map(tagged, shard_dirs))
+            return list(pool.map(attempt, shard_dirs))
 
     q = query_from_json(query) if isinstance(query, dict) \
         else copy.deepcopy(query)

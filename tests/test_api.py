@@ -372,3 +372,48 @@ def test_sharded_concurrent_scatter_identity(spark, tmp_path):
     with pytest.raises(QueryTimeoutError, match="executor bound"):
         execute_query_sharded(spark, dirs, q("count(*)"),
                               timeout_seconds=0.0, max_workers=3)
+
+
+def test_sharded_scan_node_retries_transient_failures(spark, tmp_path,
+                                                      monkeypatch):
+    """The broker's scan node retries a failed datanode fetch
+    (broker/query_plan_agg.go:37 rpcRetries=2, :167): one transient
+    shard failure is absorbed, a persistently dead shard exhausts its
+    attempts and fails the request."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import aresdb_spark.aql.api as api
+    from aresdb_spark.aql import Dimension, Measure, Query
+    from tests.conftest import load_events
+
+    ev = load_events(spark)
+    dirs = []
+    for i in (0, 1):
+        d = str(tmp_path / f"s{i}")
+        ev.filter(F.col("user_id") % 2 == i) \
+          .write.parquet(f"{d}/events.parquet")
+        dirs.append(d)
+    q = Query(table="events",
+              dimensions=[Dimension(expr="event_type", alias="et")],
+              measures=[Measure(expr="count(*)", alias="cnt")])
+
+    real, calls = api.execute_query, {"n": 0}
+
+    def flaky(spark_, cat, qq):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient datanode hiccup")
+        return real(spark_, cat, qq)
+
+    monkeypatch.setattr(api, "execute_query", flaky)
+    res = api.execute_query_sharded(spark, dirs, q)
+    assert sum(res.values()) == ev.count()
+    assert calls["n"] == 3  # shard0 failed once + retried, shard1 once
+
+    def dead(*a, **k):
+        raise RuntimeError("shard down")
+
+    monkeypatch.setattr(api, "execute_query", dead)
+    with pytest.raises(RuntimeError, match="shard down"):
+        api.execute_query_sharded(spark, dirs, q)
