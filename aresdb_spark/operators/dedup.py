@@ -454,9 +454,12 @@ def gc_signature_store(spark, path: str,
     if state is None or not state.get("displaced"):
         return 0
     now = time.time()
-    keep = [d for d in state["displaced"]
-            if now - d["at"] < grace_seconds]
-    reap = [d for d in state["displaced"] if d not in keep]
+
+    def ident(d):
+        return "legacy_root" if d.get("legacy_root") else d["version"]
+
+    reap = [d for d in state["displaced"]
+            if now - d["at"] >= grace_seconds]
     if not reap:
         return 0
     for d in reap:
@@ -468,8 +471,13 @@ def gc_signature_store(spark, path: str,
         else:
             spark.sql(f"DROP TABLE IF EXISTS {d['table']}")
             pointer.gc_dir(pointer.version_dir(path, d["version"]))
-    pointer.commit_state(path, {**pointer.read_state(path),
-                                "displaced": keep})
+    # keep-set recomputed from the COMMIT-TIME ledger so entries a
+    # concurrent mutation added mid-reap survive this commit
+    # (sources/pointer.py gc_displaced rationale)
+    reaped = {ident(d) for d in reap}
+    cur = pointer.read_state(path) or state
+    pointer.commit_state(path, {**cur, "displaced": [
+        d for d in cur.get("displaced", []) if ident(d) not in reaped]})
     return len(reap)
 
 

@@ -141,14 +141,20 @@ def gc_displaced(root: str,
     if state is None or not state.get("displaced"):
         return 0
     now = time.time()
-    keep, reap = [], []
-    for e in state["displaced"]:
-        (keep if now - e["at"] < grace_seconds else reap).append(e)
+    reap = [e for e in state["displaced"]
+            if now - e["at"] >= grace_seconds]
     if not reap:
         return 0
     for e in reap:
         gc_dir(os.path.join(root, e["dir"]))
-    commit_state(root, {**read_state(root), "displaced": keep})
+    # recompute the kept ledger from the COMMIT-TIME state, not the
+    # first read: entries a concurrent mutation ledgered in between
+    # must survive this commit (dropping them would leak their dirs
+    # forever — invisible behind the pointer, reaped by nothing)
+    reaped = {e["dir"] for e in reap}
+    cur = read_state(root) or state
+    commit_state(root, {**cur, "displaced": [
+        e for e in cur.get("displaced", []) if e["dir"] not in reaped]})
     return len(reap)
 
 
