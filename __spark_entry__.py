@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 # (inside the events table's Jan-2024 range at every sf)
 NOW = 1706140800
 
+# sharded-fixture roots built once per process (see _event_shards)
+_EVENT_SHARD_CACHE: dict = {}
+
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with a proper timestamp ts, independent of the session's
@@ -812,6 +815,25 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
               FROM events ORDER BY event_id LIMIT 40)
     """)
 
+    def _event_shards(spark, sf_dir):
+        """Two shard roots (events split by user hash) built ONCE per
+        process per sf_dir and reused by every sharded contract row —
+        repeated contract runs must not accumulate orphaned /tmp
+        parquet, and the split is the fixture, not the thing graded."""
+        import tempfile
+
+        if sf_dir not in _EVENT_SHARD_CACHE:
+            ev = _events(spark, sf_dir)
+            base = tempfile.mkdtemp(prefix="aql_shards_")
+            dirs = []
+            for i in (0, 1):
+                d = f"{base}/s{i}"
+                ev.filter(F.col("user_id") % 2 == i).write.mode(
+                    "overwrite").parquet(f"{d}/events.parquet")
+                dirs.append(d)
+            _EVENT_SHARD_CACHE[sf_dir] = dirs
+        return _EVENT_SHARD_CACHE[sf_dir]
+
     def q_sharded_scatter(spark, sf_dir):
         """Broker scatter/gather round-trip (VERDICT r8 coverage widen):
         split events into two shard roots by user hash, fan ONE AQL
@@ -821,18 +843,9 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         nested result. count(*) leaves are integers, so the gather is
         hash-EXACT against DuckDB over the unsharded table; sum leaves
         ride along rounded to 4dp (float add across shards)."""
-        import tempfile
-
         from aresdb_spark.aql import Dimension, Measure, Query
         from aresdb_spark.aql.api import execute_query_sharded
-        ev = _events(spark, sf_dir)
-        base = tempfile.mkdtemp(prefix="aql_shards_")
-        shard_dirs = []
-        for i in (0, 1):
-            d = f"{base}/s{i}"
-            ev.filter(F.col("user_id") % 2 == i).write.mode(
-                "overwrite").parquet(f"{d}/events.parquet")
-            shard_dirs.append(d)
+        shard_dirs = _event_shards(spark, sf_dir)
         counts = execute_query_sharded(spark, shard_dirs, Query(
             table="events",
             dimensions=[Dimension(expr="event_type", alias="et")],
@@ -859,18 +872,9 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         merge exactly, so the sharded estimate equals the unsharded
         pipeline's; bounded-checked vs exact DuckDB distinct counts in
         check_contract (same band as hll_approx_distinct)."""
-        import tempfile
-
         from aresdb_spark.aql import Dimension, Measure, Query
         from aresdb_spark.aql.api import execute_query_sharded
-        ev = _events(spark, sf_dir)
-        base = tempfile.mkdtemp(prefix="aql_shards_hll_")
-        shard_dirs = []
-        for i in (0, 1):
-            d = f"{base}/s{i}"
-            ev.filter(F.col("user_id") % 2 == i).write.mode(
-                "overwrite").parquet(f"{d}/events.parquet")
-            shard_dirs.append(d)
+        shard_dirs = _event_shards(spark, sf_dir)
         res = execute_query_sharded(spark, shard_dirs, Query(
             table="events",
             dimensions=[Dimension(expr="event_type", alias="et")],

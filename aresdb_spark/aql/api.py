@@ -335,7 +335,14 @@ def execute_query_sharded(spark: SparkSession, shard_dirs: list[str],
                                max_workers=max_workers, job_group=group,
                                deadline=deadline)
     except Exception as e:
-        if time.monotonic() >= deadline:
+        # only a CANCELLATION past the deadline is a timeout — a genuine
+        # query/data error that happens to surface after the deadline
+        # must keep its own identity (mislabeling it would send the
+        # caller retrying a deterministic failure)
+        looks_cancelled = any(
+            word in f"{type(e).__name__} {e}".lower()
+            for word in ("cancel", "interrupt"))
+        if time.monotonic() >= deadline and looks_cancelled:
             raise QueryTimeoutError(
                 f"sharded query exceeded {timeout_seconds}s and its "
                 f"in-flight shard jobs were cancelled (the broker's "
@@ -377,10 +384,18 @@ def _scatter_gather(spark: SparkSession, shard_dirs: list[str],
                 # worker re-tags so the timeout watchdog reaches it
                 spark.sparkContext.setJobGroup(
                     job_group, "execute_query_sharded worker", True)
+            from pyspark.errors import AnalysisException
+
             last = None
             for _trial in range(RPC_RETRIES):
                 try:
                     return run_one(d)
+                except (AnalysisException, ValueError, KeyError):
+                    # deterministic plan/validation failures — the
+                    # reference retries only RPC-level fetch errors,
+                    # not bad queries (re-running a full Spark query on
+                    # a typo'd column doubles time-to-error for nothing)
+                    raise
                 except Exception as e:
                     last = e
                     if deadline is not None and \

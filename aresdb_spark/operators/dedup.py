@@ -442,10 +442,24 @@ def gc_signature_store(spark, path: str,
     displaced (safe only when no reader can be mid-scan on an old
     version).
 
+    Writer-locked: the reap ends in a whole-state commit, and an
+    unserialized commit racing a concurrent overwrite/compaction would
+    silently roll back that writer's version flip — after which the
+    next writer would delete the rolled-back version dir as an
+    "orphan". Readers never take the lock (the grace window is what
+    protects them).
+
     Order: files first, ledger commit second — a crash mid-reap leaves
     entries whose dirs are already gone, and the next pass re-reaps
     them as no-ops (``DROP TABLE IF EXISTS`` + best-effort ``gc_dir``);
     the reverse order would leak the dirs invisibly forever."""
+    from aresdb_spark.sources import pointer
+
+    with pointer.write_lock(path):
+        return _gc_locked(spark, path, grace_seconds)
+
+
+def _gc_locked(spark, path: str, grace_seconds: float) -> int:
     import time
 
     from aresdb_spark.sources import pointer
@@ -544,37 +558,42 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
 
     spark = df.sparkSession
     bands = signature_bands(df, text_col, id_col)
-    state = pointer.read_state(path)
-    if mode == "append":
-        if state is None and _legacy_root_files(path):
-            # legacy layout: data files (not mere non-emptiness — a root
-            # holding only v*/ remnants of a crashed initial v2 write is
-            # a FRESH store) live at the root; keep their layout
-            bands.write.mode("append").partitionBy("bhp").parquet(path)
-            return
-        if state is not None:
-            table = _sigstore_register(spark, state, path)
-            (bands.write.mode("append").format("parquet")
-             .bucketBy(state["n_buckets"], "bh").sortBy("bh")
-             .saveAsTable(table))
-            # drop this session's cached file listing for the table;
-            # OTHER sessions refresh on read (read_signature_store)
-            spark.catalog.refreshTable(table)
-            return
-        # append to a store that doesn't exist yet == create it
-    version = pointer.next_version(state)
-    table = _sigstore_table(path, version)
-    target = pointer.version_dir(path, version)
-    if os.path.isdir(target):  # orphan of a crashed, uncommitted write
-        pointer.gc_dir(target)
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                    for f in bands.schema.fields)
-    write_bucketed(bands, table, target, n_buckets, ["bh"])
-    pointer.commit_state(path, {
-        "format": 2, "version": version, "table": table,
-        "n_buckets": n_buckets, "schema_ddl": ddl,
-        "displaced": _displace(state, path)})
-    gc_signature_store(spark, path, gc_grace_seconds)
+    # single-writer: every branch ends in either a bucketed-table append
+    # or a whole-state commit — racing writers would be last-commit-wins
+    # (one version flip silently rolled back; pointer.ConcurrentWriteError)
+    with pointer.write_lock(path):
+        state = pointer.read_state(path)
+        if mode == "append":
+            if state is None and _legacy_root_files(path):
+                # legacy layout: data files (not mere non-emptiness — a
+                # root holding only v*/ remnants of a crashed initial v2
+                # write is a FRESH store) live at the root; keep their
+                # layout
+                bands.write.mode("append").partitionBy("bhp").parquet(path)
+                return
+            if state is not None:
+                table = _sigstore_register(spark, state, path)
+                (bands.write.mode("append").format("parquet")
+                 .bucketBy(state["n_buckets"], "bh").sortBy("bh")
+                 .saveAsTable(table))
+                # drop this session's cached file listing for the table;
+                # OTHER sessions refresh on read (read_signature_store)
+                spark.catalog.refreshTable(table)
+                return
+            # append to a store that doesn't exist yet == create it
+        version = pointer.next_version(state)
+        table = _sigstore_table(path, version)
+        target = pointer.version_dir(path, version)
+        if os.path.isdir(target):  # orphan of a crashed, uncommitted write
+            pointer.gc_dir(target)
+        ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                        for f in bands.schema.fields)
+        write_bucketed(bands, table, target, n_buckets, ["bh"])
+        pointer.commit_state(path, {
+            "format": 2, "version": version, "table": table,
+            "n_buckets": n_buckets, "schema_ddl": ddl,
+            "displaced": _displace(state, path)})
+        _gc_locked(spark, path, gc_grace_seconds)
 
 
 def read_signature_store(spark, path: str) -> DataFrame:
@@ -690,6 +709,16 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
     from aresdb_spark.sources import pointer
     from aresdb_spark.sources.bucketed import write_bucketed
 
+    with pointer.write_lock(store_path):
+        return _compact_locked(spark, store_path, keep_ids, id_col,
+                               gc_grace_seconds)
+
+
+def _compact_locked(spark, store_path, keep_ids, id_col,
+                    gc_grace_seconds) -> int:
+    from aresdb_spark.sources import pointer
+    from aresdb_spark.sources.bucketed import write_bucketed
+
     state = pointer.read_state(store_path)
     if state is None:
         # legacy layout: data files sit AT the root we are about to put
@@ -743,7 +772,7 @@ def compact_signature_store(spark, store_path: str, keep_ids: DataFrame,
         "n_buckets": n_buckets, "schema_ddl": ddl,
         "displaced": _displace(state, store_path)})
     n = spark.table(table).count()
-    gc_signature_store(spark, store_path, gc_grace_seconds)
+    _gc_locked(spark, store_path, gc_grace_seconds)
     return n
 
 

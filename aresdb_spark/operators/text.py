@@ -538,9 +538,12 @@ def lm_perplexity(df: DataFrame, lm: DataFrame, text_col: str = "text",
     join): ``train_bigram_lm`` returns a LAZY plan, and without the
     cache each consumer re-runs the corpus-sized training aggregation —
     VERDICT r7 #3 measured 2-4 extra full trainings in the exemplar
-    queries. Spark's MEMORY_AND_DISK cache is LRU-evicted, so the
-    default is safe for one-shot scorers; pass False when the caller
-    already persisted (or wrote) the LM artifact."""
+    queries. Spark's MEMORY_AND_DISK cache is LRU-evicted from memory,
+    but DISK blocks live until unpersist — a long-lived driver scoring
+    many corpora against many fresh LMs should either ``unpersist()``
+    each LM after its scored DataFrame is consumed, or persist/write
+    the LM itself and pass ``persist_lm=False``. The default serves the
+    one-shot scorer, which is the exemplar shape."""
     if persist_lm and not lm.is_cached:
         lm = lm.persist()
     floor_v = F.broadcast(lm.agg(F.first("v").alias("v_floor")))

@@ -74,38 +74,10 @@ class MissingEventTimeError(ValueError):
     store instead."""
 
 
-class ConcurrentWriteError(RuntimeError):
-    """A second writer attempted a store mutation while one was in
-    flight. Store mutations are full-directory parquet rewrites, so
-    concurrent writers would be last-writer-wins (one batch silently
-    lost); the reference serializes ingestion per shard the same way
-    with LiveStore.WriterLock (memstore/ingestion.go:44-62)."""
-
-
-@contextmanager
-def _single_writer(path: str):
-    """Advisory single-writer lock for a store directory: O_EXCL lock
-    file held across the mutation, released on success AND on an
-    in-process error (the writer is finished either way; like the
-    reference's WriterLock, holding the lock would not repair a
-    half-applied mutation). Only a KILLED process leaves the lock
-    behind — that stale lock is deliberate: the directory may hold a
-    half-written rewrite and needs operator attention; delete the named
-    file to release."""
-    lock = os.path.join(path, "_writer.lock")
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        raise ConcurrentWriteError(
-            f"store at {path} has a writer in flight (or a crashed one); "
-            f"mutations are single-writer — remove {lock} if the previous "
-            f"writer is known dead") from None
-    try:
-        os.write(fd, f"{os.getpid()}\n".encode())
-        os.close(fd)
-        yield
-    finally:
-        os.unlink(lock)
+# the canonical lock lives beside the pointer commit it guards
+# (sources/pointer.py); these names stay for the existing callers
+ConcurrentWriteError = pointer.ConcurrentWriteError
+_single_writer = pointer.write_lock
 
 
 @dataclass
@@ -176,31 +148,40 @@ class HotColdStore:
         dataset on the next flush). The schema file is versioned like
         the data dirs (``_schema_v<N>.json``, referenced by the pointer
         commit) — an in-place overwrite would pair a NEW schema with the
-        OLD committed dirs if the re-init crashed before its commit."""
-        os.makedirs(self.path, exist_ok=True)
-        before = self._state()
-        sv = pointer.next_version(before, "schema")
-        with open(os.path.join(self.path, f"_schema_v{sv}.json"), "w") as f:
-            f.write(df.schema.json())
-        cut = F.lit(_utc_naive(cutoff))
-        t = F.col(self.time_column)
-        hv, cv = self._next("hot"), self._next("cold")
-        self._write_cold(df.filter(t < cut), cv)
-        # NULL event times (when allowed) belong to hot — they never archive
-        self._write_hot(df.filter((t >= cut) | t.isNull()), hv)
-        consumed = int((before or {}).get("backfill_consumed", -1))
-        if os.path.isdir(self.backfill_path):
-            consumed = max([consumed] + [
-                int(n.split("=")[1]) for n in os.listdir(self.backfill_path)
-                if n.startswith("batch=")])
-        displaced = [os.path.basename(self._schema_path(before))]
-        if before is not None:
-            displaced += [self._displaced_dir("hot", before),
-                          self._displaced_dir("cold", before)]
-        self._commit(hot=hv, cold=cv, schema=sv, backfill_consumed=consumed,
-                     cutoff=_utc_naive(cutoff).isoformat(),
-                     displaced=pointer.displace(before, displaced))
-        self.gc()
+        OLD committed dirs if the re-init crashed before its commit.
+        Single-writer like every other mutation (a concurrent writer's
+        commit would be silently rolled back by ours)."""
+        with _single_writer(self.path):
+            before = self._state()
+            sv = pointer.next_version(before, "schema")
+            with open(os.path.join(self.path,
+                                   f"_schema_v{sv}.json"), "w") as f:
+                f.write(df.schema.json())
+            cut = F.lit(_utc_naive(cutoff))
+            t = F.col(self.time_column)
+            hv, cv = self._next("hot"), self._next("cold")
+            self._write_cold(df.filter(t < cut), cv)
+            # NULL event times (when allowed) belong to hot — they
+            # never archive
+            self._write_hot(df.filter((t >= cut) | t.isNull()), hv)
+            consumed = int((before or {}).get("backfill_consumed", -1))
+            if os.path.isdir(self.backfill_path):
+                consumed = max([consumed] + [
+                    int(n.split("=")[1])
+                    for n in os.listdir(self.backfill_path)
+                    if n.startswith("batch=")])
+            displaced = []
+            if os.path.exists(self._schema_path(before)):  # brand-new: none
+                displaced.append(
+                    os.path.basename(self._schema_path(before)))
+            if before is not None:
+                displaced += [self._displaced_dir("hot", before),
+                              self._displaced_dir("cold", before)]
+            self._commit(hot=hv, cold=cv, schema=sv,
+                         backfill_consumed=consumed,
+                         cutoff=_utc_naive(cutoff).isoformat(),
+                         displaced=pointer.displace(before, displaced))
+            pointer.gc_displaced(self.path)
 
     def saved_cutoff(self) -> datetime:
         """The persisted archiving cutoff (set by init_from/archive) —
@@ -216,15 +197,11 @@ class HotColdStore:
             return datetime.fromisoformat(f.read().strip())
 
     def _schema_path(self, st: "dict | None | str" = "__load__") -> str:
-        """The schema file the committed state references
-        (``_schema_v<N>.json``), or the flat legacy name for stores
-        initialized before schema versioning. Pass ``st`` to resolve
-        against an already-read state snapshot."""
+        """Resolve the committed schema file (pointer.schema_file rule);
+        pass ``st`` to resolve against an already-read state snapshot."""
         if st == "__load__":
             st = self._state()
-        if st is not None and "schema" in st:
-            return os.path.join(self.path, f"_schema_v{st['schema']}.json")
-        return os.path.join(self.path, "_schema.json")
+        return pointer.schema_file(self.path, st)
 
     def _schema(self, st: "dict | None | str" = "__load__"):
         from pyspark.sql.types import StructType
@@ -262,10 +239,14 @@ class HotColdStore:
     def gc(self, grace_seconds: float = pointer.GC_GRACE_SECONDS) -> int:
         """Reap ledgered displaced artifacts older than the grace
         window; returns how many went. Runs with the default grace
-        after every mutation's commit and from ``purge`` (the lifecycle
-        reaper); call explicitly with ``grace_seconds=0`` only when no
-        reader can be mid-scan."""
-        return pointer.gc_displaced(self.path, grace_seconds)
+        after every mutation's commit (inside that mutation's lock) and
+        from ``purge`` (the lifecycle reaper); call explicitly with
+        ``grace_seconds=0`` only when no reader can be mid-scan. Takes
+        the writer lock: the reap commits the pruned ledger, and an
+        unserialized commit would silently roll back a concurrent
+        mutation's flip."""
+        with _single_writer(self.path):
+            return pointer.gc_displaced(self.path, grace_seconds)
 
     # -- read ----------------------------------------------------------------
 
@@ -404,7 +385,7 @@ class HotColdStore:
                              for k in commit if k in ("hot", "cold")]
                 self._commit(**commit,
                              displaced=pointer.displace(before, displaced))
-                self.gc()
+                pointer.gc_displaced(self.path)
 
     # -- backfill queue (BackfillManager buffer, backfill_manager.go) ---------
 
@@ -494,7 +475,7 @@ class HotColdStore:
                              before,
                              [self._displaced_dir("cold", before)]
                              + queue_dirs))
-            self.gc()
+            pointer.gc_displaced(self.path)
             return len(names)
 
     def _conform(self, df: DataFrame) -> DataFrame:
@@ -557,7 +538,7 @@ class HotColdStore:
                          for k in ("hot", "cold") if k in commit]
             self._commit(**commit,
                          displaced=pointer.displace(before, displaced))
-            self.gc()
+            pointer.gc_displaced(self.path)
 
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
         """Retention delete: drop cold day-partitions entirely below the
@@ -579,7 +560,7 @@ class HotColdStore:
             # purge is the lifecycle reaper: displaced version dirs past
             # the read-grace window go with it (reference purge.go reaps
             # the archive batch versions the swaps displaced)
-            self.gc()
+            pointer.gc_displaced(self.path)
 
 
 @dataclass
@@ -604,28 +585,33 @@ class DimensionStore:
         mutation like any other; leftover journal dirs stay invisible
         behind an advanced watermark). The schema file is versioned and
         referenced by the commit, like the fact store's — never an
-        in-place overwrite."""
-        os.makedirs(self.path, exist_ok=True)
-        before = pointer.read_state(self.path)
-        sv = pointer.next_version(before, "schema")
-        with open(os.path.join(self.path, f"_schema_v{sv}.json"), "w") as f:
-            f.write(df.schema.json())
-        nxt = pointer.next_version(before, "snap")
-        df.write.mode("overwrite").parquet(
-            os.path.join(self.path, f"snap_v{nxt}"))
-        consumed = int((before or {}).get("journal_consumed", -1))
-        if os.path.isdir(self.journal_path):
-            consumed = max([consumed] + [
-                int(n.split("=")[1]) for n in os.listdir(self.journal_path)
-                if n.startswith("batch=")])
-        displaced = [os.path.basename(self._schema_path(before))]
-        if before is not None and "snap" in before:
-            displaced.append(f"snap_v{before['snap']}")
-        pointer.commit_state(self.path, {
-            "format": 2, "snap": nxt, "schema": sv,
-            "journal_consumed": consumed,
-            "displaced": pointer.displace(before, displaced)})
-        self.gc()
+        in-place overwrite. Single-writer like every other mutation."""
+        with _single_writer(self.path):
+            before = pointer.read_state(self.path)
+            sv = pointer.next_version(before, "schema")
+            with open(os.path.join(self.path,
+                                   f"_schema_v{sv}.json"), "w") as f:
+                f.write(df.schema.json())
+            nxt = pointer.next_version(before, "snap")
+            df.write.mode("overwrite").parquet(
+                os.path.join(self.path, f"snap_v{nxt}"))
+            consumed = int((before or {}).get("journal_consumed", -1))
+            if os.path.isdir(self.journal_path):
+                consumed = max([consumed] + [
+                    int(n.split("=")[1])
+                    for n in os.listdir(self.journal_path)
+                    if n.startswith("batch=")])
+            displaced = []
+            if os.path.exists(self._schema_path(before)):  # brand-new: none
+                displaced.append(
+                    os.path.basename(self._schema_path(before)))
+            if before is not None and "snap" in before:
+                displaced.append(f"snap_v{before['snap']}")
+            pointer.commit_state(self.path, {
+                "format": 2, "snap": nxt, "schema": sv,
+                "journal_consumed": consumed,
+                "displaced": pointer.displace(before, displaced)})
+            pointer.gc_displaced(self.path)
 
     def _state(self) -> "dict | None":
         return pointer.read_state(self.path)
@@ -633,9 +619,7 @@ class DimensionStore:
     def _schema_path(self, st: "dict | None | str" = "__load__") -> str:
         if st == "__load__":
             st = self._state()
-        if st is not None and "schema" in st:
-            return os.path.join(self.path, f"_schema_v{st['schema']}.json")
-        return os.path.join(self.path, "_schema.json")
+        return pointer.schema_file(self.path, st)
 
     def _schema(self, st: "dict | None | str" = "__load__"):
         from pyspark.sql.types import StructType
@@ -678,8 +662,11 @@ class DimensionStore:
 
     def gc(self, grace_seconds: float = pointer.GC_GRACE_SECONDS) -> int:
         """Reap ledgered displaced artifacts (old snapshots, consumed
-        journal dirs, old schema files) past the read-grace window."""
-        return pointer.gc_displaced(self.path, grace_seconds)
+        journal dirs, old schema files) past the read-grace window.
+        Writer-locked: the reap commits the pruned ledger (see
+        HotColdStore.gc)."""
+        with _single_writer(self.path):
+            return pointer.gc_displaced(self.path, grace_seconds)
 
     def _publish_snap(self, spark: SparkSession, merged: DataFrame,
                       consumed_names: list[str]) -> None:
@@ -711,7 +698,7 @@ class DimensionStore:
             **(st_before or {"format": 2}),
             "snap": nxt, "journal_consumed": consumed,
             "displaced": pointer.displace(st_before, displaced)})
-        self.gc()
+        pointer.gc_displaced(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current table state: last snapshot + journaled mutations

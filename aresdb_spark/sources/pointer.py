@@ -40,6 +40,44 @@ import shutil
 STATE_FILE = "_state.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted a store mutation (or a ledger GC, which
+    is a read-modify-write of the pointer) while one was in flight.
+    Store mutations are whole-state commits, so concurrent writers would
+    be last-writer-wins: one commit silently rolled back — and a
+    rolled-back version flip turns the NEWER version dir into an
+    "orphan" the next writer deletes. The reference serializes ingestion
+    per shard the same way (memstore/ingestion.go:44-62 WriterLock)."""
+
+
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def write_lock(root: str):
+    """Advisory single-writer lock for a store directory: O_EXCL lock
+    file held across the mutation, released on success AND on an
+    in-process error (the writer is finished either way). Only a KILLED
+    process leaves the lock behind — deliberate: the dir may hold a
+    half-written mutation and needs operator attention; delete the named
+    file to release."""
+    os.makedirs(root, exist_ok=True)
+    lock = os.path.join(root, "_writer.lock")
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"store at {root} has a writer in flight (or a crashed one); "
+            f"mutations are single-writer — remove {lock} if the previous "
+            f"writer is known dead") from None
+    try:
+        os.write(fd, f"{os.getpid()}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        os.unlink(lock)
+
+
 class StateCorruptionError(RuntimeError):
     """The store's pointer file exists but does not parse. With the
     fsync'd commit protocol this should be unreachable on a filesystem
@@ -94,6 +132,17 @@ def commit_state(root: str, state: dict) -> None:
 
 def version_dir(root: str, version: int) -> str:
     return os.path.join(root, f"v{version}")
+
+
+def schema_file(root: str, state: "dict | None") -> str:
+    """The schema file a committed state references
+    (``_schema_v<N>.json``, versioned through the pointer commit so a
+    crashed re-init can never pair a new schema with old dirs), or the
+    flat legacy name for stores initialized before schema versioning.
+    One rule for every store kind."""
+    if state is not None and "schema" in state:
+        return os.path.join(root, f"_schema_v{state['schema']}.json")
+    return os.path.join(root, "_schema.json")
 
 
 def next_version(state: "dict | None", key: str = "version") -> int:

@@ -95,12 +95,16 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> dict:
             meta = _json.load(f)
         if meta.get("spec") == SF1_SPEC:
             return meta
-    if os.path.exists(done) and \
+    if os.path.exists(done) and not os.path.exists(meta_path) and \
             os.path.exists(os.path.join(out_dir, "embeddings.parquet")) and \
             os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
-        # complete tier from before fingerprinting: generation is
-        # deterministic and spec 1 IS the r7 content rule set, so
-        # backfill the metadata instead of rebuilding identical data
+        # complete tier from BEFORE fingerprinting existed (no _META at
+        # all): generation is deterministic and spec 1 IS the r7 content
+        # rule set, so backfill the metadata instead of rebuilding
+        # identical data. A tier WITH a meta file under an older spec
+        # must NOT take this branch — re-stamping stale data with the
+        # new spec would fake comparability; it falls through to the
+        # rebuild.
         meta = _sf1_fingerprint(out_dir)
         with open(meta_path, "w") as f:
             _json.dump(meta, f)

@@ -364,6 +364,39 @@ def test_gc_reaps_only_expired_displaced_versions(spark, tmp_path):
     assert gc_signature_store(spark, store, grace_seconds=0) == 0  # idempotent
 
 
+def test_sigstore_mutations_are_single_writer(spark, tmp_path):
+    """Store mutations AND the ledger GC end in whole-state commits, so
+    racing writers would be last-commit-wins: one version flip silently
+    rolled back — after which the next writer deletes the rolled-back
+    version dir as an 'orphan'. The writer lock turns that destruction
+    into a loud ConcurrentWriteError; readers never take it (the
+    read-grace window is their protection)."""
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store, gc_signature_store,
+        incremental_near_duplicates)
+    from aresdb_spark.sources.pointer import ConcurrentWriteError, write_lock
+
+    docs = _docs(spark)
+    store = str(tmp_path / "store")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    build_signature_store(corpus, store)
+
+    with write_lock(store):  # a writer in flight
+        with pytest.raises(ConcurrentWriteError, match="single-writer"):
+            build_signature_store(corpus, store, mode="append")
+        with pytest.raises(ConcurrentWriteError):
+            compact_signature_store(spark, store, corpus.select("doc_id"))
+        with pytest.raises(ConcurrentWriteError):
+            gc_signature_store(spark, store, grace_seconds=0)
+        # readers are lock-free
+        probe = docs.filter(F.col("doc_id") == 3)
+        assert incremental_near_duplicates(
+            spark, probe, store, threshold=0.8, prune=True).count() >= 1
+    # lock released: mutations proceed
+    assert compact_signature_store(spark, store,
+                                   corpus.select("doc_id")) > 0
+
+
 def test_crashed_initial_write_is_not_legacy(spark, tmp_path):
     """ADVICE r7: a crash during the first v2 write leaves a partial
     v0/ dir and no pointer. The replayed first batch must take the
