@@ -280,3 +280,87 @@ def test_run_once_reports_by_identifier(spark, tmp_path):
 
 def test_job_identifier_parity():
     assert job_identifier("abc", 0, "purge") == "abc|0|purge"
+
+
+def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
+    """Engine-driven ingest soak (r8): 24 micro-batches stream into a
+    HotColdStore while the lifecycle scheduler ticks after each batch —
+    the production composition. The 100-TB claim under test: the hot
+    store (rewritten per ingest) stays BOUNDED by the archiving cadence
+    — per-batch cost tracks the hot window, not total ingested history —
+    while the exactly-once union view sees every row exactly once.
+    Contrast run with archiving disabled: hot grows with history."""
+    import statistics
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.streaming.debug_handler import _footer_rows
+
+    n_batches, per_batch = 24, 200
+    t0 = datetime(2024, 1, 1)
+    src = tmp_path / "in"
+    src.mkdir()
+    for k in range(n_batches):
+        ts = t0 + timedelta(hours=k)
+        pq.write_table(pa.table({
+            "id": pa.array([k * 10_000 + j for j in range(per_batch)],
+                           pa.int64()),
+            "ts": pa.array([ts] * per_batch,
+                           pa.timestamp("us")),
+            "v": pa.array([float(j) for j in range(per_batch)],
+                          pa.float64()),
+        }), str(src / f"b{k:03d}.parquet"))
+
+    def run(archive_enabled: bool, root: str):
+        store = HotColdStore(path=root, time_column="ts",
+                             primary_key=("id",))
+        schema = "id long, ts timestamp_ntz, v double"
+        empty = spark.createDataFrame([], schema)
+        store.init_from(empty, t0)
+        sched, _t = _sched(store, config={
+            "archivingIntervalMinutes": 120,
+            "archivingDelayMinutes": 60})
+        if not archive_enabled:
+            sched.enable_job_type(ARCHIVING, False)
+
+        def process(batch_df, batch_id):
+            hi = batch_df.agg(F.max("ts")).first()[0]
+            store.ingest(spark, batch_df, cutoff=store.saved_cutoff())
+            sched.run_once(spark, now=hi)
+
+        q = (spark.readStream.format("parquet").schema(schema)
+             .option("maxFilesPerTrigger", 1).load(f"{src}/*")
+             .writeStream.foreachBatch(process)
+             .option("checkpointLocation", f"{root}_ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(600)
+        durs = [p["durationMs"].get("triggerExecution", 0)
+                for p in (q.recentProgress or [])
+                if p and p.get("numInputRows", 0) > 0]
+        return store, durs
+
+    store, durs = run(True, str(tmp_path / "with_archive"))
+    total = n_batches * per_batch
+    # exactly once through every archive flip
+    assert store.read(spark).count() == total
+    assert store.read(spark).select("id").distinct().count() == total
+    # hot bounded by the cadence window (delay 1h + interval 2h + the
+    # current batch ⇒ a handful of batches), NOT total history
+    hot_rows = _footer_rows(store.hot_path)
+    assert hot_rows <= 5 * per_batch, \
+        f"hot holds {hot_rows} rows — archiving did not bound it"
+    assert len([n for n in __import__("os").listdir(store.cold_path)
+                if n.startswith("__day=")]) >= 1
+    # per-batch wall time flat across the soak
+    assert len(durs) >= 20
+    early = statistics.median(durs[3:10])
+    late = statistics.median(durs[-7:])
+    assert late <= max(3.0 * early, early + 2000), \
+        f"per-batch time drifted: early {early}ms late {late}ms"
+
+    # contrast: no archiving ⇒ hot accumulates ALL of history
+    store2, _ = run(False, str(tmp_path / "no_archive"))
+    assert _footer_rows(store2.hot_path) == total
+    assert store2.read(spark).count() == total
