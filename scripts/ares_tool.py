@@ -19,6 +19,11 @@ deployment?" before and after ``migrate_ares_root``:
     read-upsert-batch FILE OFFSET   — decode the batch at a byte offset
                                       (ReadUpsertBatch)
     migrate ROOT DEST               — run migrate_ares_root (needs Spark)
+    ledger STORE                    — a Spark store's committed state +
+                                      displaced-artifact ledger with ages
+    gc STORE [--grace SECONDS]      — reap ledgered artifacts past the
+                                      grace window (the purge-cadence
+                                      reaper, run manually)
 
 Every command prints one JSON document to stdout.
 """
@@ -182,6 +187,58 @@ def cmd_validate(root: str, table: str, migrated: str,
                               check_values=check_values)
 
 
+def cmd_ledger(store: str) -> dict:
+    """Committed pointer state + the displaced-artifact ledger with
+    per-entry ages and on-disk presence — what an operator checks
+    before a forced gc (a ledgered dir that is already gone means a
+    reaper was killed mid-pass; harmless, the next gc no-ops it)."""
+    import time
+
+    from aresdb_spark.sources import pointer
+
+    state = pointer.read_state(store)
+    if state is None:
+        return {"store": store, "state": None,
+                "note": "no committed pointer (legacy or empty store)"}
+    now = time.time()
+    ledger = []
+    for e in state.get("displaced", []):
+        rel = e.get("dir", f"v{e['version']}" if "version" in e
+                    else "legacy_root")
+        ledger.append({
+            **e, "ageSeconds": round(now - e["at"], 1),
+            "onDisk": os.path.exists(os.path.join(store, rel))
+            if rel != "legacy_root" else None})
+    return {"store": store,
+            "state": {k: v for k, v in state.items() if k != "displaced"},
+            "displaced": ledger,
+            "writerLockHeld": os.path.exists(
+                os.path.join(store, "_writer.lock"))}
+
+
+def cmd_gc(store: str, grace: float) -> dict:
+    """Run the ledger reaper with an explicit grace window. Uses the
+    store's writer lock; refuses (loudly) if a writer is in flight.
+    Routes through gc_signature_store when the state looks like a
+    signature store (its ledger carries catalog table names to DROP),
+    else the generic pointer reaper."""
+    from aresdb_spark.sources import pointer
+
+    state = pointer.read_state(store)
+    if state is not None and "table" in state and "n_buckets" in state:
+        from aresdb_spark.operators.dedup import gc_signature_store
+        from aresdb_spark.session import get_spark
+        spark = get_spark(app_name="ares-gc", cpus=4, shuffle_partitions=4)
+        spark.sparkContext.setLogLevel("ERROR")
+        n = gc_signature_store(spark, store, grace_seconds=grace)
+    else:
+        with pointer.write_lock(store):
+            n = pointer.gc_displaced(store, grace_seconds=grace)
+    return {"store": store, "reaped": n,
+            "remaining": (pointer.read_state(store) or {}).get(
+                "displaced", [])}
+
+
 def main(argv: "list[str] | None" = None) -> dict:
     p = argparse.ArgumentParser(prog="ares_tool",
                                 description=__doc__.split("\n")[0])
@@ -210,6 +267,13 @@ def main(argv: "list[str] | None" = None) -> dict:
     s = sub.add_parser("migrate")
     s.add_argument("root")
     s.add_argument("dest")
+    s = sub.add_parser("ledger")
+    s.add_argument("store")
+    s = sub.add_parser("gc")
+    s.add_argument("store")
+    s.add_argument("--grace", type=float, default=None,
+                   help="seconds (default: the store's standard "
+                        "read-grace window)")
     s = sub.add_parser("validate")
     s.add_argument("root")
     s.add_argument("table")
@@ -231,6 +295,12 @@ def main(argv: "list[str] | None" = None) -> dict:
         out = cmd_read_upsert_batch(a.file, a.offset, a.rows)
     elif a.cmd == "validate":
         out = cmd_validate(a.root, a.table, a.migrated, a.values)
+    elif a.cmd == "ledger":
+        out = cmd_ledger(a.store)
+    elif a.cmd == "gc":
+        from aresdb_spark.sources.pointer import GC_GRACE_SECONDS
+        out = cmd_gc(a.store,
+                     GC_GRACE_SECONDS if a.grace is None else a.grace)
     else:
         out = cmd_migrate(a.root, a.dest)
     print(json.dumps(out, indent=2, default=str))

@@ -159,3 +159,56 @@ def test_select_batch_version_model(entries, cutoff):
         if e[0] <= cutoff:
             want = e
     assert select_batch_version(entries, cutoff) == want
+
+
+def test_ledger_and_gc_commands(spark, tmp_path, capsys):
+    """ledger prints the committed state + displaced entries with ages
+    and on-disk presence; gc reaps past an explicit grace window
+    (routing signature stores through gc_signature_store for the
+    catalog DROPs) and reports what remains."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (
+        build_signature_store, compact_signature_store)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    store = str(tmp_path / "sig")
+    build_signature_store(docs.filter(F.col("doc_id") % 4 == 0), store)
+    compact_signature_store(spark, store, docs.select("doc_id"))
+
+    out = ares_tool.main(["ledger", store])
+    capsys.readouterr()
+    assert out["state"]["version"] == 1
+    assert out["writerLockHeld"] is False
+    assert len(out["displaced"]) == 1
+    e = out["displaced"][0]
+    assert e["version"] == 0 and e["onDisk"] is True
+    assert e["ageSeconds"] >= 0
+
+    out = ares_tool.main(["gc", store, "--grace", "0"])
+    capsys.readouterr()
+    assert out["reaped"] == 1 and out["remaining"] == []
+    out = ares_tool.main(["ledger", store])
+    capsys.readouterr()
+    assert out["displaced"] == []
+
+    # generic (non-signature) store: ledger + gc through the pointer path
+    from datetime import datetime
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from pyspark.sql import Row
+    hs = HotColdStore(path=str(tmp_path / "fact"), time_column="ts",
+                      primary_key=("id",))
+    hs.init_from(spark.createDataFrame(
+        [Row(id=1, ts=datetime(2024, 1, 1), v=1.0),
+         Row(id=2, ts=datetime(2024, 1, 20), v=2.0)]),
+        datetime(2024, 1, 15))
+    hs.archive(spark, datetime(2024, 1, 22))
+    out = ares_tool.main(["ledger", hs.path])
+    capsys.readouterr()
+    assert {e["dir"] for e in out["displaced"]} == {"hot_v0", "cold_v0"}
+    out = ares_tool.main(["gc", hs.path, "--grace", "0"])
+    capsys.readouterr()
+    assert out["reaped"] == 2 and out["remaining"] == []
+    assert hs.read(spark).count() == 2
