@@ -349,14 +349,29 @@ def _stress_queries():
             spark, probe, _sig_stores[sf], threshold=0.5, prune=True) \
             .groupBy().agg(F.count("*").alias("n"))
 
+    # LM train+score class (in the driver window since r8): the scorers
+    # persist the trained LM by plan, so the warmup pass pays training
+    # at each scale and the timed passes measure the steady-state
+    # scoring join over a cached LM — identically at 1x and 10x, so the
+    # ratio is apples-to-apples for the scoring path (training cost
+    # shows in the warmup, not the median)
+    def q18_lm_score(spark, sf):
+        from aresdb_spark.operators.text import lm_perplexity, train_bigram_lm
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        lm = train_bigram_lm(docs.filter(F.col("doc_id") % 2 == 0))
+        return lm_perplexity(docs.filter(F.col("doc_id") % 2 == 1), lm) \
+            .groupBy().agg(F.count("*").alias("n"),
+                           F.round(F.avg("ppl"), 2).alias("mean_ppl"))
+
     # ALL 14 headline queries run at both scales (VERDICT r6 #5: the
     # cheap scans are exactly where a hidden driver-side cost would
-    # show as superlinear), plus the four non-headline stress classes
+    # show as superlinear), plus the five non-headline stress classes
     out = dict(base)
     out["q12s_dedup_clusters_star"] = q12s
     out["q15_semantic_dedup"] = q15_sem   # within-cluster self-join class
     out["q16_incremental_dedup"] = q16_incremental  # store-probe class
     out["q17_pruned_micro_probe"] = q17_pruned_probe  # sink lookup class
+    out["q18_lm_score"] = q18_lm_score    # LM scoring-join class (r8)
     return out
 
 
