@@ -2015,7 +2015,14 @@ _DRIVER_WINDOW = [
     # the in-window aql_numeric_bucket (it stays in check_contract);
     # the ares-root migration family (sources/ares_root.py: binary VP
     # codec + disk-metastore walk) had no driver-graded row at all.
-    "aql_set_union", "migrate_ares_root", "aql_day_of_week",
+    # r9 rotation (VERDICT r8 #1): aql_sharded_scatter — the r8 broker
+    # operational surface (concurrent shard fan-out, job-group-cancel
+    # timeout, per-shard RPC retry; aql/api.py execute_query_sharded)
+    # had no driver-graded row. It displaces aql_day_of_week, whose
+    # recurring-bucket path keeps aql_recurring_buckets (same
+    # timeutil.py recurring code) in-window; day_of_week stays in
+    # check_contract.
+    "aql_set_union", "migrate_ares_root", "aql_sharded_scatter",
     # aql_hour_of_day rotated out for the r6 deferred-backfill scheduler
     # row: its recurring-bucket path keeps TWO in-window siblings
     # (aql_day_of_week, aql_recurring_buckets — same timeutil recurring
