@@ -100,7 +100,10 @@ class DebugDaemon:
         if hasattr(store, "saved_cutoff"):  # fact (hot/cold) store
             meta["kind"] = "fact"
             meta["cutoff"] = store.saved_cutoff().isoformat()
-            meta["hot_rows"] = _footer_rows(store.hot_path)
+            # base + pending batch dirs (footer metadata only); upper
+            # bound of the logical count until compaction folds
+            # repeated PKs — see HotColdStore.hot_physical_rows
+            meta["hot_rows"] = store.hot_physical_rows()
             meta["cold_days"] = sorted(
                 n.split("=", 1)[1] for n in os.listdir(store.cold_path)
                 if n.startswith("__day="))

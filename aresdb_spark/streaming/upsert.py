@@ -129,6 +129,60 @@ def apply_upsert_batch(base: DataFrame, batch: DataFrame, pk_cols: list[str],
     return joined.select(*out_cols)
 
 
+def fold_upserts(base: DataFrame, batches: list[DataFrame], pk_cols: list[str],
+                 modes: dict[str, UpdateMode | str] | None = None,
+                 seq_col: str = "__seq") -> DataFrame:
+    """Resolve ``base`` + an ordered list of upsert batches to one row
+    per PK in a SINGLE aggregation — the read-side of the append-only
+    hot store (the reference resolves its appended live batches through
+    the cuckoo PK index at read, memstore/live_store.go:33-46; here the
+    bounded hot set folds in one hash shuffle instead).
+
+    Each batch must carry ``seq_col`` (long, intra-batch arrival order —
+    materialized at ingest write time); batches are ordered by list
+    position. Equivalent to chaining ``apply_upsert_batch`` per batch
+    because every mode's merge is associative over arrival order:
+
+      - overwrite: last non-null in (batch, seq) order  → max_by
+      - force:     last value outright                  → max_by
+      - add:       sum of non-null contributions        → sum
+      - min/max:   running least/greatest skipping null → min/max
+
+    The base participates at order (-1, 0) — strictly before every
+    batch row. One shuffle total, independent of the number of pending
+    batches (vs. one join per batch for the iterative chain)."""
+    cols = base.columns
+    parts = [base.select(
+        *cols, F.lit(-1).alias("__fold_b"),
+        F.lit(0).cast("long").alias(seq_col))]
+    for i, b in enumerate(batches):
+        parts.append(b.select(
+            *cols, F.lit(i).alias("__fold_b"), F.col(seq_col)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    order = F.struct(F.col("__fold_b"), F.col(seq_col))
+    aggs: list[Column] = []
+    for c in cols:
+        if c in pk_cols:
+            continue
+        mode = _mode(modes, c)
+        if mode is UpdateMode.FORCE:
+            aggs.append(F.max_by(c, order).alias(c))
+        elif mode is UpdateMode.ADD:
+            aggs.append(F.sum(c).alias(c))
+        elif mode is UpdateMode.MIN:
+            aggs.append(F.min(c).alias(c))
+        elif mode is UpdateMode.MAX:
+            aggs.append(F.max(c).alias(c))
+        else:  # OVERWRITE: last non-null in global arrival order
+            aggs.append(
+                F.max_by(c, F.when(F.col(c).isNotNull(), order)).alias(c))
+    if not aggs:  # PK-only table: fold is plain dedupe
+        return u.select(*pk_cols).distinct()
+    return u.groupBy(*pk_cols).agg(*aggs).select(*cols)
+
+
 def upsert_merge_oracle_sql(base: str, batch: str, pk: str,
                             columns: dict[str, UpdateMode | str]) -> str:
     """DuckDB rendering of apply_upsert_batch for a single-column PK and an

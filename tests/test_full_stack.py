@@ -102,7 +102,10 @@ def test_wire_to_query_full_stack(spark, tmp_path):
     # day window [Jan10, Jan11): first 8 hourly trips all inside
     assert res_df.collect()[0]["cnt"] == 8
 
-    # 6. DuckDB oracle over the store's own parquet agrees
+    # 6. DuckDB oracle over the store's own parquet agrees (compact
+    # first: ingested batches live in append-only hotbatch dirs until
+    # archiving folds them — the flat glob needs the resolved base)
+    store.compact_hot(spark)
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW trips AS SELECT * FROM "

@@ -296,7 +296,6 @@ def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
     import pyarrow.parquet as pq
 
     from aresdb_spark.sources.hotcold import HotColdStore
-    from aresdb_spark.streaming.debug_handler import _footer_rows
 
     n_batches, per_batch = 24, 200
     t0 = datetime(2024, 1, 1)
@@ -348,7 +347,7 @@ def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
     assert store.read(spark).select("id").distinct().count() == total
     # hot bounded by the cadence window (delay 1h + interval 2h + the
     # current batch ⇒ a handful of batches), NOT total history
-    hot_rows = _footer_rows(store.hot_path)
+    hot_rows = store.hot_physical_rows()
     assert hot_rows <= 5 * per_batch, \
         f"hot holds {hot_rows} rows — archiving did not bound it"
     assert len([n for n in __import__("os").listdir(store.cold_path)
@@ -362,5 +361,72 @@ def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
 
     # contrast: no archiving ⇒ hot accumulates ALL of history
     store2, _ = run(False, str(tmp_path / "no_archive"))
-    assert _footer_rows(store2.hot_path) == total
+    assert store2.hot_physical_rows() == total
     assert store2.read(spark).count() == total
+
+
+def test_scheduler_gc_job_reaps_idle_store_ledgers(spark, tmp_path):
+    """VERDICT r8 #7: a store that STOPS mutating must still reap its
+    displaced-artifact ledger — post-mutation GC and purge only run on
+    mutation/fact cadences. The scheduler's gc job (engine extension,
+    interval-gated like purge, metadata-only generation) reaps a
+    DimensionStore's old snapshot and a signature store's displaced
+    version after the grace window with NO further mutation and no
+    manual ares_tool call."""
+    import os
+    import time as _time
+
+    from aresdb_spark.operators.dedup import (_sigstore_table,
+                                              build_signature_store)
+    from aresdb_spark.sources import pointer
+    from aresdb_spark.sources.hotcold import DimensionStore
+    from aresdb_spark.sources.lifecycle import (GC, Scheduler,
+                                                SignatureStoreHandle,
+                                                TableLifecycle)
+
+    # dimension store: one ingest displaces snap_v0 into the ledger
+    # (the default 900 s post-mutation grace keeps it on disk)
+    dim = DimensionStore(path=str(tmp_path / "dim"), primary_key=("k",))
+    dim.init_from(spark.createDataFrame([(1, "a")], "k int, v string"))
+    dim.ingest(spark, spark.createDataFrame([(2, "b")], "k int, v string"))
+    old_snap = os.path.join(dim.path, "snap_v0")
+    assert os.path.isdir(old_snap)
+    assert pointer.read_state(dim.path)["displaced"]
+
+    # signature store: a second overwrite displaces v0 (and its catalog
+    # table), ledgered behind the pointer
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(30)],
+        "doc_id long, text string")
+    sig = str(tmp_path / "sig")
+    build_signature_store(docs, sig)
+    build_signature_store(docs, sig)
+    v0_dir = pointer.version_dir(sig, 0)
+    assert os.path.isdir(v0_dir)
+    assert pointer.read_state(sig)["displaced"]
+
+    tables = [
+        TableLifecycle(name="dim", store=dim, config={
+            "snapshotIntervalMinutes": 360, "snapshotThreshold": 100,
+            "gcGraceSeconds": 1.0, "gcIntervalHours": 24}),
+        TableLifecycle(name="sig",
+                       store=SignatureStoreHandle(sig, grace_seconds=1.0),
+                       config={"gcIntervalHours": 24}),
+    ]
+    sched = Scheduler(tables)
+    t0 = datetime(2024, 3, 1)
+    assert sched.run_once(spark, t0) == {}          # first sight seeds
+    assert sched.generate_jobs(t0 + timedelta(hours=23)) == []  # gated
+    _time.sleep(1.2)                                # pass the grace
+    res = sched.run_once(spark, t0 + timedelta(hours=25))
+    assert res.get("dim|0|gc", 0) >= 1
+    assert res.get("sig|0|gc", 0) >= 1
+    # displaced artifacts gone, ledgers drained — with zero mutations
+    assert not os.path.isdir(old_snap)
+    assert not os.path.isdir(v0_dir)
+    assert not spark.catalog.tableExists(_sigstore_table(sig, 0))
+    assert not pointer.read_state(dim.path).get("displaced")
+    assert not pointer.read_state(sig).get("displaced")
+    # disabled like any reference job type (EnableJobType)
+    sched.enable_job_type(GC, False)
+    assert sched.generate_jobs(t0 + timedelta(hours=50)) == []

@@ -82,6 +82,9 @@ def array_env(spark, tmp_path_factory):
     assert conn.insert("arraytest", cols, rows) == N_ROWS
 
     catalog = catalog_from_store(str(root), store, hotcold={"arraytest"})
+    # fold the ingested append-only hot batches into the base so the
+    # flat oracle glob sees the resolved store
+    hc.compact_hot(spark)
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW arraytest AS SELECT * FROM "

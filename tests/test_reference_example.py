@@ -83,6 +83,9 @@ def trips_env(spark, tmp_path_factory):
     catalog = catalog_from_store(str(root), store,
                                  hotcold={"trips", "cities"})
 
+    # fold the ingested append-only hot batches into the base so the
+    # flat oracle glob sees the resolved store
+    trips_store.compact_hot(spark)
     import duckdb
     duck = duckdb.connect()
     duck.execute(f"CREATE VIEW trips AS SELECT * FROM "

@@ -102,3 +102,41 @@ def test_pk_only_table_collapses_to_distinct(spark):
     got = sorted(r["k"] for r in
                  apply_upsert_batch(base, batch, ["k"]).collect())
     assert got == ["a", "b", "c"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(row, max_size=5, unique_by=lambda r: r[0]),
+    batches=st.lists(st.lists(row, min_size=1, max_size=5),
+                     min_size=1, max_size=4),
+    mode_x=st.sampled_from(MODES),
+    mode_y=st.sampled_from(MODES),
+)
+def test_fold_upserts_equals_chained_merges(spark, base, batches,
+                                            mode_x, mode_y):
+    """The append-only hot store's read-side resolution (fold_upserts:
+    ONE aggregation over base + all pending batches) must equal the
+    eager chain of per-batch merges — i.e. every update mode's merge is
+    associative over (batch, seq) arrival order. This is the invariant
+    that lets ingest be O(batch) while reads stay exact."""
+    from aresdb_spark.streaming.upsert import fold_upserts
+
+    modes = {"x": mode_x, "y": mode_y}
+    base_df = spark.createDataFrame(base or [(99, None, None)],
+                                    "pk int, x int, y int")
+    if not base:
+        base_df = base_df.filter("pk < 0")
+    batch_dfs = []
+    for b in batches:
+        batch_dfs.append(spark.createDataFrame(
+            [(pk, x, y, i) for i, (pk, x, y) in enumerate(b)],
+            "pk int, x int, y int, __seq long"))
+    chained = base_df
+    for bdf in batch_dfs:
+        chained = apply_upsert_batch(chained, bdf, ["pk"], modes,
+                                     seq_col="__seq")
+    folded = fold_upserts(base_df, batch_dfs, ["pk"], modes)
+    got = {r["pk"]: (r["x"], r["y"]) for r in folded.collect()}
+    want = {r["pk"]: (r["x"], r["y"]) for r in chained.collect()}
+    assert got == want
