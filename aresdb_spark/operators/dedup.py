@@ -586,6 +586,14 @@ def build_signature_store(df: DataFrame, path: str, text_col: str = "text",
         target = pointer.version_dir(path, version)
         if os.path.isdir(target):  # orphan of a crashed, uncommitted write
             pointer.gc_dir(target)
+        # catalog repair (VERDICT r8 #6): a writer that died between its
+        # saveAsTable (catalog write) and its pointer commit left a
+        # catalog entry for THIS version name — possibly with a
+        # different bucket spec. The version is uncommitted by
+        # construction (allocated above the committed state), so the
+        # entry can never be a live table; drop it rather than letting
+        # saveAsTable merge into a stale definition.
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
         ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                         for f in bands.schema.fields)
         write_bucketed(bands, table, target, n_buckets, ["bh"])

@@ -386,3 +386,60 @@ def test_ingest_crash_before_flip_drops_whole_batch(spark, tmp_path):
     store.ingest(spark, both_sides, cutoff=cutoff)  # retry lands whole
     assert sorted(r.id for r in store.read(spark, cutoff).collect()) \
         == before + [20, 21]
+
+
+def test_sigstore_catalog_registration_crash_window(spark, tmp_path):
+    """VERDICT r8 #6: a signature-store writer dying BETWEEN its
+    bucketed saveAsTable (catalog write) and its pointer commit leaves
+    a catalog entry for an uncommitted version. The store must stay
+    readable off the committed pointer (the catalog stale entry is
+    never resolved by readers), and a retry — even with a DIFFERENT
+    bucket spec — must repair the stale entry rather than reuse it."""
+    import os
+
+    from aresdb_spark.operators.dedup import (_sigstore_table,
+                                              build_signature_store,
+                                              incremental_near_duplicates,
+                                              read_signature_store)
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog")
+         for i in range(40)], "doc_id long, text string")
+    path = str(tmp_path / "sig")
+    build_signature_store(docs, path)                    # v0 committed
+    v0_rows = read_signature_store(spark, path).count()
+    assert pointer_mod.read_state(path)["version"] == 0
+
+    more = spark.createDataFrame(
+        [(100 + i, f"pack my box with five dozen liquor jugs {i}")
+         for i in range(40)], "doc_id long, text string")
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            build_signature_store(docs.unionByName(more), path)
+
+    # files + catalog entry for v1 exist, but the pointer still says v0
+    st = pointer_mod.read_state(path)
+    assert st["version"] == 0
+    stale = _sigstore_table(path, 1)
+    assert spark.catalog.tableExists(stale)
+    # the read path resolves via the committed pointer — stale entry
+    # ignored, old version served intact
+    assert read_signature_store(spark, path).count() == v0_rows
+
+    # retry with a DIFFERENT bucket count: the repair line must drop
+    # the stale v1 definition (8-bucket spec must win, not the crashed
+    # 16-bucket one — a reused stale spec would silently mis-prune)
+    build_signature_store(docs.unionByName(more), path, n_buckets=8)
+    st = pointer_mod.read_state(path)
+    assert st["version"] == 1 and st["n_buckets"] == 8
+    desc = spark.sql(f"DESCRIBE EXTENDED {st['table']}").collect()
+    buckets = {r["data_type"] for r in desc
+               if r["col_name"] == "Num Buckets"}
+    assert buckets == {"8"}
+    assert read_signature_store(spark, path).count() > v0_rows
+    # and the pruned probe (the bucket filter consumer) stays correct
+    probe = docs.limit(3)
+    hits = incremental_near_duplicates(spark, probe, path,
+                                       threshold=0.9, prune=True)
+    assert {r["store_id"] for r in hits.collect()} >= \
+        {r["doc_id"] for r in probe.collect()}
