@@ -1138,3 +1138,126 @@ def test_compact_signature_store_to_empty(spark, tmp_path):
     assert compact_signature_store(spark, store, none_kept) == 0
     assert incremental_near_duplicates(spark, docs.limit(3),
                                        store).count() == 0
+
+
+def test_png_roundtrip_gray_and_rgb():
+    """encode_png → decode_png is the identity for 8-bit grayscale and
+    RGB (stdlib-only codec, VERDICT r8 #4)."""
+    import numpy as np
+
+    from aresdb_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1), (5, 3), (14, 16), (5, 3, 3), (14, 16, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        got = decode_png(encode_png(px))
+        assert got.shape == px.shape and got.dtype == np.uint8
+        assert np.array_equal(got, px)
+
+
+def test_png_decode_filter_goldens():
+    """decode_png inverts every scanline filter type (RFC 2083 §6):
+    hand-assembled PNGs whose IDAT uses Sub/Up/Average/Paeth filtered
+    scanlines with hand-computed expected pixels — decode must invert
+    each recurrence, not just the filter-0 path the encoder emits."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from aresdb_spark.operators.multimodal import PNG_SIGNATURE, decode_png
+
+    def png(width, height, color, raw):
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data +
+                    struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+        return (PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # Sub (type 1), grayscale 4x1: deltas 10,+5,+250(wraps),+1
+    # recon: 10, 15, (15+250)%256=9, 10
+    got = decode_png(png(4, 1, 0, bytes([1, 10, 5, 250, 1])))
+    assert got.tolist() == [[10, 15, 9, 10]]
+
+    # Up (type 2), grayscale 3x2: row0 None=[1,2,3]; row1 Up=[10,20,30]
+    # recon row1: [11, 22, 33]
+    got = decode_png(png(3, 2, 0, bytes([0, 1, 2, 3, 2, 10, 20, 30])))
+    assert got.tolist() == [[1, 2, 3], [11, 22, 33]]
+
+    # Average (type 3), grayscale 2x2: row0 None=[100, 2];
+    # row1 Avg=[10, 20] → x0: 10+((0+100)>>1)=60; x1: 20+((60+2)>>1)=51
+    got = decode_png(png(2, 2, 0, bytes([0, 100, 2, 3, 10, 20])))
+    assert got.tolist() == [[100, 2], [60, 51]]
+
+    # Paeth (type 4), grayscale 2x2: row0 None=[50, 100];
+    # row1 Paeth=[10, 20] → x0: a=0,b=50,c=0 → p=50 → pred=b=50 → 60
+    #                       x1: a=60,b=100,c=50 → p=110: pa=50,pb=10,pc=60
+    #                           → pred=b=100 → 120
+    got = decode_png(png(2, 2, 0, bytes([0, 50, 100, 4, 10, 20])))
+    assert got.tolist() == [[50, 100], [60, 120]]
+
+    # Sub on RGB (bpp=3), 2x1: left-pixel recurrence is per CHANNEL:
+    # [5,6,7] then deltas [10,20,30] → [15,26,37]
+    got = decode_png(png(2, 1, 2, bytes([1, 5, 6, 7, 10, 20, 30])))
+    assert got.tolist() == [[[5, 6, 7], [15, 26, 37]]]
+
+
+def test_png_decode_rejects_unimplemented_formats():
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from aresdb_spark.operators.multimodal import (PNG_SIGNATURE,
+                                                   decode_image, decode_png,
+                                                   encode_png)
+
+    def png_header_only(depth, color, interlace=0):
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data +
+                    struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+
+    with pytest.raises(NotImplementedError, match="16"):
+        decode_png(png_header_only(16, 0))
+    with pytest.raises(NotImplementedError, match="color_type=3"):
+        decode_png(png_header_only(8, 3))          # palette
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(png_header_only(8, 0, interlace=1))
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # and the dispatcher decodes a real PNG for real
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(decode_image(encode_png(px)),
+                          px.astype(np.float32))
+
+
+def test_decode_stats_oracle_vs_duckdb(spark, duck):
+    """The full executor-side pipeline (synthetic_png_media encode →
+    decode_stats real decode) matches DuckDB recomputing the integer
+    pixel formula directly — the mapInPandas twin of the
+    multimodal_featurize contract row."""
+    from aresdb_spark.operators.multimodal import (decode_stats,
+                                                   synthetic_png_media)
+
+    ids = spark.createDataFrame([(i,) for i in range(0, 40)],
+                                "media_id long")
+    got = sorted(tuple(r) for r in decode_stats(
+        synthetic_png_media(ids)).collect())
+    want = sorted(tuple(r) for r in duck.execute("""
+        SELECT d AS media_id, 8 + d % 9 AS width, 8 + d % 7 AS height,
+               CASE WHEN d % 2 = 1 THEN 3 ELSE 1 END AS channels,
+               count(*) AS n_px,
+               CAST(sum((d * 7 + i * 31) % 256) AS BIGINT) AS px_sum,
+               min((d * 7 + i * 31) % 256) AS px_min,
+               max((d * 7 + i * 31) % 256) AS px_max
+        FROM range(40) s(d) CROSS JOIN range(672) t(i)
+        WHERE i < (8 + d % 9) * (8 + d % 7)
+                  * (CASE WHEN d % 2 = 1 THEN 3 ELSE 1 END)
+        GROUP BY 1, 2, 3, 4
+    """).fetchall())
+    assert got == want
