@@ -375,11 +375,60 @@ def _stress_queries():
     return out
 
 
+def _host_calibration(spark) -> dict:
+    """Fixed-work probes timed at bench start (VERDICT r8 #5): the
+    container's speed varies 2-3x across sessions (PERF_NOTES tracks
+    same-HEAD totals spanning 7.5-12.7 s since r5), so absolute
+    wall-clock comparisons across rounds adjudicate the HOST unless a
+    calibration constant rides in the payload. Two probes, both fixed
+    work (no data dependence):
+
+      - ``numpy_matmul_sec``: single-core 1200x1200 float64 matmul —
+        the pure-Python/numpy speed the wire codecs run at
+      - ``spark_32task_sec``: one 32-task JVM job (xxhash64 over 6.4M
+        longs) — task scheduling + whole-stage-codegen throughput
+
+    Normalization rule (PERF_NOTES): comparing two rounds' totals,
+    divide each by its run's probe time (same probe on both sides);
+    the ratio of normalized totals is attributable to code. min of 3
+    after a warmup pass, same methodology as the queries."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random((1200, 1200))
+    (a @ a).sum()                                   # warmup
+    numpy_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (a @ a).sum()
+        numpy_times.append(time.perf_counter() - t0)
+
+    from pyspark.sql import functions as F
+
+    def spark_probe():
+        # bit_xor: overflow-free fold of the per-row hashes (ANSI mode
+        # rejects a long sum of xxhash64 outputs)
+        return (spark.range(32 * 200_000).repartition(32)
+                .select(F.expr("bit_xor(xxhash64(id))")).collect())
+
+    spark_probe()                                   # warmup
+    spark_times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark_probe()
+        spark_times.append(time.perf_counter() - t0)
+    return {"numpy_matmul_sec": round(min(numpy_times), 4),
+            "spark_32task_sec": round(min(spark_times), 4)}
+
+
 def main():
     from aresdb_spark.session import get_spark
 
     spark = get_spark(app_name="aresdb-bench", cpus=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        host_index = _host_calibration(spark)
+    except Exception as e:   # calibration must never sink the bench
+        host_index = {"error": str(e)}
     qs = _queries()
 
     times, mins = {}, {}
@@ -414,6 +463,10 @@ def main():
             "per_query_min": mins,
             "min_total": round(sum(mins.values()), 4),
         },
+        # fixed-work host-speed probes (r9): normalize cross-round
+        # totals by these before attributing drift to code — see
+        # _host_calibration and the PERF_NOTES normalization rule
+        "host_index": host_index,
     }
 
     if SF1_ENABLED:
