@@ -104,6 +104,12 @@ class DebugDaemon:
             # bound of the logical count until compaction folds
             # repeated PKs — see HotColdStore.hot_physical_rows
             meta["hot_rows"] = store.hot_physical_rows()
+            # append-only live-store depth: how many ingested batches
+            # await the archive compaction (the reference exposes its
+            # live batch list the same way, debug_handler.go
+            # ShowShardMeta -> LiveStore.Batches)
+            meta["hot_pending_batches"] = \
+                len(store._pending_hot_batches())
             meta["cold_days"] = sorted(
                 n.split("=", 1)[1] for n in os.listdir(store.cold_path)
                 if n.startswith("__day="))

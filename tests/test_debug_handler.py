@@ -50,10 +50,21 @@ def test_show_shard_meta_live_state(spark, tmp_path):
     assert meta["kind"] == "fact"
     assert meta["cutoff"] == "2024-01-15T00:00:00"
     assert meta["hot_rows"] == 1                 # only the Jan-20 row
+    assert meta["hot_pending_batches"] == 0      # init = compacted base
     assert meta["cold_days"] == ["2024-01-01", "2024-01-10"]
     assert meta["backfill_queue"] == {"batches": 0, "bytes": 0}
     assert meta["writer_lock_held"] is False
     assert meta["state"]["hot"] == 0 and meta["state"]["cold"] == 0
+
+    # an ingest appends one hot batch dir: depth + footer count track it
+    stores = d.stores
+    stores["events"].ingest(
+        spark, spark.createDataFrame(
+            [Row(id=9, ts=datetime(2024, 1, 21, 5), city=7, v=9.0)]),
+        cutoff=datetime(2024, 1, 15))
+    _, meta = d.show_shard_meta("events")
+    assert meta["hot_pending_batches"] == 1
+    assert meta["hot_rows"] == 2                 # base + pending footers
 
     status, dmeta = d.show_shard_meta("cities")
     assert status == 200

@@ -360,9 +360,18 @@ def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
         f"per-batch time drifted: early {early}ms late {late}ms"
 
     # contrast: no archiving ⇒ hot accumulates ALL of history
-    store2, _ = run(False, str(tmp_path / "no_archive"))
+    store2, durs2 = run(False, str(tmp_path / "no_archive"))
     assert store2.hot_physical_rows() == total
     assert store2.read(spark).count() == total
+    # r9, the O(batch) claim at its sharpest: with NO archiving the hot
+    # set grows every batch, yet per-batch ingest wall stays flat —
+    # ingest appends one dir and never touches the accumulated hot
+    # store (the pre-r9 rewrite-on-ingest design drifted upward here)
+    early2 = statistics.median(durs2[3:10])
+    late2 = statistics.median(durs2[-7:])
+    assert late2 <= max(3.0 * early2, early2 + 2000), \
+        f"per-batch ingest wall grew with hot size: " \
+        f"early {early2}ms late {late2}ms"
 
 
 def test_scheduler_gc_job_reaps_idle_store_ledgers(spark, tmp_path):

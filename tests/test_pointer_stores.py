@@ -443,3 +443,37 @@ def test_sigstore_catalog_registration_crash_window(spark, tmp_path):
                                        threshold=0.9, prune=True)
     assert {r["store_id"] for r in hits.collect()} >= \
         {r["doc_id"] for r in probe.collect()}
+
+
+def test_hot_reader_survives_concurrent_compaction(spark, tmp_path):
+    """r9 append-only hot store: a reader that resolved base + PENDING
+    BATCH DIRS just before an archive/compaction keeps working after
+    it — consumed hotbatch dirs are ledgered with the flip (read-grace
+    window), not deleted; gc reaps them only past the grace."""
+    import os
+
+    store = _fact_store(spark, tmp_path)
+    cutoff = datetime(2024, 1, 15)
+    for h in (1, 2, 3):
+        store.ingest(spark, spark.createDataFrame(
+            [Row(id=30 + h, ts=datetime(2024, 1, 21, h), v=float(h))]),
+            cutoff=cutoff)
+    assert len(store._pending_hot_batches()) == 3
+    reader = store.read_hot(spark)           # resolves pending dirs
+    want = sorted(r.id for r in reader.collect())
+
+    store.compact_hot(spark)                 # consumes the batch dirs
+    ledger = {e["dir"] for e in store._state()["displaced"]}
+    assert any(d.startswith("hotbatch/batch=") for d in ledger)
+    batch_dirs = [os.path.join(store.path, d) for d in ledger
+                  if d.startswith("hotbatch/")]
+    assert all(os.path.isdir(d) for d in batch_dirs)   # grace: intact
+
+    # the old-state reader completes its scan with the same rows
+    assert sorted(r.id for r in reader.collect()) == want
+    # fresh readers resolve the compacted base, same logical rows
+    assert sorted(r.id for r in store.read_hot(spark).collect()) == want
+    # past the grace the reaper takes the consumed dirs with the ledger
+    assert store.gc(grace_seconds=0) >= 3
+    assert not any(os.path.isdir(d) for d in batch_dirs)
+    assert store._state()["displaced"] == []
