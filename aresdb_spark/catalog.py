@@ -115,8 +115,13 @@ class Catalog:
                 primary_key=tdef.primary_key, sort_columns=tdef.sort_columns)
             # cutoff=None: the cutoff and both version dirs resolve from
             # ONE state snapshot — a concurrent archive commit can never
-            # produce a torn union view (hotcold.read docstring)
-            df = store.read(spark)
+            # produce a torn union view (hotcold.read docstring).
+            # time_range prunes the cold DAY LIST engine-side (the
+            # reference's archive-batch pruning by query time range,
+            # query/aql_processor.go:925-985) — Catalyst cannot derive
+            # day-dir bounds from a timestamp predicate; the exact row
+            # filter below still applies on top.
+            df = store.read(spark, time_range=time_range)
         elif tdef.hotcold:
             # ingestion-backed dimension table: no time column, no
             # cutoff — the whole table is one PK-merged snapshot

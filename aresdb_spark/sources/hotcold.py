@@ -15,11 +15,19 @@ Reference model:
   - purge: rows older than recordRetentionInDays are dropped
     (metastore/common/model.go:111-113, memstore/purge.go)
 
-Spark shape: two parquet directories.
-  - cold/ is written date-partitioned (``__day``) and sorted WITHIN each
-    partition by the table's sort columns → partition pruning on the time
-    filter + parquet row-group min/max pruning on sort-column predicates
-    (the prefilter-slice analog, query/aql_processor.go:925-985).
+Spark shape: two parquet layouts behind one pointer.
+  - cold is a MAP of immutable per-day dirs committed in the pointer
+    (``cold_days: {day: [coldset_v<k>/__day=.., ...]}``) — the
+    reference's archive store is the same map of per-day batches with
+    versions flipped through the metastore (archive_store.go:28-86,
+    disk_metastore.go batches/<day>). Every dir is day-pure and sorted
+    by the table's sort columns → the engine prunes the DAY LIST by the
+    query's time range before Spark lists a file (the reference's
+    archive-batch pruning, query/aql_processor.go:925-985) and parquet
+    row-group min/max pruning covers sort-column predicates (the
+    prefilter-slice analog). Archive APPENDS day dirs; backfill
+    rewrites only affected days; purge drops map entries — no cold
+    mutation is ever O(|cold|).
   - hot/ is a compacted base (``hot_v<N>``) plus APPEND-ONLY numbered
     batch dirs (``hotbatch/batch=<K>``): ingest writes one O(batch)
     parquet dir and never touches the base — the reference's live store
@@ -111,10 +119,13 @@ class HotColdStore:
     def _commit(self, **updates) -> None:
         """THE commit point of a mutation: publish every metadata change
         of this mutation (version flips, watermarks, cutoff) in one
-        atomic pointer write."""
+        atomic pointer write. An update of ``None`` DELETES the key —
+        used when a mutation retires a legacy layout field (e.g. the
+        monolithic ``cold`` version on conversion to per-day cold)."""
         st = self._state() or {"format": 2}
         st.update(updates)
-        pointer.commit_state(self.path, st)
+        pointer.commit_state(self.path,
+                             {k: v for k, v in st.items() if v is not None})
 
     def _version_path(self, kind: str,
                       st: "dict | None | str" = "__load__") -> str:
@@ -135,6 +146,9 @@ class HotColdStore:
 
     @property
     def cold_path(self) -> str:
+        """LEGACY monolithic cold dir (stores committed before the
+        per-day map). Map-layout stores have no single cold dir —
+        resolve days via ``cold_day_keys``/``_cold_day_map``."""
         return self._version_path("cold")
 
     @property
@@ -184,8 +198,10 @@ class HotColdStore:
                 f.write(df.schema.json())
             cut = F.lit(_utc_naive(cutoff))
             t = F.col(self.time_column)
-            hv, cv = self._next("hot"), self._next("cold")
-            self._write_cold(df.filter(t < cut), cv)
+            hv = self._next("hot")
+            ck = pointer.next_version(before, "coldset_seq")
+            day_map = {d: [rel] for d, rel in self._write_cold_days(
+                df.filter(t < cut), ck).items()}
             # NULL event times (when allowed) belong to hot — they
             # never archive
             self._write_hot(df.filter((t >= cut) | t.isNull()), hv)
@@ -210,16 +226,26 @@ class HotColdStore:
                 displaced.append(
                     os.path.basename(self._schema_path(before)))
             if before is not None:
-                displaced += [self._displaced_dir("hot", before),
-                              self._displaced_dir("cold", before)]
+                displaced += [self._displaced_dir("hot", before)]
+                displaced += self._cold_artifacts(before)
             displaced += [f"hotbatch/batch={e['n']}"
                           for e in self._pending_hot_batches(before)]
-            self._commit(hot=hv, cold=cv, schema=sv,
+            self._commit(hot=hv, cold=None, schema=sv,
+                         cold_days=day_map, coldset_seq=ck,
                          backfill_consumed=consumed,
                          hot_seq=hot_seq, hot_batches=[],
                          cutoff=_utc_naive(cutoff).isoformat(),
                          displaced=pointer.displace(before, displaced))
             pointer.gc_displaced(self.path)
+
+    def _cold_artifacts(self, state: "dict | None") -> list[str]:
+        """Root-relative dirs the committed state's COLD side references
+        — what a re-init or legacy conversion displaces: the per-day
+        dirs of a v3 map, or the monolithic legacy dir."""
+        m = self._cold_day_map(state)
+        if m is not None:
+            return [rel for dirs in m.values() for rel in dirs]
+        return [self._displaced_dir("cold", state)]
 
     def saved_cutoff(self) -> datetime:
         """The persisted archiving cutoff (set by init_from/archive) —
@@ -246,15 +272,63 @@ class HotColdStore:
         with open(self._schema_path(st)) as f:
             return StructType.fromJson(__import__("json").load(f))
 
-    def _write_cold(self, df: DataFrame, version: int) -> None:
-        """Cold writes are day-partitioned and sorted within partitions by
-        the archiving sort columns — scan-time partition pruning plus
-        row-group min/max pruning both work (SURVEY §2.1 prefilter).
-        Writes go to the UNPUBLISHED ``cold_v<version>`` dir; the caller
-        commits the flip."""
+    # -- cold layout: per-day dir map behind the pointer (r9) -----------------
+    #
+    # state["cold_days"] = {"YYYY-MM-DD": ["coldset_v<k>/__day=...", ...]}
+    # Each cold mutation writes ONLY the days it touches into a fresh
+    # ``coldset_v<k>`` dir (one day-partitioned write job) and commits a
+    # map update — the reference's archive store is likewise a map of
+    # immutable per-day batches with per-batch versions flipped through
+    # the metastore (memstore/archive_store.go:28-86,
+    # metastore/disk_metastore.go batches/<day>). A day may list several
+    # dirs (appends from successive archives); backfill compacts the
+    # days it rewrites to a single dir. This is what keeps archive and
+    # backfill O(touched days), never O(|cold|) — at 100 TB a daily
+    # archive job must not rewrite the whole archive. Stores committed
+    # by older code (monolithic ``cold``/``cold_v<N>``) read unchanged
+    # and CONVERT on their first cold mutation (one full rewrite — the
+    # cost every mutation already paid under the old layout).
+
+    def _cold_day_map(
+            self, st: "dict | None | str" = "__load__"
+    ) -> "dict[str, list[str]] | None":
+        """The committed day→dirs map, or None for a legacy monolithic
+        cold layout."""
+        if st == "__load__":
+            st = self._state()
+        if st is not None and "cold_days" in st:
+            return {d: list(v) for d, v in st["cold_days"].items()}
+        return None
+
+    def cold_day_keys(self, st: "dict | None | str" = "__load__") -> list[str]:
+        """Sorted committed day keys — pure metadata for the ops surface
+        (pointer read for per-day stores; dir listing only on legacy)."""
+        m = self._cold_day_map(st)
+        if m is not None:
+            return sorted(m)
+        if st == "__load__":
+            st = self._state()
+        legacy = self._version_path("cold", st)
+        if not os.path.isdir(legacy):
+            return []
+        return sorted(n.split("=", 1)[1] for n in os.listdir(legacy)
+                      if n.startswith("__day="))
+
+    def _write_cold_days(self, df: DataFrame, k: int) -> dict[str, str]:
+        """Write ``df`` day-partitioned + sorted (writer.write_archive)
+        into the UNPUBLISHED ``coldset_v<k>`` dir; return {day: relpath}
+        for the days actually written (listing the output — metadata,
+        no extra job). "overwrite" reclaims the orphan of a writer that
+        died before its commit at the same number."""
         from aresdb_spark.sources.writer import write_archive
-        write_archive(df, os.path.join(self.path, f"cold_v{version}"),
-                      self.time_column, self.sort_columns, "overwrite")
+        out = os.path.join(self.path, f"coldset_v{k}")
+        write_archive(df, out, self.time_column, self.sort_columns,
+                      "overwrite")
+        return {n.split("=", 1)[1]: f"coldset_v{k}/{n}"
+                for n in os.listdir(out) if n.startswith("__day=")}
+
+    def _day_key(self) -> "F.Column":
+        return F.date_format(F.col(self.time_column), "yyyy-MM-dd")
 
     def _write_hot(self, df: DataFrame, version: int) -> None:
         df.write.mode("overwrite").parquet(
@@ -328,16 +402,49 @@ class HotColdStore:
                     resolved, b, pk, e.get("modes", self.modes), "__seq")
         return self._conform(resolved, st)
 
-    def read_cold(self, spark: SparkSession) -> DataFrame:
-        # __day is a partition column, re-derivable; select the base schema
-        st = self._state()
+    def read_cold(self, spark: SparkSession,
+                  time_range: "tuple | None" = None) -> DataFrame:
+        """The committed cold store. ``time_range=(lo, hi)`` (hi
+        exclusive, either side None) prunes the day-dir LIST engine-side
+        before Spark ever lists a file — the reference prunes archive
+        batches by the query's time range the same way
+        (query/aql_processor.go:925-985); Catalyst cannot derive
+        ``__day`` bounds from a timestamp predicate on its own. Pruning
+        is conservative (whole days only); callers still apply the exact
+        row filter."""
+        return self._read_cold_resolved(spark, self._state(), time_range)
+
+    def _read_cold_resolved(self, spark: SparkSession, st: "dict | None",
+                            time_range: "tuple | None" = None,
+                            days: "set[str] | None" = None) -> DataFrame:
         schema = self._schema(st)
         cols = [f.name for f in schema.fields]
-        return spark.read.schema(schema).parquet(
-            self._version_path("cold", st)).select(*cols)
+        m = self._cold_day_map(st)
+        if m is None:   # legacy monolithic layout (__day partition dirs)
+            return spark.read.schema(schema).parquet(
+                self._version_path("cold", st)).select(*cols)
+        keys = sorted(m)
+        if days is not None:
+            keys = [d for d in keys if d in days]
+        if time_range is not None:
+            lo, hi = time_range
+            # day D covers [D, D+1): include iff D >= date(lo) and D < hi
+            if lo is not None:
+                keys = [d for d in keys
+                        if d >= _utc_naive(lo).strftime("%Y-%m-%d")]
+            if hi is not None:
+                hid = _utc_naive(hi)
+                last = (hid - __import__("datetime").timedelta(
+                    microseconds=1)).strftime("%Y-%m-%d")
+                keys = [d for d in keys if d <= last]
+        dirs = [os.path.join(self.path, rel) for d in keys for rel in m[d]]
+        if not dirs:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*dirs).select(*cols)
 
     def read(self, spark: SparkSession,
-             cutoff: "datetime | None" = None) -> DataFrame:
+             cutoff: "datetime | None" = None,
+             time_range: "tuple | None" = None) -> DataFrame:
         """The exactly-once union view: cold rows strictly below the
         cutoff, hot rows at/above it (reference cutoff filter,
         query/aql_processor.go:543-570). Rows present on both sides of
@@ -364,13 +471,13 @@ class HotColdStore:
                 cutoff = datetime.fromisoformat(st["cutoff"])
             else:
                 cutoff = self.saved_cutoff()
-        schema = self._schema(st)
-        cols = [f.name for f in schema.fields]
         cut = F.lit(_utc_naive(cutoff))
         t = F.col(self.time_column)
-        cold = (spark.read.schema(schema)
-                .parquet(self._version_path("cold", st))
-                .select(*cols).filter(t < cut))
+        # ``time_range`` prunes the cold DAY LIST engine-side (whole
+        # days only — conservative, the caller's row filter is exact);
+        # the hot side is small and needs no dir pruning
+        cold = self._read_cold_resolved(spark, st, time_range) \
+            .filter(t < cut)
         # NULL-event-time rows (allow_missing_event_time) exist only in
         # hot, so including them here can never double-count. PK
         # resolution happens over the FULL hot set BEFORE the cutoff
@@ -505,14 +612,15 @@ class HotColdStore:
                 if defer_backfill:
                     self._enqueue_backfill(cold_part)
                 else:
-                    merged = self._conform(apply_upsert_batch(
-                        self.read_cold(spark), cold_part, pk, modes,
-                        seq_col))
-                    commit["cold"] = self._next("cold")
-                    self._write_cold(merged, commit["cold"])
+                    updates, cold_displaced = self._cold_upsert(
+                        spark, before, [cold_part], modes, seq_col)
+                    commit.update(updates)
+                    commit.setdefault("__displaced", []).extend(
+                        cold_displaced)
             if commit:
-                displaced = [self._displaced_dir(k, before)
-                             for k in commit if k in ("hot", "cold")]
+                displaced = commit.pop("__displaced", [])
+                if "hot" in commit:
+                    displaced.append(self._displaced_dir("hot", before))
                 self._commit(**commit,
                              displaced=pointer.displace(before, displaced))
                 pointer.gc_displaced(self.path)
@@ -562,35 +670,97 @@ class HotColdStore:
                          if e.is_file())
         return total
 
+    def _cold_upsert(self, spark: SparkSession, st: "dict | None",
+                     batches: list[DataFrame],
+                     modes: "dict | None",
+                     seq_col: "str | None") -> tuple[dict, list[str]]:
+        """Fold upsert batches into the cold store, rewriting ONLY the
+        affected day dirs (never O(|cold|)). Returns (state updates,
+        displaced dirs) for the caller's single commit.
+
+        Affected days = days the batch rows land in ∪ days holding the
+        EXISTING cold copy of a batch PK (an update may move a row
+        across days — the reference's backfill locates the old row
+        through the PK index and patches its old batch,
+        memstore/backfill.go; here a column-pruned (pk, day) scan with
+        a broadcast semi-probe stands in for that index, bounded by the
+        backfill queue size the threshold config caps). The merged days
+        land in one fresh ``coldset_v<k>`` dir; untouched days keep
+        their committed dirs byte-identical. If update-mode arithmetic
+        sends a merged row into an unaffected EXISTING day (add-mode
+        time column), that day's dir list gets an APPEND — PK-disjoint
+        by construction, so readers stay exact.
+
+        Legacy monolithic stores convert here: affected = all days (one
+        full rewrite — the cost every flush already paid pre-r9)."""
+        pk = list(self.primary_key)
+        t = F.col(self.time_column)
+        union_b = batches[0]
+        for b in batches[1:]:
+            union_b = union_b.unionByName(b, allowMissingColumns=True)
+        old_map = self._cold_day_map(st)
+        displaced: list[str] = []
+        if old_map is None:
+            base = self._read_cold_resolved(spark, st)
+            affected = None                   # conversion: rewrite all
+            displaced.append(self._displaced_dir("cold", st))
+            old_map = {}
+        else:
+            touched = {r[0] for r in union_b.select(
+                self._day_key().alias("d")).distinct().collect()
+                if r[0] is not None}
+            probe = union_b.select(*pk).distinct()
+            cond = None
+            for k in pk:   # null-safe: a NULL PK is a legal single key
+                c = F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
+                cond = c if cond is None else cond & c
+            narrow = self._read_cold_resolved(spark, st) \
+                .select(*pk, self._day_key().alias("__d")).alias("c")
+            moved = {r[0] for r in narrow.join(
+                F.broadcast(probe.alias("p")), cond, "left_semi")
+                .select("__d").distinct().collect()}
+            affected = touched | moved
+            base = self._read_cold_resolved(spark, st, days=affected)
+            displaced += [rel for d in sorted(affected)
+                          for rel in old_map.get(d, [])]
+        for b in batches:
+            base = apply_upsert_batch(base, b, pk, modes, seq_col)
+        ck = pointer.next_version(st, "coldset_seq")
+        written = self._write_cold_days(self._conform(base, st), ck)
+        new_map = {d: dirs for d, dirs in old_map.items()
+                   if affected is not None and d not in affected}
+        for d, rel in written.items():
+            new_map[d] = new_map.get(d, []) + [rel]
+        return ({"cold_days": new_map, "coldset_seq": ck, "cold": None},
+                displaced)
+
     def flush_backfill(self, spark: SparkSession,
                        seq_col: str | None = None,
                        modes: "dict | None" = None) -> int:
         """The backfill job (memstore/backfill.go): fold every queued
         batch into the cold store IN ARRIVAL ORDER under the table's
-        update modes, then drop the queue. One cold rewrite per flush, no
-        matter how many batches queued. Returns the number of batches
-        flushed.
+        update modes, then drop the queue. One merge per flush, no
+        matter how many batches queued, REWRITING ONLY THE AFFECTED DAY
+        DIRS (``_cold_upsert``) — at 100 TB a backfill flush must not
+        rewrite the archive. Returns the number of batches flushed.
 
-        The cold flip and the queue truncation (the consumed watermark)
-        commit in ONE pointer write: a crash anywhere mid-flush leaves
-        the old cold live with the full queue intact — the flush simply
-        re-runs. The consumed batch dirs are deleted best-effort after
-        the commit; a survivor stays invisible behind the watermark."""
+        The day-map update and the queue truncation (the consumed
+        watermark) commit in ONE pointer write: a crash anywhere
+        mid-flush leaves the old cold live with the full queue intact —
+        the flush simply re-runs. The consumed batch dirs and displaced
+        day dirs are ledgered with the commit (read-grace) and reaped
+        by gc; a queue survivor stays invisible behind the watermark."""
         with _single_writer(self.path):
             names = self.queued_backfill_batches()
             if not names:
                 return 0
             modes = self.modes if modes is None else modes
             before = self._state()
-            base = self.read_cold(spark)
-            for name in names:
-                batch = spark.read.schema(self._schema()).parquet(
-                    os.path.join(self.backfill_path, name))
-                base = apply_upsert_batch(base, batch,
-                                          list(self.primary_key),
-                                          modes, seq_col)
-            nxt = self._next("cold")
-            self._write_cold(self._conform(base), nxt)
+            schema = self._schema(before)
+            batches = [spark.read.schema(schema).parquet(
+                os.path.join(self.backfill_path, name)) for name in names]
+            updates, displaced = self._cold_upsert(
+                spark, before, batches, modes, seq_col)
             consumed = int(names[-1].split("=")[1])
             # ledger EVERYTHING at/below the watermark, not just this
             # flush's names — survivors of a crash between an earlier
@@ -600,11 +770,9 @@ class HotColdStore:
                           for n in os.listdir(self.backfill_path)
                           if n.startswith("batch=")
                           and int(n.split("=")[1]) <= consumed]
-            self._commit(cold=nxt, backfill_consumed=consumed,
+            self._commit(**updates, backfill_consumed=consumed,
                          displaced=pointer.displace(
-                             before,
-                             [self._displaced_dir("cold", before)]
-                             + queue_dirs))
+                             before, displaced + queue_dirs))
             pointer.gc_displaced(self.path)
             return len(names)
 
@@ -637,11 +805,19 @@ class HotColdStore:
         ingestion.go:231-235). Without an arrival column, null-time rows
         stay in hot indefinitely — the caller owns their lifecycle.
 
-        The new cold, new hot AND the advanced cutoff publish in one
-        pointer commit — the exactly-once boundary can never be read
+        The cold-day appends, new hot AND the advanced cutoff publish in
+        one pointer commit — the exactly-once boundary can never be read
         against a half-moved store (the reference flips the archive
         batch version + cutoff through its metastore the same way,
-        memstore/archiving.go + disk_metastore.go PutVersion)."""
+        memstore/archiving.go + disk_metastore.go PutVersion).
+
+        Cold cost is O(moved rows), NEVER O(|cold|): the archived slice
+        is written as fresh sorted day dirs and APPENDED to the day map
+        (a boundary day that already exists simply gains a second dir —
+        plain concatenation, exactly the reference adding a new archive
+        batch version beside the old days rather than rewriting the
+        store). A legacy monolithic cold converts on first archive (one
+        full rewrite, the cost every archive already paid pre-r9)."""
         with _single_writer(self.path):
             cut = F.lit(_utc_naive(new_cutoff))
             before = self._state()
@@ -656,11 +832,26 @@ class HotColdStore:
             # DELETED here (in neither filter's output)
             stay_hot = hot.filter((t >= cut) | keep_null)
             commit = {"cutoff": _utc_naive(new_cutoff).isoformat()}
+            displaced_cold: list[str] = []
             if to_cold.limit(1).count():
-                merged_cold = self.read_cold(spark).unionByName(to_cold)
-                commit["cold"] = self._next("cold")
+                old_map = self._cold_day_map(before)
+                if old_map is None:    # legacy conversion: one rewrite
+                    to_write = self._read_cold_resolved(spark, before) \
+                        .unionByName(to_cold)
+                    displaced_cold.append(
+                        self._displaced_dir("cold", before))
+                    old_map = {}
+                else:
+                    to_write = to_cold
+                ck = pointer.next_version(before, "coldset_seq")
+                written = self._write_cold_days(
+                    self._conform(to_write, before), ck)
+                new_map = dict(old_map)
+                for d, rel in written.items():
+                    new_map[d] = new_map.get(d, []) + [rel]
+                commit.update(cold_days=new_map, coldset_seq=ck,
+                              cold=None)
                 commit["hot"] = self._next("hot")
-                self._write_cold(merged_cold, commit["cold"])
                 self._write_hot(stay_hot, commit["hot"])
             elif arrival_column is not None or pending:
                 # nothing crossed the cutoff, but expired null-time rows
@@ -671,8 +862,10 @@ class HotColdStore:
                 # patch is empty, memstore/archiving.go:62-72)
                 commit["hot"] = self._next("hot")
                 self._write_hot(stay_hot, commit["hot"])
-            displaced = [self._displaced_dir(k, before)
-                         for k in ("hot", "cold") if k in commit]
+            displaced = displaced_cold + \
+                [self._displaced_dir("hot", before)
+                 if "hot" in commit else None]
+            displaced = [d for d in displaced if d is not None]
             if "hot" in commit:
                 # consumed by the compaction; survive in the ledger for
                 # the read-grace window like every displaced artifact
@@ -724,22 +917,31 @@ class HotColdStore:
         return total
 
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
-        """Retention delete: drop cold day-partitions entirely below the
-        retention boundary (reference memstore/purge.go drops whole
-        archive batches). Partition-level delete — no data rewrite for
-        fully-expired days. This is the one deliberately in-place
-        mutation left: a whole-partition delete maps to an object-store
-        prefix delete, the same unit the reference purges (an archive
-        batch dir); a concurrent reader of a purging day can observe it
-        partially gone, exactly as with the reference's batch delete —
-        retention boundaries are operated far behind any live query
-        window."""
+        """Retention delete: drop cold days entirely below the retention
+        boundary (reference memstore/purge.go drops whole archive
+        batches). On the per-day map layout this is a pure METADATA
+        mutation — expired days leave the committed map in one pointer
+        write and their dirs enter the displaced ledger (an in-flight
+        reader finishes over intact files; gc reaps past the grace) —
+        no in-place delete anywhere. Legacy monolithic stores keep the
+        old partition-dir delete (the one in-place mutation of that
+        layout, operated far behind any live query window)."""
         with _single_writer(self.path):
             boundary = _utc_naive(older_than).strftime("%Y-%m-%d")
-            for name in os.listdir(self.cold_path):
-                if name.startswith("__day=") and \
-                        name.split("=", 1)[1] < boundary:
-                    shutil.rmtree(os.path.join(self.cold_path, name))
+            st = self._state()
+            m = self._cold_day_map(st)
+            if m is not None:
+                expired = sorted(d for d in m if d < boundary)
+                if expired:
+                    keep = {d: v for d, v in m.items() if d >= boundary}
+                    gone = [rel for d in expired for rel in m[d]]
+                    self._commit(cold_days=keep,
+                                 displaced=pointer.displace(st, gone))
+            else:
+                for name in os.listdir(self.cold_path):
+                    if name.startswith("__day=") and \
+                            name.split("=", 1)[1] < boundary:
+                        shutil.rmtree(os.path.join(self.cold_path, name))
             # purge is the lifecycle reaper: displaced version dirs past
             # the read-grace window go with it (reference purge.go reaps
             # the archive batch versions the swaps displaced)

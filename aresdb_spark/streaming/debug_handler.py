@@ -110,9 +110,9 @@ class DebugDaemon:
             # ShowShardMeta -> LiveStore.Batches)
             meta["hot_pending_batches"] = \
                 len(store._pending_hot_batches())
-            meta["cold_days"] = sorted(
-                n.split("=", 1)[1] for n in os.listdir(store.cold_path)
-                if n.startswith("__day="))
+            # committed day keys straight from the pointer (metadata;
+            # dir listing only for legacy monolithic stores)
+            meta["cold_days"] = store.cold_day_keys()
             meta["backfill_queue"] = {
                 "batches": len(store.queued_backfill_batches()),
                 "bytes": store.backfill_buffer_bytes()}

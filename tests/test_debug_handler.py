@@ -54,7 +54,8 @@ def test_show_shard_meta_live_state(spark, tmp_path):
     assert meta["cold_days"] == ["2024-01-01", "2024-01-10"]
     assert meta["backfill_queue"] == {"batches": 0, "bytes": 0}
     assert meta["writer_lock_held"] is False
-    assert meta["state"]["hot"] == 0 and meta["state"]["cold"] == 0
+    assert meta["state"]["hot"] == 0
+    assert set(meta["state"]["cold_days"]) == {"2024-01-01", "2024-01-10"}
 
     # an ingest appends one hot batch dir: depth + footer count track it
     stores = d.stores

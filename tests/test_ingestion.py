@@ -556,3 +556,83 @@ def test_ingest_append_only_per_batch_mode_override(spark, tmp_path):
     store.compact_hot(spark)
     assert {r["id"]: r["v"]
             for r in store.read_hot(spark).collect()} == {1: 107.0}
+
+
+def test_cold_mutations_are_o_touched_days(spark, tmp_path):
+    """r9 per-day cold map: archive APPENDS day dirs and backfill
+    rewrites ONLY affected days — every untouched day dir stays
+    byte-identical on disk (the 100-TB claim: no cold mutation is
+    O(|cold|)). Engine-side day pruning serves a time_range read from
+    only the in-range day dirs."""
+    import os
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    rows = [Row(id=i, ts=datetime(2024, 1, 1) + timedelta(days=i),
+                v=float(i)) for i in range(10)]
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",),
+                         modes={"v": "add"})
+    store.init_from(spark.createDataFrame(rows), datetime(2024, 1, 8))
+    assert store.cold_day_keys() == [
+        f"2024-01-0{d}" for d in range(1, 8)]
+
+    def day_sig(day):
+        sig = []
+        for rels in store._cold_day_map()[day]:
+            d = os.path.join(store.path, rels)
+            sig += sorted((e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                          for e in os.scandir(d) if e.is_file())
+        return sig
+
+    sigs = {d: day_sig(d) for d in store.cold_day_keys()}
+
+    # backfill flush touching ONE day (id=2 lives on Jan 3)
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=2, ts=datetime(2024, 1, 3, 6), v=0.5)]),
+        cutoff=datetime(2024, 1, 8), defer_backfill=True)
+    assert store.flush_backfill(spark) == 1
+    m = store._cold_day_map()
+    assert set(m) == set(sigs)                      # same day set
+    for d in sigs:
+        if d == "2024-01-03":
+            assert day_sig(d) != sigs[d]            # rewritten
+        else:
+            assert day_sig(d) == sigs[d], f"day {d} was touched"
+    rows_now = {r["id"]: r["v"] for r in store.read_cold(spark).collect()}
+    assert rows_now[2] == 2.5                       # add-mode fold
+
+    # archive appends NEW day dirs; existing days still untouched
+    sigs = {d: day_sig(d) for d in store.cold_day_keys()}
+    store.archive(spark, datetime(2024, 1, 10))
+    m = store._cold_day_map()
+    assert "2024-01-08" in m and "2024-01-09" in m  # appended days
+    for d in sigs:
+        assert day_sig(d) == sigs[d], f"archive touched existing day {d}"
+
+    # engine-side day pruning: a time_range read lists ONLY in-range
+    # day dirs (Catalyst can't derive __day bounds from a ts filter)
+    pruned = store.read_cold(spark, time_range=(
+        datetime(2024, 1, 3), datetime(2024, 1, 5)))
+    files = pruned.inputFiles()
+    assert files and all(
+        "__day=2024-01-03" in f or "__day=2024-01-04" in f for f in files)
+    assert sorted(r["id"] for r in pruned.collect()) == [2, 3]
+    # boundary day with intra-day cutoff stays included (conservative)
+    pruned2 = store.read_cold(spark, time_range=(
+        datetime(2024, 1, 3, 12), datetime(2024, 1, 4, 12)))
+    assert sorted(r["id"] for r in pruned2.collect()) == [2, 3]
+
+    # a PK update that MOVES a row across days rewrites both days'
+    # dirs and the row lands once, in its new day (force mode)
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=3, ts=datetime(2024, 1, 6, 1), v=99.0)]),
+        cutoff=datetime(2024, 1, 10), defer_backfill=True)
+    store.flush_backfill(spark, modes={"ts": "force", "v": "force"})
+    m = store._cold_day_map()
+    assert "2024-01-04" not in m                    # old day emptied
+    got = [(r["ts"], r["v"]) for r in store.read_cold(spark)
+           .filter("id = 3").collect()]
+    assert got == [(datetime(2024, 1, 6, 1), 99.0)]
+    union_ids = sorted(r["id"] for r in store.read(spark).collect())
+    assert union_ids == sorted(range(10))           # exactly once

@@ -350,8 +350,7 @@ def test_ingest_soak_archive_cadence_bounds_hot_store(spark, tmp_path):
     hot_rows = store.hot_physical_rows()
     assert hot_rows <= 5 * per_batch, \
         f"hot holds {hot_rows} rows — archiving did not bound it"
-    assert len([n for n in __import__("os").listdir(store.cold_path)
-                if n.startswith("__day=")]) >= 1
+    assert len(store.cold_day_keys()) >= 1
     # per-batch wall time flat across the soak
     assert len(durs) >= 20
     early = statistics.median(durs[3:10])

@@ -161,7 +161,7 @@ def test_reinit_is_versioned_and_hides_stale_backfill(spark, tmp_path):
     ])
     store.init_from(fresh, datetime(2024, 1, 15))
     st = store._state()
-    assert st["hot"] >= 1 and st["cold"] >= 1  # fresh versions, not v0
+    assert st["hot"] >= 1 and st["coldset_seq"] >= 1  # fresh, not v0
     assert store.queued_backfill_batches() == []  # stale queue hidden
     assert store.flush_backfill(spark) == 0
     assert sorted(r.id for r in
@@ -304,25 +304,35 @@ def test_pre_r8_store_layout_reads_and_upgrades(spark, tmp_path):
 
     from aresdb_spark.sources.hotcold import HotColdStore
 
-    # fabricate the r7 layout: versioned data dirs + flat schema file +
-    # a pointer without the r8 keys
+    # fabricate the r7 layout: versioned MONOLITHIC data dirs + flat
+    # schema file + a pointer without the r8/r9 keys (no ledger, no
+    # per-day cold map)
+    from aresdb_spark.sources.writer import write_archive
+
     store = _fact_store(spark, tmp_path)
     st = store._state()
+    write_archive(store.read_cold(spark),
+                  os.path.join(store.path, "cold_v0"), "ts", ("ts",))
     flat = os.path.join(store.path, "_schema.json")
     os.replace(store._schema_path(st), flat)
     legacy_state = {k: v for k, v in st.items()
-                    if k not in ("schema", "displaced")}
+                    if k not in ("schema", "displaced",
+                                 "cold_days", "coldset_seq")}
+    legacy_state["cold"] = 0
     pointer_mod.commit_state(store.path, legacy_state)
 
     # reads resolve through the legacy fallback
     assert sorted(r.id for r in
                   store.read(spark, store.saved_cutoff()).collect()) \
         == [1, 2, 3, 4]
-    # a mutation on the legacy store ledgers its displacement normally
+    # a mutation on the legacy store CONVERTS it (one full rewrite) and
+    # ledgers both displaced monoliths normally
     store.archive(spark, datetime(2024, 1, 22))
-    ledger = {e["dir"] for e in store._state()["displaced"]}
+    st2 = store._state()
+    ledger = {e["dir"] for e in st2["displaced"]}
     assert {"hot_v0", "cold_v0"} <= ledger
-    assert "schema" not in store._state()  # schema untouched until re-init
+    assert "cold" not in st2 and "cold_days" in st2  # converted
+    assert "schema" not in st2  # schema untouched until re-init
     assert sorted(r.id for r in store.read(spark).collect()) == [1, 2, 3, 4]
     # re-init versions the schema and ledgers the flat legacy file
     store.init_from(spark.createDataFrame(
@@ -348,14 +358,26 @@ def test_fact_reader_survives_concurrent_archive(spark, tmp_path):
     reader = store.read(spark, store.saved_cutoff())
     want = sorted(r.id for r in reader.collect())
 
-    store.archive(spark, datetime(2024, 1, 22))  # hot+cold rewrite
+    # archive: hot compacts (displaced), cold-day dirs are APPENDED
+    # (nothing cold-side is unreferenced — r9 per-day map)
+    store.archive(spark, datetime(2024, 1, 22))
     st = store._state()
     ledger = {e["dir"] for e in st["displaced"]}
-    assert {"hot_v0", "cold_v0"} <= ledger
+    assert "hot_v0" in ledger
     assert os.path.isdir(os.path.join(store.path, "hot_v0"))
 
     # the old-state reader completes its scan with the same rows
     assert sorted(r.id for r in reader.collect()) == want
+    # a backfill flush REWRITES an affected day: its old dir is
+    # displaced, and a reader resolved pre-flush still completes
+    reader2 = store.read(spark, store.saved_cutoff())
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=2, ts=datetime(2024, 1, 10, 6), v=20.0)]),
+        cutoff=store.saved_cutoff(), defer_backfill=True)
+    store.flush_backfill(spark)
+    ledger2 = {e["dir"] for e in store._state()["displaced"]}
+    assert any("__day=2024-01-10" in d for d in ledger2)
+    assert sorted(r.id for r in reader2.collect()) == want
     # purge (the lifecycle reaper) with grace elapsed reaps the ledger
     assert store.gc(grace_seconds=0) >= 2
     assert not os.path.isdir(os.path.join(store.path, "hot_v0"))
