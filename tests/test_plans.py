@@ -137,3 +137,40 @@ def test_archive_write_sorted_and_partitioned(spark, tmp_path):
     scans = scan_info(df)
     assert "__day" in scans[0].get("PartitionFilters", ""), scans[0]
     assert df.count() == len(vals) or df.count() > 0
+
+
+def test_aql_time_filter_prunes_cold_day_dirs(spark, tmp_path):
+    """r9: the AQL planner's pushed time range reaches the HotColdStore
+    as a DAY-LIST prune — the scan's input files cover only in-range
+    day dirs (the reference's archive-batch pruning by query time
+    range, query/aql_processor.go:925-985; Catalyst cannot derive day
+    bounds from a timestamp predicate on its own), and the result
+    matches the unpruned query."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from aresdb_spark.aql import Measure, Query, TimeFilter
+    from aresdb_spark.aql.planner import Planner
+    from aresdb_spark.catalog import Catalog, TableDef
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    rows = [Row(id=i * 10 + d, ts=datetime(2024, 1, 1 + d, i), v=1.0)
+            for d in range(8) for i in range(3)]
+    store = HotColdStore(path=str(tmp_path / "ev"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",))
+    store.init_from(spark.createDataFrame(rows), datetime(2024, 1, 8))
+
+    cat = Catalog(str(tmp_path), tables={
+        "ev": TableDef("ev", is_fact=True, time_column="ts",
+                       primary_key=("id",), hotcold=True)})
+    q = Query(table="ev",
+              measures=[Measure(expr="count(*)", alias="cnt")],
+              time_filter=TimeFilter(from_="2024-01-03", to="2024-01-04"))
+    df = Planner(spark, cat).plan(q)
+    # [Jan 3, Jan 5): exactly the two in-range day dirs are listed
+    cold_files = [f for f in df.inputFiles() if "__day=" in f]
+    assert cold_files and all(
+        "__day=2024-01-03" in f or "__day=2024-01-04" in f
+        for f in cold_files), cold_files
+    assert df.collect()[0]["cnt"] == 6
