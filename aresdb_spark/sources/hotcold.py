@@ -916,6 +916,42 @@ class HotColdStore:
                     total += pq.ParquetFile(e.path).metadata.num_rows
         return total
 
+    def compact_cold_days(self, spark: SparkSession,
+                          days: "list[str] | None" = None,
+                          min_dirs: int = 2) -> int:
+        """Rewrite each listed day (default: every day whose dir list
+        has at least ``min_dirs`` entries) into ONE sorted dir — the
+        ops handle for squashing append fan-in. Archives append a dir
+        per run to the days near the cutoff boundary, so a day's list
+        is naturally bounded by archives-per-day × the days it spends
+        at the boundary (~2); this is for deployments that want single-
+        dir days anyway (the reference's archiving merge always lands
+        one batch per day). Returns how many days were compacted; the
+        displaced dirs enter the read-grace ledger like any rewrite."""
+        with _single_writer(self.path):
+            before = self._state()
+            m = self._cold_day_map(before)
+            if m is None:
+                return 0   # legacy monolith: nothing to compact
+            targets = sorted(d for d in (days if days is not None else m)
+                             if len(m.get(d, [])) >= min_dirs)
+            if not targets:
+                return 0
+            merged = self._read_cold_resolved(spark, before,
+                                              days=set(targets))
+            ck = pointer.next_version(before, "coldset_seq")
+            written = self._write_cold_days(merged, ck)
+            new_map = dict(m)
+            displaced = [rel for d in targets for rel in m[d]]
+            for d in targets:
+                new_map.pop(d, None)
+            for d, rel in written.items():
+                new_map[d] = new_map.get(d, []) + [rel]
+            self._commit(cold_days=new_map, coldset_seq=ck,
+                         displaced=pointer.displace(before, displaced))
+            pointer.gc_displaced(self.path)
+            return len(targets)
+
     def purge(self, spark: SparkSession, older_than: datetime) -> None:
         """Retention delete: drop cold days entirely below the retention
         boundary (reference memstore/purge.go drops whole archive

@@ -102,8 +102,7 @@ def run(spark, root: str) -> dict:
                   Measure(expr="sum(fare)", alias="fares")]))
     daily = {str(r.d.date()): [r.trips, round(r.fares, 2)]
              for r in df.collect()}
-    cold_days = sorted(n.split("=")[1] for n in os.listdir(store.cold_path)
-                       if n.startswith("__day="))
+    cold_days = store.cold_day_keys()   # committed day keys (pointer)
     return {"jobs": job_log, "daily": daily, "cold_days": cold_days,
             "queued_backfill": len(store.queued_backfill_batches())}
 

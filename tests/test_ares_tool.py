@@ -207,8 +207,10 @@ def test_ledger_and_gc_commands(spark, tmp_path, capsys):
     hs.archive(spark, datetime(2024, 1, 22))
     out = ares_tool.main(["ledger", hs.path])
     capsys.readouterr()
-    assert {e["dir"] for e in out["displaced"]} == {"hot_v0", "cold_v0"}
+    # r9: archive APPENDS cold day dirs (nothing cold-side displaced);
+    # the hot compaction displaces the old base
+    assert {e["dir"] for e in out["displaced"]} == {"hot_v0"}
     out = ares_tool.main(["gc", hs.path, "--grace", "0"])
     capsys.readouterr()
-    assert out["reaped"] == 2 and out["remaining"] == []
+    assert out["reaped"] == 1 and out["remaining"] == []
     assert hs.read(spark).count() == 2

@@ -83,17 +83,20 @@ def test_lifecycle_walkthrough_golden(spark, tmp_path):
     spec.loader.exec_module(mod)
     out = mod.run(spark, str(tmp_path))
 
+    # r9: the ledger-reaper gc job (sources/lifecycle.py GC) rides the
+    # same strict `now > last + 24h` rule as purge, so it fires on the
+    # alternating ticks too
     assert out["jobs"] == [
         "day0: trips|0|archiving",
         "day1: trips|0|archiving", "day1: trips|0|backfill",
         "day2: trips|0|archiving", "day2: trips|0|backfill",
-        "day2: trips|0|purge",
+        "day2: trips|0|gc", "day2: trips|0|purge",
         "day3: trips|0|archiving", "day3: trips|0|backfill",
         "day4: trips|0|archiving", "day4: trips|0|backfill",
-        "day4: trips|0|purge",
+        "day4: trips|0|gc", "day4: trips|0|purge",
         "day5: trips|0|archiving", "day5: trips|0|backfill",
         "day6: trips|0|archiving", "day6: trips|0|backfill",
-        "day6: trips|0|purge",
+        "day6: trips|0|gc", "day6: trips|0|purge",
     ]
     # retention 4: days 2024-01-10/11 purged; late corrections (2 per
     # interior day, fare 99/100) folded into their true day

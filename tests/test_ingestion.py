@@ -636,3 +636,35 @@ def test_cold_mutations_are_o_touched_days(spark, tmp_path):
     assert got == [(datetime(2024, 1, 6, 1), 99.0)]
     union_ids = sorted(r["id"] for r in store.read(spark).collect())
     assert union_ids == sorted(range(10))           # exactly once
+
+
+def test_compact_cold_days_squashes_append_fanin(spark, tmp_path):
+    """Successive archives append a dir per run to the boundary day;
+    compact_cold_days squashes multi-dir days to one sorted dir with
+    identical logical content, ledgering the displaced dirs."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",))
+    store.init_from(spark.createDataFrame(
+        [Row(id=0, ts=datetime(2024, 1, 1, 1), v=0.0)]),
+        datetime(2024, 1, 1, 2))
+    # three archives, each moving one more row of the SAME day to cold
+    for h in (3, 5, 7):
+        store.ingest(spark, spark.createDataFrame(
+            [Row(id=h, ts=datetime(2024, 1, 1, h - 1), v=float(h))]),
+            cutoff=store.saved_cutoff())
+        store.archive(spark, datetime(2024, 1, 1, h))
+    m = store._cold_day_map()
+    assert len(m["2024-01-01"]) == 4            # init + 3 appends
+    before_rows = sorted(tuple(r) for r in store.read_cold(spark).collect())
+
+    assert store.compact_cold_days(spark) == 1
+    m2 = store._cold_day_map()
+    assert len(m2["2024-01-01"]) == 1
+    assert sorted(tuple(r) for r in
+                  store.read_cold(spark).collect()) == before_rows
+    ledger = {e["dir"] for e in store._state()["displaced"]}
+    assert sum("coldset_v" in d for d in ledger) >= 4
+    # nothing at/under min_dirs: a second call is a no-op
+    assert store.compact_cold_days(spark) == 0
