@@ -2072,7 +2072,13 @@ _DRIVER_WINDOW = [
     # text_token_counts, whose tokens() scan path stays exercised
     # in-window by the LM query's own bigram explode (and by
     # text_quality); token_counts stays in check_contract.
-    "text_lm_perplexity", "text_quality", "text_language_id",
+    # r9 rotation #2: multimodal_featurize — upgraded this round from
+    # rows-only to a hash-match row (REAL stdlib PNG decode round-trip
+    # vs an integer-formula oracle) and previously ungraded — displaces
+    # text_language_id, whose zero-shuffle text.py scan-expression path
+    # keeps TWO in-window siblings (text_quality, and the LM row's
+    # tokenization); language_id stays in check_contract.
+    "text_lm_perplexity", "text_quality", "multimodal_featurize",
     # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
     # continuous-crawl Structured Streaming sink — now one bucket-pruned
     # store scan per micro-batch) displaces text_fingerprint, whose
