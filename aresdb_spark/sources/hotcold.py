@@ -112,6 +112,13 @@ class HotColdStore:
     # skips them in createArchivingPatches (archiving.go:150-165, pinned
     # by the batch-120 golden in archiving_test.go:316-363).
     allow_missing_event_time: bool = False
+    # file-count cap per appended hot batch dir: a micro-batch inherits
+    # its source's partitioning (a 32-way stream writing 1k-row batches
+    # would land 32 tiny files per batch — small-file explosion on the
+    # pending-set scan); the write coalesces to at most this many files
+    # while big batches keep up to this much write parallelism. The
+    # reference's analog is one live batch object per upsert batch.
+    hot_batch_max_files: int = 8
 
     def _state(self) -> "dict | None":
         return pointer.read_state(self.path)
@@ -580,6 +587,11 @@ class HotColdStore:
                 seq_expr.alias("__seq"))
             n = int(st.get("hot_seq", -1)) + 1 if st else 0
             hot_dir = self._hot_batch_dir(n)
+            # bound the batch dir's file count (see hot_batch_max_files)
+            # — coalesce is narrow, so this stays the one write job
+            src_parts = batch.rdd.getNumPartitions()
+            if src_parts > self.hot_batch_max_files:
+                stored = stored.coalesce(self.hot_batch_max_files)
             # "overwrite": an uncommitted dir at this number is an
             # orphan of a writer that died before its commit — invisible
             # to every reader, safe to reclaim

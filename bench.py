@@ -511,7 +511,71 @@ def main():
     except Exception as e:  # informational tier — never sink the bench
         payload["ingest"] = {"error": str(e)}
 
+    try:
+        payload["store_ops"] = _store_ops_bench(spark)
+    except Exception as e:  # informational tier — never sink the bench
+        payload["store_ops"] = {"error": str(e)}
+
     print(json.dumps(payload))
+
+
+def _store_ops_bench(spark):
+    """Hot/cold store operation costs (informational): the r9 claim
+    under measurement is that INGEST IS O(batch) — per-ingest wall must
+    not grow with either the hot-base size or the pending-batch count
+    (ingest appends one observed-write dir; it never reads the store).
+    Reported: per-ingest seconds early (pending 1-4) vs late (pending
+    13-16) over a 50k-row hot base, the read-side PK fold with 16
+    pending batches, and the archive compaction that consumes them."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    root = tempfile.mkdtemp(prefix="bench_storeops_")
+    store = HotColdStore(path=f"{root}/t", time_column="ts",
+                         primary_key=("event_id",),
+                         sort_columns=("ts",), modes={"value": "add"})
+    base_rows = 50_000
+    cutoff = datetime(2024, 1, 15)
+    ev = (spark.range(base_rows)
+          .select(F.col("id").alias("event_id"),
+                  (F.lit(cutoff) + F.make_interval(secs=F.col("id")))
+                  .alias("ts"),
+                  (F.col("id") % 97).cast("double").alias("value")))
+    store.init_from(ev, cutoff)
+
+    batch_rows, n_batches, times = 1_000, 16, []
+    for k in range(n_batches):
+        batch = (spark.range(k * batch_rows, (k + 1) * batch_rows)
+                 .select(F.col("id").alias("event_id"),
+                         (F.lit(cutoff) + F.make_interval(
+                             hours=F.lit(k + 1))).alias("ts"),
+                         F.lit(1.0).alias("value"))).localCheckpoint()
+        t0 = time.perf_counter()
+        store.ingest(spark, batch, cutoff)
+        times.append(time.perf_counter() - t0)
+
+    def med(xs):
+        return round(sorted(xs)[len(xs) // 2], 4)
+
+    t0 = time.perf_counter()
+    n_resolved = store.read_hot(spark).count()
+    resolve_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    store.archive(spark, cutoff + timedelta(minutes=30))
+    archive_sec = time.perf_counter() - t0
+    out = {"hot_base_rows": base_rows, "batch_rows": batch_rows,
+           "ingest_sec_early": med(times[1:5]),
+           "ingest_sec_late": med(times[-4:]),
+           "resolve_16_pending_sec": round(resolve_sec, 4),
+           "resolved_rows": n_resolved,
+           "archive_compact_sec": round(archive_sec, 4)}
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 def _ingest_bench(spark):
