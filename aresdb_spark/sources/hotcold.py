@@ -1143,14 +1143,35 @@ class DimensionStore:
         the truncated journal and the folded mutations would vanish
         from the torn view."""
         st = self._state()
-        base = self._read_snap(spark, st)
+        return self._replay(spark, st, self._read_snap(spark, st))
+
+    def _replay(self, spark: SparkSession, st: "dict | None",
+                base: DataFrame) -> DataFrame:
+        """Resolve snapshot + pending journal batches to current state
+        in ONE fold aggregation (streaming/upsert.fold_upserts — the
+        same read-side resolution as the fact store's hot batches, and
+        hypothesis-proved equal to the per-batch merge chain), instead
+        of one full-outer join per journal batch: plan depth and
+        shuffle count stay constant however many mutations queued
+        before the snapshot job's threshold. Journal replay always uses
+        the STORE's modes (per-batch overrides take the eager
+        ``ingest``), so the one-pass fold is always applicable."""
+        from aresdb_spark.streaming.upsert import fold_upserts
+
+        names = self._journal_batches(st)
+        if not names:
+            return base
         sch = self._schema(st)
-        for name in self._journal_batches(st):
-            batch = spark.read.schema(sch).parquet(
+        batches = [
+            spark.read.schema(sch).parquet(
                 os.path.join(self.journal_path, name))
-            base = apply_upsert_batch(base, batch, list(self.primary_key),
-                                      self.modes, None)
-        return base
+            .withColumn("__seq", F.monotonically_increasing_id())
+            for name in names]
+        folded = fold_upserts(base, batches, list(self.primary_key),
+                              self.modes)
+        # conform: fold aggregates can widen dtypes (sum-based add)
+        return folded.select(
+            [F.col(f.name).cast(f.dataType) for f in sch.fields])
 
     def ingest(self, spark: SparkSession, batch: DataFrame,
                seq_col: str | None = None,
@@ -1207,18 +1228,11 @@ class DimensionStore:
         (snapshot + journal replay) as the new snapshot and truncate the
         journal. Returns the number of mutations compacted."""
         with _single_writer(self.path):
-            names = self._journal_batches()
+            st = self._state()
+            names = self._journal_batches(st)
             if not names:
                 return 0
             compacted = self.num_mutations()
-            base = self._read_snap(spark)
-            for name in names:
-                batch = spark.read.schema(self._schema()).parquet(
-                    os.path.join(self.journal_path, name))
-                base = apply_upsert_batch(base, batch,
-                                          list(self.primary_key),
-                                          self.modes, None)
-            base = base.select(
-                [F.col(f.name).cast(f.dataType) for f in self._schema()])
+            base = self._replay(spark, st, self._read_snap(spark, st))
             self._publish_snap(spark, base, names)
             return compacted
