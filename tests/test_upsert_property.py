@@ -140,3 +140,74 @@ def test_fold_upserts_equals_chained_merges(spark, base, batches,
     got = {r["pk"]: (r["x"], r["y"]) for r in folded.collect()}
     want = {r["pk"]: (r["x"], r["y"]) for r in chained.collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 5),            # pk
+                  st.integers(0, 3),            # day offset
+                  st.integers(-20, 20)),        # v
+        min_size=1, max_size=8, unique_by=lambda r: r[0]),
+    batches=st.lists(
+        st.lists(st.tuples(st.integers(0, 7),   # pk (may be new)
+                           st.integers(0, 3),
+                           st.one_of(st.none(),
+                                     st.integers(-20, 20))),
+                 min_size=1, max_size=4),
+        min_size=1, max_size=3),
+    mode_v=st.sampled_from(MODES),
+    # ts modes that can MOVE a row across days — the risky path of the
+    # r9 per-day cold map (old day must be rewritten, new day gains the
+    # row, nothing double-counts). add is excluded (timestamp arithmetic
+    # is invalid for the eager path too).
+    mode_ts=st.sampled_from([UpdateMode.OVERWRITE, UpdateMode.FORCE,
+                             UpdateMode.MIN, UpdateMode.MAX]),
+)
+def test_per_day_backfill_flush_equals_full_merge(spark, tmp_path_factory,
+                                                  base, batches,
+                                                  mode_v, mode_ts):
+    """The r9 day-scoped backfill flush (rewrite affected days only)
+    must produce EXACTLY the state a full-store merge would — including
+    when update modes move a row's event time across day boundaries
+    (the old day's copy must vanish, the new day's appear, counted
+    once). Oracle: chained apply_upsert_batch over the whole pre-flush
+    cold store."""
+    from datetime import datetime, timedelta
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(pk, t0 + timedelta(days=d, hours=1),
+              float(v) if v is not None else None)
+             for pk, d, v in rows],
+            "id int, ts timestamp, v double")
+
+    modes = {"ts": mode_ts, "v": mode_v}
+    cutoff = t0 + timedelta(days=30)
+    store = HotColdStore(
+        path=str(tmp_path_factory.mktemp("flushprop") / "t"),
+        time_column="ts", primary_key=("id",), sort_columns=("ts",),
+        modes=modes)
+    store.init_from(mk(base), cutoff)
+
+    # oracle BEFORE the flush: full merge over the whole cold store
+    want_df = store.read_cold(spark)
+    for b in batches:
+        want_df = apply_upsert_batch(want_df, mk(b), ["id"], modes, None)
+    want = sorted((r["id"], r["ts"], r["v"]) for r in want_df.collect())
+
+    for b in batches:
+        store.ingest(spark, mk(b), cutoff, defer_backfill=True)
+    store.flush_backfill(spark)
+    got = sorted((r["id"], r["ts"], r["v"])
+                 for r in store.read_cold(spark).collect())
+    assert got == want
+    # day-map invariant: every row sits in the day dir its ts names
+    m = store._cold_day_map()
+    for _, ts, _ in got:
+        assert ts.strftime("%Y-%m-%d") in m
