@@ -148,7 +148,12 @@ class Catalog:
                 # nanos → micros by integer division (no double rounding;
                 # matches DuckDB's truncating ns→us cast)
                 df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        if time_range is None:
+        if time_range is None and not tdef.hotcold:
+            # hotcold/dimension stores resolve through the pointer: a
+            # cached plan would pin the version dirs of ONE committed
+            # state, and once a later mutation's grace window expires
+            # the reaper deletes those files out from under it. Store
+            # resolution is a pointer read — re-resolve per load.
             self._cache[name] = df
         return df
 
