@@ -622,7 +622,7 @@ class HotColdStore:
             if m["n_cold"]:
                 cold_part = batch.filter(t < cut)
                 if defer_backfill:
-                    self._enqueue_backfill(cold_part)
+                    self._enqueue_backfill(cold_part, seq_col)
                 else:
                     updates, cold_displaced = self._cold_upsert(
                         spark, before, [cold_part], modes, seq_col)
@@ -639,14 +639,24 @@ class HotColdStore:
 
     # -- backfill queue (BackfillManager buffer, backfill_manager.go) ---------
 
-    def _enqueue_backfill(self, batch: DataFrame) -> None:
+    def _enqueue_backfill(self, batch: DataFrame,
+                          seq_col: str | None = None) -> None:
         """Append one pre-cutoff batch to the queue under a monotonically
         numbered subdir — arrival order IS replay order, like the redo-log
         offsets the reference's backfill buffer keys on
-        (backfill_manager.go:84-120). Numbering starts above BOTH the
-        highest dir on disk and the consumed watermark, so a number is
-        never reused after consumed dirs are garbage-collected (a reused
-        number would hide the new batch behind the watermark)."""
+        (backfill_manager.go:84-120). INTRA-batch arrival order is
+        PERSISTED as ``__seq`` at write time (the caller's seq column,
+        else the batch's current row order) — exactly like the hot
+        append (``ingest``). Without it, a multi-file queue dir would
+        replay in parquet READ-BACK order (Spark packs multi-file scans
+        largest-file-first), so a batch carrying two updates to one PK
+        could resolve in REVERSE arrival order — a wrong answer the
+        reference avoids by keying its backfill buffer on redo-log
+        offsets (VERDICT r9 #1, hypothesis-shrunk counterexample).
+        Numbering starts above BOTH the highest dir on disk and the
+        consumed watermark, so a number is never reused after consumed
+        dirs are garbage-collected (a reused number would hide the new
+        batch behind the watermark)."""
         os.makedirs(self.backfill_path, exist_ok=True)
         st = self._state() or {}
         floor = int(st.get("backfill_consumed", -1))
@@ -654,8 +664,27 @@ class HotColdStore:
                        for n in os.listdir(self.backfill_path)
                        if n.startswith("batch=")), default=floor)
         nxt = max(nxt, floor + 1)
-        batch.write.mode("errorifexists").parquet(
-            os.path.join(self.backfill_path, f"batch={nxt}"))
+        seq_expr = F.col(seq_col).cast("long") if seq_col \
+            else F.monotonically_increasing_id()
+        batch.withColumn("__seq", seq_expr) \
+            .write.mode("errorifexists").parquet(
+                os.path.join(self.backfill_path, f"batch={nxt}"))
+
+    def _read_queue_batch(self, spark: SparkSession, schema,
+                          name: str) -> DataFrame:
+        """One queued batch with its persisted ``__seq`` arrival order.
+        A legacy dir written before ``__seq`` was persisted (pre-r10
+        crash survivor) gets read-order stamping — the best available
+        for a batch whose order was never recorded."""
+        from pyspark.sql.types import LongType, StructField, StructType
+        d = os.path.join(self.backfill_path, name)
+        has_seq = "__seq" in spark.read.parquet(d).columns
+        qschema = StructType(
+            list(schema.fields) + [StructField("__seq", LongType())])
+        df = spark.read.schema(qschema).parquet(d)
+        if not has_seq:
+            df = df.withColumn("__seq", F.monotonically_increasing_id())
+        return df
 
     def queued_backfill_batches(self) -> list[str]:
         """Queue entries not yet folded into cold: batch numbers above
@@ -747,7 +776,6 @@ class HotColdStore:
                 displaced)
 
     def flush_backfill(self, spark: SparkSession,
-                       seq_col: str | None = None,
                        modes: "dict | None" = None) -> int:
         """The backfill job (memstore/backfill.go): fold every queued
         batch into the cold store IN ARRIVAL ORDER under the table's
@@ -755,6 +783,14 @@ class HotColdStore:
         matter how many batches queued, REWRITING ONLY THE AFFECTED DAY
         DIRS (``_cold_upsert``) — at 100 TB a backfill flush must not
         rewrite the archive. Returns the number of batches flushed.
+
+        Intra-batch arrival order comes from the ``__seq`` column
+        ``_enqueue_backfill`` persists at write time — replay never
+        trusts parquet read-back order (largest-file-first, NOT write
+        order). Queue dirs written by pre-r10 code lack the column;
+        those fall back to read order per dir (best effort for crash
+        survivors — the old, order-losing behavior they were written
+        under).
 
         The day-map update and the queue truncation (the consumed
         watermark) commit in ONE pointer write: a crash anywhere
@@ -769,10 +805,10 @@ class HotColdStore:
             modes = self.modes if modes is None else modes
             before = self._state()
             schema = self._schema(before)
-            batches = [spark.read.schema(schema).parquet(
-                os.path.join(self.backfill_path, name)) for name in names]
+            batches = [self._read_queue_batch(spark, schema, name)
+                       for name in names]
             updates, displaced = self._cold_upsert(
-                spark, before, batches, modes, seq_col)
+                spark, before, batches, modes, "__seq")
             consumed = int(names[-1].split("=")[1])
             # ledger EVERYTHING at/below the watermark, not just this
             # flush's names — survivors of a crash between an earlier
@@ -1162,11 +1198,8 @@ class DimensionStore:
         if not names:
             return base
         sch = self._schema(st)
-        batches = [
-            spark.read.schema(sch).parquet(
-                os.path.join(self.journal_path, name))
-            .withColumn("__seq", F.monotonically_increasing_id())
-            for name in names]
+        batches = [self._read_journal_batch(spark, sch, name)
+                   for name in names]
         folded = fold_upserts(base, batches, list(self.primary_key),
                               self.modes)
         # conform: fold aggregates can widen dtypes (sum-based add)
@@ -1189,7 +1222,8 @@ class DimensionStore:
 
     # -- mutation journal (redo-log analog feeding the snapshot job) ----------
 
-    def journal_ingest(self, batch: DataFrame) -> None:
+    def journal_ingest(self, batch: DataFrame,
+                       seq_col: str | None = None) -> None:
         """Cheap ingest: APPEND the upsert batch to the mutation journal
         instead of rewriting the snapshot — the reference's dimension
         ingest path (rows land in the live store + redo log; disk state
@@ -1197,6 +1231,13 @@ class DimensionStore:
         memstore/ingestion.go:170-363). ``read`` replays the journal;
         ``snapshot`` compacts it. Store-level update modes apply at
         replay (per-batch mode overrides need the eager ``ingest``).
+
+        Intra-batch arrival order is PERSISTED as ``__seq`` at write
+        time (caller's seq column, else the batch's current row order)
+        — replay must not re-derive order from parquet read-back
+        (largest-file-first), or a batch with two updates to one PK
+        resolves in reverse (same defect class as the backfill queue,
+        VERDICT r9 #2; the reference's redo log carries offsets).
         Numbering starts above both the highest dir on disk and the
         consumed watermark (a reused number would hide behind it)."""
         with _single_writer(self.path):
@@ -1207,8 +1248,25 @@ class DimensionStore:
                            for n in os.listdir(self.journal_path)
                            if n.startswith("batch=")), default=floor)
             nxt = max(nxt, floor + 1)
-            batch.write.mode("errorifexists").parquet(
-                os.path.join(self.journal_path, f"batch={nxt}"))
+            seq_expr = F.col(seq_col).cast("long") if seq_col \
+                else F.monotonically_increasing_id()
+            batch.withColumn("__seq", seq_expr) \
+                .write.mode("errorifexists").parquet(
+                    os.path.join(self.journal_path, f"batch={nxt}"))
+
+    def _read_journal_batch(self, spark: SparkSession, sch,
+                            name: str) -> DataFrame:
+        """One journal batch with its persisted ``__seq`` arrival order;
+        legacy dirs (pre-r10) fall back to read-order stamping."""
+        from pyspark.sql.types import LongType, StructField, StructType
+        d = os.path.join(self.journal_path, name)
+        has_seq = "__seq" in spark.read.parquet(d).columns
+        jschema = StructType(
+            list(sch.fields) + [StructField("__seq", LongType())])
+        df = spark.read.schema(jschema).parquet(d)
+        if not has_seq:
+            df = df.withColumn("__seq", F.monotonically_increasing_id())
+        return df
 
     def num_mutations(self) -> int:
         """Journaled mutation count since the last snapshot — what the
