@@ -112,6 +112,13 @@ class HotColdStore:
     # skips them in createArchivingPatches (archiving.go:150-165, pinned
     # by the batch-120 golden in archiving_test.go:316-363).
     allow_missing_event_time: bool = False
+    # pending-set size (footer row count) above which the read-side
+    # pending-PK broadcast probe is skipped in favor of the whole-base
+    # fold — the broadcast must never be the thing that OOMs a reader
+    # when a bulk backload queues millions of rows before the first
+    # archive. Under the normal archiving cadence the pending set is
+    # orders of magnitude below this.
+    hot_probe_max_rows: int = 1_000_000
     # file-count cap per appended hot batch dir: a micro-batch inherits
     # its source's partitioning (a 32-way stream writing 1k-row batches
     # would land 32 tiny files per batch — small-file explosion on the
@@ -179,6 +186,22 @@ class HotColdStore:
 
     def _hot_batch_dir(self, n: int) -> str:
         return os.path.join(self.hot_batches_path, f"batch={n}")
+
+    @staticmethod
+    def _dir_rows(d: str) -> int:
+        """Parquet footer row count of one dir — metadata only, no job."""
+        import pyarrow.parquet as pq
+        total = 0
+        if os.path.isdir(d):
+            for e in os.scandir(d):
+                if e.name.endswith(".parquet"):
+                    total += pq.ParquetFile(e.path).metadata.num_rows
+        return total
+
+    def _pending_rows(self, pend: list[dict]) -> int:
+        """Physical rows across the pending hot batch dirs (footers)."""
+        return sum(self._dir_rows(self._hot_batch_dir(e["n"]))
+                   for e in pend)
 
     # -- bootstrap -----------------------------------------------------------
 
@@ -381,11 +404,14 @@ class HotColdStore:
         (steady state right after archive/init) this is a plain scan of
         the base. With pending batches and store-default modes, the
         resolution is ONE fold aggregation (fold_upserts — a single
-        hash shuffle regardless of how many batches are pending); a
-        batch ingested with override modes forces the exact iterative
-        replay instead (one merge join per such chain — bounded by the
-        archiving cadence, and only ever paid by callers that use
-        per-batch mode overrides)."""
+        hash shuffle regardless of how many batches are pending) whose
+        input is ONLY the base rows a pending PK touches: the pending-PK
+        set broadcasts (left_semi/left_anti split of the base), and the
+        untouched slice unions back without shuffling — resolve cost
+        tracks |pending|, not |hot base|. A batch ingested with override
+        modes forces the exact iterative replay instead (one merge join
+        per such chain — bounded by the archiving cadence, and only
+        ever paid by callers that use per-batch mode overrides)."""
         from aresdb_spark.streaming.upsert import fold_upserts
 
         schema = self._schema(st)
@@ -401,12 +427,43 @@ class HotColdStore:
             self._hot_batch_dir(e["n"])) for e in pend]
         pk = list(self.primary_key)
         if not any("modes" in e for e in pend):
-            resolved = fold_upserts(base, batches, pk, self.modes)
-        else:
-            resolved = base
-            for e, b in zip(pend, batches):
-                resolved = apply_upsert_batch(
-                    resolved, b, pk, e.get("modes", self.modes), "__seq")
+            # Fold ONLY the base rows whose PK a pending batch touches
+            # (VERDICT r9 #4): the pending-PK set is small (bounded by
+            # the archiving cadence), so it broadcasts; the untouched
+            # slice of the base unions back SHUFFLE-FREE — under every
+            # update mode an untouched PK resolves to its base row
+            # verbatim, so bypassing the fold is exact. Without the
+            # split, every read with a non-empty pending set (the
+            # steady state under continuous ingest) shuffles the ENTIRE
+            # hot base; the reference's cuckoo probe only ever touches
+            # the updated keys (memstore/live_store.go:33-46). No
+            # distinct on the probe (it would cost a shuffle of its
+            # own; a broadcast hash relation is correct for semi/anti
+            # with duplicate keys). Guard: a pathological pending set
+            # (bulk backload before the first archive) must not blow
+            # the broadcast — parquet footers (metadata, no job) bound
+            # it, and an oversized set takes the whole-base fold that
+            # r9 always paid.
+            if self._pending_rows(pend) <= self.hot_probe_max_rows:
+                probe = batches[0].select(*pk)
+                for b in batches[1:]:
+                    probe = probe.unionByName(b.select(*pk))
+                cond = None
+                for k in pk:  # null-safe: NULL PK is a legal single key
+                    c = F.col(f"b.{k}").eqNullSafe(F.col(f"p.{k}"))
+                    cond = c if cond is None else cond & c
+                bb = base.alias("b")
+                pp = F.broadcast(probe.alias("p"))
+                matched = bb.join(pp, cond, "left_semi")
+                untouched = bb.join(pp, cond, "left_anti")
+                folded = fold_upserts(matched, batches, pk, self.modes)
+                return self._conform(folded, st).unionByName(untouched)
+            return self._conform(
+                fold_upserts(base, batches, pk, self.modes), st)
+        resolved = base
+        for e, b in zip(pend, batches):
+            resolved = apply_upsert_batch(
+                resolved, b, pk, e.get("modes", self.modes), "__seq")
         return self._conform(resolved, st)
 
     def read_cold(self, spark: SparkSession,
@@ -949,20 +1006,9 @@ class HotColdStore:
         counted once per appearance until compaction folds it (the
         reference's live-store row stats count pre-merge records the
         same way)."""
-        import pyarrow.parquet as pq
-
         st = self._state()
-        total = 0
-        dirs = [self._version_path("hot", st)] + \
-            [self._hot_batch_dir(e["n"])
-             for e in self._pending_hot_batches(st)]
-        for d in dirs:
-            if not os.path.isdir(d):
-                continue
-            for e in os.scandir(d):
-                if e.name.endswith(".parquet"):
-                    total += pq.ParquetFile(e.path).metadata.num_rows
-        return total
+        return self._dir_rows(self._version_path("hot", st)) + \
+            self._pending_rows(self._pending_hot_batches(st))
 
     def compact_cold_days(self, spark: SparkSession,
                           days: "list[str] | None" = None,

@@ -668,3 +668,54 @@ def test_compact_cold_days_squashes_append_fanin(spark, tmp_path):
     assert sum("coldset_v" in d for d in ledger) >= 4
     # nothing at/under min_dirs: a second call is a no-op
     assert store.compact_cold_days(spark) == 0
+
+
+def test_hot_fold_touches_only_pending_pks(spark, tmp_path):
+    """VERDICT r9 #4 / r10 directive 2: with pending batches, the hot
+    read must NOT shuffle the whole base — the pending-PK set broadcasts
+    (left_semi/left_anti split), only the matched slice feeds the fold
+    exchange, and the untouched slice unions back exchange-free. Plan:
+    exactly ONE hash exchange (the fold's), two broadcast joins, no
+    sort-merge join; values identical to the whole-base fold."""
+    import re
+
+    from aresdb_spark.plans.audit import executed_plan_str
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame(
+        [Row(id=i, ts=datetime(2024, 1, 16), v=1.0) for i in range(500)]),
+        cutoff)
+    for k in range(3):
+        store.ingest(spark, spark.createDataFrame(
+            [Row(id=k, ts=datetime(2024, 1, 16, 1 + k), v=10.0)]), cutoff)
+
+    df = store.read_hot(spark)
+    rows = {r["id"]: r["v"] for r in df.collect()}
+    assert rows[0] == rows[1] == rows[2] == 11.0
+    assert rows[499] == 1.0 and len(rows) == 500
+
+    # final executed plan only (AQE prints Final AND Initial — the
+    # Initial section would double every count)
+    plan = executed_plan_str(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+
+    # oversized pending set falls back to the whole-base fold (the
+    # broadcast must never OOM a reader) — same values, no joins
+    small = HotColdStore(path=str(tmp_path / "s"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"},
+                         hot_probe_max_rows=0)
+    small.init_from(spark.createDataFrame(
+        [Row(id=i, ts=datetime(2024, 1, 16), v=1.0) for i in range(50)]),
+        cutoff)
+    small.ingest(spark, spark.createDataFrame(
+        [Row(id=0, ts=datetime(2024, 1, 16, 1), v=10.0)]), cutoff)
+    df2 = small.read_hot(spark)
+    got2 = {r["id"]: r["v"] for r in df2.collect()}
+    assert got2[0] == 11.0 and len(got2) == 50
+    assert "Join" not in executed_plan_str(df2).split("== Initial Plan ==")[0]
