@@ -131,18 +131,31 @@ class Catalog:
         else:
             df = spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
         if time_range is not None and tdef.time_column:
+            # normalize bounds through the SAME helper the hotcold
+            # day-list pruning uses (_utc_naive): a tz-aware non-UTC
+            # bound handled as bare wall time here would disagree with
+            # the UTC pruning and drop whole days the exact filter
+            # should match (ADVICE r10 #2)
+            from datetime import timezone as _tz
+
+            from aresdb_spark.sources.hotcold import _utc_naive
             lo, hi = time_range
+            lo = _utc_naive(lo) if lo is not None else None
+            hi = _utc_naive(hi) if hi is not None else None
             tc = tdef.time_column
             if tc in tdef.nanos_columns and dict(df.dtypes).get(tc) == "bigint":
+                def _ns(d):  # UTC-naive → epoch nanos, locale-independent
+                    return int(d.replace(tzinfo=_tz.utc).timestamp()
+                               * 1_000_000) * 1000
                 if lo is not None:
-                    df = df.filter(F.col(tc) >= int(lo.timestamp() * 1_000_000) * 1000)
+                    df = df.filter(F.col(tc) >= _ns(lo))
                 if hi is not None:
-                    df = df.filter(F.col(tc) < int(hi.timestamp() * 1_000_000) * 1000)
+                    df = df.filter(F.col(tc) < _ns(hi))
             else:
                 if lo is not None:
-                    df = df.filter(F.col(tc) >= F.lit(lo.replace(tzinfo=None)))
+                    df = df.filter(F.col(tc) >= F.lit(lo))
                 if hi is not None:
-                    df = df.filter(F.col(tc) < F.lit(hi.replace(tzinfo=None)))
+                    df = df.filter(F.col(tc) < F.lit(hi))
         for c in tdef.nanos_columns:
             if c in df.columns and dict(df.dtypes)[c] == "bigint":
                 # nanos → micros by integer division (no double rounding;

@@ -80,6 +80,25 @@ def _utc_naive(dt: datetime) -> datetime:
     return dt
 
 
+@contextmanager
+def _utc_session(spark: SparkSession):
+    """Pin ``spark.sql.session.timeZone=UTC`` for the scope of a store
+    mutation (ADVICE r10 #1). The engine's time semantics are defined in
+    UTC — catalog.load pins reads — but day keys are derived with
+    ``date_format`` (session-timezone-dependent): a writer session in a
+    non-UTC zone would otherwise commit LOCAL-tz day keys that the UTC
+    day-list pruning in ``read_cold`` (and the touched/moved-day probes
+    in ``_cold_upsert``) silently miss. Expression timezones resolve at
+    analysis time, which for every mutation happens inside this scope
+    (the action runs here); the previous zone is restored on exit."""
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 class MissingEventTimeError(ValueError):
     """A fact-table upsert carried a NULL event time on a table that
     does not allow it — the reference rejects the batch with "Event time
@@ -220,7 +239,7 @@ class HotColdStore:
         OLD committed dirs if the re-init crashed before its commit.
         Single-writer like every other mutation (a concurrent writer's
         commit would be silently rolled back by ours)."""
-        with _single_writer(self.path):
+        with _single_writer(self.path), _utc_session(df.sparkSession):
             before = self._state()
             sv = pointer.next_version(before, "schema")
             with open(os.path.join(self.path,
@@ -594,7 +613,7 @@ class HotColdStore:
         that race into a loud ConcurrentWriteError instead."""
         from pyspark.sql import Observation
 
-        with _single_writer(self.path):
+        with _single_writer(self.path), _utc_session(spark):
             t = F.col(self.time_column)
             st = self._state()
             schema = self._schema(st)
@@ -855,7 +874,7 @@ class HotColdStore:
         the flush simply re-runs. The consumed batch dirs and displaced
         day dirs are ledgered with the commit (read-grace) and reaped
         by gc; a queue survivor stays invisible behind the watermark."""
-        with _single_writer(self.path):
+        with _single_writer(self.path), _utc_session(spark):
             names = self.queued_backfill_batches()
             if not names:
                 return 0
@@ -923,7 +942,7 @@ class HotColdStore:
         batch version beside the old days rather than rewriting the
         store). A legacy monolithic cold converts on first archive (one
         full rewrite, the cost every archive already paid pre-r9)."""
-        with _single_writer(self.path):
+        with _single_writer(self.path), _utc_session(spark):
             cut = F.lit(_utc_naive(new_cutoff))
             before = self._state()
             pending = self._pending_hot_batches(before)
@@ -1022,7 +1041,7 @@ class HotColdStore:
         dir days anyway (the reference's archiving merge always lands
         one batch per day). Returns how many days were compacted; the
         displaced dirs enter the read-grace ledger like any rewrite."""
-        with _single_writer(self.path):
+        with _single_writer(self.path), _utc_session(spark):
             before = self._state()
             m = self._cold_day_map(before)
             if m is None:
