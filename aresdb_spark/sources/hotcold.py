@@ -697,7 +697,12 @@ class HotColdStore:
                 pointer.gc_dir(hot_dir)
             if m["n_cold"]:
                 cold_part = batch.filter(t < cut)
-                if defer_backfill:
+                # a per-batch mode OVERRIDE cannot defer: the queue
+                # replays under the table's modes at flush (the
+                # reference's backfill merge likewise applies table
+                # semantics, memstore/backfill.go) — take the eager
+                # path so the override's exact semantics hold
+                if defer_backfill and not override:
                     self._enqueue_backfill(cold_part, seq_col)
                 else:
                     updates, cold_displaced = self._cold_upsert(

@@ -79,10 +79,23 @@ def start_upsert_stream(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     available_now: bool = False,
     modes: "dict | None" = None,
+    defer_backfill: bool = True,
 ):
     """Run the ingest loop: per micro-batch, optionally transform (the
     subscriber's per-column transformations), then upsert into the store
     with backfill routing by the current cutoff.
+
+    ``defer_backfill`` (default ON — VERDICT r10 directive 5): late
+    rows APPEND to the store's backfill queue instead of triggering an
+    inline cold-day rewrite per micro-batch; the scheduler's backfill
+    job flushes them on the table-config cadence. This is the
+    reference's shape — the subscriber never rewrites archive batches,
+    BackfillManager buffers (backfill_manager.go:62-120). Queued rows
+    are not queryable until the flush, exactly like the reference.
+    With stream-scoped ``modes`` the store falls back to the eager
+    cold merge per batch (the queue replays under table modes only).
+    Pass ``defer_backfill=False`` for read-your-writes on late data at
+    the cost of an O(touched days) cold rewrite per late micro-batch.
 
     Exactly-once: offsets are checkpointed per batch; replays re-apply the
     same deterministic merge (idempotent for overwrite/force/min/max;
@@ -95,7 +108,8 @@ def start_upsert_stream(
             batch_df = transform(batch_df)
         # stream-scoped modes override (e.g. a subscriber job's
         # updateMode map) without mutating the store's defaults
-        store.ingest(spark, batch_df, cutoff_fn(), modes=modes)
+        store.ingest(spark, batch_df, cutoff_fn(), modes=modes,
+                     defer_backfill=defer_backfill)
 
     writer = (source.writeStream
               .foreachBatch(process)

@@ -278,3 +278,91 @@ def test_redo_log_browser_matches_reference_expectations():
 
     with pytest.raises(ValueError, match="Invalid start or length"):
         rb.read_data(1501869573, 4, 2, 5)
+
+
+def test_post_data_late_rows_take_the_cheap_paths(spark, tmp_path):
+    """VERDICT r10 directive 5: the front door routes through the CHEAP
+    paths by default — a batch with late (pre-cutoff) rows schedules the
+    hot append + backfill-queue append ONLY (two narrow write jobs): no
+    cold scan, no cold rewrite, no probes. The soak stays flat in job
+    count as the queue grows; the scheduler's backfill job later folds
+    the queue. A wire batch whose modes differ from the store's still
+    takes the exact eager path."""
+    h = make_handler(spark, tmp_path)
+    store = h.stores["trips"]
+    t_late = int(datetime(2023, 12, 20).timestamp())   # before CUTOFF
+    sc = spark.sparkContext
+
+    def jobs_for(fn, tag):
+        sc.setJobGroup(tag, tag)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(tag))
+
+    counts = []
+    for k in range(4):
+        body = batch([(T0, 100 + k, 0, 1.0), (t_late, 200 + k, 1, 2.0)])
+        counts.append(jobs_for(
+            lambda b=body: h.post_data("trips", 0, b), f"post{k}"))
+    # hot append (1 observed write) + queue append (1 write) — flat in
+    # the number of already-queued batches
+    assert counts == [2] * 4, counts
+    assert len(store.queued_backfill_batches()) == 4
+    assert len(store._pending_hot_batches()) == 4
+    # no pending entry carries per-batch modes: reads stay on the fold
+    assert not any("modes" in e for e in store._pending_hot_batches())
+    # queued rows surface after the backfill job (reference semantics)
+    assert store.read_cold(spark).count() == 0
+    assert store.flush_backfill(spark) == 4
+    got = sorted(r["trip_id"] for r in store.read_cold(spark).collect())
+    assert got == [200, 201, 202, 203]
+
+    # an honest override (wire fare mode 2 = add, store default
+    # overwrite) must NOT defer: the eager cold merge applies it
+    body = batch([(t_late, 999, 0, 5.0)], fare_mode=2)
+    assert h.post_data("trips", 0, body)[0] == 200
+    assert store.queued_backfill_batches() == []
+    assert 999 in {r["trip_id"]
+                   for r in store.read_cold(spark).collect()}
+
+
+def test_post_data_dimension_routes_to_journal(spark, tmp_path):
+    """Dimension front door: with table-default modes the batch APPENDS
+    to the mutation journal (snapshot untouched — the reference's
+    dimension ingest only touches disk when the snapshot job runs);
+    reads replay it immediately."""
+    import os
+
+    from aresdb_spark.sources.hotcold import DimensionStore
+
+    ss = SchemaStore()
+    ss.create_table({
+        "name": "cities",
+        "columns": [{"name": "city_id", "type": "Int64"},
+                    {"name": "pop", "type": "Int64"}],
+        "primaryKeyColumns": [0], "isFactTable": False})
+    dim = DimensionStore(path=str(tmp_path / "cities"),
+                         primary_key=("city_id",))
+    dim.init_from(spark.createDataFrame(
+        [(1, 100)], "city_id bigint, pop bigint"))
+    h = DataHandler(spark, ss, {"cities": dim})
+
+    def snap_sig():
+        d = dim._snap_dir()
+        return sorted((e.name, e.stat().st_mtime_ns)
+                      for e in os.scandir(d) if e.is_file())
+
+    sig0 = snap_sig()
+    b = UpsertBatchBuilder(arrival_time=1)
+    b.add_column(0, "Int64")
+    b.add_column(1, "Int64")
+    b.add_row(); b.set_value(0, 0, 2); b.set_value(0, 1, 200)
+    assert h.post_data("cities", 0, b.to_byte_array())[0] == 200
+    assert len(dim._journal_batches()) == 1       # journaled, not merged
+    assert snap_sig() == sig0                     # snapshot untouched
+    got = sorted(tuple(r) for r in dim.read(spark).collect())
+    assert got == [(1, 100), (2, 200)]
+    assert dim.snapshot(spark) == 1               # compaction folds it
+    assert sorted(tuple(r) for r in dim.read(spark).collect()) == got
