@@ -828,19 +828,33 @@ class HotColdStore:
             displaced.append(self._displaced_dir("cold", st))
             old_map = {}
         else:
-            touched = {r[0] for r in union_b.select(
-                self._day_key().alias("d")).distinct().collect()
-                if r[0] is not None}
-            probe = union_b.select(*pk).distinct()
-            cond = None
-            for k in pk:   # null-safe: a NULL PK is a legal single key
-                c = F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
-                cond = c if cond is None else cond & c
-            narrow = self._read_cold_resolved(spark, st) \
-                .select(*pk, self._day_key().alias("__d")).alias("c")
-            moved = {r[0] for r in narrow.join(
-                F.broadcast(probe.alias("p")), cond, "left_semi")
-                .select("__d").distinct().collect()}
+            # ONE tiny agg job yields the touched days AND the batch's
+            # PK bounds (was two collects); the bounds drive footer-
+            # stats day pruning so the moved-day probe scans only
+            # candidate days, not O(|cold|) per flush (ADVICE r10 #3)
+            stats = union_b.agg(
+                F.collect_set(self._day_key()).alias("days"),
+                F.min(F.col(pk[0])).alias("lo"),
+                F.max(F.col(pk[0])).alias("hi"),
+                F.count(F.when(F.col(pk[0]).isNull(), 1))
+                .alias("n_null_pk")).collect()[0]
+            touched = set(stats["days"])
+            cand = self._candidate_moved_days(
+                old_map, stats["lo"], stats["hi"],
+                bool(stats["n_null_pk"]))
+            moved: set[str] = set()
+            if cand:
+                probe = union_b.select(*pk).distinct()
+                cond = None
+                for k in pk:  # null-safe: a NULL PK is a legal key
+                    c = F.col(f"c.{k}").eqNullSafe(F.col(f"p.{k}"))
+                    cond = c if cond is None else cond & c
+                narrow = self._read_cold_resolved(
+                    spark, st, days=cand) \
+                    .select(*pk, self._day_key().alias("__d")).alias("c")
+                moved = {r[0] for r in narrow.join(
+                    F.broadcast(probe.alias("p")), cond, "left_semi")
+                    .select("__d").distinct().collect()}
             affected = touched | moved
             base = self._read_cold_resolved(spark, st, days=affected)
             displaced += [rel for d in sorted(affected)
@@ -855,6 +869,64 @@ class HotColdStore:
             new_map[d] = new_map.get(d, []) + [rel]
         return ({"cold_days": new_map, "coldset_seq": ck, "cold": None},
                 displaced)
+
+    def _candidate_moved_days(self, old_map: "dict[str, list[str]]",
+                              lo, hi, has_null_pk: bool) -> set[str]:
+        """Days whose committed files MIGHT hold an existing copy of a
+        batch PK — decided from parquet footer min/max (and null
+        counts) on the FIRST primary-key column, driver-side, no Spark
+        job (ADVICE r10 #3: the moved-day probe must not scan
+        O(|cold|) per flush). Conservative superset: a file with
+        absent, non-comparable, or truncated stats keeps its day
+        (parquet truncation already widens string bounds outward), and
+        any error falls back to keeping the day. With day-disjoint PK
+        ranges (monotonic ids, time-correlated keys) the probe scan
+        collapses to the handful of days the batch actually hits. At
+        100 TB these per-file bounds live in a table-format manifest
+        (Delta/Iceberg column stats); the parquet footer is the
+        engine-neutral stand-in here."""
+        import pyarrow.parquet as pq
+
+        pk0 = self.primary_key[0]
+        out: set[str] = set()
+        for day, rels in old_map.items():
+            keep = False
+            for rel in rels:
+                droot = os.path.join(self.path, rel)
+                if not os.path.isdir(droot):
+                    keep = True               # unreadable ⇒ conservative
+                    break
+                for e in os.scandir(droot):
+                    if not e.name.endswith(".parquet"):
+                        continue
+                    try:
+                        pf = pq.ParquetFile(e.path)
+                        idx = pf.schema_arrow.get_field_index(pk0)
+                        if idx < 0:
+                            keep = True
+                            break
+                        md = pf.metadata
+                        for rg in range(md.num_row_groups):
+                            s = md.row_group(rg).column(idx).statistics
+                            if s is None or not s.has_min_max:
+                                keep = True
+                                break
+                            if has_null_pk and (s.null_count or 0) > 0:
+                                keep = True
+                                break
+                            if lo is not None and \
+                                    not (hi < s.min or lo > s.max):
+                                keep = True
+                                break
+                    except Exception:
+                        keep = True
+                    if keep:
+                        break
+                if keep:
+                    break
+            if keep:
+                out.add(day)
+        return out
 
     def flush_backfill(self, spark: SparkSession,
                        modes: "dict | None" = None) -> int:

@@ -104,11 +104,18 @@ class SignatureStoreHandle:
     path: str
     grace_seconds: "float | None" = None
 
-    def gc(self, spark: SparkSession) -> int:
+    def gc(self, spark: SparkSession,
+           grace_seconds: "float | None" = None) -> int:
+        """Grace precedence: the handle's own setting, else the
+        caller's (the scheduler threads the table-config
+        ``gcGraceSeconds`` here — ADVICE r10 #4: the config must not be
+        honored for fact/dimension stores but silently ignored for
+        signature stores), else the module default."""
         from aresdb_spark.operators.dedup import (
             SIGSTORE_GC_GRACE_SECONDS, gc_signature_store)
-        grace = SIGSTORE_GC_GRACE_SECONDS if self.grace_seconds is None \
-            else self.grace_seconds
+        grace = self.grace_seconds if self.grace_seconds is not None \
+            else grace_seconds if grace_seconds is not None \
+            else SIGSTORE_GC_GRACE_SECONDS
         return gc_signature_store(spark, self.path, grace)
 
 
@@ -261,9 +268,11 @@ class Scheduler:
 
         def run(spark: SparkSession, t=t, now=now):
             t.last_gc_time = now
-            if isinstance(t.store, SignatureStoreHandle):
-                return t.store.gc(spark)  # catalog-table drops need spark
             grace = t.config.get("gcGraceSeconds")
+            if isinstance(t.store, SignatureStoreHandle):
+                # catalog-table drops need spark; the table-config grace
+                # applies here exactly as for the other store kinds
+                return t.store.gc(spark, grace_seconds=grace)
             return t.store.gc() if grace is None \
                 else t.store.gc(grace_seconds=grace)
 

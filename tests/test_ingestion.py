@@ -719,3 +719,51 @@ def test_hot_fold_touches_only_pending_pks(spark, tmp_path):
     got2 = {r["id"]: r["v"] for r in df2.collect()}
     assert got2[0] == 11.0 and len(got2) == 50
     assert "Join" not in executed_plan_str(df2).split("== Initial Plan ==")[0]
+
+
+def test_moved_day_probe_is_footer_bounded(spark, tmp_path):
+    """ADVICE r10 #3: the _cold_upsert moved-day probe scans only days
+    whose parquet footer PK bounds intersect the batch's PK range —
+    with day-disjoint PK ranges (the common monotonic-id layout) an
+    update touches one candidate day, not O(|cold|). Conservative:
+    unknown stats keep the day; correctness of a cross-day move is
+    unchanged."""
+    from datetime import timedelta
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    t0 = datetime(2024, 1, 1)
+    cutoff = datetime(2024, 2, 1)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",))
+    rows = [(d * 100 + i, t0 + timedelta(days=d, hours=1), 1.0)
+            for d in range(5) for i in range(10)]
+    store.init_from(spark.createDataFrame(
+        rows, "id int, ts timestamp, v double"), cutoff)
+    m = store._cold_day_map()
+    assert len(m) == 5
+
+    # footer pruning: pk 205 lives only in day index 2
+    assert store._candidate_moved_days(m, 205, 205, False) == \
+        {"2024-01-03"}
+    # a range spanning two days' pks keeps exactly those days
+    assert store._candidate_moved_days(m, 5, 101, False) == \
+        {"2024-01-01", "2024-01-02"}
+    # a PK nobody holds keeps nothing — the probe scan is skipped
+    assert store._candidate_moved_days(m, 9999, 9999, False) == set()
+    # null-PK batches keep only days whose files Hold nulls (none here)
+    assert store._candidate_moved_days(m, None, None, True) == set()
+
+    # end-to-end: move pk 405 from day 4 to day 0 — the existing copy's
+    # day must be found through the footer bound and rewritten
+    store.ingest(spark, spark.createDataFrame(
+        [(405, t0 + timedelta(hours=2), 9.0)],
+        "id int, ts timestamp, v double"), cutoff)
+    got = {r["id"]: (r["ts"], r["v"])
+           for r in store.read_cold(spark).collect()}
+    assert got[405] == (t0 + timedelta(hours=2), 9.0)
+    assert len(got) == 50                       # moved, not duplicated
+    # untouched middle days kept their committed dirs verbatim
+    m2 = store._cold_day_map()
+    for day in ("2024-01-02", "2024-01-03", "2024-01-04"):
+        assert m2[day] == m[day]

@@ -417,9 +417,13 @@ def test_scheduler_gc_job_reaps_idle_store_ledgers(spark, tmp_path):
         TableLifecycle(name="dim", store=dim, config={
             "snapshotIntervalMinutes": 360, "snapshotThreshold": 100,
             "gcGraceSeconds": 1.0, "gcIntervalHours": 24}),
+        # no handle-level grace: the table-config gcGraceSeconds must
+        # be honored for signature stores exactly as for the other
+        # store kinds (ADVICE r10 #4 — it was silently ignored before)
         TableLifecycle(name="sig",
-                       store=SignatureStoreHandle(sig, grace_seconds=1.0),
-                       config={"gcIntervalHours": 24}),
+                       store=SignatureStoreHandle(sig),
+                       config={"gcGraceSeconds": 1.0,
+                               "gcIntervalHours": 24}),
     ]
     sched = Scheduler(tables)
     t0 = datetime(2024, 3, 1)
