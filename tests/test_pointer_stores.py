@@ -499,3 +499,76 @@ def test_hot_reader_survives_concurrent_compaction(spark, tmp_path):
     assert store.gc(grace_seconds=0) >= 3
     assert not any(os.path.isdir(d) for d in batch_dirs)
     assert store._state()["displaced"] == []
+
+
+def test_compact_cold_days_crash_before_flip(spark, tmp_path):
+    """VERDICT r10 directive 7: the day-compactor writes merged day
+    dirs into a fresh coldset_v<k> and commits the map update LAST — a
+    crash between the write and the flip leaves the old multi-dir map
+    serving reads byte-identically, and the orphan coldset is reclaimed
+    by number reuse on the retry."""
+    import os
+
+    store = _fact_store(spark, tmp_path)
+    # two archives landing rows in the SAME day give that day 2 dirs
+    store.archive(spark, datetime(2024, 1, 20, 12))   # id3 (01-20 05:00)
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=5, ts=datetime(2024, 1, 20, 18), v=5.0)]),
+        cutoff=datetime(2024, 1, 20, 12))
+    store.archive(spark, datetime(2024, 1, 21))       # id5 → 01-20 again
+    m0 = store._cold_day_map()
+    assert len(m0["2024-01-20"]) == 2
+    rows0 = sorted((r.id, r.v) for r in store.read_cold(spark).collect())
+    orphan_k = store._state()["coldset_seq"] + 1
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.compact_cold_days(spark)
+
+    # old map still live, reads identical; the crashed write's dir is
+    # an uncommitted orphan
+    assert store._cold_day_map() == m0
+    assert sorted((r.id, r.v)
+                  for r in store.read_cold(spark).collect()) == rows0
+    orphan = os.path.join(store.path, f"coldset_v{orphan_k}")
+    assert os.path.isdir(orphan)          # present but invisible
+
+    # retry reuses the number (reclaiming the orphan) and compacts
+    assert store.compact_cold_days(spark) == 1
+    m1 = store._cold_day_map()
+    assert len(m1["2024-01-20"]) == 1
+    assert store._state()["coldset_seq"] == orphan_k
+    assert sorted((r.id, r.v)
+                  for r in store.read_cold(spark).collect()) == rows0
+    # the displaced 2-dir generation reaps after the grace window
+    assert store.gc(grace_seconds=0) >= 2
+    for rel in m0["2024-01-20"]:
+        assert not os.path.isdir(os.path.join(store.path, rel))
+
+
+def test_purge_per_day_map_crash_before_flip(spark, tmp_path):
+    """Per-day purge is a pure metadata mutation: a crash at the commit
+    leaves every expired day committed and readable; the retried purge
+    drops the map entries in one write, the dirs survive in the
+    displaced ledger for in-flight readers, and gc reaps them."""
+    import os
+
+    store = _fact_store(spark, tmp_path)       # cold: 01-01, 01-10
+    m0 = store._cold_day_map()
+    assert sorted(m0) == ["2024-01-01", "2024-01-10"]
+
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.purge(spark, datetime(2024, 1, 5))
+
+    assert store._cold_day_map() == m0          # nothing dropped
+    assert sorted(r.id for r in store.read_cold(spark).collect()) == [1, 2]
+
+    store.purge(spark, datetime(2024, 1, 5))    # retry: 01-01 expires
+    assert sorted(store._cold_day_map()) == ["2024-01-10"]
+    assert sorted(r.id for r in store.read_cold(spark).collect()) == [2]
+    # expired day's dir survives the flip (read grace), then reaps
+    expired_rel = m0["2024-01-01"][0]
+    assert os.path.isdir(os.path.join(store.path, expired_rel))
+    assert store.gc(grace_seconds=0) >= 1
+    assert not os.path.isdir(os.path.join(store.path, expired_rel))
