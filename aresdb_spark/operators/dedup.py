@@ -325,10 +325,29 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             max_bucket_size: int = MAX_BUCKET_SIZE
                             ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates → exact Jaccard ≥
-    threshold. Returns (id_a, id_b, jaccard) sorted pairs."""
+    threshold. Returns (id_a, id_b, jaccard) sorted pairs.
+
+    Verify scope (VERDICT r10 directive 4): the exact-Jaccard stage
+    re-shingles only the docs that APPEAR in a candidate pair. The
+    candidate set is materialized once (localCheckpoint — it is ≪
+    corpus by LSH design, and Catalyst does not dedupe common
+    subplans, so without the cut the verify joins would recompute the
+    whole candidate pipeline per leg), its id set broadcasts as a semi
+    filter on the docs, and shingles are computed for that slice only.
+    Before this the verify stage streamed the FULL corpus through the
+    shingle expression twice (accepted in PERF_NOTES since r4) — a
+    per-corpus cost where a per-candidate one suffices; the candidate
+    stage is now the only full-corpus pass."""
     cand = minhash_lsh_candidates(df, text_col, id_col,
-                                  max_bucket_size=max_bucket_size)
-    return (ngram_jaccard(cand, df, text_col, id_col)
+                                  max_bucket_size=max_bucket_size) \
+        .localCheckpoint()
+    ids = (cand.select(F.col("id_a").alias("id"))
+           .unionByName(cand.select(F.col("id_b").alias("id")))
+           .distinct())
+    cand_docs = df.join(
+        F.broadcast(ids),
+        F.col(id_col).eqNullSafe(F.col("id")), "left_semi")
+    return (ngram_jaccard(cand, cand_docs, text_col, id_col)
             .filter(F.col("jaccard") >= threshold))
 
 

@@ -503,6 +503,16 @@ def main():
                               "fingerprint": sf1_meta["fingerprint"],
                               "base_sec": t1, "queries": t10,
                               "ratio_x10": ratio}
+            try:
+                # q7 per-phase attribution (VERDICT r10 directive 4):
+                # signature / band-shuffle / verify walls + candidate
+                # counts at both scales, so any ratio drift names its
+                # phase and normalizes per candidate
+                payload["sf1"]["q7_phases"] = {
+                    "base": _q7_phases(spark, SF_DIR),
+                    "x10": _q7_phases(spark, SF1_DIR)}
+            except Exception as e:
+                payload["sf1"]["q7_phases"] = {"error": str(e)}
         except Exception as e:  # the stress tier must never sink the bench
             payload["sf1"] = {"error": str(e)}
 
@@ -527,6 +537,55 @@ def main():
         "min_total_sec": payload["variance"]["min_total"],
     }
     print(json.dumps(payload))
+
+
+def _q7_phases(spark, d):
+    """Per-phase q7 minhash attribution (VERDICT r10 directive 4). Three
+    cumulative probes, one warmup + one timed pass each:
+
+      - signature_sec: scan-side signature compute only (the band
+        hashes fold into one long per doc, global agg — no shuffle)
+      - candidates_sec: the full candidate stage (signatures + the one
+        (band,hash) shuffle + bucket pair expansion + distinct)
+      - full_sec: candidates + the exact-Jaccard verify stage
+
+    Differences attribute the stages; ``verify_us_per_candidate``
+    normalizes the verify margin by the candidate-pair count, so a
+    growing 10x ratio is distinguishable from a growing pair count."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (minhash_lsh_candidates,
+                                              minhash_near_duplicates,
+                                              minhash_signature)
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+
+    def timed(fn):
+        fn()
+        t0 = time.perf_counter()
+        r = fn()
+        return time.perf_counter() - t0, r
+
+    sig = minhash_signature(F.col("text"))
+    probe = docs.select(F.aggregate(
+        sig, F.lit(0).cast("long"), lambda a, x: a + x).alias("s")) \
+        .agg(F.bit_xor("s"))
+    sig_sec, _ = timed(lambda: probe.collect())
+    cand_sec, n_cand = timed(
+        lambda: minhash_lsh_candidates(docs).count())
+    full_sec, n_pairs = timed(
+        lambda: minhash_near_duplicates(docs, threshold=0.5).count())
+    return {
+        "signature_sec": round(sig_sec, 4),
+        "candidates_sec": round(cand_sec, 4),
+        "full_sec": round(full_sec, 4),
+        "band_stage_sec": round(cand_sec - sig_sec, 4),
+        "verify_stage_sec": round(full_sec - cand_sec, 4),
+        "candidate_pairs": n_cand,
+        "verified_pairs": n_pairs,
+        "verify_us_per_candidate": round(
+            1e6 * max(full_sec - cand_sec, 0.0) / max(n_cand, 1), 1),
+    }
 
 
 def _store_ops_bench(spark):
