@@ -2048,7 +2048,14 @@ _DRIVER_WINDOW = [
     # recurring-bucket path keeps aql_recurring_buckets (same
     # timeutil.py recurring code) in-window; day_of_week stays in
     # check_contract.
-    "aql_set_union", "migrate_ares_root", "aql_sharded_scatter",
+    # r10 rotation (VERDICT r9 directive 6): text_dsir_weights — the
+    # DSIR data-selection family (text.py importance weights: one
+    # explode + two persisted-LM joins) was the last LLM-pipeline
+    # operator class with no driver-graded row. It displaces
+    # aql_set_union, whose plan_set_op path (aql/api.py) stays
+    # contract-verified (set_intersect/set_except share it) and was
+    # judge-verified in r4 and graded in-window r6-r9.
+    "text_dsir_weights", "migrate_ares_root", "aql_sharded_scatter",
     # aql_hour_of_day rotated out for the r6 deferred-backfill scheduler
     # row: its recurring-bucket path keeps TWO in-window siblings
     # (aql_day_of_week, aql_recurring_buckets — same timeutil recurring
