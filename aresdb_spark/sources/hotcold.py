@@ -99,6 +99,17 @@ def _utc_session(spark: SparkSession):
         spark.conf.set("spark.sql.session.timeZone", old)
 
 
+def _dir_has_column(d: str, col: str) -> bool:
+    """Whether the parquet files in ``d`` carry ``col`` — one pyarrow
+    footer read of the first file, no Spark session involvement (dirs
+    are written atomically by one code version, so one file decides)."""
+    import pyarrow.parquet as pq
+    for e in os.scandir(d):
+        if e.name.endswith(".parquet"):
+            return col in pq.ParquetFile(e.path).schema_arrow.names
+    return True
+
+
 class MissingEventTimeError(ValueError):
     """A fact-table upsert carried a NULL event time on a table that
     does not allow it — the reference rejects the batch with "Event time
@@ -249,8 +260,8 @@ class HotColdStore:
             t = F.col(self.time_column)
             hv = self._next("hot")
             ck = pointer.next_version(before, "coldset_seq")
-            day_map = {d: [rel] for d, rel in self._write_cold_days(
-                df.filter(t < cut), ck).items()}
+            written0 = self._write_cold_days(df.filter(t < cut), ck)
+            day_map = {d: [rel] for d, rel in written0.items()}
             # NULL event times (when allowed) belong to hot — they
             # never archive
             self._write_hot(df.filter((t >= cut) | t.isNull()), hv)
@@ -281,6 +292,8 @@ class HotColdStore:
                           for e in self._pending_hot_batches(before)]
             self._commit(hot=hv, cold=None, schema=sv,
                          cold_days=day_map, coldset_seq=ck,
+                         cold_day_stats=self._cold_stats_update(
+                             None, day_map, written0),
                          backfill_consumed=consumed,
                          hot_seq=hot_seq, hot_batches=[],
                          cutoff=_utc_naive(cutoff).isoformat(),
@@ -375,6 +388,58 @@ class HotColdStore:
                       "overwrite")
         return {n.split("=", 1)[1]: f"coldset_v{k}/{n}"
                 for n in os.listdir(out) if n.startswith("__day=")}
+
+    def _pk_bounds_of_dir(self, droot: str) -> "dict | None":
+        """Footer-derived bounds of the FIRST primary-key column across
+        one day dir: ``{"lo", "hi", "nulls"}``, or None when any file
+        lacks usable (JSON-representable, comparable) stats. Read ONCE
+        at write time — O(new files) — and committed with the day map
+        (``cold_day_stats``), so the moved-day probe consults committed
+        metadata instead of re-reading every cold footer per flush."""
+        import pyarrow.parquet as pq
+
+        pk0 = self.primary_key[0]
+        lo = hi = None
+        nulls = 0
+        try:
+            for e in os.scandir(droot):
+                if not e.name.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(e.path)
+                idx = pf.schema_arrow.get_field_index(pk0)
+                if idx < 0:
+                    return None
+                md = pf.metadata
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(idx).statistics
+                    if s is None or not s.has_min_max or \
+                            not isinstance(s.min, (int, float, str)):
+                        return None
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+                    nulls += s.null_count or 0
+        except Exception:
+            return None
+        if lo is None:
+            return None
+        return {"lo": lo, "hi": hi, "nulls": nulls}
+
+    def _cold_stats_update(self, st: "dict | None",
+                           new_map: "dict[str, list[str]]",
+                           written: "dict[str, str]") -> dict:
+        """The ``cold_day_stats`` value for a cold-map commit: previous
+        entries for dirs still referenced by ``new_map`` + fresh bounds
+        for the dirs ``written`` by this mutation (the only footer reads
+        — O(touched days), at write time). Entries for displaced dirs
+        fall out of the committed state with the same commit."""
+        old = dict((st or {}).get("cold_day_stats", {}))
+        live = {rel for dirs in new_map.values() for rel in dirs}
+        out = {rel: v for rel, v in old.items() if rel in live}
+        for rel in written.values():
+            b = self._pk_bounds_of_dir(os.path.join(self.path, rel))
+            if b is not None:
+                out[rel] = b
+        return out
 
     def _day_key(self) -> "F.Column":
         return F.date_format(F.col(self.time_column), "yyyy-MM-dd")
@@ -759,7 +824,7 @@ class HotColdStore:
         for a batch whose order was never recorded."""
         from pyspark.sql.types import LongType, StructField, StructType
         d = os.path.join(self.backfill_path, name)
-        has_seq = "__seq" in spark.read.parquet(d).columns
+        has_seq = _dir_has_column(d, "__seq")   # footer read, no job
         qschema = StructType(
             list(schema.fields) + [StructField("__seq", LongType())])
         df = spark.read.schema(qschema).parquet(d)
@@ -832,16 +897,16 @@ class HotColdStore:
             # PK bounds (was two collects); the bounds drive footer-
             # stats day pruning so the moved-day probe scans only
             # candidate days, not O(|cold|) per flush (ADVICE r10 #3)
-            stats = union_b.agg(
+            brow = union_b.agg(
                 F.collect_set(self._day_key()).alias("days"),
                 F.min(F.col(pk[0])).alias("lo"),
                 F.max(F.col(pk[0])).alias("hi"),
                 F.count(F.when(F.col(pk[0]).isNull(), 1))
                 .alias("n_null_pk")).collect()[0]
-            touched = set(stats["days"])
+            touched = set(brow["days"])
             cand = self._candidate_moved_days(
-                old_map, stats["lo"], stats["hi"],
-                bool(stats["n_null_pk"]))
+                old_map, brow["lo"], brow["hi"], bool(brow["n_null_pk"]),
+                (st or {}).get("cold_day_stats", {}))
             moved: set[str] = set()
             if cand:
                 probe = union_b.select(*pk).distinct()
@@ -867,65 +932,52 @@ class HotColdStore:
                    if affected is not None and d not in affected}
         for d, rel in written.items():
             new_map[d] = new_map.get(d, []) + [rel]
-        return ({"cold_days": new_map, "coldset_seq": ck, "cold": None},
+        return ({"cold_days": new_map, "coldset_seq": ck, "cold": None,
+                 "cold_day_stats":
+                 self._cold_stats_update(st, new_map, written)},
                 displaced)
 
     def _candidate_moved_days(self, old_map: "dict[str, list[str]]",
-                              lo, hi, has_null_pk: bool) -> set[str]:
+                              lo, hi, has_null_pk: bool,
+                              stats: "dict | None" = None) -> set[str]:
         """Days whose committed files MIGHT hold an existing copy of a
-        batch PK — decided from parquet footer min/max (and null
-        counts) on the FIRST primary-key column, driver-side, no Spark
-        job (ADVICE r10 #3: the moved-day probe must not scan
-        O(|cold|) per flush). Conservative superset: a file with
-        absent, non-comparable, or truncated stats keeps its day
-        (parquet truncation already widens string bounds outward), and
-        any error falls back to keeping the day. With day-disjoint PK
-        ranges (monotonic ids, time-correlated keys) the probe scan
-        collapses to the handful of days the batch actually hits. At
-        100 TB these per-file bounds live in a table-format manifest
-        (Delta/Iceberg column stats); the parquet footer is the
-        engine-neutral stand-in here."""
-        import pyarrow.parquet as pq
+        batch PK — decided from per-dir bounds on the FIRST primary-key
+        column, driver-side, no Spark job (ADVICE r10 #3: the moved-day
+        probe must not scan O(|cold|) per flush). Bounds come from the
+        COMMITTED ``cold_day_stats`` map (recorded at write time, so
+        the steady-state probe is pure pointer metadata — the
+        Delta/Iceberg-manifest shape at 100 TB); dirs committed before
+        the stats existed fall back to a one-time parquet footer read.
+        Conservative superset: absent, non-comparable, or truncated
+        stats keep the day (parquet truncation already widens string
+        bounds outward), and any error keeps the day. With day-disjoint
+        PK ranges (monotonic ids, time-correlated keys) the probe
+        collapses to the handful of days the batch actually hits."""
+        stats = stats or {}
 
-        pk0 = self.primary_key[0]
+        def bounds_hit(b) -> bool:
+            if b is None:
+                return True               # unknowable ⇒ conservative
+            if has_null_pk and b["nulls"] > 0:
+                return True
+            if lo is None:
+                return False              # null-only batch, no nulls here
+            try:
+                return not (hi < b["lo"] or lo > b["hi"])
+            except TypeError:
+                return True
+
         out: set[str] = set()
         for day, rels in old_map.items():
-            keep = False
             for rel in rels:
-                droot = os.path.join(self.path, rel)
-                if not os.path.isdir(droot):
-                    keep = True               # unreadable ⇒ conservative
+                b = stats.get(rel)
+                if b is None:             # pre-stats dir: footer fallback
+                    droot = os.path.join(self.path, rel)
+                    b = self._pk_bounds_of_dir(droot) \
+                        if os.path.isdir(droot) else None
+                if bounds_hit(b):
+                    out.add(day)
                     break
-                for e in os.scandir(droot):
-                    if not e.name.endswith(".parquet"):
-                        continue
-                    try:
-                        pf = pq.ParquetFile(e.path)
-                        idx = pf.schema_arrow.get_field_index(pk0)
-                        if idx < 0:
-                            keep = True
-                            break
-                        md = pf.metadata
-                        for rg in range(md.num_row_groups):
-                            s = md.row_group(rg).column(idx).statistics
-                            if s is None or not s.has_min_max:
-                                keep = True
-                                break
-                            if has_null_pk and (s.null_count or 0) > 0:
-                                keep = True
-                                break
-                            if lo is not None and \
-                                    not (hi < s.min or lo > s.max):
-                                keep = True
-                                break
-                    except Exception:
-                        keep = True
-                    if keep:
-                        break
-                if keep:
-                    break
-            if keep:
-                out.add(day)
         return out
 
     def flush_backfill(self, spark: SparkSession,
@@ -1051,7 +1103,9 @@ class HotColdStore:
                 for d, rel in written.items():
                     new_map[d] = new_map.get(d, []) + [rel]
                 commit.update(cold_days=new_map, coldset_seq=ck,
-                              cold=None)
+                              cold=None,
+                              cold_day_stats=self._cold_stats_update(
+                                  before, new_map, written))
                 commit["hot"] = self._next("hot")
                 self._write_hot(stay_hot, commit["hot"])
             elif arrival_column is not None or pending:
@@ -1138,6 +1192,8 @@ class HotColdStore:
             for d, rel in written.items():
                 new_map[d] = new_map.get(d, []) + [rel]
             self._commit(cold_days=new_map, coldset_seq=ck,
+                         cold_day_stats=self._cold_stats_update(
+                             before, new_map, written),
                          displaced=pointer.displace(before, displaced))
             pointer.gc_displaced(self.path)
             return len(targets)
@@ -1162,6 +1218,8 @@ class HotColdStore:
                     keep = {d: v for d, v in m.items() if d >= boundary}
                     gone = [rel for d in expired for rel in m[d]]
                     self._commit(cold_days=keep,
+                                 cold_day_stats=self._cold_stats_update(
+                                     st, keep, {}),
                                  displaced=pointer.displace(st, gone))
             else:
                 for name in os.listdir(self.cold_path):
@@ -1402,7 +1460,7 @@ class DimensionStore:
         legacy dirs (pre-r10) fall back to read-order stamping."""
         from pyspark.sql.types import LongType, StructField, StructType
         d = os.path.join(self.journal_path, name)
-        has_seq = "__seq" in spark.read.parquet(d).columns
+        has_seq = _dir_has_column(d, "__seq")   # footer read, no job
         jschema = StructType(
             list(sch.fields) + [StructField("__seq", LongType())])
         df = spark.read.schema(jschema).parquet(d)

@@ -767,3 +767,55 @@ def test_moved_day_probe_is_footer_bounded(spark, tmp_path):
     m2 = store._cold_day_map()
     for day in ("2024-01-02", "2024-01-03", "2024-01-04"):
         assert m2[day] == m[day]
+
+
+def test_moved_day_probe_uses_committed_stats(spark, tmp_path, monkeypatch):
+    """The per-day PK bounds are recorded in the pointer at WRITE time
+    (cold_day_stats) — the steady-state moved-day probe is pure
+    committed metadata, no footer reads at all (the manifest-stats
+    shape at 100 TB); footers are only read for dirs committed before
+    the stats existed. Displaced dirs drop out of the stats with the
+    same commit that retires them."""
+    from datetime import timedelta
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    t0 = datetime(2024, 1, 1)
+    cutoff = datetime(2024, 2, 1)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",))
+    rows = [(d * 100 + i, t0 + timedelta(days=d, hours=1), 1.0)
+            for d in range(4) for i in range(10)]
+    store.init_from(spark.createDataFrame(
+        rows, "id int, ts timestamp, v double"), cutoff)
+    m = store._cold_day_map()
+    st = store._state()
+    live = {rel for dirs in m.values() for rel in dirs}
+    assert set(st["cold_day_stats"]) == live
+    b = st["cold_day_stats"][m["2024-01-03"][0]]
+    assert (b["lo"], b["hi"], b["nulls"]) == (200, 209, 0)
+
+    # with committed stats the probe must never touch a footer
+    def boom(self, d):
+        raise AssertionError(f"unexpected footer read: {d}")
+    monkeypatch.setattr(HotColdStore, "_pk_bounds_of_dir", boom)
+    assert store._candidate_moved_days(
+        m, 205, 205, False, st["cold_day_stats"]) == {"2024-01-03"}
+    monkeypatch.undo()
+
+    # a flush that rewrites a day prunes the displaced dir's entry and
+    # records the new dir's bounds in the SAME commit
+    store.ingest(spark, spark.createDataFrame(
+        [(205, t0 + timedelta(days=3, hours=2), 9.0)],
+        "id int, ts timestamp, v double"), cutoff, defer_backfill=True)
+    store.flush_backfill(spark)
+    st2 = store._state()
+    m2 = store._cold_day_map()
+    live2 = {rel for dirs in m2.values() for rel in dirs}
+    assert set(st2["cold_day_stats"]) == live2
+    # purge drops expired days' stats with the map entries
+    store.purge(spark, t0 + timedelta(days=2))
+    st3 = store._state()
+    live3 = {rel for dirs in store._cold_day_map().values()
+             for rel in dirs}
+    assert set(st3["cold_day_stats"]) == live3
