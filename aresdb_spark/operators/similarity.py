@@ -450,16 +450,27 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         n_clusters = max(8, math.ceil(n_rows / target_cluster_size))
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_clusters)
+    # norms are hoisted PER ROW (n sqrt-folds) instead of recomputed
+    # per PAIR: the pair stage's higher-order-function expressions run
+    # interpreted (no whole-stage codegen), so per-pair work is the
+    # wall clock — this cuts it from three 64-element folds to one.
+    # dot/(na*nb) keeps the exact operation order of cosine(), so every
+    # rounded value (and the DuckDB oracle match) is bit-identical.
     assigned = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-        ivf_assign(F.col(vec_col), cents).alias("cluster"))
+        ivf_assign(F.col(vec_col), cents).alias("cluster"),
+        norm(F.col(vec_col)).alias("nrm"))
     right = (assigned.select(F.col("id").alias("id_b"),
                              F.col("v").alias("v_b"),
-                             F.col("cluster").alias("cluster_b")))
+                             F.col("cluster").alias("cluster_b"),
+                             F.col("nrm").alias("nrm_b")))
+    pair_dot = F.aggregate(     # v, v_b are already double arrays
+        F.zip_with(F.col("v"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
     dominated = (
         assigned.join(right, (F.col("cluster") == F.col("cluster_b"))
                       & (F.col("id") < F.col("id_b")))
-        .filter(F.round(cosine(F.col("v"), F.col("v_b")), 6)
+        .filter(F.round(pair_dot / (F.col("nrm") * F.col("nrm_b")), 6)
                 >= threshold)
         .select(F.col("id_b").alias("id")).distinct()
         .withColumn("_dropped", F.lit(True)))

@@ -513,6 +513,18 @@ def main():
                     "x10": _q7_phases(spark, SF1_DIR)}
             except Exception as e:
                 payload["sf1"]["q7_phases"] = {"error": str(e)}
+            try:
+                # q15 attribution: within-cluster pair counts grow
+                # LINEARLY with the corpus by design (fixed cluster
+                # size), so the honest scale signal is per-pair cost,
+                # not the wall ratio — r10 halved both walls and that
+                # RAISES the quotient (fixed overhead stops hiding the
+                # linear term at 1x)
+                payload["sf1"]["q15_phases"] = {
+                    "base": _q15_phases(spark, SF_DIR),
+                    "x10": _q15_phases(spark, SF1_DIR)}
+            except Exception as e:
+                payload["sf1"]["q15_phases"] = {"error": str(e)}
         except Exception as e:  # the stress tier must never sink the bench
             payload["sf1"] = {"error": str(e)}
 
@@ -586,6 +598,50 @@ def _q7_phases(spark, d):
         "verify_us_per_candidate": round(
             1e6 * max(full_sec - cand_sec, 0.0) / max(n_cand, 1), 1),
     }
+
+
+def _q15_phases(spark, d):
+    """q15 semantic-dedup attribution: assignment wall, full wall, and
+    the EXACT within-cluster pair count (Σ c·(c-1)/2 over cluster
+    sizes — the SemDeDup cost model's unit of work). Fixed cluster
+    size makes the pair count linear in corpus size by design;
+    ``pair_us`` (per-pair wall) is the number that must stay flat."""
+    import math
+
+    import pyarrow.dataset as pads
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.similarity import (ivf_assign,
+                                                   ivf_centroids,
+                                                   semantic_dedup)
+
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = pads.dataset(f"{d}/embeddings.parquet").count_rows()
+    k = max(8, math.ceil(n / 250))
+    cents = ivf_centroids(64, k)
+    sizes = emb.select(
+        ivf_assign(F.col("embedding"), cents).alias("c")).groupBy("c").count()
+    n_pairs = int(sizes.agg(F.sum(
+        F.col("count") * (F.col("count") - 1) / 2)).collect()[0][0])
+
+    def timed(fn):
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        return time.perf_counter() - t0
+
+    assign_sec = timed(lambda: sizes.agg(
+        F.bit_xor(F.xxhash64("c", "count"))).collect())
+    full_sec = timed(lambda: semantic_dedup(
+        emb, threshold=0.4, n_rows=n).groupBy().agg(
+        F.count("*").alias("n")).collect())
+    return {"n_rows": n, "n_clusters": k,
+            "within_cluster_pairs": n_pairs,
+            "assign_sec": round(assign_sec, 4),
+            "full_sec": round(full_sec, 4),
+            "pair_us": round(
+                1e6 * max(full_sec - assign_sec, 0.0) / max(n_pairs, 1),
+                2)}
 
 
 def _store_ops_bench(spark):
