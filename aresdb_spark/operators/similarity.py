@@ -361,13 +361,18 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.95,
     the data (running a Spark job at plan time is a scale anti-pattern)."""
     planes_arr = lsh_planes(dim, n_planes)
 
+    # per-row norms hoisted out of the pair stage (HOF folds run
+    # interpreted; dot/(na*nb) keeps cosine()'s exact operation order,
+    # so rounded values — and the oracle match — are bit-identical)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm(F.col(vec_col)).alias("nrm"),
                      lsh_bucket(F.col(vec_col), planes_arr).alias("bucket"))
     l, r = base.alias("l"), base.alias("r")
     pairs = (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"))
+                F.round(dot(F.col("l.v"), F.col("r.v"))
+                        / (F.col("l.nrm") * F.col("r.nrm")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
     return pairs
@@ -395,12 +400,14 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
                                     id_col: str = "vec_id") -> DataFrame:
     """Exact all-pairs cosine near-dup (the correctness baseline the LSH
     variant is measured against)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     norm(F.col(vec_col)).alias("nrm"))
     l, r = base.alias("l"), base.alias("r")
     return (
         l.join(r, F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"))
+                F.round(dot(F.col("l.v"), F.col("r.v"))
+                        / (F.col("l.nrm") * F.col("r.nrm")), 6).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 
