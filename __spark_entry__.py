@@ -1313,6 +1313,38 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal WAV: REAL RIFF/PCM decode (r10 — the audio half of
+    # the multimodal stub; operators/audio.py). PCM is LOSSLESS, so the
+    # integer sample formula round-trips through real WAV bytes with no
+    # tolerance: a wrong chunk walk, sample-width handling or channel
+    # de-interleave breaks the hash.
+    def q_wav(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 7 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_wav_media(docs))
+
+    # n = 64 + d%33 mono int16 samples, sample(i) = (d*97+i*61)%2001-1000,
+    # rate = 8000*(1+d%2); max n = 96 bounds the lateral range
+    out["multimodal_wav_stats"] = (q_wav, """
+        SELECT doc_id AS media_id,
+               64 + doc_id % 33 AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               8000 * (1 + doc_id % 2) AS sample_rate,
+               (64 + doc_id % 33) * 1000 // (8000 * (1 + doc_id % 2))
+                   AS duration_ms,
+               CAST(sum((doc_id * 97 + i * 61) % 2001 - 1000) AS BIGINT)
+                   AS amp_sum,
+               min((doc_id * 97 + i * 61) % 2001 - 1000) AS amp_min,
+               max((doc_id * 97 + i * 61) % 2001 - 1000) AS amp_max,
+               CAST(sum(abs((doc_id * 97 + i * 61) % 2001 - 1000))
+                    AS BIGINT) AS abs_sum
+        FROM documents CROSS JOIN range(97) t(i)
+        WHERE doc_id % 7 = 0 AND i < 64 + doc_id % 33
+        GROUP BY 1, 2, 3, 4, 5
+    """)
+
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session
@@ -2099,7 +2131,6 @@ _DRIVER_WINDOW = [
     # code); it stays in check_contract. stream_backfill_scheduler's
     # queue+flush path had no in-window coverage.
     "stream_backfill_scheduler", "aql_recurring_buckets",
-    "aql_week_month_buckets",
     "aql_dst_bucket", "aql_bitwise_ops", "aql_is_true_not_in",
     "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
@@ -2129,8 +2160,14 @@ _DRIVER_WINDOW = [
     # displaces aql_array_contains, whose array-function path keeps
     # aql_array_predicates (same §2.6 array family, same planner
     # whitelist code) in-window; array_contains stays in check_contract.
+    # r10 rotation #3: multimodal_wav_stats — real RIFF/PCM audio
+    # decode (operators/audio.py), the audio half of the multimodal
+    # stub, lossless so bit-for-bit vs the formula oracle. It displaces
+    # aql_week_month_buckets, whose regular-bucket path keeps
+    # aql_count_hourly (hour bucket, same timeutil.time_bucket code)
+    # in-window; week/month stays in check_contract.
     "text_lm_perplexity", "text_quality", "multimodal_featurize",
-    "multimodal_jpeg_stats",
+    "multimodal_jpeg_stats", "multimodal_wav_stats",
     # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
     # continuous-crawl Structured Streaming sink — now one bucket-pruned
     # store scan per micro-batch) displaces text_fingerprint, whose

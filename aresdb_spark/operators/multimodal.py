@@ -6,11 +6,12 @@ scanline unfilter, ``decode_png`` — 8-bit non-interlaced grayscale/RGB)
 and JPEG decodes FOR REAL with a clean-room baseline T.81 codec
 (operators/jpeg.py: Huffman entropy decode, dequantize, IDCT, restart
 intervals — r10, retiring the r9 stub); both are oracle-checked
-bit-for-bit via ``decode_stats``. The container ships no codec
-libraries, so audio/video decode stays an honest NotImplementedError
-stub — the Spark-side plumbing (schemas, batch iteration, partition
-sizing, UDF signatures) is identical either way, and swapping in
-PIL/ffmpeg is a one-function change.
+bit-for-bit via ``decode_stats``. WAV audio decodes FOR REAL too
+(operators/audio.py RIFF/PCM, lossless, r10). The container ships no
+codec libraries, so video and compressed-audio decode stay honest
+NotImplementedError stubs — the Spark-side plumbing (schemas, batch
+iteration, partition sizing, UDF signatures) is identical either way,
+and swapping in ffmpeg is a one-function change.
 
 Scale notes:
   - binary payloads dominate partition size → repartition by row count
