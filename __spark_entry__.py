@@ -1345,6 +1345,30 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal MP4 probe: REAL ISO BMFF box parsing (r10 — the
+    # scan-time half of video: duration/track/dimension metadata prunes
+    # before any frame decode, which honestly needs a codec library;
+    # operators/video.py). Parsing is lossless, so the integer skeleton
+    # formulas round-trip bit-for-bit (v0 and 64-bit v1 boxes both).
+    def q_mp4(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 17 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_probe_stats(V.synthetic_mp4_media(docs))
+
+    out["multimodal_mp4_probe"] = (q_mp4, """
+        SELECT doc_id AS media_id,
+               'isom' AS brand,
+               600 * (1 + doc_id % 2) AS timescale,
+               (600 + (doc_id * 37) % 100000) * 1000
+                   // (600 * (1 + doc_id % 2)) AS duration_ms,
+               1 + doc_id % 2 AS n_tracks,
+               16 * (1 + doc_id % 20) AS video_width,
+               16 * (1 + doc_id % 15) AS video_height
+        FROM documents WHERE doc_id % 17 = 0
+    """)
+
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session
