@@ -83,3 +83,23 @@ def test_audio_stats_matches_formula(spark):
         assert s["amp_sum"] == sum(vals)
         assert s["amp_min"] == min(vals) and s["amp_max"] == max(vals)
         assert s["abs_sum"] == sum(abs(v) for v in vals)
+
+
+def test_pcm_roundtrip_property():
+    """Hypothesis: ANY int16 sample array round-trips exactly (PCM is
+    lossless) across channel counts and rates."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+           st.integers(1, 4), st.sampled_from([8000, 16000, 44100]))
+    def run(vals, ch, rate):
+        n = (len(vals) // ch) * ch
+        if n == 0:
+            return
+        s = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate and (out == s).all()
+
+    run()

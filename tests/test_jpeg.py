@@ -20,9 +20,8 @@ def test_zigzag_matches_spec_figure5():
     # canonical order
     assert ZIGZAG[:16].tolist() == [
         0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5]
-    assert ZIGZAG[-4:].tolist() == [61, 54, 47, 55][-4:] or True
+    assert ZIGZAG[-8:].tolist() == [53, 60, 61, 54, 47, 55, 62, 63]
     assert sorted(ZIGZAG.tolist()) == list(range(64))
-    assert ZIGZAG[63] == 63
 
 
 def test_extend_matches_t81_f12_semantics():
@@ -206,3 +205,43 @@ def test_featurize_over_jpeg_payloads(spark):
     for r in feats:
         assert len(r["features"]) == M.FEATURE_DIM
         assert r["feat_norm"] >= 0.0
+
+
+def test_constant_block_roundtrip_property():
+    """Hypothesis: ANY block-constant grayscale image round-trips
+    exactly (the oracle-strategy invariant the contract row relies on),
+    with and without restart intervals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 4), st.integers(1, 3),
+           st.lists(st.integers(0, 255), min_size=12, max_size=12),
+           st.sampled_from([0, 1, 2]))
+    def run(wb, hb, vals, rst):
+        vals_arr = np.array(vals[:wb * hb]).reshape(hb, wb) \
+            if wb * hb <= 12 else None
+        if vals_arr is None:
+            return
+        img = np.kron(vals_arr.astype(np.uint8),
+                      np.ones((8, 8), np.uint8))
+        out = decode_jpeg(encode_jpeg(img, restart_interval=rst))
+        assert (out == img).all()
+
+    run()
+
+
+def test_lossy_roundtrip_error_bound_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(1, 30), st.integers(1, 30), st.integers(0, 2**31))
+    def run(h, w, seed):
+        img = np.random.default_rng(seed).integers(
+            0, 256, (h, w), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    run()
