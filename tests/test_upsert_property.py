@@ -211,3 +211,64 @@ def test_per_day_backfill_flush_equals_full_merge(spark, tmp_path_factory,
     m = store._cold_day_map()
     for _, ts, _ in got:
         assert ts.strftime("%Y-%m-%d") in m
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)),   # pk (nullable)
+                  st.integers(-20, 20)),
+        max_size=6, unique_by=lambda r: r[0]),
+    batches=st.lists(
+        st.lists(st.tuples(st.one_of(st.none(), st.integers(0, 7)),
+                           st.one_of(st.none(), st.integers(-20, 20))),
+                 min_size=1, max_size=4),
+        min_size=1, max_size=3),
+    mode_v=st.sampled_from(MODES),
+)
+def test_hot_store_pending_pk_split_read_equals_eager_chain(
+        spark, tmp_path_factory, base, batches, mode_v):
+    """r10 directive 2: the store-level hot read now SPLITS the base by
+    the pending-PK set (broadcast semi/anti) and folds only the matched
+    slice — this property drives that path end-to-end through
+    ingest/read_hot (not fold_upserts directly) and must equal the
+    eager merge chain under every mode, including NULL PKs (a legal
+    single key for the null-safe split join) and PKs absent from the
+    base (pure inserts ride the fold)."""
+    from datetime import datetime, timedelta
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    cutoff = datetime(2024, 1, 15)
+    t0 = cutoff + timedelta(days=1)
+    modes = {"v": mode_v}
+    store = HotColdStore(
+        path=str(tmp_path_factory.mktemp("hotsplit") / "t"),
+        time_column="ts", primary_key=("pk",), modes=modes,
+        allow_missing_event_time=False)
+
+    def mk(rows, with_seq=False):
+        if with_seq:
+            return spark.createDataFrame(
+                [(pk, t0, float(v) if v is not None else None, i)
+                 for i, (pk, v) in enumerate(rows)],
+                "pk int, ts timestamp, v double, __seq long")
+        return spark.createDataFrame(
+            [(pk, t0, float(v) if v is not None else None)
+             for pk, v in rows],
+            "pk int, ts timestamp, v double")
+
+    store.init_from(mk(base), cutoff)
+    want_df = mk(base)
+    for b in batches:
+        store.ingest(spark, mk(b), cutoff)
+        want_df = apply_upsert_batch(want_df, mk(b, with_seq=True),
+                                     ["pk"], {"ts": "overwrite", **modes},
+                                     seq_col="__seq")
+    got = sorted(((r["pk"], r["v"]) for r in
+                  store.read_hot(spark).collect()),
+                 key=lambda t: (t[0] is None, t[0]))
+    want = sorted(((r["pk"], r["v"]) for r in want_df.collect()),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert got == want
