@@ -819,3 +819,56 @@ def test_moved_day_probe_uses_committed_stats(spark, tmp_path, monkeypatch):
     live3 = {rel for dirs in store._cold_day_map().values()
              for rel in dirs}
     assert set(st3["cold_day_stats"]) == live3
+
+
+def test_streaming_ingest_defers_backfill_by_default(spark, tmp_path):
+    """r10 directive 5: a micro-batch with late (pre-cutoff) rows takes
+    the queue path by default — hot rows are immediately visible, the
+    late rows sit in the backfill queue (invisible, reference
+    semantics) and fold into cold only at the backfill job; cold is
+    never rewritten inline by the stream. defer_backfill=False restores
+    read-your-writes for late rows."""
+    from aresdb_spark.sources.hotcold import HotColdStore
+    from aresdb_spark.streaming.ingest import (file_source,
+                                               start_upsert_stream)
+
+    cutoff = datetime(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",))
+    store.init_from(spark.createDataFrame(
+        [Row(id=1, ts=datetime(2024, 1, 2), v=1.0)]), cutoff)
+    cold_map0 = store._cold_day_map()
+
+    src_dir = tmp_path / "incoming"
+    src_dir.mkdir()
+    spark.createDataFrame([
+        Row(id=2, ts=datetime(2024, 1, 16), v=2.0),    # hot
+        Row(id=3, ts=datetime(2024, 1, 3), v=3.0),     # late → queue
+    ]).coalesce(1).write.parquet(str(src_dir / "b1"))
+
+    schema = store.read_hot(spark).schema
+    q = start_upsert_stream(
+        file_source(spark, f"{src_dir}/*", schema),
+        store, lambda: cutoff, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True)
+    q.awaitTermination(120)
+
+    # hot row visible, late row queued and invisible, cold untouched
+    assert {r["id"] for r in store.read(spark).collect()} == {1, 2}
+    assert len(store.queued_backfill_batches()) == 1
+    assert store._cold_day_map() == cold_map0
+    # the backfill job folds the queue
+    assert store.flush_backfill(spark) == 1
+    assert {r["id"] for r in store.read(spark).collect()} == {1, 2, 3}
+
+    # opting out keeps the eager inline merge
+    spark.createDataFrame([
+        Row(id=4, ts=datetime(2024, 1, 4), v=4.0),
+    ]).coalesce(1).write.parquet(str(src_dir / "b2"))
+    q = start_upsert_stream(
+        file_source(spark, f"{src_dir}/*", schema),
+        store, lambda: cutoff, checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True, defer_backfill=False)
+    q.awaitTermination(120)
+    assert store.queued_backfill_batches() == []
+    assert {r["id"] for r in store.read(spark).collect()} == {1, 2, 3, 4}
