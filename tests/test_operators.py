@@ -1228,7 +1228,10 @@ def test_png_decode_rejects_unimplemented_formats():
         decode_png(png_header_only(8, 3))          # palette
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_png(png_header_only(8, 0, interlace=1))
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    # JPEG now dispatches to the REAL clean-room decoder (r10): a
+    # malformed stream is a ValueError from the marker parser, not a
+    # stub rejection (test_jpeg.py covers the codec's own scope errors)
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
     # and the dispatcher decodes a real PNG for real
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
