@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _epoch_ns(d) -> int:
+    """UTC-naive datetime → epoch nanoseconds, integer arithmetic end to
+    end (ADVICE r11 #4): ``timestamp() * 1e6`` goes through float64
+    seconds, whose ulp at epoch magnitude exceeds 0.25µs — a
+    microsecond-precision bound could convert one µs off and flip
+    inclusion of rows exactly on the bound."""
+    from datetime import datetime as _dt
+    from datetime import timedelta as _td
+    from datetime import timezone as _tz
+
+    return ((d.replace(tzinfo=_tz.utc) - _dt(1970, 1, 1, tzinfo=_tz.utc))
+            // _td(microseconds=1)) * 1000
+
+
 @dataclass(frozen=True)
 class TableDef:
     name: str
@@ -136,21 +150,16 @@ class Catalog:
             # bound handled as bare wall time here would disagree with
             # the UTC pruning and drop whole days the exact filter
             # should match (ADVICE r10 #2)
-            from datetime import timezone as _tz
-
             from aresdb_spark.sources.hotcold import _utc_naive
             lo, hi = time_range
             lo = _utc_naive(lo) if lo is not None else None
             hi = _utc_naive(hi) if hi is not None else None
             tc = tdef.time_column
             if tc in tdef.nanos_columns and dict(df.dtypes).get(tc) == "bigint":
-                def _ns(d):  # UTC-naive → epoch nanos, locale-independent
-                    return int(d.replace(tzinfo=_tz.utc).timestamp()
-                               * 1_000_000) * 1000
                 if lo is not None:
-                    df = df.filter(F.col(tc) >= _ns(lo))
+                    df = df.filter(F.col(tc) >= _epoch_ns(lo))
                 if hi is not None:
-                    df = df.filter(F.col(tc) < _ns(hi))
+                    df = df.filter(F.col(tc) < _epoch_ns(hi))
             else:
                 if lo is not None:
                     df = df.filter(F.col(tc) >= F.lit(lo))

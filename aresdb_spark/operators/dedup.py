@@ -344,9 +344,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     ids = (cand.select(F.col("id_a").alias("id"))
            .unionByName(cand.select(F.col("id_b").alias("id")))
            .distinct())
-    cand_docs = df.join(
-        F.broadcast(ids),
-        F.col(id_col).eqNullSafe(F.col("id")), "left_semi")
+    # both sides aliased (ADVICE r11 #5): an unqualified F.col("id")
+    # is ambiguous the moment the caller's docs already carry an "id"
+    # column (or id_col="id") — AnalysisException where the hotcold
+    # probes' qualified form works for any column name
+    cand_docs = df.alias("d").join(
+        F.broadcast(ids.alias("i")),
+        F.col(f"d.{id_col}").eqNullSafe(F.col("i.id")), "left_semi")
     return (ngram_jaccard(cand, cand_docs, text_col, id_col)
             .filter(F.col("jaccard") >= threshold))
 

@@ -80,6 +80,15 @@ def _utc_naive(dt: datetime) -> datetime:
     return dt
 
 
+# per-session refcount for _utc_session (ADVICE r11 #3): the
+# single-writer lock is per STORE path, so two concurrent mutations on
+# different stores sharing one session could interleave their
+# save/restore (A saves tz=X, B saves UTC, A restores X, B restores
+# UTC → session left pinned to UTC). First-in saves, last-out restores.
+_UTC_LOCK = __import__("threading").RLock()
+_UTC_SESSIONS: "dict[int, list]" = {}   # id(session) -> [depth, saved tz]
+
+
 @contextmanager
 def _utc_session(spark: SparkSession):
     """Pin ``spark.sql.session.timeZone=UTC`` for the scope of a store
@@ -90,13 +99,32 @@ def _utc_session(spark: SparkSession):
     day-list pruning in ``read_cold`` (and the touched/moved-day probes
     in ``_cold_upsert``) silently miss. Expression timezones resolve at
     analysis time, which for every mutation happens inside this scope
-    (the action runs here); the previous zone is restored on exit."""
-    old = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    (the action runs here); the previous zone is restored on exit.
+
+    Nesting/concurrency safe via a process-wide refcount per session
+    (ADVICE r11 #3): only the OUTERMOST scope saves and restores, so
+    interleaved scopes on one shared session can never restore UTC over
+    the caller's zone. (Reader queries on the same session still
+    transiently evaluate under UTC while any mutation is in flight —
+    inherent to session-conf mutation; catalog.load pins reads to UTC
+    anyway, so engine reads are unaffected.)"""
+    key = id(spark)
+    with _UTC_LOCK:
+        ent = _UTC_SESSIONS.get(key)
+        if ent is None:
+            ent = _UTC_SESSIONS[key] = [
+                0, spark.conf.get("spark.sql.session.timeZone")]
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ent[0] += 1
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.session.timeZone", old)
+        with _UTC_LOCK:
+            ent = _UTC_SESSIONS[key]
+            ent[0] -= 1
+            if ent[0] == 0:
+                del _UTC_SESSIONS[key]
+                spark.conf.set("spark.sql.session.timeZone", ent[1])
 
 
 def _dir_has_column(d: str, col: str) -> bool:
@@ -295,6 +323,7 @@ class HotColdStore:
                          cold_day_stats=self._cold_stats_update(
                              None, day_map, written0),
                          backfill_consumed=consumed,
+                         backfill_batches=[],
                          hot_seq=hot_seq, hot_batches=[],
                          cutoff=_utc_naive(cutoff).isoformat(),
                          displaced=pointer.displace(before, displaced))
@@ -415,9 +444,17 @@ class HotColdStore:
                     if s is None or not s.has_min_max or \
                             not isinstance(s.min, (int, float, str)):
                         return None
+                    if not s.has_null_count:
+                        # an absent null_count is UNKNOWN, not zero
+                        # (ADVICE r11 #2): treating it as 0 would let
+                        # the moved-day probe prune a day whose files
+                        # hold NULL-PK rows — a duplicate-PK commit.
+                        # Match the conservative handling of missing
+                        # min/max: no bounds ⇒ the day is always kept.
+                        return None
                     lo = s.min if lo is None else min(lo, s.min)
                     hi = s.max if hi is None else max(hi, s.max)
-                    nulls += s.null_count or 0
+                    nulls += s.null_count
         except Exception:
             return None
         if lo is None:
@@ -768,7 +805,15 @@ class HotColdStore:
                 # semantics, memstore/backfill.go) — take the eager
                 # path so the override's exact semantics hold
                 if defer_backfill and not override:
-                    self._enqueue_backfill(cold_part, seq_col)
+                    # ledger the committed queue BEFORE the new write
+                    # (legacy pre-ledger dirs adopt into the ledger
+                    # here), then append the new number: visibility
+                    # flips with THIS batch's one pointer commit —
+                    # never by mere directory presence (ADVICE r11 #1)
+                    prev = [int(x.split("=")[1])
+                            for x in self.queued_backfill_batches()]
+                    qn = self._enqueue_backfill(cold_part, seq_col)
+                    commit["backfill_batches"] = prev + [qn]
                 else:
                     updates, cold_displaced = self._cold_upsert(
                         spark, before, [cold_part], modes, seq_col)
@@ -786,7 +831,7 @@ class HotColdStore:
     # -- backfill queue (BackfillManager buffer, backfill_manager.go) ---------
 
     def _enqueue_backfill(self, batch: DataFrame,
-                          seq_col: str | None = None) -> None:
+                          seq_col: str | None = None) -> int:
         """Append one pre-cutoff batch to the queue under a monotonically
         numbered subdir — arrival order IS replay order, like the redo-log
         offsets the reference's backfill buffer keys on
@@ -799,10 +844,19 @@ class HotColdStore:
         could resolve in REVERSE arrival order — a wrong answer the
         reference avoids by keying its backfill buffer on redo-log
         offsets (VERDICT r9 #1, hypothesis-shrunk counterexample).
-        Numbering starts above BOTH the highest dir on disk and the
-        consumed watermark, so a number is never reused after consumed
-        dirs are garbage-collected (a reused number would hide the new
-        batch behind the watermark)."""
+        Numbering starts above BOTH the highest dir on disk (committed
+        or orphaned) and the consumed watermark, so a number is never
+        reused (a reused number would hide the new batch behind the
+        watermark, or collide with a crash orphan).
+
+        WRITES ONLY — returns the batch number for the CALLER's pointer
+        commit (ADVICE r11 #1): queue visibility is gated on the
+        ``backfill_batches`` ledger committed WITH the rest of the
+        batch's mutation (the hot append), so a crash between this
+        write and the commit leaves an invisible orphan instead of a
+        torn batch whose cold half flushes while its hot half was
+        never committed (and whose streaming replay would re-enqueue
+        the same cold rows — double-counting add-mode columns)."""
         os.makedirs(self.backfill_path, exist_ok=True)
         st = self._state() or {}
         floor = int(st.get("backfill_consumed", -1))
@@ -815,6 +869,7 @@ class HotColdStore:
         batch.withColumn("__seq", seq_expr) \
             .write.mode("errorifexists").parquet(
                 os.path.join(self.backfill_path, f"batch={nxt}"))
+        return nxt
 
     def _read_queue_batch(self, spark: SparkSession, schema,
                           name: str) -> DataFrame:
@@ -833,14 +888,26 @@ class HotColdStore:
         return df
 
     def queued_backfill_batches(self) -> list[str]:
-        """Queue entries not yet folded into cold: batch numbers above
-        the committed ``backfill_consumed`` watermark. A consumed dir
-        whose best-effort delete failed is thereby invisible — the
-        watermark, not the directory listing, is the source of truth."""
+        """Queue entries not yet folded into cold: the COMMITTED
+        ``backfill_batches`` ledger above the ``backfill_consumed``
+        watermark (ADVICE r11 #1) — a dir whose enqueue commit never
+        landed (crash between queue write and pointer commit) is
+        invisible, exactly like an uncommitted hot batch dir, so a
+        streaming replay of the torn micro-batch is clean instead of
+        double-counting its cold rows at flush. A consumed dir whose
+        best-effort delete failed is likewise invisible — committed
+        state, not the directory listing, is the source of truth.
+        Stores whose state predates the ledger (no ``backfill_batches``
+        key ever committed) fall back to the pre-r11 listing rule and
+        adopt into the ledger on their next deferred ingest."""
         if not os.path.isdir(self.backfill_path):
             return []
         st = self._state() or {}
         consumed = int(st.get("backfill_consumed", -1))
+        if "backfill_batches" in st:
+            nums = sorted(n for n in set(st["backfill_batches"])
+                          if n > consumed)
+            return [f"batch={n}" for n in nums]
         return sorted((n for n in os.listdir(self.backfill_path)
                        if n.startswith("batch=")
                        and int(n.split("=")[1]) > consumed),
@@ -1024,6 +1091,7 @@ class HotColdStore:
                           if n.startswith("batch=")
                           and int(n.split("=")[1]) <= consumed]
             self._commit(**updates, backfill_consumed=consumed,
+                         backfill_batches=[],
                          displaced=pointer.displace(
                              before, displaced + queue_dirs))
             pointer.gc_displaced(self.path)

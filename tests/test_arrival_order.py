@@ -140,7 +140,14 @@ def test_legacy_queue_dir_without_seq_still_flushes(spark, tmp_path):
                          primary_key=("id",), sort_columns=("ts",))
     store.init_from(spark.createDataFrame(
         [(0, t0, 0.0)], "id int, ts timestamp, v double"), cutoff)
-    # simulate the legacy layout: write the dir by hand, no __seq
+    # simulate the legacy layout: write the dir by hand, no __seq, and
+    # strip the r11 backfill ledger from state — a true pre-r10 store
+    # has neither (under CURRENT state, an unledgered dir is an
+    # invisible crash orphan by design, ADVICE r11 #1)
+    from aresdb_spark.sources import pointer
+    st = store._state()
+    st.pop("backfill_batches", None)
+    pointer.commit_state(store.path, st)
     os.makedirs(store.backfill_path, exist_ok=True)
     spark.createDataFrame([(1, t0, 9.0)],
                           "id int, ts timestamp, v double") \

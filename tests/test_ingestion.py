@@ -872,3 +872,77 @@ def test_streaming_ingest_defers_backfill_by_default(spark, tmp_path):
     q.awaitTermination(120)
     assert store.queued_backfill_batches() == []
     assert {r["id"] for r in store.read(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_pk_bounds_absent_null_count_keeps_day(spark, tmp_path, monkeypatch):
+    """ADVICE r11 #2: a parquet footer whose statistics omit null_count
+    is UNKNOWN, not zero — treating it as 0 would let the moved-day
+    probe prune a day whose files hold NULL-PK rows, committing the
+    same (NULL) PK into two day dirs. Absent null_count must degrade
+    like absent min/max: no bounds for the dir, day always kept."""
+    from datetime import datetime, timedelta
+
+    import pyarrow.parquet as _pq
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    t0 = datetime(2024, 1, 1)
+    cutoff = datetime(2024, 2, 1)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), sort_columns=("ts",),
+                         allow_missing_event_time=True)
+    rows = [(d * 100 + i, t0 + timedelta(days=d, hours=1), 1.0)
+            for d in range(2) for i in range(5)]
+    store.init_from(spark.createDataFrame(
+        rows, "id int, ts timestamp, v double"), cutoff)
+    m = store._cold_day_map()
+    rel = m["2024-01-01"][0]
+    droot = str(tmp_path / "t" / rel)
+
+    # Spark-written footers DO carry null_count — bounds resolve
+    assert store._pk_bounds_of_dir(droot) is not None
+
+    # proxy the statistics object to report has_null_count=False (the
+    # anti-conservative case: e.g. files from writers that skip it)
+    class _NoNullStats:
+        def __init__(self, real):
+            self._r = real
+        has_min_max = property(lambda s: s._r.has_min_max)
+        min = property(lambda s: s._r.min)
+        max = property(lambda s: s._r.max)
+        has_null_count = False
+        null_count = 0          # the value the old code trusted
+
+    class _Col:
+        def __init__(self, real):
+            self._r = real
+        statistics = property(lambda s: _NoNullStats(s._r.statistics))
+
+    class _RG:
+        def __init__(self, real):
+            self._r = real
+
+        def column(self, i):
+            return _Col(self._r.column(i))
+
+    class _MD:
+        def __init__(self, real):
+            self._r = real
+        num_row_groups = property(lambda s: s._r.num_row_groups)
+
+        def row_group(self, i):
+            return _RG(self._r.row_group(i))
+
+    real_pf = _pq.ParquetFile
+
+    class _PF:
+        def __init__(self, path):
+            self._r = real_pf(path)
+        schema_arrow = property(lambda s: s._r.schema_arrow)
+        metadata = property(lambda s: _MD(s._r.metadata))
+
+    monkeypatch.setattr(_pq, "ParquetFile", _PF)
+    assert store._pk_bounds_of_dir(droot) is None
+    # and the probe keeps every day whose bounds are unknowable
+    assert store._candidate_moved_days(
+        m, None, None, True, {}) == {"2024-01-01", "2024-01-02"}

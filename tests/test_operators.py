@@ -291,6 +291,29 @@ def test_minhash_near_duplicates(spark, duck):
     assert df.count() >= 0
 
 
+def test_minhash_near_duplicates_with_id_named_id(spark):
+    """ADVICE r11 #5: the verify-stage semi join must stay unambiguous
+    when the caller's id column is literally named "id" (or the docs
+    frame carries an extra "id" column) — pre-fix the unqualified
+    F.col("id") raised AnalysisException."""
+    from aresdb_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight"),
+         (2, "the quick brown fox jumps over the lazy dog today"),
+         (3, "completely unrelated text about spark query planning")],
+        "id int, text string")
+    got = {(r.id_a, r.id_b) for r in D.minhash_near_duplicates(
+        docs, id_col="id", threshold=0.5).collect()}
+    assert got == {(1, 2)}
+    # extra "id" column beside a differently-named key: same guarantee
+    docs2 = docs.withColumnRenamed("id", "doc_id") \
+                .withColumn("id", F.col("doc_id") * 10)
+    got2 = {(r.id_a, r.id_b) for r in D.minhash_near_duplicates(
+        docs2, id_col="doc_id", threshold=0.5).collect()}
+    assert got2 == {(1, 2)}
+
+
 def test_minhash_mega_bucket_guard(spark):
     """A planted degenerate key (many identical docs sharing every LSH
     bucket) fails LOUDLY at the cap instead of building an O(bucket²)

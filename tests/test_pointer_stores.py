@@ -572,3 +572,88 @@ def test_purge_per_day_map_crash_before_flip(spark, tmp_path):
     assert os.path.isdir(os.path.join(store.path, expired_rel))
     assert store.gc(grace_seconds=0) >= 1
     assert not os.path.isdir(os.path.join(store.path, expired_rel))
+
+
+def test_deferred_enqueue_crash_before_commit_is_invisible(spark, tmp_path):
+    """ADVICE r11 #1: deferred-backfill durability is gated on the
+    batch's pointer commit, never on mere directory presence. A crash
+    between the queue-dir write and the commit must leave the cold half
+    INVISIBLE (no torn batch whose cold rows flush while its hot rows
+    were never committed), and a streaming replay of the micro-batch
+    must not double-count add-mode columns at flush."""
+    from datetime import datetime as dt
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    cutoff = dt(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=dt(2024, 1, 2, 5), v=1.0),      # cold
+        Row(id=2, ts=dt(2024, 1, 20, 5), v=2.0),     # hot
+    ]), cutoff)
+
+    # one micro-batch with a hot row AND a cold (add-mode) update
+    batch = spark.createDataFrame([
+        Row(id=20, ts=dt(2024, 1, 21, 5), v=20.0),   # hot
+        Row(id=1, ts=dt(2024, 1, 2, 5), v=5.0),      # cold add
+    ])
+    with _CrashOnCommit():
+        with pytest.raises(RuntimeError, match="pointer flip"):
+            store.ingest(spark, batch, cutoff, defer_backfill=True)
+
+    # the torn batch is fully invisible: queue dir exists on disk but is
+    # not ledgered; the hot dir is an uncommitted orphan
+    import os
+    assert any(n.startswith("batch=")
+               for n in os.listdir(store.backfill_path))
+    assert store.queued_backfill_batches() == []
+    assert store._pending_hot_batches() == []
+    assert sorted(r.id for r in store.read(spark).collect()) == [1, 2]
+
+    # the streaming replay of the SAME micro-batch is clean
+    store.ingest(spark, batch, cutoff, defer_backfill=True)
+    assert len(store.queued_backfill_batches()) == 1
+    assert store.flush_backfill(spark) == 1
+    got = {r.id: r.v for r in store.read(spark).collect()}
+    # add-mode fold counted the cold update ONCE (1+5), not twice (1+5+5)
+    assert got == {1: 6.0, 2: 2.0, 20: 20.0}
+
+
+def test_backfill_ledger_adopts_legacy_stores(spark, tmp_path):
+    """A store whose committed state predates the backfill_batches
+    ledger (pre-r11) keeps the old listing rule until its next deferred
+    ingest, which adopts the legacy dirs into the ledger — nothing
+    queued under old code is lost."""
+    from datetime import datetime as dt
+
+    from aresdb_spark.sources import pointer
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    cutoff = dt(2024, 1, 15)
+    store = HotColdStore(path=str(tmp_path / "t"), time_column="ts",
+                         primary_key=("id",), modes={"v": "add"})
+    store.init_from(spark.createDataFrame([
+        Row(id=1, ts=dt(2024, 1, 2, 5), v=1.0),
+        Row(id=2, ts=dt(2024, 1, 20, 5), v=2.0),
+    ]), cutoff)
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=10, ts=dt(2024, 1, 3, 5), v=10.0)]),
+        cutoff, defer_backfill=True)
+
+    # simulate a pre-ledger store: strip the key from committed state
+    st = store._state()
+    st.pop("backfill_batches")
+    pointer.commit_state(store.path, st)
+    assert store.queued_backfill_batches() == ["batch=0"]  # legacy rule
+
+    # next deferred ingest adopts the legacy dir into the ledger
+    store.ingest(spark, spark.createDataFrame(
+        [Row(id=11, ts=dt(2024, 1, 4, 5), v=11.0)]),
+        cutoff, defer_backfill=True)
+    assert store._state()["backfill_batches"] == [0, 1]
+    assert store.queued_backfill_batches() == ["batch=0", "batch=1"]
+    assert store.flush_backfill(spark) == 2
+    assert store._state()["backfill_batches"] == []
+    got = {r.id: r.v for r in store.read_cold(spark).collect()}
+    assert got == {1: 1.0, 10: 10.0, 11: 11.0}

@@ -140,3 +140,53 @@ def test_catalog_nanos_range_is_locale_independent(spark, tz, duck):
         "WHERE ts >= TIMESTAMP '2024-01-03' AND ts < TIMESTAMP '2024-01-05'"
     ).fetchone()[0]
     assert n == want
+
+
+def test_utc_session_interleaved_scopes_restore_original_tz(spark):
+    """ADVICE r11 #3: the single-writer lock is per STORE, so two
+    mutations on different stores sharing one session can interleave
+    their _utc_session scopes. The per-session refcount makes the
+    FIRST-in save and the LAST-out restore — the interleave (A in, B
+    in, A out, B out) must restore the caller's zone, not leave the
+    session pinned to UTC (the pre-fix save/restore symmetry bug)."""
+    from aresdb_spark.sources.hotcold import _utc_session
+
+    key = "spark.sql.session.timeZone"
+    orig = spark.conf.get(key)
+    spark.conf.set(key, "America/Los_Angeles")
+    try:
+        a = _utc_session(spark)
+        b = _utc_session(spark)
+        a.__enter__()
+        assert spark.conf.get(key) == "UTC"
+        b.__enter__()                       # nested scope: saved once
+        a.__exit__(None, None, None)        # NOT last out: no restore
+        assert spark.conf.get(key) == "UTC"
+        b.__exit__(None, None, None)        # last out restores A's save
+        assert spark.conf.get(key) == "America/Los_Angeles"
+    finally:
+        spark.conf.set(key, orig)
+
+
+def test_epoch_ns_is_integer_exact():
+    """ADVICE r11 #4: the raw-nanos bound conversion must be exact for
+    every microsecond — float64 epoch seconds lose sub-µs precision at
+    large magnitudes, so the old ``timestamp()*1e6`` truncation could
+    convert a bound one microsecond off and flip inclusion of rows
+    exactly on it."""
+    from datetime import datetime, timedelta, timezone
+
+    from aresdb_spark.catalog import _epoch_ns
+
+    # 2024-01-01 00:00:00 UTC = 1704067200 s (independent constant)
+    base = datetime(2024, 1, 1)
+    for us in list(range(0, 1000, 7)) + [1, 3, 999]:
+        d = base + timedelta(microseconds=us)
+        assert _epoch_ns(d) == (1704067200 * 10**6 + us) * 1000, us
+    # a case the old float path demonstrably got wrong (ulp > 0.5µs):
+    # epoch 16474485682 s + 453789 µs truncated to ...788 µs via float
+    epoch = datetime(1970, 1, 1)
+    d = epoch + timedelta(seconds=16474485682, microseconds=453789)
+    assert _epoch_ns(d) == 16474485682453789000
+    assert int(d.replace(tzinfo=timezone.utc).timestamp()
+               * 1_000_000) * 1000 == 16474485682453788000  # the old bug
