@@ -1409,6 +1409,46 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM documents WHERE doc_id % 17 = 0
     """)
 
+    # --- multimodal VIDEO FRAMES (r11, VERDICT r10 directive 1): real
+    # frame decode for MJPEG-class MP4s — the sample tables
+    # (stsd/stts/stsc/stsz/stco) locate each 'jpeg' sample in mdat and
+    # the in-repo T.81 codec decodes it; no codec library. The
+    # synthetic tracks carry block-constant JPEG frames (exact through
+    # the lossy path) in 1- and 2-chunk mdat layouts, so the DuckDB
+    # formula oracle is bit-for-bit THROUGH real container + codec
+    # bytes: a wrong stsc run expansion, chunk offset, sample slice or
+    # Huffman/IDCT step breaks the hash. Inter-frame codecs keep the
+    # honest NotImplementedError (operators/video.py).
+    def q_video_frames(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 23 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_frame_stats(V.synthetic_mjpeg_media(docs))
+
+    # frames per track = 1 + d%3; frame f's 8x8 block (bx, by) holds
+    # (d*11 + f*29 + bx*37 + by*53) % 256 with wb = 1 + d%3, hb = 1 + d%2
+    out["multimodal_video_frames"] = (q_video_frames, """
+        SELECT doc_id AS media_id,
+               f AS frame_idx,
+               8 * (1 + doc_id % 3) AS width,
+               8 * (1 + doc_id % 2) AS height,
+               CAST(64 * count(*) AS BIGINT) AS n_px,
+               CAST(64 * sum((doc_id * 11 + f * 29
+                              + (i % (1 + doc_id % 3)) * 37
+                              + (i // (1 + doc_id % 3)) * 53) % 256)
+                    AS BIGINT) AS px_sum,
+               min((doc_id * 11 + f * 29 + (i % (1 + doc_id % 3)) * 37
+                    + (i // (1 + doc_id % 3)) * 53) % 256) AS px_min,
+               max((doc_id * 11 + f * 29 + (i % (1 + doc_id % 3)) * 37
+                    + (i // (1 + doc_id % 3)) * 53) % 256) AS px_max
+        FROM documents CROSS JOIN range(3) fr(f) CROSS JOIN range(6) t(i)
+        WHERE doc_id % 23 = 0
+          AND f < 1 + doc_id % 3
+          AND i < (1 + doc_id % 3) * (1 + doc_id % 2)
+        GROUP BY 1, 2, 3, 4
+    """)
+
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session
@@ -2195,7 +2235,15 @@ _DRIVER_WINDOW = [
     # code); it stays in check_contract. stream_backfill_scheduler's
     # queue+flush path had no in-window coverage.
     "stream_backfill_scheduler", "aql_recurring_buckets",
-    "aql_dst_bucket", "aql_bitwise_ops", "aql_is_true_not_in",
+    # r11 rotation #1 (VERDICT r10 directive 4): multimodal_mp4_probe —
+    # the MP4 container family (ISO BMFF box walk, v0/v1 headers,
+    # 16.16 track dims; operators/video.py) was the one r10-new surface
+    # with no in-window row. It displaces aql_is_true_not_in, whose
+    # §2.2 predicate line (IN/NOT IN, IS NULL/TRUE/FALSE, BETWEEN,
+    # bitwise) keeps aql_bitwise_ops in-window (same planner expression
+    # whitelist code, same table line) plus aql_predicates for the
+    # IN/IS NULL forms; is_true_not_in stays in check_contract.
+    "aql_dst_bucket", "aql_bitwise_ops", "multimodal_mp4_probe",
     "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
     "dedup_clusters_star", "aql_topk_users", "geo_join_shapes",
@@ -2205,7 +2253,15 @@ _DRIVER_WINDOW = [
     # check_contract) for the composite-measures row, whose
     # supporting-measure planner path is unique
     "sql_total_trips", "sql_composite_measures", "stream_hotcold_upsert",
-    "stream_session_window", "stream_sliding_window", "hll_approx_distinct",
+    # r11 rotation #2 (VERDICT r10 directive 1): multimodal_video_frames
+    # — real MJPEG-class frame decode through sample tables + the
+    # in-repo T.81 codec, the round's headline new surface. It
+    # displaces stream_sliding_window, whose streaming/windows.py
+    # window-builder path keeps stream_session_window in-window (the
+    # more complex variant of the same §2.9 line); sliding AND tumbling
+    # stay in check_contract.
+    "stream_session_window", "multimodal_video_frames",
+    "hll_approx_distinct",
     # r8 rotation (VERDICT r7 #3): text_lm_perplexity — the CCNet LM
     # family was new r7 surface with no in-window row — displaces
     # text_token_counts, whose tokens() scan path stays exercised

@@ -57,7 +57,9 @@ def test_malformed_and_stub_paths():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + struct.pack(">I", 0)
     with pytest.raises(ValueError, match="moov"):
         probe_mp4(ftyp)
-    with pytest.raises(NotImplementedError, match="codec"):
+    # a metadata skeleton has no sample tables — frame decode cannot
+    # locate samples (r11: no longer a blanket stub; MJPEG decodes)
+    with pytest.raises(ValueError, match="sample tables"):
         decode_video_frames(_skeleton(0))
 
 
@@ -78,3 +80,134 @@ def test_video_probe_stats_matches_formula(spark):
         assert s["n_tracks"] == 1 + d % 2
         assert s["video_width"] == 16 * (1 + d % 20)
         assert s["video_height"] == 16 * (1 + d % 15)
+
+
+def _const_jpeg_frames(fvals, wb, hb):
+    import numpy as np
+
+    from aresdb_spark.operators.jpeg import encode_jpeg
+    imgs, payloads = [], []
+    for base in fvals:
+        vals = np.array([[(base + bx * 37 + by * 53) % 256
+                          for bx in range(wb)] for by in range(hb)],
+                        np.uint8)
+        img = np.kron(vals, np.ones((8, 8), np.uint8))
+        imgs.append(img)
+        payloads.append(encode_jpeg(img))
+    return imgs, payloads
+
+
+@pytest.mark.parametrize("n_chunks", [1, 2, 3])
+def test_mjpeg_frames_roundtrip_across_chunk_layouts(n_chunks):
+    """r11 (VERDICT r10 directive 1): 'jpeg'-sample-coded tracks decode
+    through the real sample tables — stsc run expansion + stco offsets
+    slice each sample from mdat into the in-repo T.81 decoder. Every
+    chunk layout (1 chunk, even split, uneven runs) must yield the same
+    frames in sample order."""
+    import numpy as np
+
+    from aresdb_spark.operators.video import encode_mp4_mjpeg
+
+    imgs, payloads = _const_jpeg_frames([5, 34, 63, 92, 121], 3, 2)
+    mp4 = encode_mp4_mjpeg(payloads, 24, 16, n_chunks=n_chunks)
+    out = decode_video_frames(mp4)
+    assert len(out) == 5
+    for o, e in zip(out, imgs):
+        assert o.dtype == np.uint8 and (o == e).all()
+    # the probe still reads the container metadata of the same payload
+    m = probe_mp4(mp4)
+    assert m["tracks"][0]["handler"] == "vide"
+    assert (m["tracks"][0]["width"], m["tracks"][0]["height"]) == (24, 16)
+
+
+def test_mjpeg_co64_and_fixed_size_tables():
+    """64-bit chunk offsets (co64) and fixed-size stsz both parse: build
+    them by patching a 1-chunk file (equal-size frames make stsz's
+    fixed form legal)."""
+    from aresdb_spark.operators.video import encode_mp4_mjpeg
+
+    imgs, payloads = _const_jpeg_frames([10, 10, 10], 2, 1)
+    assert len({len(p) for p in payloads}) == 1      # equal-size samples
+    mp4 = bytearray(encode_mp4_mjpeg(payloads, 16, 8, n_chunks=1))
+
+    # stco -> co64: widen the one offset to 64-bit (box grows by 4;
+    # patch every ancestor box size on the path down to stco)
+    i = bytes(mp4).find(b"stco") - 4
+    (stco_size,) = struct.unpack(">I", mp4[i:i + 4])
+    (off,) = struct.unpack(">I", mp4[i + 16:i + 20])   # after verflags+count
+    co64 = struct.pack(">I", stco_size + 4) + b"co64" \
+        + mp4[i + 8:i + 12] + struct.pack(">IQ", 1, off + 4)
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(mp4).find(anc) - 4
+        (s,) = struct.unpack(">I", mp4[j:j + 4])
+        mp4[j:j + 4] = struct.pack(">I", s + 4)
+    mp4 = mp4[:i] + co64 + mp4[i + stco_size:]
+
+    # stsz -> fixed-size form: sample_size = len, keep count, drop table
+    k = bytes(mp4).find(b"stsz") - 4
+    (stsz_size,) = struct.unpack(">I", mp4[k:k + 4])
+    fixed = struct.pack(">I", 20) + b"stsz" + mp4[k + 8:k + 12] \
+        + struct.pack(">II", len(payloads[0]), 3)
+    shrink = stsz_size - 20
+    for anc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = bytes(mp4).find(anc) - 4
+        (s,) = struct.unpack(">I", mp4[j:j + 4])
+        mp4[j:j + 4] = struct.pack(">I", s - shrink)
+    mp4 = mp4[:k] + fixed + mp4[k + stsz_size:]
+    # co64 offset shifted by +4 (box grew before mdat) then -shrink
+    m = bytes(mp4).find(b"co64") - 4
+    (off64,) = struct.unpack(">Q", mp4[m + 16:m + 24])
+    mp4[m + 16:m + 24] = struct.pack(">Q", off64 - shrink)
+
+    out = decode_video_frames(bytes(mp4))
+    assert len(out) == 3
+    for o, e in zip(out, imgs):
+        assert (o == e).all()
+
+
+def test_mjpeg_inconsistent_tables_and_foreign_codec_raise():
+    from aresdb_spark.operators.video import encode_mp4_mjpeg
+
+    _, payloads = _const_jpeg_frames([1, 2], 1, 1)
+    mp4 = bytearray(encode_mp4_mjpeg(payloads, 8, 8))
+    # non-JPEG sample entry: named NotImplementedError
+    i = bytes(mp4).find(b"jpeg", bytes(mp4).find(b"stsd"))
+    avc = bytes(mp4[:i] + b"avc1" + mp4[i + 4:])
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_video_frames(avc)
+    # stsz count disagreeing with the stsc/stco walk: loud error
+    k = bytes(mp4).find(b"stsz") - 4
+    bad = bytearray(mp4)
+    bad[k + 16:k + 20] = struct.pack(">I", 5)    # claim 5 samples
+    with pytest.raises(ValueError):
+        decode_video_frames(bytes(bad))
+    # sample range beyond EOF
+    trunc = bytes(mp4)[:-10]
+    with pytest.raises(ValueError):
+        decode_video_frames(trunc)
+
+
+def test_video_frame_stats_matches_formula(spark):
+    """The Spark frame-decode pipeline against the synthetic_mjpeg_media
+    integer formula — the same invariant the multimodal_video_frames
+    contract row hashes against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.video import (synthetic_mjpeg_media,
+                                              video_frame_stats)
+
+    ids = spark.range(0, 18).select(F.col("id").alias("media_id"))
+    rows = video_frame_stats(synthetic_mjpeg_media(ids)).collect()
+    got = {(r["media_id"], r["frame_idx"]): r.asDict() for r in rows}
+    assert len(got) == sum(1 + d % 3 for d in range(18))
+    for d in range(18):
+        wb, hb = 1 + d % 3, 1 + d % 2
+        for f in range(1 + d % 3):
+            s = got[(d, f)]
+            vals = [(d * 11 + f * 29 + bx * 37 + by * 53) % 256
+                    for by in range(hb) for bx in range(wb)]
+            assert (s["width"], s["height"]) == (8 * wb, 8 * hb)
+            assert s["n_px"] == 64 * wb * hb
+            assert s["px_sum"] == 64 * sum(vals)
+            assert s["px_min"] == min(vals)
+            assert s["px_max"] == max(vals)
