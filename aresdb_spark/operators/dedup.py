@@ -1103,27 +1103,39 @@ def connected_components_star(edges: DataFrame,
         F.min("cluster").cast("long").alias("cluster"))
 
 
-def connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
+def connected_components(edges: DataFrame, max_rounds: int = 10,
+                         stats: "dict | None" = None) -> DataFrame:
     """Hash-min label propagation over an (src, dst) edge list → one
     (id, cluster) row per edge-connected node, cluster = min reachable id.
 
     Labels are seeded with round 1's result directly (min of self and
     neighbors, one groupBy over the edge list — no join round), and the
     seed sum primes the convergence check, so a diameter-2 graph (the
-    near-dup norm) finishes after a single join round."""
+    near-dup norm) finishes after a single join round.
+
+    ``stats``: optional dict the call fills with {"rounds", "round_secs"}
+    — per-round attribution for the bench payload (VERDICT r10
+    directive 6: q12's scale quotient must name its rounds), zero cost
+    when not requested (the per-round collect already happens for the
+    convergence check)."""
+    import time as _time
+
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     sym = sym.localCheckpoint(eager=True)
 
+    t0 = _time.perf_counter()
     labels = (sym.groupBy(F.col("src").alias("id"))
               .agg(F.least(F.min("src"), F.min("dst")).cast("long")
                    .alias("cluster"))
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    round_secs = [round(_time.perf_counter() - t0, 4)]   # seed round
     converged = prev_sum is None  # no edges ⇒ no labels ⇒ trivially done
     for _ in range(max_rounds):
         if converged:
             break
+        t0 = _time.perf_counter()
         contrib = (sym.join(labels, sym.dst == labels.id)
                    .select(F.col("src").alias("id"), F.col("cluster")))
         labels = (contrib.union(labels)
@@ -1132,10 +1144,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 10) -> DataFrame:
         # labels are monotone non-increasing, so an unchanged sum IS the
         # exact fixpoint (any change strictly decreases the sum)
         new_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+        round_secs.append(round(_time.perf_counter() - t0, 4))
         if new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats["rounds"] = len(round_secs)
+        stats["round_secs"] = round_secs
     if not converged:
         raise ConvergenceError(
             f"connected_components: no fixpoint within max_rounds="

@@ -5,13 +5,17 @@ PNG decodes FOR REAL with a pure-stdlib decoder (zlib inflate +
 scanline unfilter, ``decode_png`` — 8-bit non-interlaced grayscale/RGB)
 and JPEG decodes FOR REAL with a clean-room baseline T.81 codec
 (operators/jpeg.py: Huffman entropy decode, dequantize, IDCT, restart
-intervals — r10, retiring the r9 stub); both are oracle-checked
-bit-for-bit via ``decode_stats``. WAV audio decodes FOR REAL too
-(operators/audio.py RIFF/PCM, lossless, r10). The container ships no
-codec libraries, so video and compressed-audio decode stay honest
-NotImplementedError stubs — the Spark-side plumbing (schemas, batch
-iteration, partition sizing, UDF signatures) is identical either way,
-and swapping in ffmpeg is a one-function change.
+intervals — r10; r11 adds the general A.2 MCU interleave, so
+4:2:0/4:2:2 chroma-subsampled streams decode too); both are
+oracle-checked bit-for-bit via ``decode_stats``. WAV audio decodes FOR
+REAL too (operators/audio.py RIFF/PCM, lossless, r10), and MJPEG-class
+MP4 video frames decode FOR REAL through the sample tables + the
+in-repo JPEG codec (operators/video.py, r11). The container ships no
+codec libraries, so inter-frame video codecs (avc1/hev1/av01) and
+compressed audio stay honest NotImplementedError stubs — the
+Spark-side plumbing (schemas, batch iteration, partition sizing, UDF
+signatures) is identical either way, and swapping in ffmpeg is a
+one-function change.
 
 Scale notes:
   - binary payloads dominate partition size → repartition by row count

