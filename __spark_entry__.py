@@ -736,11 +736,32 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         from aresdb_spark.operators import similarity as S
         return S.semantic_dedup_oracle_sql(threshold=0.4)
 
+    def q_semantic_dedup_two_level(spark, sf_dir):
+        """r11: semantic dedup routed through the TWO-LEVEL quantizer
+        (ivf_assign_two_level — coarse argmax over √k group reps, exact
+        argmax within the routed group: n·2√k dots instead of n·k).
+        The x100 bench tier showed the flat argmax DOMINATING the dedup
+        wall under adaptive cluster sizing (k grows with n — PERF_NOTES
+        r11); this is the Θ(n^1.5) assignment the 100 TB deployment
+        uses. Deterministic routing, recomputed bit-for-bit by the
+        DuckDB twin (same 6dp rounding + first-match ties). n_clusters
+        16 so the grouping (g=4) is non-trivial at sf0.01."""
+        from aresdb_spark.operators import similarity as S
+        return S.semantic_dedup(_emb(spark, sf_dir), threshold=0.4,
+                                n_clusters=16, assignment="two_level")
+
+    def semantic_dedup_two_level_sql():
+        from aresdb_spark.operators import similarity as S
+        return S.semantic_dedup_oracle_sql(threshold=0.4, n_clusters=16,
+                                           assignment="two_level")
+
     out["sim_cosine_topk"] = (q_topk, topk_sql())
     out["sim_ivf_topk"] = (q_ivf, ivf_sql())
     out["sim_ivf_pq_topk"] = (q_ivf_pq, None)
     out["sim_embedding_near_dup"] = (q_emb_neardup, emb_neardup_sql())
     out["sim_semantic_dedup"] = (q_semantic_dedup, semantic_dedup_sql())
+    out["sim_semantic_dedup_two_level"] = (q_semantic_dedup_two_level,
+                                           semantic_dedup_two_level_sql())
 
     # --- HLL / approx distinct: no exact oracle by nature (rows-only) ---
     def q_hll(spark, sf_dir):

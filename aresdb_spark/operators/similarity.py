@@ -292,6 +292,103 @@ def ivf_assign(vec: Column, centroids: np.ndarray) -> Column:
                              lambda ds: F.array_position(ds, F.array_max(ds))))
 
 
+def ivf_group_reps(centroids: np.ndarray,
+                   n_groups: "int | None" = None
+                   ) -> "tuple[np.ndarray, np.ndarray]":
+    """Partition the k centroids into g ≈ √k contiguous index groups and
+    return (group representatives, group bounds). The representative is
+    the normalized group mean (rounded to 6dp so Spark and DuckDB inline
+    identical literals). Deterministic — a pure function of the centroid
+    array, so the two-level assignment below is oracle-checkable."""
+    import math
+
+    k = len(centroids)
+    g = n_groups if n_groups is not None else max(1, round(math.sqrt(k)))
+    g = min(g, k)
+    bounds = np.linspace(0, k, g + 1).astype(int)
+    reps = []
+    for i in range(g):
+        m = centroids[bounds[i]:bounds[i + 1]].mean(axis=0)
+        reps.append(m / max(float(np.linalg.norm(m)), 1e-12))
+    return np.round(np.array(reps), 6), bounds
+
+
+def ivf_assign_two_level(vec: Column, centroids: np.ndarray,
+                         n_groups: "int | None" = None) -> Column:
+    """Two-level coarse quantizer assignment (r11, from the x100 bench
+    finding): argmax over g ≈ √k group representatives routes to ONE
+    group, then the exact argmax runs over that group's k/g centroids —
+    n·(g + k/g) dot products instead of n·k. With fixed cluster SIZE
+    (semantic_dedup's adaptive k = n/250) the flat argmax is Θ(n²/250),
+    the dominant term at the x100 tier (assignment wall ≈ the whole
+    dedup); two-level cuts it to Θ(n^1.5). The CASE chain carries every
+    group's dot array but EVALUATES only the routed branch.
+
+    Semantics: a valid coarse quantizer, not the identical one — rows
+    whose true argmax lives outside the routed group land in a
+    different (still deterministic) cluster, exactly the approximation
+    every production IVF router makes. Cluster ids stay global
+    (1-based, same id space as ``ivf_assign``); same 6dp rounding and
+    first-match tie rule, so a DuckDB oracle recomputes it bit-for-bit
+    (``_ivf_assign_two_level_sql``)."""
+    from aresdb_spark.operators.util import let
+
+    reps, bounds = ivf_group_reps(centroids, n_groups)
+
+    def dots(v, cents):
+        return F.array(*[
+            F.round(F.aggregate(
+                F.zip_with(v, F.array(*[F.lit(float(x)) for x in c]),
+                           lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x), 6)
+            for c in cents])
+
+    def fine_branch(v, b, e):
+        # NOTE: the body must be a SINGLE-parameter callable — a
+        # `lambda fd, b=b:` default-capture would make PySpark's HOF
+        # arity sniffing treat it as the (element, index) two-arg form
+        # and bind b to the array INDEX (0), silently dropping the
+        # group offset
+        def body(fd):
+            return F.array_position(fd, F.array_max(fd)) + F.lit(b)
+        return let(dots(v, centroids[b:e]), body)
+
+    def fine(v, gi):
+        expr = None
+        for i in range(len(reps)):
+            branch = fine_branch(v, int(bounds[i]), int(bounds[i + 1]))
+            expr = branch if expr is None \
+                else F.when(gi == i + 1, branch).otherwise(expr)
+        return expr
+
+    return let(_as_double(vec),
+               lambda v: let(dots(v, reps),
+                             lambda gd: fine(v, F.array_position(
+                                 gd, F.array_max(gd)))))
+
+
+def _ivf_assign_two_level_sql(vec_col: str, centroids: np.ndarray,
+                              n_groups: "int | None" = None) -> str:
+    """DuckDB rendering of ivf_assign_two_level — same group reps, same
+    rounding, same first-match ties, global ids via the group offset."""
+    reps, bounds = ivf_group_reps(centroids, n_groups)
+
+    def dot(c):
+        clit = "[" + ", ".join(f"{float(x)!r}" for x in c) + "]::DOUBLE[]"
+        return f"round({_dot_sql(vec_col, clit)}, 6)"
+
+    def argmax(cents):
+        ds = "list_value(" + ", ".join(dot(c) for c in cents) + ")"
+        return f"list_position({ds}, list_aggregate({ds}, 'max'))"
+
+    gsel = argmax(reps)
+    cases = " ".join(
+        f"WHEN {i + 1} THEN ({argmax(centroids[int(bounds[i]):int(bounds[i + 1])])}"
+        f" + {int(bounds[i])})"
+        for i in range(len(reps)))
+    return f"(CASE {gsel} {cases} END)"
+
+
 def _ivf_probe_set(query_vec: list[float], centroids: np.ndarray,
                    nprobe: int) -> list[int]:
     """The nprobe clusters nearest the query (same rounded-dot ordering as
@@ -418,7 +515,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    target_cluster_size: int = 250,
                    n_rows: "int | None" = None,
                    vec_col: str = "embedding",
-                   id_col: str = "vec_id") -> DataFrame:
+                   id_col: str = "vec_id",
+                   assignment: str = "exact") -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     arXiv:2303.09540 — public): k-means cluster the embedding space,
@@ -445,7 +543,16 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     Keep = the minimum id of each epsilon-group, a deterministic
     stand-in for the paper's random exemplar. Default centroids are the
     fixed seeded ones (``ivf_centroids``) so the DuckDB oracle can
-    inline them; pass md5-sample-trained centroids for real corpora."""
+    inline them; pass md5-sample-trained centroids for real corpora.
+
+    ``assignment="two_level"`` (r11): route each row through the
+    two-level quantizer (``ivf_assign_two_level``, n·(√k + k/√k) dots
+    instead of n·k). With the adaptive k = n/250 the flat argmax is
+    Θ(n²) and DOMINATES the x100 bench tier (assignment wall ≈ the
+    whole dedup — PERF_NOTES r11); two-level cuts the assignment to
+    Θ(n^1.5). Clusterings differ slightly (a coarser router, still a
+    valid quantizer — SemDeDup's guarantees are per-clustering), and
+    the oracle twin recomputes the same routing bit-for-bit."""
     import math
 
     if centroids is None and n_clusters is None:
@@ -457,6 +564,11 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         n_clusters = max(8, math.ceil(n_rows / target_cluster_size))
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_clusters)
+    if assignment not in ("exact", "two_level"):
+        raise ValueError(f"assignment must be exact|two_level: "
+                         f"{assignment!r}")
+    assign_fn = ivf_assign if assignment == "exact" \
+        else ivf_assign_two_level
     # norms are hoisted PER ROW (n sqrt-folds) instead of recomputed
     # per PAIR: the pair stage's higher-order-function expressions run
     # interpreted (no whole-stage codegen), so per-pair work is the
@@ -465,7 +577,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     # rounded value (and the DuckDB oracle match) is bit-identical.
     assigned = df.select(
         F.col(id_col).alias("id"), _as_double(F.col(vec_col)).alias("v"),
-        ivf_assign(F.col(vec_col), cents).alias("cluster"),
+        assign_fn(F.col(vec_col), cents).alias("cluster"),
         norm(F.col(vec_col)).alias("nrm"))
     right = (assigned.select(F.col("id").alias("id_b"),
                              F.col("v").alias("v_b"),
@@ -489,11 +601,14 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
 def semantic_dedup_oracle_sql(threshold: float = 0.95, n_clusters: int = 8,
                               dim: int = 64, table: str = "embeddings",
                               vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> str:
+                              id_col: str = "vec_id",
+                              assignment: str = "exact") -> str:
     """DuckDB twin of semantic_dedup with the fixed centroids inlined as
-    literals (assignment and cosine both rounded to 6dp on both engines)."""
+    literals (assignment and cosine both rounded to 6dp on both engines);
+    ``assignment="two_level"`` renders the two-level router instead."""
     cents = ivf_centroids(dim, n_clusters)
-    assign = _ivf_assign_sql(vec_col, cents)
+    assign = _ivf_assign_sql(vec_col, cents) if assignment == "exact" \
+        else _ivf_assign_two_level_sql(vec_col, cents)
     cos = cosine_sql("a.v", "b.v")
     return f"""
         WITH assigned AS (

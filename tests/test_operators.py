@@ -556,6 +556,57 @@ def test_semantic_dedup_matches_oracle(spark, duck):
         threshold=0.4))
 
 
+def test_ivf_assign_two_level_matches_reference(spark):
+    """r11: the two-level routed assignment (coarse argmax over √k group
+    reps, exact argmax within the routed group, global 1-based ids)
+    must match a straight-line numpy transcription of the SAME
+    algorithm bit-for-bit — same 6dp rounding, same first-match tie
+    rule, offsets applied (the regression: a default-capture lambda in
+    the CASE chain made PySpark's HOF arity sniffing bind the group
+    offset to the array index, silently dropping it)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import similarity as S
+
+    cents = S.ivf_centroids(64, 16)
+    reps, bounds = S.ivf_group_reps(cents)
+    assert len(reps) == 4 and bounds.tolist() == [0, 4, 8, 12, 16]
+
+    emb = _emb(spark)
+    got = [r["c"] for r in emb.select(
+        "vec_id", S.ivf_assign_two_level(
+            F.col("embedding"), cents).alias("c"))
+        .orderBy("vec_id").collect()]
+    want = []
+    for r in emb.orderBy("vec_id").collect():
+        v = np.array(r["embedding"], dtype=float)
+        gd = np.round(reps @ v, 6)
+        gi = int(np.argmax(gd == gd.max()))
+        b, e = int(bounds[gi]), int(bounds[gi + 1])
+        fd = np.round(cents[b:e] @ v, 6)
+        want.append(int(np.argmax(fd == fd.max())) + 1 + b)
+    assert got == want
+    # global id space: every group's offset range is actually reachable
+    assert min(got) >= 1 and max(got) <= 16
+
+
+def test_semantic_dedup_two_level_matches_oracle(spark, duck):
+    """The two-level-routed dedup against its DuckDB twin (same group
+    reps, rounding and ties rendered as CASE/list_position SQL)."""
+    from aresdb_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    df = S.semantic_dedup(emb, threshold=0.4, n_clusters=16,
+                          assignment="two_level")
+    assert_df_matches_duck(df, duck, S.semantic_dedup_oracle_sql(
+        threshold=0.4, n_clusters=16, assignment="two_level"))
+    import pytest
+    with pytest.raises(ValueError, match="two_level"):
+        S.semantic_dedup(emb, threshold=0.4, n_clusters=16,
+                         assignment="bogus")
+
+
 def test_semantic_dedup_plans_without_running_a_job(spark):
     """VERDICT r6 #3: plan construction must not run a Spark job. With
     n_rows supplied, semantic_dedup returns its DataFrame with zero jobs
