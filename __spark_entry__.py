@@ -1470,6 +1470,41 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- r11 composition row: MJPEG tracks whose samples mix the JPEG
+    # codec's three layouts (grayscale / RGB 4:4:4 / RGB 4:2:0 by
+    # (d+f)%3) — sample-table walk + per-frame codec dispatch + chroma
+    # path, one bit-exact oracle (macroblock-constant class).
+    def q_video_frames_420(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 29 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_frame_stats(V.synthetic_mjpeg_media_mixed(docs))
+
+    out["multimodal_video_frames_420"] = (q_video_frames_420, """
+        SELECT doc_id AS media_id,
+               f AS frame_idx,
+               16 * (1 + doc_id % 2) AS width,
+               16 * (1 + (doc_id // 2) % 2) AS height,
+               CAST(256 * (CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 3
+                           END) * count(*) AS BIGINT) AS n_px,
+               CAST(256 * (CASE WHEN (doc_id + f) % 3 = 0 THEN 1 ELSE 3
+                           END)
+                    * sum((doc_id * 17 + f * 29
+                           + (i % (1 + doc_id % 2)) * 43
+                           + (i // (1 + doc_id % 2)) * 61) % 256)
+                    AS BIGINT) AS px_sum,
+               min((doc_id * 17 + f * 29 + (i % (1 + doc_id % 2)) * 43
+                    + (i // (1 + doc_id % 2)) * 61) % 256) AS px_min,
+               max((doc_id * 17 + f * 29 + (i % (1 + doc_id % 2)) * 43
+                    + (i // (1 + doc_id % 2)) * 61) % 256) AS px_max
+        FROM documents CROSS JOIN range(3) fr(f) CROSS JOIN range(4) t(i)
+        WHERE doc_id % 29 = 0
+          AND f < 1 + doc_id % 3
+          AND i < (1 + doc_id % 2) * (1 + (doc_id // 2) % 2)
+        GROUP BY 1, 2, 3, 4
+    """)
+
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session

@@ -502,6 +502,56 @@ def synthetic_mjpeg_media(ids, id_col: str = "media_id"):
     return ids.mapInPandas(gen, schema=out_schema)
 
 
+def synthetic_mjpeg_media_mixed(ids, id_col: str = "media_id"):
+    """Composition of the two r11 surfaces: MJPEG tracks whose samples
+    MIX the JPEG codec's three layouts — frame f of id d is grayscale /
+    equal-channel RGB 4:4:4 / equal-channel RGB 4:2:0 by ``(d+f) % 3``,
+    built from ``1 + d % 2`` x ``1 + (d//2) % 2`` CONSTANT 16x16
+    macroblocks (tile (bx, by) of frame f holds
+    ``(d*17 + f*29 + bx*43 + by*61) % 256``), ``1 + d % 3`` frames per
+    track, two mdat chunks when d is odd. Every layout reconstructs the
+    formula exactly (macroblock-constant oracle class, jpeg.py), so one
+    DuckDB oracle covers sample-table walk + per-frame codec dispatch +
+    chroma path bit-for-bit."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                tw, th = 1 + d % 2, 1 + (d // 2) % 2
+                frames = []
+                for f in range(1 + d % 3):
+                    vals = np.array(
+                        [[(d * 17 + f * 29 + bx * 43 + by * 61) % 256
+                          for bx in range(tw)] for by in range(th)],
+                        dtype=np.uint8)
+                    gray = np.kron(vals, np.ones((16, 16), dtype=np.uint8))
+                    mode = (d + f) % 3
+                    img = gray if mode == 0 \
+                        else np.stack([gray] * 3, axis=2)
+                    frames.append(encode_jpeg(
+                        img, subsampling="420" if mode == 2 else "444"))
+                payloads.append(encode_mp4_mjpeg(
+                    frames, 16 * tw, 16 * th,
+                    n_chunks=2 if d % 2 else 1))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
 def synthetic_mp4_media(ids, id_col: str = "media_id"):
     """Deterministic REAL MP4 skeletons from an id column: timescale
     ``600 * (1 + d % 2)``, movie duration ``600 + (d * 37) % 100000``

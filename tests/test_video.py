@@ -211,3 +211,31 @@ def test_video_frame_stats_matches_formula(spark):
             assert s["px_sum"] == 64 * sum(vals)
             assert s["px_min"] == min(vals)
             assert s["px_max"] == max(vals)
+
+
+def test_video_frame_stats_mixed_codec_layouts(spark):
+    """Composition of the r11 surfaces: MJPEG samples mixing grayscale /
+    RGB 4:4:4 / RGB 4:2:0 frames decode through the sample tables into
+    the formula stats (the multimodal_video_frames_420 contract row's
+    invariant)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.video import (synthetic_mjpeg_media_mixed,
+                                              video_frame_stats)
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = video_frame_stats(synthetic_mjpeg_media_mixed(ids)).collect()
+    got = {(r["media_id"], r["frame_idx"]): r.asDict() for r in rows}
+    assert len(got) == sum(1 + d % 3 for d in range(12))
+    for d in range(12):
+        tw, th = 1 + d % 2, 1 + (d // 2) % 2
+        for f in range(1 + d % 3):
+            s = got[(d, f)]
+            ch = 1 if (d + f) % 3 == 0 else 3
+            vals = [(d * 17 + f * 29 + bx * 43 + by * 61) % 256
+                    for by in range(th) for bx in range(tw)]
+            assert (s["width"], s["height"]) == (16 * tw, 16 * th)
+            assert s["n_px"] == 256 * ch * len(vals)
+            assert s["px_sum"] == 256 * ch * sum(vals)
+            assert s["px_min"] == min(vals)
+            assert s["px_max"] == max(vals)
