@@ -312,12 +312,16 @@ def synthetic_jpeg_media_mixed(ids: DataFrame,
     ``1 + d % 2`` by ``1 + (d // 2) % 2`` CONSTANT 16x16 macroblocks
     (tile (bx, by) holds value ``(d*13 + bx*41 + by*59) % 256``), and
     ``d % 3`` picks grayscale / equal-channel RGB 4:4:4 / equal-channel
-    RGB 4:2:0; every 5th id adds a 1-MCU restart interval. ALL three
+    RGB 4:2:0; every 5th id adds a 1-MCU restart interval; and
+    ``(d // 3) % 2`` picks baseline (SOF0) vs PROGRESSIVE (SOF2, r11 —
+    multi-scan spectral selection + successive approximation). ALL
     layouts reconstruct the formula exactly (constant macroblocks are
     DC-only under the flat table; the 2x2 chroma mean of a constant is
-    the constant; equal-channel RGB→YCbCr is lossless), so one DuckDB
+    the constant; equal-channel RGB→YCbCr is lossless; progressive
+    carries the SAME quantized coefficients as baseline), so one DuckDB
     oracle covers the mixed set bit-for-bit — a wrong MCU interleave,
-    chroma pool or upsample breaks the hash."""
+    chroma pool, upsample, or progressive scan assembly breaks the
+    hash."""
     from aresdb_spark.operators.jpeg import encode_jpeg
 
     out_schema = T.StructType([
@@ -340,7 +344,8 @@ def synthetic_jpeg_media_mixed(ids: DataFrame,
                 img = gray if mode == 0 else np.stack([gray] * 3, axis=2)
                 payloads.append(encode_jpeg(
                     img, restart_interval=1 if d % 5 == 0 else 0,
-                    subsampling="420" if mode == 2 else "444"))
+                    subsampling="420" if mode == 2 else "444",
+                    progressive=(d // 3) % 2 == 1))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

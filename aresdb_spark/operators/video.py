@@ -509,10 +509,12 @@ def synthetic_mjpeg_media_mixed(ids, id_col: str = "media_id"):
     built from ``1 + d % 2`` x ``1 + (d//2) % 2`` CONSTANT 16x16
     macroblocks (tile (bx, by) of frame f holds
     ``(d*17 + f*29 + bx*43 + by*61) % 256``), ``1 + d % 3`` frames per
-    track, two mdat chunks when d is odd. Every layout reconstructs the
-    formula exactly (macroblock-constant oracle class, jpeg.py), so one
+    track, two mdat chunks when d is odd; frames of odd-``d//3`` tracks
+    are PROGRESSIVE (SOF2) streams. Every layout reconstructs the
+    formula exactly (macroblock-constant oracle class, jpeg.py;
+    progressive carries the same coefficients as baseline), so one
     DuckDB oracle covers sample-table walk + per-frame codec dispatch +
-    chroma path bit-for-bit."""
+    chroma path + progressive scan assembly bit-for-bit."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -542,7 +544,8 @@ def synthetic_mjpeg_media_mixed(ids, id_col: str = "media_id"):
                     img = gray if mode == 0 \
                         else np.stack([gray] * 3, axis=2)
                     frames.append(encode_jpeg(
-                        img, subsampling="420" if mode == 2 else "444"))
+                        img, subsampling="420" if mode == 2 else "444",
+                        progressive=(d // 3) % 2 == 1))
                 payloads.append(encode_mp4_mjpeg(
                     frames, 16 * tw, 16 * th,
                     n_chunks=2 if d % 2 else 1))

@@ -109,9 +109,20 @@ def test_out_of_scope_streams_raise_named_errors():
         out[i + 1] = to
         return bytes(out)
 
-    # progressive: SOF0 -> SOF2
-    with pytest.raises(NotImplementedError, match="SOF2"):
+    # r11: progressive is IMPLEMENTED — relabeling a baseline stream as
+    # SOF2 now fails scan VALIDATION (a full-band Ss=0..Se=63 scan is
+    # illegal in progressive, G.1.1.1.1), not a scope gate
+    with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         decode_jpeg(swap_marker(payload, 0xC0, 0xC2))
+    # lossless (SOF3) and arithmetic-coded (SOF9) stay out of scope
+    with pytest.raises(NotImplementedError, match="SOF3"):
+        decode_jpeg(swap_marker(payload, 0xC0, 0xC3))
+    with pytest.raises(NotImplementedError, match="SOF9"):
+        decode_jpeg(swap_marker(payload, 0xC0, 0xC9))
+    # extended sequential (SOF1) at 8-bit is semantically identical to
+    # baseline — decodes, no gate
+    assert (decode_jpeg(swap_marker(payload, 0xC0, 0xC1))
+            == np.zeros((8, 8), np.uint8)).all()
     # r11: declared factors on a SINGLE-component frame are a no-op
     # (T.81 A.2: non-interleaved scan, MCU = one data unit) — this
     # decoded-as-4:4:4 case used to raise pre-4:2:0
@@ -334,5 +345,133 @@ def test_420_macroblock_constant_roundtrip_property():
         out = decode_jpeg(encode_jpeg(rgb, restart_interval=rst,
                                       subsampling="420"))
         assert (out == rgb).all()
+
+    run()
+
+
+# -- progressive (SOF2, r11) --------------------------------------------------
+
+
+def test_progressive_stream_shape():
+    """The progressive writer emits SOF2 + the 11-scan script (2 DC +
+    9 AC for color; 5 scans for grayscale), each with its own SOS."""
+    gray = np.kron(np.array([[3, 250]], np.uint8), np.ones((8, 8), np.uint8))
+    p = encode_jpeg(gray, progressive=True)
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    assert p.count(b"\xff\xda") == 5
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    p3 = encode_jpeg(rgb, progressive=True)
+    assert p3.count(b"\xff\xda") == 11
+
+
+def test_progressive_equals_baseline_decode():
+    """Baseline and progressive streams of the same image carry the SAME
+    quantized coefficients, so decodes must be bit-identical — this
+    drives every scan type (DC first/refine, AC first with EOB runs and
+    ZRL, AC refine with buffered correction bits) with dense random
+    content."""
+    rng = np.random.default_rng(19)
+    for trial in range(8):
+        h, w = int(rng.integers(1, 36)), int(rng.integers(1, 36))
+        if trial % 3 == 0:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            subs = "444"
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            subs = "420" if trial % 3 == 2 else "444"
+        base = decode_jpeg(encode_jpeg(img, subsampling=subs))
+        prog = decode_jpeg(encode_jpeg(img, subsampling=subs,
+                                       progressive=True))
+        assert (base == prog).all(), (trial, h, w, subs)
+
+
+def test_progressive_restart_intervals():
+    """DRI/RSTn inside progressive scans: predictors and the EOB run
+    reset per interval in every scan type; a corrupted RST sequence is
+    rejected with the same strictness as baseline."""
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    p = encode_jpeg(img, restart_interval=2, progressive=True)
+    assert b"\xff\xdd" in p
+    assert (decode_jpeg(p) ==
+            decode_jpeg(encode_jpeg(img, restart_interval=2))).all()
+    buf = bytearray(p)
+    for i in range(len(buf) - 1):
+        if buf[i] == 0xFF and 0xD0 <= buf[i + 1] <= 0xD7:
+            buf[i + 1] = 0xD0 + ((buf[i + 1] - 0xD0 + 3) % 8)
+            break
+    with pytest.raises(ValueError, match="RST"):
+        decode_jpeg(bytes(buf))
+
+
+def test_progressive_constant_blocks_roundtrip_exactly():
+    """Block-constant images survive the PROGRESSIVE path exactly: DC
+    first+refine reassemble the DC bit-for-bit and every AC scan is a
+    pure EOB run — the invariant the mixed contract row's oracle
+    extends to progressive payloads."""
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 256, (2, 4), dtype=np.uint8)
+    gray = np.kron(vals, np.ones((8, 8), np.uint8))
+    assert (decode_jpeg(encode_jpeg(gray, progressive=True)) == gray).all()
+    # 4:2:0 macroblock-constant equal-channel color
+    mvals = rng.integers(0, 256, (1, 2), dtype=np.uint8)
+    g16 = np.kron(mvals, np.ones((16, 16), np.uint8))
+    rgb = np.stack([g16] * 3, axis=2)
+    out = decode_jpeg(encode_jpeg(rgb, subsampling="420", progressive=True))
+    assert (out == rgb).all()
+
+
+def test_progressive_scan_validation():
+    """Malformed progressive scan headers are rejected per G.1.1.1.1:
+    multi-component AC scans, Ah != Al+1 refinement steps, and
+    magnitude >1 symbols inside an AC refinement scan."""
+    img = np.zeros((8, 8, 3), np.uint8)
+    p = bytearray(encode_jpeg(img, progressive=True))
+    # find the FIRST AC scan's SOS (ns=1) and flip it multi-component:
+    # ns byte 1 -> 3 makes the header inconsistent with its Ss>0
+    i = -1
+    while True:
+        i = p.find(b"\xff\xda", i + 1)
+        assert i >= 0
+        ns = p[i + 4]
+        ss = p[i + 5 + 2 * ns]
+        if ns == 1 and ss > 0:
+            break
+    bad = bytearray(p)
+    # rewrite the SOS body to declare 3 components (with junk ids from
+    # the following bytes) while keeping Ss>0
+    bad[i + 4] = 3
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(bad))
+    # Ah=2, Al=0 (skips a refinement bit)
+    bad2 = bytearray(p)
+    bad2[i + 5 + 2 * 1 + 2] = 0x20
+    with pytest.raises(ValueError, match="Ah = Al \\+ 1"):
+        decode_jpeg(bytes(bad2))
+
+
+def test_progressive_equals_baseline_property():
+    """Hypothesis: random images decode identically from baseline and
+    progressive streams — whole-codec equivalence, any shape/layout."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 28), st.integers(1, 28), st.integers(0, 2**31),
+           st.sampled_from(["gray", "444", "420"]),
+           st.sampled_from([0, 3]))
+    def run(h, w, seed, layout, rst):
+        rng = np.random.default_rng(seed)
+        if layout == "gray":
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            subs = "444"
+        else:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            subs = layout
+        base = decode_jpeg(encode_jpeg(img, restart_interval=rst,
+                                       subsampling=subs))
+        prog = decode_jpeg(encode_jpeg(img, restart_interval=rst,
+                                       subsampling=subs, progressive=True))
+        assert (base == prog).all()
 
     run()
