@@ -1411,6 +1411,108 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal WAV, IEEE float (r11 — the r10 decoder's named
+    # "format 3" reject, retired): float32 (even ids) and float64 (odd)
+    # payloads whose samples are dyadic rationals k/256 — exactly
+    # representable in float32 — so audio_stats' Q8.8 quantization
+    # (×256 + round) recovers k bit-for-bit and the SQL oracle needs no
+    # tolerance. A wrong sample width, byte order or extensible-GUID
+    # dispatch breaks the hash.
+    def q_wav_float(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 31 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_float_wav_media(docs))
+
+    # n = 48 + d%29 mono samples, k(i) = (d*89+i*53)%4001-2000, rate
+    # 16000; stats are in Q8.8 units = k itself; max n = 76
+    out["multimodal_wav_float"] = (q_wav_float, """
+        SELECT doc_id AS media_id,
+               48 + doc_id % 29 AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(16000 AS BIGINT) AS sample_rate,
+               (48 + doc_id % 29) * 1000 // 16000 AS duration_ms,
+               CAST(sum((doc_id * 89 + i * 53) % 4001 - 2000) AS BIGINT)
+                   AS amp_sum,
+               min((doc_id * 89 + i * 53) % 4001 - 2000) AS amp_min,
+               max((doc_id * 89 + i * 53) % 4001 - 2000) AS amp_max,
+               CAST(sum(abs((doc_id * 89 + i * 53) % 4001 - 2000))
+                    AS BIGINT) AS abs_sum
+        FROM documents CROSS JOIN range(77) t(i)
+        WHERE doc_id % 31 = 0 AND i < 48 + doc_id % 29
+        GROUP BY 1, 2, 3, 4, 5
+    """)
+
+    # --- multimodal WAV, IMA ADPCM (r11 — the "compressed WAV" reject,
+    # retired for the one compressed RIFF format whose spec is
+    # self-contained): the synthetic payload's NIBBLE STREAM is a pure
+    # formula, so the DuckDB oracle replays the published IMA decode
+    # state machine (89-step table, int16 clamp, index walk) with a
+    # RECURSIVE CTE — a differential check of the sequential decoder
+    # itself, sample by sample. ADPCM is lossy but deterministic: any
+    # drift in step arithmetic, clamping or nibble order breaks the
+    # hash at the exact first wrong sample.
+    def q_wav_adpcm(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 29 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_adpcm_wav_media(docs))
+
+    # one mono block: pred0 = (d*31)%1001-500, idx0 = d%89, nibble i =
+    # (d*7+i*5)%16, n_nibs = 40+2*(d%13); sample 0 is the header
+    # predictor, sample i+1 decodes nibble i (operators/audio.py)
+    out["multimodal_wav_adpcm"] = (q_wav_adpcm, """
+        WITH RECURSIVE dec AS (
+            SELECT doc_id AS d, CAST(0 AS BIGINT) AS i,
+                   CAST((doc_id * 31) % 1001 - 500 AS BIGINT) AS pred,
+                   CAST(doc_id % 89 AS BIGINT) AS idx
+            FROM documents WHERE doc_id % 29 = 0
+            UNION ALL
+            SELECT d, i + 1,
+                   GREATEST(-32768, LEAST(32767,
+                       pred + CASE WHEN nib >= 8 THEN -raw ELSE raw END)),
+                   GREATEST(0, LEAST(88, idx +
+                       CASE nib % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                            WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END))
+            FROM (
+                SELECT d, i, pred, idx, nib,
+                       step // 8
+                       + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+                       + CASE WHEN nib % 4 >= 2 THEN step // 2 ELSE 0 END
+                       + CASE WHEN nib % 8 >= 4 THEN step ELSE 0 END
+                           AS raw
+                FROM (
+                    SELECT d, i, pred, idx,
+                           (d * 7 + i * 5) % 16 AS nib,
+                           ([7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,
+                             31,34,37,41,45,50,55,60,66,73,80,88,97,107,
+                             118,130,143,157,173,190,209,230,253,279,307,
+                             337,371,408,449,494,544,598,658,724,796,876,
+                             963,1060,1166,1282,1411,1552,1707,1878,2066,
+                             2272,2499,2749,3024,3327,3660,4026,4428,4871,
+                             5358,5894,6484,7132,7845,8630,9493,10442,
+                             11487,12635,13899,15289,16818,18500,20350,
+                             22385,24623,27086,29794,32767]
+                            )[CAST(idx AS INT) + 1] AS step
+                    FROM dec WHERE i < 40 + 2 * (d % 13)
+                )
+            )
+        )
+        SELECT d AS media_id,
+               CAST(41 + 2 * (d % 13) AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST((41 + 2 * (d % 13)) * 1000 // 8000 AS BIGINT)
+                   AS duration_ms,
+               CAST(sum(pred) AS BIGINT) AS amp_sum,
+               CAST(min(pred) AS BIGINT) AS amp_min,
+               CAST(max(pred) AS BIGINT) AS amp_max,
+               CAST(sum(abs(pred)) AS BIGINT) AS abs_sum
+        FROM dec GROUP BY d
+    """)
+
     # --- multimodal MP4 probe: REAL ISO BMFF box parsing (r10 — the
     # scan-time half of video: duration/track/dimension metadata prunes
     # before any frame decode, which honestly needs a codec library;

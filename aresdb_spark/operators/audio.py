@@ -1,23 +1,40 @@
-"""Clean-room WAV (RIFF PCM) codec + audio feature plumbing.
+"""Clean-room WAV codec (RIFF container: PCM, IEEE float, IMA ADPCM)
++ audio feature plumbing.
 
-WAV is the audio analog of PNG: a container whose spec (RIFF chunks +
-PCM samples, Microsoft/IBM RIFF spec, public) is self-contained, so it
-decodes FOR REAL without a codec library — retiring the audio half of
-the multimodal decode stub the same way r9/r10 retired PNG and JPEG.
-Compressed codecs (MP3/AAC/Opus) stay honest NotImplementedErrors: their
-specs need entropy coders and psychoacoustic filterbanks no container
-library here provides.
+WAV is the audio analog of PNG: a container whose spec (RIFF chunks,
+Microsoft/IBM RIFF spec, public) is self-contained, so it decodes FOR
+REAL without a codec library — retiring the audio half of the
+multimodal decode stub the same way r9/r10 retired PNG and JPEG.
+Perceptual codecs (MP3/AAC/Opus) stay honest NotImplementedErrors:
+their specs need entropy coders and psychoacoustic filterbanks no
+container library here provides.
 
-Scope:
-  - decode: RIFF/WAVE with a PCM ``fmt `` chunk (audio format 1),
-    8-bit unsigned or 16-bit signed little-endian samples, any channel
-    count and sample rate; unknown chunks are skipped by declared size
-    (the spec's rule). IEEE-float (format 3) and compressed formats
-    raise NotImplementedError naming the format tag.
-  - encode: the matching PCM writer for deterministic test payloads.
+Scope (r11 widens the r10 PCM-only decoder to every self-contained
+RIFF audio format):
+  - decode: RIFF/WAVE with
+      * PCM (``fmt `` tag 1): 8-bit unsigned or 16-bit signed LE,
+      * IEEE float (tag 3): float32 or float64 LE — the r10 decoder's
+        named reject,
+      * IMA/DVI ADPCM (tag 0x11): the 4-bit block-predictive coder of
+        the public IMA "Recommended Practices" spec (same algorithm as
+        RFC 3551's DVI4) — mono; multi-channel ADPCM raises a named
+        NotImplementedError,
+      * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): dispatched on the
+        SubFormat GUID's embedded tag (PCM / float supported).
+    Any channel count and sample rate for PCM/float; unknown chunks are
+    skipped by declared size (the spec's rule). Perceptual formats
+    (e.g. tag 0x55 = MP3) raise NotImplementedError naming the tag.
+  - encode: matching writers for deterministic test payloads —
+    ``encode_wav`` (PCM), ``encode_wav_float``, ``encode_adpcm_wav``.
 
-PCM is LOSSLESS, so (unlike JPEG) arbitrary synthetic sample formulas
-round-trip bit-for-bit — the oracle needs no constant-block trick.
+PCM and IEEE float are LOSSLESS containers, so (unlike JPEG) arbitrary
+synthetic sample formulas round-trip bit-for-bit. Float stats stay
+oracle-exact by quantizing to Q8.8 fixed point (×256 + round): the
+synthetic generator emits dyadic rationals k/256, exactly representable
+in float32, so the quantization recovers k with NO tolerance. ADPCM is
+lossy but fully DETERMINISTIC: the decoder is an integer state machine
+(step table + clamps), so a DuckDB recursive CTE replays it exactly —
+the oracle differentially checks the sequential decode loop itself.
 """
 
 from __future__ import annotations
@@ -27,6 +44,25 @@ import struct
 import numpy as np
 
 WAV_SIGNATURE = b"RIFF"
+
+# IMA ADPCM tables (public constants from the IMA spec / RFC 3551 DVI4;
+# the step table is the standard 89-entry ~1.1x geometric ladder)
+IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int64)
+IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _fmt_chunk(tag: int, ch: int, rate: int, block: int, bits: int,
+               extra: bytes = b"") -> bytes:
+    body = struct.pack("<HHIIHH", tag, ch, rate, rate * block, block, bits)
+    return body + extra
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
@@ -44,18 +80,141 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
     else:
         raise ValueError(f"bits={bits}: PCM 8/16 only")
     block = ch * bits // 8
-    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate,
-                      sample_rate * block, block, bits)
+    fmt = _fmt_chunk(1, ch, sample_rate, block, bits)
+    return _riff(fmt, data)
+
+
+def encode_wav_float(samples: np.ndarray, sample_rate: int = 16_000,
+                     bits: int = 32) -> bytes:
+    """IEEE-float WAV writer (format tag 3): ``bits`` 32 or 64."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if bits == 32:
+        data = s.astype("<f4").tobytes()
+    elif bits == 64:
+        data = s.astype("<f8").tobytes()
+    else:
+        raise ValueError(f"bits={bits}: float 32/64 only")
+    block = ch * bits // 8
+    # tag-3 fmt carries cbSize=0 plus a fact chunk (sample count) per
+    # the RIFF rule for non-PCM formats
+    fmt = _fmt_chunk(3, ch, sample_rate, block, bits, struct.pack("<H", 0))
+    fact = b"fact" + struct.pack("<II", 4, n)
+    return _riff(fmt, data, pre_data=fact)
+
+
+def _riff(fmt: bytes, data: bytes, pre_data: bytes = b"") -> bytes:
     body = (b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
+            + (b"\x00" if len(fmt) % 2 else b"")
+            + pre_data
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) % 2 else b""))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _ima_decode_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM step (IMA spec §"ADPCM decompression"): rebuild the
+    difference from the 3 magnitude bits + sign bit at the current step
+    size, clamp the predictor to int16 and walk the step index."""
+    step = int(IMA_STEP_TABLE[index])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + int(IMA_INDEX_TABLE[nib & 7])))
+    return pred, index
+
+
+def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
+                     samples_per_block: int = 505) -> bytes:
+    """IMA ADPCM WAV writer (format tag 0x11, mono): standard block
+    layout — 4-byte header (initial predictor int16, step index, pad)
+    then two 4-bit codes per byte, low nibble first. The encoder is the
+    spec's mirror of the decoder (trial-subtract the step halves), so
+    decode(encode(x)) tracks x within the local step size."""
+    s = np.asarray(samples, dtype=np.int64).ravel()
+    n = len(s)
+    if n == 0:
+        raise ValueError("ADPCM needs at least one sample")
+    nibs_per_block = samples_per_block - 1
+    if nibs_per_block % 2:
+        raise ValueError("samples_per_block must be odd (whole bytes)")
+    blocks = []
+    index = 0
+    pos = 0
+    while pos < n:
+        chunk = s[pos:pos + samples_per_block]
+        pred = int(chunk[0])
+        header = struct.pack("<hBB", pred, index, 0)
+        nibs = []
+        for v in chunk[1:]:
+            target = int(v)
+            step = int(IMA_STEP_TABLE[index])
+            delta = target - pred
+            nib = 0
+            if delta < 0:
+                nib = 8
+                delta = -delta
+            if delta >= step:
+                nib |= 4
+                delta -= step
+            if delta >= step >> 1:
+                nib |= 2
+                delta -= step >> 1
+            if delta >= step >> 2:
+                nib |= 1
+            pred, index = _ima_decode_nibble(pred, index, nib)
+            nibs.append(nib)
+        while len(nibs) < nibs_per_block:    # pad the final block
+            nibs.append(0)
+            pred, index = _ima_decode_nibble(pred, index, 0)
+        packed = bytes(nibs[i] | (nibs[i + 1] << 4)
+                       for i in range(0, len(nibs), 2))
+        blocks.append(header + packed)
+        pos += samples_per_block
+    block_align = 4 + nibs_per_block // 2
+    fmt = _fmt_chunk(0x11, 1, sample_rate, block_align, 4,
+                     struct.pack("<HH", 2, samples_per_block))
+    fact = b"fact" + struct.pack("<II", 4, n)
+    return _riff(fmt, b"".join(blocks), pre_data=fact)
+
+
+def _decode_adpcm(pcm: bytes, ch: int, block_align: int,
+                  samples_per_block: int) -> np.ndarray:
+    if ch != 1:
+        raise NotImplementedError(
+            f"{ch}-channel IMA ADPCM not implemented (mono only)")
+    out = []
+    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+        block = pcm[b0:b0 + block_align]
+        pred, index, _ = struct.unpack("<hBB", block[:4])
+        index = max(0, min(88, index))
+        out.append(pred)                 # header predictor IS sample 0
+        emitted = 1
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                if emitted >= samples_per_block:
+                    break
+                pred, index = _ima_decode_nibble(pred, index, nib)
+                out.append(pred)
+                emitted += 1
+    return np.array(out, dtype=np.int32)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM WAV: returns ``(samples int32 (n, ch), sample_rate)``
-    — 8-bit samples are centered to signed (-128..127) so amplitude
-    stats mean the same thing at both depths."""
+    """Decode a WAV: returns ``(samples (n, ch), sample_rate)`` —
+    int32 for PCM/ADPCM (8-bit samples are centered to signed
+    -128..127 so amplitude stats mean the same thing at both depths),
+    float64 for IEEE-float payloads."""
     data = bytes(payload)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
@@ -69,18 +228,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         if len(body) < size:
             raise ValueError("truncated WAV chunk")
         if cid == b"fmt ":
-            tag, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if tag == 3:
-                raise NotImplementedError(
-                    "IEEE-float WAV (format 3) not implemented — PCM only")
-            if tag != 1:
-                raise NotImplementedError(
-                    f"compressed WAV format tag {tag} requires a codec "
-                    f"library — PCM (tag 1) only")
-            if bits not in (8, 16):
-                raise NotImplementedError(
-                    f"{bits}-bit PCM not implemented (8/16 only)")
-            fmt = (ch, rate, bits)
+            tag, ch, rate, _, block, bits = struct.unpack(
+                "<HHIIHH", body[:16])
+            if tag == 0xFFFE:
+                # WAVE_FORMAT_EXTENSIBLE: the real format is the first
+                # two bytes of the SubFormat GUID (RIFF extensible spec)
+                if len(body) < 40:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE")
+                (tag,) = struct.unpack("<H", body[24:26])
+            extra = body[16:]
+            fmt = (tag, ch, rate, block, bits, extra)
         elif cid == b"data":
             pcm = body
         # unknown chunks (LIST, fact, cue ...) skip by declared size;
@@ -88,23 +245,51 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt/data chunk")
-    ch, rate, bits = fmt
-    if bits == 16:
-        arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (2 * ch))],
-                            dtype="<i2").astype(np.int32)
-    else:
-        arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % ch)],
-                            dtype=np.uint8).astype(np.int32) - 128
-    return arr.reshape(-1, ch), rate
+    tag, ch, rate, block, bits, extra = fmt
+    if tag == 1:                                         # PCM
+        if bits not in (8, 16):
+            raise NotImplementedError(
+                f"{bits}-bit PCM not implemented (8/16 only)")
+        if bits == 16:
+            arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (2 * ch))],
+                                dtype="<i2").astype(np.int32)
+        else:
+            arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % ch)],
+                                dtype=np.uint8).astype(np.int32) - 128
+        return arr.reshape(-1, ch), rate
+    if tag == 3:                                         # IEEE float
+        if bits == 32:
+            arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (4 * ch))],
+                                dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (8 * ch))],
+                                dtype="<f8")
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit IEEE-float WAV not implemented (32/64 only)")
+        return arr.reshape(-1, ch).astype(np.float64), rate
+    if tag == 0x11:                                      # IMA ADPCM
+        if len(extra) >= 4:
+            (samples_per_block,) = struct.unpack("<H", extra[2:4])
+        else:
+            samples_per_block = (block - 4 * ch) * 2 // ch + 1
+        arr = _decode_adpcm(pcm, ch, block, samples_per_block)
+        return arr.reshape(-1, 1), rate
+    raise NotImplementedError(
+        f"WAV format tag 0x{tag:02X} requires a perceptual codec "
+        f"library — PCM (1), IEEE float (3) and IMA ADPCM (0x11) only")
 
 
 def audio_stats(df):
     """media table → exact integer waveform statistics per payload:
     (media_id, n_samples, channels, sample_rate, duration_ms, amp_sum,
-    amp_min, amp_max, abs_sum). All-integer so the decode path is
-    oracle-checkable bit-for-bit (PCM is lossless — no tolerance).
-    Arrow-batched mapInPandas, same shape as multimodal.decode_stats;
-    metadata filters prune before any decode."""
+    amp_min, amp_max, abs_sum). Integer formats report raw sample
+    units; IEEE-float payloads report Q8.8 fixed point (×256, rounded)
+    so the stats stay integer-exact — the synthetic float generator
+    emits dyadic rationals k/256, so the quantization is lossless and
+    the decode path is oracle-checkable bit-for-bit. Arrow-batched
+    mapInPandas, same shape as multimodal.decode_stats; metadata
+    filters prune before any decode."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -127,7 +312,10 @@ def audio_stats(df):
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 s, rate = decode_wav(bytes(payload))
-                flat = s.astype(np.int64).ravel()
+                if np.issubdtype(s.dtype, np.floating):
+                    flat = np.round(s.ravel() * 256.0).astype(np.int64)
+                else:
+                    flat = s.astype(np.int64).ravel()
                 rows.append((int(mid), s.shape[0], s.shape[1], rate,
                              s.shape[0] * 1000 // rate,
                              int(flat.sum()), int(flat.min()),
@@ -165,6 +353,81 @@ def synthetic_wav_media(ids, id_col: str = "media_id"):
                     .astype(np.int16)
                 payloads.append(encode_wav(
                     samples, sample_rate=8000 * (1 + d % 2)))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_float_wav_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL IEEE-float WAV payloads (r11): for id d,
+    ``n = 48 + d % 29`` mono samples ``k_i / 256`` with
+    ``k_i = ((d*89 + i*53) % 4001) - 2000`` — dyadic rationals, exactly
+    representable in float32 — as float32 when d is even, float64 when
+    odd. audio_stats' Q8.8 quantization recovers k_i exactly, so a SQL
+    oracle recomputes every statistic with no tolerance.
+    Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n = 48 + d % 29
+                k = (d * 89 + np.arange(n) * 53) % 4001 - 2000
+                payloads.append(encode_wav_float(
+                    k / 256.0, sample_rate=16000,
+                    bits=32 if d % 2 == 0 else 64))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_adpcm_wav_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL IMA ADPCM WAV payloads whose NIBBLE STREAM is
+    a pure formula (r11): for id d, ONE mono block with initial
+    predictor ``(d*31 % 1001) - 500``, initial step index ``d % 89``,
+    and ``n = 40 + 2 * (d % 13)`` nibbles ``nib_i = (d*7 + i*5) % 16``.
+    Building the coded stream directly (instead of via the encoder)
+    means a DuckDB RECURSIVE CTE can replay the published decode state
+    machine — step table, clamps, index walk — and check the decoder
+    differentially, sample by sample. Output: (media_id, payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n_nibs = 40 + 2 * (d % 13)
+                pred0 = (d * 31) % 1001 - 500
+                idx0 = d % 89
+                nibs = [(d * 7 + i * 5) % 16 for i in range(n_nibs)]
+                header = struct.pack("<hBB", pred0, idx0, 0)
+                packed = bytes(nibs[i] | (nibs[i + 1] << 4)
+                               for i in range(0, n_nibs, 2))
+                block_align = 4 + n_nibs // 2
+                fmt = _fmt_chunk(0x11, 1, 8000, block_align, 4,
+                                 struct.pack("<HH", 2, n_nibs + 1))
+                payloads.append(_riff(fmt, header + packed))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

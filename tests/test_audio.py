@@ -49,16 +49,21 @@ def test_out_of_scope_formats_raise_named_errors():
     s = np.zeros(4, dtype=np.int16)
     payload = bytearray(encode_wav(s))
     i = bytes(payload).find(b"fmt ")
-    # format tag 3 = IEEE float
-    f3 = bytearray(payload)
-    f3[i + 8] = 3
-    with pytest.raises(NotImplementedError, match="IEEE-float"):
-        decode_wav(bytes(f3))
+    # format tag 2 = MS ADPCM (distinct from the implemented IMA 0x11)
+    ms = bytearray(payload)
+    ms[i + 8] = 2
+    with pytest.raises(NotImplementedError, match="0x02"):
+        decode_wav(bytes(ms))
     # format tag 85 = MP3-in-WAV
     mp3 = bytearray(payload)
     mp3[i + 8] = 85
-    with pytest.raises(NotImplementedError, match="format tag 85"):
+    with pytest.raises(NotImplementedError, match="0x55"):
         decode_wav(bytes(mp3))
+    # 24-bit PCM stays out of scope, named
+    p24 = bytearray(payload)
+    p24[i + 22] = 24
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_wav(bytes(p24))
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
@@ -101,5 +106,177 @@ def test_pcm_roundtrip_property():
         s = np.array(vals[:n], dtype=np.int16).reshape(-1, ch)
         out, r = decode_wav(encode_wav(s, rate))
         assert r == rate and (out == s).all()
+
+    run()
+
+
+# -- IEEE float + IMA ADPCM (r11) ---------------------------------------------
+
+
+def test_float_wav_roundtrips_exactly():
+    """Dyadic rationals k/256 are exact in float32, so both widths
+    round-trip bit-for-bit; decode always returns float64."""
+    from aresdb_spark.operators.audio import encode_wav_float
+
+    k = (np.arange(77) * 53) % 4001 - 2000
+    for bits in (32, 64):
+        out, rate = decode_wav(encode_wav_float(k / 256.0, 22050, bits=bits))
+        assert rate == 22050 and out.dtype == np.float64
+        assert (out.ravel() * 256 == k).all()
+    # stereo de-interleave
+    st = np.stack([k / 256.0, -k / 256.0], axis=1)
+    out, _ = decode_wav(encode_wav_float(st, bits=32))
+    assert out.shape == (77, 2) and (out == st).all()
+
+
+def test_extensible_guid_dispatch():
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) resolves the real format from the
+    SubFormat GUID's first two bytes (PCM here); an unknown GUID tag is
+    a named reject."""
+    s = np.arange(-5, 5, dtype=np.int16)
+    payload = bytearray(encode_wav(s, 8000))
+    i = bytes(payload).find(b"fmt ")
+    (size,) = struct.unpack("<I", bytes(payload[i + 4:i + 8]))
+    assert size == 16
+    # rewrite the fmt chunk as extensible: tag 0xFFFE, cbSize 22,
+    # valid bits 16, mask 0, SubFormat GUID leading with the PCM tag
+    old = bytes(payload[i + 8:i + 8 + 16])
+    guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    new_fmt = struct.pack("<H", 0xFFFE) + old[2:] \
+        + struct.pack("<HHI", 22, 16, 0) + guid
+    rebuilt = payload[:i + 4] + struct.pack("<I", len(new_fmt)) \
+        + new_fmt + payload[i + 8 + 16:]
+    rebuilt[4:8] = struct.pack("<I", len(rebuilt) - 8)
+    out, rate = decode_wav(bytes(rebuilt))
+    assert rate == 8000 and (out[:, 0] == s).all()
+    # unknown sub-format (0x99) -> named reject
+    bad = bytearray(rebuilt)
+    j = bytes(bad).find(guid)
+    bad[j] = 0x99
+    with pytest.raises(NotImplementedError, match="0x99"):
+        decode_wav(bytes(bad))
+
+
+def test_adpcm_roundtrip_tracks_signal():
+    """IMA ADPCM is lossy: decode(encode(x)) must track x within the
+    local step size for a band-limited signal, across block boundaries
+    (505-sample blocks), and reproduce the length exactly when the
+    signal fills whole blocks."""
+    from aresdb_spark.operators.audio import encode_adpcm_wav
+
+    rng = np.random.default_rng(11)
+    x = np.cumsum(rng.integers(-60, 60, 1010)).clip(-30000, 30000)
+    out, rate = decode_wav(encode_adpcm_wav(x, 8000, samples_per_block=505))
+    assert rate == 8000 and out.shape == (1010, 1)
+    assert np.abs(out.ravel() - x).max() < 1500
+
+
+def test_adpcm_state_machine_golden():
+    """Spec goldens from (pred=0, index=0, step=7): nibble 0x4 gives
+    diff = (step>>3) + step = 0 + 7 = 7 and the index walks +2; nibble
+    0xF (sign + all magnitude bits) gives -((step>>3) + step + step>>1
+    + step>>2) = -(0+7+3+1) = -11 with the index walking +8."""
+    from aresdb_spark.operators.audio import _ima_decode_nibble
+
+    assert _ima_decode_nibble(0, 0, 0x4) == (7, 2)
+    pred, idx = _ima_decode_nibble(0, 0, 0xF)
+    assert pred == -(7 + 3 + 1 + 0) and idx == 8
+    # int16 clamp both directions
+    assert _ima_decode_nibble(32760, 88, 0x7)[0] == 32767
+    assert _ima_decode_nibble(-32760, 88, 0xF)[0] == -32768
+    # index clamp at the floor
+    assert _ima_decode_nibble(0, 0, 0x0)[1] == 0
+
+
+def test_adpcm_stereo_rejected_named():
+    from aresdb_spark.operators.audio import _fmt_chunk, _riff
+
+    fmt = _fmt_chunk(0x11, 2, 8000, 512, 4, struct.pack("<HH", 2, 505))
+    with pytest.raises(NotImplementedError, match="2-channel"):
+        decode_wav(_riff(fmt, bytes(512)))
+
+
+def test_audio_stats_mixed_formats(spark):
+    """One audio_stats pass over PCM + float + ADPCM payloads in one
+    table: per-format decode dispatch inside the Arrow batch, float
+    stats in exact Q8.8 units, ADPCM stats replayed Python-side."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.audio import (_ima_decode_nibble,
+                                              synthetic_adpcm_wav_media,
+                                              synthetic_float_wav_media)
+
+    ids = spark.range(0, 30).select(F.col("id").alias("media_id"))
+    pcm = synthetic_wav_media(ids.filter(F.col("media_id") % 3 == 0))
+    flt = synthetic_float_wav_media(ids.filter(F.col("media_id") % 3 == 1))
+    adp = synthetic_adpcm_wav_media(ids.filter(F.col("media_id") % 3 == 2))
+    stats = {r["media_id"]: r.asDict()
+             for r in audio_stats(
+                 pcm.unionByName(flt).unionByName(adp)).collect()}
+    assert len(stats) == 30
+    for d in range(30):
+        s = stats[d]
+        if d % 3 == 0:
+            n = 64 + d % 33
+            vals = [(d * 97 + i * 61) % 2001 - 1000 for i in range(n)]
+        elif d % 3 == 1:
+            n = 48 + d % 29
+            vals = [(d * 89 + i * 53) % 4001 - 2000 for i in range(n)]
+        else:
+            pred, idx = (d * 31) % 1001 - 500, d % 89
+            vals = [pred]
+            for i in range(40 + 2 * (d % 13)):
+                pred, idx = _ima_decode_nibble(pred, idx,
+                                               (d * 7 + i * 5) % 16)
+                vals.append(pred)
+            n = len(vals)
+        assert s["n_samples"] == n, d
+        assert s["amp_sum"] == sum(vals), d
+        assert s["amp_min"] == min(vals) and s["amp_max"] == max(vals), d
+        assert s["abs_sum"] == sum(abs(v) for v in vals), d
+
+
+def test_float_dyadic_roundtrip_property():
+    """Hypothesis: any dyadic k/256 sample list round-trips exactly at
+    both float widths and any channel count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aresdb_spark.operators.audio import encode_wav_float
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.integers(-2 ** 20, 2 ** 20), min_size=1,
+                    max_size=48),
+           st.integers(1, 3), st.sampled_from([32, 64]))
+    def run(ks, ch, bits):
+        n = (len(ks) // ch) * ch
+        if n == 0:
+            return
+        s = np.array(ks[:n], dtype=np.float64).reshape(-1, ch) / 256.0
+        out, _ = decode_wav(encode_wav_float(s, bits=bits))
+        assert (out == s).all()
+
+    run()
+
+
+def test_adpcm_tracking_property():
+    """Hypothesis: for any smooth-ish signal (bounded first difference),
+    the codec's reconstruction error stays within a conservative bound
+    derived from the max step (the coder can always catch up within a
+    few samples at 1.1x step growth)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from aresdb_spark.operators.audio import encode_adpcm_wav
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.integers(-300, 300), min_size=2, max_size=200),
+           st.integers(-20000, 20000))
+    def run(steps, start):
+        x = (start + np.cumsum(steps)).clip(-32768, 32767)
+        out, _ = decode_wav(encode_adpcm_wav(x, 8000,
+                                             samples_per_block=201))
+        got = out.ravel()[:len(x)]
+        assert np.abs(got - x).max() <= 4000
 
     run()
