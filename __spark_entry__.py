@@ -1612,6 +1612,67 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal VIDEO TIME SAMPLING (r11): REAL stts timing — the
+    # time-to-sample runs give each frame's display duration, mdhd the
+    # timescale, and for every target t = 0, 250ms, ... the LAST frame
+    # whose presentation start <= t is chosen and decoded (ONLY chosen
+    # samples decode — the pruning that matters when sampling a 30fps
+    # corpus at 1fps). The synthetic tracks carry formula durations
+    # (multi-entry stts runs), so the DuckDB oracle recomputes the
+    # cumulative floor-ms timestamps, the per-target argmax frame AND
+    # the decoded content — wrong run expansion, timescale, floor, or
+    # target walk breaks the hash.
+    def q_video_sample(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 37 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_frame_sample_stats(
+            V.synthetic_mjpeg_timed_media(docs), every_ms=250)
+
+    # frames: nf = 2 + d%4, frame f = constant 8x8 block of
+    # (d*23 + f*47) % 256, duration 100 + 50*((d+f)%3) units at
+    # timescale 600; pts_ms = floor(cumsum_before * 1000 / 600);
+    # targets 0, 250, ... < floor(total * 1000 / 600)
+    out["multimodal_video_sample"] = (q_video_sample, """
+        WITH frames AS (
+            SELECT doc_id AS d, f,
+                   (doc_id * 23 + f * 47) % 256 AS v,
+                   100 + 50 * ((doc_id + f) % 3) AS dur
+            FROM documents CROSS JOIN range(6) fr(f)
+            WHERE doc_id % 37 = 0 AND f < 2 + doc_id % 4
+        ),
+        pts AS (
+            SELECT d, f, v,
+                   COALESCE(SUM(dur) OVER (PARTITION BY d ORDER BY f
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) * 1000 // 600 AS pts_ms,
+                   SUM(dur) OVER (PARTITION BY d) * 1000 // 600
+                       AS duration_ms
+            FROM frames
+        ),
+        targets AS (
+            SELECT DISTINCT d, tg.t AS target_ms
+            FROM pts CROSS JOIN range(0, 100000, 250) tg(t)
+            WHERE tg.t < duration_ms OR tg.t = 0
+        ),
+        chosen AS (
+            SELECT tg.d, tg.target_ms, max(p.f) AS frame_idx
+            FROM targets tg
+            JOIN pts p ON p.d = tg.d AND p.pts_ms <= tg.target_ms
+            GROUP BY 1, 2
+        )
+        SELECT c.d AS media_id,
+               CAST(c.target_ms AS BIGINT) AS target_ms,
+               CAST(c.frame_idx AS BIGINT) AS frame_idx,
+               CAST(p.pts_ms AS BIGINT) AS pts_ms,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(64 * p.v AS BIGINT) AS px_sum
+        FROM chosen c
+        JOIN pts p ON p.d = c.d AND p.f = c.frame_idx
+    """)
+
     # --- windowed aggregations (§2.9 extensions; batch mode = exact) ---
     def q_session(spark, sf_dir):
         from aresdb_spark.streaming.windows import session

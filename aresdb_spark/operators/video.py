@@ -100,15 +100,20 @@ def encode_mp4_skeleton(duration_units: int, timescale: int,
 
 def encode_mp4_mjpeg(frames: "list[bytes]", width: int, height: int,
                      timescale: int = 600, frame_duration: int = 100,
-                     n_chunks: int = 1) -> bytes:
+                     n_chunks: int = 1,
+                     frame_durations: "list[int] | None" = None) -> bytes:
     """Real MJPEG-in-MP4 writer: each ``frames`` element is a complete
     JPEG image stored as one sample; the stbl (stsd 'jpeg' visual sample
     entry, stts, stsc, stsz, stco) locates them in mdat. ``n_chunks``
     splits the samples across mdat chunks so the stsc/stco walk is
-    exercised for real (ISO/IEC 14496-12 §8.7.4: chunk runs). Built in
-    two passes because stco holds ABSOLUTE file offsets: the moov is
-    laid out once with zeroed offsets to learn its size, then rebuilt
-    with the real offsets (same byte length, so the layout is stable)."""
+    exercised for real (ISO/IEC 14496-12 §8.7.4: chunk runs).
+    ``frame_durations`` (r11) gives per-sample display durations in
+    timescale units — run-length-compressed into multi-entry stts runs
+    (§8.6.1.2) so readers exercise real run expansion; when omitted all
+    samples last ``frame_duration``. Built in two passes because stco
+    holds ABSOLUTE file offsets: the moov is laid out once with zeroed
+    offsets to learn its size, then rebuilt with the real offsets (same
+    byte length, so the layout is stable)."""
     n = len(frames)
     if n == 0:
         raise ValueError("MJPEG track needs at least one frame")
@@ -133,7 +138,19 @@ def encode_mp4_mjpeg(frames: "list[bytes]", width: int, height: int,
              + b"\x00" * 32                      # compressorname
              + struct.pack(">Hh", 24, -1))       # depth, pre_defined
     stsd = _full(b"stsd", 0, struct.pack(">I", 1) + entry)
-    stts = _full(b"stts", 0, struct.pack(">III", 1, n, frame_duration))
+    if frame_durations is None:
+        frame_durations = [frame_duration] * n
+    if len(frame_durations) != n:
+        raise ValueError("frame_durations must match frames")
+    # run-length compress equal consecutive durations into stts entries
+    stts_runs: "list[list[int]]" = []
+    for dur_u in frame_durations:
+        if stts_runs and stts_runs[-1][1] == dur_u:
+            stts_runs[-1][0] += 1
+        else:
+            stts_runs.append([1, dur_u])
+    stts = _full(b"stts", 0, struct.pack(">I", len(stts_runs)) + b"".join(
+        struct.pack(">II", c, dur_u) for c, dur_u in stts_runs))
     # stsc runs: one entry per change in samples-per-chunk
     runs = []
     for i, c in enumerate(counts):
@@ -143,7 +160,7 @@ def encode_mp4_mjpeg(frames: "list[bytes]", width: int, height: int,
         struct.pack(">III", first, cnt, 1) for first, cnt in runs))
     stsz = _full(b"stsz", 0, struct.pack(">II", 0, n) + b"".join(
         struct.pack(">I", len(f)) for f in frames))
-    dur = n * frame_duration
+    dur = sum(frame_durations)
 
     def moov_of(chunk_offsets: "list[int]") -> bytes:
         stco = _full(b"stco", 0,
@@ -269,11 +286,17 @@ def _sample_table(data: bytes, trak_body: int, trak_end: int) -> "dict | None":
     (first_chunk, samples_per_chunk) with the spec's 1-based chunk
     numbering and run semantics (ISO/IEC 14496-12 §8.7.4)."""
     out: dict = {"codec": None, "sizes": None, "chunk_offsets": None,
-                 "stsc": None}
+                 "stsc": None, "durations": None, "timescale": None}
     for btype, body, bend in _walk(data, trak_body, trak_end):
         if btype != b"mdia":
             continue
         for ib, ibody, ibend in _walk(data, body, bend):
+            if ib == b"mdhd":
+                # media timescale — the unit of stts deltas (§8.4.2)
+                ver = data[ibody]
+                out["timescale"] = struct.unpack(
+                    ">I", data[ibody + 12:ibody + 16])[0] if ver == 0 \
+                    else struct.unpack(">I", data[ibody + 20:ibody + 24])[0]
             if ib != b"minf":
                 continue
             for jb, jbody, jbend in _walk(data, ibody, ibend):
@@ -301,6 +324,17 @@ def _sample_table(data: bytes, trak_body: int, trak_end: int) -> "dict | None":
                             f">{3 * n}I", data[kbody + 8:kbody + 8 + 12 * n])
                         out["stsc"] = [(ent[3 * i], ent[3 * i + 1])
                                        for i in range(n)]
+                    elif kb == b"stts":
+                        # decode time-to-sample runs (count, delta) —
+                        # expanded to one duration per sample (§8.6.1.2)
+                        (n,) = struct.unpack(
+                            ">I", data[kbody + 4:kbody + 8])
+                        ent = struct.unpack(
+                            f">{2 * n}I", data[kbody + 8:kbody + 8 + 8 * n])
+                        durs = []
+                        for i in range(n):
+                            durs += [ent[2 * i + 1]] * ent[2 * i]
+                        out["durations"] = durs
                     elif kb in (b"stco", b"co64"):
                         (n,) = struct.unpack(
                             ">I", data[kbody + 4:kbody + 8])
@@ -347,9 +381,18 @@ def decode_video_frames(payload: bytes) -> "list":
     libavcodec-class decoder and raise NotImplementedError naming the
     sample-entry fourcc; a video track with no sample tables (metadata
     skeleton) raises ValueError."""
-    from aresdb_spark.operators.jpeg import decode_jpeg
-
     data = bytes(payload)
+    tbl = _mjpeg_track(data)
+    frames = []
+    for off, size in _sample_ranges(tbl):
+        frames.append(_decode_sample(data, off, size))
+    return frames
+
+
+def _mjpeg_track(data: bytes) -> dict:
+    """Locate the first video trak's sample tables and require the
+    'jpeg' sample-entry codec (shared by the full-decode and the
+    time-sampled paths)."""
     tbl = None
     for btype, body, bend in _walk(data, 0, len(data)):
         if btype != b"moov":
@@ -372,12 +415,56 @@ def decode_video_frames(payload: bytes) -> "list":
             f"(ffmpeg/libavcodec) — only 'jpeg' (motion JPEG) decodes "
             f"in-repo; use probe_mp4 for container metadata and "
             f"frame_sample for the sampling plan")
-    frames = []
-    for off, size in _sample_ranges(tbl):
-        if off + size > len(data):
-            raise ValueError("sample range beyond end of file")
-        frames.append(decode_jpeg(data[off:off + size]))
-    return frames
+    return tbl
+
+
+def _decode_sample(data: bytes, off: int, size: int):
+    from aresdb_spark.operators.jpeg import decode_jpeg
+
+    if off + size > len(data):
+        raise ValueError("sample range beyond end of file")
+    return decode_jpeg(data[off:off + size])
+
+
+def sample_video_frames(payload: bytes, every_ms: int) -> "list[tuple]":
+    """Time-based frame sampling with REAL timing (r11): the stts box
+    gives each sample's display duration in media-timescale units
+    (§8.6.1.2 run expansion; mdhd supplies the timescale), so for each
+    target instant t = 0, every_ms, 2*every_ms, ... < duration the LAST
+    frame whose presentation start <= t is chosen — and ONLY the chosen
+    samples are decoded (each once), which is the point at scale: a
+    1-fps sample of a 30-fps corpus decodes ~3% of the bytes. Returns
+    [(target_ms, frame_idx, pts_ms, pixels), ...] in target order."""
+    if every_ms <= 0:
+        raise ValueError("every_ms must be positive")
+    data = bytes(payload)
+    tbl = _mjpeg_track(data)
+    durs, ts = tbl["durations"], tbl["timescale"]
+    if not durs or not ts:
+        raise ValueError("track is missing stts/mdhd timing")
+    ranges = _sample_ranges(tbl)
+    if len(durs) != len(ranges):
+        raise ValueError("stts/stsz sample tables are inconsistent")
+    # presentation start of frame f in ms (floor, matching the oracle)
+    starts = []
+    acc = 0
+    for dur_u in durs:
+        starts.append(acc * 1000 // ts)
+        acc += dur_u
+    duration_ms = acc * 1000 // ts
+    out = []
+    decoded: dict = {}
+    f = 0
+    t = 0
+    while t < duration_ms or t == 0:
+        while f + 1 < len(starts) and starts[f + 1] <= t:
+            f += 1
+        if f not in decoded:
+            off, size = ranges[f]
+            decoded[f] = _decode_sample(data, off, size)
+        out.append((t, f, starts[f], decoded[f]))
+        t += every_ms
+    return out
 
 
 def video_probe_stats(df):
@@ -455,6 +542,82 @@ def video_frame_stats(df):
 
     return df.select("media_id", "payload").mapInPandas(
         process, schema=out_schema)
+
+
+def video_frame_sample_stats(df, every_ms: int = 250):
+    """media table → one row per SAMPLING TARGET: (media_id, target_ms,
+    frame_idx, pts_ms, width, height, px_sum) — real stts timing picks
+    the frame for each target and only chosen samples decode
+    (sample_video_frames). Arrow-batched, column-pruned mapInPandas;
+    exact integers, so block-constant tracks are oracle-checkable
+    bit-for-bit including the TIMING math (floor-ms starts, cumulative
+    stts runs)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("target_ms", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("pts_ms", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for t, fi, pts, px in sample_video_frames(
+                        bytes(payload), every_ms):
+                    rows.append((int(mid), t, fi, pts,
+                                 px.shape[1], px.shape[0],
+                                 int(px.astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
+
+
+def synthetic_mjpeg_timed_media(ids, id_col: str = "media_id"):
+    """Deterministic MJPEG tracks with FORMULA TIMING (r11): for id d,
+    ``2 + d % 4`` frames where frame f is one constant 8x8 block of
+    value ``(d*23 + f*47) % 256`` and displays for
+    ``100 + 50 * ((d + f) % 3)`` units at timescale 600 — so the stts
+    box carries real multi-entry runs and a SQL oracle recomputes every
+    presentation timestamp (cumulative floor-ms) and the chosen frame
+    per sampling target exactly. Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                nf = 2 + d % 4
+                frames = [encode_jpeg(np.full(
+                    (8, 8), (d * 23 + f * 47) % 256, dtype=np.uint8))
+                    for f in range(nf)]
+                durs = [100 + 50 * ((d + f) % 3) for f in range(nf)]
+                payloads.append(encode_mp4_mjpeg(
+                    frames, 8, 8, timescale=600, frame_durations=durs))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
 
 
 def synthetic_mjpeg_media(ids, id_col: str = "media_id"):

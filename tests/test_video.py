@@ -5,6 +5,7 @@ against the integer skeleton formulas."""
 
 import struct
 
+import numpy as np
 import pytest
 
 from aresdb_spark.operators.video import (decode_video_frames,
@@ -239,3 +240,123 @@ def test_video_frame_stats_mixed_codec_layouts(spark):
             assert s["px_sum"] == 256 * ch * sum(vals)
             assert s["px_min"] == min(vals)
             assert s["px_max"] == max(vals)
+
+
+# -- stts timing + frame sampling (r11) ---------------------------------------
+
+
+def test_stts_multi_run_parses_and_full_decode_unchanged():
+    """Multi-entry stts runs expand per §8.6.1.2; the full-decode path
+    ignores timing and still yields every frame."""
+    from aresdb_spark.operators.jpeg import encode_jpeg
+    from aresdb_spark.operators.video import (_mjpeg_track,
+                                              decode_video_frames,
+                                              encode_mp4_mjpeg)
+
+    frames = [encode_jpeg(np.full((8, 8), 10 * f, dtype=np.uint8))
+              for f in range(5)]
+    durs = [100, 100, 250, 100, 100]     # -> 3 stts runs
+    p = encode_mp4_mjpeg(frames, 8, 8, timescale=600, frame_durations=durs)
+    tbl = _mjpeg_track(p)
+    assert tbl["durations"] == durs and tbl["timescale"] == 600
+    out = decode_video_frames(p)
+    assert len(out) == 5
+    assert all((out[f] == 10 * f).all() for f in range(5))
+
+
+def test_sample_video_frames_picks_last_started_frame():
+    """Targets walk 0, every_ms, ...; each picks the LAST frame whose
+    floor-ms presentation start <= target — verified against a
+    hand-computed schedule."""
+    from aresdb_spark.operators.jpeg import encode_jpeg
+    from aresdb_spark.operators.video import (encode_mp4_mjpeg,
+                                              sample_video_frames)
+
+    frames = [encode_jpeg(np.full((8, 8), 50 * f, dtype=np.uint8))
+              for f in range(3)]
+    # starts in units: 0, 150, 350 -> ms (ts 600): 0, 250, 583;
+    # duration 600 units = 1000 ms -> targets 0, 400, 800
+    p = encode_mp4_mjpeg(frames, 8, 8, timescale=600,
+                         frame_durations=[150, 200, 250])
+    got = [(t, f, pts, int(px[0, 0]))
+           for t, f, pts, px in sample_video_frames(p, 400)]
+    assert got == [(0, 0, 0, 0), (400, 1, 250, 50), (800, 2, 583, 100)]
+
+
+def test_sample_video_frames_decodes_only_chosen_samples():
+    """The pruning claim: a sparse sampling of a long track decodes
+    exactly the chosen samples, each once."""
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    frames = [encode_jpeg(np.full((8, 8), f, dtype=np.uint8))
+              for f in range(30)]
+    p = V.encode_mp4_mjpeg(frames, 8, 8, timescale=600,
+                           frame_durations=[20] * 30)   # 1000 ms total
+    calls = []
+    orig = V._decode_sample
+
+    def counted(data, off, size):
+        calls.append(off)
+        return orig(data, off, size)
+
+    V._decode_sample = counted
+    try:
+        out = V.sample_video_frames(p, 300)    # targets 0/300/600/900
+    finally:
+        V._decode_sample = orig
+    assert len(out) == 4
+    assert len(calls) == 4 and len(set(calls)) == 4
+    # and a duplicate-heavy sampling decodes each chosen frame ONCE
+    calls.clear()
+    V._decode_sample = counted
+    try:
+        out = V.sample_video_frames(p, 10)     # 100 targets, 30 frames
+    finally:
+        V._decode_sample = orig
+    assert len(out) == 100 and len(calls) == 30
+
+
+def test_sample_video_frames_timing_required():
+    """A track without stts/mdhd timing cannot be time-sampled: named
+    ValueError (the full-decode path still works)."""
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    frames = [encode_jpeg(np.zeros((8, 8), np.uint8))]
+    p = bytearray(V.encode_mp4_mjpeg(frames, 8, 8))
+    i = p.find(b"stts")
+    p[i:i + 4] = b"free"                      # hide the stts box
+    with pytest.raises(ValueError, match="stts"):
+        V.sample_video_frames(bytes(p), 100)
+    assert len(V.decode_video_frames(bytes(p))) == 1
+
+
+def test_video_frame_sample_stats_formula(spark):
+    """Spark pass over the timed synthetic tracks: every (target, frame,
+    pts, content) row matches the Python replica of the oracle
+    formula."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import video as V
+
+    ids = spark.range(0, 20).select(F.col("id").alias("media_id"))
+    rows = V.video_frame_sample_stats(
+        V.synthetic_mjpeg_timed_media(ids), every_ms=250).collect()
+    got = {(r["media_id"], r["target_ms"]):
+           (r["frame_idx"], r["pts_ms"], r["px_sum"]) for r in rows}
+    expect = {}
+    for d in range(20):
+        nf = 2 + d % 4
+        durs = [100 + 50 * ((d + f) % 3) for f in range(nf)]
+        starts, acc = [], 0
+        for u in durs:
+            starts.append(acc * 1000 // 600)
+            acc += u
+        dur_ms = acc * 1000 // 600
+        t = 0
+        while t < dur_ms or t == 0:
+            f = max(i for i in range(nf) if starts[i] <= t)
+            expect[(d, t)] = (f, starts[f], 64 * ((d * 23 + f * 47) % 256))
+            t += 250
+    assert got == expect
