@@ -1379,6 +1379,42 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal GIF: REAL clean-room LZW decode (r11 — the third
+    # lossless web image container; operators/gif.py builds the
+    # variable-width dictionary coder from the public GIF89a spec, no
+    # zlib). The graded set mixes interlaced frames, tiny sub-blocks
+    # and forced mid-stream CLEAR codes; GIF is lossless so the DuckDB
+    # formula oracle is bit-for-bit — a wrong code width walk, KwKwK
+    # case, sub-block reassembly or 4-pass de-interlace breaks the
+    # hash.
+    def q_gif(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 41 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_gif_media(docs))
+
+    # h = 4 + d%7, w = 5 + d%11, pixel (y, x) = (d*19 + x*7 + y*13) %
+    # 256 over the gray palette -> RGB triples all equal; max h*w = 150
+    out["multimodal_gif_stats"] = (q_gif, """
+        SELECT doc_id AS media_id,
+               5 + doc_id % 11 AS width,
+               4 + doc_id % 7 AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(3 * count(*) AS BIGINT) AS n_px,
+               CAST(3 * sum((doc_id * 19 + (i % (5 + doc_id % 11)) * 7
+                             + (i // (5 + doc_id % 11)) * 13) % 256)
+                    AS BIGINT) AS px_sum,
+               min((doc_id * 19 + (i % (5 + doc_id % 11)) * 7
+                    + (i // (5 + doc_id % 11)) * 13) % 256) AS px_min,
+               max((doc_id * 19 + (i % (5 + doc_id % 11)) * 7
+                    + (i // (5 + doc_id % 11)) * 13) % 256) AS px_max
+        FROM documents CROSS JOIN range(150) t(i)
+        WHERE doc_id % 41 = 0
+          AND i < (5 + doc_id % 11) * (4 + doc_id % 7)
+        GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal WAV: REAL RIFF/PCM decode (r10 — the audio half of
     # the multimodal stub; operators/audio.py). PCM is LOSSLESS, so the
     # integer sample formula round-trips through real WAV bytes with no

@@ -1,0 +1,199 @@
+"""Clean-room GIF codec (operators/gif.py, GIF87a/89a spec) + its
+multimodal wiring. Mirrors the PNG/JPEG test strategy: spec-level unit
+goldens, exact round trips (GIF is lossless), decoder corners driven by
+real streams the encoder can be forced to produce (tiny sub-blocks,
+mid-stream CLEARs, interlace), honest errors at the scope boundary, and
+the Spark decode_stats pipeline against integer formulas.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from aresdb_spark.operators.gif import (_interlace_order, decode_gif,
+                                        decode_gif_frames, encode_gif,
+                                        lzw_decode, lzw_encode)
+
+
+def test_interlace_order_matches_spec_passes():
+    # GIF spec §23: rows 0,8,16.. then 4,12.. then 2,6,10.. then odd
+    assert _interlace_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _interlace_order(1) == [0]
+    assert sorted(_interlace_order(33)) == list(range(33))
+
+
+def test_lzw_golden_and_kwkwk():
+    # 'abababab' class forces the code-not-yet-in-table (KwKwK) branch
+    seq = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0], dtype=np.uint8)
+    assert (lzw_decode(lzw_encode(seq, 2), 2, expected=9) == seq).all()
+    # single pixel
+    one = np.array([3], dtype=np.uint8)
+    assert (lzw_decode(lzw_encode(one, 2), 2, expected=1) == one).all()
+    # an index beyond the palette is an encoder error
+    with pytest.raises(ValueError, match="palette"):
+        lzw_encode(np.array([4], dtype=np.uint8), 2)
+
+
+def test_lzw_width_growth_and_table_cap():
+    """A long low-entropy stream walks the code width 9->12 bits and
+    hits the 4096-entry cap (encoder emits CLEAR, decoder resets)."""
+    rng = np.random.default_rng(7)
+    seq = np.repeat(rng.integers(0, 7, 9000),
+                    rng.integers(1, 9, 9000)).astype(np.uint8)[:40000]
+    out = lzw_decode(lzw_encode(seq, 8), 8, expected=len(seq))
+    assert (out == seq).all()
+
+
+def test_roundtrip_all_encoder_flags():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (23, 17), dtype=np.uint8)
+    exp = np.stack([px] * 3, axis=2)
+    for interlace in (False, True):
+        for bs, ce in ((255, 0), (7, 0), (255, 4), (1, 3)):
+            p = encode_gif(px, interlace=interlace, block_size=bs,
+                           clear_every=ce)
+            assert p[:6] == b"GIF89a"
+            assert (decode_gif(p) == exp).all(), (interlace, bs, ce)
+
+
+def test_small_palette_and_animation():
+    rng = np.random.default_rng(13)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                   np.uint8)
+    idx = rng.integers(0, 4, (10, 13)).astype(np.uint8)
+    assert (decode_gif(encode_gif(idx, palette=pal)) == pal[idx]).all()
+    frames = [rng.integers(0, 256, (9, 11), dtype=np.uint8)
+              for _ in range(3)]
+    out = decode_gif_frames(encode_gif(frames))
+    assert len(out) == 3
+    for i in range(3):
+        assert (out[i][:, :, 2] == frames[i]).all()
+    # decode_gif = first frame
+    assert (decode_gif(encode_gif(frames))[:, :, 0] == frames[0]).all()
+
+
+def test_extension_blocks_skip_by_subblock_chain():
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    p = bytes(encode_gif(px))
+    i = 13 + 768                  # header + LSD + 256-entry GCT
+    assert p[i] == 0x2C
+    comment = b"\x21\xfe\x05hello\x00"
+    app = b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    p2 = p[:i] + comment + app + gce + p[i:]
+    assert (decode_gif(p2)[:, :, 0] == px).all()
+
+
+def test_gif87a_and_local_color_table():
+    """Foreign-layout stream built by hand: 87a signature, NO global
+    table, a local color table on the image descriptor."""
+    pal = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    lzw = lzw_encode(idx.ravel(), 2)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", 2, 2)
+    out += bytes([0x00, 0, 0])                 # no GCT
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+    out += bytes([0x80 | 0x00])                # LCT flag, 2 entries
+    out += pal.tobytes()
+    out += bytes([2])                          # min code size
+    out += bytes([len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    assert (decode_gif(bytes(out)) == pal[idx]).all()
+
+
+def test_malformed_streams_raise():
+    rng = np.random.default_rng(19)
+    px = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    p = bytearray(encode_gif(px))
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOTAGIF" + bytes(p))
+    with pytest.raises(ValueError):
+        decode_gif(bytes(p[:40]))              # truncated in the GCT
+    with pytest.raises(ValueError):
+        decode_gif(bytes(p[:-10]))             # truncated sub-blocks
+    # frame with no color table at all
+    bare = bytearray(p)
+    bare[10] &= 0x7F                           # clear the GCT flag
+    del bare[13:13 + 768]
+    with pytest.raises(ValueError, match="color table"):
+        decode_gif(bytes(bare))
+    # unknown top-level block
+    bad = p[:13 + 768] + b"\x7f" + p[13 + 768:]
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        decode_gif(bytes(bad))
+
+
+def test_decode_image_dispatches_gif():
+    from aresdb_spark.operators.multimodal import decode_image
+
+    px = np.array([[7, 200], [0, 255]], dtype=np.uint8)
+    out = decode_image(encode_gif(px))
+    assert out.dtype == np.float32 and out.shape == (2, 2, 3)
+    assert (out[:, :, 0] == px.astype(np.float32)).all()
+
+
+def test_decode_stats_three_formats(spark):
+    """One decode_stats pass over PNG + JPEG + GIF payloads — dispatch
+    by magic bytes inside the Arrow batch, each against its formula."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    ids = spark.range(0, 30).select(F.col("id").alias("media_id"))
+    png = M.synthetic_png_media(ids.filter(F.col("media_id") % 3 == 0))
+    jpg = M.synthetic_jpeg_media(ids.filter(F.col("media_id") % 3 == 1))
+    gif = M.synthetic_gif_media(ids.filter(F.col("media_id") % 3 == 2))
+    stats = {r["media_id"]: r.asDict()
+             for r in M.decode_stats(
+                 png.unionByName(jpg).unionByName(gif)).collect()}
+    assert len(stats) == 30
+    for d in range(2, 30, 3):                  # the GIF rows
+        h, w = 4 + d % 7, 4 + 1 + d % 11
+        vals = [(d * 19 + x * 7 + y * 13) % 256
+                for y in range(h) for x in range(w)]
+        s = stats[d]
+        assert (s["width"], s["height"], s["channels"]) == (w, h, 3)
+        assert s["n_px"] == 3 * len(vals)
+        assert s["px_sum"] == 3 * sum(vals)
+        assert s["px_min"] == min(vals) and s["px_max"] == max(vals)
+
+
+def test_gif_roundtrip_property():
+    """Hypothesis: ANY uint8 image round-trips exactly through any
+    combination of encoder flags — GIF is lossless end to end."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**31),
+           st.booleans(), st.sampled_from([255, 5]),
+           st.sampled_from([0, 2]))
+    def run(h, w, seed, interlace, bs, ce):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        out = decode_gif(encode_gif(px, interlace=interlace,
+                                    block_size=bs, clear_every=ce))
+        assert (out == np.stack([px] * 3, axis=2)).all()
+
+    run()
+
+
+def test_lzw_roundtrip_property():
+    """Hypothesis: raw LZW over any index stream and min-code-size."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(2, 8), st.integers(0, 2**31), st.integers(1, 400),
+           st.sampled_from([0, 3]))
+    def run(mcs, seed, n, ce):
+        rng = np.random.default_rng(seed)
+        seq = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+        out = lzw_decode(lzw_encode(seq, mcs, clear_every=ce), mcs,
+                         expected=n)
+        assert (out == seq).all()
+
+    run()
