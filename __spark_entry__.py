@@ -2506,7 +2506,14 @@ _DRIVER_WINDOW = [
     "aql_dst_bucket", "aql_bitwise_ops", "multimodal_mp4_probe",
     "aql_array_predicates", "aql_left_join_nulls",
     "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
-    "dedup_clusters_star", "aql_topk_users", "geo_join_shapes",
+    # r11 rotation #4: multimodal_gif_stats — the from-scratch LZW GIF
+    # codec (operators/gif.py: variable-width codes, sub-block
+    # reassembly, forced CLEARs, 4-pass interlace) is a new codec
+    # family with no in-window row. It displaces dedup_clusters_star,
+    # whose duplicate-clusters table line keeps dedup_clusters (the
+    # hash-min CC variant, the harder half of the same §2 line)
+    # in-window; clusters_star stays in check_contract.
+    "multimodal_gif_stats", "aql_topk_users", "geo_join_shapes",
     # sql_join_bucket_topk rotated out (its join / numeric-bucket /
     # order-limit paths are each covered by aql_dim_join,
     # aql_numeric_bucket and aql_topk_users in-window; it stays in
@@ -2546,8 +2553,15 @@ _DRIVER_WINDOW = [
     # aql_week_month_buckets, whose regular-bucket path keeps
     # aql_count_hourly (hour bucket, same timeutil.time_bucket code)
     # in-window; week/month stays in check_contract.
+    # r11 rotation #3: multimodal_jpeg_420 replaces its own-family
+    # sibling multimodal_jpeg_stats — the mixed row is a strict
+    # superset surface (grayscale + RGB 4:4:4 + 4:2:0 chroma, restart
+    # markers, AND half the payloads as r11 PROGRESSIVE SOF2 streams)
+    # over the same codec, so the JPEG family's in-window row now
+    # exercises every implemented layout; jpeg_stats (baseline
+    # grayscale + DRI) stays in check_contract.
     "text_lm_perplexity", "text_quality", "multimodal_featurize",
-    "multimodal_jpeg_stats", "multimodal_wav_stats",
+    "multimodal_jpeg_420", "multimodal_wav_stats",
     # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
     # continuous-crawl Structured Streaming sink — now one bucket-pruned
     # store scan per micro-batch) displaces text_fingerprint, whose
