@@ -12,13 +12,16 @@ container library here provides.
 Scope (r11 widens the r10 PCM-only decoder to every self-contained
 RIFF audio format):
   - decode: RIFF/WAVE with
-      * PCM (``fmt `` tag 1): 8-bit unsigned or 16-bit signed LE,
+      * PCM (``fmt `` tag 1): 8-bit unsigned, 16/24/32-bit signed LE
+        (24-bit is the pro-audio staple; 3-byte samples are widened
+        manually since no numpy dtype covers them),
       * IEEE float (tag 3): float32 or float64 LE — the r10 decoder's
         named reject,
       * IMA/DVI ADPCM (tag 0x11): the 4-bit block-predictive coder of
         the public IMA "Recommended Practices" spec (same algorithm as
-        RFC 3551's DVI4) — mono; multi-channel ADPCM raises a named
-        NotImplementedError,
+        RFC 3551's DVI4) — mono AND stereo (channels interleave in
+        4-byte/8-nibble groups within each block, per the spec's
+        multi-channel layout),
       * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): dispatched on the
         SubFormat GUID's embedded tag (PCM / float supported).
     Any channel count and sample rate for PCM/float; unknown chunks are
@@ -67,8 +70,9 @@ def _fmt_chunk(tag: int, ch: int, rate: int, block: int, bits: int,
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
                bits: int = 16) -> bytes:
-    """PCM WAV writer: ``samples`` is int16 ``(n,)`` mono or ``(n, ch)``
-    interleaved-on-write; ``bits`` 16 (int16) or 8 (uint8)."""
+    """PCM WAV writer: ``samples`` is integer ``(n,)`` mono or
+    ``(n, ch)`` interleaved-on-write; ``bits`` 8 (uint8) or 16/24/32
+    (signed LE)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
@@ -77,8 +81,14 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16_000,
         data = s.astype("<i2").tobytes()
     elif bits == 8:
         data = s.astype(np.uint8).tobytes()
+    elif bits == 32:
+        data = s.astype("<i4").tobytes()
+    elif bits == 24:
+        v = s.astype("<i4").ravel()
+        b = v.view(np.uint8).reshape(-1, 4)[:, :3]   # drop each MSB byte
+        data = b.tobytes()
     else:
-        raise ValueError(f"bits={bits}: PCM 8/16 only")
+        raise ValueError(f"bits={bits}: PCM 8/16/24/32 only")
     block = ch * bits // 8
     fmt = _fmt_chunk(1, ch, sample_rate, block, bits)
     return _riff(fmt, data)
@@ -134,55 +144,80 @@ def _ima_decode_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
     return pred, index
 
 
+def _ima_encode_nibble(target: int, pred: int, index: int) -> int:
+    """One IMA ADPCM encode step: trial-subtract the step halves (the
+    spec's mirror of the decoder's reconstruction sum)."""
+    step = int(IMA_STEP_TABLE[index])
+    delta = target - pred
+    nib = 0
+    if delta < 0:
+        nib = 8
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+    return nib
+
+
 def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
                      samples_per_block: int = 505) -> bytes:
-    """IMA ADPCM WAV writer (format tag 0x11, mono): standard block
-    layout — 4-byte header (initial predictor int16, step index, pad)
-    then two 4-bit codes per byte, low nibble first. The encoder is the
-    spec's mirror of the decoder (trial-subtract the step halves), so
-    decode(encode(x)) tracks x within the local step size."""
-    s = np.asarray(samples, dtype=np.int64).ravel()
-    n = len(s)
+    """IMA ADPCM WAV writer (format tag 0x11, mono or stereo): standard
+    block layout — one 4-byte header PER CHANNEL (initial predictor
+    int16, step index, pad) then two 4-bit codes per byte, low nibble
+    first; stereo data interleaves channels in 4-byte/8-nibble groups
+    (the spec's multi-channel rule). decode(encode(x)) tracks x within
+    the local step size."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
     if n == 0:
         raise ValueError("ADPCM needs at least one sample")
+    if ch not in (1, 2):
+        raise NotImplementedError(
+            f"{ch}-channel IMA ADPCM not implemented (mono/stereo only)")
     nibs_per_block = samples_per_block - 1
-    if nibs_per_block % 2:
+    if ch == 1 and nibs_per_block % 2:
         raise ValueError("samples_per_block must be odd (whole bytes)")
+    if ch == 2 and nibs_per_block % 8:
+        raise ValueError("stereo needs (samples_per_block - 1) % 8 == 0 "
+                         "(whole 4-byte channel groups)")
     blocks = []
-    index = 0
+    index = [0] * ch
     pos = 0
     while pos < n:
         chunk = s[pos:pos + samples_per_block]
-        pred = int(chunk[0])
-        header = struct.pack("<hBB", pred, index, 0)
-        nibs = []
-        for v in chunk[1:]:
-            target = int(v)
-            step = int(IMA_STEP_TABLE[index])
-            delta = target - pred
-            nib = 0
-            if delta < 0:
-                nib = 8
-                delta = -delta
-            if delta >= step:
-                nib |= 4
-                delta -= step
-            if delta >= step >> 1:
-                nib |= 2
-                delta -= step >> 1
-            if delta >= step >> 2:
-                nib |= 1
-            pred, index = _ima_decode_nibble(pred, index, nib)
-            nibs.append(nib)
-        while len(nibs) < nibs_per_block:    # pad the final block
-            nibs.append(0)
-            pred, index = _ima_decode_nibble(pred, index, 0)
-        packed = bytes(nibs[i] | (nibs[i + 1] << 4)
-                       for i in range(0, len(nibs), 2))
-        blocks.append(header + packed)
+        headers = b""
+        packed_ch = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            headers += struct.pack("<hBB", pred, index[c], 0)
+            nibs = []
+            for v in chunk[1:, c]:
+                nib = _ima_encode_nibble(int(v), pred, index[c])
+                pred, index[c] = _ima_decode_nibble(pred, index[c], nib)
+                nibs.append(nib)
+            while len(nibs) < nibs_per_block:    # pad the final block
+                nibs.append(0)
+                pred, index[c] = _ima_decode_nibble(pred, index[c], 0)
+            packed_ch.append(bytes(nibs[i] | (nibs[i + 1] << 4)
+                                   for i in range(0, len(nibs), 2)))
+        if ch == 1:
+            data = packed_ch[0]
+        else:                    # interleave 4-byte groups: L, R, L, ...
+            data = b"".join(
+                packed_ch[c][g:g + 4]
+                for g in range(0, len(packed_ch[0]), 4)
+                for c in range(ch))
+        blocks.append(headers + data)
         pos += samples_per_block
-    block_align = 4 + nibs_per_block // 2
-    fmt = _fmt_chunk(0x11, 1, sample_rate, block_align, 4,
+    block_align = 4 * ch + ch * (nibs_per_block // 2)
+    fmt = _fmt_chunk(0x11, ch, sample_rate, block_align, 4,
                      struct.pack("<HH", 2, samples_per_block))
     fact = b"fact" + struct.pack("<II", 4, n)
     return _riff(fmt, b"".join(blocks), pre_data=fact)
@@ -190,24 +225,34 @@ def encode_adpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
 
 def _decode_adpcm(pcm: bytes, ch: int, block_align: int,
                   samples_per_block: int) -> np.ndarray:
-    if ch != 1:
+    if ch not in (1, 2):
         raise NotImplementedError(
-            f"{ch}-channel IMA ADPCM not implemented (mono only)")
-    out = []
+            f"{ch}-channel IMA ADPCM not implemented (mono/stereo only)")
+    chans: "list[list[int]]" = [[] for _ in range(ch)]
     for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
         block = pcm[b0:b0 + block_align]
-        pred, index, _ = struct.unpack("<hBB", block[:4])
-        index = max(0, min(88, index))
-        out.append(pred)                 # header predictor IS sample 0
-        emitted = 1
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                if emitted >= samples_per_block:
-                    break
-                pred, index = _ima_decode_nibble(pred, index, nib)
-                out.append(pred)
-                emitted += 1
-    return np.array(out, dtype=np.int32)
+        pred = [0] * ch
+        index = [0] * ch
+        emitted = [1] * ch
+        for c in range(ch):
+            p, ix, _ = struct.unpack("<hBB", block[4 * c:4 * c + 4])
+            pred[c] = p
+            index[c] = max(0, min(88, ix))
+            chans[c].append(p)           # header predictor IS sample 0
+        data = block[4 * ch:]
+        # nibbles interleave in 4-byte groups per channel (mono: every
+        # group is channel 0 — identical to a straight byte walk)
+        for g in range(0, len(data), 4):
+            c = (g // 4) % ch
+            for byte in data[g:g + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    if emitted[c] >= samples_per_block:
+                        break
+                    pred[c], index[c] = _ima_decode_nibble(
+                        pred[c], index[c], nib)
+                    chans[c].append(pred[c])
+                    emitted[c] += 1
+    return np.stack([np.array(c, dtype=np.int32) for c in chans], axis=1)
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -247,15 +292,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("WAV missing fmt/data chunk")
     tag, ch, rate, block, bits, extra = fmt
     if tag == 1:                                         # PCM
-        if bits not in (8, 16):
-            raise NotImplementedError(
-                f"{bits}-bit PCM not implemented (8/16 only)")
         if bits == 16:
             arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (2 * ch))],
                                 dtype="<i2").astype(np.int32)
-        else:
+        elif bits == 8:
             arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % ch)],
                                 dtype=np.uint8).astype(np.int32) - 128
+        elif bits == 32:
+            arr = np.frombuffer(pcm[:len(pcm) - (len(pcm) % (4 * ch))],
+                                dtype="<i4").astype(np.int32)
+        elif bits == 24:
+            raw = np.frombuffer(
+                pcm[:len(pcm) - (len(pcm) % (3 * ch))],
+                dtype=np.uint8).reshape(-1, 3).astype(np.int32)
+            arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            arr -= (arr & 0x800000) << 1                 # sign-extend
+        else:
+            raise NotImplementedError(
+                f"{bits}-bit PCM not implemented (8/16/24/32 only)")
         return arr.reshape(-1, ch), rate
     if tag == 3:                                         # IEEE float
         if bits == 32:
@@ -273,8 +327,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             (samples_per_block,) = struct.unpack("<H", extra[2:4])
         else:
             samples_per_block = (block - 4 * ch) * 2 // ch + 1
-        arr = _decode_adpcm(pcm, ch, block, samples_per_block)
-        return arr.reshape(-1, 1), rate
+        return _decode_adpcm(pcm, ch, block, samples_per_block), rate
     raise NotImplementedError(
         f"WAV format tag 0x{tag:02X} requires a perceptual codec "
         f"library — PCM (1), IEEE float (3) and IMA ADPCM (0x11) only")

@@ -59,11 +59,11 @@ def test_out_of_scope_formats_raise_named_errors():
     mp3[i + 8] = 85
     with pytest.raises(NotImplementedError, match="0x55"):
         decode_wav(bytes(mp3))
-    # 24-bit PCM stays out of scope, named
-    p24 = bytearray(payload)
-    p24[i + 22] = 24
-    with pytest.raises(NotImplementedError, match="24-bit"):
-        decode_wav(bytes(p24))
+    # an off-spec PCM width stays a named reject (24/32 decode now)
+    p20 = bytearray(payload)
+    p20[i + 22] = 20
+    with pytest.raises(NotImplementedError, match="20-bit"):
+        decode_wav(bytes(p20))
     with pytest.raises(ValueError):
         decode_wav(b"RIFFxxxxNOPE")
     with pytest.raises(ValueError):
@@ -188,12 +188,13 @@ def test_adpcm_state_machine_golden():
     assert _ima_decode_nibble(0, 0, 0x0)[1] == 0
 
 
-def test_adpcm_stereo_rejected_named():
+def test_adpcm_multichannel_rejected_named():
+    # stereo decodes (r11); >2 channels stays a named reject
     from aresdb_spark.operators.audio import _fmt_chunk, _riff
 
-    fmt = _fmt_chunk(0x11, 2, 8000, 512, 4, struct.pack("<HH", 2, 505))
-    with pytest.raises(NotImplementedError, match="2-channel"):
-        decode_wav(_riff(fmt, bytes(512)))
+    fmt = _fmt_chunk(0x11, 3, 8000, 768, 4, struct.pack("<HH", 2, 505))
+    with pytest.raises(NotImplementedError, match="3-channel"):
+        decode_wav(_riff(fmt, bytes(768)))
 
 
 def test_audio_stats_mixed_formats(spark):
@@ -280,3 +281,49 @@ def test_adpcm_tracking_property():
         assert np.abs(got - x).max() <= 4000
 
     run()
+
+
+def test_pcm_24_and_32_bit_roundtrip():
+    """24-bit (3-byte LE, manual widening + sign extension) and 32-bit
+    PCM are lossless round trips, mono and stereo."""
+    rng = np.random.default_rng(21)
+    v24 = rng.integers(-(1 << 23), 1 << 23, 100)
+    out, rate = decode_wav(encode_wav(v24, 48000, bits=24))
+    assert rate == 48000 and (out.ravel() == v24).all()
+    # sign-extension edges
+    edges = np.array([-(1 << 23), (1 << 23) - 1, -1, 0, 1])
+    assert (decode_wav(encode_wav(edges, bits=24))[0].ravel()
+            == edges).all()
+    st = np.stack([v24, -v24 - 1], axis=1)
+    assert (decode_wav(encode_wav(st, bits=24))[0] == st).all()
+    v32 = rng.integers(-(1 << 31), (1 << 31) - 1, 100)
+    assert (decode_wav(encode_wav(v32, bits=32))[0].ravel() == v32).all()
+
+
+def test_adpcm_stereo_roundtrip_tracks_both_channels():
+    """Stereo IMA ADPCM: per-channel headers + 4-byte/8-nibble group
+    interleave; each channel's state machine is independent, so both
+    reconstructions track their own signal."""
+    from aresdb_spark.operators.audio import encode_adpcm_wav
+
+    rng = np.random.default_rng(23)
+    x = np.stack([
+        np.cumsum(rng.integers(-60, 60, 1000)).clip(-30000, 30000),
+        np.cumsum(rng.integers(-60, 60, 1000)).clip(-30000, 30000),
+    ], axis=1)
+    out, rate = decode_wav(encode_adpcm_wav(x, 8000,
+                                            samples_per_block=489))
+    assert rate == 8000 and out.shape[1] == 2
+    assert np.abs(out[:1000] - x).max() < 1500
+    # a hard-panned signal must NOT leak across the group interleave:
+    # silent right channel stays identically at its header predictor
+    pan = np.stack([x[:, 0], np.full(1000, 123)], axis=1)
+    out, _ = decode_wav(encode_adpcm_wav(pan, 8000,
+                                         samples_per_block=489))
+    assert np.abs(out[:1000, 1] - 123).max() <= 2
+    # 3 channels stay a named reject
+    with pytest.raises(NotImplementedError, match="3-channel"):
+        encode_adpcm_wav(np.zeros((16, 3)), samples_per_block=9)
+    # stereo block size must make whole 4-byte groups
+    with pytest.raises(ValueError, match="4-byte"):
+        encode_adpcm_wav(np.zeros((16, 2)), samples_per_block=7)
