@@ -1447,6 +1447,42 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal AUDIO WINDOWING (r11): the framing step every
+    # audio featurizer starts from — fixed-size analysis windows over
+    # the decoded waveform with integer stats + strict zero-crossing
+    # counts. All-integer so the window walk (boundaries, tail window,
+    # the pair-belongs-to-its-window crossing rule) is oracle-checkable
+    # bit-for-bit over the PCM formula payloads.
+    def q_audio_windows(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 43 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_window_stats(A.synthetic_wav_media(docs), window=16)
+
+    out["multimodal_audio_windows"] = (q_audio_windows, """
+        WITH s AS (
+            SELECT doc_id AS d, i,
+                   (doc_id * 97 + i * 61) % 2001 - 1000 AS v,
+                   CASE WHEN i % 16 != 0 THEN
+                        ((doc_id * 97 + i * 61) % 2001 - 1000)
+                      * ((doc_id * 97 + (i - 1) * 61) % 2001 - 1000) < 0
+                   ELSE FALSE END AS crossed
+            FROM documents CROSS JOIN range(97) t(i)
+            WHERE doc_id % 43 = 0 AND i < 64 + doc_id % 33
+        )
+        SELECT d AS media_id,
+               CAST(i // 16 AS BIGINT) AS win_idx,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(v) AS BIGINT) AS amp_sum,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+               min(v) AS amp_min,
+               max(v) AS amp_max,
+               CAST(sum(CASE WHEN crossed THEN 1 ELSE 0 END) AS BIGINT)
+                   AS zero_cross
+        FROM s GROUP BY 1, 2
+    """)
+
     # --- multimodal WAV, IEEE float (r11 — the r10 decoder's named
     # "format 3" reject, retired): float32 (even ids) and float64 (odd)
     # payloads whose samples are dyadic rationals k/256 — exactly

@@ -485,3 +485,57 @@ def synthetic_adpcm_wav_media(ids, id_col: str = "media_id"):
                                 "payload": payloads})
 
     return ids.mapInPandas(gen, schema=out_schema)
+
+
+def audio_window_stats(df, window: int = 16):
+    """media table → one row per fixed-size analysis window over the
+    FIRST channel: (media_id, win_idx, n, amp_sum, abs_sum, amp_min,
+    amp_max, zero_cross) — the framing step every audio featurizer
+    (RMS/VAD/fingerprint) starts from, with all-integer outputs so the
+    window walk is oracle-checkable bit-for-bit. ``zero_cross`` counts
+    adjacent pairs WITHIN the window whose product is negative (strict
+    sign changes; zeros break a run). Arrow-batched mapInPandas; the
+    per-window reduction is vectorized numpy, not a Python loop per
+    sample."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if window <= 0:
+        raise ValueError("window must be positive")
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("amp_sum", T.LongType(), False),
+        T.StructField("abs_sum", T.LongType(), False),
+        T.StructField("amp_min", T.LongType(), False),
+        T.StructField("amp_max", T.LongType(), False),
+        T.StructField("zero_cross", T.LongType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                s, _rate = decode_wav(bytes(payload))
+                mono = s[:, 0]
+                if np.issubdtype(mono.dtype, np.floating):
+                    mono = np.round(mono * 256.0)
+                mono = mono.astype(np.int64)
+                nwin = -(-len(mono) // window)
+                cross = (mono[1:] * mono[:-1] < 0)
+                for wi in range(nwin):
+                    seg = mono[wi * window:(wi + 1) * window]
+                    # pair (i-1, i) belongs to i's window; exclude the
+                    # window-opening sample's pair (cross-window)
+                    cseg = cross[wi * window:wi * window + len(seg) - 1]
+                    rows.append((int(mid), wi, len(seg), int(seg.sum()),
+                                 int(np.abs(seg).sum()), int(seg.min()),
+                                 int(seg.max()), int(cseg.sum())))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)

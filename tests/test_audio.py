@@ -327,3 +327,38 @@ def test_adpcm_stereo_roundtrip_tracks_both_channels():
     # stereo block size must make whole 4-byte groups
     with pytest.raises(ValueError, match="4-byte"):
         encode_adpcm_wav(np.zeros((16, 2)), samples_per_block=7)
+
+
+def test_audio_window_stats_formula_and_edges(spark):
+    """Windowed framing over the PCM formula payloads: boundaries, the
+    short tail window, and the pair-belongs-to-its-window crossing rule
+    all match a brute-force replica; a float payload windows in Q8.8."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.audio import (audio_window_stats,
+                                              synthetic_float_wav_media)
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = audio_window_stats(synthetic_wav_media(ids), window=16).collect()
+    got = {(r["media_id"], r["win_idx"]): (r["n"], r["amp_sum"],
+                                           r["abs_sum"], r["amp_min"],
+                                           r["amp_max"], r["zero_cross"])
+           for r in rows}
+    expect = {}
+    for d in range(12):
+        n = 64 + d % 33
+        v = [(d * 97 + i * 61) % 2001 - 1000 for i in range(n)]
+        for wi in range(-(-n // 16)):
+            seg = v[wi * 16:(wi + 1) * 16]
+            zc = sum(1 for i in range(wi * 16 + 1, min((wi + 1) * 16, n))
+                     if v[i] * v[i - 1] < 0)
+            expect[(d, wi)] = (len(seg), sum(seg),
+                               sum(abs(x) for x in seg), min(seg),
+                               max(seg), zc)
+    assert got == expect
+    # float payloads window in exact Q8.8 units
+    frows = audio_window_stats(
+        synthetic_float_wav_media(ids.limit(3)), window=16).collect()
+    d0 = [r for r in frows if r["media_id"] == 0]
+    k = [(0 * 89 + i * 53) % 4001 - 2000 for i in range(48)]
+    assert sum(r["amp_sum"] for r in d0) == sum(k)
