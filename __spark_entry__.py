@@ -1516,6 +1516,60 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal WAV, G.711 µ-law/A-law (r11): the ITU-T telephony
+    # companders, decoded by the CLOSED-FORM segment/mantissa expansion
+    # (complement / XOR 0x55, shift, bias — no tables), so the DuckDB
+    # oracle expands the same formula bytes with pure SQL arithmetic.
+    # Even ids are µ-law (tag 7), odd A-law (tag 6) — one row covers
+    # both laws' sign conventions, which are OPPOSITE (µ: bit 7 set =
+    # negative; A: bit 7 set = positive), so a flipped convention
+    # breaks the hash immediately.
+    def q_wav_g711(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 47 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_g711_wav_media(docs))
+
+    # n = 56 + d%21 bytes b(i) = (d*3+i*17)%256 at 8 kHz; µ-law:
+    # x = 255-b, val = ((x%16)*8+132)*2^((x//16)%8)-132, negative when
+    # x>=128; A-law: x = b XOR 85, seg 0 linear else biased shift,
+    # POSITIVE when x>=128
+    out["multimodal_wav_g711"] = (q_wav_g711, """
+        WITH s AS (
+            SELECT doc_id AS d, i, (doc_id * 3 + i * 17) % 256 AS b
+            FROM documents CROSS JOIN range(77) t(i)
+            WHERE doc_id % 47 = 0 AND i < 56 + doc_id % 21
+        ),
+        ex AS (
+            SELECT d,
+                CASE WHEN d % 2 = 0 THEN
+                    (CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)
+                    * ((((255 - b) % 16) * 8 + 132)
+                       * (1 << (((255 - b) // 16) % 8)) - 132)
+                ELSE
+                    (CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END)
+                    * (CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+                            THEN (xor(b, 85) % 16) * 16 + 8
+                            ELSE ((xor(b, 85) % 16) * 16 + 264)
+                                 * (1 << (((xor(b, 85) // 16) % 8) - 1))
+                       END)
+                END AS v
+            FROM s
+        )
+        SELECT d AS media_id,
+               CAST(56 + d % 21 AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST((56 + d % 21) * 1000 // 8000 AS BIGINT)
+                   AS duration_ms,
+               CAST(sum(v) AS BIGINT) AS amp_sum,
+               CAST(min(v) AS BIGINT) AS amp_min,
+               CAST(max(v) AS BIGINT) AS amp_max,
+               CAST(sum(abs(v)) AS BIGINT) AS abs_sum
+        FROM ex GROUP BY 1
+    """)
+
     # --- multimodal WAV, IMA ADPCM (r11 — the "compressed WAV" reject,
     # retired for the one compressed RIFF format whose spec is
     # self-contained): the synthetic payload's NIBBLE STREAM is a pure

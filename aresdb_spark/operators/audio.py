@@ -22,13 +22,17 @@ RIFF audio format):
         RFC 3551's DVI4) — mono AND stereo (channels interleave in
         4-byte/8-nibble groups within each block, per the spec's
         multi-channel layout),
+      * G.711 A-law (tag 6) and µ-law (tag 7): the ITU-T telephony
+        companders — closed-form 8-bit→13/14-bit segment/mantissa
+        expansions, decoded by formula (no tables transcribed),
       * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): dispatched on the
         SubFormat GUID's embedded tag (PCM / float supported).
     Any channel count and sample rate for PCM/float; unknown chunks are
     skipped by declared size (the spec's rule). Perceptual formats
     (e.g. tag 0x55 = MP3) raise NotImplementedError naming the tag.
   - encode: matching writers for deterministic test payloads —
-    ``encode_wav`` (PCM), ``encode_wav_float``, ``encode_adpcm_wav``.
+    ``encode_wav`` (PCM), ``encode_wav_float``, ``encode_adpcm_wav``,
+    ``encode_g711_wav`` (both laws).
 
 PCM and IEEE float are LOSSLESS containers, so (unlike JPEG) arbitrary
 synthetic sample formulas round-trip bit-for-bit. Float stats stay
@@ -123,6 +127,81 @@ def _riff(fmt: bytes, data: bytes, pre_data: bytes = b"") -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data
             + (b"\x00" if len(data) % 2 else b""))
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def mulaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 µ-law byte → linear PCM (ITU-T G.711 table 2a/2b as the
+    closed form): complement, split into sign/segment/mantissa, expand
+    ``((2*mant + 33) << seg) - 33`` quantization intervals of 4 —
+    i.e. value = (((mant << 3) | 0x84) << seg) - 0x84 in sample units."""
+    x = (~np.asarray(b, dtype=np.uint8)).astype(np.int64) & 0xFF
+    sign = x & 0x80
+    seg = (x >> 4) & 0x07
+    mant = x & 0x0F
+    val = (((mant << 3) | 0x84) << seg) - 0x84
+    return np.where(sign != 0, -val, val)
+
+
+def mulaw_compress(v: np.ndarray) -> np.ndarray:
+    """Linear PCM → µ-law byte (the matching encoder: bias by 0x84,
+    find the segment = position of the leading bit, keep 4 mantissa
+    bits, complement)."""
+    v = np.asarray(v, dtype=np.int64)
+    sign = np.where(v < 0, 0x80, 0)
+    # clip so the biased magnitude stays within seg 7 (32635 + 0x84 =
+    # 0x7FFF, the spec's overload point)
+    mag = np.minimum(np.abs(v), 32635) + 0x84
+    seg = np.floor(np.log2(mag)).astype(np.int64) - 7
+    mant = (mag >> (seg + 3)) & 0x0F
+    return ((~(sign | (seg << 4) | mant)) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(b: np.ndarray) -> np.ndarray:
+    """G.711 A-law byte → linear PCM: XOR 0x55, sign/segment/mantissa;
+    segment 0 is linear (value = 2*mant + 1 intervals of 8), higher
+    segments expand ``((mant << 4) | 0x108) << (seg - 1)`` — in sample
+    units (13-bit magnitude × 8)."""
+    x = (np.asarray(b, dtype=np.uint8).astype(np.int64)) ^ 0x55
+    sign = x & 0x80                  # G.711 A-law: bit 7 SET = positive
+    seg = (x >> 4) & 0x07
+    mant = x & 0x0F
+    lin = (mant << 4) | 0x08
+    val = np.where(seg == 0, lin, ((mant << 4) | 0x108) << (seg - 1))
+    return np.where(sign != 0, val, -val)
+
+
+def alaw_compress(v: np.ndarray) -> np.ndarray:
+    """Linear PCM → A-law byte (segment by leading bit of |v|>>4, 4
+    mantissa bits, XOR 0x55)."""
+    v = np.asarray(v, dtype=np.int64)
+    sign = np.where(v >= 0, 0x80, 0)     # bit 7 SET = positive (G.711)
+    mag = np.minimum(np.abs(v), 0x7FFF)
+    top = mag >> 4
+    seg = np.where(top == 0, 0,
+                   np.maximum(0, np.floor(np.log2(np.maximum(top, 1)))
+                              .astype(np.int64) - 3))
+    mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
+    return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+def encode_g711_wav(samples: np.ndarray, sample_rate: int = 8000,
+                    law: str = "mulaw") -> bytes:
+    """G.711 WAV writer: ``law`` is "mulaw" (format tag 7) or "alaw"
+    (tag 6); ``samples`` are linear PCM ``(n,)`` or ``(n, ch)``,
+    companded to 8 bits per sample."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if law == "mulaw":
+        tag, data = 7, mulaw_compress(s.ravel()).tobytes()
+    elif law == "alaw":
+        tag, data = 6, alaw_compress(s.ravel()).tobytes()
+    else:
+        raise ValueError(f"law={law!r}: mulaw or alaw")
+    fmt = _fmt_chunk(tag, ch, sample_rate, ch, 8, struct.pack("<H", 0))
+    fact = b"fact" + struct.pack("<II", 4, n)
+    return _riff(fmt, data, pre_data=fact)
 
 
 def _ima_decode_nibble(pred: int, index: int, nib: int) -> tuple[int, int]:
@@ -322,6 +401,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             raise NotImplementedError(
                 f"{bits}-bit IEEE-float WAV not implemented (32/64 only)")
         return arr.reshape(-1, ch).astype(np.float64), rate
+    if tag in (6, 7):                                    # G.711 A-law/µ-law
+        raw = np.frombuffer(pcm[:len(pcm) - (len(pcm) % ch)],
+                            dtype=np.uint8)
+        arr = (alaw_expand(raw) if tag == 6 else mulaw_expand(raw)) \
+            .astype(np.int32)
+        return arr.reshape(-1, ch), rate
     if tag == 0x11:                                      # IMA ADPCM
         if len(extra) >= 4:
             (samples_per_block,) = struct.unpack("<H", extra[2:4])
@@ -539,3 +624,37 @@ def audio_window_stats(df, window: int = 16):
 
     return df.select("media_id", "payload").mapInPandas(
         process, schema=out_schema)
+
+
+def synthetic_g711_wav_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL G.711 WAV payloads (r11) whose COMPANDED BYTE
+    STREAM is a pure formula: for id d, ``n = 56 + d % 21`` mono bytes
+    ``b_i = (d*3 + i*17) % 256`` at 8 kHz — µ-law (tag 7) for even d,
+    A-law (tag 6) for odd. The expansions are closed-form integer
+    segment/mantissa formulas, so a SQL oracle recomputes every decoded
+    sample exactly (complement/XOR, shift, bias — no tables).
+    Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n = 56 + d % 21
+                raw = ((d * 3 + np.arange(n) * 17) % 256).astype(np.uint8)
+                tag = 7 if d % 2 == 0 else 6
+                fmt = _fmt_chunk(tag, 1, 8000, 1, 8, struct.pack("<H", 0))
+                payloads.append(_riff(fmt, raw.tobytes()))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)

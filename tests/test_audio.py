@@ -362,3 +362,67 @@ def test_audio_window_stats_formula_and_edges(spark):
     d0 = [r for r in frows if r["media_id"] == 0]
     k = [(0 * 89 + i * 53) % 4001 - 2000 for i in range(48)]
     assert sum(r["amp_sum"] for r in d0) == sum(k)
+
+
+def test_g711_goldens_and_byte_roundtrip():
+    """ITU-T G.711 reference points: µ-law 0xFF/0x7F are ±0, 0x80 is
+    +32124 (max); A-law 0xD5/0x55 are ±8, 0xAA is +32256 (max). Every
+    A-law code survives compress(expand(byte)); µ-law has the spec's
+    one ±0 ambiguity (0x7F re-encodes as the canonical 0xFF)."""
+    from aresdb_spark.operators.audio import (alaw_compress, alaw_expand,
+                                              mulaw_compress, mulaw_expand)
+
+    assert mulaw_expand(np.array([0xFF]))[0] == 0
+    assert mulaw_expand(np.array([0x7F]))[0] == 0
+    assert mulaw_expand(np.array([0x80]))[0] == 32124
+    assert mulaw_expand(np.array([0x00]))[0] == -32124
+    assert alaw_expand(np.array([0xD5]))[0] == 8
+    assert alaw_expand(np.array([0x55]))[0] == -8
+    assert alaw_expand(np.array([0xAA]))[0] == 32256
+    assert alaw_expand(np.array([0x2A]))[0] == -32256
+    allb = np.arange(256, dtype=np.uint8)
+    assert (alaw_compress(alaw_expand(allb)) == allb).all()
+    mu = mulaw_compress(mulaw_expand(allb))
+    assert (mu[allb != 0x7F] == allb[allb != 0x7F]).all()
+    assert mu[0x7F] == 0xFF
+
+
+def test_g711_wav_roundtrip_error_is_segment_bounded():
+    """decode(encode(x)) error is bounded by half the local segment
+    interval — companding is coarse but monotone."""
+    from aresdb_spark.operators.audio import decode_wav, encode_g711_wav
+
+    rng = np.random.default_rng(31)
+    x = rng.integers(-30000, 30000, 3000)
+    for law in ("mulaw", "alaw"):
+        out, rate = decode_wav(encode_g711_wav(x, 8000, law=law))
+        assert rate == 8000 and out.shape == (3000, 1)
+        err = np.abs(out.ravel() - x)
+        # interval at |v| is ~|v|/16 (4 mantissa bits per segment)
+        assert (err <= np.maximum(np.abs(x) // 16 + 1, 132)).all(), law
+    # stereo de-interleave
+    st = np.stack([x[:100], -x[:100]], axis=1)
+    out, _ = decode_wav(encode_g711_wav(st, law="alaw"))
+    assert out.shape == (100, 2)
+
+
+def test_g711_synthetic_formula_matches_expansion(spark):
+    """The generator's byte formula decoded through the Spark stats
+    pipeline equals the closed-form expansion replica (both laws)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.audio import (alaw_expand, mulaw_expand,
+                                              synthetic_g711_wav_media)
+
+    ids = spark.range(0, 10).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in audio_stats(synthetic_g711_wav_media(ids)).collect()}
+    for d in range(10):
+        n = 56 + d % 21
+        b = ((d * 3 + np.arange(n) * 17) % 256).astype(np.uint8)
+        v = mulaw_expand(b) if d % 2 == 0 else alaw_expand(b)
+        s = rows[d]
+        assert s["n_samples"] == n and s["sample_rate"] == 8000
+        assert s["amp_sum"] == int(v.sum())
+        assert s["amp_min"] == int(v.min()) and s["amp_max"] == int(v.max())
+        assert s["abs_sum"] == int(np.abs(v).sum())
