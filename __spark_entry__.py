@@ -1639,6 +1639,72 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM dec GROUP BY d
     """)
 
+    # --- multimodal WAV, MS ADPCM (r11): the OTHER 4-bit predictive
+    # RIFF coder — two-sample prediction with 7 declared coefficient
+    # pairs, signed nibbles scaled by an adaptive delta. Same oracle
+    # strategy as the IMA row: the payload's nibble stream is a pure
+    # formula and a DuckDB RECURSIVE CTE replays the published state
+    # machine (predict >> 8, int16 clamp, 16-entry delta adaptation,
+    # floor semantics) sample by sample; ids sweep all 7 predictors.
+    def q_wav_msadpcm(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 53 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_msadpcm_wav_media(docs))
+
+    # one mono block: predictor d%7, delta0 = 16+(d*13)%300, seeds
+    # samp1 = (d*29)%2001-1000 / samp2 = (d*37)%2001-1000 (samples 1/0),
+    # nibble i = (d*11+i*7)%16, n_nibs = 30+2*(d%11); sample i+2
+    # decodes nibble i (operators/audio.py _msadpcm_step)
+    out["multimodal_wav_msadpcm"] = (q_wav_msadpcm, """
+        WITH RECURSIVE dec AS (
+            SELECT doc_id AS d, CAST(1 AS BIGINT) AS i,
+                   CAST((doc_id * 29) % 2001 - 1000 AS BIGINT) AS outv,
+                   CAST((doc_id * 29) % 2001 - 1000 AS BIGINT) AS s1,
+                   CAST((doc_id * 37) % 2001 - 1000 AS BIGINT) AS s2,
+                   CAST(16 + (doc_id * 13) % 300 AS BIGINT) AS delta
+            FROM documents WHERE doc_id % 53 = 0
+            UNION ALL
+            SELECT d, i + 1, newv, newv, s1,
+                   GREATEST(16, (([230,230,230,230,307,409,512,614,
+                                   768,614,512,409,307,230,230,230]
+                                  )[nib + 1] * delta) >> 8)
+            FROM (
+                SELECT d, i, s1, delta, nib,
+                       GREATEST(-32768, LEAST(32767,
+                           ((s1 * c1 + s2 * c2) >> 8)
+                           + (CASE WHEN nib >= 8 THEN nib - 16
+                                   ELSE nib END) * delta)) AS newv
+                FROM (
+                    SELECT d, i, s1, s2, delta,
+                           (d * 11 + (i - 1) * 7) % 16 AS nib,
+                           ([256,512,0,192,240,460,392])[d % 7 + 1] AS c1,
+                           ([0,-256,0,64,0,-208,-232])[d % 7 + 1] AS c2
+                    FROM dec WHERE i < 1 + (30 + 2 * (d % 11))
+                )
+            )
+        ),
+        samples AS (
+            SELECT d, outv FROM dec
+            UNION ALL
+            SELECT doc_id AS d,
+                   CAST((doc_id * 37) % 2001 - 1000 AS BIGINT) AS outv
+            FROM documents WHERE doc_id % 53 = 0
+        )
+        SELECT d AS media_id,
+               CAST(32 + 2 * (d % 11) AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST((32 + 2 * (d % 11)) * 1000 // 8000 AS BIGINT)
+                   AS duration_ms,
+               CAST(sum(outv) AS BIGINT) AS amp_sum,
+               CAST(min(outv) AS BIGINT) AS amp_min,
+               CAST(max(outv) AS BIGINT) AS amp_max,
+               CAST(sum(abs(outv)) AS BIGINT) AS abs_sum
+        FROM samples GROUP BY d
+    """)
+
     # --- multimodal MP4 probe: REAL ISO BMFF box parsing (r10 — the
     # scan-time half of video: duration/track/dimension metadata prunes
     # before any frame decode, which honestly needs a codec library;

@@ -25,6 +25,10 @@ RIFF audio format):
       * G.711 A-law (tag 6) and µ-law (tag 7): the ITU-T telephony
         companders — closed-form 8-bit→13/14-bit segment/mantissa
         expansions, decoded by formula (no tables transcribed),
+      * MS ADPCM (tag 2): Microsoft's 4-bit predictive coder (public
+        WAVE format spec) — 7 declared coefficient pairs, two seed
+        samples per block, signed nibbles scaled by an adaptive delta;
+        mono and stereo (nibbles pair channels high/low per byte),
       * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE): dispatched on the
         SubFormat GUID's embedded tag (PCM / float supported).
     Any channel count and sample rate for PCM/float; unknown chunks are
@@ -32,7 +36,7 @@ RIFF audio format):
     (e.g. tag 0x55 = MP3) raise NotImplementedError naming the tag.
   - encode: matching writers for deterministic test payloads —
     ``encode_wav`` (PCM), ``encode_wav_float``, ``encode_adpcm_wav``,
-    ``encode_g711_wav`` (both laws).
+    ``encode_msadpcm_wav``, ``encode_g711_wav`` (both laws).
 
 PCM and IEEE float are LOSSLESS containers, so (unlike JPEG) arbitrary
 synthetic sample formulas round-trip bit-for-bit. Float stats stay
@@ -182,6 +186,133 @@ def alaw_compress(v: np.ndarray) -> np.ndarray:
                               .astype(np.int64) - 3))
     mant = np.where(seg == 0, mag >> 4, (mag >> (seg + 3)) & 0x0F)
     return (((sign | (seg << 4) | mant) ^ 0x55) & 0xFF).astype(np.uint8)
+
+
+# MS ADPCM constants (public Microsoft WAVE format spec): the 7
+# standard predictor coefficient pairs (fixed-point /256) and the
+# 16-entry delta adaptation table indexed by the unsigned nibble
+MSADPCM_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                 (460, -208), (392, -232)]
+MSADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _msadpcm_step(samp1: int, samp2: int, delta: int, c1: int, c2: int,
+                  nib: int) -> tuple[int, int, int, int]:
+    """One MS ADPCM decode step: predict from the two prior samples
+    (fixed-point >> 8), add the signed nibble scaled by delta, clamp to
+    int16, adapt delta (floor >> 8, min 16). Returns (new, samp1',
+    samp2', delta')."""
+    snib = nib - 16 if nib >= 8 else nib
+    pred = (samp1 * c1 + samp2 * c2) >> 8
+    new = max(-32768, min(32767, pred + snib * delta))
+    delta = max(16, (MSADPCM_ADAPT[nib] * delta) >> 8)
+    return new, new, samp1, delta
+
+
+def encode_msadpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
+                       samples_per_block: int = 500,
+                       predictor: int = 0) -> bytes:
+    """MS ADPCM WAV writer (format tag 2, mono or stereo): per-block
+    header carries the predictor index, initial delta and the two seed
+    samples per channel (output order: samp2 then samp1); data is one
+    signed nibble per sample, HIGH nibble first (stereo: high = left,
+    low = right). Nibble choice mirrors the decoder: the closest
+    multiple of delta to the prediction error, clamped to [-8, 7]."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if n < 2:
+        raise ValueError("MS ADPCM needs at least two samples")
+    if ch not in (1, 2):
+        raise NotImplementedError(
+            f"{ch}-channel MS ADPCM not implemented (mono/stereo only)")
+    if (samples_per_block - 2) * ch % 2:
+        raise ValueError("block must hold whole bytes of nibbles")
+    c1, c2 = MSADPCM_COEFS[predictor]
+    blocks = []
+    pos = 0
+    while pos < n:
+        chunk = s[pos:pos + samples_per_block]
+        m = len(chunk)
+        state = []
+        for c in range(ch):
+            s2 = int(chunk[0, c])
+            s1 = int(chunk[1, c]) if m > 1 else s2
+            state.append([s1, s2, 128])      # [samp1, samp2, delta]
+        header = bytes([predictor] * ch)
+        header += b"".join(struct.pack("<h", 128) for _ in range(ch))
+        header += b"".join(struct.pack("<h", st[0]) for st in state)
+        header += b"".join(struct.pack("<h", st[1]) for st in state)
+        nibs = []
+        for i in range(2, samples_per_block):
+            for c in range(ch):
+                st = state[c]
+                target = int(chunk[i, c]) if i < m else st[0]
+                pred = (st[0] * c1 + st[1] * c2) >> 8
+                snib = max(-8, min(7, round((target - pred) / st[2])))
+                nib = snib + 16 if snib < 0 else snib
+                _, st[0], st[1], st[2] = _msadpcm_step(
+                    st[0], st[1], st[2], c1, c2, nib)
+                nibs.append(nib)
+        packed = bytes((nibs[i] << 4) | nibs[i + 1]
+                       for i in range(0, len(nibs), 2))
+        blocks.append(header + packed)
+        pos += samples_per_block
+    block_align = 7 * ch + (samples_per_block - 2) * ch // 2
+    extra = struct.pack("<HHH", 4 + 4 * len(MSADPCM_COEFS),
+                        samples_per_block, len(MSADPCM_COEFS))
+    for a, b in MSADPCM_COEFS:
+        extra += struct.pack("<hh", a, b)
+    fmt = _fmt_chunk(2, ch, sample_rate, block_align, 4, extra)
+    fact = b"fact" + struct.pack("<II", 4, n)
+    return _riff(fmt, b"".join(blocks), pre_data=fact)
+
+
+def _decode_msadpcm(pcm: bytes, ch: int, block_align: int,
+                    samples_per_block: int, extra: bytes) -> np.ndarray:
+    if ch not in (1, 2):
+        raise NotImplementedError(
+            f"{ch}-channel MS ADPCM not implemented (mono/stereo only)")
+    coefs = MSADPCM_COEFS
+    if len(extra) >= 6:
+        (ncoef,) = struct.unpack("<H", extra[4:6])
+        if len(extra) >= 6 + 4 * ncoef and ncoef:
+            coefs = [struct.unpack("<hh", extra[6 + 4 * i:10 + 4 * i])
+                     for i in range(ncoef)]
+    chans: "list[list[int]]" = [[] for _ in range(ch)]
+    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+        block = pcm[b0:b0 + block_align]
+        preds = list(block[:ch])
+        if any(p >= len(coefs) for p in preds):
+            raise ValueError("MS ADPCM predictor index out of range")
+        cc = [coefs[p] for p in preds]
+        delta = [struct.unpack("<h", block[ch + 2 * c:ch + 2 * c + 2])[0]
+                 for c in range(ch)]
+        samp1 = [struct.unpack(
+            "<h", block[3 * ch + 2 * c:3 * ch + 2 * c + 2])[0]
+            for c in range(ch)]
+        samp2 = [struct.unpack(
+            "<h", block[5 * ch + 2 * c:5 * ch + 2 * c + 2])[0]
+            for c in range(ch)]
+        emitted = 2
+        for c in range(ch):                  # seeds emit samp2 FIRST
+            chans[c].append(samp2[c])
+            chans[c].append(samp1[c])
+        k = 0
+        for byte in block[7 * ch:]:
+            for nib in (byte >> 4, byte & 0x0F):   # HIGH nibble first
+                if emitted >= samples_per_block:
+                    break
+                c = k % ch
+                new, samp1[c], samp2[c], delta[c] = _msadpcm_step(
+                    samp1[c], samp2[c], delta[c], cc[c][0], cc[c][1], nib)
+                chans[c].append(new)
+                k += 1
+                if k % ch == 0:
+                    emitted += 1
+    return np.stack([np.array(c, dtype=np.int32) for c in chans], axis=1)
 
 
 def encode_g711_wav(samples: np.ndarray, sample_rate: int = 8000,
@@ -407,6 +538,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         arr = (alaw_expand(raw) if tag == 6 else mulaw_expand(raw)) \
             .astype(np.int32)
         return arr.reshape(-1, ch), rate
+    if tag == 2:                                         # MS ADPCM
+        if len(extra) >= 4:
+            (samples_per_block,) = struct.unpack("<H", extra[2:4])
+        else:
+            samples_per_block = (block - 7 * ch) * 2 // ch + 2
+        return _decode_msadpcm(pcm, ch, block, samples_per_block,
+                               extra), rate
     if tag == 0x11:                                      # IMA ADPCM
         if len(extra) >= 4:
             (samples_per_block,) = struct.unpack("<H", extra[2:4])
@@ -654,6 +792,53 @@ def synthetic_g711_wav_media(ids, id_col: str = "media_id"):
                 tag = 7 if d % 2 == 0 else 6
                 fmt = _fmt_chunk(tag, 1, 8000, 1, 8, struct.pack("<H", 0))
                 payloads.append(_riff(fmt, raw.tobytes()))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_msadpcm_wav_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL MS ADPCM WAV payloads whose NIBBLE STREAM is
+    a pure formula (r11): for id d, ONE mono block with predictor
+    ``d % 7``, initial delta ``16 + (d*13) % 300``, seed samples
+    samp1 = ``(d*29) % 2001 - 1000`` / samp2 = ``(d*37) % 2001 - 1000``
+    and ``n = 30 + 2 * (d % 11)`` nibbles ``nib_i = (d*11 + i*7) % 16``
+    (high nibble first). A DuckDB RECURSIVE CTE replays the published
+    state machine — two-sample prediction, signed-nibble scaling, int16
+    clamp, delta adaptation with the 16-entry table — so the decoder is
+    checked differentially sample by sample, across all 7 predictor
+    pairs. Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n_nibs = 30 + 2 * (d % 11)
+                nibs = [(d * 11 + i * 7) % 16 for i in range(n_nibs)]
+                header = bytes([d % 7])
+                header += struct.pack("<h", 16 + (d * 13) % 300)
+                header += struct.pack("<h", (d * 29) % 2001 - 1000)
+                header += struct.pack("<h", (d * 37) % 2001 - 1000)
+                packed = bytes((nibs[i] << 4) | nibs[i + 1]
+                               for i in range(0, n_nibs, 2))
+                block_align = 7 + n_nibs // 2
+                extra = struct.pack("<HHH", 4 + 4 * len(MSADPCM_COEFS),
+                                    n_nibs + 2, len(MSADPCM_COEFS))
+                for a, b in MSADPCM_COEFS:
+                    extra += struct.pack("<hh", a, b)
+                fmt = _fmt_chunk(2, 1, 8000, block_align, 4, extra)
+                payloads.append(_riff(fmt, header + packed))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

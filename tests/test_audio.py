@@ -49,11 +49,12 @@ def test_out_of_scope_formats_raise_named_errors():
     s = np.zeros(4, dtype=np.int16)
     payload = bytearray(encode_wav(s))
     i = bytes(payload).find(b"fmt ")
-    # format tag 2 = MS ADPCM (distinct from the implemented IMA 0x11)
-    ms = bytearray(payload)
-    ms[i + 8] = 2
-    with pytest.raises(NotImplementedError, match="0x02"):
-        decode_wav(bytes(ms))
+    # format tag 0x31 = GSM 6.10 (a perceptual coder, unlike the
+    # implemented ADPCM family)
+    gsm = bytearray(payload)
+    gsm[i + 8] = 0x31
+    with pytest.raises(NotImplementedError, match="0x31"):
+        decode_wav(bytes(gsm))
     # format tag 85 = MP3-in-WAV
     mp3 = bytearray(payload)
     mp3[i + 8] = 85
@@ -426,3 +427,68 @@ def test_g711_synthetic_formula_matches_expansion(spark):
         assert s["amp_sum"] == int(v.sum())
         assert s["amp_min"] == int(v.min()) and s["amp_max"] == int(v.max())
         assert s["abs_sum"] == int(np.abs(v).sum())
+
+
+def test_msadpcm_roundtrip_all_predictors():
+    """MS ADPCM: decode(encode(x)) tracks x across block boundaries for
+    every one of the 7 standard coefficient pairs; the two seed samples
+    per block are exact."""
+    from aresdb_spark.operators.audio import encode_msadpcm_wav
+
+    rng = np.random.default_rng(43)
+    x = np.cumsum(rng.integers(-80, 80, 1100)).clip(-30000, 30000)
+    for pred in range(7):
+        out, rate = decode_wav(encode_msadpcm_wav(
+            x, 8000, samples_per_block=500, predictor=pred))
+        assert rate == 8000
+        got = out.ravel()[:1100]
+        assert (got[0], got[1]) == (x[0], x[1])
+        # predictor (0,0) predicts zero — coarser but still bounded
+        bound = 600 if pred == 2 else 200
+        assert np.abs(got - x).max() < bound, pred
+
+
+def test_msadpcm_stereo_and_edges():
+    from aresdb_spark.operators.audio import encode_msadpcm_wav
+
+    rng = np.random.default_rng(47)
+    st = np.stack([
+        np.cumsum(rng.integers(-50, 50, 600)).clip(-30000, 30000),
+        np.cumsum(rng.integers(-50, 50, 600)).clip(-30000, 30000),
+    ], axis=1)
+    out, _ = decode_wav(encode_msadpcm_wav(st, samples_per_block=500,
+                                           predictor=1))
+    assert out.shape[1] == 2
+    assert np.abs(out[:600] - st).max() < 200
+    with pytest.raises(NotImplementedError, match="3-channel"):
+        encode_msadpcm_wav(np.zeros((16, 3)), samples_per_block=10)
+
+
+def test_msadpcm_synthetic_formula_matches_replica(spark):
+    """The generator's formula nibble stream decoded through the Spark
+    stats pipeline equals a Python replica of the state machine — the
+    same replay the SQL oracle performs."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.audio import (_msadpcm_step,
+                                              MSADPCM_COEFS,
+                                              synthetic_msadpcm_wav_media)
+
+    ids = spark.range(0, 14).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in audio_stats(
+                synthetic_msadpcm_wav_media(ids)).collect()}
+    for d in range(14):
+        c1, c2 = MSADPCM_COEFS[d % 7]
+        s1, s2 = (d * 29) % 2001 - 1000, (d * 37) % 2001 - 1000
+        delta = 16 + (d * 13) % 300
+        vals = [s2, s1]
+        for i in range(30 + 2 * (d % 11)):
+            new, s1, s2, delta = _msadpcm_step(
+                s1, s2, delta, c1, c2, (d * 11 + i * 7) % 16)
+            vals.append(new)
+        s = rows[d]
+        assert s["n_samples"] == len(vals)
+        assert s["amp_sum"] == sum(vals), d
+        assert s["amp_min"] == min(vals) and s["amp_max"] == max(vals)
+        assert s["abs_sum"] == sum(abs(v) for v in vals)
