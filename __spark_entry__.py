@@ -1415,6 +1415,47 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal TIFF: REAL clean-room decode of the scanned-
+    # document staple (r11; operators/tiff.py): IFD tag walk, strip
+    # assembly, PackBits, TIFF-variant LZW (MSB-first with the spec's
+    # EARLY code-width change — a distinct coder from GIF's), and the
+    # horizontal-differencing predictor. The graded set sweeps every
+    # compression × predictor × strip × gray/RGB combination; TIFF is
+    # lossless so the DuckDB formula oracle is bit-for-bit.
+    def q_tiff(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 59 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_tiff_media(docs))
+
+    # h = 3 + d%6, w = 4 + d%9; sample (y, x, c) = (d*29 + x*11 + y*17
+    # + c*7) % 256; gray (1 ch) when d even else RGB; max h*w*3 = 288
+    out["multimodal_tiff_stats"] = (q_tiff, """
+        WITH px AS (
+            SELECT doc_id AS d,
+                   CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+                   4 + doc_id % 9 AS w, 3 + doc_id % 6 AS h, i
+            FROM documents CROSS JOIN range(288) t(i)
+            WHERE doc_id % 59 = 0
+        ),
+        v AS (
+            SELECT d, ch, w, h, i,
+                   (d * 29 + ((i // ch) % w) * 11
+                    + (i // (ch * w)) * 17 + (i % ch) * 7) % 256 AS val
+            FROM px WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM v GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal WAV: REAL RIFF/PCM decode (r10 — the audio half of
     # the multimodal stub; operators/audio.py). PCM is LOSSLESS, so the
     # integer sample formula round-trips through real WAV bytes with no

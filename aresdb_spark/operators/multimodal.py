@@ -196,6 +196,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
         from aresdb_spark.operators.gif import decode_gif
         return decode_gif(bytes(payload)).astype(np.float32)
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from aresdb_spark.operators.tiff import decode_tiff
+        return decode_tiff(bytes(payload)).astype(np.float32)
     arr = np.frombuffer(bytes(payload[:64]).ljust(64, b"\0"),
                         dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32)
@@ -301,6 +304,46 @@ def synthetic_gif_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
                     px, interlace=d % 2 == 1,
                     block_size=11 if d % 3 == 0 else 255,
                     clear_every=3 if d % 5 == 0 else 0))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_tiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL TIFF payloads (r11): for id d the image is
+    ``3 + d % 6`` rows by ``4 + d % 9`` columns, grayscale when d is
+    even else RGB, with sample (y, x, c) = ``(d*29 + x*11 + y*17 + c*7)
+    % 256``; ``d % 3`` picks the compression (none / LZW / PackBits),
+    ``(d // 2) % 2`` the horizontal-differencing predictor and every
+    5th id uses 2-row strips — so one graded set sweeps every
+    compression × predictor × strip × photometric combination through
+    real files. TIFF is lossless: the formula round-trips bit-for-bit.
+    Output: (media_id, payload binary)."""
+    from aresdb_spark.operators.tiff import encode_tiff
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                h, w = 3 + d % 6, 4 + d % 9
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(3)[None, None, :]
+                px = ((d * 29 + x * 11 + y * 17 + c * 7) % 256) \
+                    .astype(np.uint8)
+                if d % 2 == 0:
+                    px = px[:, :, 0]
+                payloads.append(encode_tiff(
+                    px, compression=[1, 5, 32773][d % 3],
+                    predictor=2 if (d // 2) % 2 else 1,
+                    rows_per_strip=2 if d % 5 == 0 else 0))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
@@ -413,6 +456,7 @@ def decode_stats(df: DataFrame) -> DataFrame:
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from aresdb_spark.operators.gif import decode_gif
         from aresdb_spark.operators.jpeg import decode_jpeg
+        from aresdb_spark.operators.tiff import decode_tiff
 
         for pdf in batches:
             rows = []
@@ -422,6 +466,8 @@ def decode_stats(df: DataFrame) -> DataFrame:
                     px = decode_jpeg(payload)
                 elif payload[:6] in (b"GIF87a", b"GIF89a"):
                     px = decode_gif(payload)
+                elif payload[:4] in (b"II*\x00", b"MM\x00*"):
+                    px = decode_tiff(payload)
                 else:
                     px = decode_png(payload)
                 h, w = px.shape[0], px.shape[1]
