@@ -209,6 +209,12 @@ def extract_features(pixels: np.ndarray, dim: int = FEATURE_DIM) -> np.ndarray:
     whisper, ...) slots in here; the Spark-side contract is unchanged:
     ndarray in, fixed-dim float32 out."""
     flat = pixels.astype(np.float64).ravel()
+    if flat.size < dim:
+        # images smaller than the feature dim zero-pad so every pooled
+        # block is non-empty (an empty block would mean-pool to NaN,
+        # which pandas->Arrow turns into a NULL in a non-nullable
+        # column and kills the batch)
+        flat = np.pad(flat, (0, dim - flat.size))
     blocks = np.array_split(flat, dim)
     return np.array([b.mean() for b in blocks], dtype=np.float32)
 

@@ -164,3 +164,20 @@ def test_tiff_roundtrip_property():
         assert (out == px).all()
 
     run()
+
+
+def test_featurize_tiny_images_stay_finite(spark):
+    """Regression (r11): images smaller than FEATURE_DIM used to
+    mean-pool empty blocks into NaN, which pandas->Arrow nulls and the
+    JVM rejects in the non-nullable feat_norm column. Tiny TIFFs (3x4
+    gray = 12 px < 16) now zero-pad and featurize finitely."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = M.featurize(M.synthetic_tiff_media(ids)).collect()
+    assert len(rows) == 12
+    assert all(np.isfinite(r["feat_norm"]) for r in rows)
+    v = M.extract_features(np.array([[5]], dtype=np.uint8))
+    assert len(v) == M.FEATURE_DIM and np.isfinite(v).all()
