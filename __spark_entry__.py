@@ -1415,6 +1415,47 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal RESIZE (r11): the normalize-resolution step of an
+    # image training pipeline as a COMPOSED transform — decode (any
+    # container, by magic), nearest-neighbor resize to 4x6, re-encode
+    # PNG, then decode_stats downstream. Nearest sampling is pure index
+    # arithmetic (y*h//4, x*w//6), so the DuckDB oracle recomputes the
+    # resized pixels straight from the GIF formula — a wrong floor map,
+    # axis order or re-encode breaks the hash THROUGH two codecs.
+    def q_resize(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 41 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.resize_media(
+            M.synthetic_gif_media(docs), 4, 6, method="nearest"))
+
+    # source h = 4 + d%7, w = 5 + d%11, pixel (y, x) = (d*19 + x*7 +
+    # y*13) % 256; resized (y, x) samples (y*h//4, x*w//6); gray
+    # palette -> RGB triples all equal
+    out["multimodal_resize"] = (q_resize, """
+        WITH m AS (
+            SELECT doc_id AS d, 4 + doc_id % 7 AS h, 5 + doc_id % 11 AS w,
+                   i // 6 AS y, i % 6 AS x
+            FROM documents CROSS JOIN range(24) t(i)
+            WHERE doc_id % 41 = 0
+        ),
+        v AS (
+            SELECT d, (d * 19 + ((x * w) // 6) * 7
+                       + ((y * h) // 4) * 13) % 256 AS val
+            FROM m
+        )
+        SELECT d AS media_id,
+               CAST(6 AS BIGINT) AS width,
+               CAST(4 AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(72 AS BIGINT) AS n_px,
+               CAST(3 * sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM v GROUP BY 1
+    """)
+
     # --- multimodal TIFF: REAL clean-room decode of the scanned-
     # document staple (r11; operators/tiff.py): IFD tag walk, strip
     # assembly, PackBits, TIFF-variant LZW (MSB-first with the spec's

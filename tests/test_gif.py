@@ -197,3 +197,54 @@ def test_lzw_roundtrip_property():
         assert (out == seq).all()
 
     run()
+
+
+# -- resize transform (r11, lives in multimodal; tested here with the
+# GIF source it composes with in the contract row) -----------------------------
+
+
+def test_resize_image_nearest_and_box():
+    from aresdb_spark.operators.multimodal import resize_image
+
+    rng = np.random.default_rng(61)
+    px = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+    out = resize_image(px, 3, 5)
+    for y in range(3):
+        for x in range(5):
+            assert out[y, x] == px[(y * 9) // 3, (x * 13) // 5]
+    # upscale via nearest repeats samples
+    up = resize_image(px, 18, 13)
+    assert (up[::2] == px).all() and (up[1::2] == px).all()
+    # box: exact round-half-up mean
+    quad = np.array([[1, 2], [3, 5]], dtype=np.uint8)
+    assert resize_image(quad, 1, 1, "box")[0, 0] == 3   # 11/4 -> 2.75 -> 3
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    box = resize_image(rgb, 4, 4, "box")
+    s = rgb.reshape(4, 2, 4, 2, 3).astype(np.int64).sum(axis=(1, 3))
+    assert (box == ((2 * s + 4) // 8)).all()
+    with pytest.raises(ValueError, match="integer factors"):
+        resize_image(px, 4, 5, "box")
+    with pytest.raises(ValueError, match="method"):
+        resize_image(px, 3, 5, "bicubic")
+
+
+def test_resize_media_composes_across_codecs(spark):
+    """decode (GIF) -> resize -> re-encode PNG -> decode_stats: the
+    composed pipeline matches a per-id Python replica."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    ids = spark.range(0, 16).select(F.col("id").alias("media_id"))
+    stats = {r["media_id"]: r.asDict()
+             for r in M.decode_stats(M.resize_media(
+                 M.synthetic_gif_media(ids), 4, 6)).collect()}
+    assert len(stats) == 16
+    for d in range(16):
+        h, w = 4 + d % 7, 5 + d % 11
+        vals = [(d * 19 + ((x * w) // 6) * 7 + ((y * h) // 4) * 13) % 256
+                for y in range(4) for x in range(6)]
+        s = stats[d]
+        assert (s["width"], s["height"], s["channels"]) == (6, 4, 3)
+        assert s["n_px"] == 72 and s["px_sum"] == 3 * sum(vals)
+        assert s["px_min"] == min(vals) and s["px_max"] == max(vals)
