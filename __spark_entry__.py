@@ -1415,29 +1415,91 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
-    # --- image-modality near-dup dedup (r11): the pHash analog of the
-    # MinHash text pipeline — 64-bit DCT perceptual hash per image (the
-    # only Python step), 4-band LSH bucket join (one shuffle on
-    # (band, slice)), JVM-side bit_count(xor) verify. The corpus plants
-    # duplicates the way the web does: the SAME pixels under different
-    # ENCODERS (PNG vs baseline JPEG — exact for the blocky pattern
-    # class), so twins hash identically (Hamming 0) while distinct
-    # patterns measure >= 18 bits apart; the oracle enumerates exactly
-    # the planted pairs. A wrong hash, band split, join key or verify
-    # threshold breaks the hash.
+    # --- image-modality near-dup dedup (r11, hardened r12 per VERDICT
+    # r11 #1-#3): 64-bit DCT perceptual hash per image (the only Python
+    # step, strict decode — unknown containers RAISE), 8-band LSH
+    # bucket join (one shuffle on (band, slice); bands > max_hamming so
+    # recall of every in-threshold pair is pigeonhole-GUARANTEED),
+    # JVM-side bit_count(xor) verify at the default max_hamming=7. The
+    # r12 corpus plants all three web duplicate shapes: JPEG container
+    # twins and PALETTE-PNG twins (Hamming 0) plus SINGLE-TILE EDITS
+    # (measured Hamming 2-14 — in-threshold ones must be FOUND,
+    # beyond-threshold ones EXCLUDED). The oracle is the driver-side
+    # brute-force all-pairs enumeration over the corpus's pure pixel
+    # formula (synthetic_near_dup_pixels) — the distributed banded
+    # pipeline must reproduce the O(n²) answer exactly; a wrong hash,
+    # band split, join key or verify threshold breaks the hash.
     def q_image_dedup(spark, sf_dir):
         from aresdb_spark.operators import multimodal as M
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .filter(F.col("doc_id") < 90) \
             .select(F.col("doc_id").alias("media_id"))
-        return M.image_near_duplicates(
-            M.synthetic_near_dup_images(docs), max_hamming=8)
+        return M.image_near_duplicates(M.synthetic_near_dup_images(docs))
 
-    out["dedup_image_phash"] = (q_image_dedup, """
-        SELECT CAST(doc_id AS BIGINT) AS id_a,
-               CAST(doc_id + 1 AS BIGINT) AS id_b,
-               CAST(0 AS BIGINT) AS hamming
-        FROM documents WHERE doc_id < 90 AND doc_id % 3 = 0
+    def image_dedup_sql():
+        from aresdb_spark.operators.multimodal import (
+            image_near_dup_oracle_pairs)
+        pairs = image_near_dup_oracle_pairs(90, max_hamming=7)
+        vals = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+        # the joins to documents keep the row sf-dir-dependent (an
+        # empty/filtered table yields an empty result on both engines)
+        return f"""
+        SELECT CAST(p.a AS BIGINT) AS id_a, CAST(p.b AS BIGINT) AS id_b,
+               CAST(p.h AS BIGINT) AS hamming
+        FROM (VALUES {vals}) p(a, b, h)
+        JOIN documents da ON da.doc_id = p.a AND da.doc_id < 90
+        JOIN documents db ON db.doc_id = p.b AND db.doc_id < 90
+        """
+
+    out["dedup_image_phash"] = (q_image_dedup, image_dedup_sql())
+
+    # --- multimodal PNG color-type sweep (r12, VERDICT r11 #6): REAL
+    # decode of every 8-bit PNG color type through one graded set —
+    # grayscale, RGB, PALETTE (PLTE lookup — the most common web form),
+    # RGBA and gray+alpha (alpha carried as the trailing channel). All
+    # pixel values are pure integer formulas (palette entries included),
+    # so the DuckDB oracle recomputes the decoded stats bit-for-bit: a
+    # wrong PLTE lookup, channel count, alpha ordering or unfilter
+    # stride breaks the hash.
+    def q_png_mixed(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 37 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_png_media_mixed(docs))
+
+    # w = 6 + d%7, h = 5 + d%5; d%5 picks gray/RGB/palette/RGBA/
+    # gray+alpha; non-palette flat sample i = (d*7 + i*31) % 256;
+    # palette: index (d*3 + p*31) % 256 at pixel p = i//3, entry j ->
+    # ((j*7+1)%256, (j*13+2)%256, (j*29+3)%256); max w*h*ch = 432
+    out["multimodal_png_mixed"] = (q_png_mixed, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 5 AS mode,
+                   6 + doc_id % 7 AS w, 5 + doc_id % 5 AS h,
+                   CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
+                        WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 2 END AS ch
+            FROM documents WHERE doc_id % 37 = 0
+        ),
+        v AS (
+            SELECT d, w, h, ch,
+                   CASE WHEN mode = 2 THEN
+                     (((d*3 + (i//3)*31) % 256)
+                      * (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 13
+                              ELSE 29 END)
+                      + (i % 3 + 1)) % 256
+                   ELSE (d*7 + i*31) % 256 END AS val
+            FROM m CROSS JOIN range(432) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM v GROUP BY 1, 2, 3, 4
     """)
 
     # --- multimodal RESIZE (r11): the normalize-resolution step of an
@@ -2768,7 +2830,16 @@ _DRIVER_WINDOW = [
     # IN/IS NULL forms; is_true_not_in stays in check_contract.
     "aql_dst_bucket", "aql_bitwise_ops", "multimodal_mp4_probe",
     "aql_array_predicates", "aql_left_join_nulls",
-    "aql_anti_join", "aql_timezone_column_join", "aql_distinct",
+    # r12 rotation (VERDICT r11 directive 3): dedup_image_phash — the
+    # image near-dup family (DCT pHash + recall-guaranteed 8-band LSH,
+    # hardened this round: strict decode, planted non-zero-Hamming
+    # pairs, brute-force all-pairs oracle) was the one r11-new surface
+    # with no in-window row. It displaces aql_distinct, whose §2.7
+    # DISTINCT line keeps aql_count_distinct (the distinct-aggregate
+    # form of the same planner path) and aql_topk_users (the same
+    # sort/limit table line) in-window; aql_distinct stays in
+    # check_contract.
+    "aql_anti_join", "aql_timezone_column_join", "dedup_image_phash",
     # r11 rotation #4: multimodal_gif_stats — the from-scratch LZW GIF
     # codec (operators/gif.py: variable-width codes, sub-block
     # reassembly, forced CLEARs, 4-pass interlace) is a new codec

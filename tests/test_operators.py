@@ -415,13 +415,17 @@ def test_ann_indexed_equals_unindexed(spark, tmp_path):
 def test_multimodal_featurize(spark):
     from aresdb_spark.operators import multimodal as M
 
+    # synthetic_media payloads are seeded random bytes, not real
+    # containers — the plumbing test opts into the fake decode
+    # EXPLICITLY (r12: decode_image raises on unknown magics)
     media = M.synthetic_media(spark, 60)
-    out = M.featurize(media).collect()
+    out = M.featurize(media, decode=M.fake_decode).collect()
     assert len(out) == 60
     assert all(len(r["features"]) == M.FEATURE_DIM for r in out)
     assert all(r["feat_norm"] > 0 for r in out)
     # determinism
-    out2 = M.featurize(M.synthetic_media(spark, 60)).collect()
+    out2 = M.featurize(M.synthetic_media(spark, 60),
+                       decode=M.fake_decode).collect()
     assert sorted((r["media_id"], r["feat_norm"]) for r in out) == \
            sorted((r["media_id"], r["feat_norm"]) for r in out2)
 
@@ -1298,8 +1302,8 @@ def test_png_decode_rejects_unimplemented_formats():
 
     with pytest.raises(NotImplementedError, match="16"):
         decode_png(png_header_only(16, 0))
-    with pytest.raises(NotImplementedError, match="color_type=3"):
-        decode_png(png_header_only(8, 3))          # palette
+    with pytest.raises(NotImplementedError, match="depth=4"):
+        decode_png(png_header_only(4, 3))          # sub-8-bit palette
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_png(png_header_only(8, 0, interlace=1))
     # JPEG now dispatches to the REAL clean-room decoder (r10): a
@@ -1307,10 +1311,55 @@ def test_png_decode_rejects_unimplemented_formats():
     # stub rejection (test_jpeg.py covers the codec's own scope errors)
     with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # unknown containers RAISE naming the magic (r12, VERDICT r11 #1) —
+    # no silent header-bytes fake on real data
+    with pytest.raises(NotImplementedError, match="WebP"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    with pytest.raises(NotImplementedError, match="BMP"):
+        decode_image(b"BM\x3a\x00\x00\x00\x00\x00")
+    # ... unless the synthetic-plumbing fake is opted into explicitly
+    assert decode_image(b"BM\x3a", allow_fake=True).shape == (8, 8)
     # and the dispatcher decodes a real PNG for real
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     assert np.array_equal(decode_image(encode_png(px)),
                           px.astype(np.float32))
+
+
+def test_png_palette_rgba_alpha_roundtrip():
+    """r12 (VERDICT r11 #6): every remaining 8-bit PNG color type
+    decodes for real — palette via PLTE lookup, RGBA / gray+alpha with
+    the alpha channel carried."""
+    import numpy as np
+
+    from aresdb_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 4, 2), (9, 4, 4)]:      # gray+alpha, RGBA
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(px))
+        assert out.shape == shape and np.array_equal(out, px)
+    idx = rng.integers(0, 256, (7, 5), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    out = decode_png(encode_png(idx, palette=pal))
+    assert out.shape == (7, 5, 3) and np.array_equal(out, pal[idx])
+
+
+def test_phash_media_raises_on_unknown_container(spark):
+    """r12 (VERDICT r11 #1): a WebP payload inside the dedup pipeline
+    must FAIL LOUDLY (NotImplementedError naming the magic), not be
+    pHashed from its header bytes into garbage near-dup pairs."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators import multimodal as M
+
+    webp = b"RIFF\x24\x00\x00\x00WEBPVP8 " + b"\x00" * 64
+    df = spark.createDataFrame(
+        [(0, webp)],
+        T.StructType([T.StructField("media_id", T.LongType()),
+                      T.StructField("payload", T.BinaryType())]))
+    with pytest.raises(Exception, match="WebP"):
+        M.phash_media(df).collect()
 
 
 def test_decode_stats_oracle_vs_duckdb(spark, duck):
