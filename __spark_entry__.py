@@ -1813,8 +1813,10 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
     # pairs, signed nibbles scaled by an adaptive delta. Same oracle
     # strategy as the IMA row: the payload's nibble stream is a pure
     # formula and a DuckDB RECURSIVE CTE replays the published state
-    # machine (predict >> 8, int16 clamp, 16-entry delta adaptation,
-    # floor semantics) sample by sample; ids sweep all 7 predictors.
+    # machine (predict with C TRUNCATING /256 — r12, matching
+    # ffmpeg/libsndfile on negative prediction sums; int16 clamp;
+    # 16-entry delta adaptation) sample by sample; ids sweep all 7
+    # predictors.
     def q_wav_msadpcm(spark, sf_dir):
         from aresdb_spark.operators import audio as A
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -1842,7 +1844,9 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             FROM (
                 SELECT d, i, s1, delta, nib,
                        GREATEST(-32768, LEAST(32767,
-                           ((s1 * c1 + s2 * c2) >> 8)
+                           (CASE WHEN s1 * c1 + s2 * c2 < 0
+                                 THEN -((-(s1 * c1 + s2 * c2)) >> 8)
+                                 ELSE (s1 * c1 + s2 * c2) >> 8 END)
                            + (CASE WHEN nib >= 8 THEN nib - 16
                                    ELSE nib END) * delta)) AS newv
                 FROM (

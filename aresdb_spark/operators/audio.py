@@ -197,14 +197,24 @@ MSADPCM_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
                  768, 614, 512, 409, 307, 230, 230, 230]
 
 
+def _mspred(samp1: int, samp2: int, c1: int, c2: int) -> int:
+    """MS ADPCM fixed-point prediction with C TRUNCATING division by
+    256 (r12, ADVICE: the spec and reference decoders — ffmpeg,
+    libsndfile — divide with truncation toward zero, so a floor shift
+    diverges by 1 on negative prediction sums, e.g. -8 vs -7)."""
+    q = samp1 * c1 + samp2 * c2
+    return -((-q) >> 8) if q < 0 else q >> 8
+
+
 def _msadpcm_step(samp1: int, samp2: int, delta: int, c1: int, c2: int,
                   nib: int) -> tuple[int, int, int, int]:
     """One MS ADPCM decode step: predict from the two prior samples
-    (fixed-point >> 8), add the signed nibble scaled by delta, clamp to
-    int16, adapt delta (floor >> 8, min 16). Returns (new, samp1',
-    samp2', delta')."""
+    (fixed-point, TRUNCATING /256 — see _mspred), add the signed nibble
+    scaled by delta, clamp to int16, adapt delta (>> 8 on an
+    always-positive product, min 16). Returns (new, samp1', samp2',
+    delta')."""
     snib = nib - 16 if nib >= 8 else nib
-    pred = (samp1 * c1 + samp2 * c2) >> 8
+    pred = _mspred(samp1, samp2, c1, c2)
     new = max(-32768, min(32767, pred + snib * delta))
     delta = max(16, (MSADPCM_ADAPT[nib] * delta) >> 8)
     return new, new, samp1, delta
@@ -250,7 +260,7 @@ def encode_msadpcm_wav(samples: np.ndarray, sample_rate: int = 16_000,
             for c in range(ch):
                 st = state[c]
                 target = int(chunk[i, c]) if i < m else st[0]
-                pred = (st[0] * c1 + st[1] * c2) >> 8
+                pred = _mspred(st[0], st[1], c1, c2)
                 snib = max(-8, min(7, round((target - pred) / st[2])))
                 nib = snib + 16 if snib < 0 else snib
                 _, st[0], st[1], st[2] = _msadpcm_step(
@@ -282,8 +292,15 @@ def _decode_msadpcm(pcm: bytes, ch: int, block_align: int,
             coefs = [struct.unpack("<hh", extra[6 + 4 * i:10 + 4 * i])
                      for i in range(ncoef)]
     chans: "list[list[int]]" = [[] for _ in range(ch)]
-    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+    for b0 in range(0, len(pcm), block_align):
         block = pcm[b0:b0 + block_align]
+        # a SHORT final block decodes for the samples it holds (some
+        # encoders truncate the last block); anything shorter than its
+        # own header is a torn file and must not decode silently (r12)
+        if len(block) < 7 * ch:
+            raise ValueError(
+                f"torn MS ADPCM final block: {len(block)} bytes < "
+                f"{7 * ch}-byte header")
         preds = list(block[:ch])
         if any(p >= len(coefs) for p in preds):
             raise ValueError("MS ADPCM predictor index out of range")
@@ -439,8 +456,14 @@ def _decode_adpcm(pcm: bytes, ch: int, block_align: int,
         raise NotImplementedError(
             f"{ch}-channel IMA ADPCM not implemented (mono/stereo only)")
     chans: "list[list[int]]" = [[] for _ in range(ch)]
-    for b0 in range(0, len(pcm) - (len(pcm) % block_align), block_align):
+    for b0 in range(0, len(pcm), block_align):
         block = pcm[b0:b0 + block_align]
+        # short final block: decode the nibbles it holds; shorter than
+        # its own per-channel headers is a torn file (r12)
+        if len(block) < 4 * ch:
+            raise ValueError(
+                f"torn IMA ADPCM final block: {len(block)} bytes < "
+                f"{4 * ch}-byte header")
         pred = [0] * ch
         index = [0] * ch
         emitted = [1] * ch
@@ -476,12 +499,19 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos = 12
     fmt = None
     pcm = None
+    fact_n = None
     while pos + 8 <= len(data):
         cid = data[pos:pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + size]
         if len(body) < size:
             raise ValueError("truncated WAV chunk")
+        if cid == b"fact" and size >= 4:
+            # declared sample count PER CHANNEL — authoritative for
+            # compressed formats whose final block is encoder-padded
+            # (r12, ADVICE: without it a 538-sample ADPCM input decoded
+            # to 1000 synthetic trailing samples)
+            (fact_n,) = struct.unpack("<I", body[:4])
         if cid == b"fmt ":
             tag, ch, rate, _, block, bits = struct.unpack(
                 "<HHIIHH", body[:16])
@@ -543,14 +573,22 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
             (samples_per_block,) = struct.unpack("<H", extra[2:4])
         else:
             samples_per_block = (block - 7 * ch) * 2 // ch + 2
-        return _decode_msadpcm(pcm, ch, block, samples_per_block,
-                               extra), rate
+        arr = _decode_msadpcm(pcm, ch, block, samples_per_block, extra)
+        # the fact chunk's per-channel sample count trims encoder
+        # padding in the final block (r12); a fact LARGER than the
+        # decoded stream is ignored (the stream is what exists)
+        if fact_n is not None and fact_n < len(arr):
+            arr = arr[:fact_n]
+        return arr, rate
     if tag == 0x11:                                      # IMA ADPCM
         if len(extra) >= 4:
             (samples_per_block,) = struct.unpack("<H", extra[2:4])
         else:
             samples_per_block = (block - 4 * ch) * 2 // ch + 1
-        return _decode_adpcm(pcm, ch, block, samples_per_block), rate
+        arr = _decode_adpcm(pcm, ch, block, samples_per_block)
+        if fact_n is not None and fact_n < len(arr):
+            arr = arr[:fact_n]
+        return arr, rate
     raise NotImplementedError(
         f"WAV format tag 0x{tag:02X} requires a perceptual codec "
         f"library — PCM (1), IEEE float (3) and IMA ADPCM (0x11) only")

@@ -492,3 +492,72 @@ def test_msadpcm_synthetic_formula_matches_replica(spark):
         assert s["amp_sum"] == sum(vals), d
         assert s["amp_min"] == min(vals) and s["amp_max"] == max(vals)
         assert s["abs_sum"] == sum(abs(v) for v in vals)
+
+
+def test_msadpcm_predictor_truncates_toward_zero():
+    """r12 (ADVICE): the MS ADPCM prediction divides by 256 with C
+    TRUNCATION toward zero, like the spec and ffmpeg/libsndfile — a
+    floor shift gives -8 where truncation gives -7 on negative sums."""
+    from aresdb_spark.operators.audio import _mspred, _msadpcm_step
+
+    assert _mspred(-1900, 0, 256, 0) == -1900   # identity pair is exact
+    # c1=1 isolates the division: q = -1900 -> trunc -7 (floor is -8)
+    assert _mspred(-1900, 0, 1, 0) == -7
+    assert (-1900) >> 8 == -8                  # the floor the fix removed
+    assert _mspred(1900, 0, 1, 0) == 7         # positive side unchanged
+    # through the step: predictor (0,0) never divides; (256,0) exact;
+    # a mixed pair with negative sum shows the one-LSB repair
+    new, *_ = _msadpcm_step(-5, -5, 16, 460, -208, 0)
+    q = -5 * 460 + -5 * -208                   # -1260 -> trunc -4
+    assert new == max(-32768, min(32767, -(1260 >> 8)))
+
+
+def test_adpcm_fact_chunk_trims_encoder_padding():
+    """r12 (ADVICE): a 538-sample input must decode to 538 samples, not
+    the padded block multiple — the fact chunk is authoritative for
+    both ADPCM families."""
+    from aresdb_spark.operators.audio import (encode_adpcm_wav,
+                                              encode_msadpcm_wav)
+
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.integers(-60, 60, 538)).clip(-30000, 30000)
+    out, _ = decode_wav(encode_adpcm_wav(x, 8000, samples_per_block=505))
+    assert out.shape == (538, 1)
+    assert np.abs(out.ravel() - x).max() < 1500
+    out, _ = decode_wav(encode_msadpcm_wav(x, 8000, samples_per_block=500))
+    assert out.shape == (538, 1)
+    # stereo too (whole 4-byte nibble groups; 160 frames in 105-sample blocks)
+    st = np.stack([x[:160], -x[:160]], axis=1)
+    out, _ = decode_wav(encode_adpcm_wav(st, 8000, samples_per_block=105))
+    assert out.shape == (160, 2)
+
+
+def test_adpcm_short_final_block_decodes_and_torn_header_raises():
+    """r12 (ADVICE): a truncated final block decodes the samples it
+    actually holds; a block shorter than its own header is a torn file
+    and raises instead of being silently dropped."""
+    from aresdb_spark.operators.audio import (_fmt_chunk, _riff,
+                                              _ima_decode_nibble)
+
+    # one full IMA block would be 4 + 4 nibbles/2 = 6 bytes for
+    # samples_per_block=5; ship header + ONE data byte (2 nibbles)
+    header = struct.pack("<hBB", 100, 0, 0)
+    fmt = _fmt_chunk(0x11, 1, 8000, 6, 4, struct.pack("<HH", 2, 5))
+    out, _ = decode_wav(_riff(fmt, header + bytes([0x21])))
+    pred, idx = 100, 0
+    want = [pred]
+    for nib in (0x1, 0x2):                     # low nibble first
+        pred, idx = _ima_decode_nibble(pred, idx, nib)
+        want.append(pred)
+    assert out.ravel().tolist() == want
+    # 3 bytes < the 4-byte header: torn
+    with pytest.raises(Exception, match="torn"):
+        decode_wav(_riff(fmt, header[:3]))
+    # MS ADPCM torn header (block_align 8, 5 bytes < 7-byte header)
+    extra = struct.pack("<HHH", 32, 4, 7)
+    from aresdb_spark.operators.audio import MSADPCM_COEFS
+    for a, b in MSADPCM_COEFS:
+        extra += struct.pack("<hh", a, b)
+    fmt2 = _fmt_chunk(2, 1, 8000, 8, 4, extra)
+    with pytest.raises(Exception, match="torn"):
+        decode_wav(_riff(fmt2, bytes(5)))
