@@ -516,7 +516,7 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    n_rows: "int | None" = None,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
-                   assignment: str = "exact") -> DataFrame:
+                   assignment: "str | None" = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     arXiv:2303.09540 — public): k-means cluster the embedding space,
@@ -552,10 +552,19 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     whole dedup — PERF_NOTES r11); two-level cuts the assignment to
     Θ(n^1.5). Clusterings differ slightly (a coarser router, still a
     valid quantizer — SemDeDup's guarantees are per-clustering), and
-    the oracle twin recomputes the same routing bit-for-bit."""
+    the oracle twin recomputes the same routing bit-for-bit.
+
+    DEFAULT RULE (r12, VERDICT r11 #5): ``assignment=None`` resolves to
+    ``"two_level"`` when k is ADAPTIVE (derived here from n_rows —
+    k grows with the corpus, so the flat argmax would be Θ(n²/250),
+    the engine's last super-linear default) and to ``"exact"`` when
+    the caller fixed k or supplied centroids (deployment-sized k:
+    n·k dots are linear in n, and paper-exact callers keep the exact
+    argmax). Pass either name explicitly to override."""
     import math
 
-    if centroids is None and n_clusters is None:
+    adaptive_k = centroids is None and n_clusters is None
+    if adaptive_k:
         if n_rows is None:
             raise ValueError(
                 "semantic_dedup needs one of n_clusters, centroids or "
@@ -564,6 +573,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
         n_clusters = max(8, math.ceil(n_rows / target_cluster_size))
     cents = centroids if centroids is not None \
         else ivf_centroids(dim, n_clusters)
+    if assignment is None:
+        assignment = "two_level" if adaptive_k else "exact"
     if assignment not in ("exact", "two_level"):
         raise ValueError(f"assignment must be exact|two_level: "
                          f"{assignment!r}")

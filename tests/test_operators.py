@@ -551,13 +551,46 @@ def test_semantic_dedup_planted_duplicates(spark):
 
 def test_semantic_dedup_matches_oracle(spark, duck):
     """Full keep/drop/cluster parity with the DuckDB oracle (fixed
-    centroids inlined as literals) on the synthetic embeddings."""
+    centroids inlined as literals) on the synthetic embeddings — on
+    the EXACT assignment path (explicit k keeps the exact argmax,
+    r12 default rule)."""
     from aresdb_spark.operators import similarity as S
 
     emb = _emb(spark)
-    df = S.semantic_dedup(emb, threshold=0.4, n_rows=emb.count())
+    df = S.semantic_dedup(emb, threshold=0.4, n_clusters=8)
     assert_df_matches_duck(df, duck, S.semantic_dedup_oracle_sql(
         threshold=0.4))
+
+
+def test_semantic_dedup_default_assignment_rule(spark, duck):
+    """r12 (VERDICT r11 #5): with ADAPTIVE k (sized from n_rows, so k
+    grows with the corpus and the flat argmax would be Θ(n²/250)) the
+    default assignment is the sub-quadratic two_level router; with
+    explicit k or supplied centroids it stays exact. Pinned by full
+    result equality against the explicitly-routed runs AND the DuckDB
+    oracle of the adaptive default."""
+    import math
+
+    from aresdb_spark.operators import similarity as S
+
+    emb = _emb(spark)
+    n = emb.count()
+    k = max(8, math.ceil(n / 250))
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    adaptive = S.semantic_dedup(emb, threshold=0.4, n_rows=n)
+    assert rows(adaptive) == rows(S.semantic_dedup(
+        emb, threshold=0.4, n_clusters=k, assignment="two_level"))
+    assert_df_matches_duck(adaptive, duck, S.semantic_dedup_oracle_sql(
+        threshold=0.4, n_clusters=k, assignment="two_level"))
+    explicit = S.semantic_dedup(emb, threshold=0.4, n_clusters=k)
+    assert rows(explicit) == rows(S.semantic_dedup(
+        emb, threshold=0.4, n_clusters=k, assignment="exact"))
+    cents = S.ivf_centroids(64, k)
+    with_cents = S.semantic_dedup(emb, threshold=0.4, centroids=cents)
+    assert rows(with_cents) == rows(explicit)
 
 
 def test_ivf_assign_two_level_matches_reference(spark):
