@@ -1453,14 +1453,17 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["dedup_image_phash"] = (q_image_dedup, image_dedup_sql())
 
-    # --- multimodal PNG color-type sweep (r12, VERDICT r11 #6): REAL
-    # decode of every 8-bit PNG color type through one graded set —
-    # grayscale, RGB, PALETTE (PLTE lookup — the most common web form),
-    # RGBA and gray+alpha (alpha carried as the trailing channel). All
-    # pixel values are pure integer formulas (palette entries included),
-    # so the DuckDB oracle recomputes the decoded stats bit-for-bit: a
-    # wrong PLTE lookup, channel count, alpha ordering or unfilter
-    # stride breaks the hash.
+    # --- multimodal PNG full-matrix sweep (r12, VERDICT r11 #6 then
+    # widened to the COMPLETE RFC 2083 scope): one graded set drives
+    # every legal (color type, bit depth) combination — grayscale
+    # 1/2/4/8/16, RGB 8/16, palette 1/2/4/8 (PLTE lookup, tRNS alpha on
+    # every 3rd palette id → RGBA), RGBA/gray+alpha 8/16 — through BOTH
+    # layouts (sequential and Adam7 INTERLACED) with the per-row filter
+    # cycle exercising all five unfilter branches in real payloads. All
+    # pixel values are pure integer formulas, so the DuckDB oracle
+    # recomputes the decoded stats bit-for-bit: a wrong PLTE/tRNS
+    # lookup, sub-byte unpack, 16-bit byte order, Adam7 pass geometry
+    # or filter reverse breaks the hash.
     def q_png_mixed(spark, sf_dir):
         from aresdb_spark.operators import multimodal as M
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -1469,25 +1472,38 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         return M.decode_stats(M.synthetic_png_media_mixed(docs))
 
     # w = 6 + d%7, h = 5 + d%5; d%5 picks gray/RGB/palette/RGBA/
-    # gray+alpha; non-palette flat sample i = (d*7 + i*31) % 256;
-    # palette: index (d*3 + p*31) % 256 at pixel p = i//3, entry j ->
-    # ((j*7+1)%256, (j*13+2)%256, (j*29+3)%256); max w*h*ch = 432
+    # gray+alpha; d//5 walks the type's legal depths; non-palette flat
+    # sample i = (d*7 + i*31) % 2^depth; palette pixel p indexes
+    # (d*3 + p*31) % 2^depth into entry j -> ((j*7+1)%256,
+    # (j*13+2)%256, (j*29+3)%256), alpha_j = (j*17+5)%256 when
+    # d%3 = 0; max w*h*ch = 432
     out["multimodal_png_mixed"] = (q_png_mixed, """
         WITH m AS (
             SELECT doc_id AS d, doc_id % 5 AS mode,
                    6 + doc_id % 7 AS w, 5 + doc_id % 5 AS h,
+                   CASE doc_id % 5
+                        WHEN 0 THEN ([1,2,4,8,16])[(doc_id // 5) % 5 + 1]
+                        WHEN 2 THEN ([1,2,4,8])[(doc_id // 5) % 4 + 1]
+                        ELSE ([8,16])[(doc_id // 5) % 2 + 1] END AS dep,
                    CASE doc_id % 5 WHEN 0 THEN 1 WHEN 1 THEN 3
-                        WHEN 2 THEN 3 WHEN 3 THEN 4 ELSE 2 END AS ch
+                        WHEN 2 THEN (CASE WHEN doc_id % 3 = 0
+                                          THEN 4 ELSE 3 END)
+                        WHEN 3 THEN 4 ELSE 2 END AS ch
             FROM documents WHERE doc_id % 37 = 0
         ),
         v AS (
             SELECT d, w, h, ch,
                    CASE WHEN mode = 2 THEN
-                     (((d*3 + (i//3)*31) % 256)
-                      * (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 13
-                              ELSE 29 END)
-                      + (i % 3 + 1)) % 256
-                   ELSE (d*7 + i*31) % 256 END AS val
+                     CASE i % ch
+                          WHEN 0 THEN (((d*3 + (i//ch)*31)
+                                        % (1::BIGINT << dep)) * 7 + 1) % 256
+                          WHEN 1 THEN (((d*3 + (i//ch)*31)
+                                        % (1::BIGINT << dep)) * 13 + 2) % 256
+                          WHEN 2 THEN (((d*3 + (i//ch)*31)
+                                        % (1::BIGINT << dep)) * 29 + 3) % 256
+                          ELSE (((d*3 + (i//ch)*31)
+                                 % (1::BIGINT << dep)) * 17 + 5) % 256 END
+                   ELSE (d*7 + i*31) % (1::BIGINT << dep) END AS val
             FROM m CROSS JOIN range(432) t(i)
             WHERE i < w * h * ch
         )

@@ -1333,12 +1333,17 @@ def test_png_decode_rejects_unimplemented_formats():
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
         return PNG_SIGNATURE + chunk(b"IHDR", ihdr)
 
-    with pytest.raises(NotImplementedError, match="16"):
-        decode_png(png_header_only(16, 0))
-    with pytest.raises(NotImplementedError, match="depth=4"):
-        decode_png(png_header_only(4, 3))          # sub-8-bit palette
-    with pytest.raises(NotImplementedError, match="interlace"):
-        decode_png(png_header_only(8, 0, interlace=1))
+    # r12: the PNG scope is COMPLETE (every RFC 2083 depth/type combo,
+    # both layouts) — rejects are now malformed-file ValueErrors, not
+    # scope gaps
+    with pytest.raises(ValueError, match="legal"):
+        decode_png(png_header_only(4, 2))          # sub-byte RGB: illegal
+    with pytest.raises(ValueError, match="legal"):
+        decode_png(png_header_only(16, 3))         # 16-bit palette: illegal
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(png_header_only(8, 0, interlace=2))   # unknown method
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(png_header_only(8, 0))          # no image data
     # JPEG now dispatches to the REAL clean-room decoder (r10): a
     # malformed stream is a ValueError from the marker parser, not a
     # stub rejection (test_jpeg.py covers the codec's own scope errors)
@@ -1375,6 +1380,57 @@ def test_png_palette_rgba_alpha_roundtrip():
     pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
     out = decode_png(encode_png(idx, palette=pal))
     assert out.shape == (7, 5, 3) and np.array_equal(out, pal[idx])
+
+
+def test_png_full_matrix_roundtrip():
+    """r12: the complete RFC 2083 scope — every legal (color type,
+    depth) combination, sequential AND Adam7 interlaced, all five
+    filters per payload ("mixed" row cycle), palette tRNS, gray/RGB
+    color keys, and the 1-pixel-wide/tall interlace edge cases."""
+    import itertools
+
+    import numpy as np
+
+    from aresdb_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    for depth, inter in itertools.product([1, 2, 4, 8, 16],
+                                          [False, True]):
+        px = rng.integers(0, 1 << depth, (11, 13), dtype=np.uint16)
+        px = px.astype(np.uint8) if depth <= 8 else px
+        out = decode_png(encode_png(px, depth=depth, interlace=inter,
+                                    row_filter="mixed"))
+        assert out.shape == px.shape and np.array_equal(out, px), \
+            (depth, inter)
+    for ch, depth in itertools.product([2, 3, 4], [8, 16]):
+        px = rng.integers(0, 1 << depth, (9, 7, ch), dtype=np.uint16)
+        px = px.astype(np.uint8) if depth <= 8 else px
+        out = decode_png(encode_png(px, depth=depth, interlace=True,
+                                    row_filter="mixed"))
+        assert np.array_equal(out, px), (ch, depth)
+    for depth in (1, 2, 4, 8):
+        n = 1 << depth
+        idx = rng.integers(0, n, (10, 6), dtype=np.uint8)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        alpha = rng.integers(0, 256, n, dtype=np.uint8)
+        out = decode_png(encode_png(idx, palette=pal, depth=depth,
+                                    interlace=True, row_filter="mixed",
+                                    trns=alpha))
+        assert np.array_equal(out, np.dstack([pal[idx], alpha[idx]])), depth
+    g = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    g[2, 3] = 77
+    out = decode_png(encode_png(g, trns=77))
+    assert out.shape == (8, 8, 2) \
+        and np.array_equal(out[..., 1], np.where(g == 77, 0, 255))
+    g16 = rng.integers(0, 65536, (5, 5), dtype=np.uint16)
+    g16[1, 1] = 40000
+    out = decode_png(encode_png(g16, depth=16, trns=40000))
+    assert out.dtype == np.uint16 and out[1, 1, 1] == 0
+    for shape in [(1, 1), (1, 9), (9, 1), (2, 2)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(px, interlace=True,
+                                    row_filter="mixed"))
+        assert np.array_equal(out, px), shape
 
 
 def test_phash_media_raises_on_unknown_container(spark):
