@@ -1297,6 +1297,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal BMP: REAL clean-room Windows-DIB decode (r12,
+    # operators/bmp.py): 24-bit BGR, 32-bit BGRX, 8/4/1-bit palettized,
+    # bottom-up AND top-down row orders, 4-byte row padding, and
+    # BI_RLE8/BI_RLE4 streams mixing encoded runs with forced
+    # ABSOLUTE-mode rows. BMP is lossless, so the DuckDB formula oracle
+    # is bit-for-bit: a wrong BGR swap, row flip, sub-byte unpack,
+    # palette quad layout or RLE escape walk breaks the hash.
+    def q_bmp(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 43 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_bmp_media(docs))
+
+    # w = 4 + d%9, h = 3 + d%5; d%7 picks 24/32-bit (flat RGB sample
+    # i = (d*7 + i*31) % 256) or palette bits 8/4/1 raw and 8/4 RLE
+    # (pixel p -> idx (d*3 + p*19) % 2^bits, RLE uses p//3, entry j ->
+    # ((j*7+1)%256, (j*13+2)%256, (j*29+3)%256)); decoded channels
+    # always 3; max w*h*3 = 252
+    out["multimodal_bmp_stats"] = (q_bmp, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 7 AS v,
+                   4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+                   CASE doc_id % 7 WHEN 2 THEN 8 WHEN 3 THEN 4
+                        WHEN 4 THEN 1 WHEN 5 THEN 8 WHEN 6 THEN 4
+                        ELSE 0 END AS dep
+            FROM documents WHERE doc_id % 43 = 0
+        ),
+        v AS (
+            SELECT d, w, h,
+                   CASE WHEN v <= 1 THEN (d*7 + i*31) % 256
+                   ELSE ((((d*3 + (CASE WHEN v >= 5 THEN (i//3)//3
+                                        ELSE i//3 END) * 19)
+                           % (1::BIGINT << dep)))
+                         * (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 13
+                                 ELSE 29 END)
+                         + (i % 3 + 1)) % 256 END AS val
+            FROM m CROSS JOIN range(252) t(i)
+            WHERE i < w * h * 3
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM v GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal JPEG: REAL clean-room baseline T.81 decode (r10;
     # VERDICT r9 "What's missing" #2). Block-constant grayscale images
     # from an integer formula are ENCODED executor-side through the

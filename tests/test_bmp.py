@@ -1,0 +1,128 @@
+"""Clean-room BMP codec (operators/bmp.py): round-trips across the
+full scope matrix, RLE branch coverage, dispatcher integration, and
+named scope errors."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from aresdb_spark.operators.bmp import decode_bmp, encode_bmp
+
+
+def test_bmp_truecolor_roundtrip_matrix():
+    """24/32-bit, both row orders, widths that exercise 4-byte row
+    padding (including w=1)."""
+    rng = np.random.default_rng(9)
+    for bits, td, w in itertools.product([24, 32], [False, True],
+                                         [1, 3, 5, 8]):
+        px = rng.integers(0, 256, (7, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(px, bit_count=bits, top_down=td))
+        assert out.shape == px.shape and np.array_equal(out, px), \
+            (bits, td, w)
+
+
+def test_bmp_palette_roundtrip_matrix():
+    """1/4/8-bit palettized (MSB-first sub-byte packing), both row
+    orders, BGRA quad palette layout."""
+    rng = np.random.default_rng(10)
+    for bits, td, w in itertools.product([1, 4, 8], [False, True],
+                                         [1, 5, 9, 16]):
+        n = 1 << bits
+        idx = rng.integers(0, n, (6, w), dtype=np.uint8)
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(idx, bit_count=bits, palette=pal,
+                                    top_down=td))
+        assert np.array_equal(out, pal[idx]), (bits, td, w)
+
+
+def test_bmp_rle_roundtrip_and_escapes():
+    """BI_RLE8/BI_RLE4: encoded runs, forced absolute-mode rows
+    (word-aligned), EOL/EOF escapes — and the delta escape on a
+    hand-built stream (skipped pixels stay 0 per spec)."""
+    rng = np.random.default_rng(11)
+    for bits, abs_every, w in itertools.product([8, 4], [0, 2],
+                                                [4, 7, 13]):
+        n = 1 << bits
+        idx = np.repeat(rng.integers(0, n, (6, (w + 2) // 3),
+                                     dtype=np.uint8), 3, axis=1)[:, :w]
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(idx, bit_count=bits, palette=pal,
+                                    rle=True, abs_every=abs_every))
+        assert np.array_equal(out, pal[idx]), (bits, abs_every, w)
+    # delta escape: run of 2 '5's, delta (+1, +1), run of 1 '9', EOF —
+    # lands one row up and one pixel right of where the delta started
+    pal = np.arange(768, dtype=np.uint32).reshape(256, 3) \
+        .astype(np.uint8)
+    base = encode_bmp(np.zeros((3, 4), np.uint8), bit_count=8,
+                      palette=pal, rle=True)
+    import struct
+    (pix_off,) = struct.unpack("<I", base[10:14])
+    body = bytes([2, 5, 0, 2, 1, 1, 1, 9, 0, 1])
+    blob = base[:pix_off] + body
+    out = decode_bmp(blob)
+    idx = np.zeros((3, 4), np.uint8)
+    idx[2, 0] = idx[2, 1] = 5                       # bottom row (y=0)
+    idx[1, 3] = 9                                   # after delta(+1, +1)
+    assert np.array_equal(out, pal[idx])
+
+
+def test_bmp_scope_errors_named():
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"BM" + b"\0" * 10)
+    rng = np.random.default_rng(12)
+    px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(px))
+    blob[28] = 16                                   # bitCount = 16
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_bmp(bytes(blob))
+    blob = bytearray(encode_bmp(px))
+    blob[30] = 3                                    # BI_BITFIELDS
+    with pytest.raises(NotImplementedError, match="compression 3"):
+        decode_bmp(bytes(blob))
+    blob = bytearray(encode_bmp(px))
+    blob[14] = 12                                   # OS/2 core header
+    with pytest.raises(NotImplementedError, match="OS/2"):
+        decode_bmp(bytes(blob))
+    with pytest.raises(ValueError, match="RLE"):
+        encode_bmp(np.zeros((2, 2), np.uint8),
+                   bit_count=8, palette=np.zeros((2, 3), np.uint8),
+                   rle=True, top_down=True)
+
+
+def test_bmp_through_decode_image_and_stats(spark):
+    """The dispatcher routes BM payloads to the real codec, and the
+    Spark decode_stats pipeline grades BMPs like every other
+    container."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = M.decode_image(encode_bmp(px))
+    assert out.dtype == np.float32 and np.array_equal(
+        out, px.astype(np.float32))
+
+    ids = spark.range(0, 21).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in M.decode_stats(M.synthetic_bmp_media(ids)).collect()}
+    assert len(rows) == 21
+    for d in range(21):
+        w, h, v = 4 + d % 9, 3 + d % 5, d % 7
+        s = rows[d]
+        assert (s["width"], s["height"], s["channels"]) == (w, h, 3), d
+        if v <= 1:
+            vals = (d * 7 + np.arange(w * h * 3) * 31) % 256
+        else:
+            bits = {2: 8, 3: 4, 4: 1, 5: 8, 6: 4}[v]
+            p = np.arange(w * h)
+            if v >= 5:
+                p = p // 3
+            idx = (d * 3 + p * 19) % (1 << bits)
+            j = np.repeat(idx, 3)
+            k = np.tile([7, 13, 29], w * h)
+            o = np.tile([1, 2, 3], w * h)
+            vals = (j * k + o) % 256
+        assert s["px_sum"] == int(vals.sum()), d
+        assert s["px_min"] == int(vals.min()) and \
+            s["px_max"] == int(vals.max()), d

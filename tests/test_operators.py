@@ -1353,10 +1353,14 @@ def test_png_decode_rejects_unimplemented_formats():
     # no silent header-bytes fake on real data
     with pytest.raises(NotImplementedError, match="WebP"):
         decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
-    with pytest.raises(NotImplementedError, match="BMP"):
-        decode_image(b"BM\x3a\x00\x00\x00\x00\x00")
-    # ... unless the synthetic-plumbing fake is opted into explicitly
-    assert decode_image(b"BM\x3a", allow_fake=True).shape == (8, 8)
+    with pytest.raises(NotImplementedError, match="5036"):
+        decode_image(b"P6 3 3 255 binaryppm")
+    # ... unless the synthetic-plumbing fake is opted into explicitly,
+    # which applies ONLY to unknown magics: a KNOWN container with a
+    # malformed stream still errors from inside its codec
+    assert decode_image(b"P6 junk", allow_fake=True).shape == (8, 8)
+    with pytest.raises(ValueError, match="BMP"):
+        decode_image(b"BM\x3a\x00\x00\x00\x00\x00", allow_fake=True)
     # and the dispatcher decodes a real PNG for real
     px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     assert np.array_equal(decode_image(encode_png(px)),
