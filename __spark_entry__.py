@@ -1806,6 +1806,61 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM ex GROUP BY 1
     """)
 
+    # --- multimodal AIFF / AIFF-C (r12, operators/audio.py
+    # decode_aiff): the big-endian IFF sibling of RIFF/WAVE — COMM's
+    # 80-bit extended-float sample rate, SSND offsets, odd-chunk
+    # padding, and the compression dispatch (big-endian PCM 8/16/24,
+    # "sowt" little-endian, "fl32" floats, "ulaw" G.711). PCM/float
+    # are lossless and the µ-law expansion is closed-form, so the
+    # DuckDB oracle recomputes every decoded sample exactly: a wrong
+    # byte order, f80 parse, sign-extend or expansion breaks the hash.
+    def q_aiff(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 61 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_aiff_media(docs))
+
+    # n = 40 + d%17 frames, rate 8000*(1+d%2); d%6 picks BE-16 stereo /
+    # BE-8 / BE-24 / sowt-16 / fl32 (Q8.8 stats = k) / ulaw (byte
+    # formula expanded closed-form); stereo flattens 2n samples
+    out["multimodal_aiff_stats"] = (q_aiff, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 6 AS v, 40 + doc_id % 17 AS n,
+                   8000 * (1 + doc_id % 2) AS rate,
+                   CASE WHEN doc_id % 6 = 0 THEN 2 ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 61 = 0
+        ),
+        s AS (
+            SELECT d, n, rate, ch,
+                   CASE v
+                     WHEN 0 THEN (d*97 + i*61) % 2001 - 1000
+                     WHEN 1 THEN (d*97 + i*61) % 255 - 127
+                     WHEN 2 THEN (d*97 + i*61) % 200001 - 100000
+                     WHEN 3 THEN (d*97 + i*61) % 2001 - 1000
+                     WHEN 4 THEN (d*89 + i*53) % 4001 - 2000
+                     ELSE (CASE WHEN (255 - ((d*3 + i*17) % 256)) >= 128
+                                THEN -1 ELSE 1 END)
+                          * ((((255 - ((d*3 + i*17) % 256)) % 16) * 8
+                              + 132)
+                             * (1 << (((255 - ((d*3 + i*17) % 256))
+                                       // 16) % 8)) - 132)
+                   END AS val
+            FROM m CROSS JOIN range(112) t(i)
+            WHERE i < n * ch
+        )
+        SELECT d AS media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sum(val) AS BIGINT) AS amp_sum,
+               CAST(min(val) AS BIGINT) AS amp_min,
+               CAST(max(val) AS BIGINT) AS amp_max,
+               CAST(sum(abs(val)) AS BIGINT) AS abs_sum
+        FROM s GROUP BY 1, 2, 3, 4, 5
+    """)
+
     # --- multimodal WAV, IMA ADPCM (r11 — the "compressed WAV" reject,
     # retired for the one compressed RIFF format whose spec is
     # self-contained): the synthetic payload's NIBBLE STREAM is a pure

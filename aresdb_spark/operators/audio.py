@@ -594,6 +594,181 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         f"library — PCM (1), IEEE float (3) and IMA ADPCM (0x11) only")
 
 
+def _f80_pack(value: float) -> bytes:
+    """Encode a positive number as the 80-bit IEEE 754 EXTENDED float
+    AIFF's COMM chunk uses for the sample rate (sign 1, exponent 15
+    biased 16383, 64-bit mantissa with EXPLICIT integer bit)."""
+    import math
+
+    if value <= 0 or not math.isfinite(value):
+        raise ValueError(f"sample rate must be finite positive: {value}")
+    m, e = math.frexp(value)                 # value = m * 2^e, m in [0.5, 1)
+    mant = int(m * (1 << 64))                # integer bit lands at bit 63
+    return struct.pack(">H", (e - 1) + 16383) + mant.to_bytes(8, "big")
+
+
+def _f80_unpack(raw: bytes) -> float:
+    """Decode the 80-bit extended float (inverse of _f80_pack)."""
+    if len(raw) != 10:
+        raise ValueError("extended float must be 10 bytes")
+    (se,) = struct.unpack(">H", raw[:2])
+    mant = int.from_bytes(raw[2:], "big")
+    sign = -1.0 if se & 0x8000 else 1.0
+    exp = se & 0x7FFF
+    if exp == 0 and mant == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("non-finite AIFF sample rate")
+    return sign * mant * 2.0 ** (exp - 16383 - 63)
+
+
+AIFC_KNOWN = (b"NONE", b"sowt", b"fl32", b"FL32", b"ulaw", b"ULAW",
+              b"alaw", b"ALAW", b"twos")
+
+
+def decode_aiff(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode an AIFF / AIFF-C payload (Apple's public AIFF-1.3 /
+    AIFF-C specs — the big-endian IFF sibling of RIFF/WAVE): returns
+    ``(samples (n, ch), sample_rate)``, int32 for integer formats
+    (8-bit AIFF is SIGNED, unlike WAV's unsigned — kept as decoded),
+    float64 for fl32. Compression types: "NONE"/"twos" (big-endian
+    PCM 8/16/24/32), "sowt" (little-endian 16-bit), "fl32" (big-endian
+    float32), "ulaw"/"alaw" (G.711, reusing the WAV expanders).
+    Anything else raises NotImplementedError naming the fourcc. The
+    SSND offset field is honored; unknown chunks skip by size with IFF
+    odd-length padding."""
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"FORM" \
+            or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF/AIFF-C payload")
+    is_aifc = data[8:12] == b"AIFC"
+    pos, comm, ssnd = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated AIFF chunk")
+        if cid == b"COMM":
+            ch, frames, bits = struct.unpack(">HIH", body[:8])
+            rate = _f80_unpack(body[8:18])
+            comp = body[18:22] if is_aifc and len(body) >= 22 else b"NONE"
+            comm = (ch, frames, bits, rate, comp)
+        elif cid == b"SSND":
+            off, _blk = struct.unpack(">II", body[:8])
+            ssnd = body[8 + off:]
+        pos += 8 + size + (size & 1)         # IFF pads odd chunks
+    if comm is None or ssnd is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    ch, frames, bits, rate, comp = comm
+    if ch < 1:
+        raise ValueError("AIFF channel count must be positive")
+    if comp in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        raw = np.frombuffer(ssnd[:frames * ch], np.uint8)
+        arr = (mulaw_expand(raw) if comp in (b"ulaw", b"ULAW")
+               else alaw_expand(raw)).astype(np.int32)
+        return arr.reshape(-1, ch), int(round(rate))
+    if comp in (b"fl32", b"FL32"):
+        arr = np.frombuffer(ssnd[:frames * ch * 4], ">f4")
+        return arr.reshape(-1, ch).astype(np.float64), int(round(rate))
+    if comp not in (b"NONE", b"twos", b"sowt"):
+        raise NotImplementedError(
+            f"AIFF-C compression {comp!r} requires a codec library "
+            f"(NONE/twos/sowt/fl32/ulaw/alaw only)")
+    le = comp == b"sowt"
+    if bits == 8:
+        arr = np.frombuffer(ssnd[:frames * ch], np.int8).astype(np.int32)
+    elif bits == 16:
+        arr = np.frombuffer(ssnd[:frames * ch * 2],
+                            "<i2" if le else ">i2").astype(np.int32)
+    elif bits == 32:
+        arr = np.frombuffer(ssnd[:frames * ch * 4],
+                            "<i4" if le else ">i4").astype(np.int32)
+    elif bits == 24:
+        raw = np.frombuffer(ssnd[:frames * ch * 3], np.uint8) \
+            .reshape(-1, 3).astype(np.int32)
+        if le:
+            arr = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        else:
+            arr = raw[:, 2] | (raw[:, 1] << 8) | (raw[:, 0] << 16)
+        arr -= (arr & 0x800000) << 1                 # sign-extend
+    else:
+        raise NotImplementedError(
+            f"{bits}-bit AIFF PCM not implemented (8/16/24/32 only)")
+    return arr.reshape(-1, ch), int(round(rate))
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = 16_000,
+                bits: int = 16, compression: "bytes | None" = None) -> bytes:
+    """AIFF / AIFF-C writer mirroring decode_aiff's scope: plain AIFF
+    (big-endian PCM) when ``compression`` is None, else an AIFF-C FORM
+    with "sowt" (LE 16-bit), "fl32", "ulaw" or "alaw"."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if compression is None:
+        if bits == 8:
+            data = s.astype(np.int8).tobytes()
+        elif bits == 16:
+            data = s.astype(">i2").tobytes()
+        elif bits == 32:
+            data = s.astype(">i4").tobytes()
+        elif bits == 24:
+            v = s.astype(">i4").ravel()
+            data = v.view(np.uint8).reshape(-1, 4)[:, 1:].tobytes()
+        else:
+            raise ValueError(f"bits={bits}: AIFF PCM 8/16/24/32 only")
+        comm = struct.pack(">HIH", ch, n, bits) + _f80_pack(sample_rate)
+        form_type = b"AIFF"
+    else:
+        if compression == b"sowt":
+            data, bits = s.astype("<i2").tobytes(), 16
+        elif compression == b"fl32":
+            data, bits = s.astype(">f4").tobytes(), 32
+        elif compression == b"ulaw":
+            data, bits = mulaw_compress(s.ravel()).tobytes(), 8
+        elif compression == b"alaw":
+            data, bits = alaw_compress(s.ravel()).tobytes(), 8
+        else:
+            raise ValueError(f"compression {compression!r}: "
+                             f"sowt/fl32/ulaw/alaw only")
+        name = compression.decode() + " coded"
+        pstr = bytes([len(name)]) + name.encode()
+        if len(pstr) % 2:
+            pstr += b"\0"                            # pstring pads even
+        comm = struct.pack(">HIH", ch, n, bits) + _f80_pack(sample_rate) \
+            + compression + pstr
+        form_type = b"AIFC"
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body \
+            + (b"\0" if len(body) % 2 else b"")
+
+    chunks = b""
+    if form_type == b"AIFC":
+        chunks += chunk(b"FVER", struct.pack(">I", 0xA2805140))
+    chunks += chunk(b"COMM", comm)
+    chunks += chunk(b"SSND", struct.pack(">II", 0, 0) + data)
+    return b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type \
+        + chunks
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Container dispatch for the audio pipeline (r12): RIFF/WAVE →
+    decode_wav, FORM/AIFF(-C) → decode_aiff. Unknown containers raise
+    NotImplementedError naming the magic — same strict rule as the
+    image side's decode_image (no silent fakes on real data)."""
+    data = bytes(payload)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(data)
+    raise NotImplementedError(
+        f"audio container with magic {data[:8].hex()} is not "
+        f"implemented (RIFF/WAVE and AIFF/AIFF-C only)")
+
+
 def audio_stats(df):
     """media table → exact integer waveform statistics per payload:
     (media_id, n_samples, channels, sample_rate, duration_ms, amp_sum,
@@ -625,7 +800,7 @@ def audio_stats(df):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s, rate = decode_wav(bytes(payload))
+                s, rate = decode_audio(bytes(payload))
                 if np.issubdtype(s.dtype, np.floating):
                     flat = np.round(s.ravel() * 256.0).astype(np.int64)
                 else:
@@ -748,6 +923,81 @@ def synthetic_adpcm_wav_media(ids, id_col: str = "media_id"):
     return ids.mapInPandas(gen, schema=out_schema)
 
 
+def synthetic_aiff_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL AIFF / AIFF-C payloads (r12) sweeping the
+    decode scope: for id d, ``n = 40 + d % 17`` frames at rate
+    ``8000 * (1 + d % 2)`` and ``d % 6`` picks the variant —
+    big-endian PCM 16-bit STEREO (flat sample i = ``(d*97 + i*61) %
+    2001 - 1000``), signed 8-bit (``% 255 - 127``), 24-bit
+    (``% 200001 - 100000``), AIFF-C "sowt" little-endian 16-bit,
+    "fl32" dyadic floats ``k/256`` with ``k = (d*89 + i*53) % 4001 -
+    2000`` (Q8.8 stats recover k exactly), and "ulaw" whose COMPANDED
+    BYTE STREAM is the formula ``(d*3 + i*17) % 256`` (the closed-form
+    G.711 expansion is SQL-expressible). PCM/float are lossless and
+    µ-law expansion is exact, so a DuckDB oracle recomputes every
+    decoded statistic bit-for-bit through real big-endian IFF
+    containers. Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n, v = 40 + d % 17, d % 6
+                rate = 8000 * (1 + d % 2)
+                if v == 0:
+                    s = ((d * 97 + np.arange(n * 2) * 61) % 2001
+                         - 1000).reshape(n, 2)
+                    payloads.append(encode_aiff(s, rate, bits=16))
+                elif v == 1:
+                    s = (d * 97 + np.arange(n) * 61) % 255 - 127
+                    payloads.append(encode_aiff(s, rate, bits=8))
+                elif v == 2:
+                    s = (d * 97 + np.arange(n) * 61) % 200001 - 100000
+                    payloads.append(encode_aiff(s, rate, bits=24))
+                elif v == 3:
+                    s = (d * 97 + np.arange(n) * 61) % 2001 - 1000
+                    payloads.append(encode_aiff(s, rate,
+                                                compression=b"sowt"))
+                elif v == 4:
+                    k = (d * 89 + np.arange(n) * 53) % 4001 - 2000
+                    payloads.append(encode_aiff(k / 256.0, rate,
+                                                compression=b"fl32"))
+                else:
+                    # raw µ-law byte stream (formula bytes, not a
+                    # compress() round-trip — the oracle expands b
+                    # closed-form, same strategy as the WAV G.711 row)
+                    raw = ((d * 3 + np.arange(n) * 17) % 256) \
+                        .astype(np.uint8).tobytes()
+                    comm = struct.pack(">HIH", 1, n, 8) \
+                        + _f80_pack(rate) + b"ulaw" + b"\x04ULAW\x00"
+
+                    def chunk(cid, body):
+                        return cid + struct.pack(">I", len(body)) \
+                            + body + (b"\0" if len(body) % 2 else b"")
+
+                    chunks = chunk(b"FVER",
+                                   struct.pack(">I", 0xA2805140)) \
+                        + chunk(b"COMM", comm) \
+                        + chunk(b"SSND", struct.pack(">II", 0, 0) + raw)
+                    payloads.append(b"FORM"
+                                    + struct.pack(">I", 4 + len(chunks))
+                                    + b"AIFC" + chunks)
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
 def audio_window_stats(df, window: int = 16):
     """media table → one row per fixed-size analysis window over the
     FIRST channel: (media_id, win_idx, n, amp_sum, abs_sum, amp_min,
@@ -781,7 +1031,7 @@ def audio_window_stats(df, window: int = 16):
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                s, _rate = decode_wav(bytes(payload))
+                s, _rate = decode_audio(bytes(payload))
                 mono = s[:, 0]
                 if np.issubdtype(mono.dtype, np.floating):
                     mono = np.round(mono * 256.0)

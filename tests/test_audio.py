@@ -561,3 +561,88 @@ def test_adpcm_short_final_block_decodes_and_torn_header_raises():
     fmt2 = _fmt_chunk(2, 1, 8000, 8, 4, extra)
     with pytest.raises(Exception, match="torn"):
         decode_wav(_riff(fmt2, bytes(5)))
+
+
+def test_aiff_roundtrip_matrix():
+    """r12: AIFF/AIFF-C decode — big-endian PCM at every depth, sowt
+    little-endian, fl32 dyadics, G.711 via the shared expanders, and
+    the 80-bit extended-float sample rate."""
+    from aresdb_spark.operators.audio import (_f80_pack, _f80_unpack,
+                                              alaw_compress, alaw_expand,
+                                              decode_aiff, encode_aiff,
+                                              mulaw_compress, mulaw_expand)
+
+    for r in (8000, 11025, 16000, 44100, 48000, 96000):
+        assert _f80_unpack(_f80_pack(r)) == r
+    rng = np.random.default_rng(2)
+    x = rng.integers(-30000, 30000, (101, 2)).astype(np.int64)
+    for bits in (8, 16, 24, 32):
+        xx = (x >> 8) if bits == 8 else x
+        out, rate = decode_aiff(encode_aiff(xx, 44100, bits=bits))
+        assert rate == 44100 and np.array_equal(out, xx), bits
+    out, _ = decode_aiff(encode_aiff(x, 8000, compression=b"sowt"))
+    assert np.array_equal(out, x)
+    k = rng.integers(-2000, 2000, (50, 1))
+    out, _ = decode_aiff(encode_aiff(k / 256.0, 16000,
+                                     compression=b"fl32"))
+    assert (out == k / 256.0).all()
+    for law, comp, exp in ((b"ulaw", mulaw_compress, mulaw_expand),
+                           (b"alaw", alaw_compress, alaw_expand)):
+        out, _ = decode_aiff(encode_aiff(x[:, 0], 8000, compression=law))
+        assert np.array_equal(out.ravel(), exp(comp(x[:, 0]))), law
+
+
+def test_aiff_scope_errors_and_dispatch():
+    from aresdb_spark.operators.audio import (decode_aiff, decode_audio,
+                                              encode_aiff)
+
+    x = np.arange(40) - 20
+    blob = bytearray(encode_aiff(x, 8000, compression=b"sowt"))
+    i = bytes(blob).find(b"sowt")
+    blob[i:i + 4] = b"ima4"
+    with pytest.raises(NotImplementedError, match="ima4"):
+        decode_aiff(bytes(blob))
+    with pytest.raises(NotImplementedError, match="664c6143"):
+        decode_audio(b"fLaC\x00\x00\x00\x00stream")
+    with pytest.raises(ValueError, match="COMM"):
+        decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
+    # dispatch: WAV and AIFF through the same audio_stats entry point
+    out, rate = decode_audio(encode_aiff(x, 8000))
+    assert rate == 8000 and np.array_equal(out.ravel(), x)
+
+
+def test_aiff_stats_pipeline_matches_formula(spark):
+    """The Spark audio_stats pass over the mixed AIFF corpus equals the
+    generator formulas (the same replay the SQL oracle performs)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators.audio import (mulaw_expand,
+                                              synthetic_aiff_media)
+
+    ids = spark.range(0, 18).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in audio_stats(synthetic_aiff_media(ids)).collect()}
+    assert len(rows) == 18
+    for d in range(18):
+        n, v = 40 + d % 17, d % 6
+        rate = 8000 * (1 + d % 2)
+        ch = 2 if v == 0 else 1
+        i = np.arange(n * ch)
+        if v in (0, 3):
+            vals = (d * 97 + i * 61) % 2001 - 1000
+        elif v == 1:
+            vals = (d * 97 + i * 61) % 255 - 127
+        elif v == 2:
+            vals = (d * 97 + i * 61) % 200001 - 100000
+        elif v == 4:
+            vals = (d * 89 + i * 53) % 4001 - 2000
+        else:
+            vals = mulaw_expand(((d * 3 + i * 17) % 256).astype(np.uint8))
+        s = rows[d]
+        assert (s["n_samples"], s["channels"], s["sample_rate"]) \
+            == (n, ch, rate), d
+        assert s["duration_ms"] == n * 1000 // rate
+        assert s["amp_sum"] == int(vals.sum()), d
+        assert s["amp_min"] == int(vals.min()) \
+            and s["amp_max"] == int(vals.max()), d
+        assert s["abs_sum"] == int(np.abs(vals).sum()), d
