@@ -1348,6 +1348,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal WebP LOSSLESS (r12, operators/webp.py — the
+    # clean-room VP8L decoder: LSB-first bit reader, simple + canonical
+    # prefix codes via the code-length code, color cache, LZ77 with the
+    # short-distance map, and all four transforms). The graded set
+    # sweeps literals, distance-1 runs, SUBTRACT_GREEN, every PREDICTOR
+    # mode, a bundled COLOR_INDEXING palette and an RGBA color-cache
+    # stream; VP8L is lossless so the DuckDB formula oracle is
+    # bit-for-bit — a wrong canonical code, cache hash, transform
+    # inverse or bundling unpack breaks the hash.
+    def q_webp(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 67 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_webp_media(docs))
+
+    # w = 5 + d%7, h = 4 + d%5; d%6 picks the variant (see
+    # synthetic_webp_media); channels 4 for the RGBA variant else 3;
+    # max w*h*ch = 11*8*4 = 352
+    out["multimodal_webp_stats"] = (q_webp, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 6 AS v,
+                   5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h,
+                   CASE WHEN doc_id % 6 = 5 THEN 4 ELSE 3 END AS ch
+            FROM documents WHERE doc_id % 67 = 0
+        ),
+        v AS (
+            SELECT d, w, h, ch,
+                   CASE v
+                     WHEN 1 THEN (d*7 + ((i//3) // w)*31
+                                  + (i % 3)*11) % 256
+                     WHEN 4 THEN (((d + i//3) % 4)
+                                  * (CASE i % 3 WHEN 0 THEN 37
+                                          WHEN 1 THEN 59 ELSE 83 END)
+                                  + (i % 3) + d) % 256
+                     ELSE (d*7 + i*31) % 256
+                   END AS val
+            FROM m CROSS JOIN range(352) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM v GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal JPEG: REAL clean-room baseline T.81 decode (r10;
     # VERDICT r9 "What's missing" #2). Block-constant grayscale images
     # from an integer formula are ENCODED executor-side through the

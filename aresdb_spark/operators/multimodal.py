@@ -411,17 +411,20 @@ def _container_decoder(payload: bytes):
     if payload[:2] == b"BM":
         from aresdb_spark.operators.bmp import decode_bmp
         return decode_bmp
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        # lossless VP8L decodes for real (r12, operators/webp.py);
+        # lossy VP8 raises from inside the codec naming the chunk
+        from aresdb_spark.operators.webp import decode_webp
+        return decode_webp
     return None
 
 
 def _unknown_container_error(payload: bytes) -> NotImplementedError:
     head = payload[:12]
-    hint = " (WebP)" if head[:4] == b"RIFF" and head[8:12] == b"WEBP" \
-        else ""
     return NotImplementedError(
-        f"image container with magic {head[:8].hex()}{hint} is not "
-        f"implemented (PNG/JPEG/GIF/TIFF/BMP only; no codec library "
-        f"in this environment)")
+        f"image container with magic {head[:8].hex()} is not "
+        f"implemented (PNG/JPEG/GIF/TIFF/BMP/WebP-lossless only; no "
+        f"codec library in this environment)")
 
 
 def _decode_container(payload: bytes) -> np.ndarray:
@@ -645,6 +648,65 @@ def synthetic_bmp_media(ids: DataFrame,
                         idx, bit_count=bits, palette=pal,
                         top_down=td if v < 5 else False,
                         rle=v >= 5, abs_every={5: 2, 6: 3}.get(v, 0)))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_webp_media(ids: DataFrame,
+                         id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL lossless-WebP payloads (r12,
+    operators/webp.py) sweeping the VP8L surface: for id d the image
+    is ``w = 5 + d % 7`` by ``h = 4 + d % 5`` and ``d % 6`` picks the
+    variant — plain literals, row-constant pixels (distance-1 LZ77
+    runs), SUBTRACT_GREEN, PREDICTOR mode ``d % 14``, a 4-color
+    COLOR_INDEXING palette (2-bit pixel bundling), and RGBA literals
+    with a color cache. VP8L is lossless, so the integer pixel
+    formulas round-trip bit-for-bit through real prefix-coded streams:
+      modes 0/2/3: flat RGB sample i = ``(d*7 + i*31) % 256``
+      mode 1: pixel (row, c) = ``(d*7 + row*31 + c*11) % 256``
+      mode 4: pixel p -> color k = ``(d + p) % 4``, channel c =
+              ``(k*[37,59,83][c] + c + d) % 256``
+      mode 5: flat RGBA sample i = ``(d*7 + i*31) % 256``
+    Output: (media_id, payload binary)."""
+    from aresdb_spark.operators.webp import encode_webp
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h, m = 5 + d % 7, 4 + d % 5, d % 6
+                if m == 1:
+                    row = np.arange(h)[:, None, None]
+                    c = np.arange(3)[None, None, :]
+                    px = ((d * 7 + row * 31 + c * 11) % 256 +
+                          np.zeros((1, w, 1), np.int64)).astype(np.uint8)
+                    payloads.append(encode_webp(px, use_lz77=True))
+                elif m == 4:
+                    p = np.arange(w * h)
+                    k = ((d + p) % 4)[:, None]
+                    kc = np.array([37, 59, 83])[None, :]
+                    cc = np.arange(3)[None, :]
+                    px = ((k * kc + cc + d) % 256).astype(np.uint8) \
+                        .reshape(h, w, 3)
+                    payloads.append(encode_webp(px, palette=True))
+                elif m == 5:
+                    px = ((d * 7 + np.arange(w * h * 4) * 31) % 256) \
+                        .astype(np.uint8).reshape(h, w, 4)
+                    payloads.append(encode_webp(px, cache_bits=5))
+                else:
+                    px = ((d * 7 + np.arange(w * h * 3) * 31) % 256) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_webp(
+                        px, subtract_green=(m == 2),
+                        predictor=(d % 14) if m == 3 else None))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
@@ -1116,9 +1178,11 @@ def synthetic_near_dup_images(ids: DataFrame,
 
       - g % 3 == 0: SAME pixels as baseline JPEG (container twin,
         Hamming 0 — exact for the 8x8-tile-constant pattern class)
-      - g % 3 == 1: SAME pixels as a PALETTE PNG (color type 3 with
-        the identity gray palette — the r12 palette decode path;
-        Hamming 0)
+      - g % 3 == 1: SAME pixels as a PALETTE PNG for even g (color
+        type 3 with the identity gray palette — the r12 palette
+        decode path) or a LOSSLESS WebP (VP8L palette encode,
+        operators/webp.py) for odd g; Hamming 0 either way — the
+        container changes, the pixels (and so the oracle) don't
       - g % 3 == 2: a SINGLE-TILE EDIT of the pattern as PNG
         (``_blocky_edited`` — measured Hamming 2-14, so the graded row
         proves recall at real non-zero distances AND that pairs beyond
@@ -1128,6 +1192,7 @@ def synthetic_near_dup_images(ids: DataFrame,
     enumeration over ``synthetic_near_dup_pixels`` is the oracle.
     Output: (media_id, payload binary)."""
     from aresdb_spark.operators.jpeg import encode_jpeg
+    from aresdb_spark.operators.webp import encode_webp
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -1145,7 +1210,11 @@ def synthetic_near_dup_images(ids: DataFrame,
                 if role == 1 and g % 3 == 0:
                     payloads.append(encode_jpeg(img))
                 elif role == 1 and g % 3 == 1:
-                    payloads.append(encode_png(img, palette=gray_pal))
+                    if g % 2 == 0:
+                        payloads.append(encode_png(img, palette=gray_pal))
+                    else:
+                        payloads.append(encode_webp(
+                            np.stack([img] * 3, axis=2), palette=True))
                 else:
                     payloads.append(encode_png(img))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),

@@ -1,0 +1,851 @@
+"""Clean-room WebP LOSSLESS (VP8L) codec — pure Python/numpy, built
+from Google's public "WebP Lossless Bitstream Specification".
+
+Scope:
+  - decode: RIFF/WEBP containers holding a VP8L chunk (directly or
+    inside a VP8X extended container): LSB-first bit reader, simple
+    and canonical prefix codes (code-length-coded, incl. the 16/17/18
+    repeat symbols and the optional max_symbol cap), color cache,
+    meta prefix codes (the "huffman image"), LZ77 backrefs with the
+    short-distance 2D map, and ALL FOUR transforms applied in reverse
+    read order — PREDICTOR (all 14 modes + edge rules), COLOR
+    (ColorTransformElement deltas), SUBTRACT_GREEN and COLOR_INDEXING
+    (delta-coded palette, incl. sub-byte pixel BUNDLING for palettes
+    of <= 16 colors). Returns RGB (h, w, 3) or RGBA (h, w, 4) uint8 —
+    alpha is carried when any decoded pixel's alpha != 255.
+  - encode: a correct-but-simple writer for deterministic test/oracle
+    payloads — literal pixels under canonical or simple prefix codes,
+    optional distance-1 LZ77 runs, optional SUBTRACT_GREEN, optional
+    fixed-mode PREDICTOR transform, optional COLOR_INDEXING palette
+    (with bundling), optional color cache. No rate optimization: one
+    prefix-code group, histogram-derived code lengths.
+
+Lossy WebP (VP8 chunks) needs a full DCT video intra codec and stays
+an honest NotImplementedError naming the chunk.
+
+Convention note: prefix codes use RFC 1951 canonical assignment and
+are read bit-by-bit starting at the code's most significant bit (the
+DEFLATE convention, which VP8L shares); everything else is LSB-first.
+The short-distance map below is transcribed from the spec's table;
+encoder-side tests pin entries (0,1),(1,0),(1,1) and the >=120
+plane-code path exhaustively, and the full table is format-checked
+(120 unique in-range offsets).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# the spec's 120-entry short-distance map: (dx, dy) neighborhood
+# offsets; plane codes 1..120 map here, codes > 120 mean dist-120
+_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+]
+assert len(_DIST_MAP) == 120 and len(set(_DIST_MAP)) == 120
+assert all(-8 <= x <= 8 and 0 <= y <= 7 for x, y in _DIST_MAP)
+
+# code-length-code symbol order (shared with the spec)
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
+              13, 14, 15]
+
+
+class _BitReader:
+    """LSB-first bit reader over bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0                                 # absolute bit pos
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte = self.data[self.pos >> 3]
+            v |= ((byte >> (self.pos & 7)) & 1) << i
+            self.pos += 1
+        return v
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (self.pos & 7)) & 1
+        self.pos += 1
+        return b
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.bit = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) & 7
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+class _PrefixCode:
+    """Canonical prefix code (RFC 1951 assignment); decode walks bits
+    MSB-of-code-first (the DEFLATE/VP8L convention)."""
+
+    def __init__(self, lengths: "list[int]"):
+        self.single = None
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise ValueError("prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]                  # 0-bit code
+            self.codes = {}
+            self.code_of = {nz[0][1]: (0, 0)}
+            return
+        max_len = max(ln for ln, _ in nz)
+        bl_count = [0] * (max_len + 1)
+        for ln, _ in nz:
+            bl_count[ln] += 1
+        code = 0
+        next_code = [0] * (max_len + 1)
+        for ln in range(1, max_len + 1):
+            code = (code + bl_count[ln - 1]) << 1
+            next_code[ln] = code
+        if any(next_code[ln] + bl_count[ln] > (1 << ln)
+               for ln in range(1, max_len + 1)):
+            raise ValueError("over-subscribed prefix code")
+        self.codes = {}                             # (len, code) -> sym
+        self.code_of = {}                           # sym -> (len, code)
+        for ln, sym in sorted(nz):
+            c = next_code[ln]
+            next_code[ln] += 1
+            self.codes[(ln, c)] = sym
+            self.code_of[sym] = (ln, c)
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | br.read_bit()
+            ln += 1
+            if (ln, code) in self.codes:
+                return self.codes[(ln, code)]
+            if ln > 15:
+                raise ValueError("invalid prefix code stream")
+
+    def encode(self, bw: _BitWriter, sym: int) -> None:
+        ln, code = self.code_of[sym]
+        for i in range(ln - 1, -1, -1):             # MSB first
+            bw.write((code >> i) & 1, 1)
+
+
+def _read_prefix_code(br: _BitReader, alphabet: int) -> _PrefixCode:
+    if br.read_bit():                               # simple code
+        num = br.read_bit() + 1
+        if br.read_bit():                           # first symbol 8 bits
+            sym0 = br.read(8)
+        else:
+            sym0 = br.read_bit()
+        lengths = [0] * alphabet
+        if num == 1:
+            lengths[sym0] = 1                       # single → 0-bit reads
+            return _PrefixCode(lengths)
+        sym1 = br.read(8)
+        lengths[sym0] = lengths[sym1] = 1
+        return _PrefixCode(lengths)
+    num_codes = br.read(4) + 4
+    clc = [0] * 19
+    for i in range(num_codes):
+        clc[_CLC_ORDER[i]] = br.read(3)
+    clc_code = _PrefixCode(clc)
+    if br.read_bit():                               # use max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths = [0] * alphabet
+    prev = 8
+    symbol = 0
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        s = clc_code.decode(br)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if symbol < alphabet:
+                    lengths[symbol] = prev
+                    symbol += 1
+        elif s == 17:
+            symbol += 3 + br.read(3)
+        else:                                       # 18
+            symbol += 11 + br.read(7)
+    return _PrefixCode(lengths)
+
+
+def _write_prefix_code(bw: _BitWriter, lengths: "list[int]") -> None:
+    """Encoder mirror of _read_prefix_code: simple form for <= 2
+    symbols of length <= 1 consideration, else the code-length-coded
+    canonical form (no 16/17 shortcuts except long zero runs via 18)."""
+    nz = [sym for sym, ln in enumerate(lengths) if ln > 0]
+    # the simple form carries symbols in 8 bits — usable only when
+    # every coded symbol fits a byte (green LZ77/cache codes don't)
+    if 1 <= len(nz) <= 2 and all(lengths[s] == 1 for s in nz) \
+            and nz[-1] <= 255:
+        bw.write(1, 1)                              # simple
+        bw.write(len(nz) - 1, 1)
+        bw.write(1, 1)                              # 8-bit first symbol
+        bw.write(nz[0], 8)
+        if len(nz) == 2:
+            bw.write(nz[1], 8)
+        return
+    bw.write(0, 1)
+    # histogram of code-length symbols we will emit (literals + 18s)
+    emit = []
+    i = 0
+    n = len(lengths)
+    last_nz = max(nz) if nz else 0
+    while i <= last_nz:
+        if lengths[i] == 0:
+            run = 0
+            j = i
+            while j <= last_nz and lengths[j] == 0:
+                run += 1
+                j += 1
+            while run >= 11:
+                r = min(run, 138)
+                emit.append((18, r - 11, 7))
+                run -= r
+            for _ in range(run):
+                emit.append((0, None, 0))
+            i = j
+        else:
+            emit.append((lengths[i], None, 0))
+            i += 1
+    hist = [0] * 19
+    for s, _, _ in emit:
+        hist[s] += 1
+    clc_lengths = _limited_code_lengths(hist, 7)
+    # write all 19 slots (num_codes = 19) in the spec order
+    bw.write(19 - 4, 4)
+    for sym in _CLC_ORDER:
+        bw.write(clc_lengths[sym], 3)
+    clc = _PrefixCode(clc_lengths)
+    # cap the code-length stream at exactly the symbols we emit —
+    # without the cap the reader would keep consuming the NEXT code's
+    # bits as code-length symbols until the whole alphabet is assigned
+    bw.write(1, 1)
+    cap = max(len(emit), 2)
+    k = 0
+    while (cap - 2) >> (2 + 2 * k):
+        k += 1
+    bw.write(k, 3)
+    bw.write(cap - 2, 2 + 2 * k)
+    for s, extra, nbits in emit:
+        clc.encode(bw, s)
+        if nbits:
+            bw.write(extra, nbits)
+
+
+def _limited_code_lengths(hist: "list[int]", max_len: int) -> "list[int]":
+    """Package-merge-lite: build canonical code lengths for a
+    histogram, capped at max_len. Correctness over optimality — a
+    shallow balanced code when Huffman would exceed the cap."""
+    syms = [s for s, c in enumerate(hist) if c > 0]
+    if not syms:
+        raise ValueError("empty histogram")
+    if len(syms) == 1:
+        out = [0] * len(hist)
+        out[syms[0]] = 1
+        return out
+    # plain Huffman by repeated pairing
+    import heapq
+    heap = [(hist[s], [s]) for s in syms]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in syms}
+    while len(heap) > 1:
+        ca, sa = heapq.heappop(heap)
+        cb, sb = heapq.heappop(heap)
+        for s in sa + sb:
+            depth[s] += 1
+        heapq.heappush(heap, (ca + cb, sa + sb))
+    if max(depth.values()) > max_len:
+        # fall back to a fixed-width code
+        width = 1
+        while (1 << width) < len(syms):
+            width += 1
+        if width > max_len:
+            raise ValueError("alphabet too large for the length cap")
+        # a fixed-width code over a non-power-of-two alphabet is
+        # incomplete; pad by shortening the first symbol when possible,
+        # else assign everyone `width` and accept completeness via
+        # kraft-filling with unused codes (decoder only needs a valid
+        # prefix code, ours rejects OVER-subscription only)
+        depth = {s: width for s in syms}
+    out = [0] * len(hist)
+    for s, d in depth.items():
+        out[s] = max(1, d)
+    return out
+
+
+def _read_lz77_value(br: _BitReader, code: int) -> int:
+    """LZ77 prefix-coded value (spec: codes 0-3 literal 1..4; higher
+    codes add extra bits)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _lz77_code(value: int) -> "tuple[int, int, int]":
+    """(code, extra_value, extra_bits) for a 1-based LZ77 value —
+    encoder inverse of _read_lz77_value."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    bits = v.bit_length() - 1                       # v in [2^bits, 2^b+1)
+    second = (v >> (bits - 1)) & 1
+    code = 2 * bits + second
+    offset = (2 + second) << (bits - 1)
+    return code, value - offset - 1, bits - 1
+
+
+class _Transform:
+    def __init__(self, kind, size_bits=0, data=None, palette=None,
+                 width_bits=0, orig_w=0):
+        self.kind = kind
+        self.size_bits = size_bits
+        self.data = data
+        self.palette = palette
+        self.width_bits = width_bits
+        self.orig_w = orig_w
+
+
+def _decode_image_data(br: _BitReader, w: int, h: int,
+                       allow_meta: bool) -> np.ndarray:
+    """Entropy-coded ARGB image data → (h*w, 4) uint8 [a, r, g, b]."""
+    cache_bits = 0
+    cache = None
+    if br.read_bit():
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError(f"invalid color cache bits {cache_bits}")
+        cache = [0] * (1 << cache_bits)
+    meta = None
+    meta_bits = 0
+    n_groups = 1
+    if allow_meta and br.read_bit():
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _decode_image_data(br, mw, mh, False).reshape(mh, mw, 4)
+        meta = (mimg[:, :, 1].astype(np.int64) << 8) \
+            | mimg[:, :, 2].astype(np.int64)
+        n_groups = int(meta.max()) + 1
+    green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        g = _read_prefix_code(br, green_alpha)
+        r = _read_prefix_code(br, 256)
+        b = _read_prefix_code(br, 256)
+        a = _read_prefix_code(br, 256)
+        d = _read_prefix_code(br, 40)
+        groups.append((g, r, b, a, d))
+
+    out = np.zeros((h * w, 4), np.uint8)
+    pos = 0
+    total = h * w
+
+    def group_at(p):
+        if meta is None:
+            return groups[0]
+        y, x = divmod(p, w)
+        return groups[int(meta[y >> meta_bits, x >> meta_bits])]
+
+    def cache_insert(px):
+        if cache is not None:
+            argb = (int(px[0]) << 24) | (int(px[1]) << 16) \
+                | (int(px[2]) << 8) | int(px[3])
+            cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> (32 - cache_bits)] \
+                = argb
+
+    while pos < total:
+        gcode, rcode, bcode, acode, dcode = group_at(pos)
+        s = gcode.decode(br)
+        if s < 256:                                 # literal
+            g = s
+            r = rcode.decode(br)
+            b = bcode.decode(br)
+            a = acode.decode(br)
+            out[pos] = (a, r, g, b)
+            cache_insert(out[pos])
+            pos += 1
+        elif s < 256 + 24:                          # LZ77 backref
+            length = _read_lz77_value(br, s - 256)
+            dsym = dcode.decode(br)
+            plane = _read_lz77_value(br, dsym)
+            if plane > 120:
+                dist = plane - 120
+            else:
+                dx, dy = _DIST_MAP[plane - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos or pos + length > total:
+                raise ValueError("LZ77 reference out of range")
+            for i in range(length):
+                out[pos + i] = out[pos + i - dist]
+                cache_insert(out[pos + i])
+            pos += length
+        else:                                       # color cache hit
+            if cache is None:
+                raise ValueError("cache symbol without a color cache")
+            argb = cache[s - 256 - 24]
+            out[pos] = ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
+                        (argb >> 8) & 0xFF, argb & 0xFF)
+            pos += 1
+    return out
+
+
+def _apply_inverse_transforms(px: np.ndarray, w: int, h: int,
+                              transforms: "list[_Transform]"):
+    """px is (h*w, 4) [a, r, g, b]; transforms in REVERSE read order."""
+    for t in reversed(transforms):
+        if t.kind == 2:                             # subtract green
+            g = px[:, 2].astype(np.int64)
+            px[:, 1] = (px[:, 1] + g) % 256
+            px[:, 3] = (px[:, 3] + g) % 256
+        elif t.kind == 3:                           # color indexing
+            idx = px[:, 2].reshape(h, -1)           # packed widths
+            if t.width_bits:
+                # unpack bundled pixels (LSB-first within the byte)
+                bits = 8 >> t.width_bits
+                per = 1 << t.width_bits
+                mask = (1 << bits) - 1
+                cols = [(idx.astype(np.int64) >> (bits * k)) & mask
+                        for k in range(per)]
+                idx = np.stack(cols, axis=2).reshape(h, -1)[:, :t.orig_w]
+            pal = t.palette
+            flat = idx.reshape(-1)
+            if int(flat.max(initial=0)) >= len(pal):
+                raise ValueError("palette index out of range")
+            px = pal[flat]
+        elif t.kind == 0:                           # predictor
+            px = _inverse_predictor(px.reshape(h, -1, 4), t) \
+                .reshape(-1, 4)
+        elif t.kind == 1:                           # color transform
+            px = _inverse_color_transform(px.reshape(h, -1, 4), t) \
+                .reshape(-1, 4)
+    return px
+
+
+def _avg2(a, b):
+    return (a.astype(np.int64) + b.astype(np.int64)) // 2
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """One predictor pixel (vectors of 4 channels, int64)."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], np.int64)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return (_avg2(_avg2(L, TR), T))
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:                                  # Select
+        p = L + T - TL
+        pL = np.abs(p - L).sum()
+        pT = np.abs(p - T).sum()
+        return L if pL < pT else T
+    if mode == 12:                                  # ClampAddSubtractFull
+        return np.clip(L + T - TL, 0, 255)
+    if mode == 13:                                  # ClampAddSubtractHalf
+        ave = _avg2(L, T)
+        return np.clip(ave + (ave - TL) // 2, 0, 255)
+    raise ValueError(f"predictor mode {mode}")
+
+
+def _inverse_predictor(px: np.ndarray, t: _Transform) -> np.ndarray:
+    h, w = px.shape[0], px.shape[1]
+    modes = t.data                                  # (bh, bw) ints
+    out = px.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = np.array([255, 0, 0, 0], np.int64)
+            elif y == 0:
+                pred = out[0, x - 1]                # left
+            elif x == 0:
+                pred = out[y - 1, 0]                # top
+            else:
+                mode = int(modes[y >> t.size_bits, x >> t.size_bits])
+                L = out[y, x - 1]
+                T = out[y - 1, x]
+                TL = out[y - 1, x - 1]
+                # right-edge TR clamps to T (mirrored by the encoder;
+                # round-trip-pinned convention)
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, x]
+                pred = _predict(mode, L, T, TL, TR)
+            out[y, x] = (out[y, x] + pred) % 256
+    return out.astype(np.uint8)
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta: signed 3.5 fixed-point product >> 5."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _inverse_color_transform(px: np.ndarray, t: _Transform) -> np.ndarray:
+    h, w = px.shape[0], px.shape[1]
+    cte = t.data                                    # (bh, bw, 4) argb
+    out = px.astype(np.int64)
+    for y in range(h):
+        for x in range(w):
+            e = cte[y >> t.size_bits, x >> t.size_bits]
+            g2r = int(e[3])                         # blue channel
+            g2b = int(e[2])                         # green channel
+            r2b = int(e[1])                         # red channel
+            g = int(out[y, x, 2])
+            r = (out[y, x, 1] + _ct_delta(g2r, g)) % 256
+            b = (out[y, x, 3] + _ct_delta(g2b, g) + _ct_delta(r2b, int(r))) \
+                % 256
+            out[y, x, 1] = r
+            out[y, x, 3] = b
+    return out.astype(np.uint8)
+
+
+def decode_vp8l(stream: bytes) -> np.ndarray:
+    br = _BitReader(stream)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                      # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms: "list[_Transform]" = []
+    cur_w = w
+    seen = set()
+    while br.read_bit():
+        kind = br.read(2)
+        if kind in seen:
+            raise ValueError("duplicate VP8L transform")
+        seen.add(kind)
+        if kind in (0, 1):                          # predictor / color
+            size_bits = br.read(3) + 2
+            bw_ = (cur_w + (1 << size_bits) - 1) >> size_bits
+            bh_ = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_image_data(br, bw_, bh_, False) \
+                .reshape(bh_, bw_, 4)
+            if kind == 0:
+                transforms.append(_Transform(0, size_bits,
+                                             sub[:, :, 2].astype(int)))
+            else:
+                transforms.append(_Transform(1, size_bits, sub))
+        elif kind == 2:
+            transforms.append(_Transform(2))
+        else:                                       # color indexing
+            n_colors = br.read(8) + 1
+            praw = _decode_image_data(br, n_colors, 1, False)
+            pal = np.cumsum(praw.astype(np.int64), axis=0) % 256
+            pal = pal.astype(np.uint8)
+            width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                          else 1 if n_colors <= 16 else 0)
+            t = _Transform(3, palette=pal, width_bits=width_bits,
+                           orig_w=cur_w)
+            transforms.append(t)
+            if width_bits:
+                cur_w = -(-cur_w // (1 << width_bits))
+    px = _decode_image_data(br, cur_w, h, True)
+    px = _apply_inverse_transforms(px, w, h, transforms)
+    px = px.reshape(h, w, 4)
+    rgba = px[:, :, [1, 2, 3, 0]]                   # argb → rgba
+    if (rgba[:, :, 3] == 255).all():
+        return rgba[:, :, :3].copy()
+    return rgba.copy()
+
+
+def decode_webp(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP container: VP8L (lossless) decodes for real — directly
+    or inside a VP8X extended container; VP8 (lossy) raises naming the
+    chunk."""
+    data = bytes(payload)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if cid == b"VP8L":
+            return decode_vp8l(body)
+        if cid == b"VP8 ":
+            raise NotImplementedError(
+                "lossy WebP (VP8 chunk) requires a video intra codec — "
+                "lossless VP8L only")
+        pos += 8 + size + (size & 1)
+    raise ValueError("WebP container has no VP8L/VP8 chunk")
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def _histogram_code(values: "list[int]", alphabet: int) -> _PrefixCode:
+    hist = [0] * alphabet
+    for v in values:
+        hist[v] += 1
+    if not any(hist):
+        hist[0] = 1
+    return _PrefixCode(_limited_code_lengths(hist, 15))
+
+
+def _encode_image_data(bw: _BitWriter, argb: np.ndarray, w: int, h: int,
+                       use_lz77: bool, cache_bits: int = 0,
+                       is_main: bool = False) -> None:
+    """Encode (h*w, 4) [a,r,g,b] literals (+ optional distance-1 runs
+    and color cache), single prefix-code group, no meta codes. Only
+    the MAIN image carries the meta-prefix bit (sub-images have no
+    such field in the spec)."""
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+        cache = [None] * (1 << cache_bits)
+    else:
+        bw.write(0, 1)
+        cache = None
+    if is_main:
+        bw.write(0, 1)                              # no meta prefix
+
+    # token stream: ("lit", a, r, g, b) | ("run", length) | ("cache", i)
+    tokens = []
+    pos = 0
+    total = h * w
+
+    def key(px):
+        return (int(px[0]) << 24) | (int(px[1]) << 16) \
+            | (int(px[2]) << 8) | int(px[3])
+
+    while pos < total:
+        if use_lz77 and pos > 0:
+            run = 0
+            while pos + run < total and run < 4096 \
+                    and (argb[pos + run] == argb[pos - 1]).all():
+                run += 1
+            if run >= 3:
+                tokens.append(("run", run))
+                if cache is not None:
+                    for i in range(pos, pos + run):
+                        cache[(0x1e35a7bd * key(argb[i]) & 0xFFFFFFFF)
+                              >> (32 - cache_bits)] = key(argb[i])
+                pos += run
+                continue
+        k = key(argb[pos])
+        if cache is not None:
+            slot = (0x1e35a7bd * k & 0xFFFFFFFF) >> (32 - cache_bits)
+            if cache[slot] == k:
+                tokens.append(("cache", slot))
+                pos += 1
+                continue
+            cache[slot] = k
+        tokens.append(("lit", *argb[pos]))
+        pos += 1
+
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    greens, reds, blues, alphas, dists = [], [], [], [], []
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = (int(v) for v in t[1:])
+            greens.append(g)
+            reds.append(r)
+            blues.append(b)
+            alphas.append(a)
+        elif t[0] == "run":
+            code, _, _ = _lz77_code(t[1])
+            greens.append(256 + code)
+            dcode, _, _ = _lz77_code(121)           # plane 121 → dist 1
+            dists.append(dcode)
+        else:
+            greens.append(256 + 24 + t[1])
+    gcode = _histogram_code(greens, 256 + 24 + cache_size)
+    rcode = _histogram_code(reds, 256)
+    bcode = _histogram_code(blues, 256)
+    acode = _histogram_code(alphas, 256)
+    dcode_tbl = _histogram_code(dists, 40)
+    for code, alph in ((gcode, 256 + 24 + cache_size), (rcode, 256),
+                       (bcode, 256), (acode, 256), (dcode_tbl, 40)):
+        lengths = [0] * alph
+        for sym, (ln, _) in code.code_of.items():
+            lengths[sym] = max(ln, 1) if code.single is not None \
+                and sym == code.single else ln
+        _write_prefix_code(bw, lengths)
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = (int(v) for v in t[1:])
+            gcode.encode(bw, g)
+            rcode.encode(bw, r)
+            bcode.encode(bw, b)
+            acode.encode(bw, a)
+        elif t[0] == "run":
+            code, extra, nbits = _lz77_code(t[1])
+            gcode.encode(bw, 256 + code)
+            bw.write(extra, nbits)
+            dc, dextra, dnbits = _lz77_code(121)
+            dcode_tbl.encode(bw, dc)
+            bw.write(dextra, dnbits)
+        else:
+            gcode.encode(bw, 256 + 24 + t[1])
+
+
+def encode_webp(pixels: np.ndarray, subtract_green: bool = False,
+                predictor: "int | None" = None, palette: bool = False,
+                use_lz77: bool = True, cache_bits: int = 0) -> bytes:
+    """Lossless VP8L writer for test/oracle payloads: RGB (h, w, 3) or
+    RGBA (h, w, 4) uint8. Options compose transforms the decoder must
+    reverse: SUBTRACT_GREEN, a fixed-mode PREDICTOR (mode 1..13 used
+    for every block; edge rules per spec), COLOR_INDEXING when the
+    image has <= 256 distinct colors (with sub-byte bundling for small
+    palettes), plus distance-1 LZ77 runs and an optional color cache."""
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim != 3 or px.shape[2] not in (3, 4):
+        raise ValueError(f"expected (h, w, 3|4): {px.shape}")
+    h, w = px.shape[:2]
+    if px.shape[2] == 3:
+        rgba = np.dstack([px, np.full((h, w), 255, np.uint8)])
+        alpha_hint = 0
+    else:
+        rgba = px
+        alpha_hint = 1
+    argb = rgba[:, :, [3, 0, 1, 2]].reshape(-1, 4).astype(np.int64)
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8)
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(alpha_hint, 1)
+    bw.write(0, 3)                                  # version
+
+    cur_w = w
+    if palette:
+        flat = argb.reshape(h, w, 4)
+        colors, inv = np.unique(flat.reshape(-1, 4), axis=0,
+                                return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError("palette encode needs <= 256 colors")
+        bw.write(1, 1)                              # transform present
+        bw.write(3, 2)                              # color indexing
+        bw.write(len(colors) - 1, 8)
+        deltas = np.diff(np.vstack([np.zeros((1, 4), np.int64),
+                                    colors.astype(np.int64)]),
+                         axis=0) % 256
+        _encode_image_data(bw, deltas, len(colors), 1, use_lz77=False)
+        n_colors = len(colors)
+        width_bits = (3 if n_colors <= 2 else 2 if n_colors <= 4
+                      else 1 if n_colors <= 16 else 0)
+        idx = inv.reshape(h, w).astype(np.int64)
+        if width_bits:
+            bits = 8 >> width_bits
+            per = 8 // bits
+            pad = (-w) % per
+            if pad:
+                idx = np.concatenate(
+                    [idx, np.zeros((h, pad), np.int64)], axis=1)
+            packed = np.zeros((h, idx.shape[1] // per), np.int64)
+            for k in range(per):
+                packed |= idx[:, k::per] << (bits * k)
+            idx = packed
+            cur_w = idx.shape[1]
+        green = idx.reshape(-1)
+        argb = np.zeros((green.size, 4), np.int64)
+        argb[:, 0] = 255
+        argb[:, 2] = green
+    else:
+        if subtract_green:
+            bw.write(1, 1)
+            bw.write(2, 2)
+            g = argb[:, 2]
+            argb[:, 1] = (argb[:, 1] - g) % 256
+            argb[:, 3] = (argb[:, 3] - g) % 256
+        if predictor is not None:
+            if not 0 <= predictor <= 13:
+                raise ValueError("predictor mode 0..13")
+            bw.write(1, 1)
+            bw.write(0, 2)
+            size_bits = 4
+            bw.write(size_bits - 2, 3)
+            bw_blocks = (cur_w + 15) >> 4
+            bh_blocks = (h + 15) >> 4
+            modes = np.zeros((bh_blocks * bw_blocks, 4), np.int64)
+            modes[:, 0] = 255
+            modes[:, 2] = predictor
+            _encode_image_data(bw, modes, bw_blocks, bh_blocks,
+                               use_lz77=False)
+            img = argb.reshape(h, cur_w, 4)
+            res = np.zeros_like(img)
+            for y in range(h):
+                for x in range(cur_w):
+                    if x == 0 and y == 0:
+                        pred = np.array([255, 0, 0, 0], np.int64)
+                    elif y == 0:
+                        pred = img[0, x - 1]
+                    elif x == 0:
+                        pred = img[y - 1, 0]
+                    else:
+                        L = img[y, x - 1]
+                        T = img[y - 1, x]
+                        TL = img[y - 1, x - 1]
+                        TR = img[y - 1, x + 1] if x + 1 < cur_w \
+                            else img[y - 1, x]
+                        pred = _predict(predictor, L, T, TL, TR)
+                    res[y, x] = (img[y, x] - pred) % 256
+            argb = res.reshape(-1, 4)
+    bw.write(0, 1)                                  # no more transforms
+    _encode_image_data(bw, argb, cur_w, h, use_lz77=use_lz77,
+                       cache_bits=cache_bits, is_main=True)
+    stream = bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(stream)) + stream
+    if len(stream) % 2:
+        chunk += b"\0"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

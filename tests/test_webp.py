@@ -1,0 +1,152 @@
+"""Clean-room lossless-WebP (VP8L) codec (operators/webp.py): exact
+round trips across the feature matrix (VP8L is lossless), transform
+inverses, LZ77/cache/prefix-code internals, dispatcher integration and
+named scope errors."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from aresdb_spark.operators.webp import (_DIST_MAP, _lz77_code,
+                                         _BitReader, _BitWriter,
+                                         _ct_delta, _PrefixCode,
+                                         _read_lz77_value, decode_webp,
+                                         encode_webp)
+
+
+def test_bit_io_and_lz77_value_coding():
+    bw = _BitWriter()
+    for v, n in ((0x2F, 8), (5, 3), (1, 1), (1023, 14)):
+        bw.write(v, n)
+    br = _BitReader(bw.bytes())
+    assert [br.read(8), br.read(3), br.read(1), br.read(14)] \
+        == [0x2F, 5, 1, 1023]
+    # every LZ77 value round-trips through (code, extra, nbits)
+    for value in list(range(1, 70)) + [120, 121, 1000, 4096]:
+        code, extra, nbits = _lz77_code(value)
+        bw = _BitWriter()
+        bw.write(extra, nbits)
+        assert _read_lz77_value(_BitReader(bw.bytes() or b"\0"),
+                                code) == value
+
+
+def test_prefix_code_canonical_and_single():
+    lengths = [0] * 10
+    lengths[2], lengths[5], lengths[7], lengths[9] = 1, 2, 3, 3
+    code = _PrefixCode(lengths)
+    bw = _BitWriter()
+    for sym in (2, 9, 5, 7, 2):
+        code.encode(bw, sym)
+    br = _BitReader(bw.bytes())
+    assert [code.decode(br) for _ in range(5)] == [2, 9, 5, 7, 2]
+    single = _PrefixCode([0, 0, 1, 0])
+    assert single.decode(_BitReader(b"")) == 2    # 0-bit reads
+    with pytest.raises(ValueError, match="over-subscribed"):
+        _PrefixCode([1, 1, 1])
+
+
+def test_webp_roundtrip_matrix():
+    """Literals, runs, subtract-green, all 14 predictor modes, every
+    palette bundling width, color cache, RGBA, edge shapes."""
+    rng = np.random.default_rng(4)
+
+    def check(px, **kw):
+        out = decode_webp(encode_webp(px, **kw))
+        assert out.shape == px.shape and np.array_equal(out, px), kw
+
+    for ch in (3, 4):
+        px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+        if ch == 4:
+            px[0, 0, 3] = 200                     # keep alpha non-trivial
+        check(px, use_lz77=False)
+        check(px)
+    check(np.repeat(rng.integers(0, 256, (6, 4, 3), dtype=np.uint8),
+                    5, axis=1))                   # distance-1 runs
+    check(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8),
+          subtract_green=True)
+    for mode in range(14):
+        check(rng.integers(0, 256, (20, 19, 3), dtype=np.uint8),
+              predictor=mode)
+    for n_colors in (2, 3, 4, 9, 16, 17, 200):   # all bundling widths
+        pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        check(pal[rng.integers(0, n_colors, (10, 13))], palette=True)
+    px = np.tile(rng.integers(0, 256, (1, 5, 3), dtype=np.uint8),
+                 (7, 3, 1))
+    check(px, cache_bits=4, use_lz77=False)
+    check(px, cache_bits=6)
+    check(rng.integers(0, 256, (17, 11, 3), dtype=np.uint8),
+          subtract_green=True, predictor=7)      # composed transforms
+    for shape in [(1, 1, 3), (1, 8, 3), (8, 1, 3)]:
+        check(rng.integers(0, 256, shape, dtype=np.uint8), predictor=11)
+
+
+def test_webp_scope_and_table_shape():
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_webp(b"RIFF" + struct.pack("<I", 12) + b"WEBP"
+                    + b"VP8 " + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="not a WebP"):
+        decode_webp(b"RIFFxxxxWAVE")
+    with pytest.raises(ValueError, match="no VP8L"):
+        decode_webp(b"RIFF" + struct.pack("<I", 4) + b"WEBP")
+    # the short-distance map is format-checked: 120 unique in-range
+    # offsets, and the first entries (the ones the spec examples pin)
+    assert _DIST_MAP[0] == (0, 1) and _DIST_MAP[1] == (1, 0)
+    assert len(set(_DIST_MAP)) == 120
+    # signed fixed-point color-transform delta
+    assert _ct_delta(0, 100) == 0
+    assert _ct_delta(255, 2) == (-1 * 2) >> 5    # 255 = -1 as int8
+    assert _ct_delta(64, 64) == (64 * 64) >> 5
+
+
+def test_webp_through_dispatcher_and_stats(spark):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = M.decode_image(encode_webp(px))
+    assert out.dtype == np.float32 and np.array_equal(
+        out, px.astype(np.float32))
+
+    ids = spark.range(0, 18).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in M.decode_stats(
+                M.synthetic_webp_media(ids)).collect()}
+    assert len(rows) == 18
+    for d in range(18):
+        w, h, m = 5 + d % 7, 4 + d % 5, d % 6
+        ch = 4 if m == 5 else 3
+        i = np.arange(w * h * ch)
+        if m == 1:
+            vals = (d * 7 + ((i // 3) // w) * 31 + (i % 3) * 11) % 256
+        elif m == 4:
+            k = (d + i // 3) % 4
+            kc = np.array([37, 59, 83])[i % 3]
+            vals = (k * kc + (i % 3) + d) % 256
+        else:
+            vals = (d * 7 + i * 31) % 256
+        s = rows[d]
+        assert (s["width"], s["height"], s["channels"]) == (w, h, ch), d
+        assert s["px_sum"] == int(vals.sum()), d
+        assert s["px_min"] == int(vals.min()) \
+            and s["px_max"] == int(vals.max()), d
+
+
+def test_webp_twin_in_near_dup_corpus(spark):
+    """The pHash dedup corpus's odd-g container twins are WebP VP8L:
+    same pixels, same hash, found at Hamming 0 through the full
+    pipeline (container diversity is the point of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+
+    # group g=1 (ids 3..5): role-1 twin is WebP (g odd, g % 3 == 1)
+    ids = spark.range(3, 6).select(F.col("id").alias("media_id"))
+    payloads = {r["media_id"]: bytes(r["payload"])
+                for r in M.synthetic_near_dup_images(ids).collect()}
+    assert payloads[4][:4] == b"RIFF" and payloads[4][8:12] == b"WEBP"
+    pairs = M.image_near_duplicates(M.synthetic_near_dup_images(ids)) \
+        .collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} \
+        == {(3, 4, 0)}
