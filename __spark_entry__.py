@@ -1912,6 +1912,55 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM s GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal FLAC (r12, operators/flac.py — the clean-room
+    # LOSSLESS compressed-audio codec: Rice-coded residuals of
+    # fixed/LPC predictors, both stereo decorrelations, CRC-8/16
+    # verified; unlike the perceptual MP3/AAC family it is fully
+    # integer, so it decodes for real). The graded set sweeps FIXED /
+    # VERBATIM / LPC subframes, mid/side stereo, escaped Rice
+    # partitions and 24-bit depth across multi-frame streams; FLAC is
+    # lossless so the DuckDB formula oracle is bit-for-bit — a wrong
+    # unary walk, zigzag, predictor sum, shift or decorrelation breaks
+    # the hash.
+    def q_flac(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 71 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_flac_media(docs))
+
+    # n = 48 + 4*(d%7) frames, rate 8000*(1+d%2); d%6 picks the
+    # variant; v=3 is stereo (2n flat samples), v=5 is 24-bit with its
+    # own formula; max samples = 76*2 = 152
+    out["multimodal_flac_stats"] = (q_flac, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 6 AS v,
+                   48 + 4 * (doc_id % 7) AS n,
+                   8000 * (1 + doc_id % 2) AS rate,
+                   CASE WHEN doc_id % 6 = 3 THEN 2 ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 71 = 0
+        ),
+        s AS (
+            SELECT d, n, rate, ch,
+                   CASE WHEN v = 5
+                        THEN (d*131 + i*997) % 2000001 - 1000000
+                        ELSE (d*97 + i*61) % 2001 - 1000
+                   END AS val
+            FROM m CROSS JOIN range(152) t(i)
+            WHERE i < n * ch
+        )
+        SELECT d AS media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sum(val) AS BIGINT) AS amp_sum,
+               CAST(min(val) AS BIGINT) AS amp_min,
+               CAST(max(val) AS BIGINT) AS amp_max,
+               CAST(sum(abs(val)) AS BIGINT) AS abs_sum
+        FROM s GROUP BY 1, 2, 3, 4, 5
+    """)
+
     # --- multimodal WAV, IMA ADPCM (r11 — the "compressed WAV" reject,
     # retired for the one compressed RIFF format whose spec is
     # self-contained): the synthetic payload's NIBBLE STREAM is a pure

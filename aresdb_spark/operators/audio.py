@@ -756,17 +756,87 @@ def encode_aiff(samples: np.ndarray, sample_rate: int = 16_000,
 
 def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     """Container dispatch for the audio pipeline (r12): RIFF/WAVE →
-    decode_wav, FORM/AIFF(-C) → decode_aiff. Unknown containers raise
-    NotImplementedError naming the magic — same strict rule as the
-    image side's decode_image (no silent fakes on real data)."""
+    decode_wav, FORM/AIFF(-C) → decode_aiff, fLaC → the clean-room
+    FLAC decoder (operators/flac.py — lossless, fully integer, so it
+    decodes for real unlike the perceptual MP3/AAC family). Unknown
+    containers raise NotImplementedError naming the magic — same
+    strict rule as the image side's decode_image (no silent fakes on
+    real data)."""
     data = bytes(payload)
     if data[:4] == b"RIFF":
         return decode_wav(data)
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(data)
+    if data[:4] == b"fLaC":
+        from aresdb_spark.operators.flac import decode_flac
+        return decode_flac(data)
     raise NotImplementedError(
         f"audio container with magic {data[:8].hex()} is not "
-        f"implemented (RIFF/WAVE and AIFF/AIFF-C only)")
+        f"implemented (RIFF/WAVE, AIFF/AIFF-C and FLAC only)")
+
+
+def synthetic_flac_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL FLAC payloads (r12, operators/flac.py)
+    sweeping the decode surface: for id d, ``n = 48 + 4 * (d % 7)``
+    frames at rate ``8000 * (1 + d % 2)`` in 32-sample blocks, and
+    ``d % 6`` picks the variant — FIXED order 2, VERBATIM, LPC
+    (coefs [3, -1] shift 1), MID/SIDE stereo (flat sample (2i+c)),
+    Rice ESCAPE partitions, and 24-bit FIXED order 4 with partition
+    order 2. FLAC is lossless, so the integer sample formulas
+    round-trip bit-for-bit through real Rice-coded frames:
+      mono: sample i = ``(d*97 + i*61) % 2001 - 1000``
+      stereo flat: ``(d*97 + i*61) % 2001 - 1000`` over 2n samples
+      24-bit: ``(d*131 + i*997) % 2000001 - 1000000``
+    Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.flac import encode_flac
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n, v = 48 + 4 * (d % 7), d % 6
+                rate = 8000 * (1 + d % 2)
+                mono = (d * 97 + np.arange(n) * 61) % 2001 - 1000
+                if v == 0:
+                    blob = encode_flac(mono, rate, block_size=32,
+                                       subframe="fixed", fixed_order=2)
+                elif v == 1:
+                    blob = encode_flac(mono, rate, block_size=32,
+                                       subframe="verbatim")
+                elif v == 2:
+                    blob = encode_flac(mono, rate, block_size=32,
+                                       subframe="lpc",
+                                       lpc_coefs=[3, -1], lpc_shift=1)
+                elif v == 3:
+                    st = ((d * 97 + np.arange(n * 2) * 61) % 2001
+                          - 1000).reshape(n, 2)
+                    blob = encode_flac(st, rate, block_size=32,
+                                       stereo="mid_side", fixed_order=2)
+                elif v == 4:
+                    blob = encode_flac(mono, rate, block_size=32,
+                                       fixed_order=1, partition_order=1,
+                                       escape_partitions=True)
+                else:
+                    s24 = (d * 131 + np.arange(n) * 997) % 2000001 \
+                        - 1000000
+                    blob = encode_flac(s24, rate, bps=24, block_size=32,
+                                       fixed_order=4, partition_order=2)
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
 
 
 def audio_stats(df):

@@ -1,0 +1,525 @@
+"""Clean-room FLAC codec — pure Python/numpy, from the public xiph.org
+FLAC format specification (RFC 9639). FLAC is LOSSLESS and fully
+integer (Rice-coded residuals of fixed/LPC predictors), so — unlike
+the genuinely-perceptual MP3/AAC/Opus family the audio module rejects
+by name — it decodes for real with no codec library.
+
+Scope:
+  - decode: fLaC stream marker, metadata block walk (STREAMINFO
+    parsed, others skipped by length), frame headers (sync, UTF-8-coded
+    frame number, block-size/sample-rate/sample-size codes, CRC-8
+    verified), subframe types CONSTANT / VERBATIM / FIXED (orders 0-4)
+    / LPC (any order, quantized coefficients + signed shift), wasted
+    bits, Rice residuals (both 4- and 5-bit parameter methods,
+    partition orders, escape-to-raw partitions), stereo decorrelation
+    (independent, left/side, right/side, mid/side with the +1-bit side
+    channel), frame CRC-16 verified. Bits per sample 8/16/24.
+  - encode: a correct writer for deterministic test/oracle payloads —
+    per-frame choice of constant/verbatim/fixed/LPC subframes, Rice
+    parameter per partition (simple max-fit heuristic), any stereo
+    mode, optional escaped partitions.
+
+All bit packing is MSB-first (FLAC's convention, opposite the VP8L
+codec's). CRCs use the spec polynomials (CRC-8 0x07, CRC-16 0x8005).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+FLAC_MAGIC = b"fLaC"
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 \
+            else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC8_TABLE[c ^ b]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for b in data:
+        c = _CRC16_TABLE[(c >> 8) ^ b] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+class _MsbReader:
+    """MSB-first bit reader with byte-position tracking (frame CRCs
+    cover whole bytes, so frames are byte-aligned)."""
+
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.data = data
+        self.pos = pos_bytes * 8
+
+    def read(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("truncated FLAC stream")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+class _MsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            if self.nbits % 8 == 0:
+                self.buf.append(0)
+            if (value >> i) & 1:
+                self.buf[-1] |= 1 << (7 - self.nbits % 8)
+            self.nbits += 1
+
+    def write_signed(self, value: int, n: int) -> None:
+        self.write(value & ((1 << n) - 1), n)
+
+    def write_unary(self, q: int) -> None:
+        for _ in range(q):
+            self.write(0, 1)
+        self.write(1, 1)
+
+    def align(self) -> None:
+        while self.nbits % 8:
+            self.write(0, 1)
+
+    def bytes(self) -> bytes:
+        return bytes(self.buf)
+
+
+def _utf8_coded(value: int) -> bytes:
+    """FLAC's UTF-8-style variable-length number (frame header)."""
+    if value < 0x80:
+        return bytes([value])
+    out = []
+    n = 1
+    while value >= (1 << (6 - n + n * 5 + 1)) and n < 6:
+        n += 1
+    # n continuation bytes; leading byte has n+1 ones then a zero
+    for i in range(n):
+        out.append(0x80 | ((value >> (6 * (n - 1 - i))) & 0x3F))
+    lead_bits = 6 - n
+    lead = ((0xFF << (lead_bits + 1)) & 0xFF) | (value >> (6 * n))
+    return bytes([lead] + out)
+
+
+def _read_utf8_coded(br: _MsbReader) -> int:
+    first = br.read(8)
+    if first < 0x80:
+        return first
+    n = 0
+    mask = 0x40
+    while first & mask:
+        n += 1
+        mask >>= 1
+    if n < 1:
+        raise ValueError("invalid FLAC UTF-8-coded number")
+    value = first & (mask - 1)
+    for _ in range(n):
+        b = br.read(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("invalid FLAC UTF-8 continuation byte")
+        value = (value << 6) | (b & 0x3F)
+    return value
+
+
+_FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
+                4: [4, -6, 4, -1]}
+
+
+def _decode_residual(br: _MsbReader, blocksize: int, order: int) -> list:
+    method = br.read(2)
+    if method > 1:
+        raise ValueError(f"reserved FLAC residual method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = br.read(4)
+    if blocksize % (1 << porder):
+        raise ValueError("FLAC partition order does not divide blocksize")
+    out = []
+    psize = blocksize >> porder
+    for p in range(1 << porder):
+        count = psize - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC predictor order exceeds partition")
+        param = br.read(pbits)
+        if param == escape:
+            raw = br.read(5)
+            for _ in range(count):
+                out.append(br.read_signed(raw) if raw else 0)
+        else:
+            for _ in range(count):
+                q = br.read_unary()
+                v = (q << param) | br.read(param)
+                out.append((v >> 1) ^ -(v & 1))     # zigzag
+    return out
+
+
+def _encode_residual(bw: _MsbWriter, residual: list, order: int,
+                     porder: int, escape_all: bool = False) -> None:
+    bw.write(0, 2)                                  # 4-bit rice params
+    bw.write(porder, 4)
+    blocksize = len(residual) + order
+    psize = blocksize >> porder
+    pos = 0
+    for p in range(1 << porder):
+        count = psize - (order if p == 0 else 0)
+        part = residual[pos:pos + count]
+        pos += count
+        zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+               for v in (int(x) for x in part)]
+        zig = [(int(v) << 1) if v >= 0 else ((-int(v)) << 1) - 1
+               for v in part]
+        if escape_all:
+            raw = max((int(v).bit_length() + 1 for v in part), default=1)
+            raw = min(raw, 31)
+            bw.write(15, 4)                         # escape
+            bw.write(raw, 5)
+            for v in part:
+                bw.write_signed(int(v), raw)
+            continue
+        # pick the smallest param whose worst quotient stays modest
+        best = 0
+        for param in range(15):
+            if not zig or max(zig) >> param <= 30:
+                best = param
+                break
+        else:
+            best = 14
+        bw.write(best, 4)
+        for v in zig:
+            bw.write_unary(v >> best)
+            bw.write(v & ((1 << best) - 1), best)
+
+
+def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode a FLAC stream → (samples (n, ch) int32, sample_rate).
+    See module docstring for scope; CRC-8/CRC-16 are verified."""
+    data = bytes(payload)
+    if data[:4] != FLAC_MAGIC:
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC metadata")
+        head = data[pos]
+        (length,) = struct.unpack(">I", b"\0" + data[pos + 1:pos + 4])
+        body = data[pos + 4:pos + 4 + length]
+        if head & 0x7F == 0:                        # STREAMINFO
+            if length < 34:
+                raise ValueError("short STREAMINFO")
+            br = _MsbReader(body)
+            br.read(16)                             # min blocksize
+            br.read(16)                             # max blocksize
+            br.read(24)
+            br.read(24)
+            rate = br.read(20)
+            ch = br.read(3) + 1
+            bps = br.read(5) + 1
+            total = br.read(36)
+            streaminfo = (rate, ch, bps, total)
+        pos += 4 + length
+        if head & 0x80:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    rate, n_ch, bps, total = streaminfo
+    if bps not in (8, 16, 24):
+        raise NotImplementedError(
+            f"{bps}-bit FLAC not implemented (8/16/24 only)")
+
+    chans = [[] for _ in range(n_ch)]
+    while pos < len(data):
+        frame_start = pos
+        br = _MsbReader(data, pos)
+        sync = br.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("bad FLAC frame sync")
+        br.read(1)                                  # reserved
+        br.read(1)                                  # blocking strategy
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_asgn = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)                                  # reserved
+        _read_utf8_coded(br)                        # frame number
+        if bs_code == 0:
+            raise ValueError("reserved FLAC block size code")
+        elif bs_code == 1:
+            blocksize = 192
+        elif bs_code <= 5:
+            blocksize = 576 << (bs_code - 2)
+        elif bs_code == 6:
+            blocksize = br.read(8) + 1
+        elif bs_code == 7:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = 256 << (bs_code - 8)
+        if sr_code == 12:
+            br.read(8)
+        elif sr_code in (13, 14):
+            br.read(16)
+        elif sr_code == 15:
+            raise ValueError("invalid FLAC sample rate code")
+        hdr_crc = br.read(8)
+        if _crc8(data[frame_start:frame_start + (br.byte_pos()
+                                                 - frame_start) - 1]) \
+                != hdr_crc:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        fbps = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code)
+        if fbps is None:
+            raise ValueError(f"reserved FLAC sample size code {ss_code}")
+        if ch_asgn < 8:
+            n_sub = ch_asgn + 1
+            modes = ["indep"] * n_sub
+        elif ch_asgn in (8, 9, 10):
+            n_sub = 2
+            modes = {8: ["left", "side"], 9: ["side", "right"],
+                     10: ["mid", "side"]}[ch_asgn]
+        else:
+            raise ValueError(f"reserved FLAC channel assignment "
+                             f"{ch_asgn}")
+        if n_sub != n_ch:
+            raise ValueError("frame channel count != STREAMINFO")
+
+        subs = []
+        for kind in modes:
+            sbps = fbps + (1 if kind == "side" else 0)
+            if br.read(1):
+                raise ValueError("bad FLAC subframe padding bit")
+            stype = br.read(6)
+            wasted = 0
+            if br.read(1):
+                wasted = 1 + br.read_unary()
+                sbps -= wasted
+            if stype == 0:                          # CONSTANT
+                v = br.read_signed(sbps)
+                s = [v] * blocksize
+            elif stype == 1:                        # VERBATIM
+                s = [br.read_signed(sbps) for _ in range(blocksize)]
+            elif 8 <= stype <= 12:                  # FIXED
+                order = stype - 8
+                s = [br.read_signed(sbps) for _ in range(order)]
+                res = _decode_residual(br, blocksize, order)
+                coefs = _FIXED_COEFS[order]
+                for r in res:
+                    pred = sum(c * s[-1 - i] for i, c in enumerate(coefs))
+                    s.append(r + pred)
+            elif stype >= 32:                       # LPC
+                order = (stype & 31) + 1
+                s = [br.read_signed(sbps) for _ in range(order)]
+                prec = br.read(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid FLAC LPC precision")
+                shift = br.read_signed(5)
+                if shift < 0:
+                    raise ValueError("negative FLAC LPC shift")
+                coefs = [br.read_signed(prec) for _ in range(order)]
+                res = _decode_residual(br, blocksize, order)
+                for r in res:
+                    pred = sum(c * s[-1 - i]
+                               for i, c in enumerate(coefs)) >> shift
+                    s.append(r + pred)
+            else:
+                raise ValueError(f"reserved FLAC subframe type {stype}")
+            if wasted:
+                s = [v << wasted for v in s]
+            subs.append(s)
+        br.align()
+        crc = br.read(16)
+        if _crc16(data[frame_start:br.byte_pos() - 2]) != crc:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        pos = br.byte_pos()
+
+        if ch_asgn < 8:
+            for c in range(n_ch):
+                chans[c].extend(subs[c])
+        elif ch_asgn == 8:                          # left/side
+            for left, side in zip(subs[0], subs[1]):
+                chans[0].append(left)
+                chans[1].append(left - side)
+        elif ch_asgn == 9:                          # side/right
+            for side, right in zip(subs[0], subs[1]):
+                chans[0].append(side + right)
+                chans[1].append(right)
+        else:                                       # mid/side
+            for mid, side in zip(subs[0], subs[1]):
+                m = (mid << 1) | (side & 1)
+                chans[0].append((m + side) >> 1)
+                chans[1].append((m - side) >> 1)
+
+    out = np.array(chans, dtype=np.int64).T
+    if total and len(out) > total:
+        out = out[:total]
+    return out.astype(np.int32), rate
+
+
+def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
+                bps: int = 16, block_size: int = 256,
+                subframe: str = "fixed", fixed_order: int = 2,
+                lpc_coefs: "list[int] | None" = None, lpc_shift: int = 0,
+                stereo: str = "indep", partition_order: int = 0,
+                escape_partitions: bool = False) -> bytes:
+    """FLAC writer mirroring the decode scope: ``samples`` (n,) or
+    (n, ch) ints within ``bps`` bits. ``subframe`` picks constant
+    detection + "verbatim" / "fixed" (order 0-4) / "lpc" (explicit
+    quantized ``lpc_coefs`` + ``lpc_shift``); ``stereo`` is "indep",
+    "left_side", "right_side" or "mid_side" (2-channel input only);
+    ``escape_partitions`` forces the raw-bits Rice escape."""
+    s = np.asarray(samples, dtype=np.int64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, n_ch = s.shape
+    if bps not in (8, 16, 24):
+        raise ValueError("bps 8/16/24 only")
+    lim = 1 << (bps - 1)
+    if s.max(initial=0) >= lim or s.min(initial=0) < -lim:
+        raise ValueError(f"sample exceeds {bps}-bit range")
+    if stereo != "indep" and n_ch != 2:
+        raise ValueError("stereo decorrelation needs 2 channels")
+
+    out = bytearray(FLAC_MAGIC)
+    si = _MsbWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(sample_rate, 20)
+    si.write(n_ch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + bytes(16)                   # zero MD5 (unset)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+    def write_subframe(bw, vals, sbps):
+        if all(v == vals[0] for v in vals):
+            bw.write(0, 1)
+            bw.write(0, 6)                          # CONSTANT
+            bw.write(0, 1)                          # no wasted bits
+            bw.write_signed(int(vals[0]), sbps)
+            return
+        if subframe == "verbatim":
+            bw.write(0, 1)
+            bw.write(1, 6)
+            bw.write(0, 1)
+            for v in vals:
+                bw.write_signed(int(v), sbps)
+            return
+        if subframe == "lpc":
+            coefs = list(lpc_coefs or [1])
+            order = len(coefs)
+            bw.write(0, 1)
+            bw.write(32 + order - 1, 6)
+            bw.write(0, 1)
+            for v in vals[:order]:
+                bw.write_signed(int(v), sbps)
+            prec = max(2, max(int(c).bit_length() + 1 for c in coefs))
+            if prec > 15:
+                raise ValueError("LPC coefficient exceeds 15-bit precision")
+            bw.write(prec - 1, 4)
+            bw.write_signed(lpc_shift, 5)
+            for c in coefs:
+                bw.write_signed(int(c), prec)
+            res = [int(vals[i]) - (sum(c * int(vals[i - 1 - j])
+                                       for j, c in enumerate(coefs))
+                                   >> lpc_shift)
+                   for i in range(order, len(vals))]
+            _encode_residual(bw, res, order, partition_order,
+                             escape_partitions)
+            return
+        order = fixed_order
+        if order > min(4, len(vals) - 1):
+            order = 0
+        coefs = _FIXED_COEFS[order]
+        bw.write(0, 1)
+        bw.write(8 + order, 6)
+        bw.write(0, 1)
+        for v in vals[:order]:
+            bw.write_signed(int(v), sbps)
+        res = [int(vals[i]) - sum(c * int(vals[i - 1 - j])
+                                  for j, c in enumerate(coefs))
+               for i in range(order, len(vals))]
+        _encode_residual(bw, res, order, partition_order,
+                         escape_partitions)
+
+    ch_asgn = {"indep": n_ch - 1, "left_side": 8, "right_side": 9,
+               "mid_side": 10}[stereo]
+    frame_no = 0
+    for f0 in range(0, n, block_size):
+        chunk = s[f0:f0 + block_size]
+        m = len(chunk)
+        bw = _MsbWriter()
+        bw.write(0x3FFE, 14)
+        bw.write(0, 1)
+        bw.write(0, 1)                              # fixed blocksize strat
+        bw.write(7, 4)                              # 16-bit blocksize - 1
+        bw.write(0, 4)                              # rate from STREAMINFO
+        bw.write(ch_asgn, 4)
+        bw.write({8: 1, 16: 4, 24: 6}[bps], 3)
+        bw.write(0, 1)
+        for b in _utf8_coded(frame_no):
+            bw.write(b, 8)
+        bw.write(m - 1, 16)
+        hdr = bw.bytes()
+        bw.write(_crc8(hdr), 8)
+
+        if stereo == "indep":
+            subs = [(chunk[:, c].tolist(), bps) for c in range(n_ch)]
+        else:
+            L = chunk[:, 0].astype(np.int64)
+            R = chunk[:, 1].astype(np.int64)
+            side = (L - R).tolist()
+            if stereo == "left_side":
+                subs = [(L.tolist(), bps), (side, bps + 1)]
+            elif stereo == "right_side":
+                subs = [(side, bps + 1), (R.tolist(), bps)]
+            else:
+                mid = ((L + R) >> 1).tolist()
+                subs = [(mid, bps), (side, bps + 1)]
+        for vals, sbps in subs:
+            write_subframe(bw, vals, sbps)
+        bw.align()
+        frame = bw.bytes()
+        bw.write(_crc16(frame), 16)
+        out += bw.bytes()
+        frame_no += 1
+    return bytes(out)

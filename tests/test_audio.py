@@ -602,7 +602,12 @@ def test_aiff_scope_errors_and_dispatch():
     blob[i:i + 4] = b"ima4"
     with pytest.raises(NotImplementedError, match="ima4"):
         decode_aiff(bytes(blob))
-    with pytest.raises(NotImplementedError, match="664c6143"):
+    # Ogg stays an unknown container; fLaC now DISPATCHES to the real
+    # decoder (r12, operators/flac.py) — a garbage stream errors from
+    # inside the codec, never silently
+    with pytest.raises(NotImplementedError, match="4f676753"):
+        decode_audio(b"OggS\x00\x00\x00\x00stream")
+    with pytest.raises(ValueError, match="STREAMINFO"):
         decode_audio(b"fLaC\x00\x00\x00\x00stream")
     with pytest.raises(ValueError, match="COMM"):
         decode_aiff(b"FORM\x00\x00\x00\x04AIFF")
