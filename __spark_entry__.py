@@ -1348,6 +1348,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal TIFF tiles / 16-bit / palette (r12 widening of the
+    # r11 strip codec): §15 tile grids with zero-padded edge tiles,
+    # 16-bit samples (predictor differencing mod 65536, either byte
+    # width through every compression), and photometric-3 palette
+    # images (16-bit ColorMap lookup). TIFF is lossless so the DuckDB
+    # formula oracle is bit-for-bit: a wrong tile placement, 16-bit
+    # delta mask, edge crop or ColorMap plane order breaks the hash.
+    def q_tiff_tiled(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 73 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_tiff_tiled_media(docs))
+
+    # w = 5 + d%6, h = 4 + d%5; d%5 picks tiled-RGB8 / tiled-gray16 /
+    # strip-RGB16 / palette-strip / palette-tiled; samples
+    # (d*29 + i*101) % 2^bits; palette p -> j = (d*3 + p*13) % 64,
+    # entry ((j*521+7), (j*1031+11), (j*2053+13)) % 65536; max
+    # w*h*ch = 10*8*3 = 240
+    out["multimodal_tiff_tiled"] = (q_tiff_tiled, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 5 AS v,
+                   5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+                   CASE WHEN doc_id % 5 = 1 THEN 1 ELSE 3 END AS ch,
+                   CASE WHEN doc_id % 5 = 0 THEN 256
+                        ELSE 65536 END AS modv
+            FROM documents WHERE doc_id % 73 = 0
+        ),
+        s AS (
+            SELECT d, w, h, ch,
+                   CASE WHEN v >= 3 THEN
+                     (((d*3 + (i//3)*13) % 64)
+                      * (CASE i % 3 WHEN 0 THEN 521 WHEN 1 THEN 1031
+                              ELSE 2053 END)
+                      + (CASE i % 3 WHEN 0 THEN 7 WHEN 1 THEN 11
+                              ELSE 13 END)) % 65536
+                   ELSE (d*29 + i*101) % modv END AS val
+            FROM m CROSS JOIN range(240) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM s GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal WebP LOSSLESS (r12, operators/webp.py — the
     # clean-room VP8L decoder: LSB-first bit reader, simple + canonical
     # prefix codes via the code-length code, color cache, LZ77 with the

@@ -788,6 +788,69 @@ def synthetic_tiff_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(gen, schema=out_schema)
 
 
+def synthetic_tiff_tiled_media(ids: DataFrame,
+                               id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL TIFFs for the r12 scope widening (tiles,
+    16-bit samples, palette photometric): for id d the image is
+    ``w = 5 + d % 6`` by ``h = 4 + d % 5``, compression ``[none, LZW,
+    PackBits][d % 3]``, predictor 2 when ``(d // 3) % 2``; ``d % 5``
+    picks — tiled 8-bit RGB (4x3 tiles, edge padding), tiled 16-bit
+    gray (3x4), strip 16-bit RGB, palette strips and palette tiles
+    (4x4). Formulas: samples ``(d*29 + i*101) % 2^bits``; palette
+    pixel p indexes ``(d*3 + p*13) % 64`` into ``entry j =
+    ((j*521+7)%65536, (j*1031+11)%65536, (j*2053+13)%65536)``. TIFF is
+    lossless, so a SQL oracle recomputes the decoded stats bit-for-bit
+    through real tile grids, 16-bit predictors and ColorMap lookups.
+    Output: (media_id, payload binary)."""
+    from aresdb_spark.operators.tiff import encode_tiff
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+    j = np.arange(64)
+    pal = np.stack([(j * 521 + 7) % 65536, (j * 1031 + 11) % 65536,
+                    (j * 2053 + 13) % 65536], axis=1).astype(np.uint16)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h, v = 5 + d % 6, 4 + d % 5, d % 5
+                comp = [1, 5, 32773][d % 3]
+                pred = 2 if (d // 3) % 2 else 1
+                if v == 0:
+                    px = ((d * 29 + np.arange(w * h * 3) * 101) % 256) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    blob = encode_tiff(px, compression=comp,
+                                       predictor=pred, tile=(4, 3))
+                elif v == 1:
+                    px = ((d * 29 + np.arange(w * h) * 101) % 65536) \
+                        .astype(np.uint16).reshape(h, w)
+                    blob = encode_tiff(px, compression=comp,
+                                       predictor=pred, bits=16,
+                                       tile=(3, 4))
+                elif v == 2:
+                    px = ((d * 29 + np.arange(w * h * 3) * 101) % 65536) \
+                        .astype(np.uint16).reshape(h, w, 3)
+                    blob = encode_tiff(px, compression=comp,
+                                       predictor=pred, bits=16,
+                                       rows_per_strip=2)
+                else:
+                    idx = ((d * 3 + np.arange(w * h) * 13) % 64) \
+                        .astype(np.uint8).reshape(h, w)
+                    blob = encode_tiff(
+                        idx, palette=pal, compression=comp,
+                        predictor=pred,
+                        tile=(4, 4) if v == 4 else None)
+                payloads.append(blob)
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
 def synthetic_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     """Deterministic REAL JPEG payloads derived from an id column, built
     executor-side (mapInPandas): for id d the image is grayscale with

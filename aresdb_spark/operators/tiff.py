@@ -16,16 +16,19 @@ width increments EARLY — when the next free code is 2^width - 1, one
 entry before GIF's rule (spec §13: "because of the deferred nature...
 LZW compressors increment the code length one code early").
 
-Scope (honest, spec-cited):
-  - decode: baseline gray (PhotometricInterpretation 0/1, 8-bit) and
-    RGB (2, 8-bit per sample) in strips, II and MM byte orders,
-    compressions 1/5/32773, predictor 1/2; min-is-black inversion for
-    photometric 0. Tiles (tag 322+), 16-bit samples, palette color and
-    other compressions (CCITT fax, old-JPEG) raise NotImplementedError
-    naming the tag/value.
+Scope (honest, spec-cited; widened r12):
+  - decode: gray (PhotometricInterpretation 0/1), RGB (2) and PALETTE
+    (3, 16-bit ColorMap lookup → uint16 RGB) at 8 OR 16 bits per
+    sample, in STRIPS or TILES (§15 — full-size edge tiles, crop after
+    assembly), II and MM byte orders, compressions 1/5/32773,
+    predictor 1/2 at either depth; min-is-white inversion at the
+    sample depth. CCITT fax / old-JPEG compressions, planar layout and
+    non-uniform/sub-byte depths raise NotImplementedError naming the
+    tag/value.
   - encode: matching LE writer for deterministic test payloads — gray
-    or RGB, any compression/predictor combination, configurable
-    rows-per-strip so multi-strip assembly is exercised by real files.
+    / RGB / palette, 8/16-bit, any compression/predictor combination,
+    configurable rows-per-strip or tiling so multi-segment assembly is
+    exercised by real files.
 
 TIFF is LOSSLESS, so integer-formula images round-trip bit-for-bit and
 a DuckDB oracle recomputes decoded statistics exactly across every
@@ -212,100 +215,160 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
 # -- container -----------------------------------------------------------------
 
 
-def _predict2_encode(rows: np.ndarray, spp: int) -> np.ndarray:
+def _predict2_encode(rows: np.ndarray, spp: int,
+                     bits: int = 8) -> np.ndarray:
     """Horizontal differencing (tag 317 = 2): each sample stores the
-    delta to the same sample of the previous pixel, modulo 256."""
-    r = rows.astype(np.int16).reshape(rows.shape[0], -1, spp)
+    delta to the same sample of the previous pixel, modulo 2^bits."""
+    r = rows.astype(np.int64).reshape(rows.shape[0], -1, spp)
     d = r.copy()
     d[:, 1:, :] = r[:, 1:, :] - r[:, :-1, :]
-    return (d & 0xFF).astype(np.uint8).reshape(rows.shape)
+    mask = (1 << bits) - 1
+    dt = np.uint8 if bits == 8 else np.uint16
+    return (d & mask).astype(dt).reshape(rows.shape)
 
 
-def _predict2_decode(rows: np.ndarray, spp: int) -> np.ndarray:
+def _predict2_decode(rows: np.ndarray, spp: int,
+                     bits: int = 8) -> np.ndarray:
     r = rows.reshape(rows.shape[0], -1, spp).astype(np.int64)
-    return (np.cumsum(r, axis=1) & 0xFF).astype(np.uint8) \
-        .reshape(rows.shape)
+    mask = (1 << bits) - 1
+    dt = np.uint8 if bits == 8 else np.uint16
+    return (np.cumsum(r, axis=1) & mask).astype(dt).reshape(rows.shape)
+
+
+def _compress(raw: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return raw
+    if compression == 5:
+        return tiff_lzw_encode(raw)
+    if compression == 32773:
+        return packbits_encode(raw)
+    raise ValueError(f"unsupported compression {compression}")
 
 
 def encode_tiff(pixels: np.ndarray, compression: int = 1,
-                predictor: int = 1, rows_per_strip: int = 0) -> bytes:
-    """Little-endian TIFF writer: uint8 gray ``(h, w)`` or RGB
-    ``(h, w, 3)``; ``compression`` 1 (none) / 5 (LZW) / 32773
-    (PackBits); ``predictor`` 2 applies horizontal differencing before
-    compression (spec-legal with any compression, customary with LZW);
-    ``rows_per_strip`` 0 = single strip."""
-    px = np.asarray(pixels, dtype=np.uint8)
+                predictor: int = 1, rows_per_strip: int = 0,
+                bits: int = 8, tile: "tuple[int, int] | None" = None,
+                palette: "np.ndarray | None" = None) -> bytes:
+    """Little-endian TIFF writer covering the decode scope (r12): gray
+    ``(h, w)`` / RGB ``(h, w, 3)`` at 8 or 16 ``bits`` per sample, or
+    PALETTE images (``pixels`` = 8-bit indices + ``palette`` =
+    ``(n, 3)`` 16-bit ColorMap values → photometric 3); ``compression``
+    1 (none) / 5 (LZW) / 32773 (PackBits); ``predictor`` 2 applies
+    horizontal differencing before compression; STRIP layout by
+    default (``rows_per_strip`` 0 = single strip) or TILED when
+    ``tile=(tw, tl)`` is given (tags 322-325, edge tiles zero-padded
+    to full size per spec §15)."""
+    pal = None
+    if palette is not None:
+        pal = np.asarray(palette, dtype=np.uint16)
+        if pal.ndim != 2 or pal.shape[1] != 3 or len(pal) > 256:
+            raise ValueError(f"palette must be (n<=256, 3): {pal.shape}")
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim != 2:
+            raise ValueError("palette TIFF needs (h, w) indices")
+        if int(px.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        bits = 8
+    else:
+        dt = np.uint8 if bits == 8 else np.uint16 if bits == 16 else None
+        if dt is None:
+            raise ValueError(f"bits={bits}: 8 or 16 only")
+        px = np.asarray(pixels, dtype=dt)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
         raise ValueError(f"unsupported pixel shape {px.shape}")
     h, w = px.shape[:2]
     spp = 1 if gray else 3
-    rps = rows_per_strip if rows_per_strip > 0 else h
-    strips = []
-    for y0 in range(0, h, rps):
-        rows = px[y0:y0 + rps].reshape(-1, w * spp)
-        if predictor == 2:
-            rows = _predict2_encode(rows, spp)
-        raw = rows.tobytes()
-        if compression == 1:
-            strips.append(raw)
-        elif compression == 5:
-            strips.append(tiff_lzw_encode(raw))
-        elif compression == 32773:
-            strips.append(packbits_encode(raw))
-        else:
-            raise ValueError(f"unsupported compression {compression}")
+    photo = 3 if pal is not None else (1 if gray else 2)
 
-    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
-        return struct.pack("<HHII", tag, typ, count, value)
+    segments = []
+    if tile is not None:
+        tw, tl = tile
+        if tw <= 0 or tl <= 0:
+            raise ValueError("tile dims must be positive")
+        flat = px.reshape(h, w, spp)
+        for ty in range(0, h, tl):
+            for tx in range(0, w, tw):
+                block = np.zeros((tl, tw, spp), px.dtype)
+                sub = flat[ty:ty + tl, tx:tx + tw]
+                block[:sub.shape[0], :sub.shape[1]] = sub
+                rows = block.reshape(tl, tw * spp)
+                if predictor == 2:
+                    rows = _predict2_encode(rows, spp, bits)
+                segments.append(_compress(
+                    rows.astype("<u2" if bits == 16 else np.uint8)
+                    .tobytes(), compression))
+    else:
+        rps = rows_per_strip if rows_per_strip > 0 else h
+        for y0 in range(0, h, rps):
+            rows = px[y0:y0 + rps].reshape(-1, w * spp)
+            if predictor == 2:
+                rows = _predict2_encode(rows, spp, bits)
+            segments.append(_compress(
+                rows.astype("<u2" if bits == 16 else np.uint8)
+                .tobytes(), compression))
 
-    n_strips = len(strips)
-    # deterministic layout: header(8) + IFD + aux arrays (RGB
-    # BitsPerSample, >4-byte strip offset/count arrays) + strip data —
-    # every strip length is known up front, so offsets compute directly
-    entries = 11
-    aux_base = 8 + 2 + 12 * entries + 4
-    aux_len = (0 if gray else 6) + (8 * n_strips if n_strips > 1 else 0)
+    # generic IFD layout: entries whose values exceed 4 bytes point
+    # into an aux area between the IFD and the segment data
+    entries: "list[tuple[int, int, list[int]]]" = []
+
+    def add(tag, typ, values):
+        entries.append((tag, typ, list(values)))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [bits] * spp)
+    add(259, 3, [compression])
+    add(262, 3, [photo])
+    if tile is not None:
+        add(322, 4, [tile[0]])
+        add(323, 4, [tile[1]])
+        add(324, 4, [0] * len(segments))             # patched below
+        add(325, 4, [len(s) for s in segments])
+    else:
+        add(273, 4, [0] * len(segments))             # patched below
+        add(278, 4, [rows_per_strip if rows_per_strip > 0 else h])
+        add(279, 4, [len(s) for s in segments])
+    add(277, 3, [spp])
+    add(284, 3, [1])
+    add(317, 3, [predictor])
+    if pal is not None:
+        # ColorMap: R plane then G then B, 3 * 2^bits SHORT values
+        n = 1 << bits
+        cmap = np.zeros((3, n), np.uint16)
+        cmap[:, :len(pal)] = pal.T
+        add(320, 3, cmap.reshape(-1).tolist())
+    entries.sort(key=lambda t: t[0])                 # spec: ascending
+
+    sizes = {3: 2, 4: 4}
+    fmts = {3: "H", 4: "I"}
+    aux_base = 8 + 2 + 12 * len(entries) + 4
+    aux_len = sum(sizes[typ] * len(v) for _, typ, v in entries
+                  if sizes[typ] * len(v) > 4)
     data_base = aux_base + aux_len
-    strip_off = []
+    seg_off = []
     pos = data_base
-    for s in strips:
-        strip_off.append(pos)
+    for s in segments:
+        seg_off.append(pos)
         pos += len(s)
+    for i, (tag, typ, v) in enumerate(entries):      # patch offsets
+        if tag in (273, 324):
+            entries[i] = (tag, typ, seg_off)
     aux = bytearray()
-    if gray:
-        bps_value = 8
-    else:
-        bps_value = aux_base + len(aux)
-        aux += struct.pack("<HHH", 8, 8, 8)
-    if n_strips > 1:
-        off_off = aux_base + len(aux)
-        aux += b"".join(struct.pack("<I", o) for o in strip_off)
-        cnt_off = aux_base + len(aux)
-        aux += b"".join(struct.pack("<I", len(s)) for s in strips)
+    ifd = struct.pack("<H", len(entries))
+    for tag, typ, v in entries:
+        nbytes = sizes[typ] * len(v)
+        if nbytes <= 4:
+            raw = struct.pack(f"<{len(v)}{fmts[typ]}", *v).ljust(4, b"\0")
+            ifd += struct.pack("<HHI", tag, typ, len(v)) + raw
+        else:
+            ifd += struct.pack("<HHII", tag, typ, len(v),
+                               aux_base + len(aux))
+            aux += struct.pack(f"<{len(v)}{fmts[typ]}", *v)
     assert len(aux) == aux_len
-    ifd = struct.pack("<H", entries)
-    ifd += entry(256, 4, 1, w)                       # ImageWidth
-    ifd += entry(257, 4, 1, h)                       # ImageLength
-    ifd += entry(258, 3, spp, bps_value)             # BitsPerSample
-    ifd += entry(259, 3, 1, compression)             # Compression
-    ifd += entry(262, 3, 1, 1 if gray else 2)        # Photometric
-    if n_strips > 1:
-        ifd += entry(273, 4, n_strips, off_off)      # StripOffsets
-    else:
-        ifd += entry(273, 4, 1, strip_off[0])
-    ifd += entry(277, 3, 1, spp)                     # SamplesPerPixel
-    ifd += entry(278, 4, 1, rps)                     # RowsPerStrip
-    if n_strips > 1:
-        ifd += entry(279, 4, n_strips, cnt_off)      # StripByteCounts
-    else:
-        ifd += entry(279, 4, 1, len(strips[0]))
-    ifd += entry(284, 3, 1, 1)                       # PlanarConfig chunky
-    ifd += entry(317, 3, 1, predictor)               # Predictor
     ifd += struct.pack("<I", 0)                      # no next IFD
-    out = b"II*\x00" + struct.pack("<I", 8) + ifd + bytes(aux) \
-        + b"".join(strips)
-    return out
+    return b"II*\x00" + struct.pack("<I", 8) + ifd + bytes(aux) \
+        + b"".join(segments)
 
 
 def _read_ifd_values(data: bytes, e: str, typ: int, count: int,
@@ -348,69 +411,122 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         if typ in (1, 3, 4):
             tags[tag] = _read_ifd_values(data, e, typ, count,
                                          data[o + 8:o + 12])
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError(
-            "tiled TIFF (tags 322/323) not implemented — strips only")
     try:
         w = tags[256][0]
         h = tags[257][0]
-        offsets = tags[273]
-        counts = tags[279]
     except KeyError as missing:
         raise ValueError(f"TIFF missing required tag {missing}")
+    tiled = 322 in tags or 323 in tags
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bps = tags.get(258, [8])
-    rps = tags.get(278, [h])[0] or h
     predictor = tags.get(317, [1])[0]
-    if any(b != 8 for b in bps):
+    if any(b != bps[0] for b in bps) or bps[0] not in (8, 16):
         raise NotImplementedError(
-            f"{bps}-bit TIFF samples not implemented (8-bit only)")
-    if photo not in (0, 1, 2):
+            f"{bps}-bit TIFF samples not implemented (uniform 8/16 only)")
+    bits = bps[0]
+    bwid = bits // 8
+    dt = np.uint8 if bits == 8 else np.dtype(e + "u2")
+    if photo not in (0, 1, 2, 3):
         raise NotImplementedError(
-            f"TIFF photometric {photo} not implemented (gray/RGB only)")
+            f"TIFF photometric {photo} not implemented "
+            f"(gray/RGB/palette only)")
+    if photo == 3 and (320 not in tags or bits != 8):
+        raise ValueError("palette TIFF needs an 8-bit ColorMap")
     if photo == 2 and spp < 3:
         raise ValueError("RGB TIFF needs 3 samples per pixel")
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError(
             "planar TIFF (PlanarConfiguration 2) not implemented")
-    if len(offsets) != len(counts):
-        raise ValueError("StripOffsets/StripByteCounts length mismatch")
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        nrows = min(rps, h - si * rps)
-        if nrows <= 0:
-            break
-        expected = nrows * w * spp
-        raw = data[off:off + cnt]
+    if predictor not in (1, 2):
+        raise NotImplementedError(
+            f"TIFF predictor {predictor} not implemented")
+
+    def segment(raw, cnt, expected):
         if len(raw) < cnt:
-            raise ValueError("TIFF strip beyond end of file")
+            raise ValueError("TIFF segment beyond end of file")
         if comp == 1:
             if len(raw) < expected:
-                raise ValueError("uncompressed strip too short")
-            buf = raw[:expected]
-        elif comp == 5:
-            buf = tiff_lzw_decode(raw, expected)
-        elif comp == 32773:
-            buf = packbits_decode(raw, expected)
-        else:
-            raise NotImplementedError(
-                f"TIFF compression {comp} requires a codec library "
-                f"(none/LZW/PackBits only)")
-        strip = np.frombuffer(buf, dtype=np.uint8).reshape(nrows, w * spp)
-        if predictor == 2:
-            strip = _predict2_decode(strip, spp)
-        elif predictor != 1:
-            raise NotImplementedError(
-                f"TIFF predictor {predictor} not implemented")
-        rows.append(strip)
-    px = np.concatenate(rows, axis=0)
-    if px.shape[0] != h:
-        raise ValueError("TIFF strips do not cover the image height")
+                raise ValueError("uncompressed segment too short")
+            return raw[:expected]
+        if comp == 5:
+            return tiff_lzw_decode(raw, expected)
+        if comp == 32773:
+            return packbits_decode(raw, expected)
+        raise NotImplementedError(
+            f"TIFF compression {comp} requires a codec library "
+            f"(none/LZW/PackBits only)")
+
+    if tiled:
+        # §15: every tile is full-size; edge tiles carry padding that
+        # the final crop discards
+        try:
+            tw = tags[322][0]
+            tl = tags[323][0]
+            offsets = tags[324]
+            counts = tags[325]
+        except KeyError as missing:
+            raise ValueError(f"tiled TIFF missing tag {missing}")
+        if len(offsets) != len(counts):
+            raise ValueError("TileOffsets/TileByteCounts length mismatch")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offsets) < across * down:
+            raise ValueError("TIFF tile set does not cover the image")
+        full = np.zeros((down * tl, across * tw, spp), dt)
+        for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+            if ti >= across * down:
+                break
+            expected = tl * tw * spp * bwid
+            buf = segment(data[off:off + cnt], cnt, expected)
+            block = np.frombuffer(buf, dtype=dt).reshape(tl, tw * spp)
+            if predictor == 2:
+                block = _predict2_decode(block, spp, bits)
+            ty, tx = divmod(ti, across)
+            full[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = \
+                block.reshape(tl, tw, spp)
+        px = full[:h, :w].reshape(h, w * spp)
+    else:
+        try:
+            offsets = tags[273]
+            counts = tags[279]
+        except KeyError as missing:
+            raise ValueError(f"TIFF missing required tag {missing}")
+        rps = tags.get(278, [h])[0] or h
+        if len(offsets) != len(counts):
+            raise ValueError("StripOffsets/StripByteCounts length "
+                             "mismatch")
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            nrows = min(rps, h - si * rps)
+            if nrows <= 0:
+                break
+            expected = nrows * w * spp * bwid
+            buf = segment(data[off:off + cnt], cnt, expected)
+            strip = np.frombuffer(buf, dtype=dt).reshape(nrows, w * spp)
+            if predictor == 2:
+                strip = _predict2_decode(strip, spp, bits)
+            rows.append(strip)
+        px = np.concatenate(rows, axis=0)
+        if px.shape[0] != h:
+            raise ValueError("TIFF strips do not cover the image height")
+
+    if photo == 3:                                   # palette → 16-bit RGB
+        cmap = np.array(tags[320], np.uint16)
+        n = 1 << bits
+        if cmap.size < 3 * n:
+            raise ValueError("TIFF ColorMap too short")
+        planes = cmap[:3 * n].reshape(3, n)
+        idx = px.reshape(h, w).astype(np.int64)
+        if int(idx.max(initial=0)) >= n:
+            raise ValueError("TIFF palette index out of range")
+        return np.stack([planes[0][idx], planes[1][idx],
+                         planes[2][idx]], axis=2)
     if photo == 2:
         return px.reshape(h, w, spp)[:, :, :3]
     gray = px.reshape(h, w, spp)[:, :, 0] if spp > 1 else px.reshape(h, w)
-    if photo == 0:                       # min-is-white: invert
-        gray = 255 - gray
+    if photo == 0:                       # min-is-white: invert at depth
+        gray = ((1 << bits) - 1) - gray.astype(np.int64)
+        gray = gray.astype(np.uint8 if bits == 8 else np.uint16)
     return gray

@@ -90,29 +90,66 @@ def test_big_endian_and_min_is_white():
 def test_out_of_scope_tiffs_raise_named():
     px = np.zeros((4, 4), np.uint8)
     p = bytearray(encode_tiff(px))
-    # 16-bit samples
-    b16 = bytearray(p)
-    i = b16.find(struct.pack("<HHI", 258, 3, 1))
-    b16[i + 8] = 16
-    with pytest.raises(NotImplementedError, match="16"):
-        decode_tiff(bytes(b16))
+    # sub-byte samples (r12: 8 AND 16-bit now decode; 1/2/4-bit stay out)
+    b4 = bytearray(p)
+    i = b4.find(struct.pack("<HHI", 258, 3, 1))
+    b4[i + 8] = 4
+    with pytest.raises(NotImplementedError, match="uniform 8/16"):
+        decode_tiff(bytes(b4))
     # CCITT fax compression (3)
     fax = bytearray(p)
     i = fax.find(struct.pack("<HHI", 259, 3, 1))
     fax[i + 8] = 3
     with pytest.raises(NotImplementedError, match="compression 3"):
         decode_tiff(bytes(fax))
-    # tiled layout: rewrite StripOffsets' tag id to TileOffsets (324)
-    # plus a TileWidth tag id (322) on another entry
+    # a TileWidth tag without TileOffsets: a MALFORMED tiled file now
+    # (tiles decode for real in r12), not a scope reject
     tiled = bytearray(p)
     i = tiled.find(struct.pack("<HHI", 278, 4, 1))
     tiled[i:i + 2] = struct.pack("<H", 322)
-    with pytest.raises(NotImplementedError, match="tiled"):
+    with pytest.raises(ValueError, match="tiled TIFF missing"):
         decode_tiff(bytes(tiled))
+    # planar configuration 2 stays a named reject
+    planar = bytearray(p)
+    i = planar.find(struct.pack("<HHI", 284, 3, 1))
+    planar[i + 8] = 2
+    with pytest.raises(NotImplementedError, match="planar"):
+        decode_tiff(bytes(planar))
     with pytest.raises(ValueError, match="not a TIFF"):
         decode_tiff(b"NOPE" + bytes(p))
     with pytest.raises(ValueError):
         decode_tiff(bytes(p[:30]))
+
+
+def test_tiff_tiles_16bit_palette_roundtrip():
+    """r12 widening: tiled layouts (full-size edge tiles cropped after
+    assembly), 16-bit samples (either predictor, every compression) and
+    palette photometric (16-bit ColorMap lookup)."""
+    import itertools
+
+    rng = np.random.default_rng(13)
+    for comp, pred in itertools.product([1, 5, 32773], [1, 2]):
+        px = rng.integers(0, 65536, (6, 5), dtype=np.uint16)
+        out = decode_tiff(encode_tiff(px, compression=comp,
+                                      predictor=pred, bits=16))
+        assert out.dtype == np.uint16 and np.array_equal(out, px)
+        px = rng.integers(0, 65536, (6, 5, 3), dtype=np.uint16)
+        out = decode_tiff(encode_tiff(px, compression=comp,
+                                      predictor=pred, bits=16,
+                                      tile=(4, 3)))
+        assert np.array_equal(out, px), (comp, pred)
+        px8 = rng.integers(0, 256, (10, 13, 3), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(px8, compression=comp,
+                                      predictor=pred, tile=(8, 4)))
+        assert np.array_equal(out, px8), (comp, pred)
+    pal = rng.integers(0, 65536, (200, 3), dtype=np.uint16)
+    idx = rng.integers(0, 200, (8, 11), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(idx, palette=pal, compression=5))
+    assert out.dtype == np.uint16 and np.array_equal(
+        out, pal[idx.astype(int)])
+    out = decode_tiff(encode_tiff(idx, palette=pal, tile=(4, 4),
+                                  compression=32773, predictor=2))
+    assert np.array_equal(out, pal[idx.astype(int)])
 
 
 def test_decode_image_dispatches_tiff():
