@@ -1450,6 +1450,51 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal ICO favicons (r12, operators/bmp.py decode_ico):
+    # ICONDIR walk, largest-entry selection past a decoy entry,
+    # mask-doubled DIB heights, 32-bit alpha channels and embedded-PNG
+    # entries. Lossless, so the DuckDB formula oracle is bit-for-bit:
+    # a wrong entry pick, height halving, AND-mask/alpha rule or PNG
+    # dispatch breaks the hash.
+    def q_ico(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 79 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_ico_media(docs))
+
+    # main entry w = 4 + d%5, h = 3 + d%4; d%3 picks opaque-DIB (ch 3)
+    # / alpha-DIB (ch 4, alpha_p = (d*7 + p*29) % 256) / embedded PNG
+    # gray (ch 1); RGB sample j = (d*11 + j*53) % 256; max w*h*4 = 192
+    out["multimodal_ico_stats"] = (q_ico, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 3 AS v,
+                   4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+                   CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 4
+                        ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 79 = 0
+        ),
+        s AS (
+            SELECT d, w, h, ch,
+                   CASE WHEN v = 1 THEN
+                     CASE WHEN i % 4 = 3
+                          THEN (d*7 + (i//4)*29) % 256
+                          ELSE (d*11 + ((i//4)*3 + i % 4)*53) % 256 END
+                   ELSE (d*11 + i*53) % 256 END AS val
+            FROM m CROSS JOIN range(192) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM s GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal JPEG: REAL clean-room baseline T.81 decode (r10;
     # VERDICT r9 "What's missing" #2). Block-constant grayscale images
     # from an integer formula are ENCODED executor-side through the

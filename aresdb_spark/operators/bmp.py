@@ -272,3 +272,145 @@ def _encode_rle(px: np.ndarray, nibble: bool, abs_every: int) -> bytes:
         out += b"\x00\x00"                          # end of line
     out += b"\x00\x01"                              # end of bitmap
     return bytes(out)
+
+
+ICO_MAGIC = b"\x00\x00\x01\x00"
+CUR_MAGIC = b"\x00\x00\x02\x00"
+
+
+def decode_ico(payload: bytes, entry: "int | None" = None) -> np.ndarray:
+    """Decode an ICO/CUR container (the classic favicon format —
+    public ICONDIR layout): picks the LARGEST image by pixel count
+    unless ``entry`` names one. Each entry is either an embedded PNG
+    (dispatched to the stdlib PNG decoder) or a headerless DIB whose
+    height field covers the XOR image plus a 1-bit AND mask; the DIB
+    reuses this module's BMP decode by synthesizing a file header, and
+    transparency comes from the 32-bit alpha channel when present
+    (non-zero somewhere) else from the AND mask. Returns RGBA
+    ``(h, w, 4)`` uint8 (RGB when fully opaque)."""
+    data = bytes(payload)
+    if len(data) < 6 or data[:4] not in (ICO_MAGIC, CUR_MAGIC):
+        raise ValueError("not an ICO/CUR payload")
+    (count,) = struct.unpack("<H", data[4:6])
+    if count == 0:
+        raise ValueError("ICO with no images")
+    entries = []
+    for i in range(count):
+        o = 6 + 16 * i
+        if o + 16 > len(data):
+            raise ValueError("truncated ICONDIR")
+        ew, eh = data[o], data[o + 1]
+        ew, eh = ew or 256, eh or 256
+        size, off = struct.unpack("<II", data[o + 8:o + 16])
+        entries.append((ew * eh, ew, eh, size, off))
+    if entry is None:
+        entry = max(range(count), key=lambda i: entries[i][0])
+    if not 0 <= entry < count:
+        raise ValueError(f"ICO entry {entry} out of range (0..{count - 1})")
+    _, ew, eh, size, off = entries[entry]
+    img = data[off:off + size]
+    if len(img) < size:
+        raise ValueError("ICO image data truncated")
+    if img[:8] == b"\x89PNG\r\n\x1a\n":
+        from aresdb_spark.operators.multimodal import decode_png
+        return decode_png(img)
+    if len(img) < 40:
+        raise ValueError("ICO DIB header truncated")
+    (hdr_size,) = struct.unpack("<I", img[:4])
+    if hdr_size < 40:
+        raise NotImplementedError(
+            f"ICO DIB header size {hdr_size} is not implemented")
+    w, h2 = struct.unpack("<ii", img[4:12])
+    _planes, bits = struct.unpack("<HH", img[12:16])
+    (comp,) = struct.unpack("<I", img[16:20])
+    (clr_used,) = struct.unpack("<I", img[32:36])
+    if comp:
+        raise NotImplementedError("compressed ICO DIBs are not implemented")
+    h = h2 // 2 if h2 == 2 * eh else h2              # mask-doubled height
+    pal_size = 4 * (clr_used or ((1 << bits) if bits <= 8 else 0))
+    # synthesize a BMP: file header + the info header patched to the
+    # XOR-image height, then the palette + XOR pixel data
+    info = bytearray(img[:hdr_size])
+    info[8:12] = struct.pack("<i", h)
+    xor_bytes = _stride(w, bits) * h
+    pix_off = 14 + hdr_size + pal_size
+    body = img[hdr_size:hdr_size + pal_size + xor_bytes]
+    fake = BMP_MAGIC + struct.pack("<IHHI", pix_off + xor_bytes, 0, 0,
+                                   pix_off) + bytes(info) + body
+    rgb = decode_bmp(fake)
+
+    alpha = None
+    if bits == 32:
+        # the 4th XOR byte is the alpha channel when any pixel sets it
+        raw = np.frombuffer(
+            img[hdr_size + pal_size:hdr_size + pal_size + xor_bytes],
+            np.uint8).reshape(h, _stride(w, 32))[:, :w * 4]
+        a = raw.reshape(h, w, 4)[:, :, 3][::-1]      # bottom-up
+        if a.any():
+            alpha = a
+    if alpha is None:
+        and_off = hdr_size + pal_size + xor_bytes
+        and_stride = _stride(w, 1)
+        mask = np.frombuffer(img[and_off:and_off + and_stride * h],
+                             np.uint8)
+        if mask.size < and_stride * h:
+            # no AND mask shipped: fully opaque
+            alpha = np.full((h, w), 255, np.uint8)
+        else:
+            rows = mask.reshape(h, and_stride)
+            cols = [(rows >> (7 - k)) & 1 for k in range(8)]
+            bitsarr = np.stack(cols, axis=2).reshape(h, -1)[:, :w]
+            alpha = np.where(bitsarr[::-1] == 1, 0, 255).astype(np.uint8)
+    if (alpha == 255).all():
+        return rgb
+    return np.dstack([rgb, alpha])
+
+
+def encode_ico(images: "list") -> bytes:
+    """ICO writer for test payloads: each item is either
+    ``("png", pixels)`` (embedded PNG, any shape the PNG encoder
+    takes) or ``("bmp", rgb, alpha_or_None)`` with RGB ``(h, w, 3)``
+    uint8 and an optional ``(h, w)`` uint8 alpha written as a 32-bit
+    DIB (alpha channel) — plus the spec's AND mask derived as
+    alpha == 0."""
+    from aresdb_spark.operators.multimodal import encode_png
+
+    blobs = []
+    dims = []
+    for item in images:
+        if item[0] == "png":
+            px = np.asarray(item[1], np.uint8)
+            blobs.append(encode_png(px))
+            dims.append((px.shape[1], px.shape[0]))
+        elif item[0] == "bmp":
+            rgb = np.asarray(item[1], np.uint8)
+            h, w = rgb.shape[:2]
+            alpha = item[2]
+            a = np.full((h, w), 255, np.uint8) if alpha is None \
+                else np.asarray(alpha, np.uint8)
+            bgra = np.zeros((h, w, 4), np.uint8)
+            bgra[:, :, [2, 1, 0]] = rgb
+            bgra[:, :, 3] = a
+            xor = bgra[::-1].reshape(h, -1)          # bottom-up, stride ok
+            and_stride = _stride(w, 1)
+            bitsarr = (a == 0).astype(np.uint8)[::-1]
+            pad = (-w) % (and_stride * 8)
+            if pad:
+                bitsarr = np.concatenate(
+                    [bitsarr, np.zeros((h, pad), np.uint8)], axis=1)
+            packed = np.zeros((h, and_stride), np.uint8)
+            for k in range(8):
+                packed |= bitsarr[:, k::8][:, :and_stride] << (7 - k)
+            info = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0,
+                               xor.size + packed.size, 0, 0, 0, 0)
+            blobs.append(info + xor.tobytes() + packed.tobytes())
+            dims.append((w, h))
+        else:
+            raise ValueError(f"unknown ICO item kind {item[0]!r}")
+    out = bytearray(ICO_MAGIC + struct.pack("<H", len(blobs)))
+    off = 6 + 16 * len(blobs)
+    for (w, h), blob in zip(dims, blobs):
+        out += bytes([w % 256, h % 256, 0, 0])
+        out += struct.pack("<HHII", 1, 32, len(blob), off)
+        off += len(blob)
+    return bytes(out) + b"".join(blobs)

@@ -416,6 +416,11 @@ def _container_decoder(payload: bytes):
         # lossy VP8 raises from inside the codec naming the chunk
         from aresdb_spark.operators.webp import decode_webp
         return decode_webp
+    if payload[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        # ICO/CUR favicon container (r12, operators/bmp.py decode_ico:
+        # embedded PNG or mask-doubled DIB entries, largest picked)
+        from aresdb_spark.operators.bmp import decode_ico
+        return decode_ico
     return None
 
 
@@ -648,6 +653,50 @@ def synthetic_bmp_media(ids: DataFrame,
                         idx, bit_count=bits, palette=pal,
                         top_down=td if v < 5 else False,
                         rle=v >= 5, abs_every={5: 2, 6: 3}.get(v, 0)))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_ico_media(ids: DataFrame,
+                        id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL ICO favicons (r12, operators/bmp.py
+    decode_ico): every payload carries a decoy 2x2 first entry plus
+    the MAIN ``w = 4 + d % 5`` by ``h = 3 + d % 4`` entry the
+    largest-image rule must select; ``d % 3`` picks the entry kind —
+    opaque 32-bit DIB (RGB flat sample i = ``(d*11 + i*53) % 256``),
+    32-bit DIB with a real ALPHA channel (``alpha_p = (d*7 + p*29) %
+    256``; decoded as RGBA), and an embedded PNG (grayscale, same RGB
+    formula). Lossless throughout, so a SQL oracle recomputes the
+    decoded stats bit-for-bit through real ICONDIR walks, mask-doubled
+    DIB heights and entry selection. Output: (media_id, payload)."""
+    from aresdb_spark.operators.bmp import encode_ico
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h, v = 4 + d % 5, 3 + d % 4, d % 3
+                decoy = np.full((2, 2, 3), 7, np.uint8)
+                if v == 2:
+                    px = ((d * 11 + np.arange(w * h) * 53) % 256) \
+                        .astype(np.uint8).reshape(h, w)
+                    main = ("png", px)
+                else:
+                    rgb = ((d * 11 + np.arange(w * h * 3) * 53) % 256) \
+                        .astype(np.uint8).reshape(h, w, 3)
+                    alpha = None if v == 0 else \
+                        ((d * 7 + np.arange(w * h) * 29) % 256) \
+                        .astype(np.uint8).reshape(h, w)
+                    main = ("bmp", rgb, alpha)
+                payloads.append(encode_ico([("bmp", decoy, None), main]))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

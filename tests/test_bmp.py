@@ -126,3 +126,54 @@ def test_bmp_through_decode_image_and_stats(spark):
         assert s["px_sum"] == int(vals.sum()), d
         assert s["px_min"] == int(vals.min()) and \
             s["px_max"] == int(vals.max()), d
+
+
+def test_ico_container_roundtrip_and_selection():
+    """r12: ICO/CUR favicons — largest-entry selection, mask-doubled
+    DIB heights, 32-bit alpha vs AND-mask fallback, embedded PNG
+    entries, explicit entry picks."""
+    from aresdb_spark.operators.bmp import decode_ico, encode_ico
+
+    rng = np.random.default_rng(14)
+    rgb = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    alpha = rng.integers(0, 256, (8, 6), dtype=np.uint8)
+    alpha[0, 0] = 0
+    out = decode_ico(encode_ico([("bmp", rgb, alpha)]))
+    assert out.shape == (8, 6, 4) and np.array_equal(out[:, :, :3], rgb) \
+        and np.array_equal(out[:, :, 3], alpha)
+    # fully opaque collapses to RGB
+    out = decode_ico(encode_ico([("bmp", rgb, None)]))
+    assert out.shape == (8, 6, 3) and np.array_equal(out, rgb)
+    # largest entry wins; explicit entry overrides
+    small = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (16, 12), dtype=np.uint8)
+    blob = encode_ico([("bmp", small, None), ("png", big)])
+    assert np.array_equal(decode_ico(blob), big)
+    assert np.array_equal(decode_ico(blob, entry=0), small)
+    # all-zero 32-bit alpha falls back to the AND mask (legacy quirk)
+    out = decode_ico(encode_ico([("bmp", rgb, np.zeros((8, 6), np.uint8))]))
+    assert out.shape == (8, 6, 4) and (out[:, :, 3] == 0).all()
+    with pytest.raises(ValueError, match="not an ICO"):
+        decode_ico(b"\x00\x00\x03\x00xx")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_ico(blob, entry=5)
+
+
+def test_ico_through_dispatcher(spark):
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import multimodal as M
+    from aresdb_spark.operators.bmp import encode_ico
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    out = M.decode_image(encode_ico([("bmp", px, None)]))
+    assert np.array_equal(out, px.astype(np.float32))
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = {r["media_id"]: r.asDict()
+            for r in M.decode_stats(M.synthetic_ico_media(ids)).collect()}
+    assert len(rows) == 12
+    for d in range(12):
+        w, h, v = 4 + d % 5, 3 + d % 4, d % 3
+        ch = {0: 3, 1: 4, 2: 1}[v]
+        s = rows[d]
+        assert (s["width"], s["height"], s["channels"]) == (w, h, ch), d
