@@ -1349,10 +1349,13 @@ def test_png_decode_rejects_unimplemented_formats():
     # stub rejection (test_jpeg.py covers the codec's own scope errors)
     with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+    # known containers with out-of-scope STREAMS raise from inside
+    # their codec (lossless WebP decodes for real since r12; lossy VP8
+    # is the named reject)
+    with pytest.raises(NotImplementedError, match="VP8"):
+        decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
     # unknown containers RAISE naming the magic (r12, VERDICT r11 #1) —
     # no silent header-bytes fake on real data
-    with pytest.raises(NotImplementedError, match="WebP"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
     with pytest.raises(NotImplementedError, match="5036"):
         decode_image(b"P6 3 3 255 binaryppm")
     # ... unless the synthetic-plumbing fake is opted into explicitly,
