@@ -2260,6 +2260,49 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal AVI (r12, operators/avi.py — the RIFF sibling of
+    # the MP4 path, the classic motion-JPEG carrier): hdrl/strl header
+    # walk, LIST 'movi' chunk stream, MJPG frames through the in-repo
+    # T.81 codec AND uncompressed bottom-up DIB frames in one graded
+    # set (even/odd ids). Block-constant frames are formula-exact
+    # through the lossy MJPG path and DIB is lossless, so the DuckDB
+    # oracle is bit-for-bit: a wrong chunk walk, row flip, BGR swap or
+    # frame order breaks the hash.
+    def q_avi_frames(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 83 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_frame_stats(V.synthetic_avi_media(docs))
+
+    # frames 1 + d%3; frame f's 8x8 block (bx, by) holds (d*11 + f*29
+    # + bx*37 + by*53) % 256 with wb = 1 + d%3, hb = 1 + d%2; odd ids
+    # are DIB (equal-channel RGB -> 3x the pixel count, same values)
+    out["multimodal_avi_frames"] = (q_avi_frames, """
+        WITH m AS (
+            SELECT doc_id AS d,
+                   CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 83 = 0
+        )
+        SELECT d AS media_id,
+               f AS frame_idx,
+               8 * (1 + d % 3) AS width,
+               8 * (1 + d % 2) AS height,
+               CAST(64 * ch * count(*) AS BIGINT) AS n_px,
+               CAST(64 * ch * sum((d * 11 + f * 29
+                              + (i % (1 + d % 3)) * 37
+                              + (i // (1 + d % 3)) * 53) % 256)
+                    AS BIGINT) AS px_sum,
+               min((d * 11 + f * 29 + (i % (1 + d % 3)) * 37
+                    + (i // (1 + d % 3)) * 53) % 256) AS px_min,
+               max((d * 11 + f * 29 + (i % (1 + d % 3)) * 37
+                    + (i // (1 + d % 3)) * 53) % 256) AS px_max
+        FROM m CROSS JOIN range(3) fr(f) CROSS JOIN range(6) t(i)
+        WHERE f < 1 + d % 3
+          AND i < (1 + d % 3) * (1 + d % 2)
+        GROUP BY 1, 2, 3, 4, ch
+    """)
+
     # --- r11 composition row: MJPEG tracks whose samples mix the JPEG
     # codec's three layouts (grayscale / RGB 4:4:4 / RGB 4:2:0 by
     # (d+f)%3) — sample-table walk + per-frame codec dispatch + chroma

@@ -382,6 +382,11 @@ def decode_video_frames(payload: bytes) -> "list":
     sample-entry fourcc; a video track with no sample tables (metadata
     skeleton) raises ValueError."""
     data = bytes(payload)
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        # r12: the RIFF sibling container — MJPG chunks / uncompressed
+        # DIB frames (operators/avi.py); same output contract
+        from aresdb_spark.operators.avi import decode_avi_frames
+        return decode_avi_frames(data)
     tbl = _mjpeg_track(data)
     frames = []
     for off, size in _sample_ranges(tbl):
@@ -580,6 +585,55 @@ def video_frame_sample_stats(df, every_ms: int = 250):
 
     return df.select("media_id", "payload").mapInPandas(
         process, schema=out_schema)
+
+
+def synthetic_avi_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL AVI payloads (r12, operators/avi.py): for id
+    d the track has ``1 + d % 3`` frames of ``8 * (1 + d % 3)`` by
+    ``8 * (1 + d % 2)`` pixels where frame f's 8x8 block (bx, by)
+    holds ``(d*11 + f*29 + bx*37 + by*53) % 256`` — the same
+    block-constant class as the MP4 MJPEG row, so even the lossy MJPG
+    path is formula-exact. Even ids write MJPG chunks (through the
+    in-repo JPEG encoder); odd ids write UNCOMPRESSED bottom-up DIB
+    frames (equal-channel RGB, lossless), so one graded set covers
+    both movi chunk kinds. Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.avi import encode_avi
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                wb, hb = 1 + d % 3, 1 + d % 2
+                n_frames = 1 + d % 3
+                frames = []
+                for f in range(n_frames):
+                    vals = np.array(
+                        [[(d * 11 + f * 29 + bx * 37 + by * 53) % 256
+                          for bx in range(wb)] for by in range(hb)],
+                        dtype=np.uint8)
+                    px = np.kron(vals, np.ones((8, 8), np.uint8))
+                    if d % 2 == 0:
+                        frames.append(encode_jpeg(px))
+                    else:
+                        frames.append(np.stack([px] * 3, axis=2))
+                payloads.append(encode_avi(
+                    frames, 8 * wb, 8 * hb, fps=10, mjpeg=d % 2 == 0))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
 
 
 def synthetic_mjpeg_timed_media(ids, id_col: str = "media_id"):

@@ -360,3 +360,74 @@ def test_video_frame_sample_stats_formula(spark):
             expect[(d, t)] = (f, starts[f], 64 * ((d * 23 + f * 47) % 256))
             t += 250
     assert got == expect
+
+
+# -- AVI container (r12, operators/avi.py) -------------------------------------
+
+
+def test_avi_mjpeg_and_dib_roundtrip():
+    """MJPG chunks decode through the in-repo JPEG codec (block-constant
+    frames exact); uncompressed DIB chunks round-trip losslessly with
+    the bottom-up BGR row order and 4-byte padding."""
+    import numpy as np
+
+    from aresdb_spark.operators.avi import (decode_avi_frames, encode_avi,
+                                            probe_avi)
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    frames_px, jpegs = [], []
+    for f in range(3):
+        vals = ((f * 29 + np.arange(6).reshape(2, 3) * 37) % 256) \
+            .astype(np.uint8)
+        px = np.kron(vals, np.ones((8, 8), np.uint8))
+        frames_px.append(px)
+        jpegs.append(encode_jpeg(px))
+    blob = encode_avi(jpegs, 24, 16, fps=10, mjpeg=True)
+    meta = probe_avi(blob)
+    assert (meta["width"], meta["height"], meta["total_frames"],
+            meta["handler"]) == (24, 16, 3, "MJPG")
+    assert meta["us_per_frame"] == 100000
+    out = decode_avi_frames(blob)
+    assert len(out) == 3
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames_px))
+
+    rng = np.random.default_rng(15)
+    rgb = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+           for _ in range(4)]
+    out = decode_avi_frames(encode_avi(rgb, 7, 5, fps=5, mjpeg=False))
+    assert len(out) == 4
+    assert all(np.array_equal(a, b) for a, b in zip(out, rgb))
+
+
+def test_avi_scope_errors_and_dispatch(spark):
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators.avi import decode_avi_frames, encode_avi
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    px = np.kron(np.array([[5]], np.uint8), np.ones((8, 8), np.uint8))
+    blob = bytearray(encode_avi([encode_jpeg(px)], 8, 8, mjpeg=True))
+    for _ in range(2):                           # strh handler + strf fourcc
+        i = bytes(blob).find(b"MJPG")
+        blob[i:i + 4] = b"cvid"
+    with pytest.raises(NotImplementedError, match="cvid"):
+        decode_avi_frames(bytes(blob))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    # decode_video_frames dispatches RIFF/AVI payloads (same contract)
+    frames = V.decode_video_frames(
+        encode_avi([encode_jpeg(px)], 8, 8, mjpeg=True))
+    assert len(frames) == 1 and np.array_equal(frames[0], px)
+    # the Spark stats pipeline over the mixed MJPG/DIB corpus
+    ids = spark.range(0, 12).select(F.col("id").alias("media_id"))
+    rows = V.video_frame_stats(V.synthetic_avi_media(ids)).collect()
+    got = {(r["media_id"], r["frame_idx"]) for r in rows}
+    want = {(d, f) for d in range(12) for f in range(1 + d % 3)}
+    assert got == want
+    for r in rows:
+        d = r["media_id"]
+        ch = 3 if d % 2 == 1 else 1
+        assert r["n_px"] == 64 * ch * (1 + d % 3) * (1 + d % 2), d
