@@ -204,8 +204,6 @@ def _encode_residual(bw: _MsbWriter, residual: list, order: int,
         count = psize - (order if p == 0 else 0)
         part = residual[pos:pos + count]
         pos += count
-        zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
-               for v in (int(x) for x in part)]
         zig = [(int(v) << 1) if v >= 0 else ((-int(v)) << 1) - 1
                for v in part]
         if escape_all:
@@ -430,6 +428,16 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
     body = si.bytes() + bytes(16)                   # zero MD5 (unset)
     out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
 
+    def eff_porder(blocksize, order):
+        # the last frame can be shorter than block_size: clamp the
+        # partition order so 2^p divides the frame AND the first
+        # partition still has room for the predictor warm-up
+        p = partition_order
+        while p > 0 and (blocksize % (1 << p)
+                         or (blocksize >> p) < order):
+            p -= 1
+        return p
+
     def write_subframe(bw, vals, sbps):
         if all(v == vals[0] for v in vals):
             bw.write(0, 1)
@@ -463,7 +471,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
                                        for j, c in enumerate(coefs))
                                    >> lpc_shift)
                    for i in range(order, len(vals))]
-            _encode_residual(bw, res, order, partition_order,
+            _encode_residual(bw, res, order,
+                             eff_porder(len(vals), order),
                              escape_partitions)
             return
         order = fixed_order
@@ -478,7 +487,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int = 16_000,
         res = [int(vals[i]) - sum(c * int(vals[i - 1 - j])
                                   for j, c in enumerate(coefs))
                for i in range(order, len(vals))]
-        _encode_residual(bw, res, order, partition_order,
+        _encode_residual(bw, res, order,
+                         eff_porder(len(vals), order),
                          escape_partitions)
 
     ch_asgn = {"indep": n_ch - 1, "left_side": 8, "right_side": 9,

@@ -1,0 +1,122 @@
+"""Hypothesis round-trip properties for the r12 codecs: any drawn
+image/signal survives encode→decode bit-for-bit under any drawn
+parameter combination (every codec here is lossless for the encoded
+domain — MJPEG-class lossiness is covered by the block-constant suites
+in its own test files)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _img(draw, w, h, ch, depth):
+    rng = np.random.default_rng(draw)
+    hi = 1 << depth
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    a = rng.integers(0, hi, shape)
+    return a.astype(np.uint8 if depth <= 8 else np.uint16)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 12), st.integers(1, 10),
+       st.sampled_from([(1, 1), (1, 2), (1, 4), (1, 8), (1, 16),
+                        (3, 8), (3, 16), (2, 8), (2, 16),
+                        (4, 8), (4, 16)]),
+       st.booleans(), st.sampled_from([0, 1, 2, 3, 4, "mixed"]))
+def test_png_any_legal_combo_roundtrips(seed, w, h, chdepth, interlace,
+                                        row_filter):
+    from aresdb_spark.operators.multimodal import decode_png, encode_png
+
+    ch, depth = chdepth
+    px = _img(seed, w, h, ch, depth)
+    out = decode_png(encode_png(px, depth=depth, interlace=interlace,
+                                row_filter=row_filter))
+    assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 11), st.integers(1, 9),
+       st.sampled_from([24, 32, 8, 4, 1]), st.booleans(), st.booleans())
+def test_bmp_any_combo_roundtrips(seed, w, h, bits, top_down, rle):
+    from aresdb_spark.operators.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    if bits in (24, 32):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(px, bit_count=bits,
+                                    top_down=top_down))
+        assert np.array_equal(out, px)
+        return
+    n = 1 << bits
+    idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+    pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+    use_rle = rle and bits in (4, 8)
+    out = decode_bmp(encode_bmp(
+        idx, bit_count=bits, palette=pal,
+        top_down=top_down and not use_rle, rle=use_rle,
+        abs_every=2 if use_rle else 0))
+    assert np.array_equal(out, pal[idx])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 10), st.integers(1, 9),
+       st.sampled_from(["plain", "lz77", "sg", "pred", "pal", "cache"]),
+       st.integers(0, 13))
+def test_webp_any_combo_roundtrips(seed, w, h, variant, pred_mode):
+    from aresdb_spark.operators.webp import decode_webp, encode_webp
+
+    rng = np.random.default_rng(seed)
+    if variant == "pal":
+        pal = rng.integers(0, 256, (rng.integers(2, 17), 3),
+                           dtype=np.uint8)
+        px = pal[rng.integers(0, len(pal), (h, w))]
+        out = decode_webp(encode_webp(px, palette=True))
+    else:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kw = {"plain": dict(use_lz77=False), "lz77": {},
+              "sg": dict(subtract_green=True),
+              "pred": dict(predictor=pred_mode),
+              "cache": dict(cache_bits=4)}[variant]
+        out = decode_webp(encode_webp(px, **kw))
+    assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10**9), st.integers(2, 400),
+       st.sampled_from([8, 16, 24]), st.integers(0, 4),
+       st.sampled_from(["indep", "left_side", "right_side", "mid_side"]),
+       st.integers(0, 2), st.booleans())
+def test_flac_any_combo_roundtrips(seed, n, bps, order, stereo,
+                                   porder, escape):
+    from aresdb_spark.operators.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    lim = 1 << (bps - 1)
+    ch = 2 if stereo != "indep" else rng.integers(1, 3)
+    s = rng.integers(-lim, lim, (n, int(ch)), dtype=np.int64)
+    # block size must be divisible by 2^porder for the partition walk
+    bs = 64
+    out, rate = decode_flac(encode_flac(
+        s, 22050, bps=bps, block_size=bs, fixed_order=order,
+        stereo=stereo, partition_order=porder,
+        escape_partitions=escape))
+    assert rate == 22050 and out.shape == s.shape \
+        and np.array_equal(out, s)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 12), st.integers(1, 10),
+       st.sampled_from([1, 5, 32773]), st.sampled_from([1, 2]),
+       st.sampled_from([(1, 8), (3, 8), (1, 16), (3, 16)]),
+       st.booleans())
+def test_tiff_any_combo_roundtrips(seed, w, h, comp, pred, chbits,
+                                   tiled):
+    from aresdb_spark.operators.tiff import decode_tiff, encode_tiff
+
+    ch, bits = chbits
+    px = _img(seed, w, h, ch, bits)
+    out = decode_tiff(encode_tiff(
+        px, compression=comp, predictor=pred, bits=bits,
+        tile=(3, 4) if tiled else None,
+        rows_per_strip=0 if tiled else 2))
+    assert out.shape == px.shape and np.array_equal(out, px)
