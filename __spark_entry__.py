@@ -3154,7 +3154,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 # (aql_numeric_bucket, aql_numeric_bucket_manual); _log stays in
 # check_contract.
 _DRIVER_WINDOW = [
-    "aql_count_hourly", "aql_sum_measure_filter", "aql_time_filter_absolute",
+    # r12 rotation #2: multimodal_webp_stats — the round's headline new
+    # codec (clean-room VP8L: canonical prefix codes, color cache,
+    # LZ77, all four transforms) is a new family with no in-window row.
+    # It displaces aql_time_filter_absolute, whose §2.2 time-filter
+    # line keeps TWO in-window siblings: aql_time_filter_relative (the
+    # strict superset — the relative grammar resolves THROUGH the same
+    # timeutil.time_filter_bounds code the absolute form uses) and
+    # aql_dst_bucket (the same bounds under DST); absolute stays in
+    # check_contract.
+    "aql_count_hourly", "aql_sum_measure_filter", "multimodal_webp_stats",
     "aql_time_filter_relative", "aql_dim_join", "join_asof",
     "aql_non_agg_projection", "aql_scalar_functions", "join_range_brackets",
     "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
@@ -3259,7 +3268,14 @@ _DRIVER_WINDOW = [
     # over the same codec, so the JPEG family's in-window row now
     # exercises every implemented layout; jpeg_stats (baseline
     # grayscale + DRI) stays in check_contract.
-    "text_lm_perplexity", "text_quality", "multimodal_featurize",
+    # r12 rotation #3: multimodal_png_mixed replaces its own-family
+    # sibling multimodal_featurize — the mixed row is a strict superset
+    # surface over the same PNG decode path (EVERY legal RFC 2083
+    # depth/type combination, Adam7 interlace, tRNS, all five filters
+    # vs the 8-bit gray/RGB round-trip), the same superset-swap pattern
+    # as r11's jpeg_420-for-jpeg_stats; featurize stays in
+    # check_contract.
+    "text_lm_perplexity", "text_quality", "multimodal_png_mixed",
     "multimodal_jpeg_420", "multimodal_wav_stats",
     # r7 rotation (VERDICT r6 #1/#8): stream_dedup_crawl (the
     # continuous-crawl Structured Streaming sink — now one bucket-pruned
