@@ -1399,6 +1399,48 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM s GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal LOSSLESS JPEG (r12, SOF3 — T.81 Annex H in
+    # operators/jpeg.py): mod-2^16 difference arithmetic under the
+    # SSSS-category code, all seven predictors, 8/12/16-bit samples,
+    # raw RGB components, restart markers. The process is exact for
+    # ARBITRARY pixels (unlike the DCT rows' block-constant class), so
+    # the DuckDB formula oracle is bit-for-bit over unconstrained
+    # content: a wrong predictor, EXTEND, wrap or restart reset breaks
+    # the hash.
+    def q_jpeg_lossless(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 89 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_jpeg_lossless_media(docs))
+
+    # w = 5 + d%6, h = 4 + d%5; prec 8/12/16 by d%3; ch 3 when d odd;
+    # flat sample i = (d*13 + i*89) % 2^prec; max w*h*ch = 240
+    out["multimodal_jpeg_lossless"] = (q_jpeg_lossless, """
+        WITH m AS (
+            SELECT doc_id AS d,
+                   5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+                   ([8, 12, 16])[doc_id % 3 + 1] AS prec,
+                   CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 89 = 0
+        ),
+        s AS (
+            SELECT d, w, h, ch,
+                   (d*13 + i*89) % (1::BIGINT << prec) AS val
+            FROM m CROSS JOIN range(240) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM s GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal WebP LOSSLESS (r12, operators/webp.py — the
     # clean-room VP8L decoder: LSB-first bit reader, simple + canonical
     # prefix codes via the code-length code, color cache, LZ77 with the

@@ -23,9 +23,16 @@ Scope (honest, spec-cited):
     bit precision window (Ah..Al) — DC first/refine (G.2.1), AC
     first/refine with EOB-run coding (G.2.2). Restart intervals (DRI +
     RSTn, E.1.4) reset the DC predictors and the EOB run in every scan
-    type. Lossless (SOF3+), 12-bit, hierarchical and arithmetic-coded
-    processes raise NotImplementedError with the offending marker named
-    — the honesty contract the PNG decoder set (multimodal.decode_png).
+    type. r12 adds the LOSSLESS process (SOF3, Annex H): 2-16-bit
+    samples, all seven predictors, point transform, mod-2^16
+    difference arithmetic with the SSSS-category code (incl. the
+    no-extra-bits category 16), restart markers resetting prediction —
+    raw components, no color transform, so arbitrary integer-formula
+    images round-trip bit-for-bit (the first JPEG class here with
+    non-block-constant exact content). 12-bit DCT, hierarchical and
+    arithmetic-coded processes raise NotImplementedError with the
+    offending marker named — the honesty contract the PNG decoder set
+    (multimodal.decode_png).
   - encode: the matching writer for deterministic test/oracle payloads —
     grayscale, 4:4:4 or 4:2:0 (``subsampling="420"``: 2x2-mean chroma
     downsample, Y at 2x2 factors), a FLAT quantization table of 8s, and
@@ -110,6 +117,13 @@ AC_SPEC = ([0] * 7 + [162] + [0] * 8, _AC_SYMBOLS)
 # sequential set. 176 symbols, all 8-bit (codes 0..175 < 11111111).
 _PROG_AC_SYMBOLS = _AC_SYMBOLS + [r << 4 for r in range(1, 15)]
 PROG_AC_SPEC = ([0] * 7 + [176] + [0] * 8, _PROG_AC_SYMBOLS)
+
+# lossless (SOF3) difference-category table: SSSS 0..16 (category 16 =
+# diff 32768 with NO extra bits, H.1.2.2). Lengths 2,3x5,4,5,...,14 —
+# Kraft sum < 1 so the all-ones code stays reserved (C.2).
+_LL_SYMBOLS = list(range(17))
+LOSSLESS_DC_SPEC = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0],
+                    _LL_SYMBOLS)
 
 
 def _huff_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
@@ -530,6 +544,166 @@ def encode_jpeg(pixels: np.ndarray, restart_interval: int = 0,
     return bytes(out)
 
 
+# -- lossless process (SOF3, T.81 Annex H) -------------------------------------
+
+
+def _lossless_predict(sel: int, a: int, b: int, c: int) -> int:
+    """T.81 H.1.2.1 predictors 1-7 over left/above/above-left."""
+    if sel == 1:
+        return a
+    if sel == 2:
+        return b
+    if sel == 3:
+        return c
+    if sel == 4:
+        return a + b - c
+    if sel == 5:
+        return a + ((b - c) >> 1)
+    if sel == 6:
+        return b + ((a - c) >> 1)
+    if sel == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {sel} (1-7 only)")
+
+
+def encode_jpeg_lossless(pixels: np.ndarray, predictor: int = 1,
+                         precision: "int | None" = None,
+                         point_transform: int = 0,
+                         restart_interval: int = 0) -> bytes:
+    """Lossless JPEG writer (SOF3, T.81 Annex H): ``pixels`` is integer
+    ``(h, w)`` grayscale or ``(h, w, 3)`` (components stored RAW — the
+    lossless process defines no color transform) at ``precision`` 2-16
+    bits (default: 8 for uint8 input, 16 otherwise). Differences are
+    Huffman-coded with the SSSS category table; ``point_transform``
+    codes ``pixels >> Pt`` (decode returns values << Pt). Restart
+    markers every ``restart_interval`` samples reset the prediction to
+    the scan-start state (default first value, then the 1-D predictor
+    for the remainder of that line — the rule the decoder mirrors)."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 3):
+        raise ValueError(f"unsupported pixel shape {px.shape}")
+    h, w, nc = px.shape
+    if precision is None:
+        precision = 8 if px.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError("lossless precision must be 2..16 (T.81)")
+    pt = point_transform
+    if not 0 <= pt < precision:
+        raise ValueError("point transform must be in [0, precision)")
+    s = (px.astype(np.int64) >> pt)
+    if s.min() < 0 or s.max() >= (1 << (precision - pt)):
+        raise ValueError(f"sample exceeds {precision}-bit range")
+
+    codes = _huff_codes(*LOSSLESS_DC_SPEC)
+    bw = _BitWriter()
+    default = 1 << (precision - pt - 1)
+    default_next = [True] * nc
+    oned_row = 0
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                default_next = [True] * nc
+                oned_row = y
+            for ci in range(nc):
+                if default_next[ci]:
+                    pred = default
+                    default_next[ci] = False
+                elif y == oned_row:
+                    pred = int(s[y, x - 1, ci])
+                elif x == 0:
+                    pred = int(s[y - 1, 0, ci])
+                else:
+                    pred = _lossless_predict(
+                        predictor, int(s[y, x - 1, ci]),
+                        int(s[y - 1, x, ci]), int(s[y - 1, x - 1, ci]))
+                d = (int(s[y, x, ci]) - pred) & 0xFFFF
+                if d > 32767 and d != 32768:
+                    d -= 65536                  # signed mod-2^16 diff
+                if d == 32768:
+                    bw.write(*codes[16])        # category 16: no bits
+                    continue
+                t = _category(d)
+                bw.write(*codes[t])
+                if t:
+                    bw.write(d if d >= 0 else d + (1 << t) - 1, t)
+            mcu += 1
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    nbits, nvals = LOSSLESS_DC_SPEC
+    out += seg(0xFFC4, bytes([0x00]) + bytes(nbits) + bytes(nvals))
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])          # 1x1 sampling, no qtable
+    out += seg(0xFFC3, sof)
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        sos += bytes([c + 1, 0x00])
+    sos += bytes([predictor, 0, pt])            # Ss=predictor, Se=0, Al=Pt
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _decode_lossless_scan(data: bytes, pos: int, h: int, w: int,
+                          tables: list, prec: int, pt: int,
+                          predictor: int,
+                          restart_interval: int) -> "tuple[np.ndarray, int]":
+    """Decode the single interleaved lossless scan (all components
+    1x1): returns ((h, w, nc) int64 samples pre-point-transform, new
+    byte position). Mirrors encode_jpeg_lossless' restart rule."""
+    nc = len(tables)
+    reader = _BitReader(data, pos)
+    s = np.zeros((h, w, nc), np.int64)
+    default = 1 << (prec - pt - 1)
+    default_next = [True] * nc
+    oned_row = 0
+    mcu = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                reader.restart(rst)
+                rst = (rst + 1) % 8
+                default_next = [True] * nc
+                oned_row = y
+            for ci in range(nc):
+                t = _decode_huffman(reader, tables[ci])
+                if t == 16:
+                    diff = 32768                # H.1.2.2: no extra bits
+                elif t:
+                    diff = _extend(reader.read_bits(t), t)
+                else:
+                    diff = 0
+                if default_next[ci]:
+                    pred = default
+                    default_next[ci] = False
+                elif y == oned_row:
+                    pred = int(s[y, x - 1, ci])
+                elif x == 0:
+                    pred = int(s[y - 1, 0, ci])
+                else:
+                    pred = _lossless_predict(
+                        predictor, int(s[y, x - 1, ci]),
+                        int(s[y - 1, x, ci]), int(s[y - 1, x - 1, ci]))
+                s[y, x, ci] = (pred + diff) & 0xFFFF
+            mcu += 1
+    return s, reader.pos
+
+
 # -- decoder -----------------------------------------------------------------
 
 
@@ -761,6 +935,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     htables: dict[tuple[int, int], dict] = {}   # (class, id) -> decode map
     frame = None
     progressive = False
+    lossless = False
+    lossless_prec = None
+    ll_samples = None
+    ll_pt = 0
     restart_interval = 0
     coefs = None
     geom = None
@@ -810,12 +988,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 htables[(tc, th)] = {
                     (code, ln): sym for sym, (code, ln) in codes.items()}
                 p += 17 + nsym
-        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0/1 sequential, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):   # SOF0/1/2 + lossless
             if frame is not None:
                 raise ValueError("multiple SOF frames")
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(
+                        f"lossless precision {prec} out of T.81's 2-16")
+            elif prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not implemented")
             comps = []
             for c in range(nc):
@@ -825,33 +1008,43 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError(
                         f"invalid sampling factor 0x{hv:02X} (T.81 "
                         f"allows 1-4)")
-                comps.append((cid, tq, hc, vc))
-            # T.81 A.2: a single-component frame is decoded non-
-            # interleaved — the declared factors do not shape the data
-            factors = [(hc, vc) for _, _, hc, vc in comps] \
-                if nc > 1 else [(1, 1)]
-            hmax = max(f[0] for f in factors)
-            vmax = max(f[1] for f in factors)
-            for (cid, _, _, _), (hc, vc) in zip(comps, factors):
-                # replication upsampling needs integer ratios — every
-                # real-world layout (4:4:4/4:2:2/4:2:0/4:1:1) qualifies
-                if hmax % hc or vmax % vc:
+                if lossless and (hc, vc) != (1, 1):
                     raise NotImplementedError(
-                        f"fractional subsampling ratio (component "
-                        f"{cid}: {hc}x{vc} vs max {hmax}x{vmax}) not "
-                        f"implemented")
-            mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
-            grids = [_noninterleaved_grid(h, w, hc, vc, hmax, vmax)
-                     for hc, vc in factors]
-            coefs = [np.zeros((mcuy * vc, mcux * hc, 64), dtype=np.int64)
-                     for hc, vc in factors]
-            geom = (factors, mcuy, mcux, grids)
+                        "subsampled lossless JPEG not implemented "
+                        "(1x1 factors only)")
+                comps.append((cid, tq, hc, vc))
             frame = (h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            if lossless:
+                lossless_prec = prec
+                geom = None
+            else:
+                # T.81 A.2: a single-component frame is decoded non-
+                # interleaved — declared factors do not shape the data
+                factors = [(hc, vc) for _, _, hc, vc in comps] \
+                    if nc > 1 else [(1, 1)]
+                hmax = max(f[0] for f in factors)
+                vmax = max(f[1] for f in factors)
+                for (cid, _, _, _), (hc, vc) in zip(comps, factors):
+                    # replication upsampling needs integer ratios —
+                    # every real layout (4:4:4/4:2:2/4:2:0) qualifies
+                    if hmax % hc or vmax % vc:
+                        raise NotImplementedError(
+                            f"fractional subsampling ratio (component "
+                            f"{cid}: {hc}x{vc} vs max {hmax}x{vmax}) "
+                            f"not implemented")
+                mcuy, mcux = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+                grids = [_noninterleaved_grid(h, w, hc, vc, hmax, vmax)
+                         for hc, vc in factors]
+                coefs = [np.zeros((mcuy * vc, mcux * hc, 64),
+                                  dtype=np.int64)
+                         for hc, vc in factors]
+                geom = (factors, mcuy, mcux, grids)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG process SOF{marker - 0xC0} not implemented "
-                f"(sequential SOF0/SOF1 and progressive SOF2 only)")
+                f"(sequential SOF0/SOF1, progressive SOF2 and lossless "
+                f"SOF3 only)")
         elif marker == 0xDD:                                 # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:                                 # SOS
@@ -870,6 +1063,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append((cid_to_idx[cs], tda >> 4, tda & 0x0F))
             ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
             ah, al = ahl >> 4, ahl & 0x0F
+            if lossless:
+                # Annex H scan: Ss = predictor, Al = point transform
+                if ns != len(frame[2]):
+                    raise NotImplementedError(
+                        "multi-scan lossless JPEG not implemented "
+                        "(one interleaved scan of every component)")
+                if not 1 <= ss <= 7 or se != 0 or ah != 0:
+                    raise ValueError(
+                        f"invalid lossless scan header (Ss={ss} Se={se} "
+                        f"Ah={ah})")
+                if al >= lossless_prec:
+                    raise ValueError("point transform >= precision")
+                tables = []
+                for _, td, _ in scan_comps:
+                    if (0, td) not in htables:
+                        raise ValueError(
+                            "JPEG references an undeclared table")
+                    tables.append(htables[(0, td)])
+                ll_samples, pos = _decode_lossless_scan(
+                    data, pos + 2 + length, frame[0], frame[1], tables,
+                    lossless_prec, al, ss, restart_interval)
+                # scan order → frame component order
+                ll_samples = ll_samples[
+                    :, :, np.argsort([i for i, _, _ in scan_comps])]
+                ll_pt = al
+                nscans += 1
+                while pos < len(data) and data[pos] != 0xFF:
+                    pos += 1
+                continue
             if progressive:
                 # G.1.1.1.1: DC scans are Ss=Se=0 (may interleave); AC
                 # scans cover 1..63 one component at a time
@@ -911,6 +1133,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos += 2 + length
     if frame is None or nscans == 0:
         raise ValueError("JPEG missing SOF/SOS")
+
+    if lossless:
+        out_arr = (ll_samples << ll_pt).astype(
+            np.uint8 if lossless_prec <= 8 else np.uint16)
+        return out_arr[:, :, 0] if out_arr.shape[2] == 1 else out_arr
 
     h, w, comps = frame
     factors, mcuy, mcux, grids = geom

@@ -937,6 +937,46 @@ def synthetic_jpeg_media(ids: DataFrame, id_col: str = "media_id") -> DataFrame:
     return ids.mapInPandas(gen, schema=out_schema)
 
 
+def synthetic_jpeg_lossless_media(ids: DataFrame,
+                                  id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL lossless JPEGs (r12, SOF3 — T.81 Annex H):
+    for id d the image is ``w = 5 + d % 6`` by ``h = 4 + d % 5`` with
+    flat sample ``i = (d*13 + i*89) % 2^prec``; ``d % 3`` picks
+    precision 8/12/16, ``1 + d % 7`` the predictor (all seven swept),
+    odd ids are raw-RGB (3 components, no color transform), every 5th
+    id carries restart markers. The lossless process codes ARBITRARY
+    pixels exactly — the first JPEG row whose content is NOT
+    block-constant — so the SQL oracle recomputes the stats
+    bit-for-bit through real SSSS-coded difference streams. Output:
+    (media_id, payload binary)."""
+    from aresdb_spark.operators.jpeg import encode_jpeg_lossless
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h = 5 + d % 6, 4 + d % 5
+                prec = [8, 12, 16][d % 3]
+                ch = 3 if d % 2 else 1
+                px = ((d * 13 + np.arange(w * h * ch) * 89)
+                      % (1 << prec))
+                px = px.astype(np.uint8 if prec == 8 else np.uint16) \
+                    .reshape((h, w) if ch == 1 else (h, w, ch))
+                payloads.append(encode_jpeg_lossless(
+                    px, predictor=1 + d % 7, precision=prec,
+                    restart_interval=5 if d % 5 == 0 else 0))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
 def synthetic_jpeg_media_mixed(ids: DataFrame,
                                id_col: str = "media_id") -> DataFrame:
     """Deterministic REAL JPEG payloads mixing the codec's three layouts

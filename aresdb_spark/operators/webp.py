@@ -73,6 +73,8 @@ class _BitReader:
         self.pos = 0                                 # absolute bit pos
 
     def read(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("truncated VP8L stream")
         v = 0
         for i in range(n):
             byte = self.data[self.pos >> 3]
@@ -81,6 +83,8 @@ class _BitReader:
         return v
 
     def read_bit(self) -> int:
+        if self.pos >= len(self.data) * 8:
+            raise ValueError("truncated VP8L stream")
         byte = self.data[self.pos >> 3]
         b = (byte >> (self.pos & 7)) & 1
         self.pos += 1

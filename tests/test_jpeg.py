@@ -114,8 +114,10 @@ def test_out_of_scope_streams_raise_named_errors():
     # illegal in progressive, G.1.1.1.1), not a scope gate
     with pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         decode_jpeg(swap_marker(payload, 0xC0, 0xC2))
-    # lossless (SOF3) and arithmetic-coded (SOF9) stay out of scope
-    with pytest.raises(NotImplementedError, match="SOF3"):
+    # r12: lossless (SOF3) is IMPLEMENTED — relabeling a baseline
+    # stream now fails scan VALIDATION (a DCT scan's Ss=0 names no
+    # lossless predictor), not a scope gate
+    with pytest.raises(ValueError, match="lossless scan header"):
         decode_jpeg(swap_marker(payload, 0xC0, 0xC3))
     with pytest.raises(NotImplementedError, match="SOF9"):
         decode_jpeg(swap_marker(payload, 0xC0, 0xC9))
@@ -475,3 +477,62 @@ def test_progressive_equals_baseline_property():
         assert (base == prog).all()
 
     run()
+
+
+# -- lossless process (SOF3, r12) ----------------------------------------------
+
+
+def test_lossless_roundtrips_all_predictors_and_depths():
+    """Annex H: arbitrary (non-block-constant!) pixels round-trip
+    bit-for-bit — all 7 predictors, 8/12/16-bit, gray and raw-RGB,
+    restart markers, point transform, mod-2^16 wrap diffs."""
+    from aresdb_spark.operators.jpeg import (decode_jpeg,
+                                             encode_jpeg_lossless)
+
+    rng = np.random.default_rng(17)
+    for pred in range(1, 8):
+        px = rng.integers(0, 256, (9, 7), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+        assert out.dtype == np.uint8 and np.array_equal(out, px), pred
+    px = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_lossless(px, predictor=4)), px)
+    for prec in (12, 16):
+        px = rng.integers(0, 1 << prec, (8, 6)).astype(np.uint16)
+        out = decode_jpeg(encode_jpeg_lossless(px, precision=prec,
+                                               predictor=7))
+        assert out.dtype == np.uint16 and np.array_equal(out, px), prec
+    px = rng.integers(0, 4096, (7, 9, 3)).astype(np.uint16)
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(
+        px, precision=12, predictor=4, restart_interval=5)), px)
+    # point transform codes px >> Pt; decode returns << Pt
+    px = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(px, point_transform=2))
+    assert np.array_equal(out, (px >> 2) << 2)
+    # category 16 (diff = 32768, no extra bits) via max-contrast 16-bit
+    px = np.zeros((4, 4), np.uint16)
+    px[::2, ::2] = 65535
+    px[1::2, 1::2] = 32768
+    assert np.array_equal(decode_jpeg(encode_jpeg_lossless(
+        px, precision=16)), px)
+
+
+def test_lossless_scope_and_dispatch():
+    import pytest
+
+    from aresdb_spark.operators import multimodal as M
+    from aresdb_spark.operators.jpeg import (decode_jpeg,
+                                             encode_jpeg_lossless)
+
+    px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    blob = bytearray(encode_jpeg_lossless(px))
+    # subsampled lossless stays out: patch the sampling byte
+    i = bytes(blob).find(b"\xff\xc3")
+    blob[i + 4 + 6 + 1] = 0x21                   # 2x1 factors
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="2..16|out of T.81"):
+        encode_jpeg_lossless(px, precision=17)
+    # the image dispatcher routes SOF3 payloads like any other JPEG
+    out = M.decode_image(encode_jpeg_lossless(px, predictor=3))
+    assert np.array_equal(out, px.astype(np.float32))
