@@ -591,7 +591,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         return arr, rate
     raise NotImplementedError(
         f"WAV format tag 0x{tag:02X} requires a perceptual codec "
-        f"library — PCM (1), IEEE float (3) and IMA ADPCM (0x11) only")
+        f"library — supported tags: PCM (1), MS ADPCM (2), IEEE float "
+        f"(3), A-law (6), mu-law (7), IMA ADPCM (0x11)")
 
 
 def _f80_pack(value: float) -> bytes:

@@ -428,7 +428,7 @@ def _unknown_container_error(payload: bytes) -> NotImplementedError:
     head = payload[:12]
     return NotImplementedError(
         f"image container with magic {head[:8].hex()} is not "
-        f"implemented (PNG/JPEG/GIF/TIFF/BMP/WebP-lossless only; no "
+        f"implemented (PNG/JPEG/GIF/TIFF/BMP/ICO/CUR/WebP only; no "
         f"codec library in this environment)")
 
 

@@ -304,11 +304,21 @@ def _limited_code_lengths(hist: "list[int]", max_len: int) -> "list[int]":
         if width > max_len:
             raise ValueError("alphabet too large for the length cap")
         # a fixed-width code over a non-power-of-two alphabet is
-        # incomplete; pad by shortening the first symbol when possible,
-        # else assign everyone `width` and accept completeness via
-        # kraft-filling with unused codes (decoder only needs a valid
-        # prefix code, ours rejects OVER-subscription only)
+        # Kraft-incomplete and spec-strict decoders (libwebp) reject
+        # incomplete codes — promote (shorten) leading symbols until
+        # sum(2^-len) == 1.  deficit is measured in units of 2^-width;
+        # promoting a symbol from depth d to d-1 gains 2^(width-d).
         depth = {s: width for s in syms}
+        deficit = (1 << width) - len(syms)
+        for s in syms:
+            while deficit and depth[s] > 1:
+                gain = 1 << (width - depth[s])
+                if gain > deficit:
+                    break
+                depth[s] -= 1
+                deficit -= gain
+            if not deficit:
+                break
     out = [0] * len(hist)
     for s, d in depth.items():
         out[s] = max(1, d)
@@ -503,8 +513,10 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 12:                                  # ClampAddSubtractFull
         return np.clip(L + T - TL, 0, 255)
     if mode == 13:                                  # ClampAddSubtractHalf
+        # C semantics: (a - b) / 2 truncates toward ZERO, not floor.
         ave = _avg2(L, T)
-        return np.clip(ave + (ave - TL) // 2, 0, 255)
+        d = ave - TL
+        return np.clip(ave + np.sign(d) * (np.abs(d) // 2), 0, 255)
     raise ValueError(f"predictor mode {mode}")
 
 
@@ -525,9 +537,11 @@ def _inverse_predictor(px: np.ndarray, t: _Transform) -> np.ndarray:
                 L = out[y, x - 1]
                 T = out[y - 1, x]
                 TL = out[y - 1, x - 1]
-                # right-edge TR clamps to T (mirrored by the encoder;
-                # round-trip-pinned convention)
-                TR = out[y - 1, x + 1] if x + 1 < w else out[y - 1, x]
+                # right-edge TR wraps to the leftmost pixel of the
+                # CURRENT row (libwebp stores rows contiguously so
+                # top[1] of the last column aliases row y, column 0 —
+                # already decoded here; mirrored by the encoder)
+                TR = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
                 pred = _predict(mode, L, T, TL, TR)
             out[y, x] = (out[y, x] + pred) % 256
     return out.astype(np.uint8)
@@ -841,7 +855,7 @@ def encode_webp(pixels: np.ndarray, subtract_green: bool = False,
                         T = img[y - 1, x]
                         TL = img[y - 1, x - 1]
                         TR = img[y - 1, x + 1] if x + 1 < cur_w \
-                            else img[y - 1, x]
+                            else img[y, 0]
                         pred = _predict(predictor, L, T, TL, TR)
                     res[y, x] = (img[y, x] - pred) % 256
             argb = res.reshape(-1, 4)

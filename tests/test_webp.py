@@ -150,3 +150,73 @@ def test_webp_twin_in_near_dup_corpus(spark):
         .collect()
     assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} \
         == {(3, 4, 0)}
+
+
+def test_predictor_right_edge_and_truncation_spec():
+    """Pin the two spec behaviors ADVICE r12 flagged: (a) at the
+    rightmost column TR is the LEFTMOST pixel of the CURRENT row
+    (libwebp stores rows contiguously so top[1] of the last column
+    aliases row y, column 0 — NOT T); (b) mode-13
+    ClampAddSubtractHalf computes (ave - TL) / 2 with C truncation
+    toward zero, not Python floor. Forward prediction here is written
+    by hand from the spec so a decoder regression cannot hide behind
+    a mirrored encoder."""
+    from aresdb_spark.operators.webp import (_inverse_predictor,
+                                             _predict, _Transform)
+
+    def v(*c):
+        return np.array(c + (0,) * (4 - len(c)), np.int64)
+
+    # (b): ave=10, TL=13 -> d=-3; trunc(-3/2) = -1 -> 9 (floor gives 8)
+    assert _predict(13, v(10), v(10), v(13), v(0))[0] == 9
+    # and positive d unchanged: ave=13, TL=10 -> 13 + 1 = 14
+    assert _predict(13, v(13), v(13), v(10), v(0))[0] == 14
+
+    # (a): hand-built spec-rule residuals for every TR-using mode,
+    # recovered exactly by _inverse_predictor (3x-wide so x == w-1
+    # has x > 0 and a decoded out[y, 0] to alias)
+    rng = np.random.default_rng(7)
+    w = 3
+    for mode in (3, 5, 9, 10, 13):
+        px = rng.integers(0, 256, (4, w, 4), dtype=np.uint8) \
+                .astype(np.int64)
+        res = np.zeros_like(px)
+        for y in range(4):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = np.array([255, 0, 0, 0], np.int64)
+                elif y == 0:
+                    pred = px[0, x - 1]
+                elif x == 0:
+                    pred = px[y - 1, 0]
+                else:
+                    TR = px[y - 1, x + 1] if x + 1 < w else px[y, 0]
+                    pred = _predict(mode, px[y, x - 1], px[y - 1, x],
+                                    px[y - 1, x - 1], TR)
+                res[y, x] = (px[y, x] - pred) % 256
+        t = _Transform("predictor", size_bits=4,
+                       data=np.full((1, 1), mode, np.int64))
+        out = _inverse_predictor(res.astype(np.uint8), t)
+        assert np.array_equal(out, px.astype(np.uint8)), mode
+
+
+def test_limited_code_lengths_fallback_kraft_complete():
+    """The fixed-width fallback over a non-power-of-two alphabet must
+    emit a Kraft-COMPLETE code (sum 2^-len == 1): spec-strict decoders
+    such as libwebp reject incomplete prefix codes (ADVICE r12)."""
+    from fractions import Fraction
+
+    from aresdb_spark.operators.webp import (_limited_code_lengths,
+                                             _PrefixCode)
+
+    for n in (3, 5, 6, 7, 9, 11, 33, 100):
+        # powers-of-two histogram -> Huffman depth n-1 > cap -> fallback
+        hist = [1 << i for i in range(n)]
+        cap = max(7, (n - 1).bit_length() + 1)
+        assert cap < n - 1 or n <= cap  # fallback fires for n > cap+1
+        lengths = _limited_code_lengths(hist, cap)
+        assert max(lengths) <= cap
+        kraft = sum(Fraction(1, 2 ** ln) for ln in lengths if ln)
+        assert kraft == 1, (n, lengths)
+        # and the canonical builder accepts it (no over-subscription)
+        _PrefixCode(lengths)
