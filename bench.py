@@ -1160,6 +1160,23 @@ def _codec_bench(spark, n_items: int = 256):
         px = ((d * 7 + np.arange(n) * 31) % 256).astype(np.uint8)
         return px.reshape((96, 96) if ch == 1 else (96, 96, ch))
 
+    def noise_img(d, ch=3):
+        # high-entropy deterministic pixels (splitmix64 finalizer):
+        # the linear img() pattern compresses ~30x under PNG, which
+        # made payload-MB/s measure the Spark pipeline floor instead
+        # of decode cost (r12's 0.29 MB/s headline). Proper noise
+        # stays ~raw size, so PNG's number prices the decoder.
+        n = 96 * 96 * ch
+        with np.errstate(over="ignore"):
+            x = (np.arange(n, dtype=np.uint64)
+                 + np.uint64(d) * np.uint64(0x9E3779B97F4A7C15))
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+            x *= np.uint64(0x94D049BB133111EB)
+            x ^= x >> np.uint64(31)
+        return (x & np.uint64(0xFF)).astype(np.uint8).reshape(96, 96, ch)
+
     def build_jpeg(d):
         from aresdb_spark.operators.jpeg import encode_jpeg
         return encode_jpeg(img(d))
@@ -1192,7 +1209,7 @@ def _codec_bench(spark, n_items: int = 256):
         return encode_wav(s, 16000)
 
     codecs = {
-        "png": lambda d: M.encode_png(img(d, 3), row_filter="mixed"),
+        "png": lambda d: M.encode_png(noise_img(d), row_filter="mixed"),
         "jpeg": build_jpeg,
         "gif": build_gif,
         "tiff_lzw": build_tiff,
@@ -1201,6 +1218,29 @@ def _codec_bench(spark, n_items: int = 256):
         "flac": build_flac,
         "wav_pcm": build_wav,
     }
+    raw_bytes = {                                   # decoded size/item
+        "png": 96 * 96 * 3, "jpeg": 96 * 96, "gif": 96 * 96,
+        "tiff_lzw": 96 * 96 * 3, "bmp": 96 * 96 * 3,
+        "webp_vp8l": 96 * 96 * 3, "flac": 8192 * 2, "wav_pcm": 65536 * 2,
+    }
+    from aresdb_spark.operators.audio import decode_wav
+    from aresdb_spark.operators.flac import decode_flac
+
+    def single_core_rate(name, build):
+        # corpus cost at 100 TB = bytes / (per-core decode rate x
+        # cores); at 256x96x96 the Spark wall above is scheduling /
+        # Arrow floor, not decode, so price the codec directly
+        payload = build(0)
+        dec = {"flac": decode_flac, "wav_pcm": decode_wav}.get(
+            name, M._decode_container)
+        dec(payload)                                # warmup
+        reps, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 0.25:
+            dec(payload)
+            reps += 1
+        sec = (time.perf_counter() - t0) / reps
+        return raw_bytes[name] / 1e6 / sec, len(payload) / 1e6 / sec
+
     out = {}
     for name, build in codecs.items():
         media = gen_with(build).localCheckpoint(eager=True)
@@ -1212,12 +1252,18 @@ def _codec_bench(spark, n_items: int = 256):
         t0 = time.perf_counter()
         stats.count()
         sec = time.perf_counter() - t0
+        core_raw, core_payload = single_core_rate(name, build)
         out[name] = {
             "items": n_items,
             "payload_mb": round(total_bytes / 1e6, 2),
             "decode_sec": round(sec, 4),
             "mb_per_sec": round(total_bytes / 1e6 / max(sec, 1e-9), 1),
+            # decoded-bytes/s: comparable across compression ratios
+            "raw_mb_per_sec": round(
+                raw_bytes[name] * n_items / 1e6 / max(sec, 1e-9), 1),
             "items_per_sec": round(n_items / max(sec, 1e-9), 1),
+            "single_core_mb_per_sec": round(core_payload, 2),
+            "single_core_raw_mb_per_sec": round(core_raw, 2),
         }
     return out
 
