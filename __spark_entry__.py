@@ -1693,6 +1693,44 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["dedup_image_phash"] = (q_image_dedup, image_dedup_sql())
 
+    # --- audio-modality near-dup dedup (r13, VERDICT r12 directive 7:
+    # the dedup corpora were image-only + WAV — this row feeds FLAC
+    # and AIFF payloads through the same mapInPandas decode path).
+    # 64-bit energy-delta fingerprint per clip (sign of adjacent
+    # frame-energy deltas — survives volume scaling and any lossless
+    # container), then the SAME banded-LSH machinery as the image row
+    # (shared multimodal.banded_hamming_pairs: one (band, key)
+    # shuffle, JVM bit_count(xor) verify, pigeonhole recall at
+    # bands=8 > max_hamming=7). The corpus plants container twins
+    # (FLAC and AIFF vs the WAV base — Hamming 0, the directive's
+    # FLAC member) and EDITED twins at measured Hamming 1-10
+    # straddling the threshold; independent clips sit >= 16 bits
+    # apart. Oracle: driver-side brute-force all-pairs over the pure
+    # sample formula (audio.near_dup_audio_samples) — the distributed
+    # pipeline must reproduce the O(n²) answer exactly.
+    def q_audio_dedup(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") < 90) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_near_duplicates(A.synthetic_near_dup_audio(docs))
+
+    def audio_dedup_sql():
+        from aresdb_spark.operators.audio import audio_near_dup_oracle_pairs
+        pairs = audio_near_dup_oracle_pairs(90, max_hamming=7)
+        vals = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+        # joins to documents keep the row sf-dir-dependent (an
+        # empty/filtered table yields an empty result on both engines)
+        return f"""
+        SELECT CAST(p.a AS BIGINT) AS id_a, CAST(p.b AS BIGINT) AS id_b,
+               CAST(p.h AS BIGINT) AS hamming
+        FROM (VALUES {vals}) p(a, b, h)
+        JOIN documents da ON da.doc_id = p.a AND da.doc_id < 90
+        JOIN documents db ON db.doc_id = p.b AND db.doc_id < 90
+        """
+
+    out["dedup_audio_fp"] = (q_audio_dedup, audio_dedup_sql())
+
     # --- multimodal PNG full-matrix sweep (r12, VERDICT r11 #6 then
     # widened to the COMPLETE RFC 2083 scope): one graded set drives
     # every legal (color type, bit depth) combination — grayscale
@@ -3208,8 +3246,23 @@ _DRIVER_WINDOW = [
     "aql_count_hourly", "aql_sum_measure_filter", "multimodal_webp_stats",
     "aql_time_filter_relative", "aql_dim_join", "join_asof",
     "aql_non_agg_projection", "aql_scalar_functions", "join_range_brackets",
-    "aql_predicates", "aql_avg_min_max", "aql_ratio_of_aggs",
-    "aql_count_distinct", "aql_case_when_measure", "aql_numeric_bucket",
+    # r13 rotation #1 (VERDICT r12 directive 5): multimodal_flac_stats
+    # — the audio family's newest codec (clean-room RFC 9639: Rice
+    # residuals, FIXED/LPC predictors, stereo decorrelation, CRC-8/16)
+    # had no in-window row. It displaces aql_avg_min_max, whose §2.4
+    # count/sum/avg/min/max line keeps aql_count_hourly,
+    # aql_sum_measure_filter and aql_ratio_of_aggs in-window (same
+    # planner partial/final agg path); avg_min_max stays in
+    # check_contract.
+    # r13 rotation #2: dedup_audio_fp — the round's new audio near-dup
+    # family (energy-delta fingerprint + the shared banded-LSH join,
+    # FLAC/AIFF members in the corpus per VERDICT r12 directive 7). It
+    # displaces aql_case_when_measure, whose §2.6 expression line
+    # keeps aql_scalar_functions (the registry superset),
+    # aql_bitwise_ops and aql_array_predicates in-window;
+    # case_when_measure stays in check_contract.
+    "aql_predicates", "multimodal_flac_stats", "aql_ratio_of_aggs",
+    "aql_count_distinct", "dedup_audio_fp", "aql_numeric_bucket",
     # aql_numeric_bucket_manual rotated out for migrate_ares_root: the
     # manual-bounds variant shares timeutil.py's numeric-bucket path with
     # the in-window aql_numeric_bucket (it stays in check_contract);

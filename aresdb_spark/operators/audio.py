@@ -1202,3 +1202,227 @@ def synthetic_msadpcm_wav_media(ids, id_col: str = "media_id"):
                                 "payload": payloads})
 
     return ids.mapInPandas(gen, schema=out_schema)
+
+
+# --- audio near-duplicate detection (r13, VERDICT r12 directive 7) ----------
+#
+# The audio analog of the image pHash pipeline: a 64-bit ENERGY-DELTA
+# fingerprint per clip (the core trick of spectral fingerprinting
+# schemes like Chromaprint/Shazam — compare adjacent analysis windows,
+# keep only the comparison SIGNS so the signature survives volume
+# scaling and lossless container changes — simplified to stay
+# integer-exact and oracle-checkable), then the SAME banded-LSH
+# Hamming join the image path uses (one shuffle on (band, key),
+# JVM-side bit_count(xor) verify, pigeonhole recall guarantee).
+# Reference surface: uber/aresdb has no media pipeline; this extends
+# the SURVEY §2 LLM-data-prep operator family.
+
+AUDIO_FP_FRAMES = 65                       # 64 adjacent-frame deltas
+
+
+def audio_fingerprint(samples: np.ndarray) -> int:
+    """64-bit energy-delta fingerprint: mono-mix (integer channel
+    mean, the decode_stats convention), zero-pad to a multiple of 65,
+    split into 65 equal sequential frames, per-frame energy =
+    Σ|sample| (int64), bit i = 1 iff energy[i+1] > energy[i].
+
+    Integer-exact: identical PCM content yields the IDENTICAL
+    fingerprint through ANY lossless container (WAV/FLAC/AIFF), and a
+    localized edit flips only the comparisons whose frames it touches
+    (≤ 2 bits per edited frame). Float inputs (IEEE WAV / AIFF fl32)
+    quantize to Q15 (×32767, round-half-away like audio_stats) first
+    so the comparison basis is deterministic."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s.astype(np.int64 if s.dtype.kind in "iu" else np.float64) \
+            .sum(axis=1) // s.shape[1] if s.dtype.kind in "iu" \
+            else s.astype(np.float64).sum(axis=1) / s.shape[1]
+    if np.asarray(s).dtype.kind == "f":
+        s = np.sign(s) * np.floor(np.abs(s) * 32767 + 0.5)
+    s = np.abs(s.astype(np.int64))
+    n = AUDIO_FP_FRAMES
+    pad = (-len(s)) % n
+    if pad:
+        s = np.concatenate([s, np.zeros(pad, np.int64)])
+    e = s.reshape(n, -1).sum(axis=1)
+    bits = 0
+    for i in range(n - 1):
+        if e[i + 1] > e[i]:
+            bits |= 1 << i
+    return bits
+
+
+def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Dispatch an audio payload by magic bytes to the clean-room
+    decoders: RIFF/WAVE → ``decode_wav``, fLaC → ``decode_flac``,
+    FORM/AIFF(-C) → ``decode_aiff``. Unknown containers raise
+    NotImplementedError NAMING THE MAGIC (the strict-decode rule of
+    VERDICT r11 #1 — never hash container bytes as if they were
+    samples)."""
+    data = bytes(payload)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
+    if data[:4] == b"fLaC":
+        from aresdb_spark.operators.flac import decode_flac
+        return decode_flac(data)
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        return decode_aiff(data)
+    raise NotImplementedError(
+        f"audio container with magic {data[:8].hex()} is not "
+        f"implemented (WAV/FLAC/AIFF only; no codec library in this "
+        f"environment)")
+
+
+def fingerprint_media(df):
+    """media table → (media_id, afp bigint): decode any supported
+    audio container by magic and fingerprint. Arrow-batched
+    mapInPandas, column-pruned to id+payload; 64 bits ride a plain
+    LongType (two's complement for bit 63) — same wire convention as
+    ``phash_media``."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("afp", T.LongType(), False),
+    ])
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _ = decode_audio(bytes(payload))
+                h = audio_fingerprint(samples)
+                rows.append((int(mid),
+                             h - (1 << 64) if h >= (1 << 63) else h))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
+
+
+def audio_near_duplicates(df, max_hamming: int = 7, bands: int = 8):
+    """Audio near-duplicate pairs: fingerprint once per clip (the only
+    Python step, localCheckpointed so the self-join reads materialized
+    rows on both sides), then the shared banded-LSH Hamming join
+    (``multimodal.banded_hamming_pairs`` — one (band, key) shuffle,
+    JVM-side verify, ``max_hamming < bands`` pigeonhole recall
+    guarantee). Returns (id_a, id_b, hamming), id_a < id_b."""
+    from aresdb_spark.operators.multimodal import banded_hamming_pairs
+    hashes = fingerprint_media(df).localCheckpoint(eager=True)
+    return banded_hamming_pairs(hashes, "afp",
+                                max_hamming=max_hamming, bands=bands)
+
+
+def _fp_frame_amplitudes(seed: int) -> np.ndarray:
+    """65 pseudorandom frame amplitudes in [256, 24255] (splitmix64
+    finalizer keyed by seed): adjacent-frame comparisons of DISTINCT
+    seeds agree ~50/50, so distinct clips sit ~32 fingerprint bits
+    apart (measured floor asserted in tests)."""
+    with np.errstate(over="ignore"):
+        x = (np.arange(AUDIO_FP_FRAMES, dtype=np.uint64)
+             + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (256 + (x % np.uint64(24000))).astype(np.int64)
+
+
+def _fp_wave(amps: np.ndarray) -> np.ndarray:
+    """Amplitudes → int16 mono samples: frame f is 64 samples of the
+    alternating square wave ±amps[f], so Σ|sample| = 64·amps[f]
+    exactly and the fingerprint is a pure function of the
+    amplitudes."""
+    sq = np.ones(64, np.int64)
+    sq[1::2] = -1
+    return (amps[:, None] * sq[None, :]).reshape(-1).astype(np.int16)
+
+
+def near_dup_audio_samples(d: int) -> np.ndarray:
+    """The DECODED samples of ``synthetic_near_dup_audio`` id ``d`` as
+    a pure function (int16 mono, 65·64 = 4160 samples — every
+    container below is lossless, so the decode reproduces these
+    exactly). Ids group in threes, mirroring the image corpus:
+
+      - 3g:   base clip, seed 2g
+      - 3g+2: independent clip, seed 2g+1
+      - 3g+1: the duplicate plant — for g % 3 == 2 an EDITED twin
+        (1 + g % 5 frames get re-drawn amplitudes → measured Hamming
+        1-10, so in-threshold plants must be FOUND and beyond-threshold
+        ones EXCLUDED); otherwise the exact base samples (the
+        container twin — FLAC for g % 3 == 0, AIFF for g % 3 == 1,
+        Hamming 0)."""
+    g, role = d // 3, d % 3
+    if role == 0:
+        return _fp_wave(_fp_frame_amplitudes(2 * g))
+    if role == 2:
+        return _fp_wave(_fp_frame_amplitudes(2 * g + 1))
+    amps = _fp_frame_amplitudes(2 * g)
+    if g % 3 == 2:
+        for j in range(1 + g % 5):
+            f = (g * 7 + j * 13) % AUDIO_FP_FRAMES
+            # flip to the OPPOSITE amplitude extreme so the edit
+            # reliably crosses both adjacent-frame comparisons
+            amps[f] = 24255 if amps[f] <= 12255 else 256
+    return _fp_wave(amps)
+
+
+def synthetic_near_dup_audio(ids, id_col: str = "media_id"):
+    """Deterministic mixed-container corpus with PLANTED audio
+    duplicates (r13, VERDICT r12 directive 7 — the dedup corpora were
+    image-only + WAV; this one feeds FLAC and AIFF payloads through
+    the same mapInPandas decode path): samples from
+    ``near_dup_audio_samples``; containers — WAV PCM16 everywhere
+    except the 3g+1 container twins, which encode as FLAC (g % 3 == 0,
+    Rice-coded, operators/flac.py) or AIFF (g % 3 == 1, big-endian
+    PCM). All three are lossless, so the all-pairs enumeration over
+    the sample formula is the oracle. Output: (media_id, payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.flac import encode_flac
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                g, role = d // 3, d % 3
+                samples = near_dup_audio_samples(d)
+                if role == 1 and g % 3 == 0:
+                    payloads.append(encode_flac(
+                        samples, 16000, block_size=1024, fixed_order=2))
+                elif role == 1 and g % 3 == 1:
+                    payloads.append(encode_aiff(samples, 16000))
+                else:
+                    payloads.append(encode_wav(samples, 16000))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def audio_near_dup_oracle_pairs(n_ids: int,
+                                max_hamming: int = 7) -> list:
+    """Brute-force all-pairs ground truth for the
+    ``synthetic_near_dup_audio`` corpus over ids ``0..n_ids-1``:
+    (id_a, id_b, hamming) for every pair within ``max_hamming``
+    fingerprint bits, computed driver-side from the pure sample
+    formula — the O(n²) answer the banded pipeline must reproduce
+    without the quadratic join."""
+    fps = [audio_fingerprint(near_dup_audio_samples(d))
+           for d in range(n_ids)]
+    return [(a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in range(n_ids) for b in range(a + 1, n_ids)
+            if bin(fps[a] ^ fps[b]).count("1") <= max_hamming]

@@ -1272,6 +1272,30 @@ def image_near_duplicates(df: DataFrame, max_hamming: int = 7,
     DROPPED pairs with 4-10 flips spread across all four bands. The
     constraint is enforced: callers wanting a probabilistic-recall
     regime must lower max_hamming or raise bands explicitly."""
+    # localCheckpoint truncates lineage so the self-join reads the
+    # MATERIALIZED (media_id, phash) rows on both sides — without it the
+    # plan re-runs the decode+hash mapInPandas once per side, doubling
+    # the dominant cost at corpus scale (same pattern as the MinHash
+    # pipeline's candidate checkpoint in operators/dedup.py)
+    hashes = phash_media(df).localCheckpoint(eager=True)
+    return banded_hamming_pairs(hashes, "phash",
+                                max_hamming=max_hamming, bands=bands)
+
+
+def banded_hamming_pairs(hashes: DataFrame, hash_col: str,
+                         max_hamming: int = 7,
+                         bands: int = 8) -> DataFrame:
+    """Generic banded-LSH join over a 64-bit signature column (r13 —
+    shared by the image pHash and audio fingerprint near-dup paths):
+    split each hash into ``bands`` contiguous slices, shuffle ONCE on
+    (band, slice-key) so only bucket collisions form candidate pairs,
+    verify JVM-side with ``bit_count(xor)``. Input: (media_id,
+    <hash_col> bigint), already materialized by the caller (a
+    localCheckpoint before the self-join, or the pipeline re-runs the
+    hashing stage once per side). Returns (id_a, id_b, hamming),
+    id_a < id_b, distinct. The ``max_hamming < bands`` pigeonhole
+    recall guarantee is enforced exactly as in
+    ``image_near_duplicates``."""
     if 64 % bands:
         raise ValueError("bands must divide 64")
     if max_hamming >= bands:
@@ -1280,20 +1304,14 @@ def image_near_duplicates(df: DataFrame, max_hamming: int = 7,
             f"pigeonhole recall guarantee (a pair can dirty every "
             f"band); raise bands or lower max_hamming")
     width = 64 // bands
-    # localCheckpoint truncates lineage so the self-join reads the
-    # MATERIALIZED (media_id, phash) rows on both sides — without it the
-    # plan re-runs the decode+hash mapInPandas once per side, doubling
-    # the dominant cost at corpus scale (same pattern as the MinHash
-    # pipeline's candidate checkpoint in operators/dedup.py)
-    hashes = phash_media(df).localCheckpoint(eager=True)
     slices = F.array(*[
         F.struct(F.lit(b).alias("band"),
-                 F.shiftrightunsigned("phash", b * width)
+                 F.shiftrightunsigned(hash_col, b * width)
                  .bitwiseAND(F.lit((1 << width) - 1)).alias("key"))
         for b in range(bands)])
     exploded = (hashes
-                .select("media_id", "phash", F.explode(slices).alias("s"))
-                .select("media_id", "phash",
+                .select("media_id", hash_col, F.explode(slices).alias("s"))
+                .select("media_id", hash_col,
                         F.col("s.band").alias("band"),
                         F.col("s.key").alias("key")))
     a = exploded.alias("a")
@@ -1303,8 +1321,8 @@ def image_near_duplicates(df: DataFrame, max_hamming: int = 7,
                        F.col("a.media_id") < F.col("b.media_id")])
             .select(F.col("a.media_id").alias("id_a"),
                     F.col("b.media_id").alias("id_b"),
-                    F.bit_count(F.col("a.phash")
-                                .bitwiseXOR(F.col("b.phash")))
+                    F.bit_count(F.col(f"a.{hash_col}")
+                                .bitwiseXOR(F.col(f"b.{hash_col}")))
                     .alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
