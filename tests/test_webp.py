@@ -220,3 +220,100 @@ def test_limited_code_lengths_fallback_kraft_complete():
         assert kraft == 1, (n, lengths)
         # and the canonical builder accepts it (no over-subscription)
         _PrefixCode(lengths)
+
+
+# CPython's shipped test fixture Lib/test/test_email/data/python.webp
+# (PSF-licensed test data): a REAL libwebp-encoded lossy+alpha WebP —
+# VP8X container, VP8L-compressed ALPH plane, lossy VP8 color plane.
+# External validation data this repo did not encode.
+_PYTHON_WEBP_B64 = """\
+UklGRqgBAABXRUJQVlA4WAoAAAAQAAAADwAADwAAQUxQSMMAAAABJ6KokSTleucY
+X+ffKpmImP90cY3gJjDi4Yt3MsjBEVyDKzDosHgVjnhRNcEIDAJPkqBqsFUZHNa2
+bUYvTsZ2PLbtd/uvKa4hov9J0f2PkPe6REkkGzolkTTzFG0Ox9PlFiD0CxS+kOGD
+txoynjaCfx0pfk52CPuInrOR75lzRugygtv4zEiy90UwfSD9NheMITJWLaXWayO8
+XeOlWRXVnIGk2W6WdYoYMQ+KqixQNPowgt+6a1BSKbUtz+lUFAoBAAAAVlA4IL4A
+AACQAgCdASoQABAAAwA0JbACdDBPCIUMfAMdCCz96AD+/XSg/QKbH4r3Q3ycN/bS
+DK/T/zVo4u6nvclvG/SqxWOuup+XhN9BojvaW+Tv+MvxvX/hr/o/5Qns9LtmX/+q
+Kdl/yWznhuasl7nkxvSTI4xf3Y85VSB/lU/8Ofj/b9JrA+ifvIOYZm2x1RP/dhfm
+sf5diuSfR7+z+r/+HR3zEo/+XM/B+vkYw73Pzx+ROaAB/ZoBSzEs3rzZe6qsAAAA"""
+
+
+def _python_webp() -> bytes:
+    import base64
+    return base64.b64decode(_PYTHON_WEBP_B64)
+
+
+def test_real_libwebp_fixture_probe_and_alpha_plane():
+    """Pin a REAL libwebp-produced file end-to-end: webp_probe reads
+    the VP8X canvas + flags and the lossy VP8 key-frame header, and
+    decode_webp_alpha decodes the VP8L-compressed ALPH plane through
+    the SAME entropy/prefix-code engine the lossless path uses —
+    external validation that the clean-room VP8L decoder (incl. the
+    r13 right-edge TR and mode-13 truncation fixes) reads data it did
+    not encode. The alpha checksum is pinned; the plane is the Python
+    logo silhouette."""
+    import hashlib
+
+    from aresdb_spark.operators import webp as W
+
+    fix = _python_webp()
+    assert hashlib.md5(fix).hexdigest() == "d4d9cee903091f613295efe4b5935689"
+    p = W.webp_probe(fix)
+    assert p["kind"] == "extended" and p["has_alpha"] \
+        and (p["width"], p["height"]) == (16, 16) \
+        and p["chunks"] == ["VP8X", "ALPH", "VP8 "]
+    body = dict(zip(p["chunks"], [b for _, b in W._webp_chunks(fix)]))
+    hdr = W.vp8_frame_header(body["VP8 "])
+    assert hdr["key_frame"] and (hdr["width"], hdr["height"]) == (16, 16)
+    a = W.decode_webp_alpha(fix)
+    assert a.shape == (16, 16) and int(a.sum()) == 38971 \
+        and a.min() == 0 and a.max() == 255
+    # the color plane stays an honest raise naming the chunk
+    with pytest.raises(NotImplementedError, match="VP8"):
+        W.decode_webp(fix)
+
+
+def test_alph_filter_compression_matrix_roundtrip():
+    """encode_alph -> decode_alph across all 4 spec filtering methods
+    x both compression modes (raw / headerless VP8L), exact."""
+    from aresdb_spark.operators import webp as W
+
+    rng = np.random.default_rng(3)
+    for filt in range(4):
+        for comp in (0, 1):
+            alpha = rng.integers(0, 256, (11, 17), dtype=np.uint8)
+            blob = W.encode_alph(alpha, filtering=filt, compression=comp)
+            out = W.decode_alph(blob, 17, 11)
+            assert np.array_equal(out, alpha), (filt, comp)
+    # scope errors name the offender
+    with pytest.raises(ValueError, match="compression method 2"):
+        W.decode_alph(bytes([2]) + b"\0" * 8, 2, 2)
+    with pytest.raises(ValueError, match="truncated raw"):
+        W.decode_alph(bytes([0]) + b"\0" * 3, 4, 4)
+    with pytest.raises(ValueError, match="no VP8X\\+ALPH"):
+        W.decode_webp_alpha(b"RIFF\x04\x00\x00\x00WEBP")
+
+
+def test_webp_probe_all_container_kinds():
+    """webp_probe reads lossless VP8L headers, lossy key-frame tags
+    (incl. the 0x9D012A start-code check) and VP8X extended flags
+    without any pixel decode."""
+    from aresdb_spark.operators import webp as W
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    p = W.webp_probe(encode_webp(px))
+    assert p["kind"] == "lossless" and (p["width"], p["height"]) == (4, 4)
+    stub = W.vp8_key_frame_stub(640, 480)
+    hdr = W.vp8_frame_header(stub)
+    assert hdr == {"key_frame": True, "version": 0, "show_frame": 1,
+                   "first_partition_len": 0, "width": 640,
+                   "width_scale": 0, "height": 480, "height_scale": 0}
+    bad = bytearray(stub)
+    bad[3] = 0x9C
+    with pytest.raises(ValueError, match="start code"):
+        W.vp8_frame_header(bytes(bad))
+    ext = W.encode_webp_extended(
+        np.full((5, 7), 9, np.uint8), W.vp8_key_frame_stub(7, 5))
+    pe = W.webp_probe(ext)
+    assert pe["kind"] == "extended" and (pe["width"], pe["height"]) == (7, 5)
+    assert np.array_equal(W.decode_webp_alpha(ext), np.full((5, 7), 9))
