@@ -75,24 +75,39 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12,
 
 
 class _BitReader:
-    """LSB-first bit reader over bytes."""
+    """LSB-first bit reader over bytes, with non-consuming ``peek`` +
+    ``consume`` so prefix decode can be table-driven (r13 — the
+    per-bit loop priced the whole VP8L decode path)."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.nbits = len(data) * 8
         self.pos = 0                                 # absolute bit pos
 
-    def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
+    def peek(self, n: int) -> int:
+        """Next ``n`` bits WITHOUT consuming, zero-padded past the end
+        (a symbol matched only thanks to padding still errors at
+        ``consume``, preserving the truncation semantics)."""
+        byte0 = self.pos >> 3
+        nbytes = ((self.pos & 7) + n + 7) >> 3
+        v = int.from_bytes(self.data[byte0:byte0 + nbytes], "little") \
+            >> (self.pos & 7)
+        return v & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        if self.pos + n > self.nbits:
             raise ValueError("truncated VP8L stream")
-        v = 0
-        for i in range(n):
-            byte = self.data[self.pos >> 3]
-            v |= ((byte >> (self.pos & 7)) & 1) << i
-            self.pos += 1
+        self.pos += n
+
+    def read(self, n: int) -> int:
+        if self.pos + n > self.nbits:
+            raise ValueError("truncated VP8L stream")
+        v = self.peek(n)
+        self.pos += n
         return v
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data) * 8:
+        if self.pos >= self.nbits:
             raise ValueError("truncated VP8L stream")
         byte = self.data[self.pos >> 3]
         b = (byte >> (self.pos & 7)) & 1
@@ -150,10 +165,38 @@ class _PrefixCode:
             next_code[ln] += 1
             self.codes[(ln, c)] = sym
             self.code_of[sym] = (ln, c)
+        # first-level decode LUT (r13): index by the next k STREAM-ORDER
+        # bits (LSB-first reader, codes walk MSB-of-code-first, so a
+        # code's index prefix is its bit-REVERSAL); entries (sym, len)
+        # for codes of len <= k, None falls back to the bit walk
+        self.k = k = min(max_len, 9)
+        table = [None] * (1 << k)
+        for (ln, c), sym in self.codes.items():
+            if ln > k:
+                continue
+            rev = 0
+            for i in range(ln):
+                rev |= ((c >> i) & 1) << (ln - 1 - i)
+            for fill in range(1 << (k - ln)):
+                table[rev | (fill << ln)] = (sym, ln)
+        self.table = table
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
+        # inlined peek+consume (this is the codec's hottest call site)
+        bpos = br.pos
+        off = bpos & 7
+        byte0 = bpos >> 3
+        k = self.k
+        v = (int.from_bytes(br.data[byte0:byte0 + ((off + k + 7) >> 3)],
+                            "little") >> off) & ((1 << k) - 1)
+        e = self.table[v]
+        if e is not None:
+            if bpos + e[1] > br.nbits:
+                raise ValueError("truncated VP8L stream")
+            br.pos = bpos + e[1]
+            return e[0]
         code, ln = 0, 0
         while True:
             code = (code << 1) | br.read_bit()
@@ -399,33 +442,37 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
         d = _read_prefix_code(br, 40)
         groups.append((g, r, b, a, d))
 
-    out = np.zeros((h * w, 4), np.uint8)
+    # flat [a, r, g, b] byte sink: Python-int writes + slice copies for
+    # backrefs beat per-pixel ndarray assignment ~10x; symbol decode is
+    # table-driven with the bit math inlined in _PrefixCode.decode
+    # (r13 — this loop prices the whole VP8L surface)
+    out = bytearray(4 * h * w)
     pos = 0
     total = h * w
+    shift = 32 - cache_bits if cache_bits else 0
 
     def group_at(p):
-        if meta is None:
-            return groups[0]
         y, x = divmod(p, w)
         return groups[int(meta[y >> meta_bits, x >> meta_bits])]
 
-    def cache_insert(px):
-        if cache is not None:
-            argb = (int(px[0]) << 24) | (int(px[1]) << 16) \
-                | (int(px[2]) << 8) | int(px[3])
-            cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> (32 - cache_bits)] \
-                = argb
-
+    gcode, rcode, bcode, acode, dcode = groups[0]
     while pos < total:
-        gcode, rcode, bcode, acode, dcode = group_at(pos)
+        if meta is not None:
+            gcode, rcode, bcode, acode, dcode = group_at(pos)
         s = gcode.decode(br)
         if s < 256:                                 # literal
             g = s
             r = rcode.decode(br)
             b = bcode.decode(br)
             a = acode.decode(br)
-            out[pos] = (a, r, g, b)
-            cache_insert(out[pos])
+            o = 4 * pos
+            out[o] = a
+            out[o + 1] = r
+            out[o + 2] = g
+            out[o + 3] = b
+            if cache is not None:
+                argb = (a << 24) | (r << 16) | (g << 8) | b
+                cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> shift] = argb
             pos += 1
         elif s < 256 + 24:                          # LZ77 backref
             length = _read_lz77_value(br, s - 256)
@@ -440,18 +487,33 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
                     dist = 1
             if dist > pos or pos + length > total:
                 raise ValueError("LZ77 reference out of range")
-            for i in range(length):
-                out[pos + i] = out[pos + i - dist]
-                cache_insert(out[pos + i])
+            o, d4 = 4 * pos, 4 * dist
+            n4 = 4 * length
+            if dist >= length:                      # non-overlapping
+                out[o:o + n4] = out[o - d4:o - d4 + n4]
+            else:                                   # repeating pattern
+                chunk = bytes(out[o - d4:o])
+                reps, rem = divmod(n4, d4)
+                out[o:o + n4] = chunk * reps + chunk[:rem]
+            if cache is not None:
+                for i in range(pos, pos + length):
+                    j = 4 * i
+                    argb = (out[j] << 24) | (out[j + 1] << 16) \
+                        | (out[j + 2] << 8) | out[j + 3]
+                    cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> shift] \
+                        = argb
             pos += length
         else:                                       # color cache hit
             if cache is None:
                 raise ValueError("cache symbol without a color cache")
             argb = cache[s - 256 - 24]
-            out[pos] = ((argb >> 24) & 0xFF, (argb >> 16) & 0xFF,
-                        (argb >> 8) & 0xFF, argb & 0xFF)
+            o = 4 * pos
+            out[o] = (argb >> 24) & 0xFF
+            out[o + 1] = (argb >> 16) & 0xFF
+            out[o + 2] = (argb >> 8) & 0xFF
+            out[o + 3] = argb & 0xFF
             pos += 1
-    return out
+    return np.frombuffer(out, np.uint8).reshape(h * w, 4)
 
 
 def _apply_inverse_transforms(px: np.ndarray, w: int, h: int,
