@@ -1775,6 +1775,37 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["dedup_audio_fp"] = (q_audio_dedup, audio_dedup_sql())
 
+    # --- video-modality near-dup dedup (r13 — completes the near-dup
+    # family across all three media modalities): order-sensitive
+    # 64-bit clip fingerprint (integer-weighted temporal mean of the
+    # decoded frames -> the image path's DCT pHash), shared banded-LSH
+    # join. The corpus plants container twins (the SAME MJPEG frames
+    # re-packed MP4 -> AVI/MJPG or AVI uncompressed DIB — Hamming 0;
+    # every in-scope decode path is pixel-exact for the blocky
+    # pattern class) and substituted-frame edits at measured Hamming
+    # 4-26 straddling the threshold; independent clips >= 16 bits.
+    # Oracle: brute-force all-pairs over the pure frame formula.
+    def q_video_dedup(spark, sf_dir):
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") < 90) \
+            .select(F.col("doc_id").alias("media_id"))
+        return V.video_near_duplicates(V.synthetic_near_dup_videos(docs))
+
+    def video_dedup_sql():
+        from aresdb_spark.operators.video import video_near_dup_oracle_pairs
+        pairs = video_near_dup_oracle_pairs(90, max_hamming=7)
+        vals = ", ".join(f"({a}, {b}, {h})" for a, b, h in pairs)
+        return f"""
+        SELECT CAST(p.a AS BIGINT) AS id_a, CAST(p.b AS BIGINT) AS id_b,
+               CAST(p.h AS BIGINT) AS hamming
+        FROM (VALUES {vals}) p(a, b, h)
+        JOIN documents da ON da.doc_id = p.a AND da.doc_id < 90
+        JOIN documents db ON db.doc_id = p.b AND db.doc_id < 90
+        """
+
+    out["dedup_video_fp"] = (q_video_dedup, video_dedup_sql())
+
     # --- multimodal PNG full-matrix sweep (r12, VERDICT r11 #6 then
     # widened to the COMPLETE RFC 2083 scope): one graded set drives
     # every legal (color type, bit depth) combination — grayscale

@@ -809,3 +809,173 @@ def synthetic_mp4_media(ids, id_col: str = "media_id"):
                                 "payload": payloads})
 
     return ids.mapInPandas(gen, schema=out_schema)
+
+
+# --- video near-duplicate detection (r13) ------------------------------------
+#
+# Extends the near-dup dedup family to the third modality (images:
+# dct_phash, audio: energy-delta fingerprint): an ORDER-SENSITIVE
+# 64-bit clip fingerprint — the integer-WEIGHTED temporal mean of the
+# decoded frames (weights 1..n, so reordering or editing frames moves
+# the mean) hashed with the same DCT pHash the image path uses — then
+# the shared banded-LSH Hamming join. Container twins (the same MJPEG
+# frames in MP4 vs AVI, or re-packed as uncompressed DIB) fingerprint
+# identically because every decode path in scope is pixel-exact for
+# the 8x8-block-constant pattern class.
+
+
+def video_fingerprint(frames: "list") -> int:
+    """64-bit clip fingerprint: gray-convert each frame (integer
+    channel mean), accumulate the weight-(i+1) temporal sum, divide by
+    Σweights (integer), DCT-pHash the mean image. Pure integer
+    pipeline — identical frames through any lossless-in-scope
+    container hash identically; frame REORDERING changes the weighted
+    mean (asserted in tests). All frames must share dimensions."""
+    from aresdb_spark.operators.multimodal import dct_phash
+
+    if not frames:
+        raise ValueError("cannot fingerprint an empty clip")
+    acc = None
+    shape = None
+    for i, f in enumerate(frames):
+        px = np.asarray(f)
+        if px.ndim == 3:
+            px = px.astype(np.int64).sum(axis=2) // px.shape[2]
+        if shape is None:
+            shape = px.shape
+        elif px.shape != shape:
+            raise ValueError(
+                f"clip mixes frame shapes {shape} and {px.shape}")
+        g = px.astype(np.int64) * (i + 1)
+        acc = g if acc is None else acc + g
+    n = len(frames)
+    mean = (acc // (n * (n + 1) // 2)).astype(np.uint8)
+    return dct_phash(mean)
+
+
+def video_fp_media(df):
+    """media table → (media_id, vfp bigint): decode every frame of
+    each MP4/AVI payload and clip-fingerprint. Arrow-batched
+    mapInPandas, column-pruned to id+payload (at corpus scale, swap
+    ``decode_video_frames`` for ``sample_video_frames`` to bound the
+    per-clip decode cost; the fingerprint contract is unchanged)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("vfp", T.LongType(), False),
+    ])
+
+    def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                h = video_fingerprint(decode_video_frames(bytes(payload)))
+                rows.append((int(mid),
+                             h - (1 << 64) if h >= (1 << 63) else h))
+            yield pd.DataFrame(rows, columns=["media_id", "vfp"])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
+
+
+def video_near_duplicates(df, max_hamming: int = 7, bands: int = 8):
+    """Video near-duplicate pairs: fingerprint once per clip
+    (localCheckpointed — the decode is the dominant cost), then the
+    shared banded-LSH Hamming join (one (band, key) shuffle, JVM
+    bit_count(xor) verify, pigeonhole recall at bands > max_hamming).
+    Returns (id_a, id_b, hamming), id_a < id_b."""
+    from aresdb_spark.operators.multimodal import banded_hamming_pairs
+    hashes = video_fp_media(df).localCheckpoint(eager=True)
+    return banded_hamming_pairs(hashes, "vfp",
+                                max_hamming=max_hamming, bands=bands)
+
+
+N_CLIP_FRAMES = 5
+
+
+def near_dup_video_frames(d: int) -> "list":
+    """The DECODED frames of ``synthetic_near_dup_videos`` id ``d`` as
+    a pure function: 5 grayscale 64x64 blocky patterns (the
+    8x8-block-constant class every in-scope decode path reproduces
+    exactly). Ids group in threes like the image/audio corpora:
+
+      - 3g:   base clip, frame f = blocky(seed(2g)*5 + f)
+      - 3g+2: independent clip over seed 2g+1
+      - 3g+1: the plant — for g % 3 == 2 an EDITED twin: frame
+        ``g % 5`` is SUBSTITUTED with an unrelated pattern (the
+        classic inserted-frame/bumper edit; the substituted frame's
+        weight g%5+1 of 15 grades the perturbation, so measured
+        fingerprint Hamming straddles the threshold across the id
+        range); otherwise the exact base frames (container twin,
+        Hamming 0)."""
+    from aresdb_spark.operators.multimodal import _blocky_pattern
+
+    g, role = d // 3, d % 3
+    seed = (2 * g + 1) if role == 2 else 2 * g
+    frames = [_blocky_pattern(seed * N_CLIP_FRAMES + f)
+              for f in range(N_CLIP_FRAMES)]
+    if role == 1 and g % 3 == 2:
+        # substitution seeds live at 10^9 + g — disjoint from every
+        # clip's seed*5+f range for any realistic corpus size
+        frames[g % N_CLIP_FRAMES] = _blocky_pattern(10 ** 9 + g)
+    return frames
+
+
+def synthetic_near_dup_videos(ids, id_col: str = "media_id"):
+    """Deterministic mixed-container corpus with PLANTED video
+    duplicates: frames from ``near_dup_video_frames``; containers —
+    MP4/MJPEG everywhere except the 3g+1 container twins, which
+    re-pack the SAME frames as AVI/MJPG (g even) or AVI uncompressed
+    DIB (g odd, equal-RGB). Every path is pixel-exact for the blocky
+    pattern class, so the all-pairs enumeration over the frame
+    formula is the oracle. Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from aresdb_spark.operators.avi import encode_avi
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                g, role = d // 3, d % 3
+                frames = near_dup_video_frames(d)
+                if role == 1 and g % 3 != 2 and g % 2 == 0:
+                    payloads.append(encode_avi(
+                        [encode_jpeg(f) for f in frames], 64, 64))
+                elif role == 1 and g % 3 != 2 and g % 2 == 1:
+                    rgb = [np.stack([f] * 3, axis=2) for f in frames]
+                    payloads.append(encode_avi(rgb, 64, 64, mjpeg=False))
+                else:
+                    payloads.append(encode_mp4_mjpeg(
+                        [encode_jpeg(f) for f in frames], 64, 64))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def video_near_dup_oracle_pairs(n_ids: int,
+                                max_hamming: int = 7) -> list:
+    """Brute-force all-pairs ground truth for
+    ``synthetic_near_dup_videos`` over ids ``0..n_ids-1`` (driver-side
+    O(n²) enumeration over the pure frame formula — what the banded
+    pipeline must reproduce without the quadratic join)."""
+    fps = [video_fingerprint(near_dup_video_frames(d))
+           for d in range(n_ids)]
+    return [(a, b, bin(fps[a] ^ fps[b]).count("1"))
+            for a in range(n_ids) for b in range(a + 1, n_ids)
+            if bin(fps[a] ^ fps[b]).count("1") <= max_hamming]

@@ -431,3 +431,73 @@ def test_avi_scope_errors_and_dispatch(spark):
         d = r["media_id"]
         ch = 3 if d % 2 == 1 else 1
         assert r["n_px"] == 64 * ch * (1 + d % 3) * (1 + d % 2), d
+
+
+def test_video_fingerprint_properties():
+    """Clip fingerprint is a pure integer function: identical frames
+    through gray, equal-RGB, MP4 and AVI representations hash
+    identically; frame REORDERING changes the weighted mean (order
+    sensitivity); empty clips and mixed shapes raise."""
+    import numpy as np
+    import pytest
+
+    from aresdb_spark.operators import video as V
+
+    frames = V.near_dup_video_frames(0)
+    fp = V.video_fingerprint(frames)
+    rgb = [np.stack([f] * 3, axis=2) for f in frames]
+    assert V.video_fingerprint(rgb) == fp
+    assert V.video_fingerprint(frames[::-1]) != fp
+    with pytest.raises(ValueError, match="empty clip"):
+        V.video_fingerprint([])
+    with pytest.raises(ValueError, match="mixes frame shapes"):
+        V.video_fingerprint([frames[0], frames[0][:32]])
+
+
+def test_video_near_dup_corpus_planted_distances():
+    """Planted distances measured over the graded id range: container
+    twins at Hamming 0, substituted-frame edits straddling
+    max_hamming=7 (some found, some excluded), independent clips
+    >= 16 bits apart."""
+    import itertools
+
+    from aresdb_spark.operators import video as V
+
+    fps = [V.video_fingerprint(V.near_dup_video_frames(d))
+           for d in range(90)]
+
+    def ham(a, b):
+        return bin(fps[a] ^ fps[b]).count("1")
+
+    twins, edits = [], []
+    for g in range(30):
+        (edits if g % 3 == 2 else twins).append(ham(3 * g, 3 * g + 1))
+    assert set(twins) == {0}
+    assert all(h >= 1 for h in edits)
+    assert any(h <= 7 for h in edits) and any(h > 7 for h in edits)
+    plant = {(3 * g, 3 * g + 1) for g in range(30)}
+    floor = min(ham(a, b)
+                for a, b in itertools.combinations(range(90), 2)
+                if (a, b) not in plant)
+    assert floor >= 16, floor
+
+
+def test_video_near_duplicates_pipeline_matches_oracle(spark):
+    """End-to-end over the mixed MP4/AVI-MJPG/AVI-DIB corpus: the
+    banded pipeline reproduces the brute-force all-pairs oracle
+    exactly; the self-join plan is free of MapInPandas (fingerprint
+    stage localCheckpointed)."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import video as V
+
+    ids = spark.range(0, 45).select(F.col("id").alias("media_id"))
+    media = V.synthetic_near_dup_videos(ids)
+    pl = {r["media_id"]: bytes(r["payload"])
+          for r in media.filter(F.col("media_id") < 6).collect()}
+    assert pl[0][4:8] == b"ftyp" and pl[1][:4] == b"RIFF"
+    res = V.video_near_duplicates(media)
+    assert "MapInPandas" not in \
+        res._jdf.queryExecution().executedPlan().toString()
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in res.collect()}
+    assert got == set(V.video_near_dup_oracle_pairs(45))
