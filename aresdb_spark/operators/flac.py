@@ -63,31 +63,45 @@ def _crc16(data: bytes) -> int:
 
 class _MsbReader:
     """MSB-first bit reader with byte-position tracking (frame CRCs
-    cover whole bytes, so frames are byte-aligned)."""
+    cover whole bytes, so frames are byte-aligned). r13: multi-byte
+    chunk reads and a byte-at-a-time unary scan — the per-bit loops
+    priced the whole Rice-residual decode path."""
 
     def __init__(self, data: bytes, pos_bytes: int = 0):
         self.data = data
         self.pos = pos_bytes * 8
+        self.nbits = len(data) * 8
 
     def read(self, n: int) -> int:
-        if self.pos + n > len(self.data) * 8:
+        pos = self.pos
+        if pos + n > self.nbits:
             raise ValueError("truncated FLAC stream")
-        v = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        byte0 = pos >> 3
+        off = pos & 7
+        nbytes = (off + n + 7) >> 3
+        v = int.from_bytes(self.data[byte0:byte0 + nbytes], "big") \
+            >> (nbytes * 8 - off - n)
+        self.pos = pos + n
+        return v & ((1 << n) - 1)
 
     def read_signed(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def read_unary(self) -> int:
+        data, pos, total = self.data, self.pos, self.nbits
         q = 0
-        while self.read(1) == 0:
-            q += 1
-        return q
+        while True:
+            if pos >= total:
+                raise ValueError("truncated FLAC stream")
+            off = pos & 7
+            rem = data[pos >> 3] & ((1 << (8 - off)) - 1)
+            if rem:
+                zeros = (8 - off) - rem.bit_length()
+                self.pos = pos + zeros + 1
+                return q + zeros
+            q += 8 - off
+            pos += 8 - off
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
@@ -338,10 +352,34 @@ def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
                 order = stype - 8
                 s = [br.read_signed(sbps) for _ in range(order)]
                 res = _decode_residual(br, blocksize, order)
-                coefs = _FIXED_COEFS[order]
-                for r in res:
-                    pred = sum(c * s[-1 - i] for i, c in enumerate(coefs))
-                    s.append(r + pred)
+                # closed-form predictors unrolled with running locals
+                # (the generic Σ c·s[-1-i] genexpr was ~30% of the
+                # decode wall, r13)
+                if order == 0:
+                    s = res
+                elif order == 1:
+                    p1 = s[-1]
+                    for r in res:
+                        p1 = r + p1
+                        s.append(p1)
+                elif order == 2:
+                    p1, p2 = s[-1], s[-2]
+                    for r in res:
+                        v = r + 2 * p1 - p2
+                        s.append(v)
+                        p2, p1 = p1, v
+                elif order == 3:
+                    p1, p2, p3 = s[-1], s[-2], s[-3]
+                    for r in res:
+                        v = r + 3 * p1 - 3 * p2 + p3
+                        s.append(v)
+                        p3, p2, p1 = p2, p1, v
+                else:
+                    p1, p2, p3, p4 = s[-1], s[-2], s[-3], s[-4]
+                    for r in res:
+                        v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
+                        s.append(v)
+                        p4, p3, p2, p1 = p3, p2, p1, v
             elif stype >= 32:                       # LPC
                 order = (stype & 31) + 1
                 s = [br.read_signed(sbps) for _ in range(order)]

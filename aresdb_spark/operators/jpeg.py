@@ -709,7 +709,13 @@ def _decode_lossless_scan(data: bytes, pos: int, h: int, w: int,
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; restart
-    markers are consumed explicitly via ``restart()`` (T.81 E.1.4)."""
+    markers are consumed explicitly via ``restart()`` (T.81 E.1.4).
+    r13: multi-byte accumulator with non-consuming ``peek`` so Huffman
+    decode is table-driven. The refill NEVER consumes a marker (0xFF
+    followed by non-zero), so ``pos`` always stops at or before the
+    next marker byte, and scan-end / restart handling is unchanged —
+    byte-aligned padding is at most 7 bits, i.e. lives inside the
+    last pulled byte, never a whole unpulled one."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -717,35 +723,86 @@ class _BitReader:
         self.acc = 0
         self.n = 0
 
+    def _fill(self, need: int) -> None:
+        # refill past `need` to >= 25 bits so the next few peek/read
+        # calls skip the refill entirely; clean (non-0xFF) byte runs
+        # load in one find + int.from_bytes
+        data, pos, n = self.data, self.pos, self.n
+        acc = self.acc & ((1 << n) - 1)             # trim stale high bits
+        ln = len(data)
+        while n < 25:
+            nxt = data.find(0xFF, pos)
+            if nxt == -1:
+                nxt = ln
+            take = nxt - pos
+            if take > 0:
+                if take > 4:
+                    take = 4
+                acc = (acc << (8 * take)) \
+                    | int.from_bytes(data[pos:pos + take], "big")
+                pos += take
+                n += 8 * take
+                continue
+            if pos >= ln:
+                break
+            if pos + 1 < ln and data[pos + 1] == 0x00:
+                acc = (acc << 8) | 0xFF             # stuffed 0xFF
+                n += 8
+                pos += 2
+                continue
+            break                                   # marker / trailing FF
+        self.pos, self.n, self.acc = pos, n, acc
+
+    def _starved(self):
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        nxt = self.data[self.pos + 1] \
+            if self.pos + 1 < len(self.data) else None
+        raise ValueError(
+            f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+            if nxt is not None else "truncated at 0xFF")
+
+    def peek(self, k: int) -> int:
+        """Next ``k`` bits MSB-first WITHOUT consuming, zero-padded
+        past the segment end (a code matched only thanks to padding
+        still errors at ``skip``)."""
+        if self.n < k:
+            self._fill(k)
+            if self.n < k:
+                return (self.acc << (k - self.n)) & ((1 << k) - 1)
+        return (self.acc >> (self.n - k)) & ((1 << k) - 1)
+
+    def skip(self, k: int) -> None:
+        if self.n < k:
+            self._fill(k)
+            if self.n < k:
+                self._starved()
+        self.n -= k
+
     def read_bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy data truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                nxt = self.data[self.pos] if self.pos < len(self.data) else None
-                if nxt == 0x00:
-                    self.pos += 1                        # stuffed 0xFF
-                else:
-                    raise ValueError(
-                        f"unexpected marker 0xFF{nxt:02X} inside entropy "
-                        f"data" if nxt is not None else "truncated at 0xFF")
-            self.acc = byte
-            self.n = 8
+        if self.n < 1:
+            self._fill(1)
+            if self.n < 1:
+                self._starved()
         self.n -= 1
         return (self.acc >> self.n) & 1
 
     def read_bits(self, count: int) -> int:
-        v = 0
-        for _ in range(count):
-            v = (v << 1) | self.read_bit()
-        return v
+        if count == 0:
+            return 0
+        if self.n < count:
+            self._fill(count)
+            if self.n < count:
+                self._starved()
+        self.n -= count
+        return (self.acc >> self.n) & ((1 << count) - 1)
 
     def restart(self, expected: int) -> None:
-        """Byte-align and consume the next RSTn marker (must be the
-        expected one modulo 8 — T.81 E.1.4 requires strict sequence)."""
+        """Byte-align (discard buffered pad bits) and consume the next
+        RSTn marker (must be the expected one modulo 8 — T.81 E.1.4
+        requires strict sequence)."""
         self.n = 0
+        self.acc = 0
         if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
             raise ValueError("expected restart marker")
         marker = self.data[self.pos + 1]
@@ -755,13 +812,37 @@ class _BitReader:
         self.pos += 2
 
 
-def _decode_huffman(reader: _BitReader,
-                    table: dict[tuple[int, int], int]) -> int:
+class _HuffTable:
+    """Decode-side Huffman table: the canonical (code, length) → sym
+    map plus a first-level 2^k LUT over the next k MSB-first stream
+    bits (r13 — one peek+skip per symbol instead of a per-bit walk;
+    codes longer than k fall back to the walk)."""
+
+    __slots__ = ("map", "k", "lut")
+
+    def __init__(self, code_map: "dict[tuple[int, int], int]"):
+        self.map = code_map
+        max_len = max((ln for _, ln in code_map), default=1)
+        self.k = k = min(max_len, 9)
+        self.lut = lut = [None] * (1 << k)
+        for (code, ln), sym in code_map.items():
+            if ln > k:
+                continue
+            base = code << (k - ln)
+            for i in range(1 << (k - ln)):
+                lut[base + i] = (sym, ln)
+
+
+def _decode_huffman(reader: _BitReader, table: _HuffTable) -> int:
+    e = table.lut[reader.peek(table.k)]
+    if e is not None:
+        reader.skip(e[1])
+        return e[0]
     code, length = 0, 0
     while length < 16:
         code = (code << 1) | reader.read_bit()
         length += 1
-        sym = table.get((code, length))
+        sym = table.map.get((code, length))
         if sym is not None:
             return sym
     raise ValueError("invalid Huffman code in JPEG stream")
@@ -985,8 +1066,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("truncated DHT segment")
                 syms = list(body[p + 17:p + 17 + nsym])
                 codes = _huff_codes(bits, syms)
-                htables[(tc, th)] = {
-                    (code, ln): sym for sym, (code, ln) in codes.items()}
+                htables[(tc, th)] = _HuffTable({
+                    (code, ln): sym for sym, (code, ln) in codes.items()})
                 p += 17 + nsym
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3):   # SOF0/1/2 + lossless
             if frame is not None:
