@@ -1806,6 +1806,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
 
     out["dedup_video_fp"] = (q_video_dedup, video_dedup_sql())
 
+    # --- cross-modality media dedup (r13): ONE entry point for a
+    # mixed corpus — media_near_duplicates routes by the kind column
+    # to the modality-appropriate fingerprint and unions the three
+    # banded joins (pairs form only WITHIN a modality; no new shuffle
+    # class). The graded corpus interleaves all three synthetic
+    # near-dup corpora over the same id range, so the row proves the
+    # routing isolates modalities AND each pipeline still reproduces
+    # its own brute-force oracle.
+    def q_media_dedup(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        from aresdb_spark.operators import multimodal as M
+        from aresdb_spark.operators import video as V
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") < 30) \
+            .select(F.col("doc_id").alias("media_id"))
+        media = (
+            M.synthetic_near_dup_images(docs)
+            .select("media_id", F.lit("image").alias("kind"), "payload")
+            .unionByName(
+                A.synthetic_near_dup_audio(docs)
+                .select("media_id", F.lit("audio").alias("kind"),
+                        "payload"))
+            .unionByName(
+                V.synthetic_near_dup_videos(docs)
+                .select("media_id", F.lit("video").alias("kind"),
+                        "payload")))
+        return M.media_near_duplicates(media)
+
+    def media_dedup_sql():
+        from aresdb_spark.operators.audio import audio_near_dup_oracle_pairs
+        from aresdb_spark.operators.multimodal import (
+            image_near_dup_oracle_pairs)
+        from aresdb_spark.operators.video import video_near_dup_oracle_pairs
+        vals = ", ".join(
+            f"('{kind}', {a}, {b}, {h})"
+            for kind, pairs in (
+                ("image", image_near_dup_oracle_pairs(30)),
+                ("audio", audio_near_dup_oracle_pairs(30)),
+                ("video", video_near_dup_oracle_pairs(30)))
+            for a, b, h in pairs)
+        return f"""
+        SELECT p.kind AS kind,
+               CAST(p.a AS BIGINT) AS id_a, CAST(p.b AS BIGINT) AS id_b,
+               CAST(p.h AS BIGINT) AS hamming
+        FROM (VALUES {vals}) p(kind, a, b, h)
+        JOIN documents da ON da.doc_id = p.a AND da.doc_id < 30
+        JOIN documents db ON db.doc_id = p.b AND db.doc_id < 30
+        """
+
+    out["dedup_media_mixed"] = (q_media_dedup, media_dedup_sql())
+
     # --- multimodal PNG full-matrix sweep (r12, VERDICT r11 #6 then
     # widened to the COMPLETE RFC 2083 scope): one graded set drives
     # every legal (color type, bit depth) combination — grayscale

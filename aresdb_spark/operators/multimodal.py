@@ -1448,3 +1448,49 @@ def image_near_dup_oracle_pairs(n_ids: int,
     return [(a, b, bin(hashes[a] ^ hashes[b]).count("1"))
             for a in range(n_ids) for b in range(a + 1, n_ids)
             if bin(hashes[a] ^ hashes[b]).count("1") <= max_hamming]
+
+
+def media_near_duplicates(df: DataFrame, max_hamming: int = 7,
+                          bands: int = 8) -> DataFrame:
+    """Cross-modality near-duplicate pairs (r13): route a mixed media
+    table by its ``kind`` column to the modality-appropriate
+    fingerprint — image → DCT pHash, audio → energy-delta, video →
+    weighted-temporal-mean pHash — and union the three banded-LSH
+    joins. Pairs are only formed WITHIN a modality (an image never
+    collides with an audio clip: each modality hashes and joins
+    independently, and the result carries the ``kind``). One decode
+    pass per payload, three independent one-shuffle joins — the
+    composition adds no new shuffle class."""
+    from aresdb_spark.operators.audio import audio_near_duplicates
+    from aresdb_spark.operators.video import video_near_duplicates
+
+    kinds = [r["kind"] for r in df.select("kind").distinct().collect()]
+    unknown = set(kinds) - {"image", "audio", "video"}
+    if unknown:
+        raise ValueError(f"unknown media kinds {sorted(unknown)} "
+                         f"(image/audio/video only)")
+    parts = []
+    if "image" in kinds:
+        parts.append(image_near_duplicates(
+            df.filter(F.col("kind") == "image"),
+            max_hamming=max_hamming, bands=bands)
+            .select(F.lit("image").alias("kind"), "id_a", "id_b",
+                    "hamming"))
+    if "audio" in kinds:
+        parts.append(audio_near_duplicates(
+            df.filter(F.col("kind") == "audio"),
+            max_hamming=max_hamming, bands=bands)
+            .select(F.lit("audio").alias("kind"), "id_a", "id_b",
+                    "hamming"))
+    if "video" in kinds:
+        parts.append(video_near_duplicates(
+            df.filter(F.col("kind") == "video"),
+            max_hamming=max_hamming, bands=bands)
+            .select(F.lit("video").alias("kind"), "id_a", "id_b",
+                    "hamming"))
+    if not parts:
+        raise ValueError("empty media table: no kinds to route")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

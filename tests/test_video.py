@@ -501,3 +501,38 @@ def test_video_near_duplicates_pipeline_matches_oracle(spark):
         res._jdf.queryExecution().executedPlan().toString()
     got = {(r["id_a"], r["id_b"], r["hamming"]) for r in res.collect()}
     assert got == set(V.video_near_dup_oracle_pairs(45))
+
+
+def test_media_near_duplicates_cross_modality_routing(spark):
+    """The mixed-media dispatcher routes by kind, pairs form only
+    WITHIN a modality, and each modality reproduces its own
+    brute-force oracle; unknown kinds raise."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import audio as A
+    from aresdb_spark.operators import multimodal as M
+    from aresdb_spark.operators import video as V
+
+    ids = spark.range(0, 18).select(F.col("id").alias("media_id"))
+    media = (
+        M.synthetic_near_dup_images(ids)
+        .select("media_id", F.lit("image").alias("kind"), "payload")
+        .unionByName(A.synthetic_near_dup_audio(ids)
+                     .select("media_id", F.lit("audio").alias("kind"),
+                             "payload"))
+        .unionByName(V.synthetic_near_dup_videos(ids)
+                     .select("media_id", F.lit("video").alias("kind"),
+                             "payload")))
+    got = {(r["kind"], r["id_a"], r["id_b"], r["hamming"])
+           for r in M.media_near_duplicates(media).collect()}
+    want = {("image", a, b, h)
+            for a, b, h in M.image_near_dup_oracle_pairs(18)} \
+        | {("audio", a, b, h)
+           for a, b, h in A.audio_near_dup_oracle_pairs(18)} \
+        | {("video", a, b, h)
+           for a, b, h in V.video_near_dup_oracle_pairs(18)}
+    assert got == want
+    with pytest.raises(ValueError, match="unknown media kinds"):
+        M.media_near_duplicates(
+            media.withColumn("kind", F.lit("hologram"))).collect()
