@@ -595,6 +595,11 @@ def main():
         payload["codecs"] = {"error": str(e)}
 
     try:
+        payload["media_dedup"] = _media_dedup_bench(spark)
+    except Exception as e:  # informational tier — never sink the bench
+        payload["media_dedup"] = {"error": str(e)}
+
+    try:
         payload["store_ops"] = _store_ops_bench(spark)
     except Exception as e:  # informational tier — never sink the bench
         payload["store_ops"] = {"error": str(e)}
@@ -1457,3 +1462,51 @@ def _ingest_bench(spark):
 
 if __name__ == "__main__":
     main()
+
+
+def _media_dedup_bench(spark, n_items: int = 192):
+    """Per-modality near-dup pipeline throughput (r13, informational):
+    for each of image/audio/video, generate n_items synthetic
+    near-dup payloads executor-side (localCheckpointed, excluded from
+    timing), then time (a) the fingerprint stage alone and (b) the
+    full banded-LSH dedup — the two units that price a 100-TB media
+    dedup: fingerprint cost scales with corpus bytes, the join with
+    corpus rows. clips_per_sec and the join margin are the numbers
+    that must stay flat across scale tiers."""
+    from pyspark.sql import functions as F
+
+    from aresdb_spark.operators import audio as A
+    from aresdb_spark.operators import multimodal as M
+    from aresdb_spark.operators import video as V
+
+    ids = spark.range(n_items).select(F.col("id").alias("media_id"))
+    tiers = {
+        "image": (M.synthetic_near_dup_images, M.phash_media,
+                  M.image_near_duplicates),
+        "audio": (A.synthetic_near_dup_audio, A.fingerprint_media,
+                  A.audio_near_duplicates),
+        "video": (V.synthetic_near_dup_videos, V.video_fp_media,
+                  V.video_near_duplicates),
+    }
+    out = {}
+    for kind, (gen, fp, dedup) in tiers.items():
+        media = gen(ids).localCheckpoint(eager=True)
+        payload_mb = media.select(
+            F.sum(F.length("payload"))).collect()[0][0] / 1e6
+        fp(media).count()                           # warmup
+        t0 = time.perf_counter()
+        fp(media).count()
+        fp_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_pairs = dedup(media).count()
+        full_sec = time.perf_counter() - t0
+        out[kind] = {
+            "items": n_items,
+            "payload_mb": round(payload_mb, 2),
+            "fingerprint_sec": round(fp_sec, 4),
+            "clips_per_sec": round(n_items / max(fp_sec, 1e-9), 1),
+            "full_dedup_sec": round(full_sec, 4),
+            "join_margin_sec": round(max(full_sec - fp_sec, 0.0), 4),
+            "pairs": n_pairs,
+        }
+    return out
