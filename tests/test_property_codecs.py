@@ -120,3 +120,52 @@ def test_tiff_any_combo_roundtrips(seed, w, h, comp, pred, chbits,
         tile=(3, 4) if tiled else None,
         rows_per_strip=0 if tiled else 2))
     assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 600), st.integers(1, 4),
+       st.sampled_from(["wav", "flac", "aiff"]))
+def test_audio_fingerprint_invariances(seed, n, scale, container):
+    """r13 audio fingerprint properties: invariant under any lossless
+    container, under integer amplitude scaling (comparisons are
+    preserved exactly), and under stereo duplication (mono-mix of two
+    identical channels)."""
+    from aresdb_spark.operators import audio as A
+    from aresdb_spark.operators.flac import encode_flac
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-6000, 6000, n).astype(np.int16)
+    fp = A.audio_fingerprint(s)
+    blob = {"wav": lambda: A.encode_wav(s, 16000),
+            "flac": lambda: encode_flac(s, 16000, block_size=256,
+                                        fixed_order=1),
+            "aiff": lambda: A.encode_aiff(s, 16000)}[container]()
+    dec, _ = A.decode_audio(blob)
+    assert A.audio_fingerprint(dec) == fp
+    assert A.audio_fingerprint((s.astype(np.int64) * scale)) == fp
+    assert A.audio_fingerprint(np.stack([s, s], axis=1)) == fp
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 10**9), st.integers(2, 6))
+def test_video_fingerprint_invariances(seed, n_frames):
+    """r13 video fingerprint properties: invariant under equal-RGB
+    stacking and under MP4 <-> AVI repacking of the same MJPEG bytes;
+    sensitive to frame order whenever frames differ."""
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators.avi import encode_avi
+    from aresdb_spark.operators.jpeg import encode_jpeg
+    from aresdb_spark.operators.multimodal import _blocky_pattern
+    from aresdb_spark.operators.video import encode_mp4_mjpeg
+
+    frames = [_blocky_pattern(seed + f) for f in range(n_frames)]
+    fp = V.video_fingerprint(frames)
+    assert V.video_fingerprint(
+        [np.stack([f] * 3, axis=2) for f in frames]) == fp
+    jpegs = [encode_jpeg(f) for f in frames]
+    mp4 = V.decode_video_frames(encode_mp4_mjpeg(jpegs, 64, 64))
+    avi = V.decode_video_frames(encode_avi(jpegs, 64, 64))
+    assert V.video_fingerprint(mp4) == fp
+    assert V.video_fingerprint(avi) == fp
+    if any(not np.array_equal(frames[0], f) for f in frames[1:]):
+        assert V.video_fingerprint(frames[::-1]) != fp
