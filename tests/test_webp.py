@@ -317,3 +317,28 @@ def test_webp_probe_all_container_kinds():
     pe = W.webp_probe(ext)
     assert pe["kind"] == "extended" and (pe["width"], pe["height"]) == (7, 5)
     assert np.array_equal(W.decode_webp_alpha(ext), np.full((5, 7), 9))
+
+
+def test_vp8l_inside_vp8x_extended_container_decodes():
+    """decode_webp's chunk walk finds a VP8L chunk behind a VP8X
+    header (lossless images in extended containers — the docstring's
+    claim, pinned): same pixels as the bare container."""
+    from aresdb_spark.operators import webp as W
+
+    px = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    bare = W.encode_webp(px)
+    chunks = dict(W._webp_chunks(bare))
+    vp8l = chunks[b"VP8L"]
+
+    def chunk(cid, body):
+        out = cid + struct.pack("<I", len(body)) + body
+        return out + (b"\0" if len(body) % 2 else b"")
+
+    vp8x = bytes([0, 0, 0, 0]) + (4 - 1).to_bytes(3, "little") \
+        + (5 - 1).to_bytes(3, "little")
+    payload = chunk(b"VP8X", vp8x) + chunk(b"VP8L", vp8l)
+    ext = b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
+        + payload
+    assert np.array_equal(W.decode_webp(ext), px)
+    p = W.webp_probe(ext)
+    assert p["kind"] == "extended" and (p["width"], p["height"]) == (4, 5)
