@@ -851,6 +851,14 @@ def _bench_timed(fn):
     return time.perf_counter() - t0, r
 
 
+def _duck_path(d: str, table: str) -> str:
+    """DuckDB read_parquet target for a testdata table: the driver's
+    sf dirs hold single files, the x10/x100 tiers hold Spark-written
+    parquet DIRECTORIES of part files — glob accordingly."""
+    p = f"{d}/{table}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def _q3_phases(spark, d):
     """q3 dim-join attribution (VERDICT r12 directive 3): the ~5-6x
     x100 residual vs DuckDB needs to name its phase without a judge
@@ -889,11 +897,11 @@ def _q3_phases(spark, d):
     con = duckdb.connect()
     duck_scan_sec, _ = _bench_timed(lambda: con.execute(
         f"SELECT sum(l_quantity), count(*) "
-        f"FROM read_parquet('{d}/lineitem.parquet')").fetchall())
+        f"FROM read_parquet('{_duck_path(d, 'lineitem')}')").fetchall())
     duck_full_sec, _ = _bench_timed(lambda: con.execute(
         f"SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty "
-        f"FROM read_parquet('{d}/lineitem.parquet') l "
-        f"JOIN read_parquet('{d}/part.parquet') p "
+        f"FROM read_parquet('{_duck_path(d, 'lineitem')}') l "
+        f"JOIN read_parquet('{_duck_path(d, 'part')}') p "
         f"ON p.p_partkey = l.l_partkey GROUP BY 1").fetchall())
     con.close()
     join_stage = max(full_sec - scan_sec, 0.0)
@@ -940,12 +948,12 @@ def _q8_phases(spark, d):
     con = duckdb.connect()
     duck_read_sec, _ = _bench_timed(lambda: con.execute(
         f"SELECT sum(length(text)), count(*) "
-        f"FROM read_parquet('{d}/documents.parquet')").fetchall())
+        f"FROM read_parquet('{_duck_path(d, 'documents')}')").fetchall())
     tok = X.token_count_oracle_sql("text")
     qual = X.quality_score_oracle_sql("text")
     duck_full_sec, _ = _bench_timed(lambda: con.execute(
         f"SELECT count(*) AS n, sum({tok}) AS toks, sum({qual}) AS q "
-        f"FROM read_parquet('{d}/documents.parquet')").fetchall())
+        f"FROM read_parquet('{_duck_path(d, 'documents')}')").fetchall())
     con.close()
     expr_stage = max(full_sec - read_sec, 0.0)
     duck_expr_stage = max(duck_full_sec - duck_read_sec, 1e-9)
