@@ -1468,8 +1468,6 @@ def _ingest_bench(spark):
             "decode_rows_per_sec": round(decoded_rows / max(t_dec, 1e-9))}
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _media_dedup_bench(spark, n_items: int = 192):
@@ -1518,3 +1516,7 @@ def _media_dedup_bench(spark, n_items: int = 192):
             "pairs": n_pairs,
         }
     return out
+
+
+if __name__ == "__main__":
+    main()
