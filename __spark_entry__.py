@@ -1536,6 +1536,30 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3
     """)
 
+    # --- WebP container probe (r13, the mp4_probe analog): metadata
+    # from the UNCOMPRESSED headers of all three container kinds —
+    # lossless VP8L (14-bit dims + alpha hint), VP8X extended (24-bit
+    # canvas + feature flags), and LOSSY VP8 (3-byte frame tag,
+    # 0x9D012A start code, 14-bit dims) — no pixel decode, so the
+    # lossy headers this repo cannot coefficient-decode still grade.
+    def q_webp_probe(spark, sf_dir):
+        from aresdb_spark.operators import webp as W
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 31 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return W.webp_probe_stats(W.synthetic_webp_probe_media(docs))
+
+    out["multimodal_webp_probe"] = (q_webp_probe, """
+        SELECT doc_id AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'lossless'
+                    WHEN 1 THEN 'extended' ELSE 'lossy' END AS kind,
+               CAST(3 + doc_id % 6 AS INT) AS width,
+               CAST(2 + doc_id % 5 AS INT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END AS INT)
+                   AS has_alpha
+        FROM documents WHERE doc_id % 31 = 0
+    """)
+
     # --- multimodal ICO favicons (r12, operators/bmp.py decode_ico):
     # ICONDIR walk, largest-entry selection past a decoy entry,
     # mask-doubled DIB heights, 32-bit alpha channels and embedded-PNG

@@ -1255,3 +1255,83 @@ def webp_alpha_stats(df):
 
     return df.select("media_id", "payload").mapInPandas(
         process, schema=out_schema)
+
+
+def synthetic_webp_probe_media(ids, id_col: str = "media_id"):
+    """Deterministic corpus covering ALL THREE WebP container kinds
+    (r13): id d is a lossless VP8L file (d % 3 == 0, 3-channel
+    formula pixels, alpha hint 0), a VP8X extended container with a
+    real ALPH plane (d % 3 == 1), or a lossy key-frame stub in a bare
+    RIFF container (d % 3 == 2 — the 10 uncompressed header bytes
+    whose metadata probes while the pixels raise). Canvas is
+    ``w = 3 + d % 6`` by ``h = 2 + d % 5`` in every kind, so one
+    formula oracle covers the probe output. Output: (media_id,
+    payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h = 3 + d % 6, 2 + d % 5
+                if d % 3 == 0:
+                    y, x = np.mgrid[0:h, 0:w]
+                    px = ((d * 3 + x * 7 + y * 11) % 256).astype(np.uint8)
+                    payloads.append(encode_webp(
+                        np.stack([px] * 3, axis=2)))
+                elif d % 3 == 1:
+                    alpha = np.full((h, w), d % 256, np.uint8)
+                    payloads.append(encode_webp_extended(
+                        alpha, vp8_key_frame_stub(w, h)))
+                else:
+                    body = vp8_key_frame_stub(w, h)
+                    chunk = b"VP8 " + struct.pack("<I", len(body)) + body
+                    if len(body) % 2:
+                        chunk += b"\0"
+                    payloads.append(
+                        b"RIFF" + struct.pack("<I", 4 + len(chunk))
+                        + b"WEBP" + chunk)
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def webp_probe_stats(df):
+    """media table → container metadata through the REAL probe (no
+    pixel decode): (media_id, kind, width, height, has_alpha).
+    Arrow-batched mapInPandas, column-pruned — the WebP analog of
+    video.video_probe_stats."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("has_alpha", T.IntegerType(), False),
+    ])
+
+    def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                p = webp_probe(bytes(payload))
+                rows.append((int(mid), p["kind"], p["width"],
+                             p["height"], int(bool(p.get("has_alpha")))))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
