@@ -722,18 +722,24 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        self._next_ff = -2      # cached data.find(0xFF, pos) result
 
     def _fill(self, need: int) -> None:
         # refill past `need` to >= 25 bits so the next few peek/read
         # calls skip the refill entirely; clean (non-0xFF) byte runs
-        # load in one find + int.from_bytes
+        # load in one find + int.from_bytes. The next-0xFF index is
+        # cached across calls (r14): a long 0xFF-free run otherwise
+        # rescans to the same distant marker every 4-byte refill,
+        # making the scan quadratic in the run length.
         data, pos, n = self.data, self.pos, self.n
         acc = self.acc & ((1 << n) - 1)             # trim stale high bits
         ln = len(data)
+        nxt = self._next_ff
         while n < 25:
-            nxt = data.find(0xFF, pos)
-            if nxt == -1:
-                nxt = ln
+            if nxt < pos:                   # stale (or never computed)
+                nxt = data.find(0xFF, pos)
+                if nxt == -1:
+                    nxt = ln
             take = nxt - pos
             if take > 0:
                 if take > 4:
@@ -752,6 +758,7 @@ class _BitReader:
                 continue
             break                                   # marker / trailing FF
         self.pos, self.n, self.acc = pos, n, acc
+        self._next_ff = nxt
 
     def _starved(self):
         if self.pos >= len(self.data):

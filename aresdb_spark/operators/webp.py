@@ -738,19 +738,27 @@ def vp8_frame_header(body: bytes) -> dict:
     §9.1 — everything BEFORE the boolean-coded partitions, so no
     probability tables needed): 3-byte frame tag (frame type bit 0
     where 0 = KEY frame, 3-bit version, show_frame, 19-bit first
-    partition size), and for key frames the 0x9D012A start code plus
-    14-bit width/height with 2-bit upscale codes."""
+    partition size), then the 0x9D012A start code plus 14-bit
+    width/height with 2-bit upscale codes. An inter-frame tag raises
+    ValueError — a WebP still image must be a key frame, so a non-key
+    VP8 chunk is a malformed container, not a parseable header."""
     if len(body) < 3:
         raise ValueError("truncated VP8 frame tag")
     tag = body[0] | (body[1] << 8) | (body[2] << 16)
     out = {"key_frame": (tag & 1) == 0, "version": (tag >> 1) & 7,
            "show_frame": (tag >> 4) & 1, "first_partition_len": tag >> 5}
-    if out["key_frame"]:
-        if body[3:6] != b"\x9d\x01\x2a":
-            raise ValueError("bad VP8 key-frame start code")
-        (wcode, hcode) = struct.unpack("<HH", body[6:10])
-        out.update(width=wcode & 0x3FFF, width_scale=wcode >> 14,
-                   height=hcode & 0x3FFF, height_scale=hcode >> 14)
+    if not out["key_frame"]:
+        raise ValueError(
+            "VP8 inter frame in a WebP container (a still image must "
+            "be a key frame)")
+    if body[3:6] != b"\x9d\x01\x2a":
+        raise ValueError("bad VP8 key-frame start code")
+    if len(body) < 10:
+        raise ValueError("truncated VP8 key-frame header (need 10 "
+                         "bytes for the dimension fields)")
+    (wcode, hcode) = struct.unpack("<HH", body[6:10])
+    out.update(width=wcode & 0x3FFF, width_scale=wcode >> 14,
+               height=hcode & 0x3FFF, height_scale=hcode >> 14)
     return out
 
 
@@ -916,11 +924,13 @@ def decode_webp_alpha(payload: bytes) -> np.ndarray:
 
 
 def encode_webp_extended(alpha: np.ndarray, vp8_body: bytes,
-                         filtering: int = 0) -> bytes:
+                         filtering: int = 0,
+                         compression: int = 1) -> bytes:
     """Minimal VP8X container with an ALPH chunk and a (possibly
     header-only) lossy VP8 chunk — the deterministic corpus twin of a
     libwebp lossy+alpha file: the alpha plane decodes for real, the
-    color plane raises naming the chunk."""
+    color plane raises naming the chunk. ``compression`` is forwarded
+    to ``encode_alph`` (0 raw / 1 headerless VP8L)."""
     a = np.asarray(alpha, np.uint8)
     h, w = a.shape
 
@@ -931,7 +941,8 @@ def encode_webp_extended(alpha: np.ndarray, vp8_body: bytes,
     vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") \
         + (h - 1).to_bytes(3, "little")
     payload = chunk(b"VP8X", vp8x) \
-        + chunk(b"ALPH", encode_alph(a, filtering=filtering)) \
+        + chunk(b"ALPH", encode_alph(a, filtering=filtering,
+                                     compression=compression)) \
         + chunk(b"VP8 ", vp8_body)
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
         + payload
@@ -1198,25 +1209,9 @@ def synthetic_webp_alpha_media(ids, id_col: str = "media_id"):
                 w, h = 8 + d % 9, 6 + d % 7
                 y, x = np.mgrid[0:h, 0:w]
                 alpha = ((d * 23 + x * 5 + y * 11) % 256).astype(np.uint8)
-                blob = encode_webp_extended(
-                    alpha, vp8_key_frame_stub(w, h), filtering=d % 4)
-                if d % 5 == 0:
-                    # swap in a RAW-compression ALPH for the same plane
-                    chunks = _webp_chunks(blob)
-                    alph = encode_alph(alpha, filtering=d % 4,
-                                       compression=0)
-                    blob = b"".join(
-                        [b"RIFF", struct.pack(
-                            "<I", 4 + sum(8 + len(b_) + (len(b_) & 1)
-                                          for c, b_ in chunks
-                                          if c != b"ALPH")
-                            + 8 + len(alph) + (len(alph) & 1)),
-                         b"WEBP"]
-                        + [c + struct.pack("<I", len(b_)) + b_
-                           + (b"\0" if len(b_) % 2 else b"")
-                           for c, b_ in [(c, alph if c == b"ALPH" else b_)
-                                         for c, b_ in chunks]])
-                payloads.append(blob)
+                payloads.append(encode_webp_extended(
+                    alpha, vp8_key_frame_stub(w, h), filtering=d % 4,
+                    compression=0 if d % 5 == 0 else 1))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 
