@@ -3458,7 +3458,19 @@ _DRIVER_WINDOW = [
     # form of the same planner path) and aql_topk_users (the same
     # sort/limit table line) in-window; aql_distinct stays in
     # check_contract.
-    "aql_anti_join", "aql_timezone_column_join", "dedup_image_phash",
+    # r14 rotation (VERDICT r13 directive 5): dedup_media_mixed — the
+    # cross-modality media-dedup router (r13's integration point:
+    # media_near_duplicates routes an interleaved image+audio+video
+    # corpus by magic to the right fingerprint and unions the three
+    # banded joins) had no driver-graded row. Superset-swap within the
+    # media near-dup family (the jpeg_420-for-jpeg_stats pattern): it
+    # displaces dedup_image_phash, whose DCT-pHash + banded-LSH image
+    # pipeline IS the mixed row's image leg (same fingerprint, same
+    # shared banded_hamming_pairs join, same brute-force oracle),
+    # while dedup_audio_fp and multimodal_video_frames keep the other
+    # modalities' dedicated in-window rows; image_phash stays in
+    # check_contract.
+    "aql_anti_join", "aql_timezone_column_join", "dedup_media_mixed",
     # r11 rotation #4: multimodal_gif_stats — the from-scratch LZW GIF
     # codec (operators/gif.py: variable-width codes, sub-block
     # reassembly, forced CLEARs, 4-pass interlace) is a new codec

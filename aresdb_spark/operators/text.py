@@ -178,17 +178,65 @@ def fingerprint_oracle_sql(col: str) -> str:
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: attach the full per-document stat set.
 
-    One let-bound token array feeds every statistic — the whole stat set
-    is a single tokenize pass per row inside the scan stage."""
+    One let-bound token array feeds a let-bound struct of the four
+    primitive counters (per-language stopword hits + total token
+    length), and every statistic is O(1) arithmetic on those (r14,
+    VERDICT r13 directive 3). The naive composition ran 8 array passes
+    per row — filter+size per language, aggregate per mean, each
+    duplicated inside quality — because Catalyst does not CSE across
+    higher-order-function lambdas; binding the counters once cuts that
+    to 5 (en/de/fr filter+size, one length fold, the fingerprint
+    join). A single struct-ACCUMULATOR aggregate() was tried first and
+    measured 4x SLOWER than the 8-pass baseline at the x100 tier
+    (Catalyst materializes a fresh InternalRow per element inside HOF
+    aggregate; primitive filter/size and int-accumulator folds stay in
+    codegen), so counters are separate primitive passes on purpose.
+    The derived formulas are term-for-term those of the standalone
+    operators (stopword_ratio / mean_token_length / quality_score /
+    language_id), so values are bit-identical to composing them
+    individually."""
     t = F.col(text_col)
-    s = _let(tokens(F.lower(t)), lambda tk: F.struct(
-        F.size(tk).alias("n_tokens"),
-        _sw_ratio(tk, STOPWORDS_EN).alias("stopword_ratio"),
-        _mean_len(tk).alias("mean_token_len"),
-        _quality(tk).alias("quality"),
-        _lang(tk).alias("lang_id"),
-        _fp(tk).alias("fingerprint"),
-    ))
+
+    def from_counts(tk: Column) -> Column:
+        n = F.size(tk)
+        nd = F.greatest(n, F.lit(1)).cast("double")
+        counters = F.struct(
+            F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_EN)))
+            .alias("en"),
+            F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_DE)))
+            .alias("de"),
+            F.size(F.filter(tk, lambda x: x.isin(*STOPWORDS_FR)))
+            .alias("fr"),
+            F.aggregate(tk, F.lit(0), lambda a, x: a + F.length(x))
+            .alias("len_sum"),
+        )
+
+        def stats(g: Column) -> Column:
+            en, de, fr = g["en"], g["de"], g["fr"]
+            sw = en.cast("double") / nd
+            mtl = g["len_sum"].cast("double") / nd
+            len_score = F.least(n.cast("double") / F.lit(50.0), F.lit(1.0))
+            sw_score = F.least(sw * F.lit(5.0), F.lit(1.0))
+            mtl_score = F.when((mtl >= 3.0) & (mtl <= 10.0),
+                               F.lit(1.0)).otherwise(F.lit(0.5))
+            lang = (
+                F.when((en == 0) & (de == 0) & (fr == 0), F.lit("unknown"))
+                .when((en >= de) & (en >= fr), F.lit("en"))
+                .when(de >= fr, F.lit("de"))
+                .otherwise(F.lit("fr")))
+            return F.struct(
+                n.alias("n_tokens"),
+                sw.alias("stopword_ratio"),
+                mtl.alias("mean_token_len"),
+                ((len_score + sw_score + mtl_score) / F.lit(3.0))
+                .alias("quality"),
+                lang.alias("lang_id"),
+                _fp(tk).alias("fingerprint"),
+            )
+
+        return _let(counters, stats)
+
+    s = _let(tokens(F.lower(t)), from_counts)
     return (
         df.withColumn("__s", s)
         .withColumn("n_subwords", bpe_token_count(t))
