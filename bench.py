@@ -716,17 +716,18 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
     import pyarrow.dataset as pads
     from pyspark.sql import functions as F
 
-    from aresdb_spark.operators.similarity import (ivf_assign,
-                                                   ivf_assign_two_level,
-                                                   ivf_centroids,
-                                                   semantic_dedup)
+    from aresdb_spark.operators.similarity import (
+        ivf_assign, ivf_assign_two_level_batched, ivf_centroids,
+        semantic_dedup)
 
     emb = spark.read.parquet(f"{d}/embeddings.parquet")
     n = pads.dataset(f"{d}/embeddings.parquet").count_rows()
     k = max(8, math.ceil(n / 250))
     cents = ivf_centroids(64, k)
+    # "two_level" times the SHIPPED Arrow-batched quantizer (r14) —
+    # the same function semantic_dedup's two_level path plans
     assign_fn = ivf_assign if assignment == "exact" \
-        else ivf_assign_two_level
+        else ivf_assign_two_level_batched
 
     def sizes():
         return emb.select(assign_fn(
