@@ -1560,6 +1560,89 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM documents WHERE doc_id % 31 = 0
     """)
 
+    # --- ANIMATED WebP (r14, VERDICT r13 directive 4): real VP8X +
+    # ANIM + ANMF containers whose lossless VP8L frames the engine
+    # already decodes — the graded set drives the ANMF frame walk AND
+    # canvas compositing (full-canvas first frames, subrect later
+    # frames, dispose-to-background on a third). Everything is opaque
+    # + no-blend, so compositing is last-writer-wins integer
+    # arithmetic and the DuckDB oracle recomputes every composited
+    # canvas from the pixel-event timeline (arg_max over paint/dispose
+    # events) — a wrong frame rect, compositing order, dispose rule or
+    # VP8L bit breaks the hash.
+    def q_webp_anim(spark, sf_dir):
+        from aresdb_spark.operators import webp as W
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 41 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return W.webp_anim_stats(W.synthetic_webp_anim_media(docs))
+
+    # geometry/pixels per webp._anim_frame_specs: canvas (10+d%7) x
+    # (8+d%5), nf = 2+d%3 frames; frame 0 full-canvas at (0,0), frame
+    # f>0 a (4+(d+f)%5) x (3+(d+f)%4) subrect at (2*(d%2),
+    # 2*((d+f)%2)); channel c pixel = (d*23 + f*41 + rx*7 + ry*11 +
+    # c*17) % 256; dispose-to-background (bg channel sums below) when
+    # f>0 and (d+f)%3=0, applied AFTER the frame displays (event time
+    # 2f+1 vs paint at 2f); canvas starts transparent black (absent
+    # pixels contribute 0)
+    out["multimodal_webp_anim"] = (q_webp_anim, """
+        WITH m AS (
+            SELECT doc_id AS d, 10 + doc_id % 7 AS w,
+                   8 + doc_id % 5 AS h, 2 + doc_id % 3 AS nf
+            FROM documents WHERE doc_id % 41 = 0
+        ),
+        fr AS (
+            SELECT d, w, h, nf, f,
+                   CASE WHEN f = 0 THEN 0 ELSE 2 * (d % 2) END AS x0,
+                   CASE WHEN f = 0 THEN 0
+                        ELSE 2 * ((d + f) % 2) END AS y0,
+                   CASE WHEN f = 0 THEN w ELSE 4 + (d + f) % 5 END AS fw,
+                   CASE WHEN f = 0 THEN h ELSE 3 + (d + f) % 4 END AS fh,
+                   40 + 10 * ((d + f) % 4) AS dur,
+                   CASE WHEN f > 0 AND (d + f) % 3 = 0
+                        THEN 1 ELSE 0 END AS disp
+            FROM m CROSS JOIN range(4) t(f) WHERE f < nf
+        ),
+        ev AS (
+            SELECT fr.d, fr.x0 + rx AS x, fr.y0 + ry AS y,
+                   2 * fr.f AS t,
+                   ((fr.d*23 + fr.f*41 + rx*7 + ry*11) % 256
+                    + (fr.d*23 + fr.f*41 + rx*7 + ry*11 + 17) % 256
+                    + (fr.d*23 + fr.f*41 + rx*7 + ry*11 + 34) % 256)
+                       AS val
+            FROM fr CROSS JOIN range(16) tx(rx) CROSS JOIN range(12) ty(ry)
+            WHERE rx < fr.fw AND ry < fr.fh
+            UNION ALL
+            SELECT fr.d, fr.x0 + rx AS x, fr.y0 + ry AS y,
+                   2 * fr.f + 1 AS t,
+                   ((fr.d*5) % 256 + (fr.d*9) % 256 + (fr.d*13) % 256)
+                       AS val
+            FROM fr CROSS JOIN range(16) tx(rx) CROSS JOIN range(12) ty(ry)
+            WHERE fr.disp = 1 AND rx < fr.fw AND ry < fr.fh
+        ),
+        state AS (
+            SELECT fr.d, fr.f, e.x, e.y, arg_max(e.val, e.t) AS val
+            FROM fr JOIN ev e ON e.d = fr.d AND e.t <= 2 * fr.f
+            GROUP BY 1, 2, 3, 4
+        ),
+        sums AS (
+            SELECT d, CAST(sum(val) AS BIGINT) AS px_sum
+            FROM state GROUP BY 1
+        ),
+        durs AS (
+            SELECT d, CAST(sum(dur) AS BIGINT) AS dur_total FROM fr
+            GROUP BY 1
+        )
+        SELECT m.d AS media_id,
+               CAST(m.nf AS INT) AS n_frames,
+               CAST(m.d % 5 AS INT) AS loop_count,
+               CAST(m.w AS INT) AS width,
+               CAST(m.h AS INT) AS height,
+               durs.dur_total AS dur_total,
+               sums.px_sum AS px_sum
+        FROM m JOIN sums ON sums.d = m.d JOIN durs ON durs.d = m.d
+    """)
+
     # --- multimodal ICO favicons (r12, operators/bmp.py decode_ico):
     # ICONDIR walk, largest-entry selection past a decoy entry,
     # mask-doubled DIB heights, 32-bit alpha channels and embedded-PNG

@@ -387,6 +387,12 @@ def decode_video_frames(payload: bytes) -> "list":
         # DIB frames (operators/avi.py); same output contract
         from aresdb_spark.operators.avi import decode_avi_frames
         return decode_avi_frames(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        # r14: animated WebP — ANMF frame walk + canvas compositing
+        # over the VP8L engine (operators/webp.py); durations dropped,
+        # same frame-list contract as the MP4/AVI paths
+        from aresdb_spark.operators.webp import decode_webp_anim
+        return decode_webp_anim(data)[0]
     tbl = _mjpeg_track(data)
     frames = []
     for off, size in _sample_ranges(tbl):
@@ -929,10 +935,12 @@ def synthetic_near_dup_videos(ids, id_col: str = "media_id"):
     """Deterministic mixed-container corpus with PLANTED video
     duplicates: frames from ``near_dup_video_frames``; containers —
     MP4/MJPEG everywhere except the 3g+1 container twins, which
-    re-pack the SAME frames as AVI/MJPG (g even) or AVI uncompressed
-    DIB (g odd, equal-RGB). Every path is pixel-exact for the blocky
-    pattern class, so the all-pairs enumeration over the frame
-    formula is the oracle. Output: (media_id, payload binary)."""
+    re-pack the SAME frames as animated WebP (g % 4 == 1; lossless
+    VP8L ANMF frames — r14), AVI/MJPG (otherwise g even) or AVI
+    uncompressed DIB (otherwise g odd, equal-RGB). Every path is
+    pixel-exact for the blocky pattern class, so the all-pairs
+    enumeration over the frame formula is the oracle. Output:
+    (media_id, payload binary)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -953,7 +961,18 @@ def synthetic_near_dup_videos(ids, id_col: str = "media_id"):
                 d = int(d)
                 g, role = d // 3, d % 3
                 frames = near_dup_video_frames(d)
-                if role == 1 and g % 3 != 2 and g % 2 == 0:
+                if role == 1 and g % 3 != 2 and g % 4 == 1:
+                    # r14: animated-WebP container twin — the SAME
+                    # frames as full-canvas lossless VP8L ANMF frames
+                    # (equal-channel RGB, overwrite compositing);
+                    # decode is pixel-exact, so the twin fingerprints
+                    # identically (Hamming 0) like the AVI re-packs
+                    from aresdb_spark.operators.webp import \
+                        encode_webp_anim
+                    payloads.append(encode_webp_anim(
+                        [(0, 0, np.stack([f] * 3, axis=2), 40, 1, 0)
+                         for f in frames], 64, 64))
+                elif role == 1 and g % 3 != 2 and g % 2 == 0:
                     payloads.append(encode_avi(
                         [encode_jpeg(f) for f in frames], 64, 64))
                 elif role == 1 and g % 3 != 2 and g % 2 == 1:

@@ -24,7 +24,15 @@ Lossy WebP (VP8 chunks): the COEFFICIENT decode needs RFC 6386's
 ~2000-entry default probability / quantizer tables (not safely
 reconstructible offline — guessed tables would decode real data
 silently wrong, the failure class this codebase rejects) and stays an
-honest NotImplementedError naming the chunk. What a lossy file DOES
+honest NotImplementedError naming the chunk. SOURCING SETTLED (r14,
+VERDICT r13 directive 2): the retrieval surface was checked for the
+RFC 6386 normative text / reference-decoder source — PAPERS.md holds
+five OLAP/streaming papers and SNIPPETS.md PySpark API examples;
+neither carries the coefficient-probability (4x8x3x11), quantizer
+lookup (2x128) or mode-tree tables, and no other offline source in
+this environment does. The directive is closed as a documented
+dead-end: VP8 color-plane decode stays out of scope until a normative
+table source ships with the environment. What a lossy file DOES
 expose without those tables decodes for real (r13): ``webp_probe``
 reads VP8X/VP8L/VP8 headers (canvas, flags, key-frame tag + start
 code), and ``decode_webp_alpha`` decodes the ALPH alpha plane of
@@ -946,6 +954,306 @@ def encode_webp_extended(alpha: np.ndarray, vp8_body: bytes,
         + chunk(b"VP8 ", vp8_body)
     return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
         + payload
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (ANIM/ANMF — WebP Container Specification, 'Animation')
+# ---------------------------------------------------------------------------
+# r14 (VERDICT r13 directive 4): lossless animation frames are VP8L
+# payloads the engine already decodes; this section adds the missing
+# ANMF frame walk + canvas compositing. Lossy (VP8) animation frames
+# raise like every other VP8 color plane (see the module header).
+
+
+def _riff_subchunks(data: bytes, pos: int) -> "list[tuple[bytes, bytes]]":
+    """RIFF chunk walk over a raw byte range (the inside of an ANMF
+    chunk: optional ALPH + one VP8/VP8L image chunk)."""
+    out = []
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        out.append((cid, data[pos + 8:pos + 8 + size]))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _parse_anmf(body: bytes) -> dict:
+    """The 16-byte ANMF header (spec: X/2 and Y/2 as 24-bit fields,
+    width/height minus one, 24-bit duration ms, then 6 reserved bits +
+    blending (1 = do NOT blend) + disposal (1 = dispose to background
+    color)) plus the frame's image sub-chunks."""
+    if len(body) < 16:
+        raise ValueError("truncated ANMF header")
+    f = body[15]
+    return {
+        "x": 2 * int.from_bytes(body[0:3], "little"),
+        "y": 2 * int.from_bytes(body[3:6], "little"),
+        "width": 1 + int.from_bytes(body[6:9], "little"),
+        "height": 1 + int.from_bytes(body[9:12], "little"),
+        "duration_ms": int.from_bytes(body[12:15], "little"),
+        "no_blend": (f >> 1) & 1,
+        "dispose_bg": f & 1,
+        "chunks": _riff_subchunks(body, 16),
+    }
+
+
+def webp_anim_probe(payload: bytes) -> dict:
+    """Animation metadata WITHOUT pixel decode: canvas dims + feature
+    flags (VP8X), background color (converted from the ANIM chunk's
+    [B, G, R, A] byte order to an RGBA tuple), loop count, and one
+    entry per ANMF frame (rect, duration, blend/dispose flags, image
+    chunk fourccs)."""
+    p = webp_probe(payload)
+    if p.get("kind") != "extended" or not p.get("has_animation"):
+        raise ValueError("WebP container carries no animation "
+                         "(VP8X animation flag clear or no VP8X)")
+    anim = None
+    frames = []
+    for cid, body in _webp_chunks(payload):
+        if cid == b"ANIM":
+            if len(body) < 6:
+                raise ValueError("truncated ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            anim = {"background_rgba": (r_, g_, b_, a_),
+                    "loop_count": int.from_bytes(body[4:6], "little")}
+        elif cid == b"ANMF":
+            fr = _parse_anmf(body)
+            fr["chunks"] = [c.decode("latin1") for c, _ in fr["chunks"]]
+            frames.append(fr)
+    if anim is None or not frames:
+        raise ValueError("animated WebP missing ANIM/ANMF chunks")
+    return {"width": p["width"], "height": p["height"],
+            "n_frames": len(frames), "frames": frames, **anim}
+
+
+def _blend_rgba(dst: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Spec alpha compositing (container spec, 'Alpha blending',
+    non-premultiplied): a = Sa + Da*(1-Sa); rgb = (Srgb*Sa +
+    Drgb*Da*(1-Sa)) / a, 0 where a == 0. Rounded to nearest."""
+    sa = src[..., 3:4].astype(np.float64) / 255.0
+    da = dst[..., 3:4].astype(np.float64) / 255.0
+    oa = sa + da * (1.0 - sa)
+    rgb = (src[..., :3] * sa + dst[..., :3] * da * (1.0 - sa))
+    with np.errstate(invalid="ignore"):
+        rgb = np.where(oa > 0, rgb / np.where(oa > 0, oa, 1.0), 0.0)
+    out = np.concatenate([rgb, oa * 255.0], axis=2)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def decode_webp_anim(payload: bytes) -> "tuple[list, list]":
+    """Decode an animated WebP for real: walk the ANMF frames, decode
+    each VP8L sub-image through the existing engine, and composite on
+    the canvas per spec — canvas starts fully transparent, each
+    frame's rect is alpha-blended (or overwritten when the no-blend
+    flag is set), and disposal method 1 fills the rect with the ANIM
+    background color AFTER the frame is rendered. Returns
+    ``(frames, durations_ms)`` where each frame is the full composited
+    canvas — (h, w, 3) when every composited frame is fully opaque
+    (mirroring ``decode_vp8l``), else (h, w, 4). Lossy (VP8) animation
+    frames raise NotImplementedError naming the chunk."""
+    meta = webp_anim_probe(payload)
+    w, h = meta["width"], meta["height"]
+    bg = np.array(meta["background_rgba"], np.uint8)
+    canvas = np.zeros((h, w, 4), np.uint8)          # transparent black
+    frames, durs = [], []
+    for cid, body in _webp_chunks(payload):
+        if cid != b"ANMF":
+            continue
+        fr = _parse_anmf(body)
+        x, y, fw, fh = fr["x"], fr["y"], fr["width"], fr["height"]
+        if x + fw > w or y + fh > h:
+            raise ValueError(
+                f"ANMF frame rect ({x},{y})+{fw}x{fh} exceeds the "
+                f"{w}x{h} canvas")
+        img = None
+        for scid, sbody in fr["chunks"]:
+            if scid == b"VP8L":
+                img = decode_vp8l(sbody)
+            elif scid == b"VP8 ":
+                raise NotImplementedError(
+                    "lossy WebP (VP8 chunk) animation frame — "
+                    "lossless VP8L frames only (module header: RFC "
+                    "6386 tables unavailable)")
+        if img is None:
+            raise ValueError("ANMF frame carries no VP8L/VP8 chunk")
+        if img.shape[:2] != (fh, fw):
+            raise ValueError(
+                f"ANMF frame is {img.shape[1]}x{img.shape[0]}, header "
+                f"says {fw}x{fh}")
+        if img.ndim == 3 and img.shape[2] == 3:
+            img = np.dstack([img, np.full((fh, fw), 255, np.uint8)])
+        region = canvas[y:y + fh, x:x + fw]
+        if fr["no_blend"]:
+            canvas[y:y + fh, x:x + fw] = img
+        else:
+            canvas[y:y + fh, x:x + fw] = _blend_rgba(region, img)
+        frames.append(canvas.copy())
+        durs.append(fr["duration_ms"])
+        if fr["dispose_bg"]:
+            canvas[y:y + fh, x:x + fw] = bg
+    if all((f[:, :, 3] == 255).all() for f in frames):
+        frames = [f[:, :, :3].copy() for f in frames]
+    return frames, durs
+
+
+def encode_webp_anim(frames: "list[tuple]", canvas_w: int, canvas_h: int,
+                     background_rgba: "tuple[int, int, int, int]"
+                     = (255, 255, 255, 255),
+                     loop_count: int = 0) -> bytes:
+    """Animated WebP writer for deterministic test/oracle corpora:
+    ``frames`` is a list of ``(x, y, pixels, duration_ms, no_blend,
+    dispose_bg)`` with RGB (h, w, 3) or RGBA (h, w, 4) uint8 pixels,
+    each encoded as a lossless VP8L sub-image inside an ANMF chunk
+    (so decode round-trips bit-for-bit). Offsets must be even (the
+    spec stores x/2, y/2)."""
+
+    def chunk(cid, body):
+        out = cid + struct.pack("<I", len(body)) + body
+        return out + (b"\0" if len(body) % 2 else b"")
+
+    has_alpha = any(np.asarray(px).ndim == 3 and np.asarray(px).shape[2] == 4
+                    for _, _, px, _, _, _ in frames)
+    r_, g_, b_, a_ = background_rgba
+    body = chunk(b"ANIM", bytes([b_, g_, r_, a_])
+                 + struct.pack("<H", loop_count))
+    for x, y, px, dur, no_blend, dispose_bg in frames:
+        px = np.asarray(px, np.uint8)
+        fh, fw = px.shape[:2]
+        if x % 2 or y % 2:
+            raise ValueError("ANMF frame offsets must be even "
+                             "(the header stores x/2, y/2)")
+        if x + fw > canvas_w or y + fh > canvas_h:
+            raise ValueError("frame rect exceeds the canvas")
+        vp8l = dict(_webp_chunks(encode_webp(px)))[b"VP8L"]
+        hdr = ((x // 2).to_bytes(3, "little")
+               + (y // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + int(dur).to_bytes(3, "little")
+               + bytes([(int(bool(no_blend)) << 1)
+                        | int(bool(dispose_bg))]))
+        body += chunk(b"ANMF", hdr + chunk(b"VP8L", vp8l))
+    flags = 0x02 | (0x10 if has_alpha else 0)
+    vp8x = bytes([flags, 0, 0, 0]) \
+        + (canvas_w - 1).to_bytes(3, "little") \
+        + (canvas_h - 1).to_bytes(3, "little")
+    payload = chunk(b"VP8X", vp8x) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"WEBP" \
+        + payload
+
+
+def _anim_frame_specs(d: int) -> "tuple[int, int, list, tuple, int]":
+    """The deterministic animation for id ``d`` — pure integer
+    formulas shared by the corpus builder, the numpy oracle twin and
+    (transitively) the SQL oracle: canvas (10+d%7)x(8+d%5), 2+d%3
+    frames; frame 0 fills the canvas, later frames are subrects with
+    varying offsets/sizes, occasional dispose-to-background, all
+    opaque + no-blend so compositing is integer-exact. Returns
+    (w, h, [(x, y, px, dur, no_blend, dispose)], bg_rgba, loop)."""
+    w, h = 10 + d % 7, 8 + d % 5
+    bg = ((d * 5) % 256, (d * 9) % 256, (d * 13) % 256, 255)
+    frames = []
+    for f in range(2 + d % 3):
+        if f == 0:
+            x0, y0, fw, fh = 0, 0, w, h
+        else:
+            x0, y0 = 2 * (d % 2), 2 * ((d + f) % 2)
+            fw, fh = 4 + (d + f) % 5, 3 + (d + f) % 4
+        yy, xx, cc = np.mgrid[0:fh, 0:fw, 0:3]
+        px = ((d * 23 + f * 41 + xx * 7 + yy * 11 + cc * 17) % 256) \
+            .astype(np.uint8)
+        frames.append((x0, y0, px, 40 + 10 * ((d + f) % 4), 1,
+                       1 if f and (d + f) % 3 == 0 else 0))
+    return w, h, frames, bg, d % 5
+
+
+def webp_anim_oracle_stats(d: int) -> "tuple[int, int, int, int, int, int]":
+    """Codec-free twin of ``webp_anim_stats`` for id ``d``: composites
+    the formula frames with plain numpy overwrite/dispose (all frames
+    opaque + no-blend, so this IS the spec compositing for the corpus
+    class). Returns (n_frames, loop_count, width, height, dur_total,
+    px_sum over every composited frame's RGB)."""
+    w, h, frames, bg, loop = _anim_frame_specs(d)
+    canvas = np.zeros((h, w, 3), np.int64)
+    total = 0
+    dur_total = 0
+    for x0, y0, px, dur, _, dispose in frames:
+        fh, fw = px.shape[:2]
+        canvas[y0:y0 + fh, x0:x0 + fw] = px
+        total += int(canvas.sum())
+        dur_total += dur
+        if dispose:
+            canvas[y0:y0 + fh, x0:x0 + fw] = bg[:3]
+    return len(frames), loop, w, h, dur_total, total
+
+
+def synthetic_webp_anim_media(ids, id_col: str = "media_id"):
+    """Deterministic ANIMATED WebP payloads (r14): real VP8X + ANIM +
+    ANMF containers whose lossless VP8L frames carry the
+    ``_anim_frame_specs`` formulas — full-canvas first frames, subrect
+    later frames, dispose-to-background on a third of them. Everything
+    is opaque + no-blend, so the composited canvases are integer-exact
+    and a SQL oracle recomputes every statistic. Output:
+    (media_id, payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                w, h, frames, bg, loop = _anim_frame_specs(int(d))
+                payloads.append(encode_webp_anim(
+                    frames, w, h, background_rgba=bg, loop_count=loop))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def webp_anim_stats(df):
+    """media table → per-payload animation statistics through the REAL
+    ANMF walk + VP8L decode + canvas compositing: (media_id, n_frames,
+    loop_count, width, height, dur_total, px_sum) where px_sum sums
+    every composited frame's RGB values. Arrow-batched mapInPandas,
+    column-pruned — the animated sibling of webp_alpha_stats."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("loop_count", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("dur_total", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ])
+
+    def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = webp_anim_probe(bytes(payload))
+                frames, durs = decode_webp_anim(bytes(payload))
+                px_sum = sum(int(f[:, :, :3].astype(np.int64).sum())
+                             for f in frames)
+                rows.append((int(mid), len(frames), meta["loop_count"],
+                             meta["width"], meta["height"],
+                             int(sum(durs)), px_sum))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
 
 
 def vp8_key_frame_stub(w: int, h: int) -> bytes:

@@ -342,3 +342,102 @@ def test_vp8l_inside_vp8x_extended_container_decodes():
     assert np.array_equal(W.decode_webp(ext), px)
     p = W.webp_probe(ext)
     assert p["kind"] == "extended" and (p["width"], p["height"]) == (4, 5)
+
+
+def test_webp_anim_roundtrip_compositing_and_probe():
+    """Animated WebP (r14): ANMF frame walk + canvas compositing —
+    full-canvas overwrite, subrect paste, dispose-to-background, and
+    the probe's metadata (loop count, BGRA->RGBA background, frame
+    rects/durations/flags) against hand-built expectations."""
+    from aresdb_spark.operators import webp as W
+
+    f0 = ((np.arange(8 * 10 * 3).reshape(8, 10, 3) * 7) % 256) \
+        .astype(np.uint8)
+    sub = ((np.arange(4 * 6 * 3).reshape(4, 6, 3) * 3 + 9) % 256) \
+        .astype(np.uint8)
+    pl = W.encode_webp_anim(
+        [(0, 0, f0, 100, 1, 1), (2, 2, sub, 80, 1, 0)], 10, 8,
+        background_rgba=(9, 8, 7, 255), loop_count=4)
+    meta = W.webp_anim_probe(pl)
+    assert (meta["width"], meta["height"], meta["n_frames"],
+            meta["loop_count"]) == (10, 8, 2, 4)
+    assert meta["background_rgba"] == (9, 8, 7, 255)
+    assert meta["frames"][0]["duration_ms"] == 100
+    assert meta["frames"][0]["dispose_bg"] == 1
+    assert meta["frames"][1]["chunks"] == ["VP8L"]
+    frames, durs = W.decode_webp_anim(pl)
+    assert durs == [100, 80]
+    assert np.array_equal(frames[0], f0)
+    # dispose-to-background fires AFTER frame 0 displays: frame 1's
+    # canvas is the bg color with the subrect painted over it
+    exp = np.full((8, 10, 3), (9, 8, 7), np.uint8)
+    exp[2:6, 2:8] = sub
+    assert np.array_equal(frames[1], exp)
+    # probing a still container raises
+    with pytest.raises(ValueError, match="animation"):
+        W.webp_anim_probe(W.encode_webp(f0))
+
+
+def test_webp_anim_alpha_blending_spec_formula():
+    """Blended (non-opaque) frames follow the container spec's
+    non-premultiplied compositing formula, checked against an
+    independent scalar computation."""
+    from aresdb_spark.operators import webp as W
+
+    base = np.zeros((2, 3, 4), np.uint8)
+    base[..., 2] = 200
+    base[..., 3] = 255
+    top = np.zeros((2, 3, 4), np.uint8)
+    top[..., 0] = 100
+    top[..., 3] = 128
+    pl = W.encode_webp_anim(
+        [(0, 0, base, 10, 1, 0), (0, 0, top, 10, 0, 0)], 3, 2)
+    frames, _ = W.decode_webp_anim(pl)
+    sa, da = 128 / 255.0, 1.0
+    oa = sa + da * (1 - sa)
+    exp_r = round(100 * sa / oa)
+    exp_b = round(200 * da * (1 - sa) / oa)
+    got = frames[1][0, 0]
+    assert got.shape == (3,)           # composite is fully opaque
+    assert abs(int(got[0]) - exp_r) <= 1
+    assert got[1] == 0
+    assert abs(int(got[2]) - exp_b) <= 1
+
+
+def test_webp_anim_stats_match_formula_twin():
+    """The codec pipeline (encode VP8L frames -> ANMF walk -> decode ->
+    composite) reproduces the codec-free numpy twin for the graded
+    corpus class — the invariant the multimodal_webp_anim contract
+    row's SQL oracle leans on."""
+    from aresdb_spark.operators import webp as W
+
+    for d in [0, 1, 2, 3, 5, 8, 13, 41, 82, 123, 4096]:
+        w, h, frames, bg, loop = W._anim_frame_specs(d)
+        pl = W.encode_webp_anim(frames, w, h, background_rgba=bg,
+                                loop_count=loop)
+        fr, durs = W.decode_webp_anim(pl)
+        meta = W.webp_anim_probe(pl)
+        px_sum = sum(int(f[:, :, :3].astype(np.int64).sum()) for f in fr)
+        got = (len(fr), meta["loop_count"], meta["width"],
+               meta["height"], int(sum(durs)), px_sum)
+        assert got == W.webp_anim_oracle_stats(d), d
+
+
+def test_webp_anim_routes_to_video_fingerprint():
+    """An animated-WebP container twin carrying the SAME frames as an
+    MJPEG MP4 clip fingerprints identically (Hamming 0) — the r14
+    fourth container of the video near-dup family."""
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators import webp as W
+
+    frames = V.near_dup_video_frames(0)
+    mp4 = V.encode_mp4_mjpeg(
+        [__import__("aresdb_spark.operators.jpeg",
+                    fromlist=["encode_jpeg"]).encode_jpeg(f)
+         for f in frames], 64, 64)
+    anim = W.encode_webp_anim(
+        [(0, 0, np.stack([f] * 3, axis=2), 40, 1, 0) for f in frames],
+        64, 64)
+    fa = V.video_fingerprint(V.decode_video_frames(mp4))
+    fb = V.video_fingerprint(V.decode_video_frames(anim))
+    assert fa == fb
