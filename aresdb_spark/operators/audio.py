@@ -1233,10 +1233,11 @@ def audio_fingerprint(samples: np.ndarray) -> int:
     quantize to Q15 (×32767, round-half-away like audio_stats) first
     so the comparison basis is deterministic."""
     s = np.asarray(samples)
-    if s.ndim == 2:
-        s = s.astype(np.int64 if s.dtype.kind in "iu" else np.float64) \
-            .sum(axis=1) // s.shape[1] if s.dtype.kind in "iu" \
-            else s.astype(np.float64).sum(axis=1) / s.shape[1]
+    if s.ndim == 2:                     # mono mix: integer floor-mean
+        if s.dtype.kind in "iu":        # for PCM, float mean for IEEE
+            s = s.astype(np.int64).sum(axis=1) // s.shape[1]
+        else:
+            s = s.astype(np.float64).sum(axis=1) / s.shape[1]
     if np.asarray(s).dtype.kind == "f":
         s = np.sign(s) * np.floor(np.abs(s) * 32767 + 0.5)
     s = np.abs(s.astype(np.int64))

@@ -147,39 +147,63 @@ def lzw_decode(data: bytes, min_code_size: int,
     nothing, until CLEAR arrives)."""
     clear = 1 << min_code_size
     end = clear + 1
-    br = _LsbBitReader(data)
     table: list[bytes] = []
     width = min_code_size + 1
+    mask = (1 << width) - 1
     prev: "bytes | None" = None
     out = bytearray()
+    # inline LSB-first bit reader (r14): local accumulator + chunked
+    # int.from_bytes refills instead of a per-code method call — the
+    # read() dispatch was ~40% of decode wall in the codec bench
+    acc = 0
+    nb = 0
+    p = 0
+    ln = len(data)
 
     def reset_table():
         t = [bytes([i]) for i in range(clear)] + [b"", b""]
         return t
 
     table = reset_table()
+    tlen = len(table)
+    want = -1 if expected is None else expected
     while True:
-        code = br.read(width)
+        if nb < width:
+            t = ln - p
+            if t > 6:
+                t = 6
+            if t <= 0:
+                raise ValueError("GIF LZW stream truncated")
+            acc |= int.from_bytes(data[p:p + t], "little") << nb
+            p += t
+            nb += t << 3
+        code = acc & mask
+        acc >>= width
+        nb -= width
         if code == clear:
             table = reset_table()
+            tlen = len(table)
             width = min_code_size + 1
+            mask = (1 << width) - 1
             prev = None
             continue
         if code == end:
             break
-        if code < len(table) and (code < clear or table[code]):
+        if code < tlen and (code < clear or table[code]):
             seq = table[code]
-        elif code == len(table) and prev is not None:
+        elif code == tlen and prev is not None:
             seq = prev + prev[:1]
         else:
             raise ValueError(f"invalid LZW code {code}")
         out += seq
-        if prev is not None and len(table) < 4096:
+        if prev is not None and tlen < 4096:
             table.append(prev + seq[:1])
-            if len(table) == (1 << width) and width < 12:
+            tlen += 1
+            if tlen == (1 << width) and width < 12:
                 width += 1
+                mask = (1 << width) - 1
         prev = seq
-        if expected is not None and len(out) >= expected:
+        if want >= 0 and len(out) >= want:
             break
     if expected is not None and len(out) < expected:
         raise ValueError("LZW stream ended before the declared pixels")

@@ -171,7 +171,11 @@ def tiff_lzw_decode(data: bytes, expected: int) -> bytes:
         while nbits < width:
             if pos >= len(data):
                 return EOI                   # tolerate missing EOI pad
-            acc = (acc << 8) | data[pos]
+            # trim consumed high bits before shifting: without the
+            # mask the accumulator grows with every byte ever read,
+            # making each shift O(strip size) — quadratic on a large
+            # single-strip file (r14, the JPEG _fill lesson)
+            acc = ((acc & ((1 << nbits) - 1)) << 8) | data[pos]
             pos += 1
             nbits += 8
         nbits -= width
