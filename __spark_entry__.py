@@ -1643,6 +1643,85 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM m JOIN sums ON sums.d = m.d JOIN durs ON durs.d = m.d
     """)
 
+    # --- ANIMATED GIF compositing (r14, the GIF89a sibling of the
+    # webp_anim row): Graphic Control Extension semantics — per-frame
+    # delays, transparent-index elision, dispose-to-transparent —
+    # composited on the logical screen over the gray-ramp palette.
+    # Transparency makes this a DIFFERENT oracle shape than webp_anim:
+    # elided pixels simply have no paint event, so the arg_max
+    # timeline covers it for free.
+    def q_gif_anim(spark, sf_dir):
+        from aresdb_spark.operators import gif as G
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 97 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return G.gif_anim_stats(G.synthetic_gif_anim_media(docs))
+
+    # geometry/pixels per gif._gif_anim_frame_specs: screen (9+d%6) x
+    # (7+d%5), nf = 2+d%3; frame 0 full-screen, frame f>0 a
+    # (4+(d+f)%4) x (3+(d+f)%3) rect at ((d+f)%3, (d+2f)%3); palette
+    # index = (d*19 + f*43 + rx*13 + ry*11) % 256 (gray ramp: pixel
+    # RGB sum = 3*index); index 7 transparent (no paint event) when
+    # f>0 and (d+f)%2=0; dispose-to-transparent (val-0 event at 2f+1)
+    # when f>0 and (d+f)%3=0
+    out["multimodal_gif_anim"] = (q_gif_anim, """
+        WITH m AS (
+            SELECT doc_id AS d, 9 + doc_id % 6 AS w,
+                   7 + doc_id % 5 AS h, 2 + doc_id % 3 AS nf
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        fr AS (
+            SELECT d, w, h, nf, f,
+                   CASE WHEN f = 0 THEN 0 ELSE (d + f) % 3 END AS x0,
+                   CASE WHEN f = 0 THEN 0
+                        ELSE (d + 2 * f) % 3 END AS y0,
+                   CASE WHEN f = 0 THEN w ELSE 4 + (d + f) % 4 END AS fw,
+                   CASE WHEN f = 0 THEN h ELSE 3 + (d + f) % 3 END AS fh,
+                   4 + (d + f) % 5 AS delay,
+                   CASE WHEN f > 0 AND (d + f) % 3 = 0
+                        THEN 1 ELSE 0 END AS disp,
+                   CASE WHEN f > 0 AND (d + f) % 2 = 0
+                        THEN 1 ELSE 0 END AS trans
+            FROM m CROSS JOIN range(4) t(f) WHERE f < nf
+        ),
+        ev AS (
+            SELECT fr.d, fr.x0 + rx AS x, fr.y0 + ry AS y,
+                   2 * fr.f AS t,
+                   3 * ((fr.d*19 + fr.f*43 + rx*13 + ry*11) % 256)
+                       AS val
+            FROM fr CROSS JOIN range(15) tx(rx) CROSS JOIN range(11) ty(ry)
+            WHERE rx < fr.fw AND ry < fr.fh
+              AND NOT (fr.trans = 1
+                       AND (fr.d*19 + fr.f*43 + rx*13 + ry*11) % 256 = 7)
+            UNION ALL
+            SELECT fr.d, fr.x0 + rx AS x, fr.y0 + ry AS y,
+                   2 * fr.f + 1 AS t, 0 AS val
+            FROM fr CROSS JOIN range(15) tx(rx) CROSS JOIN range(11) ty(ry)
+            WHERE fr.disp = 1 AND rx < fr.fw AND ry < fr.fh
+        ),
+        state AS (
+            SELECT fr.d, fr.f, e.x, e.y, arg_max(e.val, e.t) AS val
+            FROM fr JOIN ev e ON e.d = fr.d AND e.t <= 2 * fr.f
+            GROUP BY 1, 2, 3, 4
+        ),
+        sums AS (
+            SELECT d, CAST(sum(val) AS BIGINT) AS px_sum
+            FROM state GROUP BY 1
+        ),
+        delays AS (
+            SELECT d, CAST(sum(delay) AS BIGINT) AS delay_total_cs
+            FROM fr GROUP BY 1
+        )
+        SELECT m.d AS media_id,
+               CAST(m.nf AS INT) AS n_frames,
+               CAST(m.w AS INT) AS width,
+               CAST(m.h AS INT) AS height,
+               delays.delay_total_cs AS delay_total_cs,
+               sums.px_sum AS px_sum
+        FROM m JOIN sums ON sums.d = m.d
+               JOIN delays ON delays.d = m.d
+    """)
+
     # --- multimodal ICO favicons (r12, operators/bmp.py decode_ico):
     # ICONDIR walk, largest-entry selection past a decoy entry,
     # mask-doubled DIB heights, 32-bit alpha channels and embedded-PNG

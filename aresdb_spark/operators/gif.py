@@ -344,3 +344,305 @@ def decode_gif_frames(payload: bytes) -> "list[np.ndarray]":
 def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF as RGB uint8 (h, w, 3)."""
     return decode_gif_frames(payload)[0]
+
+
+# -- animation (r14): GCE semantics + canvas compositing ----------------------
+#
+# decode_gif_frames deliberately decodes frames INDEPENDENTLY (per-frame
+# pixel statistics); this section adds the GIF89a presentation layer —
+# Graphic Control Extension disposal/transparency/delay, frame offsets,
+# the NETSCAPE2.0 loop extension — so animated GIFs compose to full
+# canvases and route into the video clip fingerprint like animated WebP.
+
+
+def _walk_gif(data: bytes):
+    """Yield ('gce', dict) / ('frame', dict) events in stream order plus
+    the logical screen (w, h) and NETSCAPE loop count (None when
+    absent). Shared by the probe and the compositing decoder."""
+    if data[:6] not in GIF_SIGNATURES:
+        raise ValueError("not a GIF payload")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos:pos + 3 * n],
+                            dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    events = []
+    loop = None
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            label = data[pos]
+            pos += 1
+            raw, pos = _read_sub_blocks(data, pos)
+            if label == 0xF9 and len(raw) >= 4:     # graphic control
+                gp = raw[0]
+                events.append(("gce", {
+                    "disposal": (gp >> 2) & 0x07,
+                    "transparent": raw[3] if gp & 0x01 else None,
+                    "delay_cs": int.from_bytes(raw[1:3], "little")}))
+            elif label == 0xFF and raw[:11] == b"NETSCAPE2.0" \
+                    and len(raw) >= 14 and raw[11] == 1:
+                loop = int.from_bytes(raw[12:14], "little")
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02X}")
+        left, top, fw, fh = struct.unpack("<HHHH", data[pos:pos + 8])
+        fpacked = data[pos + 8]
+        pos += 9
+        lct = gct
+        if fpacked & 0x80:
+            n = 2 << (fpacked & 0x07)
+            lct = np.frombuffer(data[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+            pos += 3 * n
+        if lct is None:
+            raise ValueError("GIF frame has no color table")
+        mcs = data[pos]
+        pos += 1
+        lzw, pos = _read_sub_blocks(data, pos)
+        events.append(("frame", {
+            "left": left, "top": top, "fw": fw, "fh": fh,
+            "interlaced": bool(fpacked & 0x40), "lct": lct,
+            "mcs": mcs, "lzw": lzw}))
+    return w, h, loop, events
+
+
+def gif_anim_probe(payload: bytes) -> dict:
+    """Animation metadata WITHOUT compositing: logical screen dims,
+    NETSCAPE loop count (None when the extension is absent), and per
+    frame the rect, delay (centiseconds), disposal method and
+    transparent index."""
+    w, h, loop, events = _walk_gif(bytes(payload))
+    frames = []
+    gce = {}
+    for kind, ev in events:
+        if kind == "gce":
+            gce = ev
+            continue
+        frames.append({
+            "left": ev["left"], "top": ev["top"],
+            "width": ev["fw"], "height": ev["fh"],
+            "delay_cs": gce.get("delay_cs", 0),
+            "disposal": gce.get("disposal", 0),
+            "transparent": gce.get("transparent"),
+        })
+        gce = {}                    # a GCE applies to ONE rendering block
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return {"width": w, "height": h, "loop_count": loop,
+            "n_frames": len(frames), "frames": frames}
+
+
+def decode_gif_anim(payload: bytes) -> "tuple[list, list]":
+    """Composited animated-GIF decode: canvas starts fully transparent;
+    each frame's non-transparent pixels overwrite its rect (GIF has no
+    alpha blending — transparency only elides pixels); disposal 2
+    restores the rect to transparent AFTER display, disposal 3 restores
+    the canvas as it was before the frame. Returns
+    ``(frames, delays_cs)`` — each frame the full canvas, (h, w, 3)
+    when every composited frame is fully opaque else (h, w, 4)."""
+    w, h, _, events = _walk_gif(bytes(payload))
+    canvas = np.zeros((h, w, 4), np.uint8)
+    frames, delays = [], []
+    gce = {}
+    for kind, ev in events:
+        if kind == "gce":
+            gce = ev
+            continue
+        left, top, fw, fh = ev["left"], ev["top"], ev["fw"], ev["fh"]
+        if left + fw > w or top + fh > h:
+            raise ValueError(
+                f"GIF frame rect ({left},{top})+{fw}x{fh} exceeds the "
+                f"{w}x{h} logical screen")
+        lct = ev["lct"]
+        idx = lzw_decode(ev["lzw"], ev["mcs"], expected=fw * fh)
+        if idx.max(initial=0) >= len(lct):
+            raise ValueError("GIF pixel index beyond the color table")
+        grid = idx.reshape(fh, fw)
+        if ev["interlaced"]:
+            un = np.zeros_like(grid)
+            un[_interlace_order(fh)] = grid
+            grid = un
+        before = canvas.copy() if gce.get("disposal") == 3 else None
+        region = canvas[top:top + fh, left:left + fw]
+        tindex = gce.get("transparent")
+        mask = np.ones((fh, fw), bool) if tindex is None \
+            else grid != tindex
+        rgba = np.dstack([lct[grid],
+                          np.full((fh, fw), 255, np.uint8)])
+        region[mask] = rgba[mask]
+        frames.append(canvas.copy())
+        delays.append(gce.get("delay_cs", 0))
+        disposal = gce.get("disposal", 0)
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = 0
+        elif disposal == 3:
+            canvas = before
+        gce = {}
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    if all((f[:, :, 3] == 255).all() for f in frames):
+        frames = [f[:, :, :3].copy() for f in frames]
+    return frames, delays
+
+
+def _gif_anim_frame_specs(d: int) -> "tuple[int, int, list]":
+    """Deterministic animation for id ``d`` — pure integer formulas
+    shared by the corpus builder, the numpy oracle twin and the SQL
+    oracle: logical screen (9+d%6)x(7+d%5), 2+d%3 frames over the
+    default gray-ramp palette; frame 0 fills the screen, later frames
+    are subrects with transparency (index 7 elided) on even (d+f) and
+    dispose-to-transparent when (d+f)%3 == 0. Returns
+    (w, h, [(left, top, idx, delay_cs, disposal, tindex)])."""
+    w, h = 9 + d % 6, 7 + d % 5
+    frames = []
+    for f in range(2 + d % 3):
+        if f == 0:
+            x0, y0, fw, fh = 0, 0, w, h
+            tindex = None
+        else:
+            x0, y0 = (d + f) % 3, (d + 2 * f) % 3
+            fw, fh = 4 + (d + f) % 4, 3 + (d + f) % 3
+            tindex = 7 if (d + f) % 2 == 0 else None
+        yy, xx = np.mgrid[0:fh, 0:fw]
+        idx = ((d * 19 + f * 43 + xx * 13 + yy * 11) % 256) \
+            .astype(np.uint8)
+        frames.append((x0, y0, idx, 4 + (d + f) % 5,
+                       2 if f and (d + f) % 3 == 0 else 0, tindex))
+    return w, h, frames
+
+
+def gif_anim_oracle_stats(d: int) -> "tuple[int, int, int, int, int]":
+    """Codec-free twin of ``gif_anim_stats`` for id ``d``: composites
+    the formula frames with plain numpy (overwrite minus transparent
+    pixels, dispose-to-transparent) over the gray ramp, where a
+    composited pixel contributes 3x its palette index and transparent
+    canvas contributes 0. Returns (n_frames, width, height,
+    delay_total_cs, px_sum)."""
+    w, h, frames = _gif_anim_frame_specs(d)
+    canvas = np.zeros((h, w), np.int64)        # -0 = transparent black
+    total = 0
+    delay_total = 0
+    for x0, y0, idx, delay, disposal, tindex in frames:
+        fh, fw = idx.shape
+        region = canvas[y0:y0 + fh, x0:x0 + fw]
+        mask = np.ones((fh, fw), bool) if tindex is None \
+            else idx != tindex
+        region[mask] = idx.astype(np.int64)[mask]
+        total += 3 * int(canvas.sum())
+        delay_total += delay
+        if disposal == 2:
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+    return len(frames), w, h, delay_total, total
+
+
+def synthetic_gif_anim_media(ids, id_col: str = "media_id"):
+    """Deterministic ANIMATED GIF payloads (r14): real GIF89a streams
+    with per-frame Graphic Control Extensions — full-screen first
+    frames, subrect later frames, transparent-index elision and
+    dispose-to-transparent — over the gray-ramp palette, so the
+    composited canvases are integer-exact and a SQL oracle recomputes
+    every statistic. Output: (media_id, payload)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                w, h, frames = _gif_anim_frame_specs(int(d))
+                payloads.append(encode_gif_anim(
+                    frames, w, h, loop_count=int(d) % 4))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def gif_anim_stats(df):
+    """media table → per-payload animation statistics through the REAL
+    GCE walk + LZW decode + canvas compositing: (media_id, n_frames,
+    width, height, delay_total_cs, px_sum) where px_sum sums every
+    composited frame's RGB values (transparent canvas = 0).
+    Arrow-batched mapInPandas, column-pruned."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("delay_total_cs", T.LongType(), False),
+        T.StructField("px_sum", T.LongType(), False),
+    ])
+
+    def process(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                meta = gif_anim_probe(bytes(payload))
+                frames, delays = decode_gif_anim(bytes(payload))
+                px_sum = sum(int(f[:, :, :3].astype(np.int64).sum())
+                             for f in frames)
+                rows.append((int(mid), len(frames), meta["width"],
+                             meta["height"], int(sum(delays)), px_sum))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema])
+
+    return df.select("media_id", "payload").mapInPandas(
+        process, schema=out_schema)
+
+
+def encode_gif_anim(frames: "list[tuple]", screen_w: int, screen_h: int,
+                    palette: "np.ndarray | None" = None,
+                    loop_count: "int | None" = 0) -> bytes:
+    """Animated GIF89a writer for deterministic corpora: ``frames`` is
+    a list of ``(left, top, index_array, delay_cs, disposal,
+    transparent_index_or_None)``; every frame gets a Graphic Control
+    Extension, and ``loop_count`` (None to omit) writes the
+    NETSCAPE2.0 application extension."""
+    if palette is None:
+        palette = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    palette = np.asarray(palette, dtype=np.uint8)
+    depth = max(1, int(len(palette) - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[:len(palette)] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", screen_w, screen_h)
+    out += bytes([0x80 | ((depth - 1) << 4) | (depth - 1), 0, 0])
+    out += table.tobytes()
+    if loop_count is not None:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+        out += struct.pack("<H", loop_count) + b"\x00"
+    for left, top, px, delay_cs, disposal, tindex in frames:
+        px = np.asarray(px, np.uint8)
+        fh, fw = px.shape
+        if left + fw > screen_w or top + fh > screen_h:
+            raise ValueError("frame rect exceeds the logical screen")
+        gp = (disposal & 0x07) << 2 | (1 if tindex is not None else 0)
+        out += bytes([0x21, 0xF9, 0x04, gp])
+        out += struct.pack("<H", delay_cs)
+        out += bytes([tindex or 0, 0x00])
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out += bytes([0x00])
+        mcs = max(2, depth)
+        out += bytes([mcs])
+        out += _sub_blocks(lzw_encode(px.reshape(-1), mcs))
+    out += b"\x3b"
+    return bytes(out)

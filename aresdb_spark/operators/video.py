@@ -393,6 +393,11 @@ def decode_video_frames(payload: bytes) -> "list":
         # same frame-list contract as the MP4/AVI paths
         from aresdb_spark.operators.webp import decode_webp_anim
         return decode_webp_anim(data)[0]
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        # r14: animated GIF — GCE disposal/transparency compositing
+        # (operators/gif.py decode_gif_anim); same contract
+        from aresdb_spark.operators.gif import decode_gif_anim
+        return decode_gif_anim(data)[0]
     tbl = _mjpeg_track(data)
     frames = []
     for off, size in _sample_ranges(tbl):
@@ -936,11 +941,11 @@ def synthetic_near_dup_videos(ids, id_col: str = "media_id"):
     duplicates: frames from ``near_dup_video_frames``; containers —
     MP4/MJPEG everywhere except the 3g+1 container twins, which
     re-pack the SAME frames as animated WebP (g % 4 == 1; lossless
-    VP8L ANMF frames — r14), AVI/MJPG (otherwise g even) or AVI
-    uncompressed DIB (otherwise g odd, equal-RGB). Every path is
-    pixel-exact for the blocky pattern class, so the all-pairs
-    enumeration over the frame formula is the oracle. Output:
-    (media_id, payload binary)."""
+    VP8L ANMF frames — r14), animated GIF (g % 4 == 3; gray-ramp
+    palette — r14), AVI/MJPG (otherwise g even) or AVI uncompressed
+    DIB (otherwise g odd, equal-RGB). Every path is pixel-exact for
+    the blocky pattern class, so the all-pairs enumeration over the
+    frame formula is the oracle. Output: (media_id, payload binary)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -972,6 +977,16 @@ def synthetic_near_dup_videos(ids, id_col: str = "media_id"):
                     payloads.append(encode_webp_anim(
                         [(0, 0, np.stack([f] * 3, axis=2), 40, 1, 0)
                          for f in frames], 64, 64))
+                elif role == 1 and g % 3 != 2 and g % 4 == 3:
+                    # r14: animated-GIF container twin — gray-ramp
+                    # palette indices ARE the pixel values, full
+                    # frames, no transparency/disposal; lossless, so
+                    # Hamming 0 like the other re-packs
+                    from aresdb_spark.operators.gif import \
+                        encode_gif_anim
+                    payloads.append(encode_gif_anim(
+                        [(0, 0, f, 4, 0, None) for f in frames],
+                        64, 64))
                 elif role == 1 and g % 3 != 2 and g % 2 == 0:
                     payloads.append(encode_avi(
                         [encode_jpeg(f) for f in frames], 64, 64))

@@ -357,3 +357,69 @@ def test_image_near_duplicates_hashes_once(spark):
     pairs = M.image_near_duplicates(M.synthetic_near_dup_images(ids))
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
+
+
+def test_gif_anim_compositing_disposal_and_transparency():
+    """Animated GIF (r14): GCE semantics — transparent-index elision,
+    dispose-to-transparent (2) and restore-previous (3) — composited
+    on the logical screen; probe reads delays/disposal/loop."""
+    from aresdb_spark.operators import gif as G
+
+    f0 = ((np.arange(7 * 9) * 3) % 256).astype(np.uint8).reshape(7, 9)
+    sub = ((np.arange(3 * 4) * 5 + 2) % 256).astype(np.uint8) \
+        .reshape(3, 4)
+    pl = G.encode_gif_anim(
+        [(0, 0, f0, 10, 0, None), (2, 1, sub, 20, 2, None),
+         (0, 0, f0, 5, 3, None)], 9, 7, loop_count=3)
+    p = G.gif_anim_probe(pl)
+    assert (p["n_frames"], p["loop_count"]) == (3, 3)
+    assert p["frames"][1]["disposal"] == 2
+    frames, delays = G.decode_gif_anim(pl)
+    assert delays == [10, 20, 5]
+    g0 = np.stack([f0] * 3, axis=2)
+    exp1 = g0.copy()
+    exp1[1:4, 2:6] = np.stack([sub] * 3, axis=2)
+    assert np.array_equal(frames[0], g0)
+    assert np.array_equal(frames[1], exp1)
+    # disposal 2 cleared the rect; frame 2 repaints the full screen
+    assert np.array_equal(frames[2], g0) and frames[2].shape[2] == 3
+    # transparency elides pixels; over a bare canvas the output is RGBA
+    idx = np.array([[7, 1], [2, 7]], np.uint8)
+    fr, _ = G.decode_gif_anim(G.encode_gif_anim(
+        [(0, 0, idx, 10, 0, 7)], 4, 4))
+    assert fr[0].shape == (4, 4, 4)
+    assert fr[0][0, 0, 3] == 0 and fr[0][0, 1, 3] == 255
+
+
+def test_gif_anim_stats_match_formula_twin():
+    """The codec pipeline (encode GIF89a -> GCE walk -> LZW decode ->
+    composite) reproduces the codec-free numpy twin — the invariant
+    the multimodal_gif_anim contract row's SQL oracle leans on."""
+    from aresdb_spark.operators import gif as G
+
+    for d in [0, 1, 2, 3, 5, 8, 13, 97, 194, 2047]:
+        w, h, frames = G._gif_anim_frame_specs(d)
+        pl = G.encode_gif_anim(frames, w, h, loop_count=d % 4)
+        fr, delays = G.decode_gif_anim(pl)
+        meta = G.gif_anim_probe(pl)
+        px_sum = sum(int(f[:, :, :3].astype(np.int64).sum())
+                     for f in fr)
+        got = (len(fr), meta["width"], meta["height"],
+               int(sum(delays)), px_sum)
+        assert got == G.gif_anim_oracle_stats(d), d
+
+
+def test_gif_anim_routes_to_video_fingerprint():
+    """An animated-GIF container twin fingerprints identically to the
+    MJPEG MP4 clip carrying the same frames — the r14 fifth container
+    of the video near-dup family."""
+    from aresdb_spark.operators import gif as G
+    from aresdb_spark.operators import video as V
+    from aresdb_spark.operators.jpeg import encode_jpeg
+
+    frames = V.near_dup_video_frames(0)
+    mp4 = V.encode_mp4_mjpeg([encode_jpeg(f) for f in frames], 64, 64)
+    anim = G.encode_gif_anim([(0, 0, f, 4, 0, None) for f in frames],
+                             64, 64)
+    assert V.video_fingerprint(V.decode_video_frames(mp4)) \
+        == V.video_fingerprint(V.decode_video_frames(anim))
