@@ -174,3 +174,22 @@ def test_aql_time_filter_prunes_cold_day_dirs(spark, tmp_path):
         "__day=2024-01-03" in f or "__day=2024-01-04" in f
         for f in cold_files), cold_files
     assert df.collect()[0]["cnt"] == 6
+
+
+def test_semantic_dedup_two_level_assignment_is_arrow_batched(spark):
+    """r14: the two_level assignment plans an ARROW-batched Python
+    eval (ArrowEvalPython — whole record batches through numpy), never
+    the row-at-a-time BatchEvalPython, and the expression twin
+    (two_level_expr) plans no Python eval at all."""
+    from aresdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    batched = S.semantic_dedup(emb, threshold=0.4, n_clusters=16,
+                               assignment="two_level")
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    expr = S.semantic_dedup(emb, threshold=0.4, n_clusters=16,
+                            assignment="two_level_expr")
+    eplan = expr._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in eplan and "EvalPython" not in eplan
