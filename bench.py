@@ -1363,6 +1363,21 @@ def _codec_bench(spark, n_items: int = 256):
             .astype(np.int16)
         return encode_wav(s, 16000)
 
+    def build_gif_anim(d):
+        # r14: 5-frame animated GIF carrying noise-class gray frames
+        # through the GCE compositing path (gray-ramp palette)
+        from aresdb_spark.operators.gif import encode_gif_anim
+        return encode_gif_anim(
+            [(0, 0, noise_img(d * 5 + f, 1)[:, :, 0], 4, 0, None)
+             for f in range(5)], 96, 96)
+
+    def build_webp_anim(d):
+        # r14: 5-frame animated WebP (lossless VP8L ANMF frames)
+        from aresdb_spark.operators.webp import encode_webp_anim
+        return encode_webp_anim(
+            [(0, 0, noise_img(d * 5 + f), 40, 1, 0) for f in range(5)],
+            96, 96)
+
     codecs = {
         "png": lambda d: M.encode_png(noise_img(d), row_filter="mixed"),
         "jpeg": build_jpeg,
@@ -1372,21 +1387,28 @@ def _codec_bench(spark, n_items: int = 256):
         "webp_vp8l": build_webp,
         "flac": build_flac,
         "wav_pcm": build_wav,
+        "gif_anim": build_gif_anim,
+        "webp_anim": build_webp_anim,
     }
     raw_bytes = {                                   # decoded size/item
         "png": 96 * 96 * 3, "jpeg": 96 * 96, "gif": 96 * 96,
         "tiff_lzw": 96 * 96 * 3, "bmp": 96 * 96 * 3,
         "webp_vp8l": 96 * 96 * 3, "flac": 8192 * 2, "wav_pcm": 65536 * 2,
+        "gif_anim": 5 * 96 * 96 * 3, "webp_anim": 5 * 96 * 96 * 3,
     }
     from aresdb_spark.operators.audio import decode_wav
     from aresdb_spark.operators.flac import decode_flac
+    from aresdb_spark.operators.gif import decode_gif_anim
+    from aresdb_spark.operators.webp import decode_webp_anim
 
     def single_core_rate(name, build):
         # corpus cost at 100 TB = bytes / (per-core decode rate x
         # cores); at 256x96x96 the Spark wall above is scheduling /
         # Arrow floor, not decode, so price the codec directly
         payload = build(0)
-        dec = {"flac": decode_flac, "wav_pcm": decode_wav}.get(
+        dec = {"flac": decode_flac, "wav_pcm": decode_wav,
+               "gif_anim": decode_gif_anim,
+               "webp_anim": decode_webp_anim}.get(
             name, M._decode_container)
         dec(payload)                                # warmup
         reps, t0 = 0, time.perf_counter()
@@ -1401,8 +1423,16 @@ def _codec_bench(spark, n_items: int = 256):
         media = gen_with(build).localCheckpoint(eager=True)
         total_bytes = media.select(
             F.sum(F.length("payload"))).collect()[0][0]
-        stats = audio_stats(media) if name in ("flac", "wav_pcm") \
-            else M.decode_stats(media)
+        if name in ("flac", "wav_pcm"):
+            stats = audio_stats(media)
+        elif name == "gif_anim":
+            from aresdb_spark.operators.gif import gif_anim_stats
+            stats = gif_anim_stats(media)
+        elif name == "webp_anim":
+            from aresdb_spark.operators.webp import webp_anim_stats
+            stats = webp_anim_stats(media)
+        else:
+            stats = M.decode_stats(media)
         stats.count()                               # warmup
         t0 = time.perf_counter()
         stats.count()
