@@ -153,6 +153,8 @@ class _PrefixCode:
             self.single = nz[0][1]                  # 0-bit code
             self.codes = {}
             self.code_of = {nz[0][1]: (0, 0)}
+            self.k = 0
+            self.table = [(self.single, 0)]         # inline-loop twin
             return
         max_len = max(ln for ln, _ in nz)
         bl_count = [0] * (max_len + 1)
@@ -452,8 +454,11 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
 
     # flat [a, r, g, b] byte sink: Python-int writes + slice copies for
     # backrefs beat per-pixel ndarray assignment ~10x; symbol decode is
-    # table-driven with the bit math inlined in _PrefixCode.decode
-    # (r13 — this loop prices the whole VP8L surface)
+    # table-driven with the bit math inlined IN THIS LOOP (r14 — the
+    # per-symbol _PrefixCode.decode method dispatch was ~half the VP8L
+    # wall; literals decode all four channels with a local bit cursor
+    # and one first-level LUT index each, falling back to the method
+    # only for >9-bit codes)
     out = bytearray(4 * h * w)
     pos = 0
     total = h * w
@@ -463,16 +468,84 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
         y, x = divmod(p, w)
         return groups[int(meta[y >> meta_bits, x >> meta_bits])]
 
-    gcode, rcode, bcode, acode, dcode = groups[0]
+    data = br.data
+    nbits = br.nbits
+
+    def extract(codes):
+        return tuple(codes) + tuple(
+            x for c in codes[:4] for x in (c.table, (1 << c.k) - 1))
+
+    (gcode, rcode, bcode, acode, dcode,
+     gtab, gmask, rtab, rmask, btab, bmask, atab, amask) = \
+        extract(groups[0])
+    cur = groups[0]
+    bitpos = br.pos
     while pos < total:
         if meta is not None:
-            gcode, rcode, bcode, acode, dcode = group_at(pos)
-        s = gcode.decode(br)
+            grp = group_at(pos)
+            if grp is not cur:
+                cur = grp
+                (gcode, rcode, bcode, acode, dcode,
+                 gtab, gmask, rtab, rmask, btab, bmask, atab, amask) = \
+                    extract(grp)
+        if gmask:
+            byte0 = bitpos >> 3
+            e = gtab[(int.from_bytes(data[byte0:byte0 + 2], "little")
+                      >> (bitpos & 7)) & gmask]
+            if e is None:
+                br.pos = bitpos
+                s = gcode.decode(br)
+                bitpos = br.pos
+            else:
+                s = e[0]
+                bitpos += e[1]
+                if bitpos > nbits:
+                    raise ValueError("truncated VP8L stream")
+        else:                                       # 0-bit single code
+            s = gtab[0][0]
         if s < 256:                                 # literal
             g = s
-            r = rcode.decode(br)
-            b = bcode.decode(br)
-            a = acode.decode(br)
+            if rmask:
+                byte0 = bitpos >> 3
+                e = rtab[(int.from_bytes(data[byte0:byte0 + 2], "little")
+                          >> (bitpos & 7)) & rmask]
+                if e is None:
+                    br.pos = bitpos
+                    r = rcode.decode(br)
+                    bitpos = br.pos
+                else:
+                    r = e[0]
+                    bitpos += e[1]
+            else:
+                r = rtab[0][0]
+            if bmask:
+                byte0 = bitpos >> 3
+                e = btab[(int.from_bytes(data[byte0:byte0 + 2], "little")
+                          >> (bitpos & 7)) & bmask]
+                if e is None:
+                    br.pos = bitpos
+                    b = bcode.decode(br)
+                    bitpos = br.pos
+                else:
+                    b = e[0]
+                    bitpos += e[1]
+            else:
+                b = btab[0][0]
+            if amask:
+                byte0 = bitpos >> 3
+                e = atab[(int.from_bytes(data[byte0:byte0 + 2], "little")
+                          >> (bitpos & 7)) & amask]
+                if e is None:
+                    br.pos = bitpos
+                    a = acode.decode(br)
+                    bitpos = br.pos
+                else:
+                    a = e[0]
+                    bitpos += e[1]
+            else:
+                a = atab[0][0]
+            if bitpos > nbits:
+                raise ValueError("truncated VP8L stream")
             o = 4 * pos
             out[o] = a
             out[o + 1] = r
@@ -483,9 +556,11 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
                 cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> shift] = argb
             pos += 1
         elif s < 256 + 24:                          # LZ77 backref
+            br.pos = bitpos
             length = _read_lz77_value(br, s - 256)
             dsym = dcode.decode(br)
             plane = _read_lz77_value(br, dsym)
+            bitpos = br.pos
             if plane > 120:
                 dist = plane - 120
             else:
@@ -521,6 +596,7 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
             out[o + 2] = (argb >> 8) & 0xFF
             out[o + 3] = argb & 0xFF
             pos += 1
+    br.pos = bitpos                   # hand the cursor back to the caller
     return np.frombuffer(out, np.uint8).reshape(h * w, 4)
 
 
