@@ -200,10 +200,43 @@ def _decode_residual(br: _MsbReader, blocksize: int, order: int) -> list:
             for _ in range(count):
                 out.append(br.read_signed(raw) if raw else 0)
         else:
+            # inlined unary + param-bit reads (r14): the two method
+            # dispatches per sample priced the Rice path; local bit
+            # cursor, handed back to the reader at partition end
+            data = br.data
+            pos = br.pos
+            total = br.nbits
+            mask = (1 << param) - 1
+            ap = out.append
             for _ in range(count):
-                q = br.read_unary()
-                v = (q << param) | br.read(param)
-                out.append((v >> 1) ^ -(v & 1))     # zigzag
+                q = 0
+                while True:                          # unary quotient
+                    if pos >= total:
+                        raise ValueError("truncated FLAC stream")
+                    off = pos & 7
+                    rem = data[pos >> 3] & ((1 << (8 - off)) - 1)
+                    if rem:
+                        zeros = (8 - off) - rem.bit_length()
+                        pos += zeros + 1
+                        q += zeros
+                        break
+                    q += 8 - off
+                    pos += 8 - off
+                if param:
+                    if pos + param > total:
+                        raise ValueError("truncated FLAC stream")
+                    byte0 = pos >> 3
+                    off = pos & 7
+                    nb_ = (off + param + 7) >> 3
+                    v = (q << param) \
+                        | ((int.from_bytes(data[byte0:byte0 + nb_],
+                                           "big")
+                            >> ((nb_ << 3) - off - param)) & mask)
+                    pos += param
+                else:
+                    v = q
+                ap((v >> 1) ^ -(v & 1))             # zigzag
+            br.pos = pos
     return out
 
 
