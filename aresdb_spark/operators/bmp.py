@@ -1,14 +1,24 @@
 """Clean-room BMP (Windows DIB) codec — pure stdlib/numpy.
 
 Scope (the public Microsoft BITMAPINFOHEADER layout): 1/4/8-bit
-palettized, 24-bit BGR and 32-bit BGRX pixels, uncompressed (BI_RGB)
-plus the BI_RLE8/BI_RLE4 run-length codings (runs, absolute mode,
-end-of-line/bitmap and delta escapes), bottom-up and top-down row
-orders, 4-byte row padding, and V4/V5 headers read as supersets of the
-40-byte core. Everything else (BI_BITFIELDS, 16-bit, OS/2 core
+palettized, 16-bit (BI_RGB implied 5-5-5 and BI_BITFIELDS masked),
+24-bit BGR and 32-bit BGRX/masked pixels, uncompressed (BI_RGB) plus
+the BI_RLE8/BI_RLE4 run-length codings (runs, absolute mode,
+end-of-line/bitmap and delta escapes) and BI_BITFIELDS (r14: masks
+read from the V2+ header fields or, for a bare 40-byte header, the
+12 bytes that follow it; each mask must be a contiguous,
+non-overlapping bit run and channels scale to 8 bits by rounded
+max-ratio), bottom-up and top-down row orders, 4-byte row padding,
+and V4/V5 headers read as supersets of the 40-byte core. Everything
+else (BI_ALPHABITFIELDS, BI_JPEG/BI_PNG embeddings, OS/2 core
 headers) raises NotImplementedError naming the field. Decode returns
 RGB uint8 (h, w, 3): palette entries are BGRA quads with the reserved
-byte dropped; 32-bit pixels drop the undefined fourth byte.
+byte dropped; 32-bit BI_RGB pixels drop the undefined fourth byte.
+EXCEPTION: a BI_BITFIELDS image with a nonzero alpha mask returns
+RGBA (h, w, 4) — there the fourth channel is spec-defined, and the
+shape mirrors what decode_png returns for RGBA sources (validated
+bit-for-bit against CPython's shipped real python.bmp/python.png
+fixture pair in tests/test_real_fixtures.py).
 
 The encoder mirrors the decode scope for deterministic test/oracle
 payload generation (reference behavior cross-checked against the spec
@@ -48,16 +58,28 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     h = -h_raw if top_down else h_raw
     if w <= 0 or h <= 0:
         raise ValueError("BMP has non-positive dimensions")
-    if bits not in (1, 4, 8, 24, 32):
+    if bits not in (1, 4, 8, 16, 24, 32):
         raise NotImplementedError(
-            f"{bits}-bit BMP is not implemented (1/4/8/24/32 only)")
-    if comp not in (0, 1, 2):
+            f"{bits}-bit BMP is not implemented (1/4/8/16/24/32 only)")
+    if comp not in (0, 1, 2, 3):
         raise NotImplementedError(
             f"BMP compression {comp} is not implemented "
-            f"(BI_RGB/BI_RLE8/BI_RLE4 only)")
+            f"(BI_RGB/BI_RLE8/BI_RLE4/BI_BITFIELDS only)")
     if comp == 1 and bits != 8 or comp == 2 and bits != 4:
         raise ValueError(f"BMP compression {comp} illegal at {bits} bits")
-    if comp and top_down:
+    if comp == 3 and bits not in (16, 32):
+        raise ValueError("BI_BITFIELDS is only legal at 16/32 bits")
+    if bits == 16 and comp == 0:
+        comp, masks = 3, (0x7C00, 0x03E0, 0x001F, 0)   # implied X1R5G5B5
+    elif comp == 3:
+        # V2+ headers carry the masks at byte 54; a bare 40-byte header
+        # puts them in the 12 bytes that FOLLOW it — the same offset.
+        # The alpha mask exists only from V3 (hdr_size >= 56) on.
+        if len(data) < 66:
+            raise ValueError("BMP BI_BITFIELDS masks truncated")
+        masks = struct.unpack("<3I", data[54:66]) + (
+            struct.unpack("<I", data[66:70])[0] if hdr_size >= 56 else 0,)
+    if comp in (1, 2) and top_down:
         raise ValueError("RLE BMPs must be bottom-up (spec)")
 
     pal = None
@@ -70,7 +92,7 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             raise ValueError("BMP palette truncated")
         pal = quads.reshape(-1, 4)[:, [2, 1, 0]]   # BGRA → RGB
 
-    if comp:                                        # RLE8 / RLE4
+    if comp in (1, 2):                              # RLE8 / RLE4
         # _decode_rle writes rows at their final display positions
         # (bottom-up input → out[h-1-y]), so no flip afterwards
         idx = _decode_rle(data[pix_off:], w, h, nibble=(comp == 2))
@@ -84,6 +106,9 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         if rows.size < need:
             raise ValueError("BMP pixel data truncated")
         rows = rows.reshape(h, stride)
+        if comp == 3:                               # BI_BITFIELDS (r14)
+            px = _decode_bitfields(rows, w, bits, masks)
+            return (px if top_down else px[::-1]).copy()
         if bits == 24:
             px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
         elif bits == 32:
@@ -104,6 +129,52 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("BMP palette index out of range")
     out = pal[idx]
     return out if top_down else out[::-1]
+
+
+def _decode_bitfields(rows: np.ndarray, w: int, bits: int,
+                      masks: "tuple[int, int, int, int]") -> np.ndarray:
+    """BI_BITFIELDS channel extraction: ``rows`` is the padded
+    (h, stride) byte matrix, ``masks`` = (R, G, B, A) little-endian
+    bit masks over the 16/32-bit pixel word. Each mask must be one
+    contiguous bit run inside the word and the color masks must not
+    overlap; a channel of width k scales to 8 bits by rounded
+    ``v * 255 / (2^k - 1)`` (identity for k = 8). Alpha mask 0 →
+    RGB output; nonzero → RGBA."""
+    h = rows.shape[0]
+    word = np.uint16 if bits == 16 else np.uint32
+    nbytes = bits // 8
+    words = rows[:, :w * nbytes].reshape(h, w, nbytes)[:, :, ::-1]
+    vals = np.zeros((h, w), np.uint32)
+    for k in range(nbytes):                         # little-endian word
+        vals = (vals << 8) | words[:, :, k].astype(np.uint32)
+    limit = (1 << bits) - 1
+    seen = 0
+    for i, m in enumerate(masks[:3]):
+        if m == 0 or m > limit:
+            raise ValueError(f"BMP BI_BITFIELDS color mask {i} invalid "
+                             f"for {bits}-bit pixels: {m:#x}")
+        if seen & m:
+            raise ValueError("BMP BI_BITFIELDS color masks overlap")
+        seen |= m
+    amask = masks[3]
+    if amask > limit:
+        raise ValueError(f"BMP BI_BITFIELDS alpha mask invalid: {amask:#x}")
+    nch = 4 if amask else 3
+    out = np.zeros((h, w, nch), np.uint8)
+    for i, m in enumerate(masks[:nch]):
+        shift = (m & -m).bit_length() - 1           # trailing zeros
+        width = m.bit_length() - shift
+        if m >> shift != (1 << width) - 1:
+            raise ValueError(
+                f"BMP BI_BITFIELDS mask {m:#x} is not contiguous")
+        ch = (vals & np.uint32(m)) >> np.uint32(shift)
+        if width == 8:
+            out[:, :, i] = ch.astype(np.uint8)
+        else:
+            maxv = (1 << width) - 1
+            out[:, :, i] = np.rint(
+                ch.astype(np.float64) * (255.0 / maxv)).astype(np.uint8)
+    return out
 
 
 def _decode_rle(buf: bytes, w: int, h: int, nibble: bool) -> np.ndarray:

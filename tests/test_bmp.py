@@ -73,12 +73,16 @@ def test_bmp_scope_errors_named():
     rng = np.random.default_rng(12)
     px = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
     blob = bytearray(encode_bmp(px))
-    blob[28] = 16                                   # bitCount = 16
-    with pytest.raises(NotImplementedError, match="16-bit"):
+    blob[30] = 4                                    # BI_JPEG embedding
+    with pytest.raises(NotImplementedError, match="compression 4"):
         decode_bmp(bytes(blob))
     blob = bytearray(encode_bmp(px))
-    blob[30] = 3                                    # BI_BITFIELDS
-    with pytest.raises(NotImplementedError, match="compression 3"):
+    blob[30] = 6                                    # BI_ALPHABITFIELDS
+    with pytest.raises(NotImplementedError, match="compression 6"):
+        decode_bmp(bytes(blob))
+    blob = bytearray(encode_bmp(px))
+    blob[30] = 3                                    # BI_BITFIELDS at 24 bits
+    with pytest.raises(ValueError, match="16/32 bits"):
         decode_bmp(bytes(blob))
     blob = bytearray(encode_bmp(px))
     blob[14] = 12                                   # OS/2 core header
@@ -88,6 +92,94 @@ def test_bmp_scope_errors_named():
         encode_bmp(np.zeros((2, 2), np.uint8),
                    bit_count=8, palette=np.zeros((2, 3), np.uint8),
                    rle=True, top_down=True)
+
+
+def _bitfields_bmp(words: np.ndarray, bits: int, masks, hdr_size: int = 40,
+                   top_down: bool = False) -> bytes:
+    """Hand-build a BI_BITFIELDS BMP: ``words`` is an (h, w) array of
+    already-packed 16/32-bit pixel words. A 40-byte header gets the
+    three color masks APPENDED after it (spec); hdr_size >= 56 carries
+    r/g/b/a in the header fields (V3+/V4/V5 layout, zero-padded)."""
+    import struct
+
+    h, w = words.shape
+    stride = ((w * bits // 8) + 3) // 4 * 4
+    extra = 12 if hdr_size == 40 else 0
+    pix_off = 14 + hdr_size + extra
+    dt = "<u2" if bits == 16 else "<u4"
+    order = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(words[y].astype(dt).tobytes().ljust(stride, b"\0")
+                    for y in order)
+    hdr = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    ih = struct.pack("<IiiHHIIiiII", hdr_size, w,
+                     -h if top_down else h, 1, bits, 3, len(body),
+                     2835, 2835, 0, 0)
+    if hdr_size == 40:
+        ih += struct.pack("<3I", *masks[:3])
+    else:
+        ih += struct.pack("<4I", *masks)
+        ih += b"\0" * (hdr_size - 40 - 16)
+    return hdr + ih + body
+
+
+def test_bmp_bitfields_16bit_565_and_implied_555():
+    """16-bit decode: explicit R5G6B5 masks via BI_BITFIELDS and the
+    BI_RGB implied X1R5G5B5 default, channels scaled by rounded
+    max-ratio; both row orders (BI_BITFIELDS legally allows
+    top-down, unlike RLE)."""
+    rng = np.random.default_rng(13)
+    r = rng.integers(0, 32, (5, 7), dtype=np.uint32)
+    g = rng.integers(0, 64, (5, 7), dtype=np.uint32)
+    b = rng.integers(0, 32, (5, 7), dtype=np.uint32)
+    words565 = (r << 11) | (g << 5) | b
+    exp565 = np.stack([np.rint(r * 255.0 / 31), np.rint(g * 255.0 / 63),
+                       np.rint(b * 255.0 / 31)], axis=2).astype(np.uint8)
+    for td in (False, True):
+        out = decode_bmp(_bitfields_bmp(
+            words565, 16, (0xF800, 0x07E0, 0x001F), top_down=td))
+        assert out.shape == (5, 7, 3) and np.array_equal(out, exp565), td
+
+    g5 = g >> 1                                     # 5-bit green for 555
+    words555 = (r << 10) | (g5 << 5) | b
+    exp555 = np.stack([np.rint(r * 255.0 / 31), np.rint(g5 * 255.0 / 31),
+                       np.rint(b * 255.0 / 31)], axis=2).astype(np.uint8)
+    blob = bytearray(_bitfields_bmp(words555, 16,
+                                    (0x7C00, 0x03E0, 0x001F)))
+    blob[30] = 0                                    # comp = BI_RGB
+    out = decode_bmp(bytes(blob))
+    assert np.array_equal(out, exp555)
+
+
+def test_bmp_bitfields_32bit_alpha_and_v4_header():
+    """32-bit BI_BITFIELDS with 8-bit masks: identity scaling, and a
+    nonzero alpha mask (V4 header fields) yields RGBA — matching what
+    decode_png returns for RGBA sources."""
+    rng = np.random.default_rng(14)
+    px = rng.integers(0, 256, (4, 6, 4), dtype=np.uint32)
+    words = ((px[:, :, 3] << 24) | (px[:, :, 0] << 16)
+             | (px[:, :, 1] << 8) | px[:, :, 2])    # ARGB word order
+    masks = (0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000)
+    out = decode_bmp(_bitfields_bmp(words, 32, masks, hdr_size=108))
+    assert out.shape == (4, 6, 4)
+    assert np.array_equal(out, px.astype(np.uint8))
+    # same file through a bare 40-byte header: only 3 masks exist, so
+    # the alpha byte is undefined padding and the result is RGB
+    out3 = decode_bmp(_bitfields_bmp(words, 32, masks))
+    assert out3.shape == (4, 6, 3)
+    assert np.array_equal(out3, px[:, :, :3].astype(np.uint8))
+
+
+def test_bmp_bitfields_errors_named():
+    words = np.zeros((2, 2), np.uint32)
+    with pytest.raises(ValueError, match="overlap"):
+        decode_bmp(_bitfields_bmp(
+            words, 32, (0xFF0000, 0xFF00, 0x1FF, 0), hdr_size=108))
+    with pytest.raises(ValueError, match="not contiguous"):
+        decode_bmp(_bitfields_bmp(
+            words, 32, (0xF000F0, 0x000F00, 0x00000F, 0), hdr_size=108))
+    with pytest.raises(ValueError, match="mask 0 invalid"):
+        decode_bmp(_bitfields_bmp(words, 32, (0, 0xFF00, 0xFF, 0),
+                                  hdr_size=108))
 
 
 def test_bmp_through_decode_image_and_stats(spark):

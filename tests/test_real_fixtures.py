@@ -1,0 +1,278 @@
+"""Real-file conformance pins: CPython's shipped test images
+(Lib/test/test_email/data + Lib/test/imghdrdata, PSF-licensed test
+data — the same provenance as the libwebp ``python.webp`` pin in
+test_webp.py). All files encode the SAME 16x16 Python-logo source
+image through REAL external encoders (libpng/libjpeg/PIL-era
+tooling), so they cross-validate every still-image decoder in this
+repo against bytes it did not produce:
+
+  * ``python.ppm`` is binary P6 — raw RGB with a 13-byte ASCII
+    header, parsed HERE with numpy alone. That makes it a
+    decoder-independent ground truth: no aresdb_spark codec touches
+    it.
+  * PNG, TIFF and BMP (BI_BITFIELDS, the r14 path) are lossless →
+    pinned EXACT against that truth (and BMP against PNG's RGBA,
+    alpha plane included — two independent real encoders must agree
+    bit-for-bit through two independent clean-room decoders).
+  * GIF is 64-color-quantized with a transparent index → pinned
+    structurally: most pixels exact, the rest bounded quantization
+    error, and every large deviation explained by the encoder's
+    transparent-index mapping of semi-transparent source pixels.
+  * JPEG is lossy 4:2:0 → pinned by PSNR floor (luma ≥ 33 dB, RGB
+    ≥ 21 dB) plus a byte-exact regression hash of our decode; the
+    headerless ``python-raw.jpg`` twin (no APP0/JFIF segment) must
+    decode to the identical array.
+"""
+
+import base64
+import hashlib
+
+import numpy as np
+
+# test_email/data/python.ppm (781 bytes, md5 a2b32811bb48fbf84e6a4ffa90b6a81c)
+_PPM_B64 = """\
+UDYKMTYgMTYKMjU1CgAAAAAAAAAAAAAAAE6NwEqGukiDtER+rUB4pzxxnjdolgAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEyKvP///0V/r0F5qD50ojpvmzZplAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEmFt0aAsUJ7qj51oztwnTdqljZplAAA
+AAAAAAAAAAAAAAAAAAAAAE6PxEyKv0iFtkN9rT10oTlsljZmkDhslzZplDZplAAA
+AAAAAAAAAAAAAAAAAFKRxk+NwUuIu0iDtER9rUB4pj1zoDltmTZplDZplDZplAAA
+AP/iVf3dSvnVPgAAAFCPw0yJvEiEtUV/r0F5qD10oTpvmzZplDZplDZplDJghwAA
+AP/eS//aQf3VNgAAAE2LvkmFt0aAsEJ7qj51oztwnDdqljZplDVokjJghwAAAOzO
+Rf/aQv/WN//TLQAAAEqHuUeBskN8qz92pTZpkxsxRQAAAAAAAAAAAAAAAOLDRf3Z
+Qf/XOP/TLf/PIwAAAEaBskR9rUB4pjZnkQAAAPLhbv3pav/mYf/jV//fTf/bQv/X
+OP/TLv/PJP3LGwAAAEN9rkF5qD10oRwyS/Xjb//rbP/nYf/jV//fTf/bQ//XOf/T
+Lv/PJP/MHPPBGgAAAEB1oz1zojpwnAAAAP/rbP/nYv/jWP/fTv/bQ//XOf/TL//P
+JP/MHP/MHMKaEgAAAAAAAAAAAAAAAAAAAP/nYv/jWP/fTujHPevFNOvCKuu+Ieu7
+GOu7GMabEgAAAAAAAAAAAAAAAAAAAAAAAP/jWP/fTv/bRP/XOv/TMP/QJf/MHAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAP3eTv/bRP/YOv/UMP/QJv////3LGwAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAPHQP/rTOf3SL//QJv/MHPrHGcCXEgAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAA=="""
+
+# test_email/data/python.png (1020 bytes, md5 91f80d44b0a786e5b0b3049ad61159fa)
+_PNG_B64 = """\
+iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAMAAAAoLQ9TAAAAIGNIUk0AAHomAACA
+hAAA+gAAAIDoAAB1MAAA6mAAADqYAAAXcJy6UTwAAAHFUExURQAAAE6NwEqGujxx
+njdolgAAAAAAAAAAAAAAAAAAAE6PxEyKv0iFtkN9rT10oTlsljZmkAAAAAAAAFKR
+xv3dSvnVPgAAADJghwAAAP3VNgAAADVokgAAAOzORQAAADZpkxsxRQAAAAAAAOLD
+Rf3ZQQAAAEaBsjZnkQAAAPLhbv3pav3LG0N9rhwyS/Xjb/PBGkB1oz1zogAAAMKa
+EgAAAAAAAAAAAAAAAAAAAOjHPevFNOvCKuu+Ieu7GMabEgAAAAAAAAAAAAAAAAAA
+AAAAAAAAAP3eTgAAAAAAAAAAAAAAAPHQP/rTOf3SL/rHGcCXEgAAAAAAAAAAAAAA
+AAAAAAAAAEiDtER+rUB4p0yKvP///0V/r0F5qD50ojpvmzZplEmFt0aAsUJ7qj51
+oztwnTdqljhsl0+NwUuIu0R9rUB4pj1zoDltmf/iVVCPw0yJvEiEtT10of/eS//a
+QU2LvkaAsDtwnP/aQv/WN//TLUqHuUeBskN8qz92pf/XOP/PI//mYf/jV//fTf/b
+Qv/TLv/PJP/rbP/nYf/bQ//XOf/MHDpwnP/nYv/jWP/fTv/TL//bRP/XOv/TMP/Q
+Jf/YOv/UMP/QJpJJAAIAAABWdFJOUwCv7feSCwMoQRV+oKGjp6qqSBi994IKtkPt
+JPdPiD22XExHa/dG96pOpvf311uzwm/3S3o0CCE8NaqpqampeSACCRMSLB73QBwF
+AUzM99h7Ox1CRTgf+DIQcQAAAAFiS0dEWgO7paIAAAD1SURBVBjTY2AAAkamsPAI
+ZhZWNgYoiIyKjomNi2dnhQkkJCYlp6TGc3CCeVzcPLx8/AJp8fGCQiC+cHpGWGZW
+dk48UCBXRFSMIS+/IDqmMA7IF5coKpaUYihJKE1KLkuNlxaXkS2vqJRjqKquqZVX
+UBRU4lBWqausV2VQy8xS19DUamhsaq5radVWYtCJKdTVa2tvbOrobGnt0udgMDDs
+Nmrr6e3r6Oxv7eoyNmEwNTO3APItraxtbG3tOOwZHBydnHv7JkycNLmLw8LFFeJ6
+twlTpk6L0nb3cPT0Agt4+/hO6/LzD3CGec400CJIKTgk1BTIBgBAYkJ/yC2b5QAA
+ACV0RVh0ZGF0ZTpjcmVhdGUAMjAxNC0wMS0yNlQyMDo1OTozNyswMjowMPuaB3cA
+AAAldEVYdGRhdGU6bW9kaWZ5ADIwMTQtMDEtMjZUMjA6NTk6MDArMDI6MDDB74am
+AAAAAElFTkSuQmCC"""
+
+# test_email/data/python.bmp (1162 bytes, md5 e3a1f317b1a275e5d5f1b4b0ff04ee01)
+_BMP_B64 = """\
+Qk2KBAAAAAAAAIoAAAB8AAAAEAAAABAAAAABACAAAwAAAAAEAAAAAAAAAAAAAAAA
+AAAAAAAAAAD/AAD/AAD/AAAAAAAA/0JHUnOAwvUoYLgeFSCF6wFAMzMTgGZmJkBm
+ZgagmZkJPArXAyRcjzIAAAAAAAAAAAAAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAgAAAAdAAAANQAAAEIAAABHAAAARQAAADgAAAAfAAAACAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA/0PFMOdP6zC/S/fcm0P//HMz//xnH
++tgSl8B7AAAAOwAAABIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAATt7990Tb
+//862P//MNT//ybQ////////G8v99wAAAEAAAAAcAAAACQAAAAUAAAABAAAAAgAA
+AAkAAAATAAAAEljj//9O3///RNv//zrX//8w0///JdD//xzM//8AAABBAAAANQAA
+ACwAAAAeAAAACwAAAAgAAAAhAAAAPAAAADVi5///WOP//07f//89x+iqNMXrqSrC
+66khvuupGLvrqRi766kSm8Z5AAAAQQAAACCjdUBvonM995xwOv8AAABLbOv//2Ln
+//9Y4///Tt///0Pb//851///L9P//yTP//8czP//HMz//xKawnoAAAA0rn1D16h5
+Qf+hdD3/SzIcW2/j9bNs6///Yef//1fj//9N3///Q9v//znX//8u0///JM///xzM
+//8awfPCAAAAQbKBRvetfUT/pnhA/5FnNqoAAABObuHypmrp/fdh5v//V+P//03f
+//9C2///ONf//y7T//8kz///G8v99wAAAEe5h0r/soFH/6t8Q/+ldj//k2k2tkUx
+G1wAAABMAAAASAAAAEcAAABBRcPia0HZ/fc41///LdP//yPP//8AAABGvotN/7eF
+Sf+wgEb/qntC/6N1Pv+ccDv/lmo3/5RpNv+SaDX3h2AytgAAAE9FzuyIQtr//zfW
+//8t0///AAAAPcOPUP+8iUz/tYRI/69/Rf+oeUH/oXQ9/5tvOv+UaTb/lGk2/5Rp
+Nv+HYDK2AAAAQ0ve//9B2v//NtX97QAAACTGkVK9wY1P/7uIS/+0g0j/rX1E/6Z4
+QP+gcz3/mW05/5RpNv+UaTb/lGk2/wAAAEhV4v//St399z7V+YIAAAAKAAAAAMSP
+Tn6/ikygtoVIoa19Q6OhdD2nlmw5qpBmNqqXbDj/lGk2/5RpNv8AAABIAAAAGAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAC3hUn/sYBG/6p7Qv+jdT7/nXA7/5Zq
+N/+UaTb/AAAAQQAAABUAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAvIpM////
+//+vf0X/qHlB/6J0Pv+bbzr/lGk2/wAAACgAAAALAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAMCNTq+6hkrttINI/61+RP+neED/nnE895ZoN5IAAAALAAAAAwAA
+AAAAAAAAAAAAAA=="""
+
+# test_email/data/python.gif (405 bytes, md5 bb6db723ceadf8ce03d5ad234f9d7273)
+_GIF_B64 = """\
+R0lGODlhEAAQAPU/AOu7GOu+IfPBGvrHGf3LG//MHOvCKv/PI//PJP/QJf/TLevF
+NOjHPf/TMP/UMP3VNvrTOf/XOfnVPv/YOuzORf/aQf/bRP/eS//fTv/iVf/jWP/n
+YvLhbvXjb/3pav/rbDJghzZmkDZnkTZpkzdoljdqljlsljpvmzpwnDtwnDxxnj1z
+oj50oj92pUB4pkJ7qkN8q0N9rUV/r0aAsUeBskiDtEiFtkqGukyJvEyKvEyKv0+N
+wVCPw1KRxv///wAAACH/C0ltYWdlTWFnaWNrB2dhbW1hPTAAIfkEBQAAPwAsAAAA
+ABAAEAAABpvAn/C3u81iLRVpyBTmfLMXC1VqMm1RVqo0sv50thjLFDKVqszeDleT
+uVSn0fmXuUh+PB1N9oKP/iA/FxUPXzY0UipnIoEUhAo/hzAuXU0VEQoHP0cuIj8c
+HhsZGBUTCggEPzFSPx0fGxoYFhENCAUCQispP6+xpacFBVawGAwLBgEAAF6xsw0J
+wl4/shEOCT6p0j8QzwUD2uBDQQA7"""
+
+# test_email/data/python.tiff (1326 bytes, md5 d8580e24bfb05ec687436beb33838368)
+_TIFF_B64 = """\
+SUkqAAgEAAAAAAAAAAAAAAAAAAAAAAAATo3Ar0qGuu1Ig7T/RH6t/0B4p/88cZ73
+N2iWkgAAAAsAAAADAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEyKvP//////
+RX+v/0F5qP8+dKL/Om+b/zZplP8AAAAoAAAACwAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAABJhbf/RoCx/0J7qv8+daP/O3Cd/zdqlv82aZT/AAAAQQAAABUAAAAA
+AAAAAAAAAAAAAAAATo/EfkyKv6BIhbahQ32toz10oac5bJaqNmaQqjhsl/82aZT/
+NmmU/wAAAEgAAAAYAAAAAAAAAAAAAAAAUpHGvU+Nwf9LiLv/SIO0/0R9rf9AeKb/
+PXOg/zltmf82aZT/NmmU/zZplP8AAABI/+JV//3dSvf51T6CAAAAClCPw/9Mibz/
+SIS1/0V/r/9Beaj/PXSh/zpvm/82aZT/NmmU/zZplP8yYIe2AAAAQ//eS///2kH/
+/dU27QAAACRNi77/SYW3/0aAsP9Ce6r/PnWj/ztwnP83apb/NmmU/zVokvcyYIe2
+AAAAT+zORYj/2kL//9Y3///TLf8AAAA9Soe5/0eBsv9DfKv/P3al/zZpk7YbMUVc
+AAAATAAAAEgAAABHAAAAQeLDRWv92UH3/9c4///TLf//zyP/AAAARkaBsvdEfa3/
+QHim/zZnkaoAAABO8uFupv3pavf/5mH//+NX///fTf//20L//9c4///TLv//zyT/
+/csb9wAAAEdDfa7XQXmo/z10of8cMktb9eNvs//rbP//52H//+NX///fTf//20P/
+/9c5///TLv//zyT//8wc//PBGsIAAABBQHWjbz1zovc6cJz/AAAAS//rbP//52L/
+/+NY///fTv//20P//9c5///TL///zyT//8wc///MHP/CmhJ6AAAANAAAAAgAAAAh
+AAAAPAAAADX/52L//+NY///fTv/oxz2q68U0qevCKqnrviGp67sYqeu7GKnGmxJ5
+AAAAQQAAACAAAAACAAAACQAAABMAAAAS/+NY///fTv//20T//9c6///TMP//0CX/
+/8wc/wAAAEEAAAA1AAAALAAAAB4AAAALAAAAAAAAAAAAAAAAAAAAAP3eTvf/20T/
+/9g6///UMP//0Cb///////3LG/cAAABAAAAAHAAAAAkAAAAFAAAAAQAAAAAAAAAA
+AAAAAAAAAADx0D9M+tM5zP3SL/f/0Cb//8wc//rHGdjAlxJ7AAAAOwAAABIAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAACAAAAB0AAAA1AAAAQgAAAEcAAABF
+AAAAOAAAAB8AAAAIAAAAAAAAAAAAAAAAEQAAAQMAAQAAABAAAAABAQMAAQAAABAA
+AAACAQMABAAAANoEAAADAQMAAQAAAAEAAAAGAQMAAQAAAAIAAAAKAQMAAQAAAAEA
+AAANAQIADAAAACIFAAARAQQAAQAAAAgAAAASAQMAAQAAAAEAAAAVAQMAAQAAAAQA
+AAAWAQMAAQAAAIAAAAAXAQQAAQAAAAAEAAAcAQMAAQAAAAEAAAApAQMAAgAAAAAA
+AQA+AQUAAgAAABIFAAA/AQUABgAAAOIEAABSAQMAAQAAAAIAAAAAAAAACAAIAAgA
+CAAACtej/////4DhelT/////AM3MTP////8AmpmZ/////4BmZib/////8ChcD///
+//+AGw1Q/////wBYOVT/////cHl0aG9uLnRpZmYA"""
+
+# test_email/data/python.jpg (543 bytes, md5 50e9104383c3f36fa9e9be6148e6fdf3)
+_JPG_B64 = """\
+/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgG
+BgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMD
+AwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ
+EBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAA
+AAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/
+xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQME
+BQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrs
+aUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Ia
+ad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5
+SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPx
+w2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KO
+p1KM6iCNvngZHwetf//Z"""
+
+# imghdrdata/python-raw.jpg (525 bytes, md5 0c8e1f05e648beb762aaff3b23124355)
+_RAWJPG_B64 = """\
+/9j/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsO
+CwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQ
+EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR
+CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQB
+BAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAA
+AAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEA
+AhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuW
+PZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0h
+O/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+
+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7
+VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"""
+
+
+def _fix(b64: str, md5: str) -> bytes:
+    raw = base64.b64decode(b64)
+    assert hashlib.md5(raw).hexdigest() == md5, "fixture corrupted"
+    return raw
+
+
+def _truth_rgb() -> np.ndarray:
+    """Parse python.ppm (binary P6) with numpy only — no repo codec."""
+    ppm = _fix(_PPM_B64, "a2b32811bb48fbf84e6a4ffa90b6a81c")
+    assert ppm[:2] == b"P6"
+    body = ppm[ppm.index(b"255\n") + 4:]
+    return np.frombuffer(body, np.uint8).reshape(16, 16, 3)
+
+
+def test_png_real_file_exact():
+    """Real libpng-encoded python.png decodes bit-exact to the PPM
+    truth on RGB; the alpha plane is pinned by hash (the PPM carries
+    no alpha to compare against)."""
+    from aresdb_spark.operators.multimodal import decode_png
+
+    px = decode_png(_fix(_PNG_B64, "91f80d44b0a786e5b0b3049ad61159fa"))
+    assert px.shape == (16, 16, 4) and px.dtype == np.uint8
+    assert np.array_equal(px[:, :, :3], _truth_rgb())
+    assert hashlib.md5(px[:, :, 3].tobytes()).hexdigest() == "fa1667e19ae1b259be670911674006a6"
+
+
+def test_tiff_real_file_exact():
+    from aresdb_spark.operators.tiff import decode_tiff
+
+    px = decode_tiff(_fix(_TIFF_B64, "d8580e24bfb05ec687436beb33838368"))
+    assert px.shape == (16, 16, 3)
+    assert np.array_equal(px, _truth_rgb())
+
+
+def test_bmp_real_file_exact_vs_png_rgba():
+    """python.bmp is a V5-header 32-bit BI_BITFIELDS file (masks
+    a=ff000000 r=ff0000 g=ff00 b=ff) — the r14 decode path. Its RGBA
+    must equal python.png's RGBA bit-for-bit: two real encoders, two
+    clean-room decoders, one source image."""
+    from aresdb_spark.operators.bmp import decode_bmp
+    from aresdb_spark.operators.multimodal import decode_png
+
+    bmp = decode_bmp(_fix(_BMP_B64, "e3a1f317b1a275e5d5f1b4b0ff04ee01"))
+    png = decode_png(_fix(_PNG_B64, "91f80d44b0a786e5b0b3049ad61159fa"))
+    assert bmp.shape == (16, 16, 4)
+    assert np.array_equal(bmp, png)
+    assert np.array_equal(bmp[:, :, :3], _truth_rgb())
+
+
+def test_gif_real_file_quantization_structure():
+    """python.gif is 64-color quantized with GCE transparent index
+    63 (GCT entry 63 happens to be black). Pins: >= 170/256 pixels
+    decode EXACTLY equal to the truth; every remaining pixel is
+    either bounded palette-quantization error (max channel diff
+    <= 32) or the transparent index — and in that case the PNG twin
+    shows the source pixel really was semi-transparent (alpha < 160),
+    which is why the encoder sacrificed its color."""
+    from aresdb_spark.operators.gif import decode_gif
+    from aresdb_spark.operators.multimodal import decode_png
+
+    raw = _fix(_GIF_B64, "bb6db723ceadf8ce03d5ad234f9d7273")
+    px = decode_gif(raw)
+    truth = _truth_rgb()
+    assert px.shape == (16, 16, 3)
+    diff = np.abs(px.astype(int) - truth.astype(int)).max(axis=2)
+    assert (diff == 0).sum() >= 170
+    alpha = decode_png(
+        _fix(_PNG_B64, "91f80d44b0a786e5b0b3049ad61159fa"))[:, :, 3]
+    gct = np.frombuffer(raw[13:13 + 192], np.uint8).reshape(64, 3)
+    for y, x in zip(*np.where(diff > 32)):
+        assert np.array_equal(px[y, x], gct[63]), (y, x)
+        assert alpha[y, x] < 160, (y, x, alpha[y, x])
+
+
+def test_jpeg_real_file_psnr_and_headerless_twin():
+    """Real libjpeg-encoded baseline 4:2:0 file. The luma plane is
+    full-resolution so its PSNR vs the pre-compression truth isolates
+    Huffman+dequant+IDCT fidelity (>= 33 dB); RGB adds the inherent
+    2x2 chroma-subsampling loss of a 16x16 logo (>= 21 dB). A broken
+    entropy decode or IDCT lands far below either floor. Our exact
+    output is hash-pinned for regression, and imghdrdata's
+    python-raw.jpg (same scan, APP0/JFIF segment absent) must decode
+    identically — real-world robustness to headerless JFIF."""
+    from aresdb_spark.operators.jpeg import decode_jpeg
+
+    px = decode_jpeg(_fix(_JPG_B64, "50e9104383c3f36fa9e9be6148e6fdf3"))
+    truth = _truth_rgb().astype(float)
+    dec = px.astype(float)
+    assert px.shape == (16, 16, 3)
+
+    def luma(a):
+        return 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    mse_y = ((luma(dec) - luma(truth)) ** 2).mean()
+    mse = ((dec - truth) ** 2).mean()
+    assert 10 * np.log10(255 ** 2 / mse_y) >= 33.0
+    assert 10 * np.log10(255 ** 2 / mse) >= 21.0
+    assert hashlib.md5(px.tobytes()).hexdigest() == "dbb5d9878836c7edc21cfc2ce6115416"
+
+    raw = decode_jpeg(_fix(_RAWJPG_B64, "0c8e1f05e648beb762aaff3b23124355"))
+    assert np.array_equal(raw, px)
