@@ -1348,6 +1348,57 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3, 4
     """)
 
+    # --- multimodal PNM (Netpbm P1-P6) + Sun raster (r14,
+    # operators/pnm.py): ASCII and binary gray/RGB rasters incl.
+    # 16-bit big-endian samples and packed/ASCII bitmaps, plus Sun
+    # rasterfiles (standard BGR 24-bit and type-2 byte-RLE) — both
+    # decoders also pinned against CPython's REAL shipped
+    # python.ppm/pgm/pbm/ras fixtures in tests/test_real_fixtures.py.
+    # Lossless, so the DuckDB formula oracle is bit-for-bit: a wrong
+    # ASCII tokenizer, bit unpack, endianness, row pad or RLE escape
+    # breaks the hash.
+    def q_pnm(spark, sf_dir):
+        from aresdb_spark.operators import multimodal as M
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 39 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return M.decode_stats(M.synthetic_pnm_media(docs))
+
+    # w = 4 + d%9, h = 3 + d%5; v = d%8 picks P2/P3/P5/P6 8-bit
+    # (sample (d*7 + i*31) % 256), P6 16-bit (% 60000), P1/P4 bitmap
+    # (255 iff (d+i) even), RAS 24-bit (8-bit formula), RAS RLE gray
+    # ((d*7 + (i//3)*31) % 256); channels 3 for v in (1,3,4,6) else 1
+    out["multimodal_pnm_stats"] = (q_pnm, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 8 AS v,
+                   4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+                   CASE WHEN doc_id % 8 IN (1, 3, 4, 6) THEN 3
+                        ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 39 = 0
+        ),
+        vals AS (
+            SELECT d, w, h, ch,
+                   CASE v
+                        WHEN 4 THEN (d*7 + i*31) % 60000
+                        WHEN 5 THEN CASE WHEN (d + i) % 2 = 0
+                                         THEN 255 ELSE 0 END
+                        WHEN 7 THEN (d*7 + (i//3)*31) % 256
+                        ELSE (d*7 + i*31) % 256
+                   END AS val
+            FROM m CROSS JOIN range(252) t(i)
+            WHERE i < w * h * ch
+        )
+        SELECT d AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(sum(val) AS BIGINT) AS px_sum,
+               min(val) AS px_min,
+               max(val) AS px_max
+        FROM vals GROUP BY 1, 2, 3, 4
+    """)
+
     # --- multimodal TIFF tiles / 16-bit / palette (r12 widening of the
     # r11 strip codec): §15 tile grids with zero-padded edge tiles,
     # 16-bit samples (predictor differencing mod 65536, either byte

@@ -462,6 +462,15 @@ def _container_decoder(payload: bytes):
         # embedded PNG or mask-doubled DIB entries, largest picked)
         from aresdb_spark.operators.bmp import decode_ico
         return decode_ico
+    if (payload[:1] == b"P" and payload[1:2] in b"123456"
+            and payload[2:3] in b" \t\r\n\x0b\x0c#"):
+        # Netpbm P1-P6 (r14, operators/pnm.py)
+        from aresdb_spark.operators.pnm import decode_pnm
+        return decode_pnm
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        # Sun rasterfile (r14, operators/pnm.py)
+        from aresdb_spark.operators.pnm import decode_ras
+        return decode_ras
     return None
 
 
@@ -469,8 +478,8 @@ def _unknown_container_error(payload: bytes) -> NotImplementedError:
     head = payload[:12]
     return NotImplementedError(
         f"image container with magic {head[:8].hex()} is not "
-        f"implemented (PNG/JPEG/GIF/TIFF/BMP/ICO/CUR/WebP only; no "
-        f"codec library in this environment)")
+        f"implemented (PNG/JPEG/GIF/TIFF/BMP/ICO/CUR/WebP/PNM/RAS "
+        f"only; no codec library in this environment)")
 
 
 def _decode_container(payload: bytes) -> np.ndarray:
@@ -694,6 +703,67 @@ def synthetic_bmp_media(ids: DataFrame,
                         idx, bit_count=bits, palette=pal,
                         top_down=td if v < 5 else False,
                         rle=v >= 5, abs_every={5: 2, 6: 3}.get(v, 0)))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
+
+
+def synthetic_pnm_media(ids: DataFrame,
+                        id_col: str = "media_id") -> DataFrame:
+    """Deterministic REAL Netpbm + Sun-raster payloads sweeping the
+    r14 codecs (operators/pnm.py): for id d the image is ``w = 4 +
+    d % 9`` by ``h = 3 + d % 5`` and ``v = d % 8`` picks the variant —
+    0 P2 ASCII gray / 1 P3 ASCII RGB / 2 P5 binary gray / 3 P6 binary
+    RGB (all 8-bit, sample i = ``(d*7 + i*31) % 256``), 4 P6 binary
+    16-bit (maxval 65535, sample ``(d*7 + i*31) % 60000``), 5 bitmap
+    (P1 ASCII when ``(d // 8) % 2`` else P4 packed; pixel i is black
+    when ``(d + i) % 2`` so decodes to ``255 * (1 - (d+i) % 2)``),
+    6 Sun raster standard 24-bit (BGR rows, 16-bit padding; 8-bit
+    formula), 7 Sun raster type-2 byte-RLE 8-bit gray with
+    run-friendly content (sample ``(d*7 + (i//3)*31) % 256``). All
+    lossless, so a SQL oracle recomputes the decoded stats
+    bit-for-bit through ASCII tokenizing, packed bits, 16-bit
+    big-endian samples, raster padding and RLE escapes. Output:
+    (media_id, payload binary)."""
+    from aresdb_spark.operators.pnm import encode_pnm, encode_ras
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                w, h, v = 4 + d % 9, 3 + d % 5, d % 8
+                i = np.arange(w * h * (3 if v in (1, 3, 4, 6) else 1))
+                if v in (0, 2):
+                    px = ((d * 7 + i * 31) % 256).astype(
+                        np.uint8).reshape(h, w)
+                    payloads.append(encode_pnm(px, 2 if v == 0 else 5))
+                elif v in (1, 3):
+                    px = ((d * 7 + i * 31) % 256).astype(
+                        np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_pnm(px, 3 if v == 1 else 6))
+                elif v == 4:
+                    px = ((d * 7 + i * 31) % 60000).astype(
+                        np.uint16).reshape(h, w, 3)
+                    payloads.append(encode_pnm(px, 6, maxval=65535))
+                elif v == 5:
+                    px = (255 * (1 - (d + i) % 2)).astype(
+                        np.uint8).reshape(h, w)
+                    payloads.append(encode_pnm(px, 1 if (d // 8) % 2 else 4))
+                elif v == 6:
+                    px = ((d * 7 + i * 31) % 256).astype(
+                        np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_ras(px, depth=24, rtype=1))
+                else:
+                    px = ((d * 7 + (i // 3) * 31) % 256).astype(
+                        np.uint8).reshape(h, w)
+                    payloads.append(encode_ras(px, depth=8, rtype=2))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

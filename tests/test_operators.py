@@ -1355,13 +1355,17 @@ def test_png_decode_rejects_unimplemented_formats():
     with pytest.raises(NotImplementedError, match="VP8"):
         decode_image(b"RIFF\x0c\x00\x00\x00WEBPVP8 \x00\x00\x00\x00")
     # unknown containers RAISE naming the magic (r12, VERDICT r11 #1) —
-    # no silent header-bytes fake on real data
-    with pytest.raises(NotImplementedError, match="5036"):
+    # no silent header-bytes fake on real data (P6 stopped being an
+    # unknown magic in r14 — PNM routes to the real Netpbm codec now,
+    # so a truncated P6 raises from inside it)
+    with pytest.raises(NotImplementedError, match="7061636b"):
+        decode_image(b"packedmystery-format\x00\x01")
+    with pytest.raises(ValueError, match="PNM raster truncated"):
         decode_image(b"P6 3 3 255 binaryppm")
     # ... unless the synthetic-plumbing fake is opted into explicitly,
     # which applies ONLY to unknown magics: a KNOWN container with a
     # malformed stream still errors from inside its codec
-    assert decode_image(b"P6 junk", allow_fake=True).shape == (8, 8)
+    assert decode_image(b"\x7fmystery", allow_fake=True).shape == (8, 8)
     with pytest.raises(ValueError, match="BMP"):
         decode_image(b"BM\x3a\x00\x00\x00\x00\x00", allow_fake=True)
     # and the dispatcher decodes a real PNG for real

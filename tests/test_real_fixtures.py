@@ -276,3 +276,84 @@ def test_jpeg_real_file_psnr_and_headerless_twin():
 
     raw = decode_jpeg(_fix(_RAWJPG_B64, "0c8e1f05e648beb762aaff3b23124355"))
     assert np.array_equal(raw, px)
+
+# test_email/data/python.pgm (269 bytes, md5 18ceaa0a28ec83628b429486f6a6a437)
+_PGM_B64 = """\
+UDUKMTYgMTYKMjU1CgAAAACDfXp1b2lhAAAAAAAAAAAAgP92cGxnYQAAAAAAAAAA
+AHx3cm1oYmEAAAAAAACFgXx0bGRfZGFhAAAAAACHhH96dG9rZWFhYQDe2dIAhYB7
+dnBsZ2FhYVkA2tfSAIF8d3JtaGJhYFkAytfT0AB+eHNuYS4AAAAAwNbU0M0AeHRv
+YADc5OLf29jU0M3JAHRwbC/e5uLf29jU0M3KwABta2gA5uPf29jU0c3KypkAAAAA
+AOPf28TDwLy5uZoAAAAAAADf29jU0c7KAAAAAAAAAAAA2tjV0c7/yQAAAAAAAAAA
+AM3Qz87KxZYAAAAAAAAAAAAAAAAAAAAAAAAAAAA="""
+
+# test_email/data/python.pbm (41 bytes, md5 4128214992ffcd16a57fd47c73558b58)
+_PBM_B64 = """\
+UDQKMTYgMTYK+3/xv/rf1X+tsVvxpWFfwVgBsAGwAfAH8B/wH/A///8="""
+
+# test_email/data/python.ras (1056 bytes, md5 8c0f739219341ffae245b5ae0a63710f)
+_RAS_B64 = """\
+WaZqlQAAABAAAAAQAAAAIAAABAAAAAADAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+r06NwO1Khrr/SIO0/0R+rf9AeKf3PHGekjdolgsAAAADAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAP9Mirz//////0V/r/9Beaj/PnSi/zpvm/82aZQoAAAA
+CwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAD/SYW3/0aAsf9Ce6r/PnWj
+/ztwnf83apb/NmmUQQAAABUAAAAAAAAAAAAAAAAAAAAAAAAAfk6PxKBMir+hSIW2
+o0N9rac9dKGqOWyWqjZmkP84bJf/NmmU/zZplEgAAAAYAAAAAAAAAAAAAAAAAAAA
+vVKRxv9PjcH/S4i7/0iDtP9Efa3/QHim/z1zoP85bZn/NmmU/zZplP82aZRIAAAA
+///iVff93UqC+dU+CgAAAP9Qj8P/TIm8/0iEtf9Ff6//QXmo/z10of86b5v/NmmU
+/zZplP82aZS2MmCHQwAAAP//3kv//9pB7f3VNiQAAAD/TYu+/0mFt/9GgLD/Qnuq
+/z51o/87cJz/N2qW/zZplPc1aJK2MmCHTwAAAIjszkX//9pC///WN///0y09AAAA
+/0qHuf9HgbL/Q3yr/z92pbY2aZNcGzFFTAAAAEgAAABHAAAAQQAAAGviw0X3/dlB
+///XOP//0y3//88jRgAAAPdGgbL/RH2t/0B4pqo2Z5FOAAAApvLhbvf96Wr//+Zh
+///jV///303//9tC///XOP//0y7//88k9/3LG0cAAADXQ32u/0F5qP89dKFbHDJL
+s/Xjb///62z//+dh///jV///303//9tD///XOf//0y7//88k///MHMLzwRpBAAAA
+b0B1o/c9c6L/OnCcSwAAAP//62z//+di///jWP//307//9tD///XOf//0y///88k
+///MHP//zBx6wpoSNAAAAAgAAAAhAAAAPAAAADUAAAD//+di///jWP//306q6Mc9
+qevFNKnrwiqp674hqeu7GKnruxh5xpsSQQAAACAAAAACAAAACQAAABMAAAASAAAA
+///jWP//307//9tE///XOv//0zD//9Al///MHEEAAAA1AAAALAAAAB4AAAALAAAA
+AAAAAAAAAAAAAAAAAAAAAPf93k7//9tE///YOv//1DD//9Am//////f9yxtAAAAA
+HAAAAAkAAAAFAAAAAQAAAAAAAAAAAAAAAAAAAAAAAABM8dA/zPrTOff90i///9Am
+///MHNj6xxl7wJcSOwAAABIAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+CAAAAB0AAAA1AAAAQgAAAEcAAABFAAAAOAAAAB8AAAAIAAAAAAAAAAAAAAAAAAAA"""
+
+
+
+def test_pnm_real_files_ppm_pgm_pbm():
+    """The PPM truth itself re-parsed through the LIBRARY PNM decoder
+    (the test-local numpy parse and operators/pnm.py must agree on a
+    real file), plus the real python.pgm (Rec.-709 luma of the same
+    image, every sample within 1 of rint(L709) computed from the PPM
+    truth) and python.pbm (16x16 bilevel, 149 black pixels, pinned by
+    hash)."""
+    from aresdb_spark.operators.pnm import decode_pnm
+
+    truth = _truth_rgb()
+    assert np.array_equal(
+        decode_pnm(_fix(_PPM_B64, "a2b32811bb48fbf84e6a4ffa90b6a81c")),
+        truth)
+
+    pgm = decode_pnm(_fix(_PGM_B64, "18ceaa0a28ec83628b429486f6a6a437"))
+    assert pgm.shape == (16, 16) and pgm.dtype == np.uint8
+    t = truth.astype(np.float64)
+    l709 = (0.2126 * t[:, :, 0] + 0.7152 * t[:, :, 1]
+            + 0.0722 * t[:, :, 2])
+    assert np.abs(pgm.astype(np.float64) - np.rint(l709)).max() <= 1.0
+
+    pbm = decode_pnm(_fix(_PBM_B64, "4128214992ffcd16a57fd47c73558b58"))
+    assert pbm.shape == (16, 16)
+    assert set(np.unique(pbm).tolist()) <= {0, 255}
+    assert (pbm == 0).sum() == 149
+    assert hashlib.md5(pbm.tobytes()).hexdigest() == \
+        "18f43ca3b9a1b8a8cd74a641bb0faf44"
+
+
+def test_ras_real_file_exact():
+    """python.ras is a REAL Sun rasterfile (type 3 RT_FORMAT_RGB,
+    32-bit with filler byte first) — it must decode bit-exact to the
+    PPM truth, validating header walk, 16-bit row padding, the
+    type-3 channel order and filler handling on bytes this repo did
+    not encode."""
+    from aresdb_spark.operators.pnm import decode_ras
+
+    px = decode_ras(_fix(_RAS_B64, "8c0f739219341ffae245b5ae0a63710f"))
+    assert px.shape == (16, 16, 3)
+    assert np.array_equal(px, _truth_rgb())
