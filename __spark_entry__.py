@@ -2451,6 +2451,76 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM s GROUP BY 1, 2, 3, 4, 5
     """)
 
+    # --- multimodal Sun/NeXT AU (r14, operators/audio.py decode_au):
+    # the big-endian .snd header family — annotation-padded data
+    # offsets, signed BE PCM 8/16/24/32, float32, and raw G.711
+    # µ-law/A-law streams (real-file validation: CPython's shipped
+    # pluck-*.au fixtures decode sample-identical to their WAV/AIFF
+    # twins in tests/test_real_fixtures.py). PCM/float are lossless
+    # and the expansions closed-form, so the DuckDB oracle recomputes
+    # every decoded statistic bit-for-bit: a wrong endianness,
+    # sign-extend, offset walk or expansion branch breaks the hash.
+    def q_au(spark, sf_dir):
+        from aresdb_spark.operators import audio as A
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .filter(F.col("doc_id") % 53 == 0) \
+            .select(F.col("doc_id").alias("media_id"))
+        return A.audio_stats(A.synthetic_au_media(docs))
+
+    # n = 44 + d%19 frames, rate 8000*(1+d%2); d%7 picks PCM16 stereo
+    # (annotation, 2n flat samples) / PCM8 / PCM24 / PCM32 / fl32
+    # (Q8.8 = k) / µ-law / A-law byte formula (d*3 + i*17) % 256
+    # expanded closed-form; max flat samples = 62*2 = 124
+    out["multimodal_au_stats"] = (q_au, """
+        WITH m AS (
+            SELECT doc_id AS d, doc_id % 7 AS v, 44 + doc_id % 19 AS n,
+                   8000 * (1 + doc_id % 2) AS rate,
+                   CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS ch
+            FROM documents WHERE doc_id % 53 = 0
+        ),
+        s AS (
+            SELECT d, n, rate, ch,
+                   CASE v
+                     WHEN 0 THEN (d*97 + i*61) % 2001 - 1000
+                     WHEN 1 THEN (d*97 + i*61) % 255 - 127
+                     WHEN 2 THEN (d*97 + i*61) % 200001 - 100000
+                     WHEN 3 THEN (d*97 + i*61) % 4000001 - 2000000
+                     WHEN 4 THEN (d*89 + i*53) % 4001 - 2000
+                     WHEN 5 THEN
+                        (CASE WHEN (255 - ((d*3 + i*17) % 256)) >= 128
+                              THEN -1 ELSE 1 END)
+                        * ((((255 - ((d*3 + i*17) % 256)) % 16) * 8
+                            + 132)
+                           * (1 << (((255 - ((d*3 + i*17) % 256))
+                                     // 16) % 8)) - 132)
+                     ELSE
+                        (CASE WHEN xor((d*3 + i*17) % 256, 85) >= 128
+                              THEN 1 ELSE -1 END)
+                        * (CASE WHEN ((xor((d*3 + i*17) % 256, 85)
+                                       // 16) % 8) = 0
+                                THEN (xor((d*3 + i*17) % 256, 85) % 16)
+                                     * 16 + 8
+                                ELSE ((xor((d*3 + i*17) % 256, 85) % 16)
+                                      * 16 + 264)
+                                     * (1 << (((xor((d*3 + i*17) % 256,
+                                                    85) // 16) % 8) - 1))
+                           END)
+                   END AS val
+            FROM m CROSS JOIN range(124) t(i)
+            WHERE i < n * ch
+        )
+        SELECT d AS media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(ch AS BIGINT) AS channels,
+               CAST(rate AS BIGINT) AS sample_rate,
+               CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+               CAST(sum(val) AS BIGINT) AS amp_sum,
+               CAST(min(val) AS BIGINT) AS amp_min,
+               CAST(max(val) AS BIGINT) AS amp_max,
+               CAST(sum(abs(val)) AS BIGINT) AS abs_sum
+        FROM s GROUP BY 1, 2, 3, 4, 5
+    """)
+
     # --- multimodal FLAC (r12, operators/flac.py — the clean-room
     # LOSSLESS compressed-audio codec: Rice-coded residuals of
     # fixed/LPC predictors, both stereo decorrelations, CRC-8/16

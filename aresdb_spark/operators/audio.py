@@ -755,25 +755,194 @@ def encode_aiff(samples: np.ndarray, sample_rate: int = 16_000,
         + chunks
 
 
-def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
-    """Container dispatch for the audio pipeline (r12): RIFF/WAVE →
-    decode_wav, FORM/AIFF(-C) → decode_aiff, fLaC → the clean-room
-    FLAC decoder (operators/flac.py — lossless, fully integer, so it
-    decodes for real unlike the perceptual MP3/AAC family). Unknown
-    containers raise NotImplementedError naming the magic — same
-    strict rule as the image side's decode_image (no silent fakes on
-    real data)."""
+AU_MAGIC = b".snd"
+
+# Sun/NeXT AU encoding ids (the public audio/basic header layout)
+_AU_ENC_MULAW, _AU_ENC_PCM8, _AU_ENC_PCM16 = 1, 2, 3
+_AU_ENC_PCM24, _AU_ENC_PCM32 = 4, 5
+_AU_ENC_F32, _AU_ENC_F64, _AU_ENC_ALAW = 6, 7, 27
+
+
+def decode_au(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Sun/NeXT AU (.snd) decode (r14 — the public ``audio/basic``
+    header: 6 big-endian uint32 fields ``magic ".snd", data offset,
+    data size, encoding, sample rate, channels``; an offset > 24
+    skips an annotation string; data size 0xFFFFFFFF means
+    "unknown — read to EOF"). Encodings: 1 8-bit G.711 µ-law,
+    2/3/4/5 signed big-endian PCM 8/16/24/32, 6/7 IEEE float 32/64,
+    27 8-bit G.711 A-law. Samples are channel-interleaved; returns
+    ``(samples (n, ch), rate)`` with native integer values (float for
+    6/7), matching decode_wav/decode_aiff conventions. Validated
+    against CPython's REAL shipped pluck-*.au fixtures — same clip,
+    same samples as their WAV/AIFF twins (tests/test_real_fixtures).
+    """
     data = bytes(payload)
-    if data[:4] == b"RIFF":
-        return decode_wav(data)
-    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
-        return decode_aiff(data)
-    if data[:4] == b"fLaC":
-        from aresdb_spark.operators.flac import decode_flac
-        return decode_flac(data)
+    if len(data) < 24 or data[:4] != AU_MAGIC:
+        raise ValueError("not an AU (.snd) payload")
+    off, size, enc, rate, ch = struct.unpack(">5I", data[4:24])
+    if off < 24 or off > len(data):
+        raise ValueError("AU data offset out of range")
+    if ch < 1 or rate < 1:
+        raise ValueError("AU header has non-positive rate/channels")
+    body = data[off:]
+    if size != 0xFFFFFFFF:
+        body = body[:size]
+    if enc in (_AU_ENC_MULAW, _AU_ENC_ALAW):
+        raw = np.frombuffer(body[:len(body) - (len(body) % ch)],
+                            np.uint8)
+        arr = (mulaw_expand(raw) if enc == _AU_ENC_MULAW
+               else alaw_expand(raw)).astype(np.int32)
+        return arr.reshape(-1, ch), rate
+    if enc in (_AU_ENC_PCM8, _AU_ENC_PCM16, _AU_ENC_PCM24,
+               _AU_ENC_PCM32):
+        nb = enc - 1                                 # 1/2/3/4 bytes
+        body = body[:len(body) - (len(body) % (nb * ch))]
+        if nb == 1:
+            arr = np.frombuffer(body, np.int8).astype(np.int32)
+        elif nb == 2:
+            arr = np.frombuffer(body, ">i2").astype(np.int32)
+        elif nb == 4:
+            arr = np.frombuffer(body, ">i4").astype(np.int32)
+        else:                                        # 24-bit big-endian
+            raw = np.frombuffer(body, np.uint8).reshape(-1, 3) \
+                .astype(np.int32)
+            arr = (raw[:, 0] << 16) | (raw[:, 1] << 8) | raw[:, 2]
+            arr -= (arr & 0x800000) << 1             # sign-extend
+        return arr.reshape(-1, ch), rate
+    if enc in (_AU_ENC_F32, _AU_ENC_F64):
+        nb = 4 if enc == _AU_ENC_F32 else 8
+        body = body[:len(body) - (len(body) % (nb * ch))]
+        arr = np.frombuffer(body, ">f4" if nb == 4 else ">f8") \
+            .astype(np.float64)
+        return arr.reshape(-1, ch), rate
     raise NotImplementedError(
-        f"audio container with magic {data[:8].hex()} is not "
-        f"implemented (RIFF/WAVE, AIFF/AIFF-C and FLAC only)")
+        f"AU encoding {enc} is not implemented (mu-law/A-law, PCM "
+        f"8/16/24/32, float 32/64 only)")
+
+
+def encode_au(samples: np.ndarray, sample_rate: int = 16_000,
+              encoding: int = _AU_ENC_PCM16,
+              annotation: bytes = b"",
+              raw_bytes: "bytes | None" = None) -> bytes:
+    """AU writer mirroring the decode scope (deterministic corpus
+    generation). ``samples`` is (n,) or (n, ch); integer PCM for
+    encodings 2-5, float for 6/7. ``raw_bytes`` bypasses sample
+    packing for the G.711 encodings (1/27) so oracle corpora can pin
+    the COMPANDED byte stream to a formula, as the WAV/AIFF G.711
+    rows do. The annotation (if any) pads the data offset past 24
+    (NUL-padded to a 4-byte boundary)."""
+    note = bytes(annotation)
+    if note:
+        note += b"\0" * ((4 - len(note) % 4) % 4 or 4)
+    off = 24 + len(note)
+    if encoding in (_AU_ENC_MULAW, _AU_ENC_ALAW):
+        if raw_bytes is None:
+            s = np.asarray(samples, np.int64)
+            comp = (mulaw_compress(s.ravel())
+                    if encoding == _AU_ENC_MULAW
+                    else alaw_compress(s.ravel()))
+            body, ch = comp.tobytes(), (s.shape[1] if s.ndim == 2 else 1)
+        else:
+            body, ch = bytes(raw_bytes), 1
+    elif encoding in (_AU_ENC_PCM8, _AU_ENC_PCM16, _AU_ENC_PCM24,
+                      _AU_ENC_PCM32):
+        s = np.asarray(samples, np.int64)
+        ch = s.shape[1] if s.ndim == 2 else 1
+        flat = s.ravel()
+        nb = encoding - 1
+        lim = 1 << (8 * nb - 1)
+        if flat.size and (int(flat.min()) < -lim
+                          or int(flat.max()) >= lim):
+            raise ValueError(f"sample exceeds {8 * nb}-bit range")
+        if nb == 1:
+            body = flat.astype(np.int8).tobytes()
+        elif nb == 2:
+            body = flat.astype(">i2").tobytes()
+        elif nb == 4:
+            body = flat.astype(">i4").tobytes()
+        else:
+            u = (flat & 0xFFFFFF).astype(np.uint32)
+            b3 = np.stack([(u >> 16) & 0xFF, (u >> 8) & 0xFF,
+                           u & 0xFF], axis=1).astype(np.uint8)
+            body = b3.tobytes()
+    elif encoding in (_AU_ENC_F32, _AU_ENC_F64):
+        s = np.asarray(samples, np.float64)
+        ch = s.shape[1] if s.ndim == 2 else 1
+        body = s.ravel().astype(
+            ">f4" if encoding == _AU_ENC_F32 else ">f8").tobytes()
+    else:
+        raise NotImplementedError(f"AU encoding {encoding} encode")
+    hdr = AU_MAGIC + struct.pack(">5I", off, len(body), encoding,
+                                 int(sample_rate), ch)
+    return hdr + note + body
+
+
+def synthetic_au_media(ids, id_col: str = "media_id"):
+    """Deterministic REAL Sun/NeXT AU payloads (r14, decode_au)
+    sweeping the decode scope: for id d, ``n = 44 + d % 19`` frames at
+    rate ``8000 * (1 + d % 2)`` and ``d % 7`` picks the variant —
+    big-endian PCM 16-bit STEREO with a 4-byte annotation (data
+    offset 32; flat sample i = ``(d*97 + i*61) % 2001 - 1000``),
+    signed 8-bit (``% 255 - 127``), 24-bit (``% 200001 - 100000``),
+    32-bit (``% 4000001 - 2000000``), float32 dyadic ``k/256`` with
+    ``k = (d*89 + i*53) % 4001 - 2000`` (Q8.8 stats recover k), and
+    µ-law / A-law whose COMPANDED BYTE STREAM is the formula
+    ``(d*3 + i*17) % 256`` (closed-form G.711 expansions, the same
+    strategy as the WAV/AIFF G.711 rows). PCM/float are lossless and
+    the expansions exact, so a DuckDB oracle recomputes every decoded
+    statistic bit-for-bit through real big-endian .snd headers.
+    Output: (media_id, payload binary)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), False),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for d in pdf[id_col].astype("int64"):
+                d = int(d)
+                n, v = 44 + d % 19, d % 7
+                rate = 8000 * (1 + d % 2)
+                if v == 0:
+                    s = ((d * 97 + np.arange(n * 2) * 61) % 2001
+                         - 1000).reshape(n, 2)
+                    payloads.append(encode_au(
+                        s, rate, encoding=_AU_ENC_PCM16,
+                        annotation=b"r14!"))
+                elif v == 1:
+                    s = (d * 97 + np.arange(n) * 61) % 255 - 127
+                    payloads.append(encode_au(s, rate,
+                                              encoding=_AU_ENC_PCM8))
+                elif v == 2:
+                    s = (d * 97 + np.arange(n) * 61) % 200001 - 100000
+                    payloads.append(encode_au(s, rate,
+                                              encoding=_AU_ENC_PCM24))
+                elif v == 3:
+                    s = (d * 97 + np.arange(n) * 61) % 4000001 - 2000000
+                    payloads.append(encode_au(s, rate,
+                                              encoding=_AU_ENC_PCM32))
+                elif v == 4:
+                    k = (d * 89 + np.arange(n) * 53) % 4001 - 2000
+                    payloads.append(encode_au(k / 256.0, rate,
+                                              encoding=_AU_ENC_F32))
+                else:
+                    raw = ((d * 3 + np.arange(n) * 17) % 256) \
+                        .astype(np.uint8).tobytes()
+                    payloads.append(encode_au(
+                        None, rate,
+                        encoding=_AU_ENC_MULAW if v == 5
+                        else _AU_ENC_ALAW,
+                        raw_bytes=raw))
+            yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
+                                "payload": payloads})
+
+    return ids.mapInPandas(gen, schema=out_schema)
 
 
 def synthetic_flac_media(ids, id_col: str = "media_id"):
@@ -1256,10 +1425,10 @@ def audio_fingerprint(samples: np.ndarray) -> int:
 def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
     """Dispatch an audio payload by magic bytes to the clean-room
     decoders: RIFF/WAVE → ``decode_wav``, fLaC → ``decode_flac``,
-    FORM/AIFF(-C) → ``decode_aiff``. Unknown containers raise
-    NotImplementedError NAMING THE MAGIC (the strict-decode rule of
-    VERDICT r11 #1 — never hash container bytes as if they were
-    samples)."""
+    FORM/AIFF(-C) → ``decode_aiff``, .snd → ``decode_au`` (r14).
+    Unknown containers raise NotImplementedError NAMING THE MAGIC
+    (the strict-decode rule of VERDICT r11 #1 — never hash container
+    bytes as if they were samples)."""
     data = bytes(payload)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return decode_wav(data)
@@ -1268,10 +1437,12 @@ def decode_audio(payload: bytes) -> "tuple[np.ndarray, int]":
         return decode_flac(data)
     if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
         return decode_aiff(data)
+    if data[:4] == AU_MAGIC:                         # Sun/NeXT AU (r14)
+        return decode_au(data)
     raise NotImplementedError(
         f"audio container with magic {data[:8].hex()} is not "
-        f"implemented (WAV/FLAC/AIFF only; no codec library in this "
-        f"environment)")
+        f"implemented (WAV/FLAC/AIFF/AU only; no codec library in "
+        f"this environment)")
 
 
 def fingerprint_media(df):

@@ -742,3 +742,95 @@ def test_audio_near_dup_guarantee_enforced():
         banded_hamming_pairs(None, "afp", max_hamming=8, bands=8)
     with pytest.raises(ValueError, match="divide"):
         banded_hamming_pairs(None, "afp", max_hamming=3, bands=7)
+
+
+def test_au_roundtrip_matrix():
+    """Sun/NeXT AU (r14): signed big-endian PCM 8/16/24/32, float
+    32/64, annotation-padded data offsets, mono and stereo."""
+    from aresdb_spark.operators.audio import decode_au, encode_au
+
+    rng = np.random.default_rng(31)
+    for enc, lim in [(2, 127), (3, 30000), (4, 2 ** 23 - 1),
+                     (5, 2 ** 31 - 1)]:
+        for shape in ((50,), (25, 2)):
+            s = rng.integers(-lim, lim, shape)
+            out, rate = decode_au(
+                encode_au(s, 11025, encoding=enc, annotation=b"note"))
+            assert rate == 11025
+            assert np.array_equal(out.reshape(shape), s), (enc, shape)
+    k = rng.integers(-2000, 2000, (40,))
+    for enc in (6, 7):
+        out, _ = decode_au(encode_au(k / 256.0, 8000, encoding=enc))
+        assert np.array_equal(out.ravel(), k / 256.0), enc
+
+
+def test_au_g711_raw_streams_and_size_field():
+    """raw_bytes G.711 corpora decode through the shared WAV/AIFF
+    expanders; the header's data-size field TRUNCATES trailing bytes
+    and 0xFFFFFFFF means read-to-EOF (spec)."""
+    import struct
+
+    from aresdb_spark.operators.audio import (alaw_expand, decode_au,
+                                              encode_au, mulaw_expand)
+
+    raw = bytes((i * 17) % 256 for i in range(64))
+    out, _ = decode_au(encode_au(None, 8000, encoding=1, raw_bytes=raw))
+    assert np.array_equal(
+        out.ravel(), mulaw_expand(np.frombuffer(raw, np.uint8)))
+    out, _ = decode_au(encode_au(None, 8000, encoding=27, raw_bytes=raw))
+    assert np.array_equal(
+        out.ravel(), alaw_expand(np.frombuffer(raw, np.uint8)))
+
+    blob = bytearray(encode_au(None, 8000, encoding=1, raw_bytes=raw))
+    blob[8:12] = struct.pack(">I", 10)              # size < payload
+    out, _ = decode_au(bytes(blob))
+    assert out.shape == (10, 1)
+    blob[8:12] = b"\xff\xff\xff\xff"                # unknown size
+    out, _ = decode_au(bytes(blob))
+    assert out.shape == (64, 1)
+
+
+def test_au_scope_errors_and_dispatch():
+    import struct
+
+    from aresdb_spark.operators.audio import (decode_au, decode_audio,
+                                              encode_au)
+
+    with pytest.raises(ValueError, match="not an AU"):
+        decode_au(b"snd." + b"\0" * 24)
+    blob = bytearray(encode_au(np.arange(8), 8000))
+    blob[15] = 23                                   # encoding 23 = G.721
+    with pytest.raises(NotImplementedError, match="encoding 23"):
+        decode_au(bytes(blob))
+    blob = bytearray(encode_au(np.arange(8), 8000))
+    blob[4:8] = struct.pack(">I", 4)                # offset < 24
+    with pytest.raises(ValueError, match="offset"):
+        decode_au(bytes(blob))
+    # the audio dispatcher routes .snd and audio_stats grades it
+    out, rate = decode_audio(encode_au(np.arange(8) - 4, 22050))
+    assert rate == 22050 and np.array_equal(out.ravel(), np.arange(8) - 4)
+
+
+def test_au_media_corpus_graded(spark):
+    """synthetic_au_media through audio_stats matches the DuckDB
+    formula oracle from __spark_entry__ (the driver-gate contract for
+    multimodal_au_stats)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = "/root/testdata/sf0.001"
+    q = entry.queries()["multimodal_au_stats"]
+    sql = entry.oracle_sql()["multimodal_au_stats"]
+    got = q(spark, sf_dir).toPandas().sort_values("media_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    exp = con.execute(sql).df().sort_values("media_id") \
+        .reset_index(drop=True)
+    assert len(got) == len(exp) > 0
+    for col in ("n_samples", "channels", "sample_rate", "duration_ms",
+                "amp_sum", "amp_min", "amp_max", "abs_sum"):
+        assert (got[col].astype("int64")
+                == exp[col].astype("int64")).all(), col
