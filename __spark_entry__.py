@@ -1348,15 +1348,16 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
         FROM v GROUP BY 1, 2, 3, 4
     """)
 
-    # --- multimodal PNM (Netpbm P1-P6) + Sun raster (r14,
-    # operators/pnm.py): ASCII and binary gray/RGB rasters incl.
-    # 16-bit big-endian samples and packed/ASCII bitmaps, plus Sun
-    # rasterfiles (standard BGR 24-bit and type-2 byte-RLE) — both
-    # decoders also pinned against CPython's REAL shipped
-    # python.ppm/pgm/pbm/ras fixtures in tests/test_real_fixtures.py.
-    # Lossless, so the DuckDB formula oracle is bit-for-bit: a wrong
-    # ASCII tokenizer, bit unpack, endianness, row pad or RLE escape
-    # breaks the hash.
+    # --- multimodal legacy-raster family (r14, operators/pnm.py):
+    # Netpbm P1-P6 (ASCII + binary gray/RGB incl. 16-bit big-endian
+    # samples and packed/ASCII bitmaps), Sun rasterfiles (standard
+    # BGR 24-bit and type-2 byte-RLE), SGI RGB (plane-separated
+    # bottom-up scanlines, RLE + verbatim, 8/16-bit) and XBM C-source
+    # bitmaps — all four decoders also pinned against CPython's REAL
+    # shipped python.ppm/pgm/pbm/ras/sgi/xbm fixtures in
+    # tests/test_real_fixtures.py. Lossless, so the DuckDB formula
+    # oracle is bit-for-bit: a wrong ASCII tokenizer, bit unpack,
+    # endianness, row pad, plane order or RLE escape breaks the hash.
     def q_pnm(spark, sf_dir):
         from aresdb_spark.operators import multimodal as M
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
@@ -1364,15 +1365,17 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             .select(F.col("doc_id").alias("media_id"))
         return M.decode_stats(M.synthetic_pnm_media(docs))
 
-    # w = 4 + d%9, h = 3 + d%5; v = d%8 picks P2/P3/P5/P6 8-bit
-    # (sample (d*7 + i*31) % 256), P6 16-bit (% 60000), P1/P4 bitmap
-    # (255 iff (d+i) even), RAS 24-bit (8-bit formula), RAS RLE gray
-    # ((d*7 + (i//3)*31) % 256); channels 3 for v in (1,3,4,6) else 1
+    # w = 4 + d%9, h = 3 + d%5; v = d%10 picks P2/P3/P5/P6 8-bit
+    # (sample (d*7 + i*31) % 256), P6 16-bit (% 60000), P1/P4/XBM
+    # bitmap (255 iff (d+i) even), RAS 24-bit (8-bit formula), RAS
+    # RLE gray ((d*7 + (i//3)*31) % 256), SGI RLE RGB (8-bit
+    # formula), SGI verbatim 16-bit gray (% 60000); channels 3 for
+    # v in (1,3,4,6,8) else 1
     out["multimodal_pnm_stats"] = (q_pnm, """
         WITH m AS (
-            SELECT doc_id AS d, doc_id % 8 AS v,
+            SELECT doc_id AS d, doc_id % 10 AS v,
                    4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
-                   CASE WHEN doc_id % 8 IN (1, 3, 4, 6) THEN 3
+                   CASE WHEN doc_id % 10 IN (1, 3, 4, 6, 8) THEN 3
                         ELSE 1 END AS ch
             FROM documents WHERE doc_id % 39 = 0
         ),
@@ -1380,6 +1383,7 @@ def _operator_queries() -> dict[str, tuple[Callable, str | None]]:
             SELECT d, w, h, ch,
                    CASE v
                         WHEN 4 THEN (d*7 + i*31) % 60000
+                        WHEN 9 THEN (d*7 + i*31) % 60000
                         WHEN 5 THEN CASE WHEN (d + i) % 2 = 0
                                          THEN 255 ELSE 0 END
                         WHEN 7 THEN (d*7 + (i//3)*31) % 256

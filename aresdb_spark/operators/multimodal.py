@@ -471,6 +471,14 @@ def _container_decoder(payload: bytes):
         # Sun rasterfile (r14, operators/pnm.py)
         from aresdb_spark.operators.pnm import decode_ras
         return decode_ras
+    if payload[:2] == b"\x01\xda":
+        # SGI RGB (r14, operators/pnm.py)
+        from aresdb_spark.operators.pnm import decode_sgi
+        return decode_sgi
+    if payload[:8] == b"#define ":
+        # X11 XBM C-source bitmap (r14, operators/pnm.py)
+        from aresdb_spark.operators.pnm import decode_xbm
+        return decode_xbm
     return None
 
 
@@ -478,8 +486,8 @@ def _unknown_container_error(payload: bytes) -> NotImplementedError:
     head = payload[:12]
     return NotImplementedError(
         f"image container with magic {head[:8].hex()} is not "
-        f"implemented (PNG/JPEG/GIF/TIFF/BMP/ICO/CUR/WebP/PNM/RAS "
-        f"only; no codec library in this environment)")
+        f"implemented (PNG/JPEG/GIF/TIFF/BMP/ICO/CUR/WebP/PNM/RAS/"
+        f"SGI/XBM only; no codec library in this environment)")
 
 
 def _decode_container(payload: bytes) -> np.ndarray:
@@ -711,22 +719,25 @@ def synthetic_bmp_media(ids: DataFrame,
 
 def synthetic_pnm_media(ids: DataFrame,
                         id_col: str = "media_id") -> DataFrame:
-    """Deterministic REAL Netpbm + Sun-raster payloads sweeping the
-    r14 codecs (operators/pnm.py): for id d the image is ``w = 4 +
-    d % 9`` by ``h = 3 + d % 5`` and ``v = d % 8`` picks the variant —
+    """Deterministic REAL Netpbm / Sun-raster / SGI / XBM payloads
+    sweeping the r14 codecs (operators/pnm.py): for id d the image is
+    ``w = 4 + d % 9`` by ``h = 3 + d % 5`` and ``v = d % 10`` picks —
     0 P2 ASCII gray / 1 P3 ASCII RGB / 2 P5 binary gray / 3 P6 binary
     RGB (all 8-bit, sample i = ``(d*7 + i*31) % 256``), 4 P6 binary
     16-bit (maxval 65535, sample ``(d*7 + i*31) % 60000``), 5 bitmap
-    (P1 ASCII when ``(d // 8) % 2`` else P4 packed; pixel i is black
-    when ``(d + i) % 2`` so decodes to ``255 * (1 - (d+i) % 2)``),
-    6 Sun raster standard 24-bit (BGR rows, 16-bit padding; 8-bit
-    formula), 7 Sun raster type-2 byte-RLE 8-bit gray with
-    run-friendly content (sample ``(d*7 + (i//3)*31) % 256``). All
-    lossless, so a SQL oracle recomputes the decoded stats
-    bit-for-bit through ASCII tokenizing, packed bits, 16-bit
-    big-endian samples, raster padding and RLE escapes. Output:
-    (media_id, payload binary)."""
-    from aresdb_spark.operators.pnm import encode_pnm, encode_ras
+    (``(d // 10) % 3`` picks P1 ASCII / P4 packed / XBM C-source;
+    pixel i is black when ``(d + i) % 2`` so decodes to ``255 * (1 -
+    (d+i) % 2)``), 6 Sun raster standard 24-bit (BGR rows, 16-bit
+    padding; 8-bit formula), 7 Sun raster type-2 byte-RLE 8-bit gray
+    with run-friendly content (sample ``(d*7 + (i//3)*31) % 256``),
+    8 SGI RLE RGB (plane-separated scanlines, 8-bit formula), 9 SGI
+    verbatim 16-bit gray (``% 60000``). All lossless, so a SQL oracle
+    recomputes the decoded stats bit-for-bit through ASCII
+    tokenizing, packed bits, 16-bit big-endian samples, raster
+    padding, RLE escapes, bottom-up planes and C-source hex bytes.
+    Output: (media_id, payload binary)."""
+    from aresdb_spark.operators.pnm import (encode_pnm, encode_ras,
+                                            encode_sgi, encode_xbm)
 
     out_schema = T.StructType([
         T.StructField("media_id", T.LongType(), False),
@@ -738,8 +749,8 @@ def synthetic_pnm_media(ids: DataFrame,
             payloads = []
             for d in pdf[id_col].astype("int64"):
                 d = int(d)
-                w, h, v = 4 + d % 9, 3 + d % 5, d % 8
-                i = np.arange(w * h * (3 if v in (1, 3, 4, 6) else 1))
+                w, h, v = 4 + d % 9, 3 + d % 5, d % 10
+                i = np.arange(w * h * (3 if v in (1, 3, 4, 6, 8) else 1))
                 if v in (0, 2):
                     px = ((d * 7 + i * 31) % 256).astype(
                         np.uint8).reshape(h, w)
@@ -755,15 +766,26 @@ def synthetic_pnm_media(ids: DataFrame,
                 elif v == 5:
                     px = (255 * (1 - (d + i) % 2)).astype(
                         np.uint8).reshape(h, w)
-                    payloads.append(encode_pnm(px, 1 if (d // 8) % 2 else 4))
+                    pick = (d // 10) % 3
+                    payloads.append(
+                        encode_xbm(px) if pick == 2
+                        else encode_pnm(px, 1 if pick == 1 else 4))
                 elif v == 6:
                     px = ((d * 7 + i * 31) % 256).astype(
                         np.uint8).reshape(h, w, 3)
                     payloads.append(encode_ras(px, depth=24, rtype=1))
-                else:
+                elif v == 7:
                     px = ((d * 7 + (i // 3) * 31) % 256).astype(
                         np.uint8).reshape(h, w)
                     payloads.append(encode_ras(px, depth=8, rtype=2))
+                elif v == 8:
+                    px = ((d * 7 + i * 31) % 256).astype(
+                        np.uint8).reshape(h, w, 3)
+                    payloads.append(encode_sgi(px, storage=1))
+                else:
+                    px = ((d * 7 + i * 31) % 60000).astype(
+                        np.uint16).reshape(h, w)
+                    payloads.append(encode_sgi(px, storage=0))
             yield pd.DataFrame({"media_id": pdf[id_col].astype("int64"),
                                 "payload": payloads})
 

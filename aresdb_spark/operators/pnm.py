@@ -1,4 +1,5 @@
-"""Clean-room Netpbm (PNM: P1-P6) and Sun rasterfile codecs — pure
+"""Clean-room codecs for the classic portable/legacy raster family —
+Netpbm (PNM: P1-P6), Sun rasterfile, SGI RGB and XBM — pure
 stdlib/numpy.
 
 PNM (the public Netpbm format specs: pbm(5)/pgm(5)/ppm(5)):
@@ -29,11 +30,28 @@ Sun rasterfile (the public SunOS sys/rasterfile.h layout):
     =0 as above), (h, w, 3) uint8 for 24/32-bit (filler dropped) and
     colormapped 8-bit.
 
-Both decoders are validated against REAL external files this repo did
-not encode — CPython's shipped python.ppm/pgm/pbm/ras test fixtures
-(tests/test_real_fixtures.py). The reference engine at /root/reference
-is a Go/C++ OLAP stack with no image code; scope here follows the
-public format specs only.
+SGI RGB (the public "SGI image file format" spec, Paul Haeberli):
+  * 512-byte big-endian header (magic 474, storage 0 verbatim /
+    1 RLE, bpc 1/2, xsize/ysize/zsize, colormap 0 only). Channel
+    planes are stored separately, rows BOTTOM-UP. RLE scanlines are
+    located by a start-offset table (ysize*zsize uint32s after the
+    header); each packet's count byte (uint16 for bpc 2) is
+    ``0x80 | n`` = copy the next n pixels, ``n`` = repeat the next
+    pixel n times, 0 = end of scanline.
+  * Decode returns (h, w) for zsize 1, (h, w, z) otherwise; uint8
+    for bpc 1, native uint16 for bpc 2.
+
+XBM (the public X11 bitmap C-source text format):
+  * ``#define <name>_width/_height`` then a ``char <name>_bits[]``
+    hex-byte array; bits are LSB-first within each byte, rows padded
+    to a byte, 1 = foreground. Decoded with the same display
+    convention as PBM: 1 = black = 0, 0 = white = 255, uint8 (h, w).
+
+All four decoders are validated against REAL external files this repo
+did not encode — CPython's shipped python.ppm/pgm/pbm/ras/sgi/xbm
+test fixtures (tests/test_real_fixtures.py). The reference engine at
+/root/reference is a Go/C++ OLAP stack with no image code; scope here
+follows the public format specs only.
 """
 
 from __future__ import annotations
@@ -326,3 +344,181 @@ def encode_ras(pixels: np.ndarray, depth: int = 24, rtype: int = 1,
     hdr = struct.pack(">8i", RAS_MAGIC, w, h, depth, len(body),
                       rtype, maptype, maplen)
     return hdr + pal_bytes + body
+
+
+# -- SGI RGB -----------------------------------------------------------------
+
+SGI_MAGIC = 474
+
+
+def _sgi_scanline(data: bytes, pos: int, w: int, bpc: int) -> np.ndarray:
+    """One RLE scanline → w pixels (uint8/uint16 native)."""
+    out = np.zeros(w, np.uint16 if bpc == 2 else np.uint8)
+    x = 0
+    while True:
+        if bpc == 1:
+            if pos >= len(data):
+                raise ValueError("SGI RLE scanline truncated")
+            c = data[pos]
+            pos += 1
+        else:
+            if pos + 2 > len(data):
+                raise ValueError("SGI RLE scanline truncated")
+            c = int.from_bytes(data[pos:pos + 2], "big")
+            pos += 2
+        n = c & 0x7F
+        if n == 0:
+            return out
+        if x + n > w:
+            raise ValueError("SGI RLE scanline overruns the row")
+        if c & 0x80:                                 # copy n pixels
+            nb = n * bpc
+            if pos + nb > len(data):
+                raise ValueError("SGI RLE scanline truncated")
+            out[x:x + n] = np.frombuffer(
+                data[pos:pos + nb], ">u2" if bpc == 2 else np.uint8)
+            pos += nb
+        else:                                        # repeat one pixel
+            if pos + bpc > len(data):
+                raise ValueError("SGI RLE scanline truncated")
+            v = (int.from_bytes(data[pos:pos + 2], "big")
+                 if bpc == 2 else data[pos])
+            pos += bpc
+            out[x:x + n] = v
+        x += n
+
+
+def decode_sgi(payload: bytes) -> np.ndarray:
+    """Decode an SGI RGB image. See module scope."""
+    data = bytes(payload)
+    if len(data) < 512:
+        raise ValueError("not an SGI payload")
+    magic, storage, bpc, _dim, xs, ys, zs = struct.unpack(
+        ">hBBHHHH", data[:12])
+    (cmap,) = struct.unpack(">I", data[104:108])
+    if magic != SGI_MAGIC:
+        raise ValueError("not an SGI payload")
+    if bpc not in (1, 2):
+        raise ValueError(f"SGI bpc {bpc} illegal (1/2 only)")
+    if storage not in (0, 1):
+        raise ValueError(f"SGI storage {storage} illegal (0/1 only)")
+    if cmap != 0:
+        raise NotImplementedError(
+            f"SGI colormap {cmap} is not implemented (normal only)")
+    if xs < 1 or ys < 1 or zs < 1:
+        raise ValueError("SGI has non-positive dimensions")
+    dt = ">u2" if bpc == 2 else np.uint8
+    planes = np.zeros((zs, ys, xs), np.uint16 if bpc == 2 else np.uint8)
+    if storage == 0:                                 # verbatim
+        need = xs * ys * zs * bpc
+        raw = data[512:512 + need]
+        if len(raw) < need:
+            raise ValueError("SGI raster truncated")
+        arr = np.frombuffer(raw, dt).reshape(zs, ys, xs)
+        planes[:] = arr[:, ::-1, :]                  # bottom-up rows
+    else:                                            # RLE
+        ntab = ys * zs
+        tab = np.frombuffer(data[512:512 + 4 * ntab], ">u4")
+        if tab.size < ntab:
+            raise ValueError("SGI RLE offset table truncated")
+        for z in range(zs):
+            for y in range(ys):
+                start = int(tab[z * ys + y])
+                planes[z, ys - 1 - y] = _sgi_scanline(data, start,
+                                                      xs, bpc)
+    out = planes[0] if zs == 1 else np.moveaxis(planes, 0, 2)
+    return out.copy()
+
+
+def encode_sgi(pixels: np.ndarray, storage: int = 1) -> bytes:
+    """SGI writer mirroring the decode scope: (h, w) or (h, w, z)
+    uint8/uint16 input; ``storage`` 0 verbatim / 1 RLE."""
+    px = np.asarray(pixels)
+    bpc = 2 if px.dtype == np.uint16 else 1
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, z = px.shape
+    hdr = struct.pack(">hBBHHHH", SGI_MAGIC, storage, bpc, 3, w, h, z)
+    hdr += struct.pack(">II", int(px.min(initial=0)),
+                       int(px.max(initial=0)))
+    hdr += b"\0" * 4 + b"aresdb_spark".ljust(80, b"\0")
+    hdr += struct.pack(">I", 0)
+    hdr = hdr.ljust(512, b"\0")
+    dt = ">u2" if bpc == 2 else "u1"
+    if storage == 0:
+        body = np.moveaxis(px[::-1], 2, 0).astype(dt).tobytes()
+        return hdr + body
+    lines, offs, lens = [], [], []
+    pos = 512 + 8 * h * z                            # start + length tabs
+    for zc in range(z):
+        for y in range(h):
+            row = px[h - 1 - y, :, zc]
+            enc = bytearray()
+            x = 0
+            while x < w:
+                j = x
+                while j < w and j - x < 127 and row[j] == row[x]:
+                    j += 1
+                run = j - x
+                if run >= 3:
+                    enc += (run.to_bytes(bpc, "big")
+                            + int(row[x]).to_bytes(bpc, "big"))
+                    x = j
+                else:
+                    j = x + 1                        # literal stretch
+                    while j < w and j - x < 127 and (
+                            j + 2 > w or row[j] != row[j + 1]
+                            or (j + 2 < w and row[j + 1] != row[j + 2])):
+                        j += 1
+                    n = j - x
+                    enc += (0x80 | n).to_bytes(bpc, "big")
+                    enc += row[x:j].astype(dt).tobytes()
+                    x = j
+            enc += (0).to_bytes(bpc, "big")
+            lines.append(bytes(enc))
+            offs.append(pos)
+            lens.append(len(enc))
+            pos += len(enc)
+    tab = np.array(offs, ">u4").tobytes() + np.array(lens, ">u4").tobytes()
+    return hdr + tab + b"".join(lines)
+
+
+# -- XBM ---------------------------------------------------------------------
+
+def decode_xbm(payload: bytes) -> np.ndarray:
+    """Decode an X11 XBM (C-source text). See module scope."""
+    import re
+
+    try:
+        text = bytes(payload).decode("ascii")
+    except UnicodeDecodeError:
+        raise ValueError("not an XBM payload") from None
+    mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+    if not mw or not mh or "_bits[]" not in text:
+        raise ValueError("not an XBM payload")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    if w < 1 or h < 1:
+        raise ValueError("XBM has non-positive dimensions")
+    vals = [int(t, 16) for t in re.findall(r"0[xX][0-9a-fA-F]+", text)]
+    stride = (w + 7) // 8
+    if len(vals) < stride * h:
+        raise ValueError("XBM bit array truncated")
+    raw = np.array(vals[:stride * h], np.uint8).reshape(h, stride)
+    bits = np.unpackbits(raw, axis=1, bitorder="little")[:, :w]
+    return ((1 - bits) * 255).astype(np.uint8)       # 1 = foreground
+
+
+def encode_xbm(pixels: np.ndarray, name: str = "img") -> bytes:
+    """XBM writer mirroring the decode scope: (h, w) 0/255 input
+    (0 = black = bit 1)."""
+    px = np.asarray(pixels, np.uint8)
+    if px.ndim != 2:
+        raise ValueError("XBM needs (h, w)")
+    h, w = px.shape
+    bits = (px == 0).astype(np.uint8)
+    raw = np.packbits(bits, axis=1, bitorder="little").ravel()
+    body = ", ".join(f"0x{b:02X}" for b in raw)
+    return (f"#define {name}_width {w}\n#define {name}_height {h}\n"
+            f"static char {name}_bits[] = {{\n  {body}}};\n"
+            ).encode("ascii")

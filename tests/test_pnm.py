@@ -1,7 +1,8 @@
-"""Clean-room Netpbm (P1-P6) + Sun raster codecs (operators/pnm.py):
-round-trips across the scope matrix, header/comment edge cases, RLE
-escapes, named scope errors, and dispatcher + Spark integration.
-Real-file pins live in tests/test_real_fixtures.py."""
+"""Clean-room legacy-raster codecs (operators/pnm.py: Netpbm P1-P6,
+Sun rasterfile, SGI RGB, XBM): round-trips across the scope matrix,
+header/comment edge cases, RLE escapes, named scope errors, and
+dispatcher + Spark integration. Real-file pins live in
+tests/test_real_fixtures.py."""
 
 import numpy as np
 import pytest
@@ -154,3 +155,64 @@ def test_pnm_media_corpus_graded(spark):
                 "px_min", "px_max"):
         assert (got[col].astype("int64")
                 == exp[col].astype("int64")).all(), col
+
+
+def test_sgi_roundtrip_matrix():
+    """SGI RGB: verbatim + RLE storage, 1/3/4 channels, 8- and
+    16-bit, bottom-up plane-separated rows."""
+    rng = np.random.default_rng(25)
+    from aresdb_spark.operators.pnm import decode_sgi, encode_sgi
+    for st in (0, 1):
+        for shape in ((5, 7), (5, 7, 3), (4, 6, 4), (1, 1), (3, 127)):
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            out = decode_sgi(encode_sgi(px, storage=st))
+            assert np.array_equal(out, px), (st, shape)
+        px16 = rng.integers(0, 65536, (4, 6, 3), dtype=np.uint16)
+        out = decode_sgi(encode_sgi(px16, storage=st))
+        assert out.dtype == np.uint16 and np.array_equal(out, px16), st
+    # run-heavy content exercises the repeat packets
+    px = np.full((4, 9, 3), 7, np.uint8)
+    px[2, 4] = (1, 2, 3)
+    assert np.array_equal(decode_sgi(encode_sgi(px, storage=1)), px)
+
+
+def test_sgi_errors_named():
+    import struct
+
+    from aresdb_spark.operators.pnm import decode_sgi, encode_sgi
+    with pytest.raises(ValueError, match="not an SGI"):
+        decode_sgi(b"\0" * 512)
+    blob = bytearray(encode_sgi(np.zeros((2, 2), np.uint8)))
+    blob[3] = 3                                     # bpc = 3
+    with pytest.raises(ValueError, match="bpc 3"):
+        decode_sgi(bytes(blob))
+    blob = bytearray(encode_sgi(np.zeros((2, 2), np.uint8)))
+    blob[104:108] = struct.pack(">I", 1)            # dithered colormap
+    with pytest.raises(NotImplementedError, match="colormap 1"):
+        decode_sgi(bytes(blob))
+    blob = encode_sgi(np.arange(16, dtype=np.uint8).reshape(4, 4),
+                      storage=0)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_sgi(blob[:-3])
+
+
+def test_xbm_roundtrip_and_errors():
+    from aresdb_spark.operators.pnm import decode_xbm, encode_xbm
+    rng = np.random.default_rng(26)
+    for w in (1, 7, 8, 13):
+        px = rng.integers(0, 2, (5, w)).astype(np.uint8) * 255
+        assert np.array_equal(decode_xbm(encode_xbm(px)), px), w
+    # X11's own layout quirks: unsigned char, hotspot defines, odd
+    # whitespace — the parser keys on the _width/_height/_bits tokens
+    blob = (b"#define t_width 9\n#define t_height 2\n"
+            b"#define t_x_hot 1\n#define t_y_hot 1\n"
+            b"static unsigned char t_bits[] = {\n"
+            b" 0xFF, 0x01, 0x00, 0x00 };\n")
+    out = decode_xbm(blob)
+    assert out.shape == (2, 9)
+    assert (out[0] == 0).all() and (out[1] == 255).all()
+    with pytest.raises(ValueError, match="not an XBM"):
+        decode_xbm(b"int main() { return 0; }")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_xbm(b"#define t_width 32\n#define t_height 4\n"
+                   b"static char t_bits[] = { 0x00 };\n")

@@ -474,3 +474,83 @@ def test_audio_fingerprint_invariant_on_real_files():
         s, _ = dec(_cpython_test_file(rel))
         fps.add(audio_fingerprint(s))
     assert len(fps) == 1
+
+# test_email/data/python.sgi (1967 bytes, md5 11e019f5073be9f31a95f34929fec4e2)
+_SGI_B64 = """\
+AdoBAQADABAAEAAEAAAAAAAAAP8AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA
+AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAQAAAAEGAAABE4AAASD
+AAAEtAAABPMAAAUzAAAFdQAABbsAAAYCAAAGSAAABpAAAAbZAAAHFwAAB0gAAAd5
+AAAEAwAABCUAAARZAAAEigAABMEAAAT/AAAFQAAABYQAAAXMAAAGFAAABlwAAAak
+AAAG6AAAByQAAAdVAAAHhgAABAYAAAQyAAAEZgAABJcAAATRAAAFEwAABVQAAAWY
+AAAF3wAABigAAAZwAAAGuAAABvcAAAcxAAAHYgAAB5MAAAQJAAAEPwAABHMAAASk
+AAAE4QAABScAAAVoAAAFrAAABfIAAAY8AAAGhAAABswAAAcGAAAHPgAAB28AAAeg
+AAAAAwAAAA0AAAALAAAABwAAAA0AAAAMAAAADQAAAA8AAAARAAAAEgAAABQAAAAU
+AAAADwAAAA0AAAANAAAADQAAAAMAAAANAAAADQAAAA0AAAAQAAAAFAAAABQAAAAU
+AAAAEwAAABQAAAAUAAAAFAAAAA8AAAANAAAADQAAAA0AAAADAAAADQAAAA0AAAAN
+AAAAEAAAABQAAAAUAAAAFAAAABMAAAAUAAAAFAAAABQAAAAPAAAADQAAAA0AAAAN
+AAAADwAAAA8AAAAQAAAAEAAAABIAAAAMAAAADQAAAA8AAAAQAAAADAAAAAwAAAAN
+AAAAEQAAAAoAAAAKAAAADxAAABAAABAAAAQAiQgdNUJHRTgfCAMAAAQAh/H6/f//
++sAFAAAEAIfQ09LQzMeXBQAABACHPzkvJhwZEgUAAAQAiUzM9///2Hs7EgMAAAQA
+gf0F/4H9BQAABACH3tvY1ND/ywUAAAQAh05EOjAm/xsFAAAEAIH3Bf+E90AcCQEF
+AQEABAAH/wUAAAQAh+Pf29fT0MwFAAAEAIdYTkQ6MCUcBQAAhAIJExIH/4NBNSwB
+HgELAAQAA/+B6AXrgcYCAAAEAIrn49/HxcK+u7ubAgAABACKYlhOPTQqIRgYEgIA
+AIQIITw1A/+BqgWpgXkBQQEgAIRAPToACv8BwgEAAI51c3AA6+fj39vX08/MzAGa
+AQAAjqOinABsYlhOQzkvJBwcARIBAACEb/f/Swr/AXoBNACFQ0E9HPUJ/wHzAQAA
+jn15dDLj6+fj39vX08/MAcEBAACOrqihS29sYVdNQzkuJBwBGgEAAIXX//9bswn/
+AcIBQQCHRkRANgDy/Qf/Af0BAACOgX14ZwDh6ebj39vX088BywEAAI6yraaRAG5q
+YVdNQjguJAEbAQAAh/f//6pOpvcH/wH3AUcAhkpHQz82GwQAguL9A/8BAACGh4F8
+dmkxBACEw9nX0wHPAQAAhrmyq6WTRQQAhEVBOC0BIwEAAAT/iLZcTEhHQWv3A/8B
+RgCMTUlGQj47NzY1MgDsA/8BAACOi4WAe3VwamloYADO2tYB0wEAAI6+t7Cqo5yW
+lJKHAEVCNwEtAQAACP+E97ZPiAP/AT0Ah1BMSEVBPToDNoQyAP//Af0BAACHj4mE
+f3l0bwNphGAA3toB1QEAAIfDvLWvqKGbA5SEhwBLQQE2AQAACv+EtkP//wHtASQA
+iFJPS0hEQD05AzaDAP/9AfkBAACIkY2Ig314c20DaYMA4t0B1QEAAIjGwbu0raag
+mQOUgwBVSgE+AQAAgb0K/4NI//cBggEKAIsATkxIQz05Njg2NgUAAIsAj4qFfXRs
+ZmxpaQUAAIsAxL+2raGWkJeUlAUAAIgAfqCho6eqqgP/gkgYAwAABACHSUZCPjs3
+NgUAAAQAh4WAe3VwamkFAAAEAIe3saqjnZaUBQAABAAH/4JBFQMAAAQAh0z/RUE+
+OjYFAAAEAIeK/395dG9pBQAABACHvP+vqKKblAUAAAQAB/+CKAsDAAAEAIdOSkhE
+QDw3BQAABACHjYaDfnhxaAUAAAQAh8C6tK2nnpYFAAAEAIKv7QP/hPeSCwMDAAA="""
+
+# test_email/data/python.xbm (282 bytes, md5 e06d14d23530d4dab478937be8bbb47e)
+_XBM_B64 = """\
+I2RlZmluZSBweXRob25fd2lkdGggMTYKI2RlZmluZSBweXRob25faGVpZ2h0IDE2
+CnN0YXRpYyBjaGFyIHB5dGhvbl9iaXRzW10gPSB7CiAgMHhERiwgMHhGRSwgMHg4
+RiwgMHhGRCwgMHg1RiwgMHhGQiwgMHhBQiwgMHhGRSwgMHhCNSwgMHg4RCwgMHhE
+QSwgMHg4RiwgCiAgMHhBNSwgMHg4NiwgMHhGQSwgMHg4MywgMHgxQSwgMHg4MCwg
+MHgwRCwgMHg4MCwgMHgwRCwgMHg4MCwgMHgwRiwgMHhFMCwgCiAgMHgwRiwgMHhG
+OCwgMHgwRiwgMHhGOCwgMHgwRiwgMHhGQywgMHhGRiwgMHhGRiwgfTsK"""
+
+
+def test_sgi_real_file_exact_vs_png_rgba():
+    """python.sgi is a REAL RLE-stored 16x16x4 SGI RGB file: its RGBA
+    must equal python.png's bit-for-bit (plane-separated bottom-up
+    RLE scanlines vs libpng output — a third independent real encoder
+    agreeing with the clean-room decoders on the same source)."""
+    from aresdb_spark.operators.multimodal import decode_png
+    from aresdb_spark.operators.pnm import decode_sgi
+
+    sgi = decode_sgi(_fix(_SGI_B64, "11e019f5073be9f31a95f34929fec4e2"))
+    png = decode_png(_fix(_PNG_B64, "91f80d44b0a786e5b0b3049ad61159fa"))
+    assert sgi.shape == (16, 16, 4)
+    assert np.array_equal(sgi, png)
+    assert np.array_equal(sgi[:, :, :3], _truth_rgb())
+
+
+def test_xbm_real_file_equals_pbm():
+    """python.xbm (real X11 C-source text) must decode to the exact
+    same bilevel image as python.pbm — LSB-first hex bytes vs
+    MSB-first packed bits, one thresholded source."""
+    from aresdb_spark.operators.pnm import decode_pnm, decode_xbm
+
+    xbm = decode_xbm(_fix(_XBM_B64, "e06d14d23530d4dab478937be8bbb47e"))
+    pbm = decode_pnm(_fix(_PBM_B64, "4128214992ffcd16a57fd47c73558b58"))
+    assert xbm.shape == (16, 16)
+    assert np.array_equal(xbm, pbm)
