@@ -1378,6 +1378,17 @@ def _codec_bench(spark, n_items: int = 256):
             [(0, 0, noise_img(d * 5 + f), 40, 1, 0) for f in range(5)],
             96, 96)
 
+    def build_sgi(d):
+        # r14: RLE-stored SGI RGB (plane-separated Python scanline walk)
+        from aresdb_spark.operators.pnm import encode_sgi
+        return encode_sgi(noise_img(d), storage=1)
+
+    def build_au(d):
+        # r14: big-endian PCM-16 .snd (pure-frombuffer decode floor)
+        from aresdb_spark.operators.audio import encode_au
+        s = (d * 7 + np.arange(65536) * 31) % 2001 - 1000
+        return encode_au(s, 16000)
+
     codecs = {
         "png": lambda d: M.encode_png(noise_img(d), row_filter="mixed"),
         "jpeg": build_jpeg,
@@ -1389,12 +1400,15 @@ def _codec_bench(spark, n_items: int = 256):
         "wav_pcm": build_wav,
         "gif_anim": build_gif_anim,
         "webp_anim": build_webp_anim,
+        "sgi_rle": build_sgi,
+        "au_pcm": build_au,
     }
     raw_bytes = {                                   # decoded size/item
         "png": 96 * 96 * 3, "jpeg": 96 * 96, "gif": 96 * 96,
         "tiff_lzw": 96 * 96 * 3, "bmp": 96 * 96 * 3,
         "webp_vp8l": 96 * 96 * 3, "flac": 8192 * 2, "wav_pcm": 65536 * 2,
         "gif_anim": 5 * 96 * 96 * 3, "webp_anim": 5 * 96 * 96 * 3,
+        "sgi_rle": 96 * 96 * 3, "au_pcm": 65536 * 2,
     }
     from aresdb_spark.operators.audio import decode_wav
     from aresdb_spark.operators.flac import decode_flac
@@ -1406,7 +1420,9 @@ def _codec_bench(spark, n_items: int = 256):
         # cores); at 256x96x96 the Spark wall above is scheduling /
         # Arrow floor, not decode, so price the codec directly
         payload = build(0)
+        from aresdb_spark.operators.audio import decode_au
         dec = {"flac": decode_flac, "wav_pcm": decode_wav,
+               "au_pcm": decode_au,
                "gif_anim": decode_gif_anim,
                "webp_anim": decode_webp_anim}.get(
             name, M._decode_container)
@@ -1423,7 +1439,7 @@ def _codec_bench(spark, n_items: int = 256):
         media = gen_with(build).localCheckpoint(eager=True)
         total_bytes = media.select(
             F.sum(F.length("payload"))).collect()[0][0]
-        if name in ("flac", "wav_pcm"):
+        if name in ("flac", "wav_pcm", "au_pcm"):
             stats = audio_stats(media)
         elif name == "gif_anim":
             from aresdb_spark.operators.gif import gif_anim_stats

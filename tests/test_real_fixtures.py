@@ -554,3 +554,21 @@ def test_xbm_real_file_equals_pbm():
     pbm = decode_pnm(_fix(_PBM_B64, "4128214992ffcd16a57fd47c73558b58"))
     assert xbm.shape == (16, 16)
     assert np.array_equal(xbm, pbm)
+
+
+def test_sine_real_aiff_semantic():
+    """Sine-1000Hz-300ms.aif (a real 48 kHz stereo AIFF): the decoded
+    waveform must actually BE a ~1 kHz tone — 299-301 positive-going
+    zero crossings over the 14400-frame (300 ms) clip, both channels
+    identical, symmetric amplitude. A broken f80 rate parse, byte
+    order or channel de-interleave breaks the frequency estimate or
+    the channel equality, not just a checksum."""
+    from aresdb_spark.operators.audio import decode_aiff
+
+    s, rate = decode_aiff(_cpython_test_file("Sine-1000Hz-300ms.aif"))
+    assert rate == 48000 and s.shape == (14400, 2)
+    assert np.array_equal(s[:, 0], s[:, 1])
+    x = s[:, 0].astype(np.float64)
+    crossings = int(np.sum((x[:-1] < 0) & (x[1:] >= 0)))
+    assert 299 <= crossings <= 301
+    assert abs(int(x.max()) + int(x.min())) <= 2   # symmetric tone
