@@ -169,3 +169,119 @@ def test_video_fingerprint_invariances(seed, n_frames):
     assert V.video_fingerprint(avi) == fp
     if any(not np.array_equal(frames[0], f) for f in frames[1:]):
         assert V.video_fingerprint(frames[::-1]) != fp
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 12), st.integers(1, 9),
+       st.sampled_from([1, 2, 3, 4, 5, 6]), st.booleans())
+def test_pnm_any_combo_roundtrips(seed, w, h, kind, wide):
+    """r14: any drawn Netpbm payload round-trips — ASCII and binary,
+    bitmap/gray/RGB, 8- and 16-bit sample widths."""
+    from aresdb_spark.operators.pnm import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(seed)
+    if kind in (1, 4):
+        px = rng.integers(0, 2, (h, w)).astype(np.uint8) * 255
+        out = decode_pnm(encode_pnm(px, kind))
+    elif wide:
+        shape = (h, w) if kind in (2, 5) else (h, w, 3)
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+        out = decode_pnm(encode_pnm(px, kind))
+        assert out.dtype == np.uint16
+    else:
+        shape = (h, w) if kind in (2, 5) else (h, w, 3)
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_pnm(encode_pnm(px, kind))
+    assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 11), st.integers(1, 9),
+       st.sampled_from([(24, 1), (24, 2), (24, 3), (32, 1), (32, 3),
+                        (8, 1), (8, 2), (1, 1)]),
+       st.booleans(), st.booleans())
+def test_ras_any_combo_roundtrips(seed, w, h, depth_type, pal, runny):
+    """r14: Sun raster — every depth x type, odd-width 16-bit row
+    padding, run-heavy RLE content, optional colormap."""
+    from aresdb_spark.operators.pnm import decode_ras, encode_ras
+
+    depth, rtype = depth_type
+    rng = np.random.default_rng(seed)
+    if depth in (24, 32):
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        if runny:
+            px[:, : w // 2] = px[:, :1]             # long runs
+        assert np.array_equal(
+            decode_ras(encode_ras(px, depth=depth, rtype=rtype)), px)
+    elif depth == 8 and pal:
+        n = int(rng.integers(2, 17))
+        palette = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        out = decode_ras(encode_ras(idx, depth=8, rtype=rtype,
+                                    palette=palette))
+        assert np.array_equal(out, palette[idx])
+    elif depth == 8:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        if runny:
+            px[:, : w // 2] = 0x80                  # escape-heavy RLE
+        assert np.array_equal(
+            decode_ras(encode_ras(px, depth=8, rtype=rtype)), px)
+    else:
+        px = rng.integers(0, 2, (h, w)).astype(np.uint8) * 255
+        assert np.array_equal(
+            decode_ras(encode_ras(px, depth=1, rtype=rtype)), px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 12), st.integers(1, 9),
+       st.sampled_from([1, 3, 4]), st.booleans(), st.booleans(),
+       st.booleans())
+def test_sgi_any_combo_roundtrips(seed, w, h, z, wide, rle, runny):
+    """r14: SGI RGB — verbatim and RLE storage, 1/3/4 channels, 8/16
+    bpc, run-heavy scanlines through the repeat packets."""
+    from aresdb_spark.operators.pnm import decode_sgi, encode_sgi
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if z == 1 else (h, w, z)
+    if wide:
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+    else:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+    if runny:
+        px[:, : w // 2] = px[:, :1]
+    out = decode_sgi(encode_sgi(px, storage=1 if rle else 0))
+    assert out.dtype == px.dtype and np.array_equal(out, px)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 200),
+       st.sampled_from([1, 2]),
+       st.sampled_from([2, 3, 4, 5, 6, 7]), st.booleans())
+def test_au_any_combo_roundtrips(seed, n, ch, enc, note):
+    """r14: Sun AU — PCM 8/16/24/32 and float 32/64, mono/stereo,
+    annotation-padded offsets; floats drawn dyadic so equality is
+    exact."""
+    from aresdb_spark.operators.audio import decode_au, encode_au
+
+    rng = np.random.default_rng(seed)
+    shape = (n,) if ch == 1 else (n, ch)
+    if enc in (6, 7):
+        s = rng.integers(-2 ** 20, 2 ** 20, shape) / 256.0
+    else:
+        lim = 1 << (8 * (enc - 1) - 1)
+        s = rng.integers(-lim, lim, shape)
+    out, rate = decode_au(encode_au(
+        s, 22050, encoding=enc, annotation=b"x" * 7 if note else b""))
+    assert rate == 22050
+    assert np.array_equal(out.reshape(shape), s)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 10**9), st.integers(1, 40), st.integers(1, 9))
+def test_xbm_any_bitmap_roundtrips(seed, w, h):
+    from aresdb_spark.operators.pnm import decode_xbm, encode_xbm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 2, (h, w)).astype(np.uint8) * 255
+    out = decode_xbm(encode_xbm(px))
+    assert out.shape == px.shape and np.array_equal(out, px)
