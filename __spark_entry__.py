@@ -3735,7 +3735,19 @@ _DRIVER_WINDOW = [
     # whitelist code, same table line) plus aql_predicates for the
     # IN/IS NULL forms; is_true_not_in stays in check_contract.
     "aql_dst_bucket", "aql_bitwise_ops", "multimodal_mp4_probe",
-    "aql_array_predicates", "aql_left_join_nulls",
+    # r15 rotation (VERDICT r14 directive 3): multimodal_webp_anim — the
+    # r14 animation surface (VP8X + ANIM/ANMF walk, canvas compositing
+    # with dispose/blend semantics routing into the same
+    # decode_video_frames contract as MP4/AVI, webp.py:1119) had
+    # contract rows only. It displaces aql_left_join_nulls, whose LEFT
+    # broadcast equi-join planner path keeps aql_dim_join (the same
+    # LEFT broadcast join + null-miss semantics on the probe side),
+    # aql_timezone_column_join and aql_anti_join in-window — plus
+    # join_asof / join_range_brackets / geo_join_shapes on the same
+    # §2.3 table line; left_join_nulls stays in check_contract. The
+    # GIF89a sibling multimodal_gif_anim stays contract-verified (its
+    # in-window family row is multimodal_gif_stats, same LZW decoder).
+    "aql_array_predicates", "multimodal_webp_anim",
     # r12 rotation (VERDICT r11 directive 3): dedup_image_phash — the
     # image near-dup family (DCT pHash + recall-guaranteed 8-band LSH,
     # hardened this round: strict decode, planted non-zero-Hamming

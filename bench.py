@@ -632,6 +632,30 @@ def main():
         "total_sec": payload["value"],
     }
     print(json.dumps(payload))
+    # VERDICT r14 directive 6: the driver clips stdout to the line TAIL
+    # and its parse of the kept fragment failed two rounds running
+    # (BENCH_r13/r14 "parsed": null — the full payload line is longer
+    # than the clip). Emit a compact (<1.5 kB) single-line summary as
+    # the LAST stdout line so the clipped tail always ENDS with one
+    # complete, parseable JSON line carrying the graded headline keys.
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "min_total_sec": payload["variance"]["min_total"],
+        "queries": payload["queries"],
+        "host_index": host_index,
+        "x100_units": x100_units,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:  # hard budget: drop detail tiers, keep headline
+        compact.pop("x100_units", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1400:
+        compact.pop("queries", None)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 def _q7_phases(spark, d):
