@@ -55,9 +55,12 @@ BOUNDED = {
     # approximates). Measured 6/10 at sf0.01; random picks from the
     # 500-vector corpus would expect 1/10 — the floor of 3 separates
     # "working quantizer" from "broken" with a wide margin either side.
+    # r15 (VERDICT r14 directive 4): floor 3 → 8 now that ivf_pq_topk
+    # re-ranks its top rerank*k ADC candidates with exact squared L2
+    # (measured at sf0.01: 6/10 → 10/10 hits in the exact top-50)
     "sim_ivf_pq_topk": {
         "kind": "recall", "oracle": _pq_recall_oracle,
-        "id": "vec_id", "min_hits": 3,
+        "id": "vec_id", "min_hits": 8,
     },
 }
 
