@@ -54,11 +54,79 @@ def _crc8(data: bytes) -> int:
     return c
 
 
-def _crc16(data: bytes) -> int:
+def _crc16_scalar(data: bytes) -> int:
     c = 0
     for b in data:
         c = _CRC16_TABLE[(c >> 8) ^ b] ^ ((c << 8) & 0xFFFF)
     return c
+
+
+_CRC16_NP = np.array(_CRC16_TABLE, dtype=np.int64)
+_CRC16_T2 = None            # 65536-entry crc-of-2-byte-block, built lazily
+_CRC16_SHIFT_CACHE: dict = {}
+_CRC16_FAST_K = 128         # lanes in the vectorized path
+_CRC16_FAST_MIN = 2048      # below this the scalar loop wins
+
+
+def _crc16_shift_tables(nbytes: int) -> "tuple[np.ndarray, np.ndarray]":
+    """(hi, lo) 256-entry tables of the linear map c → c·x^{8·nbytes}
+    mod P (CRC-16 is linear over GF(2) with init 0 and no final xor, so
+    a shift-by-N-zero-bytes operator is a 16×16 bit matrix; we store it
+    as two byte-indexed lookup tables). Built once per distinct nbytes
+    from the 16 basis states and cached."""
+    cached = _CRC16_SHIFT_CACHE.get(nbytes)
+    if cached is not None:
+        return cached
+    basis = []
+    for bit in range(16):
+        c = 1 << bit
+        for _ in range(nbytes):
+            c = _CRC16_TABLE[c >> 8] ^ ((c << 8) & 0xFFFF)
+        basis.append(c)
+    idx = np.arange(256)
+    lo = np.zeros(256, dtype=np.int64)
+    hi = np.zeros(256, dtype=np.int64)
+    for bit in range(8):
+        lo ^= np.where((idx >> bit) & 1, basis[bit], 0)
+        hi ^= np.where((idx >> bit) & 1, basis[bit + 8], 0)
+    _CRC16_SHIFT_CACHE[nbytes] = (hi, lo)
+    return hi, lo
+
+
+def _crc16(data: bytes) -> int:
+    """Frame CRC-16 (poly 0x8005, init 0). r15: the per-byte table loop
+    priced ~45% of the post-vectorization decode wall, so large frames
+    go through a K-lane GF(2) split: lane j accumulates the 2-byte
+    blocks at positions ≡ j (mod K) with a shift-by-2K-bytes linear map
+    between its own blocks (two 256-entry tables, vectorized across
+    lanes), and a final Horner pass combines the K lane states with
+    shift-by-2-bytes steps. Front zero-padding is a no-op for this CRC
+    (init 0, non-reflected), which aligns any length to the lane grid.
+    Exact equality with the scalar loop is hypothesis-tested."""
+    n = len(data)
+    if n < _CRC16_FAST_MIN:
+        return _crc16_scalar(data)
+    global _CRC16_T2
+    if _CRC16_T2 is None:
+        v = np.arange(65536)
+        t1 = _CRC16_NP[v >> 8]
+        _CRC16_T2 = _CRC16_NP[(t1 >> 8) ^ (v & 0xFF)] \
+            ^ ((t1 << 8) & 0xFFFF)
+    K = _CRC16_FAST_K
+    step = 2 * K
+    nrows = -(-n // step)
+    arr = np.frombuffer(bytes(nrows * step - n) + data, dtype=">u2") \
+        .astype(np.int64).reshape(nrows, K)
+    hi, lo = _crc16_shift_tables(step)
+    c = np.zeros(K, dtype=np.int64)
+    for t in range(nrows):
+        c = hi[c >> 8] ^ lo[c & 0xFF] ^ _CRC16_T2[arr[t]]
+    acc = 0
+    for cj in c.tolist():                           # Horner over lanes
+        acc = _CRC16_TABLE[acc >> 8] ^ ((acc << 8) & 0xFFFF)
+        acc = _CRC16_TABLE[acc >> 8] ^ ((acc << 8) & 0xFFFF)
+        acc ^= cj
+    return acc
 
 
 class _MsbReader:
@@ -179,7 +247,106 @@ _FIXED_COEFS = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1],
                 4: [4, -6, 4, -1]}
 
 
-def _decode_residual(br: _MsbReader, blocksize: int, order: int) -> list:
+def _bits_and_ones(data: bytes) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Whole-payload MSB-first bit plane, positions of its 1-bits, and
+    the cumulative one-count csum[p] = ones in bits[0:p] — computed
+    ONCE per decode and shared by every Rice partition (r15, VERDICT
+    r14 directive 5: the per-symbol CPython unary/remainder loop was
+    the slowest decoder in the codec tier; the vectorized partition
+    decode below replaces it). csum turns "index of the first one at
+    or after bit position p" into a single gather (csum[p] IS that
+    one's index in ``ones``), which replaces the per-partition
+    searchsorted over the window."""
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    csum = np.empty(len(bits) + 1, dtype=np.int64)
+    csum[0] = 0
+    np.cumsum(bits, out=csum[1:])
+    return bits, np.flatnonzero(bits).astype(np.int64), csum
+
+
+def _read_uint_np(bits: np.ndarray, s0: int, count: int,
+                  width: int) -> np.ndarray:
+    """count MSB-first fixed-width unsigned codes starting at bit s0,
+    as one (count, width) gather + matmul."""
+    end = s0 + count * width
+    if end > len(bits):
+        raise ValueError("truncated FLAC stream")
+    seg = bits[s0:end].reshape(count, width).astype(np.int64)
+    return seg @ (1 << np.arange(width - 1, -1, -1, dtype=np.int64))
+
+
+def _rice_partition_np(bits: np.ndarray, ones: np.ndarray,
+                       csum: np.ndarray, s0: int, count: int,
+                       param: int) -> "tuple[np.ndarray, int]":
+    """One Rice partition, vectorized: every code is (q zeros, a 1
+    terminator, param remainder bits), so the terminator positions are
+    a subsequence of the payload's 1-bit positions. For param == 0 the
+    terminators are simply the next ``count`` ones. For param > 0 a
+    remainder field may itself contain ones, so the terminator
+    subsequence is the walk t_{k+1} = first one ≥ t_k + param + 1 —
+    computed without a per-sample Python loop by pointer doubling over
+    the one-step jump table jump[i] = csum[w[i] + param + 1] (the
+    cumulative-popcount gather; log2(count) vectorized doublings).
+    Quotients fall out as position differences, remainders as one
+    (count, param) bit-matrix matmul. Returns (zigzag-decoded
+    residuals, next bit position)."""
+    if count == 0:                 # order == psize: empty first partition
+        return np.empty(0, dtype=np.int64), s0
+    j = int(csum[min(s0, len(bits))])
+    # hard window: a partition consumes ≤ count terminators plus
+    # ≤ count*param remainder bits' worth of ones
+    w = ones[j:j + count * (param + 1) + 1]
+    nw = len(w)
+    if param == 0:
+        if count > nw:
+            raise ValueError("truncated FLAC stream")
+        t = w[:count]
+    else:
+        if nw == 0:
+            raise ValueError("truncated FLAC stream")
+        jump = np.empty(nw + 1, dtype=np.int64)
+        np.minimum(csum[np.minimum(w + param + 1, len(bits))] - j,
+                   nw, out=jump[:nw])
+        jump[nw] = nw                               # sentinel self-loop
+        seq = np.empty(count, dtype=np.int64)
+        seq[0] = 0
+        filled = 1
+        while filled < count:                       # jump = filled-step map
+            take = min(filled, count - filled)
+            seq[filled:filled + take] = jump[seq[:take]]
+            filled += take
+            if filled < count:
+                jump = jump[jump]                   # double the stride
+        if int(seq[-1]) >= nw:                      # walked off the ones
+            raise ValueError("truncated FLAC stream")
+        t = w[seq]
+    if int(t[-1]) + 1 + param > len(bits):
+        raise ValueError("truncated FLAC stream")
+    starts = np.empty(count, dtype=np.int64)
+    starts[0] = s0
+    starts[1:] = t[:-1] + 1 + param
+    q = t - starts
+    if param:
+        idx = t[:, None] + 1 + np.arange(param, dtype=np.int64)
+        r = bits[idx].astype(np.int64) @ (
+            1 << np.arange(param - 1, -1, -1, dtype=np.int64))
+        v = (q << param) | r
+    else:
+        v = q
+    return (v >> 1) ^ -(v & 1), int(t[-1]) + 1 + param
+
+
+def _decode_residual(br: _MsbReader, blocksize: int, order: int,
+                     bits: "np.ndarray | None" = None,
+                     ones: "np.ndarray | None" = None,
+                     csum: "np.ndarray | None" = None) -> np.ndarray:
+    """Coded residual section → int64 residual array. r15: partitions
+    decode through the numpy bit-position scan above (the r14 inlined
+    CPython loop priced the whole FLAC tier at 1.25 MB/s single-core);
+    escape partitions go through the same fixed-width gather as
+    VERBATIM subframes."""
+    if bits is None:
+        bits, ones, csum = _bits_and_ones(br.data)
     method = br.read(2)
     if method > 1:
         raise ValueError(f"reserved FLAC residual method {method}")
@@ -188,7 +355,8 @@ def _decode_residual(br: _MsbReader, blocksize: int, order: int) -> list:
     porder = br.read(4)
     if blocksize % (1 << porder):
         raise ValueError("FLAC partition order does not divide blocksize")
-    out = []
+    out = np.empty(blocksize - order, dtype=np.int64)
+    filled = 0
     psize = blocksize >> porder
     for p in range(1 << porder):
         count = psize - (order if p == 0 else 0)
@@ -197,46 +365,18 @@ def _decode_residual(br: _MsbReader, blocksize: int, order: int) -> list:
         param = br.read(pbits)
         if param == escape:
             raw = br.read(5)
-            for _ in range(count):
-                out.append(br.read_signed(raw) if raw else 0)
+            if raw:
+                vals = _read_uint_np(bits, br.pos, count, raw)
+                vals -= (vals >= (1 << (raw - 1))).astype(np.int64) \
+                    << raw                          # sign extend
+                br.pos += count * raw
+            else:
+                vals = np.zeros(count, dtype=np.int64)
         else:
-            # inlined unary + param-bit reads (r14): the two method
-            # dispatches per sample priced the Rice path; local bit
-            # cursor, handed back to the reader at partition end
-            data = br.data
-            pos = br.pos
-            total = br.nbits
-            mask = (1 << param) - 1
-            ap = out.append
-            for _ in range(count):
-                q = 0
-                while True:                          # unary quotient
-                    if pos >= total:
-                        raise ValueError("truncated FLAC stream")
-                    off = pos & 7
-                    rem = data[pos >> 3] & ((1 << (8 - off)) - 1)
-                    if rem:
-                        zeros = (8 - off) - rem.bit_length()
-                        pos += zeros + 1
-                        q += zeros
-                        break
-                    q += 8 - off
-                    pos += 8 - off
-                if param:
-                    if pos + param > total:
-                        raise ValueError("truncated FLAC stream")
-                    byte0 = pos >> 3
-                    off = pos & 7
-                    nb_ = (off + param + 7) >> 3
-                    v = (q << param) \
-                        | ((int.from_bytes(data[byte0:byte0 + nb_],
-                                           "big")
-                            >> ((nb_ << 3) - off - param)) & mask)
-                    pos += param
-                else:
-                    v = q
-                ap((v >> 1) ^ -(v & 1))             # zigzag
-            br.pos = pos
+            vals, br.pos = _rice_partition_np(
+                bits, ones, csum, br.pos, count, param)
+        out[filled:filled + count] = vals
+        filled += count
     return out
 
 
@@ -312,6 +452,7 @@ def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
         raise NotImplementedError(
             f"{bps}-bit FLAC not implemented (8/16/24 only)")
 
+    bits, ones, csum = _bits_and_ones(data)
     chans = [[] for _ in range(n_ch)]
     while pos < len(data):
         frame_start = pos
@@ -377,42 +518,31 @@ def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
                 wasted = 1 + br.read_unary()
                 sbps -= wasted
             if stype == 0:                          # CONSTANT
-                v = br.read_signed(sbps)
-                s = [v] * blocksize
+                s = np.full(blocksize, br.read_signed(sbps),
+                            dtype=np.int64)
             elif stype == 1:                        # VERBATIM
-                s = [br.read_signed(sbps) for _ in range(blocksize)]
+                s = _read_uint_np(bits, br.pos, blocksize, sbps)
+                s -= (s >= (1 << (sbps - 1))).astype(np.int64) << sbps
+                br.pos += blocksize * sbps
             elif 8 <= stype <= 12:                  # FIXED
                 order = stype - 8
-                s = [br.read_signed(sbps) for _ in range(order)]
-                res = _decode_residual(br, blocksize, order)
-                # closed-form predictors unrolled with running locals
-                # (the generic Σ c·s[-1-i] genexpr was ~30% of the
-                # decode wall, r13)
+                warm = np.array(
+                    [br.read_signed(sbps) for _ in range(order)],
+                    dtype=np.int64)
+                res = _decode_residual(br, blocksize, order, bits, ones, csum)
+                # the FIXED residual is the order-th finite difference
+                # of the signal, so reconstruction = order nested
+                # cumsums, each seeded with the matching warmup
+                # difference (r15 — replaces the r13 unrolled
+                # running-locals loop; exact in int64: every partial
+                # cumsum is itself a bounded lower-order difference)
                 if order == 0:
                     s = res
-                elif order == 1:
-                    p1 = s[-1]
-                    for r in res:
-                        p1 = r + p1
-                        s.append(p1)
-                elif order == 2:
-                    p1, p2 = s[-1], s[-2]
-                    for r in res:
-                        v = r + 2 * p1 - p2
-                        s.append(v)
-                        p2, p1 = p1, v
-                elif order == 3:
-                    p1, p2, p3 = s[-1], s[-2], s[-3]
-                    for r in res:
-                        v = r + 3 * p1 - 3 * p2 + p3
-                        s.append(v)
-                        p3, p2, p1 = p2, p1, v
                 else:
-                    p1, p2, p3, p4 = s[-1], s[-2], s[-3], s[-4]
-                    for r in res:
-                        v = r + 4 * p1 - 6 * p2 + 4 * p3 - p4
-                        s.append(v)
-                        p4, p3, p2, p1 = p3, p2, p1, v
+                    cur = res
+                    for j in range(order - 1, -1, -1):
+                        cur = np.diff(warm, j)[-1] + np.cumsum(cur)
+                    s = np.concatenate([warm, cur])
             elif stype >= 32:                       # LPC
                 order = (stype & 31) + 1
                 s = [br.read_signed(sbps) for _ in range(order)]
@@ -423,15 +553,18 @@ def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
                 if shift < 0:
                     raise ValueError("negative FLAC LPC shift")
                 coefs = [br.read_signed(prec) for _ in range(order)]
-                res = _decode_residual(br, blocksize, order)
-                for r in res:
+                res = _decode_residual(br, blocksize, order, bits, ones, csum)
+                # the truncating >> shift inside the recurrence keeps
+                # general LPC scalar (non-linear, unlike FIXED above)
+                for r in res.tolist():
                     pred = sum(c * s[-1 - i]
                                for i, c in enumerate(coefs)) >> shift
                     s.append(r + pred)
+                s = np.array(s, dtype=np.int64)
             else:
                 raise ValueError(f"reserved FLAC subframe type {stype}")
             if wasted:
-                s = [v << wasted for v in s]
+                s = s << wasted
             subs.append(s)
         br.align()
         crc = br.read(16)
@@ -441,22 +574,24 @@ def decode_flac(payload: bytes) -> "tuple[np.ndarray, int]":
 
         if ch_asgn < 8:
             for c in range(n_ch):
-                chans[c].extend(subs[c])
+                chans[c].append(subs[c])
         elif ch_asgn == 8:                          # left/side
-            for left, side in zip(subs[0], subs[1]):
-                chans[0].append(left)
-                chans[1].append(left - side)
+            left, side = subs
+            chans[0].append(left)
+            chans[1].append(left - side)
         elif ch_asgn == 9:                          # side/right
-            for side, right in zip(subs[0], subs[1]):
-                chans[0].append(side + right)
-                chans[1].append(right)
+            side, right = subs
+            chans[0].append(side + right)
+            chans[1].append(right)
         else:                                       # mid/side
-            for mid, side in zip(subs[0], subs[1]):
-                m = (mid << 1) | (side & 1)
-                chans[0].append((m + side) >> 1)
-                chans[1].append((m - side) >> 1)
+            mid, side = subs
+            m = (mid << 1) | (side & 1)
+            chans[0].append((m + side) >> 1)
+            chans[1].append((m - side) >> 1)
 
-    out = np.array(chans, dtype=np.int64).T
+    out = np.array([np.concatenate(c) if c else
+                    np.empty(0, dtype=np.int64) for c in chans],
+                   dtype=np.int64).T
     if total and len(out) > total:
         out = out[:total]
     return out.astype(np.int32), rate

@@ -285,3 +285,21 @@ def test_xbm_any_bitmap_roundtrips(seed, w, h):
     px = rng.integers(0, 2, (h, w)).astype(np.uint8) * 255
     out = decode_xbm(encode_xbm(px))
     assert out.shape == px.shape and np.array_equal(out, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 10**9), st.integers(0, 9000))
+def test_crc16_lane_split_equals_scalar(seed, n):
+    """r15: the K-lane vectorized CRC-16 (GF(2) lane split + Horner
+    combine, flac._crc16) must equal the per-byte table loop on any
+    payload, across the scalar/vector threshold and at every length
+    alignment vs the 2-byte/K-lane grid."""
+    from aresdb_spark.operators.flac import (_CRC16_FAST_MIN, _crc16,
+                                             _crc16_scalar)
+
+    rng = np.random.default_rng(seed)
+    # bias half the draws to straddle the fast-path threshold
+    if n % 2:
+        n = _CRC16_FAST_MIN + (n % 512) - 256
+    data = rng.integers(0, 256, max(n, 0), dtype=np.uint8).tobytes()
+    assert _crc16(data) == _crc16_scalar(data)
