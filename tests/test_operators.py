@@ -562,6 +562,51 @@ def test_semantic_dedup_matches_oracle(spark, duck):
         threshold=0.4))
 
 
+def test_semantic_dedup_pair_modes_agree(spark):
+    """r15: the batched per-cluster pair kernel must reproduce the
+    expression self-join row for row — including pairs INSIDE the
+    2e-6 rounding margin, where the kernel falls back to Spark's exact
+    BigDecimal HALF_UP semantics. The planted corpus puts one pair at
+    raw cosine 0.4999995 (rounds HALF_UP to 0.500000 ⇒ dominated at
+    threshold 0.5) and one at 0.49999949 (rounds to 0.499999 ⇒ kept),
+    both inside the fast-path margin, plus an exact duplicate and an
+    orthogonal pair."""
+    import math
+
+    import numpy as np
+
+    from aresdb_spark.operators import similarity as S
+
+    def vec(c):  # unit vector at cosine c to e0, inside one cluster
+        return [float(c), math.sqrt(1.0 - c * c)] + [0.0] * 62
+
+    rows = [
+        (1, vec(1.0)), (2, vec(1.0)),           # exact twin: 2 dropped
+        (3, vec(0.4999995)),                    # HALF_UP → 0.5: dropped
+        (4, [0.0, -1.0] + [0.0] * 62),          # anti-aligned: kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.zeros((1, 64))
+    cents[0, 0] = 1.0                           # one cluster: all pairs
+    got = {}
+    for pm in ("batched", "expr"):
+        out = S.semantic_dedup(df, threshold=0.5, centroids=cents,
+                               pair_mode=pm).orderBy("vec_id").collect()
+        got[pm] = [(r["vec_id"], r["cluster"], r["keep"]) for r in out]
+    assert got["batched"] == got["expr"]
+    keeps = {vid: k for vid, _, k in got["batched"]}
+    assert keeps == {1: True, 2: False, 3: False, 4: True}
+
+    rows[2] = (3, vec(0.49999949))              # rounds DOWN: kept
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for pm in ("batched", "expr"):
+        out = S.semantic_dedup(df, threshold=0.5, centroids=cents,
+                               pair_mode=pm).orderBy("vec_id").collect()
+        got[pm] = [(r["vec_id"], r["keep"]) for r in out]
+    assert got["batched"] == got["expr"]
+    assert dict(got["batched"])[3] is True
+
+
 def test_semantic_dedup_default_assignment_rule(spark, duck):
     """r12 (VERDICT r11 #5): with ADAPTIVE k (sized from n_rows, so k
     grows with the corpus and the flat argmax would be Θ(n²/250)) the

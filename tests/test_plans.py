@@ -189,7 +189,11 @@ def test_semantic_dedup_two_level_assignment_is_arrow_batched(spark):
     plan = batched._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+    # r15: the pair stage defaults to the per-cluster Arrow kernel —
+    # exactly ONE grouped-pandas node, after the single cluster shuffle
+    assert plan.count("FlatMapGroupsInPandas") == 1
     expr = S.semantic_dedup(emb, threshold=0.4, n_clusters=16,
                             assignment="two_level_expr")
     eplan = expr._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in eplan and "EvalPython" not in eplan
+    assert "FlatMapGroupsInPandas" not in eplan
