@@ -257,14 +257,22 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     recomputed scan-side rather than shuffled with the signatures."""
     sh = _parallelize(docs.select(F.col(id_col).alias("id"), F.col(text_col))) \
         .select("id", shingles(F.col(text_col), n).alias("sh"))
+    # |A∪B| = |A|+|B|-|A∩B| for the (distinct) shingle arrays — the
+    # let-bound intersect size replaces materializing a second merged
+    # array per pair (r15; the verify stage is the q7 x100 wall and
+    # array_union allocated ~|A|+|B| strings per candidate). Integer
+    # cardinalities are unchanged, so every jaccard double — and the
+    # DuckDB oracle match — is bit-identical.
     out = (
         df_pairs
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
         .select(
             "id_a", "id_b",
-            (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-             / F.size(F.array_union("sh_a", "sh_b")).cast("double")).alias("jaccard"),
+            _let(F.size(F.array_intersect("sh_a", "sh_b")),
+                 lambda i: i.cast("double")
+                 / (F.size("sh_a") + F.size("sh_b") - i).cast("double"))
+            .alias("jaccard"),
         )
     )
     return out
@@ -293,9 +301,11 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     b = base.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    (F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                     / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-                     ).alias("jaccard"))
+                    _let(F.size(F.array_intersect("sh_a", "sh_b")),
+                         lambda i: i.cast("double")
+                         / (F.size("sh_a") + F.size("sh_b") - i)
+                         .cast("double"))
+                    .alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 
