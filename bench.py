@@ -778,7 +778,11 @@ def _q15_phases(spark, d, box_sec: "float | None" = None,
     out = {"n_rows": n, "n_clusters": k, "assignment": assignment,
            "within_cluster_pairs": n_pairs,
            "assign_sec": round(assign_sec, 4)}
-    projected = n_pairs * 4e-6 * passes
+    # 0.5 µs/pair projection: the r15 per-cluster Arrow kernel measured
+    # 0.1 µs/pair gross at x100 (was 4 µs under the interpreted fold —
+    # the old constant would spuriously box-skip runs that now fit);
+    # 5x headroom keeps the skip honest on a loaded host
+    projected = n_pairs * 0.5e-6 * passes
     if box_sec is not None and projected > box_sec:
         out["skipped_full"] = {"projected_sec": round(projected, 1),
                                "box_sec": box_sec}
