@@ -24,6 +24,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -248,13 +250,50 @@ def minhash_lsh_candidates(df: DataFrame, text_col: str = "text",
             .select("p.id_a", "p.id_b").distinct())
 
 
+def _jaccard_batched_udf():
+    """Arrow-batched exact-Jaccard scorer (r15): |A∩B| and |A|+|B|-|A∩B|
+    via Python sets per candidate pair. EXACTLY equal to the expression
+    form — the shingle arrays are distinct by construction, so both
+    paths compute the same two integer cardinalities, and Python's
+    float division of those ints is the same IEEE double as Spark's
+    double/double. Unlike the cosine kernels there is no rounding
+    anywhere, so no margin logic is needed.
+
+    MEASURED AND REJECTED as the default (kept for the equality test
+    and as the documented experiment): at the x100 tier the per-pair
+    cost is ~33 µs vs the array_intersect expression's ~20 — building
+    two Python sets hashes ~200 shingle strings per pair in CPython,
+    which loses to the JVM's UTF8String hashing even counting the
+    interpreted-HOF overhead; at the graded tier the two are a wash
+    (1.3-1.6 s, fixed costs dominate). The pandas-UDF win pattern
+    (q15's quantizer/pair kernels) needs numpy-vectorizable per-row
+    work; per-row Python OBJECT work is not it. PERF_NOTES r15."""
+    @F.pandas_udf("double")
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.empty(len(a), dtype=np.float64)
+        for i in range(len(a)):
+            sa, sb = set(a.iat[i]), set(b.iat[i])
+            inter = len(sa & sb)
+            denom = len(sa) + len(sb) - inter
+            out[i] = float(inter) / float(denom) if denom else float("nan")
+        return pd.Series(out)
+
+    return jac
+
+
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", n: int = SHINGLE_SIZE) -> DataFrame:
+                  id_col: str = "doc_id", n: int = SHINGLE_SIZE,
+                  scorer: str = "expr") -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (verification stage).
 
     Joins the (small) candidate set back to the docs — at scale the pair
     set is ≪ corpus, so these are cheap shuffles; shingle sets are
-    recomputed scan-side rather than shuffled with the signatures."""
+    recomputed scan-side rather than shuffled with the signatures.
+
+    ``scorer="expr"`` (default) is the pure Column form; the Arrow
+    ``"batched"`` alternative was measured SLOWER at scale (33 vs 20
+    µs/candidate at x100 — see _jaccard_batched_udf) and is kept as
+    the documented rejection (bit-identical values either way)."""
     sh = _parallelize(docs.select(F.col(id_col).alias("id"), F.col(text_col))) \
         .select("id", shingles(F.col(text_col), n).alias("sh"))
     # |A∪B| = |A|+|B|-|A∩B| for the (distinct) shingle arrays — the
@@ -263,17 +302,19 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str = "text",
     # array_union allocated ~|A|+|B| strings per candidate). Integer
     # cardinalities are unchanged, so every jaccard double — and the
     # DuckDB oracle match — is bit-identical.
+    if scorer == "batched":
+        score = _jaccard_batched_udf()(F.col("sh_a"), F.col("sh_b"))
+    elif scorer == "expr":
+        score = _let(F.size(F.array_intersect("sh_a", "sh_b")),
+                     lambda i: i.cast("double")
+                     / (F.size("sh_a") + F.size("sh_b") - i).cast("double"))
+    else:
+        raise ValueError(f"scorer must be batched|expr: {scorer!r}")
     out = (
         df_pairs
         .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
-            "id_a", "id_b",
-            _let(F.size(F.array_intersect("sh_a", "sh_b")),
-                 lambda i: i.cast("double")
-                 / (F.size("sh_a") + F.size("sh_b") - i).cast("double"))
-            .alias("jaccard"),
-        )
+        .select("id_a", "id_b", score.alias("jaccard"))
     )
     return out
 

@@ -291,6 +291,22 @@ def test_minhash_near_duplicates(spark, duck):
     assert df.count() >= 0
 
 
+def test_ngram_jaccard_scorers_agree(spark):
+    """r15: the Arrow-batched Jaccard scorer (Python sets) must equal
+    the array_intersect expression form bit for bit — same two integer
+    cardinalities, same IEEE double division; no rounding exists in
+    this path so exact equality is the bar, not closeness."""
+    from aresdb_spark.operators import dedup as D
+
+    docs = _docs(spark)
+    cand = D.minhash_lsh_candidates(docs)
+    a = D.ngram_jaccard(cand, docs, scorer="batched") \
+        .orderBy("id_a", "id_b").collect()
+    b = D.ngram_jaccard(cand, docs, scorer="expr") \
+        .orderBy("id_a", "id_b").collect()
+    assert len(a) > 0 and a == b
+
+
 def test_minhash_near_duplicates_with_id_named_id(spark):
     """ADVICE r11 #5: the verify-stage semi join must stay unambiguous
     when the caller's id column is literally named "id" (or the docs
