@@ -303,3 +303,61 @@ def test_crc16_lane_split_equals_scalar(seed, n):
         n = _CRC16_FAST_MIN + (n % 512) - 256
     data = rng.integers(0, 256, max(n, 0), dtype=np.uint8).tobytes()
     assert _crc16(data) == _crc16_scalar(data)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 10**9), st.integers(2, 60), st.integers(1, 8),
+       st.sampled_from([0.5, 0.95, 0.4, 0.499999, 0.9999995]))
+def test_semantic_pair_kernel_equals_bruteforce(seed, n, dim, threshold):
+    """r15: _semantic_keep_batched (dim-sequential rank-1 dots, margin
+    + Decimal fallback, column blocking) must equal a brute-force
+    reference that applies Spark's exact semantics pair by pair:
+    fold-ordered float64 dot and norms, dot/(na*nb), BigDecimal
+    HALF_UP round to 6dp, >= threshold, dominated = any lower-id twin.
+    Vectors are drawn coarse (one decimal place) so near-threshold
+    cosines — the margin/Decimal path — actually occur."""
+    import pandas as pd
+
+    from aresdb_spark.operators.similarity import (_round6_spark_exact,
+                                                   _semantic_keep_batched)
+
+    rng = np.random.default_rng(seed)
+    X = np.round(rng.uniform(-1, 1, (n, dim)), 1)
+    ids = np.sort(rng.choice(10 * n, size=n, replace=False))
+    pdf = pd.DataFrame({"id": ids, "cluster": np.int64(7),
+                        "v": [list(map(float, row)) for row in X]})
+    # shuffle input row order: the kernel must sort by id itself
+    pdf = pdf.sample(frac=1.0, random_state=seed % 2**32)
+
+    got = _semantic_keep_batched(pdf, threshold, dim, "vec_id") \
+        .sort_values("vec_id")
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for d in range(dim):
+            acc += float(a[d]) * float(b[d])
+        return acc
+
+    nrm = []
+    for i in range(n):
+        acc = 0.0
+        for d in range(dim):
+            acc += float(X[i, d]) * float(X[i, d])
+        nrm.append(acc ** 0.5)
+    dominated = [False] * n
+    for b in range(n):
+        for a in range(b):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.float64(fold_dot(X[a], X[b])) \
+                    / np.float64(nrm[a] * nrm[b])
+            if not np.isfinite(cos):
+                # zero-norm rows: IEEE gives ±inf/NaN, Spark's round
+                # passes them through — only +inf satisfies >= t
+                hit = np.isinf(cos) and cos > 0
+            else:
+                hit = _round6_spark_exact(float(cos)) >= float(threshold)
+            if hit:
+                dominated[b] = True
+                break
+    assert list(got["vec_id"]) == list(ids)
+    assert list(got["keep"]) == [not d for d in dominated]
