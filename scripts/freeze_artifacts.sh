@@ -60,6 +60,14 @@ for f in "artifacts/check_contract_r${N}.log" \
     [ "$passed" = "$total" ] || fail "$f: only $passed/$total pass"
 done
 
+echo "== plan audit (anti-pattern sweep over the driver window) =="
+python scripts/plan_audit.py /root/testdata/sf0.01 \
+    "artifacts/plan_audit_r${N}.json" \
+    > "artifacts/plan_audit_r${N}.log" 2>&1 \
+    || fail "plan audit found violations (see artifacts/plan_audit_r${N}.log)"
+require_line "artifacts/plan_audit_r${N}.log" \
+    'plans clean \(0 violations\)' "plan audit has no clean summary"
+
 echo "== bench (quiet host, final HEAD) =="
 python bench.py > "artifacts/bench_r${N}_local.json" \
     2> "artifacts/bench_r${N}_local.err" || fail "bench.py exited non-zero"
