@@ -464,77 +464,118 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
     total = h * w
     shift = 32 - cache_bits if cache_bits else 0
 
-    def group_at(p):
-        y, x = divmod(p, w)
-        return groups[int(meta[y >> meta_bits, x >> meta_bits])]
-
     data = br.data
     nbits = br.nbits
 
     def extract(codes):
+        g_, r_, b_, a_, d_ = codes
+        # rba_live: any literal channel beyond green consumes bits —
+        # palette/gray streams have 0-bit r/b/a codes and skip the
+        # channel window entirely. d_bits: the backref distance needs
+        # bits (a real distance code, or a single-symbol code >= 4
+        # whose value carries extra bits).
         return tuple(codes) + tuple(
-            x for c in codes[:4] for x in (c.table, (1 << c.k) - 1))
+            x for c in codes for x in (c.table, (1 << c.k) - 1)) + (
+            bool(r_.k or b_.k or a_.k),
+            bool(d_.k) or d_.table[0][0] >= 4)
 
     (gcode, rcode, bcode, acode, dcode,
-     gtab, gmask, rtab, rmask, btab, bmask, atab, amask) = \
-        extract(groups[0])
+     gtab, gmask, rtab, rmask, btab, bmask, atab, amask, dtab, dmask,
+     rba_live, d_bits) = extract(groups[0])
     cur = groups[0]
+    # meta-group lookup as plain Python list rows + incremental (x, y)
+    # counters (r15): the per-pixel divmod + 2-D ndarray scalar index
+    # cost ~0.2 µs/px on spatially-grouped images
+    track_meta = meta is not None
+    if track_meta:
+        meta_rows = meta.tolist()
+        x = y = 0
     bitpos = br.pos
     while pos < total:
-        if meta is not None:
-            grp = group_at(pos)
+        if track_meta:
+            grp = groups[meta_rows[y >> meta_bits][x >> meta_bits]]
             if grp is not cur:
                 cur = grp
                 (gcode, rcode, bcode, acode, dcode,
-                 gtab, gmask, rtab, rmask, btab, bmask, atab, amask) = \
-                    extract(grp)
+                 gtab, gmask, rtab, rmask, btab, bmask, atab, amask,
+                 dtab, dmask, rba_live, d_bits) = extract(grp)
+        # green symbol (r15): when the other channels consume bits too
+        # (rba_live), read ONE 8-byte window and hand the leftover down
+        # — the worst pixel needs 7 (offset) + 4x9 (codes) = 43 bits
+        # <= 64. Otherwise (palette / gray / cache-heavy streams whose
+        # r/b/a are 0-bit codes) a 2-byte peek is all the pixel needs;
+        # the 8-byte window measured 6% slower there. win == -1 marks
+        # "no valid leftover" (Python's arithmetic shift keeps it -1).
+        # Slices past the end clamp -> zero-padded high bits, matching
+        # the 2-byte peek; the bitpos>nbits checks keep the truncation
+        # semantics identical.
         if gmask:
             byte0 = bitpos >> 3
-            e = gtab[(int.from_bytes(data[byte0:byte0 + 2], "little")
-                      >> (bitpos & 7)) & gmask]
-            if e is None:
+            if rba_live:
+                win = int.from_bytes(data[byte0:byte0 + 8], "little") \
+                    >> (bitpos & 7)
+                e = gtab[win & gmask]
+            else:
+                win = -1
+                e = gtab[(int.from_bytes(data[byte0:byte0 + 2],
+                                         "little")
+                          >> (bitpos & 7)) & gmask]
+            if e is None:                           # >9-bit code: rare
                 br.pos = bitpos
                 s = gcode.decode(br)
                 bitpos = br.pos
+                win = -1
             else:
                 s = e[0]
                 bitpos += e[1]
                 if bitpos > nbits:
                     raise ValueError("truncated VP8L stream")
+                win >>= e[1]
         else:                                       # 0-bit single code
             s = gtab[0][0]
+            win = -1
         if s < 256:                                 # literal
+            # r/b/a channel probes shift within the g window's leftover
+            # (>= 48 valid bits for the <= 27 needed); recompute only
+            # when the leftover is invalid (g fallback / 0-bit g code)
+            if rba_live:
+                if win < 0:
+                    byte0 = bitpos >> 3
+                    win = int.from_bytes(data[byte0:byte0 + 8],
+                                         "little") >> (bitpos & 7)
             g = s
             if rmask:
-                byte0 = bitpos >> 3
-                e = rtab[(int.from_bytes(data[byte0:byte0 + 2], "little")
-                          >> (bitpos & 7)) & rmask]
+                e = rtab[win & rmask]
                 if e is None:
                     br.pos = bitpos
                     r = rcode.decode(br)
                     bitpos = br.pos
+                    byte0 = bitpos >> 3
+                    win = int.from_bytes(data[byte0:byte0 + 8],
+                                         "little") >> (bitpos & 7)
                 else:
                     r = e[0]
                     bitpos += e[1]
+                    win >>= e[1]
             else:
                 r = rtab[0][0]
             if bmask:
-                byte0 = bitpos >> 3
-                e = btab[(int.from_bytes(data[byte0:byte0 + 2], "little")
-                          >> (bitpos & 7)) & bmask]
+                e = btab[win & bmask]
                 if e is None:
                     br.pos = bitpos
                     b = bcode.decode(br)
                     bitpos = br.pos
+                    byte0 = bitpos >> 3
+                    win = int.from_bytes(data[byte0:byte0 + 8],
+                                         "little") >> (bitpos & 7)
                 else:
                     b = e[0]
                     bitpos += e[1]
+                    win >>= e[1]
             else:
                 b = btab[0][0]
             if amask:
-                byte0 = bitpos >> 3
-                e = atab[(int.from_bytes(data[byte0:byte0 + 2], "little")
-                          >> (bitpos & 7)) & amask]
+                e = atab[win & amask]
                 if e is None:
                     br.pos = bitpos
                     a = acode.decode(br)
@@ -555,12 +596,61 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
                 argb = (a << 24) | (r << 16) | (g << 8) | b
                 cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> shift] = argb
             pos += 1
+            if track_meta:
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
         elif s < 256 + 24:                          # LZ77 backref
-            br.pos = bitpos
-            length = _read_lz77_value(br, s - 256)
-            dsym = dcode.decode(br)
-            plane = _read_lz77_value(br, dsym)
-            bitpos = br.pos
+            # inlined _read_lz77_value x2 + distance-code LUT probe on
+            # ONE 8-byte window (r15): worst case is 7 (offset) +
+            # 10 (length extra) + 9 (distance code) + 18 (distance
+            # extra) = 44 bits <= 64; >9-bit distance codes fall back
+            # to the method path. Short backrefs under a 0-bit
+            # small-distance code consume no bits at all — skip the
+            # window (the common case of palette/linear streams).
+            lcode = s - 256
+            if lcode < 4 and not d_bits:
+                # no bits consumed: short length + 0-bit small distance
+                length = lcode + 1
+                plane = dtab[0][0] + 1
+            else:
+                if win < 0:                         # no valid leftover
+                    byte0 = bitpos >> 3
+                    win = int.from_bytes(data[byte0:byte0 + 8],
+                                         "little") >> (bitpos & 7)
+                if lcode < 4:
+                    length = lcode + 1
+                else:
+                    extra = (lcode - 2) >> 1
+                    length = ((2 + (lcode & 1)) << extra) \
+                        + (win & ((1 << extra) - 1)) + 1
+                    bitpos += extra
+                    win >>= extra
+                if dmask:
+                    e = dtab[win & dmask]
+                    if e is None:
+                        br.pos = bitpos
+                        dsym = dcode.decode(br)
+                        bitpos = br.pos
+                        byte0 = bitpos >> 3
+                        win = int.from_bytes(data[byte0:byte0 + 8],
+                                             "little") >> (bitpos & 7)
+                    else:
+                        dsym = e[0]
+                        bitpos += e[1]
+                        win >>= e[1]
+                else:
+                    dsym = dtab[0][0]
+                if dsym < 4:
+                    plane = dsym + 1
+                else:
+                    extra = (dsym - 2) >> 1
+                    plane = ((2 + (dsym & 1)) << extra) \
+                        + (win & ((1 << extra) - 1)) + 1
+                    bitpos += extra
+                if bitpos > nbits:
+                    raise ValueError("truncated VP8L stream")
             if plane > 120:
                 dist = plane - 120
             else:
@@ -586,6 +676,8 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
                     cache[(0x1e35a7bd * argb & 0xFFFFFFFF) >> shift] \
                         = argb
             pos += length
+            if track_meta:
+                y, x = divmod(pos, w)
         else:                                       # color cache hit
             if cache is None:
                 raise ValueError("cache symbol without a color cache")
@@ -596,6 +688,11 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
             out[o + 2] = (argb >> 8) & 0xFF
             out[o + 3] = argb & 0xFF
             pos += 1
+            if track_meta:
+                x += 1
+                if x == w:
+                    x = 0
+                    y += 1
     br.pos = bitpos                   # hand the cursor back to the caller
     return np.frombuffer(out, np.uint8).reshape(h * w, 4)
 

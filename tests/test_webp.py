@@ -441,3 +441,61 @@ def test_webp_anim_routes_to_video_fingerprint():
     fa = V.video_fingerprint(V.decode_video_frames(mp4))
     fb = V.video_fingerprint(V.decode_video_frames(anim))
     assert fa == fb
+
+
+def test_vp8l_meta_entropy_groups_decode():
+    """Hand-written VP8L body with a META ENTROPY IMAGE (two spatial
+    groups over 4-px tiles) — the one VP8L decode feature the repo
+    encoder never emits (real libwebp files do; spec: group index =
+    (red << 8) | green of the meta pixel at (x >> bits, y >> bits)).
+    Pins the r15 fast path: list-indexed per-pixel group lookup with
+    incremental (x, y) counters, and the shared 8-byte window across a
+    mid-row group switch."""
+    from aresdb_spark.operators.webp import (_BitReader, _BitWriter,
+                                             _decode_image_data,
+                                             _write_prefix_code)
+
+    def lengths(alphabet, *syms):
+        ln = [0] * alphabet
+        for s in syms:
+            ln[s] = 1
+        return ln
+
+    w, h = 8, 4
+    bw = _BitWriter()
+    bw.write(0, 1)                          # no color cache
+    bw.write(1, 1)                          # meta prefix image present
+    bw.write(0, 3)                          # meta_bits = 0 + 2 (4x4 tiles)
+    # --- meta image (mw=2, mh=1), read with allow_meta=False ---
+    bw.write(0, 1)                          # meta image: no color cache
+    _write_prefix_code(bw, lengths(256 + 24, 0, 1))   # green: ids {0,1}
+    _write_prefix_code(bw, lengths(256, 0))           # r single -> 0-bit
+    _write_prefix_code(bw, lengths(256, 0))           # b
+    _write_prefix_code(bw, lengths(256, 0))           # a
+    _write_prefix_code(bw, lengths(40, 0))            # dist
+    bw.write(0, 1)                          # meta px 0: green sym 0
+    bw.write(1, 1)                          # meta px 1: green sym 1
+    # --- main image: 2 groups, read in group-id order ---
+    _write_prefix_code(bw, lengths(256 + 24, 10))     # g0: green {10}
+    _write_prefix_code(bw, lengths(256, 20))          # g0: r {20}
+    _write_prefix_code(bw, lengths(256, 30))          # g0: b {30}
+    _write_prefix_code(bw, lengths(256, 255))         # g0: a {255}
+    _write_prefix_code(bw, lengths(40, 0))            # g0: dist
+    _write_prefix_code(bw, lengths(256 + 24, 40, 41))  # g1: green {40,41}
+    _write_prefix_code(bw, lengths(256, 50))          # g1: r {50}
+    _write_prefix_code(bw, lengths(256, 60))          # g1: b {60}
+    _write_prefix_code(bw, lengths(256, 254))         # g1: a {254}
+    _write_prefix_code(bw, lengths(40, 0))            # g1: dist
+    # pixel data: per row, cols 0-3 are group 0 (all 0-bit codes, no
+    # bits), cols 4-7 group 1 (one green bit per pixel: 0,1,0,1)
+    for _ in range(h):
+        for bit in (0, 1, 0, 1):
+            bw.write(bit, 1)
+
+    px = _decode_image_data(_BitReader(bw.bytes()), w, h, True)
+    px = px.reshape(h, w, 4)                # [a, r, g, b]
+    for y in range(h):
+        for x in range(4):                  # left tile: group 0
+            assert tuple(px[y, x]) == (255, 20, 10, 30), (y, x)
+        for i, x in enumerate(range(4, 8)):  # right tile: group 1
+            assert tuple(px[y, x]) == (254, 50, 40 + (i & 1), 60), (y, x)
