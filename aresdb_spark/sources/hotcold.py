@@ -1143,60 +1143,72 @@ class HotColdStore:
             cut = F.lit(_utc_naive(new_cutoff))
             before = self._state()
             pending = self._pending_hot_batches(before)
-            hot = self._read_hot_resolved(spark, before)
-            t = F.col(self.time_column)
-            to_cold = hot.filter(t < cut)
-            keep_null = t.isNull()
-            if arrival_column is not None:
-                keep_null = keep_null & (F.col(arrival_column) >= cut)
-            # without the null arm, null-time rows would be silently
-            # DELETED here (in neither filter's output)
-            stay_hot = hot.filter((t >= cut) | keep_null)
-            commit = {"cutoff": _utc_naive(new_cutoff).isoformat()}
-            displaced_cold: list[str] = []
-            if to_cold.limit(1).count():
-                old_map = self._cold_day_map(before)
-                if old_map is None:    # legacy conversion: one rewrite
-                    to_write = self._read_cold_resolved(spark, before) \
-                        .unionByName(to_cold)
-                    displaced_cold.append(
-                        self._displaced_dir("cold", before))
-                    old_map = {}
-                else:
-                    to_write = to_cold
-                ck = pointer.next_version(before, "coldset_seq")
-                written = self._write_cold_days(
-                    self._conform(to_write, before), ck)
-                new_map = dict(old_map)
-                for d, rel in written.items():
-                    new_map[d] = new_map.get(d, []) + [rel]
-                commit.update(cold_days=new_map, coldset_seq=ck,
-                              cold=None,
-                              cold_day_stats=self._cold_stats_update(
-                                  before, new_map, written))
-                commit["hot"] = self._next("hot")
-                self._write_hot(stay_hot, commit["hot"])
-            elif arrival_column is not None or pending:
-                # nothing crossed the cutoff, but expired null-time rows
-                # still purge — and archiving is THE compaction point of
-                # the append-only hot store: pending batch dirs fold
-                # into the new base here (the reference's archiving job
-                # merges + purges live batches even when the resulting
-                # patch is empty, memstore/archiving.go:62-72)
-                commit["hot"] = self._next("hot")
-                self._write_hot(stay_hot, commit["hot"])
-            displaced = displaced_cold + \
-                [self._displaced_dir("hot", before)
-                 if "hot" in commit else None]
-            displaced = [d for d in displaced if d is not None]
-            if "hot" in commit:
-                # consumed by the compaction; survive in the ledger for
-                # the read-grace window like every displaced artifact
-                commit["hot_batches"] = []
-                displaced += [f"hotbatch/batch={e['n']}" for e in pending]
-            self._commit(**commit,
-                         displaced=pointer.displace(before, displaced))
-            pointer.gc_displaced(self.path)
+            # the resolved view feeds the cutoff gate AND up to two
+            # writes (cold days + the new hot base) — without a persist
+            # the pending-PK resolve re-executes per action (measured:
+            # archive walled at ~2x the 16-pending resolve at the
+            # store-ops probe tier, r15). Scoped to this operation and
+            # released before the lock; values are unchanged.
+            hot = self._read_hot_resolved(spark, before).persist()
+            try:
+                t = F.col(self.time_column)
+                to_cold = hot.filter(t < cut)
+                keep_null = t.isNull()
+                if arrival_column is not None:
+                    keep_null = keep_null & (F.col(arrival_column) >= cut)
+                # without the null arm, null-time rows would be silently
+                # DELETED here (in neither filter's output)
+                stay_hot = hot.filter((t >= cut) | keep_null)
+                commit = {"cutoff": _utc_naive(new_cutoff).isoformat()}
+                displaced_cold: list[str] = []
+                if to_cold.limit(1).count():
+                    old_map = self._cold_day_map(before)
+                    if old_map is None:  # legacy conversion: one rewrite
+                        to_write = self._read_cold_resolved(spark, before) \
+                            .unionByName(to_cold)
+                        displaced_cold.append(
+                            self._displaced_dir("cold", before))
+                        old_map = {}
+                    else:
+                        to_write = to_cold
+                    ck = pointer.next_version(before, "coldset_seq")
+                    written = self._write_cold_days(
+                        self._conform(to_write, before), ck)
+                    new_map = dict(old_map)
+                    for d, rel in written.items():
+                        new_map[d] = new_map.get(d, []) + [rel]
+                    commit.update(cold_days=new_map, coldset_seq=ck,
+                                  cold=None,
+                                  cold_day_stats=self._cold_stats_update(
+                                      before, new_map, written))
+                    commit["hot"] = self._next("hot")
+                    self._write_hot(stay_hot, commit["hot"])
+                elif arrival_column is not None or pending:
+                    # nothing crossed the cutoff, but expired null-time
+                    # rows still purge — and archiving is THE compaction
+                    # point of the append-only hot store: pending batch
+                    # dirs fold into the new base here (the reference's
+                    # archiving job merges + purges live batches even
+                    # when the resulting patch is empty,
+                    # memstore/archiving.go:62-72)
+                    commit["hot"] = self._next("hot")
+                    self._write_hot(stay_hot, commit["hot"])
+                displaced = displaced_cold + \
+                    [self._displaced_dir("hot", before)
+                     if "hot" in commit else None]
+                displaced = [d for d in displaced if d is not None]
+                if "hot" in commit:
+                    # consumed by the compaction; survive in the ledger
+                    # for the read-grace window like every displaced
+                    # artifact
+                    commit["hot_batches"] = []
+                    displaced += [f"hotbatch/batch={e['n']}"
+                                  for e in pending]
+                self._commit(**commit,
+                             displaced=pointer.displace(before, displaced))
+                pointer.gc_displaced(self.path)
+            finally:
+                hot.unpersist()
 
     def compact_hot(self, spark: SparkSession) -> int:
         """Fold the pending hot batch dirs into a fresh compacted base
