@@ -598,8 +598,13 @@ def embedding_near_duplicates_exact(df: DataFrame, threshold: float = 0.95,
     )
 
 
+SEMANTIC_MAX_CLUSTER_ROWS = 100_000
+
+
 def _semantic_keep_batched(pdf: "pd.DataFrame", threshold: float,
-                           dim: int, id_col: str) -> "pd.DataFrame":
+                           dim: int, id_col: str,
+                           max_cluster_rows: int = SEMANTIC_MAX_CLUSTER_ROWS
+                           ) -> "pd.DataFrame":
     """Per-cluster keep/drop, vectorized (r15): the SemDeDup pair stage
     was the last interpreted-HOF hot path (per-pair zip_with fold at
     ~1 µs/pair — 39M pairs ≈ 35 s of the x100 dedup wall). Same
@@ -612,8 +617,28 @@ def _semantic_keep_batched(pdf: "pd.DataFrame", threshold: float,
     exact BigDecimal HALF_UP semantics (_round6_spark_exact) — so the
     outcome per pair, and therefore the DuckDB oracle match, is
     identical to the expression path. Column blocks bound the pair
-    matrix to ~10^7 doubles for skewed clusters."""
+    matrix to ~10^7 doubles for skewed clusters.
+
+    SKEW GUARD (r16, VERDICT r15 directive 2): groupBy(cluster).
+    applyInPandas puts each cluster on ONE task, so column blocks bound
+    *memory* but not *time* — a degenerate corpus collapsing into one
+    cluster serializes O(n²) pair work on a single core (guide §2.5).
+    Adaptive k keeps real clusters small (measured max cluster size at
+    the bench tiers, artifacts/q15_cluster_sizes_r16.json: 327 @ 2k
+    rows / 460 @ 20k / 1100 @ 200k, avg ≈ target 250), so a cluster
+    beyond ``max_cluster_rows`` (default 100k ⇒ ≥5e9 pairs ≈ minutes
+    pinned on one core, 100x the design envelope) is a mis-sized
+    clustering, not a workload — fail LOUDLY naming the fix rather
+    than silently burning one executor for hours."""
     n = len(pdf)
+    if n > max_cluster_rows:
+        raise RuntimeError(
+            f"semantic_dedup cluster of {n} rows exceeds max_cluster_rows="
+            f"{max_cluster_rows}: the within-cluster pair stage runs one "
+            f"cluster per task, so a cluster this size serializes O(n^2) "
+            f"work on one core. Increase n_clusters (or lower "
+            f"target_cluster_size), run exact dedup first to collapse "
+            f"identical vectors, or raise max_cluster_rows explicitly.")
     pdf = pdf.sort_values("id", kind="mergesort")
     ids = pdf["id"].to_numpy()
     cluster = pdf["cluster"].to_numpy()
@@ -653,7 +678,9 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
                    vec_col: str = "embedding",
                    id_col: str = "vec_id",
                    assignment: "str | None" = None,
-                   pair_mode: "str | None" = None) -> DataFrame:
+                   pair_mode: "str | None" = None,
+                   max_cluster_rows: int = SEMANTIC_MAX_CLUSTER_ROWS
+                   ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     Data-efficient learning at web-scale through semantic deduplication",
     arXiv:2303.09540 — public): k-means cluster the embedding space,
@@ -706,7 +733,17 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
     x10 tier where the interpreted per-pair fold was the wall);
     ``"expr"`` keeps the pure-Column self-join. ``assignment=
     "two_level_expr"`` defaults pair_mode to "expr" — that caller asked
-    for a Python-free plan."""
+    for a Python-free plan.
+
+    ``max_cluster_rows`` (r16, VERDICT r15 directive 2): loud skew
+    guard for the batched pair kernel — one cluster runs on one task,
+    so a degenerate mega-cluster (every row near-identical in a way
+    the clustering can't split) would serialize O(n²) work on a single
+    core. Measured max cluster size under adaptive k stays within ~4.4x
+    of the 250-row target across the bench tiers (327/460/1100 at
+    2k/20k/200k rows — artifacts/q15_cluster_sizes_r16.json); a cluster
+    over the default 100k cap aborts with a message naming the
+    remedies. See _semantic_keep_batched."""
     import math
 
     adaptive_k = centroids is None and n_clusters is None
@@ -751,7 +788,8 @@ def semantic_dedup(df: DataFrame, threshold: float = 0.95,
             assign_fn(F.col(vec_col), cents).alias("cluster"))
 
         def keep_fn(pdf):
-            return _semantic_keep_batched(pdf, threshold, dim, id_col)
+            return _semantic_keep_batched(pdf, threshold, dim, id_col,
+                                          max_cluster_rows)
 
         return assigned.groupBy("cluster").applyInPandas(
             keep_fn, schema=f"{id_col} {id_type}, cluster long, "

@@ -479,9 +479,13 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
             bool(r_.k or b_.k or a_.k),
             bool(d_.k) or d_.table[0][0] >= 4)
 
+    # each group's extract() tuple is immutable — build all of them once
+    # so images whose tiles alternate between groups don't rebuild the
+    # 17-element tuple on every switch (ADVICE r15)
+    extracted = [extract(g) for g in groups]
     (gcode, rcode, bcode, acode, dcode,
      gtab, gmask, rtab, rmask, btab, bmask, atab, amask, dtab, dmask,
-     rba_live, d_bits) = extract(groups[0])
+     rba_live, d_bits) = extracted[0]
     cur = groups[0]
     # meta-group lookup as plain Python list rows + incremental (x, y)
     # counters (r15): the per-pixel divmod + 2-D ndarray scalar index
@@ -493,12 +497,13 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
     bitpos = br.pos
     while pos < total:
         if track_meta:
-            grp = groups[meta_rows[y >> meta_bits][x >> meta_bits]]
+            gid = meta_rows[y >> meta_bits][x >> meta_bits]
+            grp = groups[gid]
             if grp is not cur:
                 cur = grp
                 (gcode, rcode, bcode, acode, dcode,
                  gtab, gmask, rtab, rmask, btab, bmask, atab, amask,
-                 dtab, dmask, rba_live, d_bits) = extract(grp)
+                 dtab, dmask, rba_live, d_bits) = extracted[gid]
         # green symbol (r15): when the other channels consume bits too
         # (rba_live), read ONE 8-byte window and hand the leftover down
         # — the worst pixel needs 7 (offset) + 4x9 (codes) = 43 bits
@@ -627,6 +632,12 @@ def _decode_image_data(br: _BitReader, w: int, h: int,
                         + (win & ((1 << extra) - 1)) + 1
                     bitpos += extra
                     win >>= extra
+                    # explicit truncation check (ADVICE r15): without it
+                    # br.pos = bitpos below could hand a past-the-end
+                    # cursor to dcode.decode, which is safe only via
+                    # decode's own bounds checks — same error either way
+                    if bitpos > nbits:
+                        raise ValueError("truncated VP8L stream")
                 if dmask:
                     e = dtab[win & dmask]
                     if e is None:

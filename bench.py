@@ -892,6 +892,22 @@ def _bench_timed(fn):
     return time.perf_counter() - t0, r
 
 
+def _bench_timed_min3(fn):
+    """One warmup + MIN of 3 timed passes (VERDICT r15 directive 4: the
+    q3/q8 x100 ratios whiplashed three rounds running because both the
+    Spark numerator and the single-pass DuckDB denominator carried the
+    host's ±30% band; min-of-3 on BOTH sides is the same noise-floor
+    protocol the graded tier already uses). Returns (seconds, result)."""
+    fn()
+    best = float("inf")
+    r = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, r
+
+
 def _duck_path(d: str, table: str) -> str:
     """DuckDB read_parquet target for a testdata table: the driver's
     sf dirs hold single files, the x10/x100 tiers hold Spark-written
@@ -916,7 +932,11 @@ def _q3_phases(spark, d):
     join_stage_ratio isolates the broadcast-join + final-agg margin.
     The adjudication claim (VERDICT r10-r12): the gap is scan-side
     constant factors, so scan_ratio ≈ full_ratio and
-    join_agg_stage_sec stays a small slice of full_sec."""
+    join_agg_stage_sec stays a small slice of full_sec.
+
+    r16 (VERDICT r15 directive 4): every phase — Spark AND DuckDB — is
+    min-of-3 after a warmup; the ratios had whiplashed on single-pass
+    denominators three rounds running. Keys unchanged, additive fix."""
     import duckdb
     from pyspark.sql import functions as F
 
@@ -924,7 +944,7 @@ def _q3_phases(spark, d):
     from aresdb_spark.aql.planner import plan_query
 
     li = spark.read.parquet(f"{d}/lineitem.parquet")
-    scan_sec, _ = _bench_timed(lambda: li.agg(
+    scan_sec, _ = _bench_timed_min3(lambda: li.agg(
         F.sum("l_quantity"), F.count("*")).collect())
     q3 = Query(
         table="lineitem",
@@ -932,14 +952,14 @@ def _q3_phases(spark, d):
                     conditions=["p.p_partkey = l_partkey"])],
         dimensions=[Dimension(expr="p.p_brand", alias="brand")],
         measures=[Measure(expr="sum(l_quantity)", alias="qty")])
-    full_sec, rows = _bench_timed(
+    full_sec, rows = _bench_timed_min3(
         lambda: plan_query(spark, d, q3).collect())
 
     con = duckdb.connect()
-    duck_scan_sec, _ = _bench_timed(lambda: con.execute(
+    duck_scan_sec, _ = _bench_timed_min3(lambda: con.execute(
         f"SELECT sum(l_quantity), count(*) "
         f"FROM read_parquet('{_duck_path(d, 'lineitem')}')").fetchall())
-    duck_full_sec, _ = _bench_timed(lambda: con.execute(
+    duck_full_sec, _ = _bench_timed_min3(lambda: con.execute(
         f"SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty "
         f"FROM read_parquet('{_duck_path(d, 'lineitem')}') l "
         f"JOIN read_parquet('{_duck_path(d, 'part')}') p "
@@ -973,26 +993,30 @@ def _q8_phases(spark, d):
 
     The DuckDB full twin runs the SAME token/quality formulas through
     the committed oracle-SQL builders (operators/text.py), so
-    expr_stage_ratio compares tokenizer engines, not different work."""
+    expr_stage_ratio compares tokenizer engines, not different work.
+
+    r16 (VERDICT r15 directive 4): every phase — Spark AND DuckDB — is
+    min-of-3 after a warmup; the ratios had whiplashed on single-pass
+    denominators three rounds running. Keys unchanged, additive fix."""
     import duckdb
     from pyspark.sql import functions as F
 
     from aresdb_spark.operators import text as X
 
     docs = spark.read.parquet(f"{d}/documents.parquet")
-    read_sec, _ = _bench_timed(lambda: docs.agg(
+    read_sec, _ = _bench_timed_min3(lambda: docs.agg(
         F.sum(F.length("text")), F.count("*")).collect())
-    full_sec, _ = _bench_timed(lambda: X.text_stats(docs).select(
+    full_sec, _ = _bench_timed_min3(lambda: X.text_stats(docs).select(
         F.count("*").alias("n"), F.sum("n_tokens").alias("toks"),
         F.sum("quality").alias("q")).collect())
 
     con = duckdb.connect()
-    duck_read_sec, _ = _bench_timed(lambda: con.execute(
+    duck_read_sec, _ = _bench_timed_min3(lambda: con.execute(
         f"SELECT sum(length(text)), count(*) "
         f"FROM read_parquet('{_duck_path(d, 'documents')}')").fetchall())
     tok = X.token_count_oracle_sql("text")
     qual = X.quality_score_oracle_sql("text")
-    duck_full_sec, _ = _bench_timed(lambda: con.execute(
+    duck_full_sec, _ = _bench_timed_min3(lambda: con.execute(
         f"SELECT count(*) AS n, sum({tok}) AS toks, sum({qual}) AS q "
         f"FROM read_parquet('{_duck_path(d, 'documents')}')").fetchall())
     con.close()

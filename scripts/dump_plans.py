@@ -26,7 +26,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.01")
 
 
+def _explain_formatted(df) -> str:
+    """Capture df.explain(mode="formatted") via stdout redirect — the
+    public API (ADVICE r15: the old df._sc._jvm.PythonSQLUtils call
+    depended on private internals that drift across Spark versions)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
 def main() -> int:
+    if len(sys.argv) < 4:
+        print("usage: python scripts/dump_plans.py <out_dir> <suffix> "
+              "<name> [name ...]", file=sys.stderr)
+        return 2
     out_dir, suffix, names = sys.argv[1], sys.argv[2], sys.argv[3:]
     os.makedirs(out_dir, exist_ok=True)
 
@@ -49,8 +66,7 @@ def main() -> int:
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         try:
             df = builders[name](spark, SF_DIR)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted")
+            plan = _explain_formatted(df)
         except Exception as e:  # noqa: BLE001 — record, keep going
             plan = f"PLAN UNAVAILABLE: {type(e).__name__}: {e}\n"
             rc = 1

@@ -623,6 +623,38 @@ def test_semantic_dedup_pair_modes_agree(spark):
     assert dict(got["batched"])[3] is True
 
 
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """r16 (VERDICT r15 directive 2): the batched pair kernel runs one
+    cluster per task, so a degenerate mega-cluster must fail LOUDLY
+    instead of serializing O(n²) work on one core. Kernel-level and
+    end-to-end (the applyInPandas path surfaces the worker error)."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from aresdb_spark.operators import similarity as S
+
+    pdf = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "cluster": [0, 0, 0, 0],
+        "v": [[1.0, 0.0], [0.0, 1.0], [1.0, 0.0], [0.0, 1.0]],
+    })
+    with pytest.raises(RuntimeError, match="max_cluster_rows"):
+        S._semantic_keep_batched(pdf, 0.5, 2, "vec_id", max_cluster_rows=3)
+    # under the cap the same frame processes fine
+    out = S._semantic_keep_batched(pdf, 0.5, 2, "vec_id",
+                                   max_cluster_rows=4)
+    assert sorted(out["vec_id"]) == [1, 2, 3, 4]
+
+    cents = np.zeros((1, 64))
+    cents[0, 0] = 1.0                           # one cluster: all rows
+    rows = [(i, [1.0] + [0.0] * 63) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="max_cluster_rows"):
+        S.semantic_dedup(df, threshold=0.95, centroids=cents,
+                         max_cluster_rows=3).collect()
+
+
 def test_semantic_dedup_default_assignment_rule(spark, duck):
     """r12 (VERDICT r11 #5): with ADAPTIVE k (sized from n_rows, so k
     grows with the corpus and the flat argmax would be Θ(n²/250)) the
