@@ -64,7 +64,7 @@ def _crc16_scalar(data: bytes) -> int:
 _CRC16_NP = np.array(_CRC16_TABLE, dtype=np.int64)
 _CRC16_T2 = None            # 65536-entry crc-of-2-byte-block, built lazily
 _CRC16_SHIFT_CACHE: dict = {}
-_CRC16_FAST_K = 128         # lanes in the vectorized path
+_CRC16_FAST_K = 1024        # lanes in the vectorized path
 _CRC16_FAST_MIN = 2048      # below this the scalar loop wins
 
 
@@ -99,10 +99,13 @@ def _crc16(data: bytes) -> int:
     go through a K-lane GF(2) split: lane j accumulates the 2-byte
     blocks at positions ≡ j (mod K) with a shift-by-2K-bytes linear map
     between its own blocks (two 256-entry tables, vectorized across
-    lanes), and a final Horner pass combines the K lane states with
-    shift-by-2-bytes steps. Front zero-padding is a no-op for this CRC
-    (init 0, non-reflected), which aligns any length to the lane grid.
-    Exact equality with the scalar loop is hypothesis-tested."""
+    lanes), and a log2(K) tree pass combines the K lane states with
+    shift-by-half linear maps (r16 — replaces the 2K-step scalar
+    Horner, which is what lets K grow to 1024 for a 4x-fewer-rows main
+    loop; measured 2.4x on a 9.5 KB frame). Front zero-padding is a
+    no-op for this CRC (init 0, non-reflected), which aligns any length
+    to the lane grid. Exact equality with the scalar loop is
+    hypothesis-tested."""
     n = len(data)
     if n < _CRC16_FAST_MIN:
         return _crc16_scalar(data)
@@ -117,16 +120,24 @@ def _crc16(data: bytes) -> int:
     nrows = -(-n // step)
     arr = np.frombuffer(bytes(nrows * step - n) + data, dtype=">u2") \
         .astype(np.int64).reshape(nrows, K)
+    blk = _CRC16_T2[arr]            # one bulk gather for every block row
     hi, lo = _crc16_shift_tables(step)
     c = np.zeros(K, dtype=np.int64)
     for t in range(nrows):
-        c = hi[c >> 8] ^ lo[c & 0xFF] ^ _CRC16_T2[arr[t]]
-    acc = 0
-    for cj in c.tolist():                           # Horner over lanes
-        acc = _CRC16_TABLE[acc >> 8] ^ ((acc << 8) & 0xFFFF)
-        acc = _CRC16_TABLE[acc >> 8] ^ ((acc << 8) & 0xFFFF)
-        acc ^= cj
-    return acc
+        c = hi[c >> 8] ^ lo[c & 0xFF] ^ blk[t]
+    # lane combine as a log2(K) TREE instead of the 2K-step scalar
+    # Horner (r16): folding the more-significant half onto the less
+    # with a shift-by-(half·2 bytes) linear map is the same GF(2)
+    # composition, vectorized — K=1024 lanes then cost 10 vector steps,
+    # which is what makes the wider (fewer-row) main loop profitable
+    # (measured 2.4x on a 9.5 KB frame; exact at every length by the
+    # same Hypothesis pin as the scalar loop)
+    half = K >> 1
+    while half:
+        h2, l2 = _crc16_shift_tables(2 * half)
+        c = h2[c[:half] >> 8] ^ l2[c[:half] & 0xFF] ^ c[half:]
+        half >>= 1
+    return int(c[0])
 
 
 class _MsbReader:
@@ -293,31 +304,56 @@ def _rice_partition_np(bits: np.ndarray, ones: np.ndarray,
     if count == 0:                 # order == psize: empty first partition
         return np.empty(0, dtype=np.int64), s0
     j = int(csum[min(s0, len(bits))])
-    # hard window: a partition consumes ≤ count terminators plus
-    # ≤ count*param remainder bits' worth of ones
-    w = ones[j:j + count * (param + 1) + 1]
-    nw = len(w)
     if param == 0:
-        if count > nw:
+        w = ones[j:j + count]
+        if count > len(w):
             raise ValueError("truncated FLAC stream")
-        t = w[:count]
+        t = w
     else:
-        if nw == 0:
-            raise ValueError("truncated FLAC stream")
-        jump = np.empty(nw + 1, dtype=np.int64)
-        np.minimum(csum[np.minimum(w + param + 1, len(bits))] - j,
-                   nw, out=jump[:nw])
-        jump[nw] = nw                               # sentinel self-loop
-        seq = np.empty(count, dtype=np.int64)
-        seq[0] = 0
-        filled = 1
-        while filled < count:                       # jump = filled-step map
-            take = min(filled, count - filled)
-            seq[filled:filled + take] = jump[seq[:take]]
-            filled += take
-            if filled < count:
-                jump = jump[jump]                   # double the stride
-        if int(seq[-1]) >= nw:                      # walked off the ones
+        # window bounds (r16): the HARD bound is count*(param+1)+1 ones
+        # (one terminator + ≤param remainder ones per code), but the
+        # EXPECTED consumption is count*(1+param/2) — near-random
+        # remainder bits are half ones — so the doubling walk normally
+        # squares a jump table ~2x larger than it touches. First try
+        # count*(param/2+2)+1 (expectation + margin); a walk that
+        # saturates the short window retries on the hard bound, so the
+        # result — and the truncation error on genuinely short streams
+        # — is identical (measured ~1.2x on the bench payloads; the
+        # retry costs one extra walk only on pathologically one-dense
+        # partitions).
+        hard = count * (param + 1) + 1
+        tight = count * ((param >> 1) + 2) + 1
+        for bound in ((tight, hard) if tight < hard else (hard,)):
+            w = ones[j:j + bound]
+            nw = len(w)
+            if nw == 0:
+                raise ValueError("truncated FLAC stream")
+            jump = np.empty(nw + 1, dtype=np.int64)
+            np.minimum(csum[np.minimum(w + param + 1, len(bits))] - j,
+                       nw, out=jump[:nw])
+            jump[nw] = nw                           # sentinel self-loop
+            # orbit walk: pointer doubling up to a CAPPED stride, then
+            # fixed-stride blocked fills (r16) — seq[k+stride] =
+            # jump_stride[seq[k]], so once the stride is 128 each extra
+            # squaring costs an O(nw) gather to save O(count/stride)
+            # cheap block fills; capping measured ~1.2x on the bench
+            # partitions (count≈4k, nw≈46k: 12 squarings → 7)
+            seq = np.empty(count, dtype=np.int64)
+            seq[0] = 0
+            filled = 1
+            stride = 1
+            while filled < count:
+                take = min(stride, count - filled)
+                seq[filled:filled + take] = \
+                    jump[seq[filled - stride:filled - stride + take]]
+                filled += take
+                if filled < count and stride < 128 \
+                        and stride * 2 <= filled:
+                    jump = jump[jump]               # double the stride
+                    stride *= 2
+            if int(seq[-1]) < nw:                   # walk stayed inside
+                break
+        else:                                       # hard bound exhausted
             raise ValueError("truncated FLAC stream")
         t = w[seq]
     if int(t[-1]) + 1 + param > len(bits):

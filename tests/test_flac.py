@@ -52,6 +52,28 @@ def test_flac_roundtrip_matrix():
     check(x[:777], block_size=256, fixed_order=1)   # odd final frame
 
 
+def test_rice_tight_window_retry_matches_hard_bound():
+    """r16: _rice_partition_np first walks a tight window sized for the
+    expected ~half-ones remainder density; a one-dense partition must
+    saturate it, retry on the hard bound, and decode identically. An
+    all-ones stream (every code = terminator + all-ones remainder)
+    consumes param+1 ones per code > the tight budget of
+    (param>>1)+2 for param >= 3, forcing the retry path."""
+    from aresdb_spark.operators.flac import (_bits_and_ones,
+                                             _rice_partition_np)
+    count, param = 50, 3                    # code '1 111' -> v=7 -> -4
+    data = b"\xff" * ((count * (param + 1) + 7) // 8)
+    bits, ones, csum = _bits_and_ones(data)
+    vals, pos = _rice_partition_np(bits, ones, csum, 0, count, param)
+    assert pos == count * (param + 1)
+    assert np.array_equal(vals, np.full(count, -4, dtype=np.int64))
+    # genuinely short stream: both bounds exhaust -> truncated error
+    short = b"\xff" * 4                     # 32 bits = 8 codes' worth
+    b2, o2, c2 = _bits_and_ones(short)
+    with pytest.raises(ValueError, match="truncated"):
+        _rice_partition_np(b2, o2, c2, 0, count, param)
+
+
 def test_flac_crc_and_scope_errors():
     x = np.arange(-100, 100)
     blob = bytearray(encode_flac(x, 8000))

@@ -290,10 +290,11 @@ def test_xbm_any_bitmap_roundtrips(seed, w, h):
 @settings(max_examples=40, deadline=None)
 @given(st.integers(0, 10**9), st.integers(0, 9000))
 def test_crc16_lane_split_equals_scalar(seed, n):
-    """r15: the K-lane vectorized CRC-16 (GF(2) lane split + Horner
-    combine, flac._crc16) must equal the per-byte table loop on any
-    payload, across the scalar/vector threshold and at every length
-    alignment vs the 2-byte/K-lane grid."""
+    """r15 (combine vectorized as a tree in r16): the K-lane vectorized
+    CRC-16 (GF(2) lane split + log2(K) tree combine, flac._crc16) must
+    equal the per-byte table loop on any payload, across the
+    scalar/vector threshold and at every length alignment vs the
+    2-byte/K-lane grid."""
     from aresdb_spark.operators.flac import (_CRC16_FAST_MIN, _crc16,
                                              _crc16_scalar)
 
