@@ -405,3 +405,45 @@ def test_count_is_row_count_even_with_null_arg(spark, duck):
             alias="c")]))
     want = duck.execute("SELECT count(*) FROM events").fetchone()[0]
     assert df.collect()[0]["c"] == want  # rows, not non-null values
+
+
+def test_dim_broadcast_hint_is_size_conditional(spark, duck, monkeypatch):
+    """r16 (guide §3): the dim-join broadcast hint applies only while
+    the dim's on-disk bytes fit DIM_BROADCAST_MAX_BYTES; an over-ceiling
+    dim falls through to Catalyst's own choice. Observed by disabling
+    auto-broadcast: with the hint the plan keeps BroadcastHashJoin even
+    then; without it Catalyst must pick a shuffle join. Results are
+    strategy-independent — both variants match the oracle."""
+    import aresdb_spark.aql.planner as P
+
+    q = Query(
+        table="lineitem",
+        joins=[Join(table="part", alias="p",
+                    conditions=["p.p_partkey = l_partkey"])],
+        dimensions=[Dimension(expr="p.p_brand", alias="brand")],
+        measures=[Measure(expr="sum(l_quantity)", alias="qty")],
+    )
+    oracle = """
+        SELECT p.p_brand AS brand, sum(l.l_quantity) AS qty
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # under the ceiling: hint forces BHJ even with auto off
+        df_hint = plan_query(spark, SF_DIR, q)
+        plan_hint = df_hint._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan_hint
+        assert_df_matches_duck(df_hint, duck, oracle, approx=True)
+        # over the ceiling (forced via a 1-byte cap): no hint -> with
+        # auto-broadcast off Catalyst must use a shuffle join
+        monkeypatch.setattr(P, "DIM_BROADCAST_MAX_BYTES", 1)
+        df_big = plan_query(spark, SF_DIR, q)
+        plan_big = df_big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan_big
+        assert ("SortMergeJoin" in plan_big
+                or "ShuffledHashJoin" in plan_big)
+        assert_df_matches_duck(df_big, duck, oracle, approx=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
